@@ -1,13 +1,206 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (queries, oracleSql) pair:
+  *   - every derived column is explicitly aliased, identically in Spark
+  *     and SQL (the driver's compare sorts columns by name);
+  *   - derived integers are BIGINT on both sides (Spark `size`/
+  *     `row_number` would otherwise be int32 vs DuckDB's int64);
+  *   - cross-row double sums go through DECIMAL(38,10) (exact,
+  *     order-independent) then back to double — see RelationalOps;
+  *   - timestamps in outputs become epoch-seconds BIGINT columns
+  *     (Spark µs vs DuckDB ns precision would differ raw).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational suite (SURVEY.md §2C categories the reference lacks)
+    "q1_pricing_summary" -> RelationalOps.pricingSummary,
+    "q3_top_revenue_orders" -> RelationalOps.revenueTopOrders,
+    "q5_region_revenue" -> RelationalOps.regionRevenue,
+    "semi_join_big_orders" -> RelationalOps.ordersWithBigLines,
+    "anti_join_idle_customers" -> RelationalOps.customersWithoutOrders,
+    "window_top3_parts" -> RelationalOps.top3PartsPerSupplier,
+    "window_running_total" -> RelationalOps.customerRunningTotal,
+    "topk_orders" -> RelationalOps.topOrdersByPrice,
+    "rollup_returns" -> RelationalOps.rollupReturns,
+    "distinct_parts" -> RelationalOps.distinctParts,
+    "setop_lapsed_buyers" -> RelationalOps.setOpCustomers,
+    "above_avg_lines" -> RelationalOps.aboveAvgLines,
+    // Reference queries (P1 wc, P2 indexer) on the documents corpus
+    "wc_documents" -> TextOps.wordCount,
+    "inverted_index" -> TextOps.invertedIndex,
+    // Text analysis suite
+    "lang_id" -> TextOps.langId,
+    "quality_score" -> TextOps.qualityScore,
+    "token_count" -> TextOps.tokenCount,
+    "doc_fingerprint" -> TextOps.fingerprint
+  )
+
+  /** DuckDB twins of `queries`, same table names / same column aliases. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue_orders" ->
+      """SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch, revenue FROM (
+        | SELECT l_orderkey, o_orderdate,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY l_orderkey, o_orderdate)
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE s_nationkey = c_nationkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND r_regionkey <= 2
+        |GROUP BY n_name""".stripMargin,
+    "semi_join_big_orders" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "anti_join_idle_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "window_top3_parts" ->
+      """SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+        | SELECT l_suppkey, l_partkey, revenue,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |                     ORDER BY revenue DESC, l_partkey ASC) AS rnk
+        | FROM (SELECT l_suppkey, l_partkey,
+        |        CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |       FROM lineitem GROUP BY l_suppkey, l_partkey))
+        |WHERE rnk <= 3""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate ASC, o_orderkey ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |  AS running_total
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "setop_lapsed_buyers" ->
+      """SELECT o_custkey FROM (
+        | SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        | EXCEPT
+        | SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000)""".stripMargin,
+    "above_avg_lines" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN (
+        | SELECT l_partkey AS ap_partkey,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY l_partkey) ON l_partkey = ap_partkey
+        |WHERE l_quantity > avg_qty * 1.8
+        |GROUP BY l_returnflag""".stripMargin,
+    "wc_documents" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "inverted_index" ->
+      """SELECT word, COUNT(DISTINCT doc_id) AS n_docs,
+        | array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "lang_id" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
+        |  len(list_filter(toks, t -> t IN ('el','la','de','los','es','y','que'))) AS n_es,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS n_de,
+        |  len(list_filter(toks, t -> t IN ('le','les','et','des','une','est','dans'))) AS n_fr,
+        |  len(list_filter(toks, t -> t IN ('de','shi','le','zai','you','wo','ta'))) AS n_zh
+        | FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+        |       FROM documents))
+        |SELECT doc_id,
+        | CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+        |      WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
+        |      WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
+        |      WHEN n_fr >= n_zh THEN 'fr'
+        |      ELSE 'zh' END AS pred_lang,
+        | n_en, n_es, n_de, n_fr, n_zh
+        |FROM scored""".stripMargin,
+    "quality_score" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+        | FROM documents),
+        |counts AS (
+        | SELECT doc_id, text, len(toks) AS n_words,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  len(list_filter(toks, t -> t IN
+        |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
+        | FROM base),
+        |ratios AS (
+        | SELECT doc_id, n_words, n_punct, n_stop,
+        |  CASE WHEN n_words > 0
+        |       THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(n_punct AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+        | FROM counts)
+        |SELECT doc_id, n_words, n_punct, n_stop, stop_ratio, punct_ratio,
+        | (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END) * (1.0 - punct_ratio) * (0.5 + stop_ratio)
+        |  AS quality
+        |FROM ratios""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]')) AS bpe_tokens,
+        | CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS est_tokens
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(norm) AS fp_md5,
+        | CAST(CAST(concat('0x', substr(md5(norm), 1, 15)) AS UBIGINT) AS BIGINT) AS fp60
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)""".stripMargin
+  )
 }

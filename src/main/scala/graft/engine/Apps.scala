@@ -1,0 +1,79 @@
+package graft.engine
+
+/** The reference's plugin applications (SURVEY.md §2B), re-expressed as
+  * `MrApp`s against the same contract. The framework-probe plugins
+  * (mtiming/rtiming/jobcount — P3–P5) probe scheduling, not data; their
+  * invariants live in the test suite (parallelism via accumulators,
+  * exactly-once attempt counting), not here.
+  */
+object Apps {
+
+  /** Tokenize on any non-letter rune — `strings.FieldsFunc(contents,
+    * !unicode.IsLetter)` (`plugins/wc.go:24-27`). Java's `\p{L}` class
+    * matches Go's `unicode.IsLetter`; `FieldsFunc` never yields empty
+    * tokens, so drop them after the split.
+    */
+  def tokenize(contents: String): Seq[String] =
+    contents.split("[^\\p{L}]+").toSeq.filter(_.nonEmpty)
+
+  /** P1 wc — word count (`plugins/wc.go:22-43`): emit (word,"1") per
+    * occurrence; reduce = number of values.
+    */
+  object WordCount extends MrApp {
+    def map(file: String, contents: String): Seq[KeyValue] =
+      tokenize(contents).map(KeyValue(_, "1"))
+    def reduce(key: String, values: Seq[String]): String =
+      values.size.toString
+  }
+
+  /** P2 indexer — inverted index (`plugins/indexer.go:22-41`): distinct
+    * words per document → (word, doc); reduce = `"<n> <d1,d2,...>"`
+    * with the doc list sorted.
+    */
+  object Indexer extends MrApp {
+    def map(file: String, contents: String): Seq[KeyValue] =
+      tokenize(contents).distinct.map(KeyValue(_, file))
+    def reduce(key: String, values: Seq[String]): String =
+      s"${values.size} ${values.sorted.mkString(",")}"
+  }
+
+  /** P6 early_exit data shape (`plugins/early_exit.go:19-36`): one
+    * (filename,"1") per file; reduce = count (the 3 s sleep is a
+    * finality probe, not data semantics — finality is covered by
+    * Spark's atomic output commit, asserted in tests).
+    */
+  object FileCount extends MrApp {
+    def map(file: String, contents: String): Seq[KeyValue] =
+      Seq(KeyValue(file, "1"))
+    def reduce(key: String, values: Seq[String]): String =
+      values.size.toString
+  }
+
+  /** P7/P8 crash/nocrash data shape (`plugins/nocrash.go:29-50`): four
+    * fixed keys per file — (a, filename), (b, len(filename)),
+    * (c, len(contents)), (d, "xyzzy") — reduce = sorted space-join.
+    * The random crash/stall itself is fault injection, exercised in
+    * tests via TaskContext.attemptNumber.
+    */
+  object CrashData extends MrApp {
+    def map(file: String, contents: String): Seq[KeyValue] = Seq(
+      KeyValue("a", file),
+      KeyValue("b", file.length.toString),
+      KeyValue("c", contents.length.toString),
+      KeyValue("d", "xyzzy")
+    )
+    def reduce(key: String, values: Seq[String]): String =
+      values.sorted.mkString(" ")
+  }
+
+  /** Plugin registry — replaces the reference's dynamic `.so` loading
+    * (`mr_worker.go:26-43`) with a static map; Spark ships closures to
+    * executors, so no dynamic loading is needed.
+    */
+  val registry: Map[String, MrApp] = Map(
+    "wc" -> WordCount,
+    "indexer" -> Indexer,
+    "early_exit" -> FileCount,
+    "nocrash" -> CrashData
+  )
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator suite over the TPC-H-ish star schema
+  * (TESTDATA.md). The reference has no join/window/limit operators at
+  * all (SURVEY.md §2C) — this layer supplies the standard relational
+  * algebra a user of any analytics engine expects, expressed
+  * declaratively so Catalyst plans them (broadcast vs shuffle join,
+  * partial aggregation, pushdown).
+  *
+  * Determinism discipline (DuckDB oracle hash-parity): cross-row
+  * floating-point sums are order-dependent, and both engines aggregate
+  * in nondeterministic parallel order — so every SUM/AVG of a double
+  * goes through DECIMAL(38,10) (exact, order-independent) and is cast
+  * back to double at the end. Per-row double arithmetic is IEEE-exact
+  * in both engines and needs no such care.
+  */
+object RelationalOps {
+
+  /** Order-independent exact sum of a double column (see class doc). */
+  def xsum(c: Column): Column = sum(c.cast(DecimalType(38, 10))).cast("double")
+
+  /** Order-independent exact avg: decimal sum / count, divided as double. */
+  def xavg(c: Column): Column =
+    (sum(c.cast(DecimalType(38, 10))).cast("double") / count(c))
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial+final hash
+    * aggregation; at 100 TB this is a pure map-side-combine plan — one
+    * shuffle of 6 groups.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        xsum(col("l_quantity")).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        xavg(col("l_quantity")).as("avg_qty"),
+        xavg(col("l_extendedprice")).as("avg_price"),
+        xavg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** TPC-H Q3-style shipping-priority top-k: selective dim filter →
+    * fact join → agg → top-k. customer is small → broadcast; at scale
+    * orders⋈lineitem is the real shuffle and co-partitions on orderkey.
+    */
+  def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        col("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue by nation: 5-way star join.
+    * region/nation/supplier/customer are dims → broadcast; lineitem is
+    * the only large input, so the plan at 100 TB is one pass over the
+    * fact table with broadcast hash joins and a 25-group aggregate.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_regionkey") <= 2)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // TPC-H Q5's "local supplier" condition: supplier and customer in
+      // the same nation.
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): orders having at least one high-quantity
+    * line. Semi joins ship only the join key — at scale, prefer them
+    * over join+distinct.
+    */
+  def ordersWithBigLines(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45.0)
+    Tables
+      .orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Window rank: top-3 parts per supplier by revenue. One shuffle on
+    * suppkey; rank+filter prunes before anything wide.
+    */
+  def top3PartsPerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+    perPart
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("l_suppkey"), col("l_partkey"), col("revenue"), col("rnk").cast("bigint").as("rnk"))
+  }
+
+  /** Running total per customer (window cumulative sum). Frame-ordered
+    * accumulation is sequential in both engines given a total order, so
+    * the tiebreak on o_orderkey makes it hash-exact; the sum itself goes
+    * through decimal for safety.
+    */
+  def customerRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        sum(col("o_totalprice").cast(DecimalType(38, 10))).over(w).cast("double").as("running_total")
+      )
+  }
+
+  /** Global top-k with deterministic tiebreak. At scale Spark plans
+    * this as per-partition top-k + single-reduce merge (TakeOrdered),
+    * never a global sort.
+    */
+  def topOrdersByPrice(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch")
+      )
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** ROLLUP hierarchical aggregate (grouping-set expansion). */
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Distinct aggregation: exact + approximate cardinalities per flag.
+    * (approx via HLL is the 100 TB path; exact countDistinct forces an
+    * expand+two-phase agg — both shown here, oracle checks the exact.)
+    */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+  }
+
+  /** Set operations: customers that bought in 1995 but never in 2000
+    * (EXCEPT), via distinct custkey sets.
+    */
+  def setOpCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def buyersIn(yr: Int): DataFrame =
+      ord
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+        .distinct()
+    buyersIn(1995).except(buyersIn(2000)).select(col("o_custkey"))
+  }
+
+  /** Correlated-style scalar-subquery shape: lines above their part's
+    * average quantity (TPC-H Q17 flavor) — expressed as join against a
+    * pre-aggregate, the scalable form.
+    */
+  def aboveAvgLines(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li
+      .groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(xavg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") > col("avg_qty") * 1.8)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("sum_price"))
+  }
+}

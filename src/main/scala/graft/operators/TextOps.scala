@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text operators: the reference's two real analytics queries — word
+  * count (`plugins/wc.go:22-43`) and inverted index
+  * (`plugins/indexer.go:22-41`) — lifted onto the `documents` table,
+  * plus the training-data-pipeline text analysis suite (language ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * All operators are pure column pipelines (whole-stage codegen, no
+  * UDFs) and shuffle at most once, on the grouping key — at 100 TB the
+  * token explode inflates rows ~100× but stays pipelined inside the
+  * scan stage; partial aggregation collapses it before the shuffle.
+  */
+object TextOps {
+
+  /** Tokens on non-letter boundaries — the reference's tokenizer
+    * (`strings.FieldsFunc(c, !unicode.IsLetter)`, `plugins/wc.go:24-27`).
+    * `split` yields empty strings at boundaries (FieldsFunc does not),
+    * hence the filter.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
+
+  /** P1 word count over the corpus: (word, cnt) per distinct token. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** P2 inverted index: word → number of docs + sorted doc-id posting
+    * list (the reference formats `"<n> <d1,d2,...>"`; here the two
+    * fields are separate typed columns).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_set(col("doc_id"))), _.cast("string")), ",")
+          .as("docs")
+      )
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "es", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta")
+  )
+
+  /** Language ID via marker-stopword counting (n-gram/stopword
+    * heuristic): per doc, count tokens that are high-frequency function
+    * words of each candidate language; predict the max with a fixed
+    * preference order on ties. Deliberately simple + fully
+    * deterministic so the DuckDB oracle can mirror it exactly.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = lower(col("text"))
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(toks).as("toks"))
+    val withScores = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(
+        s"n_$lang",
+        size(filter(col("toks"), t => t.isin(markers.map(lit(_)): _*))).cast("bigint")
+      )
+    }
+    val Seq(en, es, de, fr, zh) = langMarkers.map { case (l, _) => col(s"n_$l") }
+    withScores
+      .withColumn(
+        "pred_lang",
+        when(en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es >= de && es >= fr && es >= zh, "es")
+          .when(de >= fr && de >= zh, "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh")
+      )
+      .select(col("doc_id"), col("pred_lang"), en.as("n_en"), es.as("n_es"), de.as("n_de"),
+        fr.as("n_fr"), zh.as("n_zh"))
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Quality scoring: length, punctuation density, stopword ratio,
+    * mean word length — the standard cheap pre-filter signals of a
+    * training-data pipeline. Pure per-row double arithmetic
+    * (IEEE-deterministic; no rounding needed for oracle parity).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), toks.as("toks"), col("text"))
+      .withColumn("n_words", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
+      )
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => t.isin(stopwords.map(lit(_)): _*))).cast("bigint")
+      )
+      .withColumn(
+        "stop_ratio",
+        when(col("n_words") > 0, col("n_stop").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0))
+      )
+      .withColumn(
+        "punct_ratio",
+        when(length(col("text")) > 0,
+          col("n_punct").cast("double") / length(col("text")).cast("double"))
+          .otherwise(lit(0.0))
+      )
+      .withColumn(
+        "quality",
+        when(col("n_words") >= 5, lit(1.0)).otherwise(lit(0.0))
+          * (lit(1.0) - col("punct_ratio"))
+          * (lit(0.5) + col("stop_ratio"))
+      )
+      .select(col("doc_id"), col("n_words"), col("n_punct"), col("n_stop"),
+        col("stop_ratio"), col("punct_ratio"), col("quality"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
+    * runs / digits / single other glyphs), and the chars/4 estimate.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]"), lit(0)))
+          .cast("bigint").as("bpe_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("bigint").as("est_tokens")
+      )
+  }
+
+  /** Document fingerprinting: md5 of whitespace/case-normalized text
+    * (the exact-dedup key) plus a 60-bit numeric fingerprint (first 15
+    * hex digits) for compact storage/joins at scale.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("bigint").as("fp60")
+      )
+  }
+}
