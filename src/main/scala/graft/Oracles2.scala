@@ -1,0 +1,211 @@
+package graft
+
+/** DuckDB oracle SQL for the dedup / similarity / events suites.
+  * Kept apart from SparkEntry for readability; same conventions
+  * (identical aliases, BIGINT derived ints, epoch-µs timestamps,
+  * varchar-mediated decimal→double casts).
+  */
+object Oracles2 {
+
+  /** Shared CTE prefix: tokenized docs and word-3-gram shingle sets. */
+  private val shinglesCte =
+    """toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(range(len(toks)-2),
+      |    i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS shingles
+      | FROM toks WHERE len(toks) >= 3)""".stripMargin
+
+  private val jaccardExpr =
+    """CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)""".stripMargin
+
+  val dedupExact: String =
+    """SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size,
+      | MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+      | doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper
+      |FROM (SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |      FROM documents)""".stripMargin
+
+  val minhashLsh: String =
+    s"""WITH $shinglesCte,
+       |sigs AS (
+       | SELECT doc_id, list_transform(range(12),
+       |   k -> list_min(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS sigs
+       | FROM sh),
+       |bands AS (
+       | SELECT doc_id, b.band_idx,
+       |  md5(array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], '')) AS band_hash
+       | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.7""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH $shinglesCte,
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 50),
+       |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
+       | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** 64-bit simhash CTE ending in fp(doc_id, simhash). */
+  private val simhashCte =
+    """toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_transform(toks, t -> md5(t))) AS h
+      |        FROM toks WHERE len(toks) > 0),
+      |bits AS (
+      | SELECT doc_id, j,
+      |  SUM(CASE WHEN CAST(floor(CAST(concat('0x', substr(h, CAST(j//4+1 AS INT), 1)) AS UBIGINT)
+      |                 / pow(2.0, CAST(3 - j%4 AS DOUBLE))) AS INT) % 2 = 1
+      |           THEN 1 ELSE -1 END) AS s
+      | FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) jj GROUP BY doc_id, j),
+      |fp AS (
+      | SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhashFingerprint: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM fp""".stripMargin
+
+  val simhashPairs: String =
+    s"""WITH $simhashCte,
+       |banded AS (
+       | SELECT doc_id, simhash, b.band_idx,
+       |  substr(simhash, CAST(b.band_idx*16+1 AS INT), 16) AS band_bits
+       | FROM fp, (SELECT unnest(range(4)) AS band_idx) b),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.simhash AS sim_a, b.simhash AS sim_b
+       | FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(64),
+       |    j -> substr(sim_a, CAST(j+1 AS INT), 1) <> substr(sim_b, CAST(j+1 AS INT), 1))) AS BIGINT)
+       |   AS hamming
+       | FROM cand)
+       |WHERE hamming <= 10""".stripMargin
+
+  /** Sequential-fold cosine between two embedding list columns. */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       | (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |  sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val annTopkBruteforce: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, ${cosineSql("qe", "ne")} AS score
+       |      FROM q, n WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       | SELECT query_id, neighbor_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+       | FROM p)
+       |WHERE rnk <= 5""".stripMargin
+
+  val annTopkIvf: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label FROM embeddings),
+       |p AS (SELECT query_id, q.label AS label, neighbor_id, ${cosineSql("qe", "ne")} AS score
+       |      FROM q JOIN n USING (label) WHERE query_id <> neighbor_id)
+       |SELECT query_id, label, neighbor_id, score, rnk FROM (
+       | SELECT query_id, label, neighbor_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+       | FROM p)
+       |WHERE rnk <= 5""".stripMargin
+
+  /** One LSH bucket bit: sign of the projection onto plane l*6+i. */
+  private def lshBit(i: Int): String =
+    s"""CASE WHEN list_sum(list_transform(list_zip(embedding,
+       |  list_transform(range(64), j -> CASE WHEN substr(md5(CAST(l*6+$i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+       |                                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+       |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0.0 THEN '1' ELSE '0' END""".stripMargin
+
+  val annTopkLsh: String =
+    s"""WITH buck AS (
+       | SELECT vec_id, embedding, l AS table_idx,
+       |  concat(${(0 until 6).map(lshBit).mkString(",\n")}) AS bucket
+       | FROM embeddings, (SELECT unnest(range(4)) AS l)),
+       |q AS (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
+       |n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |         FROM q JOIN n USING (table_idx, bucket) WHERE query_id <> neighbor_id),
+       |p AS (SELECT query_id, neighbor_id, ${cosineSql("qe.embedding", "ne.embedding")} AS score
+       |      FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+       |                JOIN embeddings ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       | SELECT query_id, neighbor_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+       | FROM p)
+       |WHERE rnk <= 5""".stripMargin
+
+  val annNearDup: String =
+    s"""SELECT vec_a, vec_b, score FROM (
+       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS score
+       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE score >= 0.45""".stripMargin
+
+  val eventsHourly: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val sessions: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS (SELECT user_id, event_id, ts_us, value,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_session
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |t AS (SELECT user_id, event_id, ts_us, value,
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM s)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM t GROUP BY user_id, session_id""".stripMargin
+
+  val purchaseAttribution: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events WHERE event_type IN ('signup','purchase')),
+      |f AS (SELECT user_id, event_id, event_type, ts_us,
+      |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER w AS last_signup_id,
+      |  last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS) OVER w AS last_signup_us
+      | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id AS purchase_id, last_signup_id AS signup_id,
+      | ts_us - last_signup_us AS gap_us
+      |FROM f WHERE event_type = 'purchase' AND last_signup_id IS NOT NULL""".stripMargin
+
+  val userActivity: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value,
+      | MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+      | COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+      |FROM events GROUP BY user_id""".stripMargin
+}

@@ -44,7 +44,23 @@ object SparkEntry {
     "lang_id" -> TextOps.langId,
     "quality_score" -> TextOps.qualityScore,
     "token_count" -> TextOps.tokenCount,
-    "doc_fingerprint" -> TextOps.fingerprint
+    "doc_fingerprint" -> TextOps.fingerprint,
+    // Dedup suite
+    "dedup_exact" -> DedupOps.exactDedup,
+    "minhash_lsh_pairs" -> DedupOps.minhashLsh,
+    "ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "simhash_fingerprint" -> DedupOps.simhash,
+    "simhash_pairs" -> DedupOps.simhashPairs,
+    // Similarity search
+    "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
+    "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
+    "ann_topk_lsh" -> SimilarityOps.lshTopK,
+    "ann_near_dup" -> SimilarityOps.embeddingNearDup,
+    // Event analytics
+    "events_hourly" -> EventOps.hourlyRollup,
+    "sessions" -> EventOps.sessionize,
+    "purchase_attribution" -> EventOps.purchaseAttribution,
+    "user_activity" -> EventOps.userActivity
   )
 
   /** DuckDB twins of `queries`, same table names / same column aliases. */
@@ -201,6 +217,19 @@ object SparkEntry {
       """SELECT doc_id, md5(norm) AS fp_md5,
         | CAST(CAST(concat('0x', substr(md5(norm), 1, 15)) AS UBIGINT) AS BIGINT) AS fp60
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |      FROM documents)""".stripMargin
+        |      FROM documents)""".stripMargin,
+    "dedup_exact" -> Oracles2.dedupExact,
+    "minhash_lsh_pairs" -> Oracles2.minhashLsh,
+    "ngram_jaccard_pairs" -> Oracles2.ngramJaccard,
+    "simhash_fingerprint" -> Oracles2.simhashFingerprint,
+    "simhash_pairs" -> Oracles2.simhashPairs,
+    "ann_topk_bruteforce" -> Oracles2.annTopkBruteforce,
+    "ann_topk_ivf" -> Oracles2.annTopkIvf,
+    "ann_topk_lsh" -> Oracles2.annTopkLsh,
+    "ann_near_dup" -> Oracles2.annNearDup,
+    "events_hourly" -> Oracles2.eventsHourly,
+    "sessions" -> Oracles2.sessions,
+    "purchase_attribution" -> Oracles2.purchaseAttribution,
+    "user_activity" -> Oracles2.userActivity
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table (ts, user_id,
+  * event_type, value). Batch forms here; the Structured Streaming
+  * twin of the hourly aggregate lives in graft.streaming.
+  *
+  * Time discipline: event timestamps are µs-precision; outputs carry
+  * epoch-µs/epoch-s BIGINT columns (never raw timestamps) so the
+  * ns-precision DuckDB oracle hashes identically.
+  *
+  * Scale notes: hourly rollup is a pure partial-agg shuffle on
+  * (hour, type); sessionization shuffles once on user_id and windows
+  * within user (at 100 TB: no global sort, skew bounded by the
+  * busiest single user); the funnel as-of join is the union+window
+  * trick — one shuffle on user_id, no range-join explosion.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour rollup per event type: count, distinct users,
+    * exact value sum.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        (expr("ts DIV 3600000000000") * 3600).as("hour_epoch"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+  }
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Sessionization: a new session starts when the gap from the user's
+    * previous event exceeds 30 min. Output: one row per session with
+    * bounds and size. Deterministic order: (ts, event_id).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("value"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+  }
+
+  /** Funnel as-of join: each purchase matched to the latest preceding
+    * signup by the same user (ordering key (ts, event_id)). Spark has
+    * no as-of join operator — the scalable pattern is union the two
+    * streams, sort within user, forward-fill the last signup. One
+    * shuffle on user_id; no range-join blowup.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    ev
+      .withColumn(
+        "last_signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .withColumn(
+        "last_signup_us",
+        last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .filter(col("event_type") === "purchase" && col("last_signup_id").isNotNull)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("last_signup_id").as("signup_id"),
+        (col("ts_us") - col("last_signup_us")).as("gap_us")
+      )
+  }
+
+  /** Per-user activity profile: event counts by type (pivot via
+    * conditional aggregation), value total, active span.
+    */
+  def userActivity(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        cnt("click").as("n_click"),
+        cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"),
+        cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value"),
+        min(expr("ts DIV 1000")).as("first_us"),
+        max(expr("ts DIV 1000")).as("last_us"),
+        countDistinct(expr("ts DIV 86400000000000")).as("n_active_days")
+      )
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (`embedding: array<float>`, 64-dim).
+  *
+  * Three tiers, mirroring how an ANN stack scales:
+  *   - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *     O(Q*N); the query set is broadcast, the corpus streams, the
+  *     per-query top-k is a window over a small Q*N intermediate. At
+  *     100 TB this is only for evaluation slices.
+  *   - `ivfLabelTopK`: cell-restricted search — the IVF probe pattern
+  *     with the `label` column as the coarse quantizer assignment.
+  *     The join key (label) prunes the candidate set ~10x; at scale
+  *     the corpus would be bucketed/partitioned by cell so a probe
+  *     touches one partition.
+  *   - `lshTopK`: sign-random-projection LSH, L=4 tables x 6
+  *     hyperplanes (md5-derived Rademacher planes, so the construction
+  *     is deterministic and reproducible in SQL). Candidates = bucket
+  *     collisions in any table; exact cosine re-rank on candidates.
+  *
+  * Plus `embeddingNearDup`: all pairs above a cosine threshold (the
+  *  embedding-cosine near-dup dedup signal).
+  */
+object SimilarityOps {
+
+  val NumQueries = 5 // queries = vec_id < 5
+  val TopK = 5
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  /** Exact cosine top-k for each query vector (vec_id < NumQueries),
+    * self-match excluded; ties broken by neighbor id.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < NumQueries)
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = broadcast(q)
+      .join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  /** IVF-style cell probe: search only the query's own cell (label =
+    * coarse assignment). Approximate overall, exact within the cell.
+    */
+  def ivfLabelTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
+      .filter(col("query_id") < NumQueries)
+    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label"))
+    val scored = broadcast(q)
+      .join(n, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  val LshTables = 4
+  val LshPlanes = 6 // bits per table
+  val Dim = 64
+
+  /** Deterministic Rademacher hyperplanes: component (p, j) is +1 iff
+    * the first hex digit of md5("p_j") is 0-7. Reproducible anywhere
+    * md5 exists (same construction as the SQL/ScalaTest oracles).
+    */
+  private[operators] def planeSigns: Array[Array[Double]] = {
+    val mdig = MessageDigest.getInstance("MD5")
+    Array.tabulate(LshTables * LshPlanes, Dim) { (p, j) =>
+      val hex = mdig
+        .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_))
+        .mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+  }
+
+  /** L concatenated sign-buckets per vector, as an array of L strings.
+    * Each bit = sign of the projection onto one hyperplane (sequential
+    * double fold, like all vector reductions here).
+    */
+  private def bucketExpr(v: Column): Column = {
+    val signs = planeSigns
+    def proj(p: Int): Column =
+      aggregate(
+        zip_with(v, typedLit(signs(p).toSeq), (x, s) => x.cast("double") * s),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    array((0 until LshTables).map { l =>
+      concat((0 until LshPlanes).map { i =>
+        when(proj(l * LshPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }: _*)
+  }
+
+  /** LSH ANN: candidates collide in >= 1 table bucket; exact cosine
+    * re-rank; top-k per query (may return fewer than k — approximate).
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("buckets", bucketExpr(col("embedding")))
+    val exploded = e.select(
+      col("vec_id"),
+      col("embedding"),
+      posexplode(col("buckets")).as(Seq("table_idx", "bucket"))
+    )
+    val q = exploded
+      .filter(col("vec_id") < NumQueries)
+      .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("qe"))
+    val n = exploded.select(col("table_idx"), col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"))
+    val cands = broadcast(q)
+      .join(n, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ne"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("score", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  val NearDupThreshold = 0.45
+
+  /** Embedding-cosine near-dup pairs (doc_a < doc_b, cosine >= t).
+    * Brute-force half-matrix at test scale; the LSH bucketing above is
+    * the scale path (restrict the pair join to bucket collisions).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score", cosine(col("ea"), col("eb")))
+      .filter(col("score") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+  }
+}
