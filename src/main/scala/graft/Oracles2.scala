@@ -208,4 +208,20 @@ object Oracles2 {
       | MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
       | COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
       |FROM events GROUP BY user_id""".stripMargin
+
+  val mmDecodeMeta: String =
+    """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      | CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+      |      WHEN strlen(text) % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      | CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS UBIGINT) AS BIGINT) + 64 AS width,
+      | CAST(CAST(concat('0x', substr(md5(text), 3, 2)) AS UBIGINT) AS BIGINT) + 64 AS height
+      |FROM documents""".stripMargin
+
+  val mmFrameSample: String =
+    """SELECT media_id, frame_idx,
+      | md5(concat(md5(CAST(media_id AS VARCHAR)), '_', CAST(frame_idx AS VARCHAR))) AS frame_fp
+      |FROM (
+      | SELECT doc_id AS media_id,
+      |  unnest(generate_series(0, CAST(strlen(text) AS BIGINT)//64, 2)) AS frame_idx
+      | FROM documents)""".stripMargin
 }

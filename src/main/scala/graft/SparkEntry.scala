@@ -60,7 +60,10 @@ object SparkEntry {
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
     "purchase_attribution" -> EventOps.purchaseAttribution,
-    "user_activity" -> EventOps.userActivity
+    "user_activity" -> EventOps.userActivity,
+    // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
+    "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
+    "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
   )
 
   /** DuckDB twins of `queries`, same table names / same column aliases. */
@@ -230,6 +233,8 @@ object SparkEntry {
     "events_hourly" -> Oracles2.eventsHourly,
     "sessions" -> Oracles2.sessions,
     "purchase_attribution" -> Oracles2.purchaseAttribution,
-    "user_activity" -> Oracles2.userActivity
+    "user_activity" -> Oracles2.userActivity,
+    "mm_decode_meta" -> Oracles2.mmDecodeMeta,
+    "mm_frame_sample" -> Oracles2.mmFrameSample
   )
 }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decode / feature-extract / frame-sample stages.
+  *
+  * The real decoders (image/audio/video libs) are NOT in this
+  * container, so the byte-level decode is STUBBED with a deterministic
+  * fake (md5-derived pseudo-metadata) — see `decodeStub`. Everything
+  * Spark-side is real and tested: binary schema, partitioned typed
+  * mapPartitions batch shape, explode-based frame sampling, and the
+  * metadata expressions (which are pure column ops, so they also have
+  * a DuckDB oracle).
+  *
+  * Scale notes: media blobs dominate row size, so the decode stage is
+  * a narrow map (no shuffle) and metadata-only queries must prune the
+  * blob column at the scan (`ReadSchema` without `payload`). Frame
+  * sampling explodes rows but emits only (id, frame_idx, fingerprint)
+  * — never decoded frames — keeping shuffle width constant.
+  */
+object MultimodalOps {
+
+  /** The media view: each document's text bytes standing in for an
+    * opaque media payload (binary column + id), as a real pipeline
+    * would load from an object store.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload")
+      )
+
+  /** Metadata "decode" as pure column expressions (fake but
+    * deterministic: dimensions from md5 hex digits of the payload,
+    * format from byte length). Oracle-able in DuckDB.
+    */
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("payload"))
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        when(octet_length(col("payload")) % 3 === 0, "image")
+          .when(octet_length(col("payload")) % 3 === 1, "audio")
+          .otherwise("video")
+          .as("media_type"),
+        (conv(substring(h, 1, 2), 16, 10).cast("bigint") + 64).as("width"),
+        (conv(substring(h, 3, 2), 16, 10).cast("bigint") + 64).as("height")
+      )
+  }
+
+  /** Frame sampling: every 2nd frame of bytes/64+1 synthetic
+    * frames, each with a deterministic content fingerprint. The
+    * explode shape (1 media row → n sampled frames, constant-width
+    * output) is the real pipeline's; the per-frame fingerprint stands
+    * in for the decoded frame feature.
+    */
+  def frameSample(spark: SparkSession, dir: String, step: Int = 2): DataFrame = {
+    mediaTable(spark, dir)
+      .withColumn("n_frames", (octet_length(col("payload")).cast("bigint") / 64).cast("bigint") + 1)
+      .select(
+        col("media_id"),
+        col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong))).as("frame_idx")
+      )
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        md5(concat(md5(col("media_id").cast("string")), lit("_"), col("frame_idx").cast("string")))
+          .as("frame_fp")
+      )
+  }
+
+  /** Typed decoded-media record (what a real decoder would emit). */
+  final case class MediaMeta(
+      media_id: Long,
+      n_bytes: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      checksum: String
+  )
+
+  /** mapPartitions decode stub — the seam where a real image/audio
+    * decoder plugs in. The libraries are not present in this
+    * environment, so `realDecode` is intentionally unimplemented and
+    * the stub below produces the deterministic fake; the partition
+    * iteration, batch shape, and typed output schema are the real
+    * plumbing and are covered by tests.
+    */
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          decodeStub(md, id, payload)
+        }
+      }
+  }
+
+  /** Real decoder hook: would parse the container header and hand the
+    * payload to an image/audio library. Not available here.
+    */
+  private def realDecode(id: Long, payload: Array[Byte]): MediaMeta =
+    ??? // image/audio decode libs absent in this environment — use decodeStub
+
+  private def decodeStub(
+      md: java.security.MessageDigest,
+      id: Long,
+      payload: Array[Byte]
+  ): MediaMeta = {
+    md.reset()
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val n = payload.length.toLong
+    MediaMeta(
+      media_id = id,
+      n_bytes = n,
+      media_type = (n % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      },
+      width = Integer.parseInt(hex.substring(0, 2), 16) + 64,
+      height = Integer.parseInt(hex.substring(2, 4), 16) + 64,
+      checksum = hex
+    )
+  }
+}

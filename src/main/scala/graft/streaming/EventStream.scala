@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events data: the same hourly
+  * rollup as EventOps.hourlyRollup, expressed as a streaming query
+  * (readStream → event-time window agg → writeStream).
+  *
+  * The reference engine is strictly batch (SURVEY.md §1) — this is the
+  * north-star streaming extension. Design notes for scale:
+  * event-time windows + a watermark bound state; the aggregation is
+  * partial-agg'd before the shuffle exactly like the batch twin; with
+  * `maxFilesPerTrigger` the source paces backfills.
+  */
+object EventStream {
+
+  /** events schema as read with nanosAsLong (see Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming hourly rollup: count + value sum per (hour, type) with
+    * a 2-hour watermark on event time.
+    */
+  def hourlyRollupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    stream
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Apps, Engine, KeyValue}
+import graft.functions.Fnv1a
+
+/** Differential tests for the generic MapReduce kernel, mirroring the
+  * reference's test-mr.sh structure (SURVEY.md §5): distributed output
+  * must equal the sequential oracle's, independent of partitioning.
+  */
+class EngineSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val gutenberg: Seq[(String, String)] =
+    Files
+      .list(Paths.get("/root/reference/inputs"))
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("pg-"))
+      .map(p => p.toString -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toSeq
+      .sortBy(_._1)
+
+  private def runDistributed(app: engine.MrApp): Map[String, String] =
+    Engine
+      .run(spark, GutenbergGlob, app)
+      .collect()
+      .map(kv => kv.key -> kv.value)
+      .toMap
+
+  private def runOracle(app: engine.MrApp): Map[String, String] =
+    Engine.sequential(gutenberg, app).map(kv => kv.key -> kv.value).toMap
+
+  test("wc distributed == sequential oracle on the 9 Gutenberg texts") {
+    val got = runDistributed(Apps.WordCount)
+    val want = runOracle(Apps.WordCount)
+    assert(got.size === want.size)
+    assert(got === want)
+    // spot-check a known token against independent counting
+    val a = gutenberg.map(_._2.split("[^\\p{L}]+").count(_ == "the")).sum
+    assert(got("the").toInt === a)
+  }
+
+  test("indexer distributed == sequential oracle (sorted doc lists)") {
+    val got = runDistributed(Apps.Indexer)
+    val want = runOracle(Apps.Indexer)
+    assert(got === want)
+    // posting lists are sorted + distinct (reference plugins/indexer.go:39)
+    got.values.take(200).foreach { v =>
+      val docs = v.split(" ", 2)(1).split(",").toSeq
+      assert(docs == docs.sorted && docs.distinct.size == docs.size)
+    }
+  }
+
+  test("partition invariance: nReduce 1 vs 10 give identical results") {
+    import spark.implicits._
+    val input = spark.createDataset(gutenberg.take(4))
+    val r1 = Engine.mapReduce(spark, input, Apps.WordCount, nReduce = 1).collect().toSet
+    val r10 = Engine.mapReduce(spark, input, Apps.WordCount, nReduce = 10).collect().toSet
+    assert(r1 === r10)
+  }
+
+  test("crash/nocrash data app matches oracle (P7/P8 shape)") {
+    assert(runDistributed(Apps.CrashData) === runOracle(Apps.CrashData))
+  }
+
+  test("reducers are order-insensitive (reference values arrive unordered)") {
+    val values = (1 to 50).map(_.toString)
+    val shuffles = Seq(values, Random.shuffle(values), values.reverse)
+    for (app <- Apps.registry.values; v <- shuffles)
+      assert(app.reduce("k", v) === app.reduce("k", values))
+  }
+
+  test("writeText produces FNV-1a-bucketed 'key value' lines (F7 parity)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-out").toString
+    val data = Seq(KeyValue("apple", "3"), KeyValue("pear", "1"), KeyValue("zoo", "9"))
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = 3)
+    val lines = Files
+      .list(Paths.get(tmp))
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+    assert(lines.sorted === data.map(kv => s"${kv.key} ${kv.value}").sorted)
+  }
+
+  test("fnv1a matches the published FNV-1a 32-bit test vectors") {
+    // public FNV-1a reference values (Noll's tables), masked & 0x7fffffff
+    assert(Fnv1a.hash("") === (0x811c9dc5 & 0x7fffffff))
+    assert(Fnv1a.hash("a") === (0xe40c292c & 0x7fffffff))
+    assert(Fnv1a.hash("foobar") === (0xbf9cf968 & 0x7fffffff))
+  }
+
+  test("exactly-once map execution without failures (P5 jobcount analogue)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("mapCalls")
+    val input = spark.createDataset(gutenberg)
+    input
+      .flatMap { case (f, c) => acc.add(1); Apps.FileCount.map(f, c) }
+      .groupByKey(_.key)
+      .count()
+      .collect()
+    assert(acc.value === gutenberg.size)
+  }
+
+  test("task retry recovers from a first-attempt crash (P7 crash analogue)") {
+    import spark.implicits._
+    val input = spark.createDataset(gutenberg)
+    val result = input
+      .repartition(4)
+      .mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected crash (attempt 0)")
+        it
+      }
+      .flatMap { case (f, c) => Apps.WordCount.map(f, c) }
+      .groupByKey(_.key)
+      .mapGroups((k, rows) => KeyValue(k, Apps.WordCount.reduce(k, rows.map(_.value).toSeq)))
+      .collect()
+      .map(kv => kv.key -> kv.value)
+      .toMap
+    assert(result === runOracle(Apps.WordCount))
+  }
+
+  test("map parallelism: tasks genuinely overlap (P3 mtiming analogue)") {
+    import spark.implicits._
+    val spans = spark
+      .createDataset(1 to 4)
+      .repartition(4)
+      .mapPartitions { it =>
+        val start = System.nanoTime
+        Thread.sleep(300)
+        val end = System.nanoTime
+        it.map(_ => (start, end))
+      }
+      .collect()
+    val overlaps = spans.combinations(2).count { case Array((s1, e1), (s2, e2)) =>
+      s1 < e2 && s2 < e1
+    }
+    assert(overlaps >= 1, "expected at least two concurrently-running map tasks")
+  }
+}

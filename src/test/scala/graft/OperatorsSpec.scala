@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.MultimodalOps
+
+/** Semantic invariants of the operator layer (the hash-vs-DuckDB gate
+  * is the driver's; these are the properties a hash can't express).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("wordCount total equals total token count of the corpus") {
+    val total = TextOps
+      .wordCount(spark, Sf0001)
+      .agg(sum("cnt"))
+      .collect()(0)
+      .getLong(0)
+    val direct = Tables
+      .documents(spark, Sf0001)
+      .select(size(TextOps.tokens(col("text"))).as("n"))
+      .agg(sum("n"))
+      .collect()(0)
+      .getLong(0)
+    assert(total === direct)
+  }
+
+  test("inverted index: every doc in a posting list contains the word") {
+    val docs = Tables
+      .documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val rows = TextOps.invertedIndex(spark, Sf0001).limit(50).collect()
+    rows.foreach { r =>
+      val word = r.getString(0)
+      val posting = r.getString(2).split(",").map(_.toLong)
+      assert(posting.length === r.getLong(1))
+      posting.foreach { d =>
+        assert(docs(d).split("[^\\p{L}]+").contains(word), s"doc $d missing '$word'")
+      }
+    }
+  }
+
+  test("exact dedup: keeper flags are consistent within groups") {
+    val rows = DedupOps.exactDedup(spark, Sf0001).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.count(_.getBoolean(4)) === 1, "exactly one keeper per fp group")
+      assert(g.map(_.getLong(3)).distinct.length === 1)
+      assert(g.forall(_.getLong(2) === g.length))
+    }
+  }
+
+  test("minhash candidates are high-jaccard; all verified pairs >= 0.7") {
+    val pairs = DedupOps.minhashLsh(spark, Sf001).collect()
+    assert(pairs.nonEmpty, "sf0.01 corpus should contain near-dup pairs")
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.7))
+  }
+
+  test("minhash pairs are a subset of exact ngram-jaccard pairs") {
+    val mh = DedupOps.minhashLsh(spark, Sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = DedupOps.ngramJaccard(spark, Sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(ng), "jaccard>=0.7 candidates must appear in the >=0.5 exact set")
+  }
+
+  test("simhash near-identical docs have small hamming distance") {
+    val fps = DedupOps.simhash(spark, Sf001).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc pairs found by exact jaccard >= 0.9 should be close in simhash space
+    val near = DedupOps.ngramJaccard(spark, Sf001).filter(col("jaccard") >= 0.9).collect()
+    assert(near.nonEmpty)
+    val h = near.map { r =>
+      val (a, b) = (fps(r.getLong(0)), fps(r.getLong(1)))
+      a.zip(b).count { case (x, y) => x != y }
+    }
+    assert(h.sum.toDouble / h.length < 12.0, s"mean hamming of 0.9-jaccard pairs: ${h.toSeq}")
+  }
+
+  test("brute-force ANN: scores within [-1,1], ranks contiguous, k rows per query") {
+    val rows = SimilarityOps.bruteForceTopK(spark, Sf001).collect()
+    assert(rows.length === SimilarityOps.NumQueries * SimilarityOps.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(3)).sorted.toSeq === (1 to SimilarityOps.TopK).map(_.toLong))
+      val scores = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.sameElements(scores.sorted.reverse), "scores descend with rank")
+      scores.foreach(s => assert(s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  test("LSH ANN achieves nontrivial recall against brute force") {
+    val bf = SimilarityOps.bruteForceTopK(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.08, s"LSH recall@5 too low: $recall")
+  }
+
+  test("sessions: per-user session ids are contiguous and gaps respected") {
+    val s = EventOps.sessionize(spark, Sf0001).collect()
+    s.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val ids = g.map(_.getLong(1)).sorted
+      assert(ids.toSeq === (1L to ids.length))
+      // session bounds do not overlap and successive sessions are > 30 min apart
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getLong(3) - p.getLong(4) > EventOps.SessionGapUs)
+        case _ =>
+      }
+    }
+  }
+
+  test("purchase attribution: signup precedes purchase for every pair") {
+    val rows = EventOps.purchaseAttribution(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0, "gap_us must be non-negative"))
+  }
+
+  test("multimodal decode stub: expression path == typed mapPartitions path") {
+    val exprPath = MultimodalOps.decodeMeta(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    val typedPath = MultimodalOps.decodeBatch(spark, Sf0001)
+      .collect().map(m => (m.media_id, (m.n_bytes, m.media_type, m.width.toLong, m.height.toLong))).toMap
+    assert(exprPath === typedPath)
+  }
+
+  test("frame sampling: frame indices follow the stride, fingerprints unique per media") {
+    val rows = MultimodalOps.frameSample(spark, Sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val idx = g.map(_.getLong(1)).sorted
+      assert(idx.head === 0L)
+      idx.sliding(2).foreach { case Array(a, b) => assert(b - a === 2); case _ => }
+      assert(g.map(_.getString(2)).distinct.length === g.length)
+    }
+  }
+}
