@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch throughput: parallel GC beats G1's latency bias for this
+  // workload and keeps heavy queries from degrading their successors
+  "-XX:+UseParallelGC",
 )

@@ -33,13 +33,17 @@ object Oracles2 {
 
   val minhashLsh: String =
     s"""WITH $shinglesCte,
+       |hs AS (
+       | SELECT doc_id, list_transform(shingles,
+       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
+       | FROM sh),
        |sigs AS (
        | SELECT doc_id, list_transform(range(12),
-       |   k -> list_min(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || '|' || s)))) AS sigs
-       | FROM sh),
+       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
+       | FROM hs),
        |bands AS (
        | SELECT doc_id, b.band_idx,
-       |  md5(array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], '')) AS band_hash
+       |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
        | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -55,9 +59,14 @@ object Oracles2 {
        |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 50),
        |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+       |rc AS (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
        |cand AS (
-       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       | JOIN rc ra ON ra.doc_id = doc_a JOIN rc rb ON rb.doc_id = doc_b
+       | WHERE n_shared >= GREATEST(3, CAST(ceil(LEAST(ra.n_rare, rb.n_rare) / 3.0) AS BIGINT)))
        |SELECT doc_a, doc_b, jaccard FROM (
        | SELECT doc_a, doc_b, $jaccardExpr AS jaccard
        | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
@@ -69,13 +78,14 @@ object Oracles2 {
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |tok AS (SELECT doc_id, unnest(list_transform(toks, t -> md5(t))) AS h
-      |        FROM toks WHERE len(toks) > 0),
+      |tok AS (SELECT doc_id, md5(t) AS h, COUNT(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS t FROM toks WHERE len(toks) > 0)
+      |        GROUP BY doc_id, md5(t)),
       |bits AS (
       | SELECT doc_id, j,
       |  SUM(CASE WHEN CAST(floor(CAST(concat('0x', substr(h, CAST(j//4+1 AS INT), 1)) AS UBIGINT)
       |                 / pow(2.0, CAST(3 - j%4 AS DOUBLE))) AS INT) % 2 = 1
-      |           THEN 1 ELSE -1 END) AS s
+      |           THEN c ELSE -c END) AS s
       | FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) jj GROUP BY doc_id, j),
       |fp AS (
       | SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
@@ -104,16 +114,20 @@ object Oracles2 {
        | FROM cand)
        |WHERE hamming <= 10""".stripMargin
 
-  /** Sequential-fold cosine between two embedding list columns. */
-  private def cosineSql(a: String, b: String): String =
-    s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-       | (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-       |  sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  /** Sequential-fold dot product / norm (same fold order as the Spark
+    * expressions, so scores are bit-identical).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private val normSql: String =
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val annTopkBruteforce: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
-       |p AS (SELECT query_id, neighbor_id, ${cosineSql("qe", "ne")} AS score
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
+       |           FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, $normSql AS nn FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
        |      FROM q, n WHERE query_id <> neighbor_id)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        | SELECT query_id, neighbor_id, score,
@@ -122,9 +136,10 @@ object Oracles2 {
        |WHERE rnk <= 5""".stripMargin
 
   val annTopkIvf: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 5),
-       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label FROM embeddings),
-       |p AS (SELECT query_id, q.label AS label, neighbor_id, ${cosineSql("qe", "ne")} AS score
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label, $normSql AS nq
+       |           FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn FROM embeddings),
+       |p AS (SELECT query_id, q.label AS label, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
        |      FROM q JOIN n USING (label) WHERE query_id <> neighbor_id)
        |SELECT query_id, label, neighbor_id, score, rnk FROM (
        | SELECT query_id, label, neighbor_id, score,
@@ -148,9 +163,11 @@ object Oracles2 {
        |n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
        |cand AS (SELECT DISTINCT query_id, neighbor_id
        |         FROM q JOIN n USING (table_idx, bucket) WHERE query_id <> neighbor_id),
-       |p AS (SELECT query_id, neighbor_id, ${cosineSql("qe.embedding", "ne.embedding")} AS score
-       |      FROM cand JOIN embeddings qe ON qe.vec_id = query_id
-       |                JOIN embeddings ne ON ne.vec_id = neighbor_id)
+       |qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id,
+       |       ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
+       |      FROM cand JOIN qn qe ON qe.vec_id = query_id
+       |                JOIN qn ne ON ne.vec_id = neighbor_id)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        | SELECT query_id, neighbor_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
@@ -158,10 +175,11 @@ object Oracles2 {
        |WHERE rnk <= 5""".stripMargin
 
   val annNearDup: String =
-    s"""SELECT vec_a, vec_b, score FROM (
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings)
+       |SELECT vec_a, vec_b, score FROM (
        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${cosineSql("a.embedding", "b.embedding")} AS score
-       | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nv * b.nv) AS score
+       | FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE score >= 0.45""".stripMargin
 
   val eventsHourly: String =

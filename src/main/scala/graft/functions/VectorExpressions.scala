@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with whole-stage codegen) for the hot
+  * vector kernels. The generic higher-order functions
+  * (`aggregate`/`zip_with`) are CodegenFallback — interpreted, one
+  * boxed object per element — which at N^2-pair scale turns the
+  * scoring loops into GC storms. These generate tight primitive loops
+  * instead.
+  *
+  * Numeric contract (shared with the DuckDB oracles): sequential
+  * index-order left fold, each float promoted to double before
+  * multiply/accumulate — bit-identical to `list_sum(list_transform(
+  * list_zip(...)))`.
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over two array<float> columns, double accumulator. */
+  case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** Squared L2 norm of an array<float> column. */
+  case class VecNormSq(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_norm_sq"
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      while (i < a.numElements()) {
+        val x = a.getFloat(i).toDouble
+        acc += x * x
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val x = ctx.freshName("x")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  $acc += $x * $x;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** SimHash bit vector: maps a 32-hex-char md5 string to the 64
+    * weighted signs (+w where the bit is set, -w where clear). Bit j is
+    * bit (3 - j%4) of hex digit j/4 — same definition as the SQL
+    * oracle's floor(digit / 2^(3-j%4)) % 2.
+    */
+  case class Md5SignBits(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "md5_sign_bits"
+
+    override def nullSafeEval(h: Any, w: Any): Any = {
+      val hex = h.asInstanceOf[UTF8String].toString
+      val weight = w.asInstanceOf[Int]
+      val out = new Array[Int](64)
+      var j = 0
+      while (j < 64) {
+        val digit = Character.digit(hex.charAt(j / 4), 16)
+        out(j) = if (((digit >> (3 - j % 4)) & 1) == 1) weight else -weight
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (h, w) => {
+        val bytes = ctx.freshName("bytes")
+        val out = ctx.freshName("out")
+        val j = ctx.freshName("j")
+        val digit = ctx.freshName("digit")
+        s"""
+           |byte[] $bytes = $h.getBytes();
+           |int[] $out = new int[64];
+           |for (int $j = 0; $j < 64; $j++) {
+           |  int $digit = java.lang.Character.digit((char) $bytes[$j / 4], 16);
+           |  $out[$j] = ((($digit >> (3 - $j % 4)) & 1) == 1) ? $w : -$w;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** Hamming distance between two equal-length bit strings (ASCII).
+    * Counts positions where the characters differ — same contract as
+    * the oracle's list_filter over per-position substr comparison.
+    */
+  case class HammingBits(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hamming_bits"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].getBytes
+      val b = r.asInstanceOf[UTF8String].getBytes
+      val n = math.min(a.length, b.length)
+      var d = 0L
+      var i = 0
+      while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+      d
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val ab = ctx.freshName("ab")
+        val bb = ctx.freshName("bb")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        s"""
+           |byte[] $ab = $a.getBytes();
+           |byte[] $bb = $b.getBytes();
+           |int $n = java.lang.Math.min($ab.length, $bb.length);
+           |long $d = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($ab[$i] != $bb[$i]) $d++;
+           |}
+           |${ev.value} = $d;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** Register the expressions in the session's function registry
+    * (idempotent). The Column/Expression bridge objects are
+    * private[sql] in Spark 4, so the public path to a custom
+    * Expression is registry + call_function.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(spark)
+      .sessionState
+      .functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm_sq", exprs => VecNormSq(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_sign_bits",
+      exprs => Md5SignBits(exprs(0), exprs(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "hamming_bits",
+      exprs => HammingBits(exprs(0), exprs(1)),
+      "built-in"
+    )
+  }
+
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def vecNormSq(a: Column): Column = call_function("vec_norm_sq", a)
+
+  def md5SignBits(hex: Column, weight: Column): Column =
+    call_function("md5_sign_bits", hex, weight)
+
+  def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
+}

