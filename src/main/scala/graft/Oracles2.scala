@@ -150,15 +150,15 @@ object Oracles2 {
   /** One LSH bucket bit: sign of the projection onto plane l*6+i. */
   private def lshBit(i: Int): String =
     s"""CASE WHEN list_sum(list_transform(list_zip(embedding,
-       |  list_transform(range(64), j -> CASE WHEN substr(md5(CAST(l*6+$i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+       |  list_transform(range(64), j -> CASE WHEN substr(md5(CAST(l*4+$i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
        |                                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
        |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0.0 THEN '1' ELSE '0' END""".stripMargin
 
   val annTopkLsh: String =
     s"""WITH buck AS (
        | SELECT vec_id, embedding, l AS table_idx,
-       |  concat(${(0 until 6).map(lshBit).mkString(",\n")}) AS bucket
-       | FROM embeddings, (SELECT unnest(range(4)) AS l)),
+       |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
+       | FROM embeddings, (SELECT unnest(range(8)) AS l)),
        |q AS (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
        |n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
        |cand AS (SELECT DISTINCT query_id, neighbor_id
@@ -226,6 +226,18 @@ object Oracles2 {
       | MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
       | COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
       |FROM events GROUP BY user_id""".stripMargin
+
+  val valueQuantiles: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      | quantile_cont(value, 0.95) AS p95,
+      | MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val cubeDaily: String =
+    """SELECT event_type, epoch_day, COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS epoch_day, value FROM events)
+      |GROUP BY CUBE(event_type, epoch_day)""".stripMargin
 
   val mmDecodeMeta: String =
     """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -61,6 +61,8 @@ object SparkEntry {
     "sessions" -> EventOps.sessionize,
     "purchase_attribution" -> EventOps.purchaseAttribution,
     "user_activity" -> EventOps.userActivity,
+    "value_quantiles" -> EventOps.valueQuantiles,
+    "cube_daily" -> EventOps.cubeDaily,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -234,6 +236,8 @@ object SparkEntry {
     "sessions" -> Oracles2.sessions,
     "purchase_attribution" -> Oracles2.purchaseAttribution,
     "user_activity" -> Oracles2.userActivity,
+    "value_quantiles" -> Oracles2.valueQuantiles,
+    "cube_daily" -> Oracles2.cubeDaily,
     "mm_decode_meta" -> Oracles2.mmDecodeMeta,
     "mm_frame_sample" -> Oracles2.mmFrameSample
   )

@@ -98,6 +98,38 @@ object EventOps {
       )
   }
 
+  /** Exact value quantiles per event type (interpolated, DuckDB
+    * quantile_cont semantics). At 100 TB this becomes
+    * approx_percentile — exact percentile requires a per-group sort;
+    * both forms shown, oracle checks the exact one.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** CUBE over (event_type, epoch-day): all grouping-set rollups of
+    * the daily activity matrix in one pass.
+    */
+  def cubeDaily(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("epoch_day"), col("value"))
+      .cube(col("event_type"), col("epoch_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+  }
+
   /** Per-user activity profile: event counts by type (pivot via
     * conditional aggregation), value total, active span.
     */

@@ -131,6 +131,16 @@ class EngineSpec extends AnyFunSuite {
     assert(result === runOracle(Apps.WordCount))
   }
 
+  test("output finality: commit marker exists before writeText returns (P6 analogue)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-final").toString
+    Engine.writeText(spark.createDataset(Seq(KeyValue("k", "v"))), tmp, nReduce = 2)
+    // Spark's output commit protocol writes _SUCCESS last; its presence
+    // when the action returns is the reference's early-exit invariant
+    // (`test-mr.sh:228-284`): no reader can observe a partial job.
+    assert(Files.exists(Paths.get(tmp, "_SUCCESS")))
+  }
+
   test("map parallelism: tasks genuinely overlap (P3 mtiming analogue)") {
     import spark.implicits._
     val spans = spark

@@ -97,7 +97,7 @@ class OperatorsSpec extends AnyFunSuite {
     val lsh = SimilarityOps.lshTopK(spark, Sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & lsh).size.toDouble / bf.size
-    assert(recall >= 0.08, s"LSH recall@5 too low: $recall")
+    assert(recall >= 0.4, s"LSH recall@5 too low: $recall")
   }
 
   test("sessions: per-user session ids are contiguous and gaps respected") {
