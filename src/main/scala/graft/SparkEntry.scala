@@ -37,8 +37,12 @@ object SparkEntry {
     "distinct_parts" -> RelationalOps.distinctParts,
     "setop_lapsed_buyers" -> RelationalOps.setOpCustomers,
     "above_avg_lines" -> RelationalOps.aboveAvgLines,
+    "supplier_stats" -> RelationalOps.supplierStats,
+    "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
+    "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     // Reference queries (P1 wc, P2 indexer) on the documents corpus
     "wc_documents" -> TextOps.wordCount,
+    "wc_kernel" -> TextOps.wordCountViaKernel,
     "inverted_index" -> TextOps.invertedIndex,
     // Text analysis suite
     "lang_id" -> TextOps.langId,
@@ -223,6 +227,33 @@ object SparkEntry {
         | CAST(CAST(concat('0x', substr(md5(norm), 1, 15)) AS UBIGINT) AS BIGINT) AS fp60
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |      FROM documents)""".stripMargin,
+    "supplier_stats" ->
+      """SELECT l_suppkey, n, sum_price, sum_price / n AS avg_price,
+        | CASE WHEN n > 1
+        |      THEN sqrt((sum_sq - sum_price * sum_price / n) / (n - 1))
+        |      ELSE NULL END AS stddev_price
+        |FROM (SELECT l_suppkey, COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |       CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,5))) AS VARCHAR) AS DOUBLE) AS sum_sq
+        |      FROM lineitem GROUP BY l_suppkey)""".stripMargin,
+    "full_outer_nation" ->
+      """SELECT COALESCE(cn, sn) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS cn, COUNT(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 7500.0 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS sn, COUNT(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 7500.0 GROUP BY s_nationkey) s
+        |ON cn = sn""".stripMargin,
+    "intersect_loyal_buyers" ->
+      """SELECT o_custkey FROM (
+        | SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        | INTERSECT
+        | SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000)""".stripMargin,
+    "wc_kernel" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
     "minhash_lsh_pairs" -> Oracles2.minhashLsh,
     "ngram_jaccard_pairs" -> Oracles2.ngramJaccard,

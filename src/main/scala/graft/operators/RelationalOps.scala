@@ -209,6 +209,60 @@ object RelationalOps {
     buyersIn(1995).except(buyersIn(2000)).select(col("o_custkey"))
   }
 
+  /** Per-supplier revenue statistics with EXACT stddev: variance from
+    * decimal-exact moments (sum, sum of squares) so the result is
+    * order-independent — stddev_samp over doubles is not
+    * reproducible across engines, the moment formula is.
+    */
+  def supplierStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        xsum(col("l_extendedprice")).as("sum_price"),
+        // scale 5, not 10: squares are ~1e10 and DuckDB's double->
+        // decimal conversion is only exact while value*10^scale fits
+        // in 2^53 (verified empirically; scale 10 garbles low digits)
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(38, 5)))
+          .cast("double").as("sum_sq")
+      )
+      .withColumn("avg_price", col("sum_price") / col("n"))
+      .withColumn(
+        "stddev_price",
+        when(col("n") > 1,
+          sqrt((col("sum_sq") - col("sum_price") * col("sum_price") / col("n")) / (col("n") - 1)))
+          .otherwise(lit(null).cast("double"))
+      )
+      .select(col("l_suppkey"), col("n"), col("sum_price"), col("avg_price"), col("stddev_price"))
+  }
+
+  /** Full outer join: high-balance customers vs high-balance suppliers
+    * per nation — nations can be present on either side only.
+    */
+  def fullOuterNationBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 7500.0)
+      .groupBy(col("c_nationkey").as("cn")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 7500.0)
+      .groupBy(col("s_nationkey").as("sn")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("cn") === col("sn"), "full_outer")
+      .select(
+        coalesce(col("cn"), col("sn")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp")
+      )
+  }
+
+  /** INTERSECT: customers who bought in both 1995 and 2000. */
+  def loyalBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def buyersIn(yr: Int): DataFrame =
+      ord.filter(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+    buyersIn(1995).intersect(buyersIn(2000))
+  }
+
   /** Correlated-style scalar-subquery shape: lines above their part's
     * average quantity (TPC-H Q17 flavor) — expressed as join against a
     * pre-aggregate, the scalable form.

@@ -33,6 +33,23 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** P1 word count routed through the generic MapReduce kernel
+    * (graft.engine.Engine + Apps.WordCount) with the documents table
+    * as the corpus — proves the kernel itself against the same DuckDB
+    * oracle as the DataFrame form.
+    */
+  def wordCountViaKernel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+    graft.engine.Engine
+      .mapReduce(spark, input, graft.engine.Apps.WordCount)
+      .select(col("key").as("word"), col("value").cast("bigint").as("cnt"))
+  }
+
   /** P2 inverted index: word → number of docs + sorted doc-id posting
     * list (the reference formats `"<n> <d1,d2,...>"`; here the two
     * fields are separate typed columns).

@@ -34,4 +34,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("stateful streaming sessionization: closed sessions match batch, state spans batches") {
+    import spark.implicits._
+    // split events into two time-ordered parquet files -> two
+    // micro-batches, so open sessions must survive in GroupState
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ev = graft.operators.Tables.events(spark, Sf0001).orderBy("ts")
+    val n = ev.count()
+    val rows = ev.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.take((n / 2).toInt).toSeq), ev.schema)
+      .coalesce(1).write.parquet(s"$tmp/f1")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.drop((n / 2).toInt).toSeq), ev.schema)
+      .coalesce(1).write.parquet(s"$tmp/f2")
+    // stream dir with both files (glob over the two part files)
+    val dir = tmp
+    val merged = s"$tmp/merged"
+    new java.io.File(merged).mkdirs()
+    for ((sub, ageSec) <- Seq("f1" -> 120L, "f2" -> 0L)) {
+      val part = new java.io.File(s"$tmp/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(merged, s"$sub.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // FileStreamSource orders batches by modification time; identical
+      // mtimes made f2 run first and corrupted session order
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    val q = graft.streaming.SessionStream.closedSessions(spark, merged)
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.operators.EventOps.sessionize(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // streaming emits only CLOSED sessions: every user's last batch
+      // session stays open in state, everything before it must match
+      val lastPerUser = batch.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+      val expected = batch.filter { case ((u, sid), _) => sid < lastPerUser(u) }
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
