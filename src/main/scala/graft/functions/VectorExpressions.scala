@@ -194,21 +194,39 @@ object VectorExpressions {
     * private[sql] in Spark 4, so the public path to a custom
     * Expression is registry + call_function.
     */
+  /** Arity guard for registry builders (otherwise a wrong-arity SQL
+    * call dies with a bare IndexOutOfBounds).
+    */
+  def expect(n: Int, name: String)(
+      exprs: Seq[Expression]
+  ): Seq[Expression] = {
+    require(exprs.length == n, s"$name requires $n arguments, got ${exprs.length}")
+    exprs
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(spark)
       .sessionState
       .functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm_sq", exprs => VecNormSq(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => { val e = expect(2, "vec_dot")(exprs); VecDot(e(0), e(1)) },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "vec_norm_sq",
+      exprs => VecNormSq(expect(1, "vec_norm_sq")(exprs).head),
+      "built-in"
+    )
     reg.createOrReplaceTempFunction(
       "md5_sign_bits",
-      exprs => Md5SignBits(exprs(0), exprs(1)),
+      exprs => { val e = expect(2, "md5_sign_bits")(exprs); Md5SignBits(e(0), e(1)) },
       "built-in"
     )
     reg.createOrReplaceTempFunction(
       "hamming_bits",
-      exprs => HammingBits(exprs(0), exprs(1)),
+      exprs => { val e = expect(2, "hamming_bits")(exprs); HammingBits(e(0), e(1)) },
       "built-in"
     )
   }

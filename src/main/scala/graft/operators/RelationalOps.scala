@@ -263,6 +263,25 @@ object RelationalOps {
     buyersIn(1995).intersect(buyersIn(2000))
   }
 
+  /** Sketch-based approximate statistics — the 100 TB form of
+    * distinct_parts/value_quantiles (HLL + quantile sketch: one pass,
+    * bounded memory, mergeable partials). Deliberately has NO SQL
+    * oracle: sketch implementations differ across engines; the driver
+    * records a rows-only check and the exact twins above are the
+    * correctness anchor.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("price_quantiles"),
+        count(lit(1)).as("n_rows")
+      )
+  }
+
   /** Correlated-style scalar-subquery shape: lines above their part's
     * average quantity (TPC-H Q17 flavor) — expressed as join against a
     * pre-aggregate, the scalable form.

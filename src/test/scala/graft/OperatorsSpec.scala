@@ -129,6 +129,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exprPath === typedPath)
   }
 
+  test("native expressions are SQL-visible via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "hamming_bits('1010', '1001') AS h"
+    ).collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("salted equi-join is row-identical to the plain join") {
+    val o = Tables.orders(spark, Sf0001).withColumnRenamed("o_custkey", "custkey")
+    val c = Tables.customer(spark, Sf0001).withColumnRenamed("c_custkey", "custkey")
+    val p2 = o.join(c, Seq("custkey")).select("o_orderkey", "custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val salted = Skew.saltedEquiJoin(o, c, "custkey", saltBuckets = 8)
+      .select("o_orderkey", "custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(salted.toSeq === p2.toSeq)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val direct = Tables.orders(spark, Sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedSumByKey(Tables.orders(spark, Sf0001), "o_custkey", "o_totalprice", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(salted === direct)
+  }
+
   test("frame sampling: frame indices follow the stride, fingerprints unique per media") {
     val rows = MultimodalOps.frameSample(spark, Sf0001).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
