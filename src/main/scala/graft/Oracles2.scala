@@ -239,6 +239,44 @@ object Oracles2 {
       |FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS epoch_day, value FROM events)
       |GROUP BY CUBE(event_type, epoch_day)""".stripMargin
 
+  val tfidfTopTerms: String =
+    """WITH posting AS (
+      | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word
+      | FROM documents),
+      |p2 AS (SELECT doc_id, word FROM posting WHERE word <> ''),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM p2 GROUP BY doc_id, word),
+      |dfx AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM p2 GROUP BY word),
+      |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM p2)
+      |SELECT doc_id, word, tf, df, tfidf, rnk FROM (
+      | SELECT doc_id, word, tf, df,
+      |  CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) DESC,
+      |             word ASC) AS rnk
+      | FROM tf JOIN dfx USING (word) CROSS JOIN nn)
+      |WHERE rnk <= 5""".stripMargin
+
+  val weeklyRetention: String =
+    """WITH wu AS (SELECT DISTINCT epoch_ns(ts) // 604800000000000 AS wk, user_id FROM events)
+      |SELECT a.wk AS wk, COUNT(*) AS active_users,
+      | CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_users
+      |FROM wu a LEFT JOIN wu b ON b.wk = a.wk + 1 AND b.user_id = a.user_id
+      |GROUP BY a.wk""".stripMargin
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE mh AS ($minhashLsh),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+       |SELECT doc AS doc_id, label AS canonical_id, cluster_size,
+       | doc = label AS is_canonical
+       |FROM comp JOIN sizes USING (label)""".stripMargin
+
   val mmDecodeMeta: String =
     """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       | CASE WHEN strlen(text) % 3 = 0 THEN 'image'

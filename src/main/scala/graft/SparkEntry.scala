@@ -51,12 +51,14 @@ object SparkEntry {
     "quality_score" -> TextOps.qualityScore,
     "token_count" -> TextOps.tokenCount,
     "doc_fingerprint" -> TextOps.fingerprint,
+    "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
     "ngram_jaccard_pairs" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "simhash_fingerprint" -> DedupOps.simhash,
     "simhash_pairs" -> DedupOps.simhashPairs,
+    "dedup_clusters" -> GraphOps.dedupClusters,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
@@ -69,6 +71,7 @@ object SparkEntry {
     "user_activity" -> EventOps.userActivity,
     "value_quantiles" -> EventOps.valueQuantiles,
     "cube_daily" -> EventOps.cubeDaily,
+    "weekly_retention" -> EventOps.weeklyRetention,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -257,6 +260,9 @@ object SparkEntry {
         | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
+    "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
+    "weekly_retention" -> Oracles2.weeklyRetention,
+    "dedup_clusters" -> Oracles2.dedupClusters,
     "minhash_lsh_pairs" -> Oracles2.minhashLsh,
     "ngram_jaccard_pairs" -> Oracles2.ngramJaccard,
     "simhash_fingerprint" -> Oracles2.simhashFingerprint,

@@ -130,6 +130,23 @@ object EventOps {
       )
   }
 
+  /** Weekly retention: users active in week w who return in week w+1.
+    * Pure integer arithmetic on epoch-weeks.
+    */
+  def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Tables
+      .events(spark, dir)
+      .select(expr("ts DIV 604800000000000").as("wk"), col("user_id"))
+      .distinct()
+    val nxt = wu.select((col("wk") - 1).as("wk"), col("user_id").as("nu"))
+    wu.join(nxt, wu("wk") === nxt("wk") && col("user_id") === col("nu"), "left")
+      .groupBy(wu("wk"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("nu").isNotNull, 1L).otherwise(0L)).as("retained_users")
+      )
+  }
+
   /** Per-user activity profile: event counts by type (pivot via
     * conditional aggregation), value total, active span.
     */

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators. The one a dedup pipeline needs:
+  * connected components over the near-dup pair graph, so each cluster
+  * of mutual near-duplicates resolves to one canonical document.
+  *
+  * Label propagation (Pregel-style): every node starts labeled with
+  * itself; each round takes the min of its own and its neighbors'
+  * labels; converges in O(graph diameter) rounds. Each round is one
+  * shuffle on the edge key — at 100 TB this is the standard
+  * large-scale CC algorithm (the driver only coordinates rounds and
+  * checks a scalar convergence count; no data is collected).
+  * localCheckpoint truncates the per-round lineage so plans stay flat.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected edge list (srcCol, dstCol
+    * must be long columns). Returns (doc, label) with label = min
+    * node id of the component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .cache()
+    var labels = sym
+      .select(col("a").as("doc"))
+      .distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("doc").as("b"), col("label").as("nb_label")), Seq("b"))
+        .groupBy(col("a").as("doc"))
+        .agg(min(col("nb_label")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster resolution: connected components over the
+    * MinHash near-dup pairs; canonical doc = min doc_id of the
+    * cluster; singleton docs (no near-dups) are canonical by
+    * definition and omitted here (the output covers only docs that
+    * appear in some pair).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    comps
+      .join(sizes, Seq("label"))
+      .select(
+        col("doc").as("doc_id"),
+        col("label").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc") === col("label")).as("is_canonical")
+      )
+  }
+}

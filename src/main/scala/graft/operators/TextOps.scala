@@ -164,6 +164,36 @@ object TextOps {
       )
   }
 
+  /** TF-IDF top terms per document. IDF uses the rational form
+    * (N+1)/(df+1) rather than its logarithm: ln() is not guaranteed
+    * identically rounded across engines (Java Math.log permits 1 ulp),
+    * while division is IEEE-exact — rankings are identical either way
+    * since ln is monotone.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+    val tf = posting.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = posting
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = posting.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        col("tf").cast("double") * ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+      )
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Document fingerprinting: md5 of whitespace/case-normalized text
     * (the exact-dedup key) plus a 60-bit numeric fingerprint (first 15
     * hex digits) for compact storage/joins at scale.
