@@ -33,19 +33,29 @@ object Bench {
     // Two timed runs per query, report the min: the first run carries
     // plan JIT/codegen (2-10x) and this host shows transient external
     // load spikes; min-of-2 approximates steady-state throughput.
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            return -1.0 // sentinel: failed queries must not shrink the total
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val a = once()
+      name -> (if (a < 0) -1.0 else math.min(a, once()))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

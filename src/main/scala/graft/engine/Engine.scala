@@ -53,14 +53,8 @@ object Engine {
   /** F1–F6: run an app over an input glob, returning the reduced
     * key/value dataset (one row per distinct key).
     */
-  def run(
-      spark: SparkSession,
-      inputGlob: String,
-      app: MrApp,
-      nReduce: Int = 10
-  ): Dataset[KeyValue] = {
-    mapReduce(spark, scanWholeFiles(spark, inputGlob), app, nReduce)
-  }
+  def run(spark: SparkSession, inputGlob: String, app: MrApp): Dataset[KeyValue] =
+    mapReduce(spark, scanWholeFiles(spark, inputGlob), app)
 
   /** The kernel on an arbitrary (file, contents) dataset — lets tests
     * and table-backed callers (e.g. the `documents` table as a corpus)
@@ -69,9 +63,12 @@ object Engine {
   def mapReduce(
       spark: SparkSession,
       input: Dataset[(String, String)],
-      app: MrApp,
-      nReduce: Int = 10
+      app: MrApp
   ): Dataset[KeyValue] = {
+    // reduce parallelism (the reference's nReduce) is Spark's
+    // spark.sql.shuffle.partitions — a session conf, not a per-job
+    // argument; writeText carries the explicit nReduce for output
+    // bucket parity
     import spark.implicits._
     val mapped: Dataset[KeyValue] = // F2: 1 input row → N KeyValue rows
       input.flatMap { case (file, contents) => app.map(file, contents) }
@@ -91,15 +88,28 @@ object Engine {
     * the reference's FNV-1a bucket assignment (`mr-out-R` parity:
     * which key lands in which output partition matches
     * `utils.Ihash(key) % nReduce`, `mr/worker.go:60-74,129`).
+    *
+    * Uses an explicit RDD Partitioner: `Dataset.repartition(n, expr)`
+    * re-hashes the expression with Murmur3, so it cannot pin a row to
+    * the partition the expression names — a custom partitioner is the
+    * one place the RDD API is genuinely required.
     */
   def writeText(result: Dataset[KeyValue], outDir: String, nReduce: Int = 10): Unit = {
-    result
-      .repartition(nReduce, pmod(Fnv1a.fnv1a(col("key")), lit(nReduce)))
-      .sortWithinPartitions("key")
-      .select(concat_ws(" ", col("key"), col("value")).as("value"))
-      .write
-      .mode(SaveMode.Overwrite)
-      .text(outDir)
+    val sc = result.sparkSession.sparkContext
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    result.rdd
+      .map(kv => (Fnv1a.hash(kv.key) % nReduce, kv))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nReduce
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitions(
+        it => it.map(_._2).toArray.sortBy(_.key).map(kv => s"${kv.key} ${kv.value}").iterator,
+        preservesPartitioning = true
+      )
+      .saveAsTextFile(outDir)
   }
 
   /** Sequential-oracle twin of `mapReduce` (mirrors

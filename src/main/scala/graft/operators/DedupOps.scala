@@ -22,9 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Normalized text: lowercase, whitespace collapsed. */
-  private def norm: Column = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-
   /** Word 3-gram shingles over the non-letter tokenizer, deduplicated. */
   private def shingleExpr(toks: Column): Column =
     array_distinct(
@@ -41,7 +38,7 @@ object DedupOps {
     val w = Window.partitionBy(col("fp"))
     Tables
       .documents(spark, dir)
-      .select(col("doc_id"), md5(norm).as("fp"))
+      .select(col("doc_id"), TextOps.fingerprintExpr(col("text")).as("fp"))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("is_keeper", col("doc_id") === col("keeper_id"))

@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
+  /** Floor division of the ns timestamp by d — Spark's DIV truncates
+    * toward zero, the DuckDB oracle's date_trunc///// floor; they only
+    * differ for pre-1970 timestamps, but the operator should not
+    * silently corrupt those.
+    */
+  private def floorDiv(d: Long) =
+    expr(s"ts DIV $d - (CASE WHEN ts % $d < 0 THEN 1 ELSE 0 END)")
+
   /** Tumbling 1-hour rollup per event type: count, distinct users,
     * exact value sum.
     */
@@ -28,7 +36,7 @@ object EventOps {
     Tables
       .events(spark, dir)
       .groupBy(
-        (expr("ts DIV 3600000000000") * 3600).as("hour_epoch"),
+        (floorDiv(3600000000000L) * 3600).as("hour_epoch"),
         col("event_type")
       )
       .agg(
@@ -122,7 +130,7 @@ object EventOps {
   def cubeDaily(spark: SparkSession, dir: String): DataFrame = {
     Tables
       .events(spark, dir)
-      .select(col("event_type"), expr("ts DIV 86400000000000").as("epoch_day"), col("value"))
+      .select(col("event_type"), floorDiv(86400000000000L).as("epoch_day"), col("value"))
       .cube(col("event_type"), col("epoch_day"))
       .agg(
         count(lit(1)).as("n"),
@@ -136,7 +144,7 @@ object EventOps {
   def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
     val wu = Tables
       .events(spark, dir)
-      .select(expr("ts DIV 604800000000000").as("wk"), col("user_id"))
+      .select(floorDiv(604800000000000L).as("wk"), col("user_id"))
       .distinct()
     val nxt = wu.select((col("wk") - 1).as("wk"), col("user_id").as("nu"))
     wu.join(nxt, wu("wk") === nxt("wk") && col("user_id") === col("nu"), "left")
@@ -165,7 +173,7 @@ object EventOps {
         sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value"),
         min(expr("ts DIV 1000")).as("first_us"),
         max(expr("ts DIV 1000")).as("last_us"),
-        countDistinct(expr("ts DIV 86400000000000")).as("n_active_days")
+        countDistinct(floorDiv(86400000000000L)).as("n_active_days")
       )
   }
 }

@@ -46,6 +46,7 @@ object GraphOps {
         .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
         .filter(col("label") =!= col("old"))
         .count()
+      labels.unpersist() // release the previous round's checkpoint blocks
       labels = next
     }
     sym.unpersist()
@@ -60,15 +61,17 @@ object GraphOps {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    val comps = connectedComponents(pairs, "doc_a", "doc_b")
-    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    comps
-      .join(sizes, Seq("label"))
-      .select(
-        col("doc").as("doc_id"),
-        col("label").as("canonical_id"),
-        col("cluster_size"),
-        (col("doc") === col("label")).as("is_canonical")
-      )
+    try {
+      val comps = connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint()
+      val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      comps
+        .join(sizes, Seq("label"))
+        .select(
+          col("doc").as("doc_id"),
+          col("label").as("canonical_id"),
+          col("cluster_size"),
+          (col("doc") === col("label")).as("is_canonical")
+        )
+    } finally pairs.unpersist()
   }
 }

@@ -8,7 +8,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.Column
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`embedding: array<float>`, 64-dim).

@@ -194,12 +194,21 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Whitespace/case normalization — THE canonical text identity used
+    * by both doc_fingerprint and DedupOps.exactDedup (one definition so
+    * the fingerprint and the dedup key cannot drift apart).
+    */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** The exact-dedup key: md5 of the normalized text. */
+  def fingerprintExpr(c: Column): Column = md5(normText(c))
+
   /** Document fingerprinting: md5 of whitespace/case-normalized text
     * (the exact-dedup key) plus a 60-bit numeric fingerprint (first 15
     * hex digits) for compact storage/joins at scale.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val norm = normText(col("text"))
     Tables
       .documents(spark, dir)
       .select(

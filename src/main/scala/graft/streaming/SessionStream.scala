@@ -45,7 +45,9 @@ object SessionStream {
     for (e <- sorted) {
       open match {
         case Some(s) if e.ts_us - s.end_us <= GapUs =>
-          open = Some(s.copy(n_events = s.n_events + 1, end_us = e.ts_us))
+          // max(): a late event from an out-of-order batch is absorbed
+          // into the open session but can never move its bound backward
+          open = Some(s.copy(n_events = s.n_events + 1, end_us = math.max(s.end_us, e.ts_us)))
         case Some(s) =>
           closed += SessionRow(userId, s.session_id, s.n_events, s.start_us, s.end_us)
           open = Some(OpenSession(s.session_id + 1, 1L, e.ts_us, e.ts_us))

@@ -58,12 +58,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("partition invariance: nReduce 1 vs 10 give identical results") {
+  test("partition invariance: shuffle parallelism 1 vs 10 gives identical results") {
     import spark.implicits._
     val input = spark.createDataset(gutenberg.take(4))
-    val r1 = Engine.mapReduce(spark, input, Apps.WordCount, nReduce = 1).collect().toSet
-    val r10 = Engine.mapReduce(spark, input, Apps.WordCount, nReduce = 10).collect().toSet
-    assert(r1 === r10)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val r1 = Engine.mapReduce(spark, input, Apps.WordCount).collect().toSet
+      spark.conf.set("spark.sql.shuffle.partitions", "10")
+      val r10 = Engine.mapReduce(spark, input, Apps.WordCount).collect().toSet
+      assert(r1 === r10)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   test("crash/nocrash data app matches oracle (P7/P8 shape)") {
@@ -77,19 +82,28 @@ class EngineSpec extends AnyFunSuite {
       assert(app.reduce("k", v) === app.reduce("k", values))
   }
 
-  test("writeText produces FNV-1a-bucketed 'key value' lines (F7 parity)") {
+  test("writeText: lines land in the FNV-1a bucket file, sorted by key (F7 parity)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-out").toString
-    val data = Seq(KeyValue("apple", "3"), KeyValue("pear", "1"), KeyValue("zoo", "9"))
-    Engine.writeText(spark.createDataset(data), tmp, nReduce = 3)
-    val lines = Files
+    val data = (1 to 40).map(i => KeyValue(s"key$i", i.toString))
+    val nReduce = 3
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = nReduce)
+    val byPart = Files
       .list(Paths.get(tmp))
       .iterator()
       .asScala
       .filter(_.getFileName.toString.startsWith("part-"))
-      .flatMap(p => Files.readAllLines(p).asScala)
-      .toSeq
-    assert(lines.sorted === data.map(kv => s"${kv.key} ${kv.value}").sorted)
+      .map(p => p.getFileName.toString.drop(5).toInt -> Files.readAllLines(p).asScala.toSeq)
+      .toMap
+    // every key is in exactly the file its FNV-1a bucket names
+    // (mr/worker.go:129 Ihash(key) % nReduce), sorted within the file
+    val all = byPart.toSeq.flatMap { case (part, lines) =>
+      val keys = lines.map(_.split(" ")(0))
+      assert(keys === keys.sorted, s"part $part not key-sorted")
+      keys.foreach(k => assert(Fnv1a.hash(k) % nReduce === part, s"$k in wrong bucket"))
+      lines
+    }
+    assert(all.sorted === data.map(kv => s"${kv.key} ${kv.value}").sorted)
   }
 
   test("fnv1a matches the published FNV-1a 32-bit test vectors") {

@@ -23,6 +23,10 @@ def main():
         if r.returncode != 0:
             print('VERIFY RUN FAILED'); print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
     oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            print(f'UNKNOWN QUERY FILTER(S): {sorted(unknown)}'); sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         p = f'{sfdir}/{t}.parquet'
