@@ -22,14 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word 3-gram shingles over the non-letter tokenizer, deduplicated. */
-  private def shingleExpr(toks: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))
-      )
-    )
 
   /** Exact dedup: fingerprint = md5(normalized text); keeper = min
     * doc_id per fingerprint group (one shuffle, no sort).
@@ -45,19 +37,54 @@ object DedupOps {
       .select(col("doc_id"), col("fp"), col("group_size"), col("keeper_id"), col("is_keeper"))
   }
 
-  /** Docs with their shingle sets (empty-shingle docs excluded — they
-    * have no near-dup semantics and would null-poison the signatures).
+  /** Distinct word-3-gram postings per doc as flat (doc_id, shingle)
+    * rows — window `lead` over exploded tokens, entirely whole-stage
+    * codegen. The earlier array form (`transform`+`slice` lambdas)
+    * was interpreted with per-element boxing, ~15M evals at sf0.1.
+    * Docs with < 3 tokens produce no shingles (lead is null).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables
       .documents(spark, dir)
-      // documents is one small file = one partition; the per-doc
-      // shingle/signature compute is the expensive part, so spread it
-      // across all cores first (at real scale the scan is already split)
+      // documents is one small file = one partition; spread the
+      // tokenize/explode work (at real scale the scan is already split)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleExpr(col("toks")).as("shingles"))
+      .select(col("doc_id"), posexplode(TextOps.tokens(lower(col("text")))).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(w))
+      .withColumn("w2", lead(col("w0"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the full (distinct) shingle sets for candidate
+    * pairs, computed from counts — |A∩B| via a posting join, |A∪B| =
+    * |A|+|B|-|A∩B| — no arrays anywhere. Values are identical to the
+    * oracle's list_intersect/list_distinct form because the sets are
+    * distinct.
+    */
+  private def verifyJaccard(
+      pairs: DataFrame,
+      posting: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val MinhashPerms = 12
@@ -83,15 +110,14 @@ object DedupOps {
     * |candidates|-sized.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(spark, dir)
-    // Signatures as a flat relational aggregation (explode + 12 MIN
-    // aggregates) instead of nested array lambdas: the mins run inside
-    // codegen'd hash aggregation with primitive longs.
+    val posting = shinglePosting(spark, dir)
+    // Signatures as a flat relational aggregation (12 MIN aggregates
+    // over posting rows): the mins run inside codegen'd hash
+    // aggregation with primitive longs.
     // Permutation k: (a_k*h + b_k) mod p, a_k = 1000003k+1,
     // b_k = 999983k+12345 — mirrored verbatim in the SQL oracle.
-    val perShingle = docs
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val perShingle = posting
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
     val sigCols = (0 until MinhashPerms).map { k =>
       min((lit(k.toLong * 1000003L + 1L) * col("h") + lit(k.toLong * 999983L + 12345L)) % MinhashPrime)
         .as(s"sig$k")
@@ -115,16 +141,7 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-      )
-      .filter(col("jaccard") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(pairs, posting, threshold = 0.7)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index candidate
@@ -140,9 +157,7 @@ object DedupOps {
   val MinSharedShingles = 3
 
   def ngramJaccard(spark: SparkSession, dir: String, maxDocFreq: Int = 50): DataFrame = {
-    val docs = docShingles(spark, dir)
-    val posting = docs
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val posting = shinglePosting(spark, dir)
     val rare = posting
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -169,16 +184,7 @@ object DedupOps {
         )
       )
       .select(col("doc_a"), col("doc_b"))
-    pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-      )
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(pairs, posting, threshold = 0.5)
   }
 
   /** SimHash-64 fingerprints: sum the ±1 bit vectors of every token
