@@ -129,6 +129,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exprPath === typedPath)
   }
 
+  test("sources/sinks: JSON and CSV roundtrip the documents table") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001).orderBy("doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    docs.write.mode("overwrite").json(s"$tmp/j")
+    docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+      .csv(s"$tmp/c")
+    val fromJson = spark.read.json(s"$tmp/j")
+      .select(docs.columns.map(col): _*)
+    val fromCsv = spark.read.option("header", "true").schema(docs.schema).csv(s"$tmp/c")
+    assert(fromJson.count() === docs.count())
+    assert(fromCsv.count() === docs.count())
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val j = fromJson.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(j === orig)
+  }
+
+  test("the full SQL surface works: q1 as spark.sql over temp views") {
+    Tables.lineitem(spark, Sf0001).createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val viaDf = RelationalOps.pricingSummary(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(9), r.getDouble(2)))
+      .toMap
+    assert(viaSql === viaDf)
+  }
+
   test("native expressions are SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
