@@ -17,11 +17,60 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Edge-count threshold below which the component computation runs
+    * as driver-side union-find: the near-dup pair graph is tiny
+    * relative to the corpus (it IS the duplicates), and the iterative
+    * distributed loop pays ~1 s of job-scheduling overhead per round.
+    * Above the threshold the Pregel-style loop takes over.
+    */
+  val LocalCcMaxEdges = 2000000L
+
   /** Connected components of an undirected edge list (srcCol, dstCol
     * must be long columns). Returns (doc, label) with label = min
-    * node id of the component.
+    * node id of the component. Chooses local union-find vs the
+    * distributed label-propagation loop by edge count (identical
+    * results: both converge to the min node id per component).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val n = edges.count()
+    if (n <= LocalCcMaxEdges) connectedComponentsLocal(edges, srcCol, dstCol)
+    else connectedComponentsDistributed(edges, srcCol, dstCol)
+  }
+
+  /** Small-graph fast path: union-find on the driver (one collect of
+    * the edge list — bounded by LocalCcMaxEdges).
+    */
+  private[graft] def connectedComponentsLocal(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
+    }
+    val labels = parent.keys.toSeq.map(x => (x, find(x)))
+    spark.createDataset(labels).toDF("doc", "label")
+  }
+
+  private[graft] def connectedComponentsDistributed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))

@@ -163,6 +163,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql === viaDf)
   }
 
+  test("connected components: local union-find == distributed label propagation") {
+    val pairs = DedupOps.minhashLsh(spark, Sf001).select("doc_a", "doc_b").cache()
+    try {
+      val local = GraphOps.connectedComponentsLocal(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphOps.connectedComponentsDistributed(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist)
+      assert(local.nonEmpty)
+    } finally pairs.unpersist()
+  }
+
   test("native expressions are SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
