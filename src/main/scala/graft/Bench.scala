@@ -53,9 +53,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    )
-    spark.stop()
+    // The executor-shutdown race can dump a netty RPC stack through
+    // log4j AFTER the results are computed, polluting the output the
+    // driver parses; kill logging first, then emit the one JSON line
+    // (stdout + a file copy so a noisy tail can never lose it).
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    System.out.flush()
+    try spark.stop()
+    catch { case _: Throwable => () }
   }
 }

@@ -57,7 +57,9 @@ object Oracles2 {
   val ngramJaccard: String =
     s"""WITH $shinglesCte,
        |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |rare AS (SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 50),
+       |rare AS (SELECT shingle FROM posting GROUP BY shingle
+       |         HAVING COUNT(*) <= GREATEST(50,
+       |                 CAST(ceil(0.001 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
        |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
        |rc AS (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
        |cand AS (
@@ -174,12 +176,24 @@ object Oracles2 {
        | FROM p)
        |WHERE rnk <= 5""".stripMargin
 
+  /** Mirrors SimilarityOps.embeddingNearDup's LSH bucketing exactly
+    * (same md5-derived planes as annTopkLsh), so both engines score
+    * the identical candidate set.
+    */
   val annNearDup: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings)
+    s"""WITH buck AS (
+       | SELECT vec_id, l AS table_idx,
+       |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
+       | FROM embeddings, (SELECT unnest(range(8)) AS l)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM buck a JOIN buck b
+       |          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+       |             AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings)
        |SELECT vec_a, vec_b, score FROM (
-       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${dotSql("a.embedding", "b.embedding")} / (a.nv * b.nv) AS score
-       | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       | SELECT vec_a, vec_b,
+       |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nv * eb.nv) AS score
+       | FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
        |WHERE score >= 0.45""".stripMargin
 
   val eventsHourly: String =

@@ -125,7 +125,8 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "anti_join_idle_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin,
     "window_top3_parts" ->
       """SELECT l_suppkey, l_partkey, revenue, rnk FROM (
         | SELECT l_suppkey, l_partkey, revenue,

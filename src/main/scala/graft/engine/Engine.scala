@@ -99,16 +99,18 @@ object Engine {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
+    // Composite (bucket, key) shuffle key + repartitionAndSortWithin-
+    // Partitions: the sort runs in Spark's spillable ExternalSorter, so
+    // a reduce partition never has to fit in heap (an in-memory
+    // toArray.sortBy here would re-introduce the reference's OOM
+    // ceiling that the scaladoc above claims to remove).
     result.rdd
-      .map(kv => (Fnv1a.hash(kv.key) % nReduce, kv))
-      .partitionBy(new org.apache.spark.Partitioner {
+      .map(kv => ((Fnv1a.hash(kv.key) % nReduce, kv.key), kv.value))
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         override def numPartitions: Int = nReduce
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        override def getPartition(key: Any): Int = key.asInstanceOf[(Int, String)]._1
       })
-      .mapPartitions(
-        it => it.map(_._2).toArray.sortBy(_.key).map(kv => s"${kv.key} ${kv.value}").iterator,
-        preservesPartitioning = true
-      )
+      .map { case ((_, key), value) => s"$key $value" }
       .saveAsTextFile(outDir)
   }
 

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,11 +23,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
+  /** Analysis-time input validation. These expressions are exposed to
+    * arbitrary SQL via the function registry (`ExpectsInputTypes` /
+    * the implicit-cast machinery is private[sql] in Spark 4), so
+    * without an explicit check a vec_dot over array<double> would
+    * silently misread the element buffer via ArrayData.getFloat, and
+    * md5_sign_bits over a short string would die at execution with a
+    * bare IndexOutOfBounds.
+    */
+  private def checkTypes(
+      name: String,
+      actual: Seq[DataType],
+      expected: Seq[(DataType => Boolean, String)]
+  ): TypeCheckResult = {
+    actual.zip(expected).zipWithIndex.collectFirst {
+      case ((dt, (ok, want)), i) if !ok(dt) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} requires $want, got ${dt.catalogString}"
+        )
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  private val isFloatArray: DataType => Boolean = {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
   /** dot(a, b) over two array<float> columns, double accumulator. */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("vec_dot", Seq(left.dataType, right.dataType),
+        Seq((isFloatArray, "array<float>"), (isFloatArray, "array<float>")))
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -67,6 +98,9 @@ object VectorExpressions {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_norm_sq"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("vec_norm_sq", Seq(child.dataType), Seq((isFloatArray, "array<float>")))
 
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
@@ -109,8 +143,13 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "md5_sign_bits"
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("md5_sign_bits", Seq(left.dataType, right.dataType),
+        Seq((_ == StringType, "string (32-hex-char md5)"), (_ == IntegerType, "int")))
+
     override def nullSafeEval(h: Any, w: Any): Any = {
       val hex = h.asInstanceOf[UTF8String].toString
+      require(hex.length >= 16, s"md5_sign_bits needs >= 16 hex chars, got ${hex.length}")
       val weight = w.asInstanceOf[Int]
       val out = new Array[Int](64)
       var j = 0
@@ -130,6 +169,10 @@ object VectorExpressions {
         val digit = ctx.freshName("digit")
         s"""
            |byte[] $bytes = $h.getBytes();
+           |if ($bytes.length < 16) {
+           |  throw new IllegalArgumentException(
+           |    "md5_sign_bits needs >= 16 hex chars, got " + $bytes.length);
+           |}
            |int[] $out = new int[64];
            |for (int $j = 0; $j < 64; $j++) {
            |  int $digit = java.lang.Character.digit((char) $bytes[$j / 4], 16);
@@ -153,6 +196,10 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "hamming_bits"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("hamming_bits", Seq(left.dataType, right.dataType),
+        Seq((_ == StringType, "string"), (_ == StringType, "string")))
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[UTF8String].getBytes

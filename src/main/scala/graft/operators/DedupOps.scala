@@ -110,7 +110,13 @@ object DedupOps {
     * |candidates|-sized.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val posting = shinglePosting(spark, dir)
+    // The posting feeds 4 consumers (signatures, pair verification x2,
+    // per-doc counts); materialize it ONCE. Without this the whole
+    // tokenize/window/distinct pipeline re-executes per consumer —
+    // measured 5-7x of the query's wall time. localCheckpoint =
+    // executor-local blocks + truncated lineage; at scale this is the
+    // standard "build the index once, probe it many times" shape.
+    val posting = shinglePosting(spark, dir).localCheckpoint()
     // Signatures as a flat relational aggregation (12 MIN aggregates
     // over posting rows): the mins run inside codegen'd hash
     // aggregation with primitive longs.
@@ -156,14 +162,35 @@ object DedupOps {
     */
   val MinSharedShingles = 3
 
-  def ngramJaccard(spark: SparkSession, dir: String, maxDocFreq: Int = 50): DataFrame = {
-    val posting = shinglePosting(spark, dir)
+  /** Stop-shingle cap: absolute floor 50 docs, growing as 0.1% of the
+    * corpus — corpus-relative so the pruned-shingle semantics don't
+    * silently drift as the corpus scales 100x (an absolute constant
+    * would drop ever more shingles). Mirrored in the SQL oracle.
+    */
+  val MaxDocFreqFloor = 50L
+  val MaxDocFreqFrac = 0.001
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Same single-materialization discipline as minhashLsh: the
+    // posting has ~7 consumers here (df counts, pruned x3, verify x3).
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val nDocs = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
     val rare = posting
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
+      .join(broadcast(nDocs))
+      .filter(
+        col("df") <= greatest(
+          lit(MaxDocFreqFloor),
+          ceil(col("n_docs") * MaxDocFreqFrac).cast("bigint")
+        )
+      )
       .select(col("shingle"))
-    val pruned = posting.join(rare, Seq("shingle"))
+    // Pruned posting also fans out (pair join x2, rare counts):
+    // materialize it too — it is strictly smaller than the posting.
+    val pruned = posting.join(rare, Seq("shingle")).localCheckpoint()
     // rare-shingle count per doc: jaccard >= 0.5 over the rare-
     // projected sets implies shared >= ceil(min(|A|,|B|)/3), so the
     // threshold is size-relative and lossless for those sets (plus
@@ -233,7 +260,9 @@ object DedupOps {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val fp = simhash(spark, dir)
+    // The banded self-join consumes fp twice; compute the fingerprints
+    // once instead of re-running the whole simhash aggregation per side.
+    val fp = simhash(spark, dir).localCheckpoint()
     val banded = fp.select(
       col("doc_id"),
       col("simhash"),

@@ -29,6 +29,12 @@ object EventOps {
   private def floorDiv(d: Long) =
     expr(s"ts DIV $d - (CASE WHEN ts % $d < 0 THEN 1 ELSE 0 END)")
 
+  /** ns → µs, floor semantics — same division discipline as floorDiv
+    * so pre-1970 timestamps agree with the oracle's epoch_us (floor),
+    * not DIV's truncation toward zero.
+    */
+  private def tsUs = floorDiv(1000L)
+
   /** Tumbling 1-hour rollup per event type: count, distinct users,
     * exact value sum.
     */
@@ -56,7 +62,7 @@ object EventOps {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
     Tables
       .events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
         col("value"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn(
@@ -84,7 +90,7 @@ object EventOps {
     val ev = Tables
       .events(spark, dir)
       .filter(col("event_type").isin("signup", "purchase"))
-      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs.as("ts_us"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
     ev
       .withColumn(
@@ -171,8 +177,8 @@ object EventOps {
         cnt("signup").as("n_signup"),
         cnt("error").as("n_error"),
         sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value"),
-        min(expr("ts DIV 1000")).as("first_us"),
-        max(expr("ts DIV 1000")).as("last_us"),
+        min(tsUs).as("first_us"),
+        max(tsUs).as("last_us"),
         countDistinct(floorDiv(86400000000000L)).as("n_active_days")
       )
   }

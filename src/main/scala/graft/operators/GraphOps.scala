@@ -32,9 +32,16 @@ object GraphOps {
     * results: both converge to the min node id per component).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val n = edges.count()
-    if (n <= LocalCcMaxEdges) connectedComponentsLocal(edges, srcCol, dstCol)
-    else connectedComponentsDistributed(edges, srcCol, dstCol)
+    // Materialize the edge list before the size probe: an uncached
+    // input would otherwise recompute its full upstream pipeline (e.g.
+    // an entire MinHash LSH job) once for the count and again for the
+    // chosen algorithm.
+    val e = edges
+      .select(col(srcCol).cast("long").as(srcCol), col(dstCol).cast("long").as(dstCol))
+      .localCheckpoint()
+    val n = e.count()
+    if (n <= LocalCcMaxEdges) connectedComponentsLocal(e, srcCol, dstCol)
+    else connectedComponentsDistributed(e, srcCol, dstCol)
   }
 
   /** Small-graph fast path: union-find on the driver (one collect of
@@ -109,18 +116,18 @@ object GraphOps {
     * appear in some pair).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    try {
-      val comps = connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint()
-      val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      comps
-        .join(sizes, Seq("label"))
-        .select(
-          col("doc").as("doc_id"),
-          col("label").as("canonical_id"),
-          col("cluster_size"),
-          (col("doc") === col("label")).as("is_canonical")
-        )
-    } finally pairs.unpersist()
+    // connectedComponents checkpoints the pair list itself, so the
+    // MinHash pipeline executes exactly once end-to-end.
+    val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comps = connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint()
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    comps
+      .join(sizes, Seq("label"))
+      .select(
+        col("doc").as("doc_id"),
+        col("label").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc") === col("label")).as("is_canonical")
+      )
   }
 }

@@ -110,11 +110,20 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("sum_price"))
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): customers with no orders since the
+    * cutoff ("idle customers"). The date filter is pushed to the
+    * orders scan before the anti join, so the build side carries only
+    * the recent keys.
+    */
+  val IdleCutoff = "1998-06-01 00:00:00"
+
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
     Tables
       .customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
@@ -277,7 +286,10 @@ object RelationalOps {
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("price_quantiles"),
+        // scalar quantile columns (not one array column): array cells
+        // can't be hashed/sorted by the rows-only comparator downstream
+        expr("approx_percentile(l_extendedprice, 0.5)").as("price_p50"),
+        expr("approx_percentile(l_extendedprice, 0.95)").as("price_p95"),
         count(lit(1)).as("n_rows")
       )
   }

@@ -160,17 +160,41 @@ object SimilarityOps {
 
   val NearDupThreshold = 0.45
 
-  /** Embedding-cosine near-dup pairs (doc_a < doc_b, cosine >= t).
-    * Brute-force half-matrix at test scale; the LSH bucketing above is
-    * the scale path (restrict the pair join to bucket collisions).
+  /** Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t),
+    * LSH-bucketed: candidates = pairs colliding in >= 1 of the 8
+    * sign-random-projection tables (the same deterministic planes as
+    * `lshTopK`), then exact cosine re-rank over candidates only.
+    *
+    * Scale shape: an equi-join on (table_idx, bucket) — never a
+    * cartesian half-matrix. The join keys are few (L x 2^planes), so
+    * bucket sizes are the skew lever: at 100 TB raise LshPlanes so
+    * buckets stay executor-sized (AQE skew-join splits stragglers).
+    * Exact-within-candidates: the SQL oracle mirrors the identical
+    * bucketing, so both engines score the identical candidate set;
+    * candidate recall vs the exact half-matrix is the documented LSH
+    * tradeoff (this corpus is near-orthogonal — see LshPlanes note).
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val a = spread(e).select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      sqrt(normSq(col("embedding"))).as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      sqrt(normSq(col("embedding"))).as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val e = spread(emb(spark, dir))
+    // (vec_id, table_idx, bucket) is 8 small rows per vector; compute
+    // the 32 projections once, not once per join side.
+    val ex = e
+      .select(col("vec_id"), posexplode(bucketExpr(col("embedding"))).as(Seq("table_idx", "bucket")))
+      .localCheckpoint()
+    val cand = ex
+      .select(col("table_idx"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(ex.select(col("table_idx"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("table_idx", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val v = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(normSq(col("embedding"))).as("nv"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nv").as("na")),
+        Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nv").as("nb")),
+        Seq("vec_b"))
       .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("score") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("score"))

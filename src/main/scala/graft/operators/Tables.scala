@@ -24,7 +24,12 @@ object Tables {
     * integer DIV arithmetic on the ns values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session contract: nanosAsLong should be set at session creation
+    // (Bench/Verify/tests all do). Only set it here as a fallback when
+    // unset — an unconditional set is a hidden per-call session
+    // mutation that can race with concurrent plan building.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     table(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
