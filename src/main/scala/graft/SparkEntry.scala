@@ -46,6 +46,7 @@ object SparkEntry {
     "wc_documents" -> TextOps.wordCount,
     "wc_kernel" -> TextOps.wordCountViaKernel,
     "inverted_index" -> TextOps.invertedIndex,
+    "indexer_kernel" -> TextOps.invertedIndexViaKernel,
     // Text analysis suite
     "lang_id" -> TextOps.langId,
     "quality_score" -> TextOps.qualityScore,
@@ -259,6 +260,14 @@ object SparkEntry {
     "wc_kernel" ->
       """SELECT word, COUNT(*) AS cnt FROM (
         | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    // doc ids sorted as VARCHAR: the kernel's Indexer sorts its
+    // filename strings lexically (reference plugins/indexer.go:39)
+    "indexer_kernel" ->
+      """SELECT word, COUNT(DISTINCT doc_id) AS n_docs,
+        | array_to_string(list_sort(list_distinct(list(CAST(doc_id AS VARCHAR)))), ',') AS docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
         |WHERE word <> '' GROUP BY word""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,

@@ -50,6 +50,29 @@ object TextOps {
       .select(col("key").as("word"), col("value").cast("bigint").as("cnt"))
   }
 
+  /** P2 indexer routed through the generic MapReduce kernel
+    * (Apps.Indexer, `plugins/indexer.go:22-41`) — proves the kernel's
+    * collect-and-sort reduce shape under the same hash gate as the
+    * DataFrame form. The kernel value is the reference's
+    * `"<n> <d1,d2,...>"` string (doc ids sorted LEXICALLY, as the
+    * reference sorts its filename strings); split into typed columns.
+    */
+  def invertedIndexViaKernel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+    graft.engine.Engine
+      .mapReduce(spark, input, graft.engine.Apps.Indexer)
+      .select(
+        col("key").as("word"),
+        split(col("value"), " ", 2).getItem(0).cast("bigint").as("n_docs"),
+        split(col("value"), " ", 2).getItem(1).as("docs")
+      )
+  }
+
   /** P2 inverted index: word → number of docs + sorted doc-id posting
     * list (the reference formats `"<n> <d1,d2,...>"`; here the two
     * fields are separate typed columns).

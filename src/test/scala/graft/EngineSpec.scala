@@ -172,4 +172,37 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(overlaps >= 1, "expected at least two concurrently-running map tasks")
   }
+
+  test("reduce parallelism: post-shuffle tasks overlap (P4 rtiming analogue)") {
+    // The reference asserts >= 2 concurrent REDUCERS (test-mr.sh:180-201,
+    // plugins/rtiming.go:81-87); same span-overlap technique as the map
+    // test, but the spans are recorded inside mapGroups — i.e. after the
+    // shuffle, in reduce tasks — and overlap must cross task boundaries.
+    import spark.implicits._
+    // AQE would coalesce this deliberately-tiny probe shuffle into ONE
+    // reduce task (correct at scale, but it's the very thing the probe
+    // must not do); pin the partition count for the probe only.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(coalesceKey)
+    val spans =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        spark
+          .createDataset(1 to 64)
+          .groupByKey(_ % 16)
+          .mapGroups { (_, it) =>
+            val start = System.nanoTime
+            Thread.sleep(150)
+            val end = System.nanoTime
+            it.size // drain the group like a real reducer
+            (org.apache.spark.TaskContext.get().partitionId(), start, end)
+          }
+          .collect()
+      } finally spark.conf.set(coalesceKey, before)
+    assert(spans.map(_._1).distinct.length >= 2, "groups all landed in one reduce task")
+    val overlaps = spans.combinations(2).count { case Array((p1, s1, e1), (p2, s2, e2)) =>
+      p1 != p2 && s1 < e2 && s2 < e1
+    }
+    assert(overlaps >= 1, "expected at least two concurrently-running reduce tasks")
+  }
 }
