@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -47,6 +48,11 @@ object VectorExpressions {
   private val isFloatArray: DataType => Boolean = {
     case ArrayType(FloatType, _) => true
     case _                       => false
+  }
+
+  private val isIntArray: DataType => Boolean = {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
   }
 
   /** dot(a, b) over two array<float> columns, double accumulator. */
@@ -236,6 +242,73 @@ object VectorExpressions {
     ): Expression = copy(left = newLeft, right = newRight)
   }
 
+  /** Element-wise sum of fixed-width int vectors — the aggregation
+    * half of SimHash: summing the ±weight sign vectors of every
+    * distinct token directly, instead of exploding 64 (bit, value)
+    * rows per token through a hash aggregate (64x the shuffle-input
+    * rows). Integer addition is commutative/associative, so partial
+    * aggregation + merge is exact and order-independent — value-
+    * identical to the exploded form and to the SQL oracle.
+    */
+  case class IntVecSumAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0
+  ) extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    private val N = 64
+
+    override def prettyName: String = "int_vec_sum"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("int_vec_sum", Seq(child.dataType), Seq((isIntArray, "array<int>")))
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](N)
+
+    override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val a = v.asInstanceOf[ArrayData]
+        val n = math.min(N, a.numElements())
+        var i = 0
+        while (i < n) { buf(i) += a.getInt(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < N) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(N * 8)
+      var i = 0
+      while (i < N) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](N)
+      var i = 0
+      while (i < N) { buf(i) = bb.getLong(); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): IntVecSumAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): IntVecSumAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): IntVecSumAgg =
+      copy(child = newChild)
+  }
+
   /** Register the expressions in the session's function registry
     * (idempotent). The Column/Expression bridge objects are
     * private[sql] in Spark 4, so the public path to a custom
@@ -276,6 +349,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "hamming_bits")(exprs); HammingBits(e(0), e(1)) },
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "int_vec_sum",
+      exprs => IntVecSumAgg(expect(1, "int_vec_sum")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -286,4 +364,6 @@ object VectorExpressions {
     call_function("md5_sign_bits", hex, weight)
 
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
+
+  def intVecSum(a: Column): Column = call_function("int_vec_sum", a)
 }

@@ -231,26 +231,21 @@ object DedupOps {
       .select(col("doc_id"), explode(toks).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("int").as("c"))
-    // Fully relational bit accumulation: explode the weighted sign
-    // vector to (doc, bit, v) rows and hash-aggregate — all codegen,
-    // no interpreted array folds. ~64 rows per distinct token.
+    // Bit accumulation via the custom IntVecSumAgg aggregate: one
+    // 64-long buffer per doc, summed in place with partial aggregation
+    // before the shuffle — no 64x (doc, bit, v) row explode. Element
+    // order is positional, so the bit string falls straight out of the
+    // summed array (the earlier exploded/regrouped form needed a sort).
     tokCounts
-      .select(
-        col("doc_id"),
-        posexplode(graft.functions.VectorExpressions.md5SignBits(md5(col("t")), col("c")))
-          .as(Seq("j", "v"))
-      )
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("v")).as("s"))
       .groupBy(col("doc_id"))
       .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("j"), col("s")))),
-            x => when(x.getField("s") >= 0, "1").otherwise("0")
-          ),
-          ""
-        ).as("simhash")
+        graft.functions.VectorExpressions
+          .intVecSum(graft.functions.VectorExpressions.md5SignBits(md5(col("t")), col("c")))
+          .as("s")
+      )
+      .select(
+        col("doc_id"),
+        array_join(transform(col("s"), x => when(x >= 0, "1").otherwise("0")), "").as("simhash")
       )
   }
 
