@@ -50,5 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("int_vec_sum"),
+        new ExpressionInfo(classOf[IntVecSumAgg].getName, "int_vec_sum"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          IntVecSumAgg(expect(1, "int_vec_sum")(exprs).head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("fnv1a"),
+        new ExpressionInfo(classOf[graft.functions.Fnv1a.FnvHash].getName, "fnv1a"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.Fnv1a.FnvHash(expect(1, "fnv1a")(exprs).head)
+      )
+    )
   }
 }

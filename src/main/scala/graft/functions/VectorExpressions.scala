@@ -354,6 +354,11 @@ object VectorExpressions {
       exprs => IntVecSumAgg(expect(1, "int_vec_sum")(exprs).head),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "fnv1a",
+      exprs => Fnv1a.FnvHash(expect(1, "fnv1a")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -179,10 +179,35 @@ class OperatorsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
-        "hamming_bits('1010', '1001') AS h"
+        "hamming_bits('1010', '1001') AS h, " +
+        "fnv1a('foobar') AS f"
     ).collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 2L)
+    assert(r.getInt(2) === graft.functions.Fnv1a.hash("foobar"))
+  }
+
+  test("fnv1a codegen expression == the JVM hash on every kernel output key") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExpressions.register(spark)
+    val words = TextOps.wordCount(spark, Sf0001)
+      .select(col("word"), graft.functions.Fnv1a.fnv1a(col("word")).as("h"))
+      .collect()
+    assert(words.nonEmpty)
+    words.foreach(r => assert(r.getInt(1) === graft.functions.Fnv1a.hash(r.getString(0))))
+  }
+
+  test("int_vec_sum aggregate == exploded sum, and misuse fails at analysis") {
+    val r = spark.sql(
+      "SELECT int_vec_sum(v) AS s FROM VALUES (array(1, -2, 3)), (array(10, 20, -30)) AS t(v)"
+    ).collect()(0).getSeq[Long](0)
+    assert(r.take(3) === Seq(11L, 18L, -27L))
+    assert(r.drop(3).forall(_ == 0L)) // fixed 64-wide buffer
+    // wrong input types die at analysis, not execution (ADVICE round 1)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
   }
 
   test("salted equi-join is row-identical to the plain join") {
