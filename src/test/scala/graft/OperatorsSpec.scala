@@ -210,6 +210,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("bucketed co-located join: zero shuffle exchanges, rows match the plain join") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, Sf0001).select(col("o_orderkey").as("orderkey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, Sf0001).select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    graft.sources.Bucketed.writeBucketed(o, "orders_b", "orderkey", 4)
+    graft.sources.Bucketed.writeBucketed(l, "lineitem_b", "orderkey", 4)
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path: co-location, not a small table,
+      // must be what removes the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = graft.sources.Bucketed.colocatedJoin(spark, "orders_b", "lineitem_b", "orderkey")
+      val got = j.collect().length
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      val want = o.join(l, Seq("orderkey")).count()
+      assert(got.toLong === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("salted equi-join is row-identical to the plain join") {
     val o = Tables.orders(spark, Sf0001).withColumnRenamed("o_custkey", "custkey")
     val c = Tables.customer(spark, Sf0001).withColumnRenamed("c_custkey", "custkey")

@@ -79,4 +79,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming exact-dedup: one survivor per fingerprint, fingerprints match batch") {
+    val q = graft.streaming.DedupStream
+      .firstSeenDocs(spark, Sf0001)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // exactly one survivor per fingerprint...
+      assert(streamed.map(_._2).distinct.length === streamed.length)
+      val batch = graft.operators.DedupOps.exactDedup(spark, Sf0001).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // ...the surviving fingerprint SET equals the batch distinct set
+      assert(streamed.map(_._2).toSet === batch.values.toSet)
+      // ...and each survivor is a doc that really has that fingerprint
+      // (WHICH duplicate survives is arrival order, not batch's min-id)
+      streamed.foreach { case (id, fp) => assert(batch(id) === fp) }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
