@@ -210,6 +210,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("embedding near-dup: no false positives, recall vs the exact half-matrix") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.functions.VectorExpressions.register(spark)
+    // exact half-matrix ground truth — test-only; the operator itself
+    // must never do this (its plan is asserted exchange-equi-join only)
+    val e = Tables.embeddings(spark, Sf0001)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      sqrt(normSq(col("embedding"))).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      sqrt(normSq(col("embedding"))).as("nb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("score") >= SimilarityOps.NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.embeddingNearDup(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every reported pair is true and exactly re-ranked (score identical)
+    lsh.foreach { case (k, s) => assert(exact(k) === s) }
+    // candidate recall: 8 tables x 4 planes gives P(all-miss) ~ 0.21 per
+    // true pair at t=0.45 — require well above a coin flip, and that the
+    // approximation actually finds most of the (7-pair) truth set
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.7,
+      s"near-dup recall ${lsh.size}/${exact.size} below floor")
+  }
+
   test("bucketed co-located join: zero shuffle exchanges, rows match the plain join") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, Sf0001).select(col("o_orderkey").as("orderkey"), col("o_totalprice"))
