@@ -23,13 +23,18 @@ object Tables {
     * magnitudes exceed double's 2^53 mantissa). Downstream ops use
     * integer DIV arithmetic on the ns values.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Session contract: nanosAsLong should be set at session creation
-    // (Bench/Verify/tests all do). Only set it here as a fallback when
-    // unset — an unconditional set is a hidden per-call session
-    // mutation that can race with concurrent plan building.
+  /** Session contract: nanosAsLong should be set at session creation
+    * (Bench/Verify/tests all do). Only set it as a fallback when unset
+    * — an unconditional set is a hidden per-call session mutation that
+    * can race with concurrent plan building.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureNanosAsLong(spark)
     table(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

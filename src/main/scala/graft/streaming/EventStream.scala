@@ -30,7 +30,7 @@ object EventStream {
     * a 2-hour watermark on event time.
     */
   def hourlyRollupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Tables.ensureNanosAsLong(spark)
     val stream = spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -65,7 +65,7 @@ object SessionStream {
     */
   def closedSessions(spark: SparkSession, dir: String): Dataset[SessionRow] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Tables.ensureNanosAsLong(spark)
     spark.readStream
       .schema(EventStream.eventsSchema)
       .option("maxFilesPerTrigger", "1")
