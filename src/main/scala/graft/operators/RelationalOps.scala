@@ -127,14 +127,23 @@ object RelationalOps {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
-  /** Window rank: top-3 parts per supplier by revenue. One shuffle on
-    * suppkey; rank+filter prunes before anything wide.
+  /** Window rank: top-3 parts per supplier by revenue — ONE shuffle.
+    * The (suppkey, partkey) aggregation barely collapses lineitem
+    * (almost every pair is distinct), so the naive plan pays two
+    * near-identical exchanges: hash(s,p) for the agg, then hash(s) for
+    * the window. Pre-partitioning on suppkey alone satisfies BOTH
+    * distributions (hash(s) clusters every (s,p) group too), halving
+    * the shuffled bytes; the rank+filter still prunes via
+    * WindowGroupLimit before anything wide.
     */
   def top3PartsPerSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val perPart = li
+      .select(col("l_suppkey"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_term"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(xsum(col("rev_term")).as("revenue"))
     val w = Window
       .partitionBy(col("l_suppkey"))
       .orderBy(col("revenue").desc, col("l_partkey").asc)
