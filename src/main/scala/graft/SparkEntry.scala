@@ -53,6 +53,7 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCount,
     "doc_fingerprint" -> TextOps.fingerprint,
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "data_split" -> TextOps.dataSplit,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -269,6 +270,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
         |      FROM documents)
         |WHERE word <> '' GROUP BY word""".stripMargin,
+    "data_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |             AS UBIGINT) % 100 AS INT) AS b, lang, n_chars
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,

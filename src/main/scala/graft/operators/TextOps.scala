@@ -217,6 +217,35 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Deterministic train/val/test assignment: hash-bucket each doc by
+    * md5 of its id into 100 buckets — buckets 0-79 train, 80-89 val,
+    * 90-99 test. This is how a training pipeline actually splits data
+    * at scale: no sampling state, no seed coordination, stable under
+    * re-runs, joins, and corpus growth (a doc's split never changes
+    * when other docs arrive — the property random sampling lacks).
+    * Hashing the ID (not the text) keeps exact near-duplicate handling
+    * orthogonal: dedup first, then split.
+    *
+    * Output: per (split, lang) doc counts + total chars — the sanity
+    * report every split job emits; the per-doc assignment is
+    * `splitExpr`. Pure column pipeline, one shuffle on (split, lang).
+    */
+  def splitBucket(c: Column): Column =
+    (conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100).cast("int")
+
+  def splitExpr(c: Column): Column = {
+    val b = splitBucket(c)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(splitExpr(col("doc_id")).as("split"), col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Whitespace/case normalization — THE canonical text identity used
     * by both doc_fingerprint and DedupOps.exactDedup (one definition so
     * the fingerprint and the dedup key cannot drift apart).

@@ -210,6 +210,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("dedup suite is partition-invariant: shuffle parallelism 2 vs 16 identical") {
+    // guards the single-materialization rewrites: a localCheckpoint'd
+    // intermediate must not bake any partitioning artifact into results
+    def run(): (Set[(Long, Long)], Set[(Long, Long)], Map[Long, Long]) = (
+      DedupOps.minhashLsh(spark, Sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      DedupOps.ngramJaccard(spark, Sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.dedupClusters(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    )
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      assert(r2 === r16)
+      assert(r2._1.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("data split: every doc assigned, ratios near 80/10/10, assignment is id-stable") {
+    import org.apache.spark.sql.functions.col
+    val counts = TextOps.dataSplit(spark, Sf001).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = counts.values.sum
+    assert(total === Tables.documents(spark, Sf001).count())
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.06)
+    // stability: a doc's split is a pure function of its id — the same
+    // ids at a different scale factor get the same assignment
+    val small = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), TextOps.splitExpr(col("doc_id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val large = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), TextOps.splitExpr(col("doc_id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.keys.filter(large.contains).foreach(id => assert(small(id) === large(id)))
+  }
+
   test("embedding near-dup: no false positives, recall vs the exact half-matrix") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
