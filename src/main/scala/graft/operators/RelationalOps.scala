@@ -51,15 +51,19 @@ object RelationalOps {
   }
 
   /** TPC-H Q3-style shipping-priority top-k: selective dim filter →
-    * fact join → agg → top-k. customer is small → broadcast; at scale
-    * orders⋈lineitem is the real shuffle and co-partitions on orderkey.
+    * fact join → agg → top-k. customer grows with the corpus, so it
+    * carries NO broadcast hint: AQE broadcasts it while the filtered
+    * side fits (it does at every test SF) and falls back to a shuffle
+    * join at cluster scale — a hard hint here would force an OOM-sized
+    * broadcast at 100 TB. orders⋈lineitem is the real shuffle and
+    * co-partitions on orderkey.
     */
   def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .select(
@@ -72,9 +76,11 @@ object RelationalOps {
   }
 
   /** TPC-H Q5-style local-supplier revenue by nation: 5-way star join.
-    * region/nation/supplier/customer are dims → broadcast; lineitem is
-    * the only large input, so the plan at 100 TB is one pass over the
-    * fact table with broadcast hash joins and a 25-group aggregate.
+    * nation/region are FIXED-size dims (25/5 rows at any corpus size)
+    * → hinted broadcast, always correct. customer/supplier grow with
+    * the corpus → no hint; AQE broadcasts them while they fit and
+    * degrades to shuffle joins at cluster scale instead of OOM-ing.
+    * lineitem is the only pass over big data either way.
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -86,8 +92,8 @@ object RelationalOps {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir).filter(col("r_regionkey") <= 2)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       // TPC-H Q5's "local supplier" condition: supplier and customer in
       // the same nation.
       .filter(col("s_nationkey") === col("c_nationkey"))
@@ -305,14 +311,18 @@ object RelationalOps {
 
   /** Correlated-style scalar-subquery shape: lines above their part's
     * average quantity (TPC-H Q17 flavor) — expressed as join against a
-    * pre-aggregate, the scalable form.
+    * pre-aggregate, the scalable form. The pre-aggregate has one row
+    * per distinct part, which grows with the corpus — no broadcast
+    * hint; AQE broadcasts while it fits, else both sides shuffle on
+    * partkey (co-partitioned, since the aggregate's own shuffle is on
+    * the same key).
     */
   def aboveAvgLines(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val avgQty = li
       .groupBy(col("l_partkey").as("ap_partkey"))
       .agg(xavg(col("l_quantity")).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") > col("avg_qty") * 1.8)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("sum_price"))
