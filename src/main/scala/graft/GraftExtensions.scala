@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          val e = expect(2, "word_ngrams")(exprs); WordNgrams(e(0), e(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("fnv1a"),
         new ExpressionInfo(classOf[graft.functions.Fnv1a.FnvHash].getName, "fnv1a"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -242,6 +242,76 @@ object VectorExpressions {
     ): Expression = copy(left = newLeft, right = newRight)
   }
 
+  /** Consecutive word n-grams of a token array, space-joined — the
+    * shingle constructor. Doing this per-row in codegen replaces the
+    * posexplode → window-shuffle-by-doc → lead → concat pipeline (two
+    * extra passes over the 100×-inflated token stream, one of them a
+    * full shuffle) with zero shuffles: tokens never leave their row.
+    * Arrays shorter than n produce an empty array (matches `lead`
+    * null-dropping). The built-in HOF route (`transform`+`slice`) is
+    * CodegenFallback — interpreted, boxed — hence a native expression.
+    */
+  case class WordNgrams(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_ngrams"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("word_ngrams", Seq(left.dataType, right.dataType),
+        Seq(({ case ArrayType(StringType, _) => true; case _ => false },
+          "array<string>"), (_ == IntegerType, "int")))
+
+    override def nullSafeEval(toks: Any, nAny: Any): Any = {
+      val a = toks.asInstanceOf[ArrayData]
+      val n = nAny.asInstanceOf[Int]
+      val m = a.numElements() - n + 1
+      if (m <= 0) new GenericArrayData(new Array[AnyRef](0))
+      else {
+        val out = new Array[AnyRef](m)
+        val sep = UTF8String.fromString(" ")
+        var i = 0
+        while (i < m) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+          out(i) = UTF8String.concatWs(sep, parts: _*)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, n) => {
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val parts = ctx.freshName("parts")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val sep = ctx.addReferenceObj("sep", UTF8String.fromString(" "),
+          classOf[UTF8String].getName)
+        s"""
+           |int $m = $a.numElements() - $n + 1;
+           |if ($m < 0) $m = 0;
+           |Object[] $out = new Object[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  org.apache.spark.unsafe.types.UTF8String[] $parts =
+           |    new org.apache.spark.unsafe.types.UTF8String[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $parts[$j] = $a.getUTF8String($i + $j);
+           |  }
+           |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($sep, $parts);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
   /** Element-wise sum of fixed-width int vectors — the aggregation
     * half of SimHash: summing the ±weight sign vectors of every
     * distinct token directly, instead of exploding 64 (bit, value)
@@ -359,6 +429,11 @@ object VectorExpressions {
       exprs => Fnv1a.FnvHash(expect(1, "fnv1a")(exprs).head),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "word_ngrams",
+      exprs => { val e = expect(2, "word_ngrams")(exprs); WordNgrams(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -371,4 +446,6 @@ object VectorExpressions {
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
 
   def intVecSum(a: Column): Column = call_function("int_vec_sum", a)
+
+  def wordNgrams(toks: Column, n: Column): Column = call_function("word_ngrams", toks, n)
 }

@@ -38,24 +38,28 @@ object DedupOps {
   }
 
   /** Distinct word-3-gram postings per doc as flat (doc_id, shingle)
-    * rows — window `lead` over exploded tokens, entirely whole-stage
-    * codegen. The earlier array form (`transform`+`slice` lambdas)
-    * was interpreted with per-element boxing, ~15M evals at sf0.1.
-    * Docs with < 3 tokens produce no shingles (lead is null).
+    * rows. Shingles are built PER ROW by the codegen `word_ngrams`
+    * expression — tokens never leave their document row, so the only
+    * shuffle is the final distinct. (Earlier forms: `transform`+`slice`
+    * HOF lambdas were interpreted with per-element boxing; the window
+    * `lead` rewrite was codegen but shuffled the whole 100×-inflated
+    * token stream by doc_id just to see neighbors.) Docs with < 3
+    * tokens produce no shingles.
     */
   private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       // documents is one small file = one partition; spread the
       // tokenize/explode work (at real scale the scan is already split)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), posexplode(TextOps.tokens(lower(col("text")))).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(w))
-      .withColumn("w2", lead(col("w0"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("shingle"))
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(TextOps.tokens(lower(col("text"))), lit(3))
+        ).as("shingle")
+      )
       .distinct()
   }
 

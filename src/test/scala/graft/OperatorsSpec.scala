@@ -202,6 +202,18 @@ class OperatorsSpec extends AnyFunSuite {
     words.foreach(r => assert(r.getInt(1) === graft.functions.Fnv1a.hash(r.getString(0))))
   }
 
+  test("word_ngrams: consecutive space-joined n-grams, empty below n tokens") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT word_ngrams(array('a','b','c','d'), 3) AS g3, " +
+        "word_ngrams(array('a','b'), 3) AS empty, " +
+        "word_ngrams(array('x','y'), 2) AS g2"
+    ).collect()(0)
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) === Seq())
+    assert(r.getSeq[String](2) === Seq("x y"))
+  }
+
   test("int_vec_sum aggregate == exploded sum, and misuse fails at analysis") {
     val r = spark.sql(
       "SELECT int_vec_sum(v) AS s FROM VALUES (array(1, -2, 3)), (array(10, 20, -30)) AS t(v)"
