@@ -54,6 +54,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.fingerprint,
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "data_split" -> TextOps.dataSplit,
+    "training_prep" -> TextOps.trainingPrep,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -276,6 +277,39 @@ object SparkEntry {
         |FROM (SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |             AS UBIGINT) % 100 AS INT) AS b, lang, n_chars
         |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    "training_prep" ->
+      """WITH base AS (
+        | SELECT doc_id, lang, n_chars, text,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+        | FROM documents),
+        |counts AS (
+        | SELECT doc_id, lang, n_chars, text, len(toks) AS n_words,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  len(list_filter(toks, t -> t IN
+        |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
+        | FROM base),
+        |scored AS (
+        | SELECT doc_id, lang, n_chars, text,
+        |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+        |   * (1.0 - CASE WHEN length(text) > 0
+        |            THEN CAST(n_punct AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+        |   * (0.5 + CASE WHEN n_words > 0
+        |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END) AS quality
+        | FROM counts),
+        |kept AS (
+        | SELECT doc_id, lang, n_chars,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM scored WHERE quality >= 0.55),
+        |keepers AS (
+        | SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars, MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id FROM kept)
+        | WHERE doc_id = keeper_id)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |             AS UBIGINT) % 100 AS INT) AS b, lang, n_chars
+        |      FROM keepers)
         |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,

@@ -137,11 +137,13 @@ object TextOps {
     * training-data pipeline. Pure per-row double arithmetic
     * (IEEE-deterministic; no rounding needed for oracle parity).
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"), toks.as("toks"), col("text"))
+  /** Appends n_words/n_punct/n_stop/stop_ratio/punct_ratio/quality to
+    * any frame carrying `text` and `toks` columns — ONE definition of
+    * the quality metric, shared by qualityScore and trainingPrep so
+    * the filter a pipeline applies is exactly the score it reports.
+    */
+  private def withQualityCols(df: DataFrame): DataFrame = {
+    df
       .withColumn("n_words", size(col("toks")).cast("bigint"))
       .withColumn(
         "n_punct",
@@ -168,8 +170,51 @@ object TextOps {
           * (lit(1.0) - col("punct_ratio"))
           * (lit(0.5) + col("stop_ratio"))
       )
+  }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), toks.as("toks"), col("text"))
+    )
       .select(col("doc_id"), col("n_words"), col("n_punct"), col("n_stop"),
         col("stop_ratio"), col("punct_ratio"), col("quality"))
+  }
+
+  val TrainingPrepMinQuality = 0.55
+
+  /** The end-to-end training-data prep report — quality filter →
+    * exact dedup (keepers only) → deterministic split → per-(split,
+    * lang) counts. One pipeline composing the suite's operators, all
+    * deterministic, so the whole thing sits under the hash gate.
+    *
+    * Scale shape: a single pass over the corpus computes quality +
+    * fingerprint per row (no self-join — the quality columns are
+    * appended inline), one shuffle on the fingerprint picks keepers,
+    * one partial-agg shuffle produces the report. Per-row double
+    * arithmetic is IEEE-exact on both engines, so the `quality >=
+    * threshold` cut is bit-identical to the oracle's.
+    */
+  def trainingPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(lower(col("text")))
+    val scored = withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"), toks.as("toks"))
+    )
+    val kept = scored
+      .filter(col("quality") >= TrainingPrepMinQuality)
+      .select(col("doc_id"), col("lang"), col("n_chars"), fingerprintExpr(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    kept
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(splitExpr(col("doc_id")).as("split"), col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
