@@ -176,6 +176,29 @@ object Oracles2 {
        | FROM p)
        |WHERE rnk <= 5""".stripMargin
 
+  /** Corpus-wide k-NN join twin of annTopkLsh: every vector is a
+    * query, k = 3; same planes, same candidate set.
+    */
+  val knnJoin: String =
+    s"""WITH buck AS (
+       | SELECT vec_id, embedding, l AS table_idx,
+       |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
+       | FROM embeddings, (SELECT unnest(range(8)) AS l)),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |         FROM buck a JOIN buck b
+       |          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+       |             AND a.vec_id <> b.vec_id),
+       |qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+       |p AS (SELECT query_id, neighbor_id,
+       |       ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
+       |      FROM cand JOIN qn qe ON qe.vec_id = query_id
+       |                JOIN qn ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       | SELECT query_id, neighbor_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+       | FROM p)
+       |WHERE rnk <= 3""".stripMargin
+
   /** Mirrors SimilarityOps.embeddingNearDup's LSH bucketing exactly
     * (same md5-derived planes as annTopkLsh), so both engines score
     * the identical candidate set.
@@ -290,6 +313,21 @@ object Oracles2 {
        |SELECT doc AS doc_id, label AS canonical_id, cluster_size,
        | doc = label AS is_canonical
        |FROM comp JOIN sizes USING (label)""".stripMargin
+
+  /** Near-dup pair leakage across the md5 80/10/10 split (mirrors
+    * TextOps.splitExpr on both ends of every minhashLsh pair).
+    */
+  val splitLeakage: String = {
+    def splitCase(idCol: String): String =
+      s"""CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
+         |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH mh AS ($minhashLsh)
+       |SELECT ${splitCase("doc_a")} AS split_a, ${splitCase("doc_b")} AS split_b,
+       | COUNT(*) AS n_pairs
+       |FROM mh GROUP BY 1, 2""".stripMargin
+  }
 
   val mmDecodeMeta: String =
     """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -55,6 +55,7 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "data_split" -> TextOps.dataSplit,
     "training_prep" -> TextOps.trainingPrep,
+    "split_leakage" -> TextOps.splitLeakage,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -67,6 +68,7 @@ object SparkEntry {
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
+    "knn_join" -> SimilarityOps.knnJoin,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
@@ -278,6 +280,8 @@ object SparkEntry {
         |             AS UBIGINT) % 100 AS INT) AS b, lang, n_chars
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    "split_leakage" -> Oracles2.splitLeakage,
+    "knn_join" -> Oracles2.knnJoin,
     "training_prep" ->
       """WITH base AS (
         | SELECT doc_id, lang, n_chars, text,

@@ -158,6 +158,45 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
+  val KnnJoinK = 3
+
+  /** Corpus-wide k-NN join: top-k approximate neighbors for EVERY
+    * vector, not a fixed query slice — the operator a dedup/cluster
+    * pipeline actually runs. Candidates are LSH bucket collisions
+    * (same deterministic planes as lshTopK), exact cosine re-rank,
+    * per-vector top-k.
+    *
+    * Scale shape: one equi-join on (table_idx, bucket) — candidate
+    * volume is sum over buckets of |bucket|², so the planes count is
+    * the knob that keeps buckets executor-sized; the re-rank and the
+    * rank window both shuffle only candidate ids. Never all-pairs.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(emb(spark, dir))
+    val ex = e
+      .select(col("vec_id"), posexplode(bucketExpr(col("embedding"))).as(Seq("table_idx", "bucket")))
+      .localCheckpoint()
+    val cand = ex
+      .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"))
+      .join(ex.select(col("table_idx"), col("bucket"), col("vec_id").as("neighbor_id")),
+        Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val v = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(normSq(col("embedding"))).as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .join(v.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nv").as("nq")),
+        Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nv").as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= KnnJoinK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
   val NearDupThreshold = 0.45
 
   /** Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t),

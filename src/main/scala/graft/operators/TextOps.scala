@@ -291,6 +291,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Split-leakage report: NEAR-duplicate pairs (MinHash, jaccard >=
+    * 0.7) bucketed by the split assignment of their two ends — the
+    * contamination an id-keyed split permits when near-identical
+    * content carries distinct ids (the eval answer leaks into
+    * training). Off-diagonal cells (split_a != split_b) are the leak;
+    * the fix when it matters is splitting on a content key (cluster
+    * canonical id) instead of the doc id, and this matrix quantifies
+    * how much that buys. Split assignment is a pure function of the
+    * id, so no join — just a projection over the pair list.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.DedupOps
+      .minhashLsh(spark, dir)
+      .select(splitExpr(col("doc_a")).as("split_a"), splitExpr(col("doc_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Whitespace/case normalization — THE canonical text identity used
     * by both doc_fingerprint and DedupOps.exactDedup (one definition so
     * the fingerprint and the dedup key cannot drift apart).
