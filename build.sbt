@@ -30,7 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the box has 128 GiB and local[32] runs 32 concurrent
+  // tasks — at 8g the checkpoint-heavy dedup pipelines ran at the edge
+  // of storage-memory eviction, which a busy host tipped into 5-10x
+  // slowdowns (BENCH_r02 vs local runs of the same commit)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // batch throughput: parallel GC beats G1's latency bias for this
   // workload and keeps heavy queries from degrading their successors
   "-XX:+UseParallelGC",

@@ -34,6 +34,17 @@ object Bench {
     // plan JIT/codegen (2-10x) and this host shows transient external
     // load spikes; min-of-2 approximates steady-state throughput.
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Several pipelines localCheckpoint()/cache() shared intermediates;
+    // those blocks are only reclaimed when the ContextCleaner notices
+    // the RDD got GC'd. Across ~100 query runs that lag accumulates
+    // into storage-memory pressure that evicts/spills LATER queries'
+    // blocks (observed as 5-10x slowdowns on the checkpoint-heavy
+    // queries under a loaded host). Drop every block eagerly after
+    // each run so queries are measured independent.
+    def dropAllBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,7 +54,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name
             return -1.0 // sentinel: failed queries must not shrink the total
-        }
+        } finally dropAllBlocks()
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()

@@ -40,7 +40,9 @@ object SparkEntry {
     "supplier_stats" -> RelationalOps.supplierStats,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
-    // no oracleSql on purpose: sketches are engine-specific; rows-only
+    // sketch values are engine-specific, so the query emits accuracy
+    // certificates (booleans) the oracle asserts as TRUE — see
+    // RelationalOps.approxStats
     "approx_stats" -> RelationalOps.approxStats,
     // Reference queries (P1 wc, P2 indexer) on the documents corpus
     "wc_documents" -> TextOps.wordCount,
@@ -128,6 +130,14 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
         |GROUP BY o_orderstatus""".stripMargin,
+    // The certificate claims (sketch within error envelope of exact)
+    // are asserted as literals; DuckDB re-derives only the exact
+    // columns. A sketch outside its envelope flips a boolean in the
+    // Spark output and the hash gate goes red.
+    "approx_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "anti_join_idle_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

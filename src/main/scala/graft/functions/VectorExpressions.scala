@@ -264,7 +264,10 @@ object VectorExpressions {
     override def nullSafeEval(toks: Any, nAny: Any): Any = {
       val a = toks.asInstanceOf[ArrayData]
       val n = nAny.asInstanceOf[Int]
-      val m = a.numElements() - n + 1
+      // n < 1 is meaningless (n=0 would emit numElements+1 empty
+      // shingles, n < 0 a negative array size): empty result, same as
+      // "array shorter than n"
+      val m = if (n < 1) 0 else a.numElements() - n + 1
       if (m <= 0) new GenericArrayData(new Array[AnyRef](0))
       else {
         val out = new Array[AnyRef](m)
@@ -291,7 +294,7 @@ object VectorExpressions {
         val sep = ctx.addReferenceObj("sep", UTF8String.fromString(" "),
           classOf[UTF8String].getName)
         s"""
-           |int $m = $a.numElements() - $n + 1;
+           |int $m = ($n < 1) ? 0 : $a.numElements() - $n + 1;
            |if ($m < 0) $m = 0;
            |Object[] $out = new Object[$m];
            |for (int $i = 0; $i < $m; $i++) {
@@ -341,9 +344,15 @@ object VectorExpressions {
       val v = child.eval(input)
       if (v != null) {
         val a = v.asInstanceOf[ArrayData]
-        val n = math.min(N, a.numElements())
+        // Registered as a general SQL function, so enforce the fixed
+        // 64-wide contract instead of silently truncating/zero-padding
+        // other widths into a wrong 64-element answer.
+        if (a.numElements() != N) {
+          throw new IllegalArgumentException(
+            s"int_vec_sum requires array<int> of exactly $N elements, got ${a.numElements()}")
+        }
         var i = 0
-        while (i < n) { buf(i) += a.getInt(i); i += 1 }
+        while (i < N) { buf(i) += a.getInt(i); i += 1 }
       }
       buf
     }

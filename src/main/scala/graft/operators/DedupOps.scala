@@ -118,8 +118,12 @@ object DedupOps {
     // per-doc counts); materialize it ONCE. Without this the whole
     // tokenize/window/distinct pipeline re-executes per consumer —
     // measured 5-7x of the query's wall time. localCheckpoint =
-    // executor-local blocks + truncated lineage; at scale this is the
-    // standard "build the index once, probe it many times" shape.
+    // executor-local blocks + truncated lineage — right for this
+    // single-node bench, but the blocks are UNREPLICATED and lineage
+    // is gone: on a real cluster an executor loss (or dynamic-
+    // allocation decommission) kills the job. The durable cluster
+    // equivalents are reliable checkpoint(), persist(DISK_ONLY_2), or
+    // an explicit staging write.
     val posting = shinglePosting(spark, dir).localCheckpoint()
     // Signatures as a flat relational aggregation (12 MIN aggregates
     // over posting rows): the mins run inside codegen'd hash

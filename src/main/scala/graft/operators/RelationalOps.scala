@@ -289,23 +289,46 @@ object RelationalOps {
 
   /** Sketch-based approximate statistics — the 100 TB form of
     * distinct_parts/value_quantiles (HLL + quantile sketch: one pass,
-    * bounded memory, mergeable partials). Deliberately has NO SQL
-    * oracle: sketch implementations differ across engines; the driver
-    * records a rows-only check and the exact twins above are the
-    * correctness anchor.
+    * bounded memory, mergeable partials). Raw sketch VALUES are not
+    * oracle-checkable (implementations differ per engine, and quantile-
+    * summary compression depends on partial-merge order), so the query
+    * emits accuracy CERTIFICATES instead: booleans asserting each
+    * sketch landed within a generous multiple of its published error
+    * bound of the exact answer, computed in the same pass. The DuckDB
+    * oracle asserts the same claims as TRUE literals — the hash gate
+    * then fails iff a sketch ever leaves its error envelope.
+    *   - HLL (rsd 0.05 default): |approx−exact| ≤ 15% of exact (3σ);
+    *   - approx_percentile (accuracy 10000): rank error ≤ N/10⁴, so
+    *     the value must lie within the exact [p−0.05, p+0.05] quantile
+    *     bracket — orders of magnitude looser than the guarantee.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    def brk(p: Double): (Column, Column) = (
+      expr(s"percentile(l_extendedprice, ${p - 0.05})"),
+      expr(s"percentile(l_extendedprice, ${p + 0.05})")
+    )
+    val (lo50, hi50) = brk(0.5)
+    val (lo95, hi95) = (expr("percentile(l_extendedprice, 0.90)"), max(col("l_extendedprice")))
     Tables
       .lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        // scalar quantile columns (not one array column): array cells
-        // can't be hashed/sorted by the rows-only comparator downstream
-        expr("approx_percentile(l_extendedprice, 0.5)").as("price_p50"),
-        expr("approx_percentile(l_extendedprice, 0.95)").as("price_p95"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asu"),
+        countDistinct(col("l_partkey")).as("ep"),
+        countDistinct(col("l_suppkey")).as("es"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.95)").as("p95"),
+        lo50.as("lo50"), hi50.as("hi50"), lo95.as("lo95"), hi95.as("hi95"),
         count(lit(1)).as("n_rows")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n_rows"),
+        (abs(col("ap") - col("ep")) <= col("ep") * 0.15).as("parts_ok"),
+        (abs(col("asu") - col("es")) <= col("es") * 0.15).as("supps_ok"),
+        (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
+        (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok")
       )
   }
 

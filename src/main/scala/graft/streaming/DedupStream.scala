@@ -8,7 +8,13 @@ import org.apache.spark.sql.types._
   * DedupOps.exactDedup — documents arrive as files, each carries the
   * canonical text fingerprint (TextOps.fingerprintExpr, the SAME
   * definition as the batch dedup key), and `dropDuplicates("fp")`
-  * keeps the first-arrived doc per fingerprint across micro-batches.
+  * keeps ONE doc per fingerprint: across micro-batches the first batch
+  * to see a fingerprint wins (keyed state), but WITHIN a micro-batch
+  * Spark keeps an arbitrary row per key — there is no ordering
+  * guarantee, so which same-batch duplicate survives is
+  * nondeterministic. If a deterministic survivor is required, reduce
+  * to min-doc_id per fp inside each batch (foreachBatch) before the
+  * state lookup.
   *
   * This is the shape a training-data pipeline actually ingests with:
   * dedup-on-arrival so downstream stages never see a duplicate, with
@@ -35,9 +41,9 @@ object DedupStream {
     StructField("n_chars", LongType)
   ))
 
-  /** First-arrived doc per fingerprint, streaming. Emits
-    * (doc_id, fp) in Append mode; a later doc with a seen fp is
-    * dropped by keyed state.
+  /** One surviving doc per fingerprint, streaming (see class doc for
+    * the within-batch nondeterminism caveat). Emits (doc_id, fp) in
+    * Append mode; a doc whose fp is already in keyed state is dropped.
     */
   def firstSeenDocs(spark: SparkSession, dir: String): DataFrame = {
     spark.readStream

@@ -207,19 +207,33 @@ class OperatorsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT word_ngrams(array('a','b','c','d'), 3) AS g3, " +
         "word_ngrams(array('a','b'), 3) AS empty, " +
-        "word_ngrams(array('x','y'), 2) AS g2"
+        "word_ngrams(array('x','y'), 2) AS g2, " +
+        "word_ngrams(array('x','y'), 0) AS n0, " +   // n < 1: empty,
+        "word_ngrams(array('x','y'), -2) AS nneg"    // not bogus rows
     ).collect()(0)
     assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(r.getSeq[String](1) === Seq())
     assert(r.getSeq[String](2) === Seq("x y"))
+    assert(r.getSeq[String](3) === Seq())
+    assert(r.getSeq[String](4) === Seq())
   }
 
   test("int_vec_sum aggregate == exploded sum, and misuse fails at analysis") {
+    val sql64 = (base: Int) =>
+      s"array(${(0 until 64).map(i => base * (i + 1) * (if (i % 2 == 0) 1 else -1)).mkString(",")})"
     val r = spark.sql(
-      "SELECT int_vec_sum(v) AS s FROM VALUES (array(1, -2, 3)), (array(10, 20, -30)) AS t(v)"
+      s"SELECT int_vec_sum(v) AS s FROM VALUES (${sql64(1)}), (${sql64(10)}) AS t(v)"
     ).collect()(0).getSeq[Long](0)
-    assert(r.take(3) === Seq(11L, 18L, -27L))
-    assert(r.drop(3).forall(_ == 0L)) // fixed 64-wide buffer
+    assert(r.length === 64)
+    assert(r.zipWithIndex.forall { case (v, i) =>
+      v == 11L * (i + 1) * (if (i % 2 == 0) 1 else -1)
+    })
+    // a non-64-wide array is a contract violation: loud runtime
+    // failure, not a silently truncated/zero-padded answer (ADVICE r2)
+    val werr = intercept[org.apache.spark.SparkException] {
+      spark.sql("SELECT int_vec_sum(v) AS s FROM VALUES (array(1, 2, 3)) AS t(v)").collect()
+    }
+    assert(werr.getMessage.contains("exactly 64"))
     // wrong input types die at analysis, not execution (ADVICE round 1)
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
