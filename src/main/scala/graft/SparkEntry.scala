@@ -38,6 +38,8 @@ object SparkEntry {
     "setop_lapsed_buyers" -> RelationalOps.setOpCustomers,
     "above_avg_lines" -> RelationalOps.aboveAvgLines,
     "supplier_stats" -> RelationalOps.supplierStats,
+    "grouping_sets_returns" -> RelationalOps.groupingSetsReturns,
+    "median_mode_orders" -> RelationalOps.medianModeOrders,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     // sketch values are engine-specific, so the query emits accuracy
@@ -79,6 +81,8 @@ object SparkEntry {
     "value_quantiles" -> EventOps.valueQuantiles,
     "cube_daily" -> EventOps.cubeDaily,
     "weekly_retention" -> EventOps.weeklyRetention,
+    "pivot_daily" -> EventOps.pivotDaily,
+    "range_join_clicks" -> EventOps.clicksBeforePurchase,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -257,6 +261,47 @@ object SparkEntry {
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |       CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,5))) AS VARCHAR) AS DOUBLE) AS sum_sq
         |      FROM lineitem GROUP BY l_suppkey)""".stripMargin,
+    "grouping_sets_returns" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        | COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "median_mode_orders" ->
+      """WITH med AS (
+        | SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  COUNT(*) AS n_orders
+        | FROM orders GROUP BY o_orderstatus),
+        |mode AS (
+        | SELECT o_orderstatus, mode_priority, mode_count FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS mode_count,
+        |   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rnk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        | WHERE rnk = 1)
+        |SELECT o_orderstatus, median_price, n_orders, mode_priority, mode_count
+        |FROM med JOIN mode USING (o_orderstatus)""".stripMargin,
+    "pivot_daily" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY epoch_day""".stripMargin,
+    // the oracle states the range join directly; the Spark side's
+    // bin+equi-join+residual-predicate plan must agree exactly
+    "range_join_clicks" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, p_us, COUNT(c.c_us) AS n_clicks_1h
+        |FROM p LEFT JOIN c
+        | ON p.user_id = c.user_id
+        | AND c.c_us <= p.p_us AND c.c_us > p.p_us - 3600000000
+        |GROUP BY p.user_id, purchase_id, p_us""".stripMargin,
     "full_outer_nation" ->
       """SELECT COALESCE(cn, sn) AS nationkey,
         | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp

@@ -161,6 +161,76 @@ object EventOps {
       )
   }
 
+  /** Daily event matrix via the pivot OPERATOR (vs userActivity's
+    * manual conditional aggregation): one row per epoch-day, one count
+    * column per event type. The type list is passed EXPLICITLY —
+    * pivot-without-values runs a driver-side distinct scan over the
+    * full table to discover columns, a hidden extra pass at 100 TB
+    * (and nondeterministic column order); with values it is a single
+    * partial-agg shuffle, same plan as the manual form.
+    */
+  val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables
+      .events(spark, dir)
+      .select(floorDiv(86400000000000L).as("epoch_day"), col("event_type"))
+      .groupBy(col("epoch_day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    // pivot emits NULL for day/type cells with no events; the count
+    // semantics (and the oracle's conditional aggregation) want 0
+    EventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }
+  }
+
+  val PurchaseLookbackUs: Long = 3600L * 1000 * 1000 // 1 hour
+
+  /** Interval join, binned: for each purchase, count the same user's
+    * clicks in the preceding hour. The naive form is a range join
+    * (`c.ts BETWEEN p.ts - 1h AND p.ts`) — Spark plans inequality-only
+    * joins as BroadcastNestedLoopJoin, O(N·M) at scale. The scalable
+    * shape: bucket both sides by (user_id, hour-bin), probe each
+    * purchase against its own bin AND the previous one (a 1-hour
+    * lookback can only span two hour bins), equi-join, then apply the
+    * exact time predicate. Each (purchase, click) pair matches exactly
+    * once because a click lives in exactly one bin. Two-row fanout on
+    * the probe side only — never a cross product.
+    */
+  def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val binUs = PurchaseLookbackUs
+    // event timestamps are post-1970, so DIV == floor here (and the
+    // result stays BIGINT — `/` on longs would be double division)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), tsUs.as("p_us"))
+      .withColumn("bin", explode(array(
+        expr(s"p_us DIV $binUs"),
+        expr(s"p_us DIV $binUs - 1")
+      )))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), tsUs.as("c_us"))
+      .withColumn("bin", expr(s"c_us DIV $binUs"))
+    // LEFT join + predicate folded into the count (not a post-join
+    // filter): a purchase whose joined clicks all fail the exact time
+    // test must still appear with n_clicks_1h = 0.
+    purchases
+      .join(clicks, Seq("user_id", "bin"), "left")
+      .groupBy(col("user_id"), col("purchase_id"), col("p_us"))
+      .agg(
+        sum(
+          when(
+            col("c_us").isNotNull &&
+              col("c_us") <= col("p_us") && col("c_us") > col("p_us") - binUs,
+            1L
+          ).otherwise(0L)
+        ).as("n_clicks_1h")
+      )
+  }
+
   /** Per-user activity profile: event counts by type (pivot via
     * conditional aggregation), value total, active span.
     */

@@ -332,6 +332,54 @@ object RelationalOps {
       )
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed expansions):
+    * per-flag totals, per-status totals, and the grand total in ONE
+    * pass — Expand multiplies each input row by the number of sets
+    * before a single partial+final aggregation, so at 100 TB this is
+    * one shuffle of (sets × groups) rows, not three separate scans.
+    * grouping_id disambiguates the NULL-filled grouping columns.
+    */
+  def groupingSetsReturns(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus")
+      )
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        xsum(col("l_quantity")).as("sum_qty")
+      )
+  }
+
+  /** Exact median + mode per order status. Median = percentile 0.5
+    * (interpolated — bit-identical to DuckDB quantile_cont, see
+    * memory'd parity rules); mode = most frequent priority with a
+    * deterministic min-value tiebreak, computed as count-rank — the
+    * scalable mode shape (grouped count + per-group top-1 via
+    * WindowGroupLimit, no per-group value collection).
+    */
+  def medianModeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val med = ord
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        count(lit(1)).as("n_orders")
+      )
+    val w = Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("mode_count").desc, col("mode_priority").asc)
+    val mode = ord
+      .groupBy(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+      .agg(count(lit(1)).as("mode_count"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("o_orderstatus"), col("mode_priority"), col("mode_count"))
+    med.join(mode, Seq("o_orderstatus"))
+  }
+
   /** Correlated-style scalar-subquery shape: lines above their part's
     * average quantity (TPC-H Q17 flavor) — expressed as join against a
     * pre-aggregate, the scalable form. The pre-aggregate has one row

@@ -104,4 +104,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch pair join, pairs span micro-batches") {
+    // two time-ordered files -> two micro-batches, so clicks buffered
+    // in join state from batch 1 must match purchases arriving in
+    // batch 2 (pairs straddling the split prove cross-batch state)
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    val ev = graft.operators.Tables.events(spark, Sf0001).orderBy("ts")
+    val rows = ev.collect()
+    // batch twin of the streaming join, computed up front so the split
+    // point can be placed INSIDE a real (click, purchase) interval —
+    // a blind halfway split usually has no pair spanning it
+    val base = graft.operators.Tables.events(spark, Sf0001)
+    val p = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        expr("ts DIV 1000").as("p_us"))
+    val c = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        expr("ts DIV 1000").as("c_us"))
+    val expected = p.join(c,
+        col("pu") === col("cu") && col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - 3600000000L)
+      .select(col("pu"), col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    val tsOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // split just before some pair's purchase: its click lands in f1,
+    // the purchase in f2
+    val splitNs = expected.map { case (_, pid, cid) => (tsOf(pid), tsOf(cid)) }
+      .collectFirst { case (pNs, cNs) if cNs < pNs => pNs }
+      .getOrElse(fail("no pair with click strictly before purchase"))
+    val (f1Rows, f2Rows) = rows.partition(_.getLong(1) < splitNs)
+    for ((part, sub, ageSec) <- Seq(
+        (f1Rows, "f1", 120L), (f2Rows, "f2", 0L))) {
+      val d = s"$tmp/$sub"
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq), ev.schema)
+        .coalesce(1).write.parquet(d)
+      val src = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    val q = graft.streaming.JoinStream.purchaseClickPairs(spark, tmp)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+      // at least one pair must straddle the micro-batch boundary,
+      // otherwise this test proved nothing about cross-batch state
+      val straddling = expected.filter { case (_, pid, cid) =>
+        tsOf(pid) >= splitNs && tsOf(cid) < splitNs
+      }
+      assert(straddling.nonEmpty)
+    } finally q.stop()
+  }
 }
