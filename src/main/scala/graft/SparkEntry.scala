@@ -40,6 +40,8 @@ object SparkEntry {
     "supplier_stats" -> RelationalOps.supplierStats,
     "grouping_sets_returns" -> RelationalOps.groupingSetsReturns,
     "median_mode_orders" -> RelationalOps.medianModeOrders,
+    "window_range_7d" -> RelationalOps.rolling7dSpend,
+    "setop_except_all" -> RelationalOps.exceptAllBuyers,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     // sketch values are engine-specific, so the query emits accuracy
@@ -73,6 +75,7 @@ object SparkEntry {
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
     "knn_join" -> SimilarityOps.knnJoin,
+    "label_centroids" -> SimilarityOps.labelCentroids,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
@@ -261,6 +264,21 @@ object SparkEntry {
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |       CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,5))) AS VARCHAR) AS DOUBLE) AS sum_sq
         |      FROM lineitem GROUP BY l_suppkey)""".stripMargin,
+    "window_range_7d" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS epoch_day,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+        |      OVER (PARTITION BY o_custkey
+        |            ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |  AS spend_7d
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "setop_except_all" ->
+      """SELECT o_custkey, COUNT(*) AS n_net_orders FROM (
+        | SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000)
+        |GROUP BY o_custkey""".stripMargin,
     "grouping_sets_returns" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
@@ -337,6 +355,31 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "split_leakage" -> Oracles2.splitLeakage,
     "knn_join" -> Oracles2.knnJoin,
+    // quantized-exact centroids: parallel UNNESTs zip positionally in
+    // DuckDB; integer sums make the distributed mean order-independent
+    // (mirrors SimilarityOps.labelCentroids)
+    "label_centroids" ->
+      """WITH flat AS (
+        | SELECT label,
+        |  CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+        |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        | FROM embeddings),
+        |dims AS (
+        | SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+        | FROM flat GROUP BY label, pos),
+        |norms AS (
+        | SELECT label, MAX(n) AS n_vecs,
+        |  sqrt(list_reduce(
+        |    list_prepend(0.0, list(CAST(sum_q AS DOUBLE)/1000000.0/n ORDER BY pos)),
+        |    (a, x) -> a + x*x)) AS centroid_norm
+        | FROM dims GROUP BY label),
+        |top AS (
+        | SELECT label, pos AS top_dim, CAST(sum_q AS DOUBLE)/1000000.0/n AS top_dim_mean FROM (
+        |  SELECT label, pos, sum_q, n,
+        |   ROW_NUMBER() OVER (PARTITION BY label ORDER BY abs(sum_q) DESC, pos ASC) AS rnk
+        |  FROM dims) WHERE rnk = 1)
+        |SELECT CAST(label AS BIGINT) AS label, n_vecs, centroid_norm, top_dim, top_dim_mean
+        |FROM norms JOIN top USING (label)""".stripMargin,
     "training_prep" ->
       """WITH base AS (
         | SELECT doc_id, lang, n_chars, text,

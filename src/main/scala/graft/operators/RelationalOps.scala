@@ -180,6 +180,51 @@ object RelationalOps {
       )
   }
 
+  /** RANGE-frame window (vs customerRunningTotal's ROWS frame):
+    * rolling 7-day spend per customer. A RANGE frame is defined by the
+    * ORDER-BY VALUE interval, so it is inherently order-independent
+    * within ties — with the decimal-exact sum the result is
+    * deterministic with no tiebreak column needed. One shuffle on
+    * custkey; frames are evaluated by a sliding aggregate over the
+    * sorted partition, never a per-row rescan.
+    */
+  def rolling7dSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        // DIV, not `/`: keeps the day arithmetic in exact integers
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("epoch_day"),
+        col("o_totalprice")
+      )
+      .withColumn(
+        "spend_7d",
+        sum(col("o_totalprice").cast(DecimalType(38, 10))).over(w).cast("double")
+      )
+      .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"), col("spend_7d"))
+  }
+
+  /** Multiset set-op (EXCEPT ALL): per-order buyer keys of 1995 minus
+    * those of 2000, duplicates significant — each 2000 order cancels
+    * ONE 1995 order of the same customer. Planned as a single
+    * count-difference aggregation (no row-by-row matching).
+    */
+  def exceptAllBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def ordersIn(yr: Int): DataFrame =
+      ord.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    ordersIn(1995)
+      .exceptAll(ordersIn(2000))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_net_orders"))
+  }
+
   /** Global top-k with deterministic tiebreak. At scale Spark plans
     * this as per-partition top-k + single-reduce merge (TakeOrdered),
     * never a global sort.

@@ -238,4 +238,64 @@ object SimilarityOps {
       .filter(col("score") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
+
+  /** Per-label centroid statistics — the "class prototype" pass of an
+    * embedding pipeline (cluster summaries, IVF coarse quantizer
+    * training, drift monitoring).
+    *
+    * Exactness design: a distributed mean of floats is order-dependent
+    * (parallel FP addition), so the vectors are QUANTIZED per row to
+    * round(x·10⁶) BIGINTs — integer sums are exact, order-independent,
+    * and engine-independent; doubles only reappear in per-row
+    * derivations (mean = sum_q/10⁶/n), which are IEEE-exact in any
+    * engine. The 64 per-dim means fold into the centroid norm in
+    * ascending-dim order (a bounded 64-element sequential fold — the
+    * collected list is dimension-sized, not corpus-sized).
+    *
+    * Scale shape: the 64× posexplode is map-side partial-aggregated to
+    * (label × dim) rows before the only shuffle; everything after
+    * operates on ~labels×64 rows.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val dims = emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("label"),
+        col("pos").cast("bigint").as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q")
+      )
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+    // the dim with the largest |mean| (deterministic: integer compare,
+    // min-pos tiebreak) — a cheap interpretable per-class signature
+    val wTop = Window.partitionBy(col("label")).orderBy(abs(col("sum_q")).desc, col("pos").asc)
+    val top = dims
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") === 1)
+      .select(
+        col("label"),
+        col("pos").as("top_dim"),
+        (col("sum_q").cast("double") / 1000000.0 / col("n")).as("top_dim_mean")
+      )
+    val norms = dims
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        expr("array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q)))").as("ds")
+      )
+      .select(
+        col("label"),
+        col("n_vecs"),
+        // x*x, not pow(x,2): Math.pow is not guaranteed correctly
+        // rounded, plain multiplication is IEEE-exact in every engine
+        sqrt(expr(
+          "aggregate(ds, 0.0D, (a, s) -> a + (CAST(s.sum_q AS DOUBLE) / 1000000.0 / n_vecs)" +
+            " * (CAST(s.sum_q AS DOUBLE) / 1000000.0 / n_vecs))"
+        )).as("centroid_norm")
+      )
+    norms.join(top, Seq("label")).select(
+      col("label").cast("bigint").as("label"),
+      col("n_vecs"), col("centroid_norm"), col("top_dim"), col("top_dim_mean")
+    )
+  }
 }
