@@ -360,4 +360,117 @@ class OperatorsSpec extends AnyFunSuite {
       assert(g.map(_.getString(2)).distinct.length === g.length)
     }
   }
+
+  test("binned range join == directly-stated range join, zero-click purchases kept") {
+    val binned = EventOps.clicksBeforePurchase(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // direct form: correlated count per purchase (small data only —
+    // this is exactly the plan shape the binned operator avoids)
+    val ev = Tables.events(spark, Sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), expr("ts DIV 1000").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), expr("ts DIV 1000").as("c_us"))
+    val direct = p.join(c,
+        col("pu") === col("cu") && col("c_us") <= col("p_us") &&
+          col("c_us") > col("p_us") - 3600000000L, "left")
+      .groupBy(col("pu"), col("pid"))
+      .agg(sum(when(col("c_us").isNotNull, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(binned === direct)
+    // the left join must keep purchases with no qualifying click
+    assert(binned.values.exists(_ == 0L))
+    assert(binned.values.exists(_ > 0L))
+  }
+
+  test("pivot matrix row/column sums equal the unpivoted totals") {
+    val rows = EventOps.pivotDaily(spark, Sf0001).collect()
+    val pivotTotal = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    val evTotal = Tables.events(spark, Sf0001)
+      .filter(col("event_type").isin(EventOps.EventTypes: _*)).count()
+    assert(pivotTotal === evTotal)
+    // one row per day present in the data, no null-padding rows
+    val nDays = Tables.events(spark, Sf0001)
+      .select(expr("ts DIV 86400000000000")).distinct().count()
+    assert(rows.length.toLong === nDays)
+  }
+
+  test("grouping sets: each set's rows re-aggregate to the grand total") {
+    val rows = RelationalOps.groupingSetsReturns(spark, Sf0001).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val total = Tables.lineitem(spark, Sf0001).count()
+    // gid 1 = (l_returnflag), gid 2 = (l_linestatus), gid 3 = ()
+    assert(rows.filter(_._3 == 1).map(_._4).sum === total)
+    assert(rows.filter(_._3 == 2).map(_._4).sum === total)
+    assert(rows.filter(_._3 == 3).map(_._4) === Seq(total))
+    // grouping columns are NULL exactly where the set omits them
+    rows.foreach { case (rf, ls, gid, _) =>
+      assert(rf.isDefined === (gid == 1))
+      assert(ls.isDefined === (gid == 2))
+    }
+  }
+
+  test("median/mode: median splits each group in half, mode has the max count") {
+    val byStatus = Tables.orders(spark, Sf0001).collect()
+      .groupBy(_.getString(2))
+    RelationalOps.medianModeOrders(spark, Sf0001).collect().foreach { r =>
+      val (status, med, mode) = (r.getString(0), r.getDouble(1), r.getString(3))
+      val prices = byStatus(status).map(_.getDouble(3)).sorted
+      assert(prices.count(_ <= med) >= prices.length / 2)
+      assert(prices.count(_ >= med) >= prices.length / 2)
+      val freq = byStatus(status).groupBy(_.getString(5)).view.mapValues(_.length)
+      assert(freq(mode) === freq.values.max)
+      // deterministic tiebreak: min priority among the max-count ones
+      assert(mode === freq.filter(_._2 == freq.values.max).keys.min)
+    }
+  }
+
+  test("RANGE-frame rolling sum covers exactly the trailing 7-day value window") {
+    val rows = RelationalOps.rolling7dSpend(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent form of the same window: a banded self-join sum
+    val src = Tables.orders(spark, Sf0001).filter(col("o_custkey") < 100)
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("d"), col("o_totalprice").as("p"))
+    val expected = src.as("a").join(src.as("b"),
+        col("a.ck") === col("b.ck") && col("b.d") >= col("a.d") - 6 && col("b.d") <= col("a.d"))
+      .groupBy(col("a.ck"), col("a.ok"))
+      .agg(sum(col("b.p").cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (cust, ok, _, spend) => assert(spend === expected((cust, ok))) }
+  }
+
+  test("EXCEPT ALL: net counts equal per-customer count differences, floored at zero") {
+    val ord = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr")).collect()
+    def cnts(yr: Int) = ord
+      .filter(_.getInt(1) == yr)
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val c95 = cnts(1995); val c00 = cnts(2000)
+    val expected = c95.map { case (k, n) => k -> (n - c00.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val got = RelationalOps.exceptAllBuyers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+  }
+
+  test("label centroids: quantized means match a driver-side recomputation") {
+    val vecs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1)))
+    val got = SimilarityOps.labelCentroids(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    vecs.groupBy(_._1).foreach { case (label, g) =>
+      val n = g.length
+      val sums = Array.tabulate(64) { d =>
+        g.map(v => math.round(v._2(d).toDouble * 1000000.0)).sum
+      }
+      val means = sums.map(s => s.toDouble / 1000000.0 / n)
+      val norm = math.sqrt(means.foldLeft(0.0)((a, x) => a + x * x))
+      val (gn, gnorm, gtop) = got(label.toLong)
+      assert(gn === n.toLong)
+      assert(gnorm === norm)
+      val top = sums.zipWithIndex.maxBy { case (s, i) => (math.abs(s), -i) }._2
+      assert(gtop === top.toLong)
+    }
+  }
 }
