@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Physical-plan audits: the properties that decide whether a query
+  * that is correct at sf0.01 is still viable at 100 TB — filters
+  * reaching the scan, scans reading only projected columns, partition
+  * pruning on partitioned layouts, broadcast on fixed-size dims, top-k
+  * planned without a global sort, aggregates inside whole-stage
+  * codegen. Asserting them here turns "checked once with .explain"
+  * into a regression gate.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def planOf(df: DataFrame): String = {
+    // collect() executes THIS DataFrame's QueryExecution (a write
+    // would execute its own, separate one), so AQE finalizes the plan
+    // and codegen stage markers `*(n)` appear in the rendering
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("projection pruning: a 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate"))
+  }
+
+  test("filter pushdown: scan-level predicates appear in PushedFilters") {
+    val df = Tables.orders(spark, Sf0001).filter(col("o_custkey") < 100)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("LessThan(o_custkey,100)"), s"no pushdown in: $pushed")
+  }
+
+  test("partitioned layout: a partition-column filter prunes at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, Sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"no partition filter in: $pf")
+    // pruning is observable, not just annotated: only the lang=en
+    // directory's files are planned
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scanned.contains("lang=de"))
+    val n = df.count()
+    val expected = Tables.documents(spark, Sf0001).filter(col("lang") === "en").count()
+    assert(n === expected)
+  }
+
+  test("fixed-size dims broadcast; the fact side never builds a hash table of itself") {
+    val plan = planOf(RelationalOps.regionRevenue(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    // no shuffle-side join should have lineitem as the BUILD side;
+    // cheap proxy: the plan contains no BroadcastNestedLoopJoin or
+    // CartesianProduct anywhere
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("global top-k plans as TakeOrdered, never a global sort") {
+    val plan = planOf(RelationalOps.topOrdersByPrice(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the only Sort allowed is inside TakeOrdered's per-partition
+    // limit; a standalone global Sort node would be the 100 TB killer
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") && l.contains("global=true")))
+  }
+
+  test("scan-heavy aggregation runs inside whole-stage codegen") {
+    val plan = planOf(RelationalOps.pricingSummary(spark, Sf0001))
+    // `*(n)` prefixes mark operators fused into a whole-stage-codegen
+    // stage; both HashAggregates (partial + final) must carry one
+    assert(plan.linesIterator.count(l => l.contains("*(") && l.contains("HashAggregate")) >= 2,
+      s"aggregates not codegen'd in: $plan")
+    // an ObjectHashAggregate here would mean a non-codegen aggregate
+    // slipped into the hottest scan path
+    assert(!plan.contains("ObjectHashAggregate"))
+  }
+
+  test("LSH near-dup is equi-join only: no nested-loop pair scan survives") {
+    val plan = planOf(SimilarityOps.embeddingNearDup(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("binned range join is equi-join only") {
+    val plan = planOf(EventOps.clicksBeforePurchase(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
