@@ -62,6 +62,8 @@ object SparkEntry {
     "data_split" -> TextOps.dataSplit,
     "training_prep" -> TextOps.trainingPrep,
     "split_leakage" -> TextOps.splitLeakage,
+    "repetition_stats" -> TextOps.repetitionStats,
+    "domain_mix" -> TextOps.domainMix,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -413,6 +415,53 @@ object SparkEntry {
         |             AS UBIGINT) % 100 AS INT) AS b, lang, n_chars
         |      FROM keepers)
         |GROUP BY 1, 2""".stripMargin,
+    // parallel UNNESTs zip (token, position); runs via gaps-and-islands
+    "repetition_stats" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, UNNEST(toks) AS tok,
+        |  UNNEST(generate_series(1, len(toks))) AS pos FROM base),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, tok AS top_word, c AS top_n FROM (
+        |  SELECT doc_id, tok, c,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rnk FROM tc)
+        | WHERE rnk = 1),
+        |totals AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_distinct FROM tc GROUP BY doc_id),
+        |brk AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |       THEN 0 ELSE 1 END AS b FROM toks),
+        |isl AS (SELECT doc_id,
+        |  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+        | FROM brk),
+        |runs AS (SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run FROM (
+        |  SELECT doc_id, run_id, COUNT(*) AS run_len FROM isl GROUP BY doc_id, run_id)
+        | GROUP BY doc_id)
+        |SELECT doc_id,
+        | COALESCE(n_words, 0) AS n_words, COALESCE(n_distinct, 0) AS n_distinct,
+        | COALESCE(top_word, '') AS top_word, COALESCE(top_n, 0) AS top_n,
+        | COALESCE(max_run, 0) AS max_run,
+        | (COALESCE(n_words, 0) >= 20 AND COALESCE(top_n, 0)*5 <= COALESCE(n_words, 0)
+        |  AND COALESCE(n_distinct, 0)*5 >= COALESCE(n_words, 0)
+        |  AND COALESCE(max_run, 0) <= 2) AS keep
+        |FROM (SELECT doc_id FROM documents) d
+        | LEFT JOIN totals USING (doc_id)
+        | LEFT JOIN top USING (doc_id)
+        | LEFT JOIN runs USING (doc_id)""".stripMargin,
+    "domain_mix" ->
+      """SELECT source, weight_pct, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN coin < weight_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | CAST(SUM(CASE WHEN coin < weight_pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM (SELECT source,
+        |  CAST(CAST(concat('0x', substr(md5(source), 1, 15)) AS UBIGINT) % 80 + 20 AS BIGINT)
+        |   AS weight_pct,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100
+        |   AS BIGINT) AS coin,
+        |  n_chars FROM documents)
+        |GROUP BY source, weight_pct""".stripMargin,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text operators: the reference's two real analytics queries — word
@@ -330,6 +331,104 @@ object TextOps {
         col("doc_id"),
         md5(norm).as("fp_md5"),
         conv(substring(md5(norm), 1, 15), 16, 10).cast("bigint").as("fp60")
+      )
+  }
+
+  /** Gopher/C4-style repetition filters: per-doc token stats that flag
+    * degenerate documents (the repetition axis quality_score doesn't
+    * cover). All measures are INTEGER (counts, ratios as cross-
+    * multiplied integer comparisons) so the gate is exact on any
+    * engine.
+    *
+    *   - top_n: occurrences of the most frequent token (tiebreak: the
+    *     lexicographically smallest such token is reported);
+    *   - max_run: longest run of consecutive identical tokens
+    *     (gaps-and-islands over the token stream — same one-shuffle
+    *     window shape as sessionize, partitioned by doc);
+    *   - keep: n_words >= 20 AND top_n/n_words <= 0.2 AND
+    *     5*n_distinct >= n_words AND max_run <= 2.
+    *
+    * Scale: the token stream shuffles ONCE on doc_id for the run
+    * windows; token counts partial-aggregate map-side. No per-doc
+    * value collection anywhere.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = docs.select(
+      col("doc_id"),
+      posexplode(tokens(lower(col("text")))).as(Seq("pos", "tok"))
+    )
+    val tc = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok").asc)
+    val top = tc
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("tok").as("top_word"), col("c").as("top_n"))
+    val totals = tc
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val runs = toks
+      .withColumn(
+        "brk",
+        when(lag(col("tok"), 1).over(wDoc) === col("tok"), 0L).otherwise(1L)
+      )
+      .withColumn(
+        "run_id",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+    // left joins from the full corpus: a doc with zero tokens must
+    // surface as keep=false, not vanish
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_word"), lit("")).as("top_word"),
+        coalesce(col("top_n"), lit(0L)).as("top_n"),
+        coalesce(col("max_run"), lit(0L)).as("max_run")
+      )
+      .withColumn(
+        "keep",
+        col("n_words") >= 20 &&
+          col("top_n") * 5 <= col("n_words") &&
+          col("n_distinct") * 5 >= col("n_words") &&
+          col("max_run") <= 2
+      )
+  }
+
+  /** Domain-mixing downsample: each source gets a deterministic target
+    * retention rate (20-99%, derived from the md5 of the source name —
+    * a stand-in for the curated per-domain weights a real mixture
+    * uses), and docs are kept by the same id-hash coin as dataSplit.
+    * Pure projections + one aggregation; the sample is reproducible
+    * row-for-row on any engine and any partitioning.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val weight =
+      (conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long") % 80 + 20).as("weight_pct")
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), weight, coin.as("coin"), col("n_chars"))
+      .groupBy(col("source"), col("weight_pct"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("coin") < col("weight_pct"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("coin") < col("weight_pct"), col("n_chars")).otherwise(lit(0L)))
+          .as("sampled_chars")
       )
   }
 }

@@ -454,6 +454,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === expected.toMap)
   }
 
+  test("repetition stats match a driver-side recomputation; keep filter is non-vacuous") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.repetitionStats(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nWords = toks.length.toLong
+      val runs = if (toks.isEmpty) 0L else {
+        var best = 1L; var cur = 1L
+        toks.sliding(2).foreach { case Array(a, b) =>
+          cur = if (a == b) cur + 1 else 1; best = math.max(best, cur)
+        }
+        best
+      }
+      val (gw, gd, gtw, gtn, gmr, gkeep) = got(id)
+      assert(gw === nWords)
+      assert(gd === counts.size.toLong)
+      val maxC = counts.values.max
+      assert(gtn === maxC)
+      assert(gtw === counts.filter(_._2 == maxC).keys.min)
+      assert(gmr === runs)
+      assert(gkeep === (nWords >= 20 && gtn * 5 <= nWords && gd * 5 >= nWords && gmr <= 2))
+    }
+    val keeps = got.values.map(_._6).toSeq
+    assert(keeps.contains(true) && keeps.contains(false)) // filter actually splits
+  }
+
+  test("domain mix: per-source sample counts match the md5 coin, rates follow weights") {
+    def md5mod(s: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val w = md5mod(src, 80) + 20
+      (src, w) -> (g.length.toLong, g.count(d => md5mod(d._1.toString, 100) < w).toLong)
+    }
+    val got = TextOps.domainMix(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected.toMap)
+    // sampling must actually drop something somewhere, but never all
+    assert(got.exists { case ((_, _), (n, s)) => s < n })
+    assert(got.forall { case ((_, _), (_, s)) => s > 0 })
+  }
+
   test("label centroids: quantized means match a driver-side recomputation") {
     val vecs = Tables.embeddings(spark, Sf0001).collect()
       .map(r => (r.getInt(2), r.getSeq[Float](1)))
