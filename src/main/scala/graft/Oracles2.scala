@@ -344,4 +344,74 @@ object Oracles2 {
       | SELECT doc_id AS media_id,
       |  unnest(generate_series(0, CAST(strlen(text) AS BIGINT)//64, 2)) AS frame_idx
       | FROM documents)""".stripMargin
+
+  val jsonPropsStats: String =
+    """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+      | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      | COUNT(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** Same 90%-mass prefix rule as TextOps.vocabNucleus — the cut is
+    * pure integer arithmetic so no float-threshold ambiguity.
+    */
+  val vocabNucleus: String =
+    """WITH toks AS (
+      | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '')) AS token
+      | FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+      |w AS (SELECT token, cnt,
+      | SUM(cnt) OVER () AS total,
+      | SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+      | ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      | FROM counts)
+      |SELECT token, cnt, rnk, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share
+      |FROM w WHERE (cum - cnt) * 10 < total * 9""".stripMargin
+
+  val bigramTransitions: String =
+    """WITH toks AS (
+      | SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '') AS toks
+      | FROM documents),
+      |bg AS (
+      | SELECT split_part(b, ' ', 1) AS head, split_part(b, ' ', 2) AS nxt
+      | FROM (SELECT unnest(list_transform(range(len(toks)-1),
+      |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS b
+      |  FROM toks WHERE len(toks) >= 2)),
+      |counts AS (SELECT head, nxt, COUNT(*) AS cnt FROM bg GROUP BY head, nxt),
+      |w AS (SELECT head, nxt, cnt,
+      | SUM(cnt) OVER (PARTITION BY head) AS head_total,
+      | ROW_NUMBER() OVER (PARTITION BY head ORDER BY cnt DESC, nxt) AS rnk
+      | FROM counts)
+      |SELECT head, nxt, cnt, rnk, CAST(cnt AS DOUBLE)/CAST(head_total AS DOUBLE) AS p
+      |FROM w WHERE rnk <= 3""".stripMargin
+
+  /** Moment sums are exact decimals (inputs have <= 2 decimals, so
+    * squares/products fit DECIMAL(37,4) losslessly); the correlation
+    * itself is per-row IEEE double over those exact sums, identical in
+    * both engines.
+    */
+  val statsCorr: String =
+    """WITH m AS (
+      | SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_q,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_p,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qp,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_q2,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_p2
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, sum_q, sum_p, sum_qp, sum_q2, sum_p2,
+      | (n * sum_qp - sum_q * sum_p) /
+      |  (sqrt(n * sum_q2 - sum_q * sum_q) * sqrt(n * sum_p2 - sum_p * sum_p)) AS corr_qp,
+      | (n * sum_qp - sum_q * sum_p) / (n * sum_q2 - sum_q * sum_q) AS beta
+      |FROM m""".stripMargin
+
+  val priceHistogram: String =
+    """SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+      | COUNT(*) AS n_orders,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
 }

@@ -42,6 +42,8 @@ object SparkEntry {
     "median_mode_orders" -> RelationalOps.medianModeOrders,
     "window_range_7d" -> RelationalOps.rolling7dSpend,
     "setop_except_all" -> RelationalOps.exceptAllBuyers,
+    "stats_corr" -> RelationalOps.corrStats,
+    "price_histogram" -> RelationalOps.priceHistogram,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     // sketch values are engine-specific, so the query emits accuracy
@@ -64,6 +66,8 @@ object SparkEntry {
     "split_leakage" -> TextOps.splitLeakage,
     "repetition_stats" -> TextOps.repetitionStats,
     "domain_mix" -> TextOps.domainMix,
+    "vocab_nucleus" -> TextOps.vocabNucleus,
+    "bigram_transitions" -> TextOps.bigramTransitions,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -88,6 +92,7 @@ object SparkEntry {
     "weekly_retention" -> EventOps.weeklyRetention,
     "pivot_daily" -> EventOps.pivotDaily,
     "range_join_clicks" -> EventOps.clicksBeforePurchase,
+    "json_props_stats" -> EventOps.jsonPropsStats,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -462,6 +467,11 @@ object SparkEntry {
         |   AS BIGINT) AS coin,
         |  n_chars FROM documents)
         |GROUP BY source, weight_pct""".stripMargin,
+    "json_props_stats" -> Oracles2.jsonPropsStats,
+    "vocab_nucleus" -> Oracles2.vocabNucleus,
+    "bigram_transitions" -> Oracles2.bigramTransitions,
+    "stats_corr" -> Oracles2.statsCorr,
+    "price_histogram" -> Oracles2.priceHistogram,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,

@@ -252,4 +252,29 @@ object EventOps {
         countDistinct(floorDiv(86400000000000L)).as("n_active_days")
       )
   }
+
+  /** Semi-structured extraction: events carry a JSON `props` payload;
+    * pull `$.k` out with the codegen `get_json_object` path evaluator
+    * and aggregate it per event type. At 100 TB this is the canonical
+    * "parse the JSON once, in the scan stage, next to the data" shape —
+    * a pure projection feeding a map-side-combined 5-group aggregate;
+    * the raw JSON string never enters a shuffle.
+    */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k")
+      )
+  }
 }

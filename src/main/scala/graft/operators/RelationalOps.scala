@@ -465,4 +465,63 @@ object RelationalOps {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("sum_price"))
   }
+
+  /** Exact Pearson correlation + OLS slope of quantity vs price per
+    * return flag, from decimal-mediated moment sums. Built-in
+    * `corr()` accumulates doubles in partition order (nondeterministic
+    * across partitionings, and unmatchable against any oracle); here
+    * the five moments are exact DECIMAL sums — quantity and price have
+    * <= 2 decimals, so products fit DECIMAL(37,4) losslessly — and the
+    * correlation is then one per-row IEEE expression over exact
+    * inputs, identical on any engine and any partitioning. One
+    * map-side-combined aggregate of 3 groups; scan-bound at 100 TB.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(18, 2))
+    val p = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sum_q"),
+        sum(p).cast("double").as("sum_p"),
+        sum(q * p).cast("double").as("sum_qp"),
+        sum(q * q).cast("double").as("sum_q2"),
+        sum(p * p).cast("double").as("sum_p2")
+      )
+      .withColumn(
+        "corr_qp",
+        (col("n") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+          (sqrt(col("n") * col("sum_q2") - col("sum_q") * col("sum_q")) *
+            sqrt(col("n") * col("sum_p2") - col("sum_p") * col("sum_p")))
+      )
+      .withColumn(
+        "beta",
+        (col("n") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+          (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+      )
+  }
+
+  /** Fixed-width histogram of order totals: 10 buckets of 50k, top
+    * bucket open-ended. The bucket id is derived per row (no
+    * data-dependent min/max pre-pass), so the whole plan is one
+    * map-side-combined aggregate of <= 10 groups — the cheapest
+    * possible distribution profile at 100 TB.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .orders(spark, dir)
+      .select(
+        least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L)).as("bucket"),
+        col("o_totalprice")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        xsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price")
+      )
+  }
 }

@@ -431,4 +431,87 @@ object TextOps {
           .as("sampled_chars")
       )
   }
+
+  /** Vocabulary nucleus (top-p coverage): rank tokens by corpus
+    * frequency and keep the smallest prefix covering 90% of all token
+    * occurrences — the vocabulary-construction / coverage-analysis
+    * primitive of a tokenizer-training pipeline.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined
+    * count aggregation; the global windows then run over the VOCABULARY
+    * (types, not tokens — millions of rows at web scale, not
+    * trillions), which is the standard single-partition tail every
+    * rank-by-global-frequency job has. The prefix cut compares pure
+    * integers ((cum-cnt)*10 < total*9), so no float threshold ambiguity.
+    */
+  def vocabNucleus(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val order = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn(
+        "total",
+        sum(col("cnt")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+      )
+      .withColumn(
+        "cum",
+        sum(col("cnt")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .withColumn("rnk", row_number().over(order).cast("long"))
+      .filter((col("cum") - col("cnt")) * 10 < col("total") * 9)
+      .select(
+        col("token"),
+        col("cnt"),
+        col("rnk"),
+        (col("cum").cast("double") / col("total").cast("double")).as("cum_share")
+      )
+  }
+
+  /** Bigram transition model: top-3 next tokens per head token with
+    * maximum-likelihood transition probability — the n-gram LM /
+    * next-token-statistics primitive. Bigrams are built per row by the
+    * codegen `word_ngrams` expression (tokens never leave their
+    * document), so the only corpus-sized shuffle is the (head, nxt)
+    * count aggregation; the rank/total windows partition by head and
+    * skew is bounded by the vocabulary's most-followed token.
+    */
+  def bigramTransitions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val counts = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .select(
+        split(col("bg"), " ").getItem(0).as("head"),
+        split(col("bg"), " ").getItem(1).as("nxt")
+      )
+      .groupBy(col("head"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wHead = Window.partitionBy(col("head"))
+    counts
+      .withColumn("head_total", sum(col("cnt")).over(wHead))
+      .withColumn(
+        "rnk",
+        row_number().over(wHead.orderBy(col("cnt").desc, col("nxt").asc)).cast("long")
+      )
+      .filter(col("rnk") <= 3)
+      .select(
+        col("head"),
+        col("nxt"),
+        col("cnt"),
+        col("rnk"),
+        (col("cnt").cast("double") / col("head_total").cast("double")).as("p")
+      )
+  }
 }

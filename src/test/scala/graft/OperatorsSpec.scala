@@ -525,4 +525,90 @@ class OperatorsSpec extends AnyFunSuite {
       assert(gtop === top.toLong)
     }
   }
+
+  test("vocab nucleus: contiguous ranks, non-increasing counts, 90% mass covered") {
+    val rows = TextOps.vocabNucleus(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._3)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSeq === (1L to rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2) // frequency-ordered
+        assert(a._4 < b._4) // cumulative share strictly grows
+      case _ =>
+    }
+    // the first EXCLUDED token starts at >= 90% mass, so the last kept
+    // row's cumulative share must reach it
+    assert(rows.last._4 >= 0.9)
+    // driver recompute of the full ordering confirms the prefix rule
+    val toks = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    var cum = 0L
+    val expected = counts.takeWhile { case (_, c) => val keep = cum * 10 < total * 9; cum += c; keep }
+    assert(rows.map(t => (t._1, t._2)).toSeq === expected)
+  }
+
+  test("bigram transitions: top-3 per head, probabilities from full head mass") {
+    val toks = Tables.documents(spark, Sf0001).select("text").collect()
+      .map(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq)
+    val bigrams = toks.flatMap(ts => ts.zip(ts.drop(1)))
+    val counts = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val headTotals = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq
+      .groupBy(_._1._1)
+      .flatMap { case (head, g) =>
+        g.sortBy { case ((_, nxt), c) => (-c, nxt) }.take(3).zipWithIndex.map {
+          case (((h, nxt), c), i) =>
+            (h, nxt) -> (c, (i + 1).toLong, c.toDouble / headTotals(head).toDouble)
+        }
+      }
+    val got = TextOps.bigramTransitions(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === expected)
+  }
+
+  test("stats_corr: correlation recomputes from its own moment sums, |corr| <= 1") {
+    val rows = RelationalOps.corrStats(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val (sq, sp, sqp, sq2, sp2) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val corr = (n * sqp - sq * sp) /
+        (math.sqrt(n * sq2 - sq * sq) * math.sqrt(n * sp2 - sp * sp))
+      val beta = (n * sqp - sq * sp) / (n * sq2 - sq * sq)
+      assert(r.getDouble(7) === corr)
+      assert(r.getDouble(8) === beta)
+      assert(math.abs(corr) <= 1.0)
+    }
+  }
+
+  test("price histogram: buckets partition all orders, bounds respected") {
+    val rows = RelationalOps.priceHistogram(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    assert(rows.values.map(_._1).sum === nOrders)
+    rows.foreach { case (b, (_, mn, mx)) =>
+      assert(b >= 0 && b <= 9)
+      assert(mn >= b * 50000.0)
+      if (b < 9) assert(mx < (b + 1) * 50000.0)
+      assert(mn <= mx)
+    }
+  }
+
+  test("json props stats: totals cover every event, min <= max") {
+    val rows = EventOps.jsonPropsStats(spark, Sf0001).collect()
+    val nEvents = Tables.events(spark, Sf0001).count()
+    assert(rows.map(_.getLong(1)).sum === nEvents)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_with_k <= n_events
+      assert(r.getLong(4) <= r.getLong(5)) // min_k <= max_k
+      assert(r.getLong(6) > 0L) // n_distinct_k
+    }
+  }
 }
