@@ -408,6 +408,29 @@ object Oracles2 {
       | (n * sum_qp - sum_q * sum_p) / (n * sum_q2 - sum_q * sum_q) AS beta
       |FROM m""".stripMargin
 
+  val rankSuite: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      | NTILE(4) OVER w AS quartile,
+      | RANK() OVER w AS rnk,
+      | DENSE_RANK() OVER w AS dense_rnk,
+      | PERCENT_RANK() OVER w AS pct_rank,
+      | CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
+  val typoPairs: String =
+    """WITH vocab AS (
+      | SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '')) AS token
+      | FROM documents),
+      |v AS (SELECT token FROM vocab WHERE length(token) >= 4)
+      |SELECT a.token AS token_a, b.token AS token_b,
+      | levenshtein(a.token, b.token) AS dist
+      |FROM v a, v b
+      |WHERE a.token < b.token
+      | AND levenshtein(a.token, b.token) BETWEEN 1 AND 2""".stripMargin
+
   val priceHistogram: String =
     """SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
       | COUNT(*) AS n_orders,

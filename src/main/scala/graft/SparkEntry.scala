@@ -44,6 +44,7 @@ object SparkEntry {
     "setop_except_all" -> RelationalOps.exceptAllBuyers,
     "stats_corr" -> RelationalOps.corrStats,
     "price_histogram" -> RelationalOps.priceHistogram,
+    "window_rank_suite" -> RelationalOps.rankSuite,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     // sketch values are engine-specific, so the query emits accuracy
@@ -68,6 +69,7 @@ object SparkEntry {
     "domain_mix" -> TextOps.domainMix,
     "vocab_nucleus" -> TextOps.vocabNucleus,
     "bigram_transitions" -> TextOps.bigramTransitions,
+    "typo_pairs" -> TextOps.typoPairs,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -472,6 +474,8 @@ object SparkEntry {
     "bigram_transitions" -> Oracles2.bigramTransitions,
     "stats_corr" -> Oracles2.statsCorr,
     "price_histogram" -> Oracles2.priceHistogram,
+    "window_rank_suite" -> Oracles2.rankSuite,
+    "typo_pairs" -> Oracles2.typoPairs,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,

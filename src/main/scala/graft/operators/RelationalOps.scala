@@ -503,6 +503,33 @@ object RelationalOps {
       )
   }
 
+  /** Distribution-rank window suite: quartile (ntile), percent_rank,
+    * cume_dist, rank and dense_rank of every order within its priority
+    * class. ntile's bucket assignment depends on ROW positions, so the
+    * order-by carries a unique tiebreak (orderkey) — without it the
+    * result would be nondeterministic under ties; rank/percent_rank/
+    * cume_dist depend only on key values. One shuffle on the partition
+    * key; each partition is sorted once and all five functions ride
+    * the same sort.
+    */
+  def rankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("dense_rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume")
+      )
+  }
+
   /** Fixed-width histogram of order totals: 10 buckets of 50k, top
     * bucket open-ended. The bucket id is derived per row (no
     * data-dependent min/max pre-pass), so the whole plan is one

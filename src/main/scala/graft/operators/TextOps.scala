@@ -514,4 +514,34 @@ object TextOps {
         (col("cnt").cast("double") / col("head_total").cast("double")).as("p")
       )
   }
+
+  /** Typo-candidate pairs: distinct corpus tokens (length >= 4) within
+    * edit distance 2 of each other — the spelling-normalization /
+    * fuzzy-key-matching primitive of a text-cleaning pipeline. The
+    * pair scan is a vocabulary self-join: V is types, not tokens
+    * (thousands-to-millions at web scale, not trillions), and the
+    * threshold-bounded `levenshtein(a, b, 2)` abandons each cell after
+    * a 2-wide band, so the inner loop is O(len), not O(len^2). For
+    * vocabularies where V^2 itself is too big, the standard refinement
+    * is deletion-neighborhood (SymSpell) or length/prefix banding —
+    * same verify step, smaller candidate set.
+    */
+  def typoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) >= 4)
+      .distinct()
+    val a = vocab.select(col("token").as("token_a"))
+    val b = vocab.select(col("token").as("token_b"))
+    a.crossJoin(b)
+      .filter(col("token_a") < col("token_b"))
+      .select(
+        col("token_a"),
+        col("token_b"),
+        levenshtein(col("token_a"), col("token_b"), 2).cast("long").as("dist")
+      )
+      .filter(col("dist") >= 1 && col("dist") <= 2)
+  }
 }

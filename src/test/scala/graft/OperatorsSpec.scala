@@ -601,6 +601,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("rank suite: ntile buckets balanced, percent_rank/cume_dist exact per partition") {
+    val byPrio = RelationalOps.rankSuite(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .groupBy(_._1)
+    assert(byPrio.nonEmpty)
+    byPrio.foreach { case (_, rows) =>
+      val n = rows.length
+      val sorted = rows.sortBy(r => (-r._3, r._2)) // totalprice desc, orderkey asc
+      // ntile: bucket sizes differ by at most 1 and are non-increasing
+      val sizes = sorted.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes == sizes.sorted.reverse)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        // unique sort key -> rank == dense-position arithmetic is exact
+        assert(r._5 === (i + 1).toLong) // rank (no ties: price+key unique)
+        assert(r._7 === (if (n == 1) 0.0 else i.toDouble / (n - 1))) // percent_rank
+        assert(r._8 === (i + 1).toDouble / n) // cume_dist
+      }
+    }
+  }
+
+  test("typo pairs: symmetric-free, true edit distance, nothing missed at distance 1") {
+    val vocab = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.length >= 4))
+      .distinct.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      d = lev(vocab(i), vocab(j)) if d >= 1 && d <= 2
+    } yield (vocab(i), vocab(j)) -> d.toLong).toMap
+    val got = TextOps.typoPairs(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty) // the 40-word corpus vocabulary has close pairs
+  }
+
   test("json props stats: totals cover every event, min <= max") {
     val rows = EventOps.jsonPropsStats(spark, Sf0001).collect()
     val nEvents = Tables.events(spark, Sf0001).count()
