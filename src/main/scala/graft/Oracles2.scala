@@ -345,6 +345,45 @@ object Oracles2 {
       |  unnest(generate_series(0, CAST(strlen(text) AS BIGINT)//64, 2)) AS frame_idx
       | FROM documents)""".stripMargin
 
+  /** Window functions evaluate before QUALIFY in DuckDB, so n_versions
+    * counts every changelog row, mirroring Spark's count-then-filter.
+    */
+  val latestSnapshot: String =
+    """SELECT user_id, event_id AS latest_event_id, epoch_us(ts) AS latest_us,
+      | event_type AS latest_type, value AS latest_value,
+      | COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      |FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** list() keeps the NULLs the non-matching CASE arms produce, but
+    * list_filter's NULL comparisons drop them — same contents as
+    * Spark's null-dropping collect_list.
+    */
+  val funnelStages: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      | WHERE event_type IN ('view', 'click', 'purchase')),
+      |f AS (
+      | SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
+      |  list(CASE WHEN event_type = 'click' THEN ts_us END) AS click_ts,
+      |  list(CASE WHEN event_type = 'purchase' THEN ts_us END) AS purch_ts
+      | FROM ev GROUP BY user_id),
+      |g AS (
+      | SELECT user_id, first_view_us, purch_ts,
+      |  list_min(list_filter(click_ts, t -> t >= first_view_us)) AS first_click_us
+      | FROM f),
+      |h AS (
+      | SELECT user_id, first_view_us, first_click_us,
+      |  list_min(list_filter(purch_ts, t -> t >= first_click_us)) AS first_purchase_us
+      | FROM g)
+      |SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+      | CAST(CASE WHEN first_view_us IS NULL THEN 0
+      |           WHEN first_click_us IS NULL THEN 1
+      |           WHEN first_purchase_us IS NULL THEN 2
+      |           ELSE 3 END AS BIGINT) AS stage
+      |FROM h""".stripMargin
+
   val jsonPropsStats: String =
     """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
       | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,

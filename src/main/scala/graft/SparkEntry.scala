@@ -95,6 +95,8 @@ object SparkEntry {
     "pivot_daily" -> EventOps.pivotDaily,
     "range_join_clicks" -> EventOps.clicksBeforePurchase,
     "json_props_stats" -> EventOps.jsonPropsStats,
+    "latest_snapshot" -> EventOps.latestSnapshot,
+    "funnel_stages" -> EventOps.funnelStages,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -470,6 +472,8 @@ object SparkEntry {
         |  n_chars FROM documents)
         |GROUP BY source, weight_pct""".stripMargin,
     "json_props_stats" -> Oracles2.jsonPropsStats,
+    "latest_snapshot" -> Oracles2.latestSnapshot,
+    "funnel_stages" -> Oracles2.funnelStages,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
     "bigram_transitions" -> Oracles2.bigramTransitions,
     "stats_corr" -> Oracles2.statsCorr,

@@ -253,6 +253,81 @@ object EventOps {
       )
   }
 
+  /** CDC-style compaction: the event stream as a changelog, collapsed
+    * to the latest row per user (ts desc, event_id desc tiebreak) plus
+    * how many earlier versions it supersedes — the "current state
+    * snapshot" primitive of an upsert/merge pipeline. One shuffle on
+    * the key; the argmax is a window rank over the same exchange the
+    * version count rides, so compaction stays a single-pass plan at
+    * any scale (no self-join of snapshot vs history).
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val latestFirst = byUser.orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(latestFirst))
+      .withColumn("n_versions", count(lit(1)).over(byUser))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("latest_event_id"),
+        col("ts_us").as("latest_us"),
+        col("event_type").as("latest_type"),
+        col("value").as("latest_value"),
+        col("n_versions")
+      )
+  }
+
+  /** Ordered funnel: per user, the first view, the first click AFTER
+    * that view, and the first purchase AFTER that click, with the
+    * stage reached (0-3). The standard conversion-funnel primitive,
+    * computed as three chained conditional-min windows over ONE
+    * user-partitioned sort — never an event self-join (which at 100 TB
+    * would be |views| x |clicks| per user). Skew is bounded by the
+    * busiest single user, same contract as sessionize.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    // min ts per type per user is a plain agg; the "after" chaining is
+    // then per-row arithmetic on the three firsts. A click before the
+    // first view doesn't count; likewise purchases before that click.
+    val firsts = ev
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view_us"),
+        collect_list(when(col("event_type") === "click", col("ts_us"))).as("click_ts"),
+        collect_list(when(col("event_type") === "purchase", col("ts_us"))).as("purch_ts")
+      )
+    firsts
+      .withColumn(
+        "first_click_us",
+        array_min(filter(col("click_ts"), t => t >= col("first_view_us")))
+      )
+      .withColumn(
+        "first_purchase_us",
+        array_min(filter(col("purch_ts"), t => t >= col("first_click_us")))
+      )
+      .withColumn(
+        "stage",
+        when(col("first_view_us").isNull, 0L)
+          .when(col("first_click_us").isNull, 1L)
+          .when(col("first_purchase_us").isNull, 2L)
+          .otherwise(3L)
+      )
+      .select(
+        col("user_id"),
+        col("first_view_us"),
+        col("first_click_us"),
+        col("first_purchase_us"),
+        col("stage")
+      )
+  }
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull `$.k` out with the codegen `get_json_object` path evaluator
     * and aggregate it per event type. At 100 TB this is the canonical
