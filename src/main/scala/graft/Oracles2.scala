@@ -384,6 +384,59 @@ object Oracles2 {
       |           ELSE 3 END AS BIGINT) AS stage
       |FROM h""".stripMargin
 
+  /** Mirrors DedupOps.decontaminate: same md5 split buckets, same
+    * 8-gram construction, same 60-bit shingle hash — both engines
+    * join the identical candidate space.
+    */
+  val decontaminate: String =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, b,
+      |  list_distinct(list_transform(range(len(toks)-7),
+      |   i -> CAST(CAST(concat('0x', substr(md5(
+      |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
+      |        AS UBIGINT) AS BIGINT))) AS hs
+      | FROM toks WHERE len(toks) >= 8),
+      |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh),
+      |tr AS (SELECT doc_id AS train_doc, h FROM p WHERE b < 80),
+      |te AS (SELECT doc_id AS test_doc, h FROM p WHERE b >= 90)
+      |SELECT train_doc, COUNT(DISTINCT h) AS n_leaked_ngrams,
+      | COUNT(DISTINCT test_doc) AS n_test_docs, MIN(test_doc) AS first_test_doc
+      |FROM tr JOIN te USING (h)
+      |GROUP BY train_doc""".stripMargin
+
+  /** Mirrors TextOps.seqPacking: BPE-ish token counts, per-source
+    * doc_id-ordered cumsum, integer-division bin ids.
+    */
+  val seqPacking: String =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      | FROM d)
+      |SELECT source, (cum - n_tokens) // 512 AS bin, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      | CAST(SUM(n_tokens) AS BIGINT) > 512 AS overflowed
+      |FROM c
+      |GROUP BY source, (cum - n_tokens) // 512""".stripMargin
+
+  /** Mirrors EventOps.scd2History: one window over (user, ts, id). */
+  val scd2History: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us, event_type, value,
+      | CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      | LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+      | LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)""".stripMargin
+
   val jsonPropsStats: String =
     """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
       | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,

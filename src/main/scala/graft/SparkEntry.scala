@@ -47,6 +47,8 @@ object SparkEntry {
     "window_rank_suite" -> RelationalOps.rankSuite,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
+    "q4_late_orders" -> RelationalOps.latePriorityOrders,
+    "q19_disjunctive_revenue" -> RelationalOps.disjunctivePredicateRevenue,
     // sketch values are engine-specific, so the query emits accuracy
     // certificates (booleans) the oracle asserts as TRUE — see
     // RelationalOps.approxStats
@@ -70,6 +72,7 @@ object SparkEntry {
     "vocab_nucleus" -> TextOps.vocabNucleus,
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
+    "seq_packing" -> TextOps.seqPacking,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -77,6 +80,7 @@ object SparkEntry {
     "simhash_fingerprint" -> DedupOps.simhash,
     "simhash_pairs" -> DedupOps.simhashPairs,
     "dedup_clusters" -> GraphOps.dedupClusters,
+    "decontaminate" -> DedupOps.decontaminate,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
@@ -97,6 +101,7 @@ object SparkEntry {
     "json_props_stats" -> EventOps.jsonPropsStats,
     "latest_snapshot" -> EventOps.latestSnapshot,
     "funnel_stages" -> EventOps.funnelStages,
+    "scd2_history" -> EventOps.scd2History,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -474,6 +479,25 @@ object SparkEntry {
     "json_props_stats" -> Oracles2.jsonPropsStats,
     "latest_snapshot" -> Oracles2.latestSnapshot,
     "funnel_stages" -> Oracles2.funnelStages,
+    "scd2_history" -> Oracles2.scd2History,
+    "decontaminate" -> Oracles2.decontaminate,
+    "seq_packing" -> Oracles2.seqPacking,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        | SELECT 1 FROM lineitem l
+        | WHERE l.l_orderkey = o.o_orderkey
+        |  AND CAST(epoch(l.l_shipdate) AS BIGINT) > CAST(epoch(o.o_orderdate) AS BIGINT) + 5184000)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+        |GROUP BY p_brand""".stripMargin,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
     "bigram_transitions" -> Oracles2.bigramTransitions,
     "stats_corr" -> Oracles2.statsCorr,

@@ -288,4 +288,60 @@ object DedupOps {
       .filter(col("hamming") <= 10)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Word-n-gram width for benchmark decontamination. Real pipelines
+    * use 8-13; the synthetic corpus' 40-word vocabulary makes 8 both
+    * realistic and non-vacuous at every test SF.
+    */
+  val DecontamN = 8
+
+  /** Benchmark decontamination: training documents that share any
+    * word-8-gram with the held-out test split (the canonical md5
+    * split from TextOps.splitExpr — the "benchmark" a real pipeline
+    * would guard). Per contaminated train doc: how many distinct
+    * 8-grams leak and how many test docs they touch.
+    *
+    * Scale shape: n-grams join as 60-bit md5 hashes — raw shingle
+    * strings never enter a shuffle (at 8 words/shingle the string is
+    * ~8x the doc's own bytes). The test-split posting is a fixed
+    * fraction of the corpus; both sides hash-partition on the n-gram
+    * hash, which is uniform by construction, so no skew. A 60-bit
+    * collision would flag the same spurious pair in any engine (the
+    * oracle mirrors the hash), and at 10^9 distinct shingles the
+    * expected collision count is ~10^18/2^61 < 1.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val posting = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        TextOps.splitExpr(col("doc_id")).as("split"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(TextOps.tokens(lower(col("text"))), lit(DecontamN))
+        ).as("shingle")
+      )
+      .select(
+        col("doc_id"),
+        col("split"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h")
+      )
+      .distinct()
+    val train = posting
+      .filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val test = posting
+      .filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    train
+      .join(test, Seq("h"))
+      .groupBy(col("train_doc"))
+      .agg(
+        countDistinct(col("h")).as("n_leaked_ngrams"),
+        countDistinct(col("test_doc")).as("n_test_docs"),
+        min(col("test_doc")).as("first_test_doc")
+      )
+  }
 }

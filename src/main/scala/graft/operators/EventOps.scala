@@ -328,6 +328,31 @@ object EventOps {
       )
   }
 
+  /** SCD2 history: the event changelog per user expanded into
+    * validity intervals — each version carries [valid_from, valid_to)
+    * epoch-µs bounds, its version number, and an is_current flag
+    * (open interval). The dimension-table-history primitive of a
+    * warehouse merge. One shuffle on the key; both the interval bound
+    * (lead) and the version number ride the same user-partitioned
+    * sort, so history expansion is a single window pass — never a
+    * self-join of consecutive versions.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us").asc, col("event_id").asc)
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        tsUs.as("valid_from_us"),
+        col("event_type"),
+        col("value")
+      )
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull `$.k` out with the codegen `get_json_object` path evaluator
     * and aggregate it per event type. At 100 TB this is the canonical

@@ -116,6 +116,60 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("sum_price"))
   }
 
+  /** TPC-H Q4-shape: orders with at least one line shipped more than
+    * 60 days after the order date, counted per priority. The EXISTS
+    * subquery is a left-semi join with a non-equi residual
+    * (ship > order + 60d) evaluated on the joined row — the semi join
+    * still hashes on the equi key only, so the shuffle carries keys,
+    * not a range-join blowup. Epoch-integer date arithmetic keeps the
+    * comparison engine-exact.
+    */
+  def latePriorityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_timestamp(col("l_shipdate")).as("ship_s"))
+    Tables
+      .orders(spark, dir)
+      .join(
+        li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("ship_s") > unix_timestamp(col("o_orderdate")) + lit(60L * 86400L),
+        "left_semi"
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** TPC-H Q19-shape: revenue under three OR'd (brand, size, quantity)
+    * predicate groups. The disjunction references both sides, but each
+    * disjunct constrains part attributes, so Catalyst derives an
+    * IN-brand filter it pushes into the part scan; the join itself
+    * stays a plain equi hash join on partkey with the residual OR
+    * evaluated post-join — no cross product.
+    */
+  def disjunctivePredicateRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val joined = Tables
+      .lineitem(spark, dir)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+    val hit =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20.0, 40.0))
+    joined
+      .filter(hit)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")
+      )
+  }
+
   /** Left-anti join (NOT EXISTS): customers with no orders since the
     * cutoff ("idle customers"). The date filter is pushed to the
     * orders scan before the anti join, so the build side carries only

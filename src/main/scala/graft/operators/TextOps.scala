@@ -544,4 +544,44 @@ object TextOps {
       )
       .filter(col("dist") >= 1 && col("dist") <= 2)
   }
+
+  /** Token budget per packed sequence bin. */
+  val PackBudget = 512L
+
+  /** Sequence packing: assign documents to fixed-token-budget bins —
+    * the "pack short documents into one context window" step that sits
+    * between dedup and tokenization in a training pipeline. Streaming
+    * first-fit in doc_id order: a doc lands in the bin its cumulative
+    * start offset falls in, so a bin can overflow by at most its last
+    * doc (the standard greedy packer; flagged per bin). Packing runs
+    * PER SOURCE — each source is an independent packing domain, so the
+    * ordered cumsum is a window partitioned by source, not a global
+    * single-partition sort. At 100 TB the per-source window is the
+    * parallel unit (pipelines shard further by date/file for the same
+    * reason); the busiest single source bounds skew, same contract as
+    * sessionize.
+    */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(regexp_extract_all(col("text"), lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]"), lit(0)))
+          .cast("bigint")
+          .as("n_tokens")
+      )
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integer div, not floor(double): bit-exact bin ids in any engine
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+      .withColumn("overflowed", col("bin_tokens") > PackBudget)
+  }
 }

@@ -656,4 +656,133 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(6) > 0L) // n_distinct_k
     }
   }
+
+  test("latest snapshot: one row per user, true argmax, versions cover the changelog") {
+    val events = Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "event_id", "ts DIV 1000 as ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = EventOps.latestSnapshot(spark, Sf0001).collect()
+    assert(rows.length === events.map(_._1).distinct.length)
+    assert(rows.map(_.getLong(5)).sum === events.length) // n_versions covers all rows
+    val byUser = events.groupBy(_._1)
+    rows.foreach { r =>
+      val latest = byUser(r.getLong(0)).maxBy(e => (e._3, e._2))
+      assert(r.getLong(1) === latest._2) // latest_event_id
+      assert(r.getLong(2) === latest._3) // latest_us
+    }
+  }
+
+  test("funnel stages: firsts are ordered, stage counts the reached prefix") {
+    EventOps.funnelStages(spark, Sf0001).collect().foreach { r =>
+      val (v, c, p) = (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+      val stage = r.getLong(4)
+      assert(stage === Seq(v, c, p).takeWhile(_.isDefined).length)
+      // each reached step happens at-or-after the one before it
+      if (c.isDefined) assert(c.get.asInstanceOf[Long] >= v.get.asInstanceOf[Long])
+      if (p.isDefined) assert(p.get.asInstanceOf[Long] >= c.get.asInstanceOf[Long])
+    }
+  }
+
+  test("scd2 history: intervals chain gaplessly, exactly one open version per user") {
+    val rows = EventOps.scd2History(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(2),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val ordered = vs.sortBy(_._2)
+      assert(ordered.map(_._2) === (1L to vs.length).toSeq) // contiguous versions
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, to, cur), (_, _, from2, _, _)) =>
+          assert(to === Some(from2)) // valid_to = successor's valid_from
+          assert(!cur)
+        case _ => ()
+      }
+      assert(ordered.last._4.isEmpty && ordered.last._5) // one open current row
+    }
+  }
+
+  test("decontaminate matches a driver-side 8-gram intersection; non-vacuous") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 100).toInt
+    }
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filter(d => bucket(d._1) < 80).map(d => d._1 -> grams(d._2))
+    val test0 = docs.filter(d => bucket(d._1) >= 90).map(d => d._1 -> grams(d._2))
+    val expected = train.flatMap { case (tid, g) =>
+      val hits = test0.filter(_._2.exists(g.contains))
+      if (hits.isEmpty) None
+      else Some(tid -> (
+        hits.flatMap(_._2.filter(g.contains)).distinct.length.toLong,
+        hits.length.toLong, hits.map(_._1).min))
+    }.toMap
+    val got = DedupOps.decontaminate(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("seq packing matches a driver-side greedy packer; budget respected") {
+    val perDoc = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map { r =>
+        val n = "[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]".r.findAllIn(r.getString(2)).length.toLong
+        (r.getString(1), r.getLong(0), n)
+      }
+    val expected = perDoc.groupBy(_._1).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, id, n) =>
+        val bin = cum / TextOps.PackBudget; cum += n; (src, bin, id, n)
+      }.groupBy(t => (t._1, t._2)).map { case ((s, b), xs) =>
+        (s, b) -> (xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max)
+      }
+    }
+    val got = TextOps.seqPacking(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expected.toMap)
+    // a bin only exceeds the budget via its own last doc (greedy overflow)
+    got.foreach { case ((s, b), (nDocs, tokens, _, _)) =>
+      if (tokens > TextOps.PackBudget) assert(nDocs >= 1)
+      else assert(tokens <= TextOps.PackBudget)
+    }
+  }
+
+  test("q4 late orders: priorities partition the EXISTS set, total matches recompute") {
+    val late = Tables.lineitem(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001),
+        col("l_orderkey") === col("o_orderkey") &&
+          unix_timestamp(col("l_shipdate")) > unix_timestamp(col("o_orderdate")) + 60L * 86400L)
+      .select("o_orderkey").distinct().count()
+    val rows = RelationalOps.latePriorityOrders(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === late)
+    assert(rows.nonEmpty)
+  }
+
+  test("q19 disjunctive revenue: per-brand sums match a driver-side filter") {
+    val rows = Tables.lineitem(spark, Sf0001)
+      .join(Tables.part(spark, Sf0001), col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_size", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def hit(b: String, s: Int, q: Double): Boolean =
+      (b == "Brand#3" && s >= 1 && s <= 15 && q >= 1 && q <= 20) ||
+        (b == "Brand#12" && s >= 10 && s <= 30 && q >= 10 && q <= 30) ||
+        (b == "Brand#23" && s >= 20 && s <= 50 && q >= 20 && q <= 40)
+    val expected = rows.filter(r => hit(r._1, r._2, r._3)).groupBy(_._1).map {
+      case (b, xs) => b -> (xs.length.toLong,
+        xs.map(x => BigDecimal(x._4 * (1.0 - x._5))).sum)
+    }
+    val got = RelationalOps.disjunctivePredicateRevenue(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (b, (n, rev)) =>
+      assert(got(b)._1 === n)
+      assert(math.abs(got(b)._2 - rev.toDouble) < 1e-6)
+    }
+  }
 }
