@@ -73,6 +73,8 @@ object SparkEntry {
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
+    // SpaceSaving sketch is exact below capacity (see scaladoc)
+    "heavy_hitters" -> TextOps.heavyHitters,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -102,6 +104,8 @@ object SparkEntry {
     "latest_snapshot" -> EventOps.latestSnapshot,
     "funnel_stages" -> EventOps.funnelStages,
     "scd2_history" -> EventOps.scd2History,
+    // HLL estimates are engine-specific -> certificate gate like approx_stats
+    "hll_user_reach" -> EventOps.hllUserReach,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -482,6 +486,21 @@ object SparkEntry {
     "scd2_history" -> Oracles2.scd2History,
     "decontaminate" -> Oracles2.decontaminate,
     "seq_packing" -> Oracles2.seqPacking,
+    "heavy_hitters" ->
+      """SELECT token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |             t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY cnt DESC, token ASC
+        |LIMIT 25""".stripMargin,
+    "hll_user_reach" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days,
+        | COUNT(DISTINCT user_id) AS exact_users,
+        | TRUE AS hll_ok
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_late_orders
         |FROM orders o

@@ -353,6 +353,44 @@ object EventOps {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Distinct-user reach via re-aggregable HLL sketches (the
+    * datasketches built-ins): daily per-type sketches union into
+    * per-type totals. This is THE incremental-distinct pattern at
+    * 100 TB — the exact rollup re-shuffles every (type, user) pair on
+    * each recompute, while daily sketches are tiny, persist with the
+    * partition, and re-aggregate to any coarser grain by union.
+    * Sketch estimates are engine-specific, so (like approx_stats) the
+    * query emits the exact count plus an accuracy CERTIFICATE the
+    * oracle asserts TRUE: HLL lgK=12 has ~1.6% relative standard
+    * error; |est/exact - 1| <= 0.05 is a >3-sigma bound.
+    */
+  def hllUserReach(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"), floorDiv(86400000000000L).as("day"))
+    val daily = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est")
+      )
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged
+      .join(exact, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("exact_users"),
+        (abs(col("est") / col("exact_users").cast("double") - lit(1.0)) <= lit(0.05))
+          .as("hll_ok")
+      )
+  }
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull `$.k` out with the codegen `get_json_object` path evaluator
     * and aggregate it per event type. At 100 TB this is the canonical

@@ -545,6 +545,38 @@ object TextOps {
       .filter(col("dist") >= 1 && col("dist") <= 2)
   }
 
+  /** Sketch capacity for the heavy-hitters query. Far above the test
+    * corpus vocabulary, so the sketch is exact and oracle-checkable
+    * here; at 100 TB the same capacity bounds every aggregation
+    * buffer at 4096 entries and the answer carries err <= N/4096
+    * per-item bounds instead.
+    */
+  val HeavyHitterCapacity = 4096
+
+  /** Top tokens by corpus frequency via the SpaceSaving sketch — the
+    * bounded-memory form of "what are the most common URLs/n-grams/
+    * tokens". The exact form shuffles one row per distinct key; the
+    * sketch caps every partial aggregate at `capacity` entries
+    * regardless of key cardinality and merges like any aggregation
+    * buffer (see functions/SpaceSaving.scala for the guarantees).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SpaceSaving.register(spark)
+    Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .agg(
+        graft.functions.SpaceSaving
+          .spaceSaving(col("token"), lit(HeavyHitterCapacity))
+          .as("sk")
+      )
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(25)
+  }
+
   /** Token budget per packed sequence bin. */
   val PackBudget = 512L
 

@@ -764,6 +764,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("space_saving: heavy-hitter guarantees hold saturated, exact unsaturated") {
+    import spark.implicits._
+    graft.functions.SpaceSaving.register(spark)
+    // skewed stream: a:50 b:30 c:20 + 20 singletons, deterministic shuffle
+    val tokens = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      (0 until 20).map(i => s"u$i")).sortBy(t => (t.hashCode * 2654435761L) & 0xffffffffL)
+    val truth = tokens.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = tokens.length.toLong
+    for ((parts, cap) <- Seq((1, 4), (8, 4), (1, 64), (8, 64))) {
+      val rows = tokens.toDF("token").repartition(parts)
+        .selectExpr("space_saving(token, " + cap + ") as sk")
+        .selectExpr("inline(sk)").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length <= cap)
+      // every key with true count > N/cap survives in the sketch
+      truth.filter(_._2 > n / cap).keys.foreach { k =>
+        assert(rows.exists(_._1 == k), s"lost heavy hitter $k (parts=$parts cap=$cap)")
+      }
+      // count brackets the truth: cnt - err <= true <= cnt
+      rows.foreach { case (k, cnt, err) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(t <= cnt && cnt - err <= t, s"bounds broken for $k (parts=$parts cap=$cap)")
+      }
+      if (cap >= truth.size) { // unsaturated -> exact, err = 0
+        assert(rows.map(r => r._1 -> r._2).toMap === truth)
+        assert(rows.forall(_._3 === 0L))
+      }
+    }
+  }
+
+  test("heavy hitters query equals the exact top-25 with zero error") {
+    val exact = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(25)
+    val got = TextOps.heavyHitters(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => (r._1, r._2)).toSeq === exact)
+    assert(got.forall(_._3 === 0L))
+  }
+
+  test("hll user reach: certificates true, exact counts match a recompute") {
+    val rows = EventOps.hllUserReach(spark, Sf0001).collect()
+    val exact = Tables.events(spark, Sf0001)
+      .selectExpr("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) === exact(r.getString(0)))
+      assert(r.getBoolean(3), s"hll estimate off for ${r.getString(0)}")
+    }
+  }
+
   test("q19 disjunctive revenue: per-brand sums match a driver-side filter") {
     val rows = Tables.lineitem(spark, Sf0001)
       .join(Tables.part(spark, Sf0001), col("l_partkey") === col("p_partkey"))
