@@ -75,6 +75,7 @@ object SparkEntry {
     "seq_packing" -> TextOps.seqPacking,
     // SpaceSaving sketch is exact below capacity (see scaladoc)
     "heavy_hitters" -> TextOps.heavyHitters,
+    "stratified_sample" -> TextOps.stratifiedSample,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -486,6 +487,14 @@ object SparkEntry {
     "scd2_history" -> Oracles2.scd2History,
     "decontaminate" -> Oracles2.decontaminate,
     "seq_packing" -> Oracles2.seqPacking,
+    "stratified_sample" ->
+      """SELECT source, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, doc_id, lang, n_chars
+        |FROM (SELECT source, doc_id, lang, n_chars,
+        |       CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |            AS UBIGINT) AS BIGINT) AS h
+        |      FROM documents)
+        |WINDOW w AS (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+        |QUALIFY ROW_NUMBER() OVER w <= 10""".stripMargin,
     "heavy_hitters" ->
       """SELECT token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS err
         |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),

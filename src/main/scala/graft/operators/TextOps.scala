@@ -545,6 +545,31 @@ object TextOps {
       .filter(col("dist") >= 1 && col("dist") <= 2)
   }
 
+  /** Docs kept per source by the stratified sampler. */
+  val StratifiedK = 10
+
+  /** Stratified fixed-size sample: exactly k docs per source, chosen
+    * by md5(doc_id) order — a deterministic "random" that any engine
+    * reproduces and that stays stable under corpus growth (a doc's
+    * hash never changes; it is displaced only by new docs hashing
+    * lower). Complements domain_mix (rate-based sampling) with the
+    * fixed-quota form evaluation sets want.
+    *
+    * Scale shape: the rank-&le;-k filter plans as WindowGroupLimit —
+    * each map task keeps only k rows per source before the shuffle,
+    * so the exchange carries O(k x sources x tasks), not the corpus.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), h.as("h"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= StratifiedK)
+      .select(col("source"), col("rank"), col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Sketch capacity for the heavy-hitters query. Far above the test
     * corpus vocabulary, so the sketch is exact and oracle-checkable
     * here; at 100 TB the same capacity bounds every aggregation

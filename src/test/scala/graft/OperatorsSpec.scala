@@ -764,6 +764,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("stratified sample: exactly k per source by md5 order, group-limit plan") {
+    val df = TextOps.stratifiedSample(spark, Sf0001)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = Tables.documents(spark, Sf0001).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, xs) =>
+      assert(xs.length === math.min(TextOps.StratifiedK.toLong, perSource(src)))
+      assert(xs.map(_._2).sorted.toSeq === (1L to xs.length).toSeq)
+    }
+    // deterministic: the sample is the md5-least docs of each source
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val expected = Tables.documents(spark, Sf0001).select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).toSeq
+      .flatMap { case (src, ds) =>
+        ds.map(_._2).sortBy(id => (h(id), id)).take(TextOps.StratifiedK).map(src -> _).toSeq
+      }.toSet
+    assert(rows.map(r => (r._1, r._3)).toSet === expected)
+    // rank<=k plans as WindowGroupLimit (map-side partial top-k)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("space_saving: heavy-hitter guarantees hold saturated, exact unsaturated") {
     import spark.implicits._
     graft.functions.SpaceSaving.register(spark)

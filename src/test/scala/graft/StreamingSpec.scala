@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+
 import graft.streaming.EventStream
 
 /** Structured Streaming twin must converge to the batch answer when
@@ -103,6 +105,51 @@ class StreamingSpec extends AnyFunSuite {
       streamed.foreach { case (id, fp) => assert(batch(id) === fp) }
       assert(streamed.nonEmpty)
     } finally q.stop()
+  }
+
+  test("incremental MV upsert: final snapshot == batch totals, folds only deltas") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val src = s"$tmp/src"
+    val target = s"$tmp/mv"
+    new java.io.File(src).mkdirs()
+    // three files -> three micro-batches, each folded incrementally
+    val ev = graft.operators.Tables.events(spark, Sf0001).orderBy("ts")
+    val rows = ev.collect()
+    val third = rows.length / 3
+    val parts = Seq(rows.take(third), rows.slice(third, 2 * third), rows.drop(2 * third))
+    for ((part, i) <- parts.zipWithIndex) {
+      val d = s"$tmp/p$i"
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq), ev.schema)
+        .coalesce(1).write.parquet(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(src, s"p$i.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (parts.length - i) * 60000L)
+      )
+    }
+    val q = graft.streaming.UpsertStream.userTotalsStream(spark, src, target)
+    try q.processAllAvailable()
+    finally q.stop()
+    // one committed snapshot per micro-batch = the view was maintained
+    // incrementally, not recomputed from a full history at the end
+    val versions = new java.io.File(target).listFiles().filter(_.getName.startsWith("v"))
+    assert(versions.length === parts.length)
+    val got = graft.streaming.UpsertStream.readLatest(spark, target).get
+      .selectExpr("user_id", "n_events", "CAST(sum_value AS DOUBLE)", "latest_us")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val batch = graft.operators.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "CAST(value AS DECIMAL(38,10)) AS v",
+        "ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END) AS ts_us")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"), max(col("ts_us")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got === batch)
+    assert(got.nonEmpty)
   }
 
   test("stream-stream interval join == batch pair join, pairs span micro-batches") {
