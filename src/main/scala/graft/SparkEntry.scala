@@ -49,6 +49,10 @@ object SparkEntry {
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     "q4_late_orders" -> RelationalOps.latePriorityOrders,
     "q19_disjunctive_revenue" -> RelationalOps.disjunctivePredicateRevenue,
+    "q16_supplier_variety" -> RelationalOps.supplierVariety,
+    // salting is an implementation detail: the plain join/agg IS the oracle
+    "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
+    "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
     // sketch values are engine-specific, so the query emits accuracy
     // certificates (booleans) the oracle asserts as TRUE — see
     // RelationalOps.approxStats
@@ -518,6 +522,23 @@ object SparkEntry {
         | WHERE l.l_orderkey = o.o_orderkey
         |  AND CAST(epoch(l.l_shipdate) AS BIGINT) > CAST(epoch(o.o_orderdate) AS BIGINT) + 5184000)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_lines,
+        | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT p_brand, COUNT(*) AS n_items,
         | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue

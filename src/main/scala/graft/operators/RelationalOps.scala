@@ -170,6 +170,71 @@ object RelationalOps {
       )
   }
 
+  /** TPC-H Q16-shape: distinct suppliers per (brand, size) excluding a
+    * NOT-IN supplier denylist. The denylist is a broadcast anti join on
+    * the fact side BEFORE the part join, so disqualified rows never
+    * reach the wider join; count-distinct is Spark's two-phase
+    * (partial-distinct, final) expand — no row explosion.
+    */
+  def supplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables
+      .supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val pt = Tables
+      .part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Skew.saltedEquiJoin under the oracle gate: lineitem⋈supplier with
+    * the fact side salted 16 ways — row-identical to the plain join
+    * (which IS the oracle), while any hot supplier's rows spread
+    * across 16 tasks. This is the hot-key insurance the 100 TB plan
+    * keeps on the shelf; AQE skew-join covers SMJ, salting covers
+    * broadcast/hash shapes AQE can't split.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Tables
+      .supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew
+      .saltedEquiJoin(li, sup, "suppkey", saltBuckets = 16)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")
+      )
+  }
+
+  /** Skew.saltedSumByKey under the oracle gate: two-phase salted sum
+    * of quantity per return flag. The value is decimal-cast BEFORE the
+    * salted partial, so the two-phase fold is order-independent exact
+    * and hashes against the plain-aggregation oracle.
+    */
+  def saltedFlagTotals(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast(DecimalType(38, 10)).as("qty"))
+    Skew
+      .saltedSumByKey(li, "l_returnflag", "qty", saltBuckets = 16)
+      .select(
+        col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("n")
+      )
+  }
+
   /** Left-anti join (NOT EXISTS): customers with no orders since the
     * cutoff ("idle customers"). The date filter is pushed to the
     * orders scan before the anti join, so the build side carries only

@@ -764,6 +764,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("salted join == plain join, and the exchange really keys on the salt") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, Sf0001)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    val salted = graft.operators.Skew.saltedEquiJoin(li, sup, "suppkey", saltBuckets = 4)
+    val plain = li.join(sup, "suppkey")
+    assert(salted.count() === plain.count())
+    val a = salted.groupBy("s_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("s_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the join condition carries the salt column -> hot keys split 4 ways
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("stratified sample: exactly k per source by md5 order, group-limit plan") {
     val df = TextOps.stratifiedSample(spark, Sf0001)
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
