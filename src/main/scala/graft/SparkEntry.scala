@@ -50,6 +50,7 @@ object SparkEntry {
     "q4_late_orders" -> RelationalOps.latePriorityOrders,
     "q19_disjunctive_revenue" -> RelationalOps.disjunctivePredicateRevenue,
     "q16_supplier_variety" -> RelationalOps.supplierVariety,
+    "q22_wealthy_idle" -> RelationalOps.wealthyIdleCustomers,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -528,6 +529,18 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#1'
         | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_size""".stripMargin,
+    "q22_wealthy_idle" ->
+      """WITH t AS (
+        | SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |        / COUNT(c_acctbal) AS avg_bal
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer, t
+        |WHERE c_acctbal > t.avg_bal
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
     "skew_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_lines,
         | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue

@@ -194,6 +194,36 @@ object RelationalOps {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** TPC-H Q22-shape: wealthy customers (balance above the positive-
+    * balance average) who never ordered, counted per nation. The
+    * average is an uncorrelated scalar subquery — one tiny broadcast
+    * row — and the no-orders test is a left-anti join on the order
+    * keys only (recent orders — the TPC-H "no orders at all" form is
+    * vacuous on this corpus, where every customer has ordered at some
+    * point). Exact-parity note: the threshold is a decimal-exact sum
+    * divided once, so both engines compare against the identical
+    * double.
+    */
+  def wealthyIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgPos = cust
+      .filter(col("c_acctbal") > 0.0)
+      .agg(xavg(col("c_acctbal")).as("avg_bal"))
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        xsum(col("c_acctbal")).as("totacctbal")
+      )
+  }
+
   /** Skew.saltedEquiJoin under the oracle gate: lineitem⋈supplier with
     * the fact side salted 16 ways — row-identical to the plain join
     * (which IS the oracle), while any hot supplier's rows spread

@@ -99,4 +99,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("Q19 derives per-side filters from the OR groups and pushes them to both scans") {
+    val df = RelationalOps.disjunctivePredicateRevenue(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    // the disjunction references both sides, yet each scan still gets
+    // its own side's OR-of-ranges pushed down
+    assert(pushed.contains("p_brand"), s"no part-side pushdown in: $pushed")
+    assert(pushed.contains("l_quantity"), s"no lineitem-side pushdown in: $pushed")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("Q4 EXISTS plans as a left-semi hash join on the equi key") {
+    val plan = planOf(RelationalOps.latePriorityOrders(spark, Sf0001))
+    assert(plan.contains("LeftSemi"), s"no semi join in: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("decontamination joins n-gram hashes with equi joins only") {
+    val plan = planOf(DedupOps.decontaminate(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the join key is the 60-bit hash, not the shingle string
+    assert(!plan.linesIterator.exists(l => l.contains("HashJoin") && l.contains("shingle")),
+      "pair join keys on raw shingle strings")
+  }
+
+  test("heavy hitters aggregates in one pass: partial and final sketch merge, no explode") {
+    val df = graft.operators.TextOps.heavyHitters(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate partial +
+    // final pair — the sketch IS the aggregation buffer
+    assert(plan.linesIterator.count(l => l.contains("ObjectHashAggregate")) >= 2, plan)
+  }
 }
