@@ -51,6 +51,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> RelationalOps.disjunctivePredicateRevenue,
     "q16_supplier_variety" -> RelationalOps.supplierVariety,
     "q22_wealthy_idle" -> RelationalOps.wealthyIdleCustomers,
+    "dq_checks" -> RelationalOps.dqChecks,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -541,6 +542,30 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "dq_checks" ->
+      """SELECT 'customer_negative_balance' AS check,
+        | CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        | COUNT(*) AS n_total FROM customer
+        |UNION ALL
+        |SELECT 'supplier_negative_balance',
+        | CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'lineitem_discount_range',
+        | CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'document_nchars_mismatch',
+        | CAST(SUM(CASE WHEN n_chars <> strlen(text) THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lineitem_orphan_order',
+        | CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'order_orphan_customer',
+        | CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "skew_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_lines,
         | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue

@@ -265,6 +265,53 @@ object RelationalOps {
       )
   }
 
+  /** Data-quality audit: one row per check with violation and total
+    * counts — the ingest gate a pipeline runs before anything
+    * downstream trusts a batch. Value checks are conditional sums
+    * inside each table's single scan (map-side combined); referential
+    * checks are anti-join counts shipping keys only. Checks that
+    * SHOULD be zero stay in the report — an audit that only lists
+    * known-dirty columns can't catch a regression.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    def oneCheck(name: String, violations: Column, total: Column, df: DataFrame): DataFrame =
+      df.agg(violations.as("n_violations"), total.as("n_total"))
+        .select(lit(name).as("check"), col("n_violations"), col("n_total"))
+    val cnt = count(lit(1))
+    def nviol(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    // referential checks: left join against the (unique) key set, a
+    // null match is an orphan — keeps the true row total in the report
+    val liRef = li
+      .select(col("l_orderkey"))
+      .join(
+        ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"),
+        "left"
+      )
+    val ordRef = ord
+      .select(col("o_custkey"))
+      .join(
+        cust.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"),
+        "left"
+      )
+
+    oneCheck("customer_negative_balance", nviol(col("c_acctbal") < 0.0), cnt, cust)
+      .unionByName(oneCheck("supplier_negative_balance", nviol(col("s_acctbal") < 0.0), cnt, sup))
+      .unionByName(oneCheck("lineitem_discount_range",
+        nviol(col("l_discount") < 0.0 || col("l_discount") > 0.1), cnt, li))
+      .unionByName(oneCheck("document_nchars_mismatch",
+        nviol(col("n_chars") =!= length(col("text"))), cnt, docs))
+      .unionByName(oneCheck("lineitem_orphan_order", nviol(col("o_orderkey").isNull), cnt, liRef))
+      .unionByName(oneCheck("order_orphan_customer", nviol(col("c_custkey").isNull), cnt, ordRef))
+  }
+
   /** Left-anti join (NOT EXISTS): customers with no orders since the
     * cutoff ("idle customers"). The date filter is pushed to the
     * orders scan before the anti join, so the build side carries only

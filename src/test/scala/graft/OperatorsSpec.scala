@@ -764,6 +764,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("dq checks: all six checks present, violations bounded by totals, dirty checks fire") {
+    val rows = RelationalOps.dqChecks(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(
+      "customer_negative_balance", "supplier_negative_balance", "lineitem_discount_range",
+      "document_nchars_mismatch", "lineitem_orphan_order", "order_orphan_customer"))
+    rows.values.foreach { case (v, t) => assert(v >= 0 && v <= t && t > 0) }
+    // the synthetic corpus is referentially intact but has dirty balances
+    assert(rows("customer_negative_balance")._1 > 0)
+    assert(rows("lineitem_orphan_order")._1 === 0)
+  }
+
   test("salted join == plain join, and the exchange really keys on the salt") {
     val li = Tables.lineitem(spark, Sf0001)
       .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
