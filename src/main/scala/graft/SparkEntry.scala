@@ -51,6 +51,8 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> RelationalOps.disjunctivePredicateRevenue,
     "q16_supplier_variety" -> RelationalOps.supplierVariety,
     "q22_wealthy_idle" -> RelationalOps.wealthyIdleCustomers,
+    "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers,
+    "q13_order_distribution" -> RelationalOps.orderCountDistribution,
     "dq_checks" -> RelationalOps.dqChecks,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
@@ -79,6 +81,7 @@ object SparkEntry {
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
+    "chunk_windows" -> TextOps.chunkWindows,
     // SpaceSaving sketch is exact below capacity (see scaladoc)
     "heavy_hitters" -> TextOps.heavyHitters,
     "stratified_sample" -> TextOps.stratifiedSample,
@@ -106,6 +109,7 @@ object SparkEntry {
     "cube_daily" -> EventOps.cubeDaily,
     "weekly_retention" -> EventOps.weeklyRetention,
     "pivot_daily" -> EventOps.pivotDaily,
+    "unpivot_daily" -> EventOps.unpivotDaily,
     "range_join_clicks" -> EventOps.clicksBeforePurchase,
     "json_props_stats" -> EventOps.jsonPropsStats,
     "latest_snapshot" -> EventOps.latestSnapshot,
@@ -542,6 +546,51 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH per AS (
+        | SELECT l_orderkey,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT CASE WHEN CAST(epoch(l_shipdate) AS BIGINT)
+        |        > CAST(epoch(o_orderdate) AS BIGINT) + 5184000 THEN l_suppkey END) AS n_late,
+        |  MAX(CASE WHEN CAST(epoch(l_shipdate) AS BIGINT)
+        |        > CAST(epoch(o_orderdate) AS BIGINT) + 5184000 THEN l_suppkey END) AS late_suppkey
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_orderkey)
+        |SELECT late_suppkey AS s_suppkey, COUNT(*) AS numwait
+        |FROM per WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY late_suppkey""".stripMargin,
+    // the priority predicate lives in the ON clause: a post-join WHERE
+    // would turn the left join back into an inner one
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "unpivot_daily" ->
+      """UNPIVOT (
+        | SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        | FROM events GROUP BY epoch_day)
+        |ON click, view, purchase, signup, error
+        |INTO NAME event_type VALUE n""".stripMargin,
+    "chunk_windows" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT)
+        |   AS n_toks
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(s // 16 AS BIGINT) AS chunk_idx,
+        | CAST(s AS BIGINT) AS start_tok,
+        | CAST(LEAST(32, n_toks - s) AS BIGINT) AS chunk_toks
+        |FROM (SELECT doc_id, n_toks,
+        |      UNNEST(generate_series(0, GREATEST(0, n_toks - 17), 16)) AS s FROM d)""".stripMargin,
     "dq_checks" ->
       """SELECT 'customer_negative_balance' AS check,
         | CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,

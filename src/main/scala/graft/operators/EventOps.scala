@@ -185,6 +185,23 @@ object EventOps {
     }
   }
 
+  /** The inverse operator: melt the wide per-day matrix back to long
+    * (epoch_day, event_type, n) rows with the UNPIVOT operator
+    * (`Dataset.unpivot`). Unpivot is a zero-shuffle projection — each
+    * wide row expands to exactly |values| long rows in place, so it
+    * adds nothing to the pivot's one aggregation exchange. Zero cells
+    * are kept (n=0 is a fact here, not absence-of-data); round-tripping
+    * pivot→unpivot against the direct long-form aggregate is also the
+    * operator's correctness argument.
+    */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    pivotDaily(spark, dir).unpivot(
+      ids = Array(col("epoch_day")),
+      values = EventTypes.map(col).toArray,
+      variableColumnName = "event_type",
+      valueColumnName = "n"
+    )
+
   val PurchaseLookbackUs: Long = 3600L * 1000 * 1000 // 1 hour
 
   /** Interval join, binned: for each purchase, count the same user's

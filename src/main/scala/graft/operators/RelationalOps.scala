@@ -224,6 +224,74 @@ object RelationalOps {
       )
   }
 
+  /** TPC-H Q21-shape: suppliers that were the SOLE late supplier in a
+    * multi-supplier order. The textbook form is a correlated
+    * EXISTS (another supplier in the order) AND NOT EXISTS (another
+    * LATE supplier) — two extra correlated passes over lineitem. Both
+    * collapse into one per-order aggregate: distinct-supplier count
+    * ≥ 2 and distinct-LATE-supplier count = 1, and since exactly one
+    * supplier is late, `max(case when late then suppkey end)` IS that
+    * supplier. One lineitem⋈orders shuffle on orderkey + one per-order
+    * agg + one tiny regroup by suppkey — no second or third scan of
+    * the fact table, which is the difference between one pass and
+    * three at 100 TB. Late = shipped > 60 days after order date
+    * (epoch-integer arithmetic, engine-exact; same rule as Q4).
+    *
+    * Both distinct counts are over the same column, so instead of the
+    * planner's multi-distinct Expand (which triples every fact row
+    * before the shuffle) this dedups (orderkey, suppkey) first and
+    * counts plainly on top. One explicit hash(orderkey) exchange
+    * feeds BOTH group-bys — HashPartitioning(orderkey) satisfies the
+    * (orderkey, suppkey) clustering too — so the whole query is a
+    * single full-width shuffle plus the few-row regroup by supplier.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), unix_timestamp(col("l_shipdate")).as("ship_s"))
+    val ord = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("ord_s"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("ship_s") > col("ord_s") + lit(60L * 86400L), 1L).otherwise(0L)).as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("late_suppkey")
+      )
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q13-shape: how many customers placed exactly k orders
+    * (k = 0 included — the left outer join keeps orderless customers,
+    * which an inner join would silently drop). Non-urgent orders only,
+    * so the distribution is not just "all orders". Two aggregations:
+    * per-customer count (shuffle on custkey — high cardinality,
+    * scales out), then the tiny histogram regroup on the count value.
+    * This agg-of-agg + outer-join histogram is the canonical
+    * "distribution of activity" report shape.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables
+      .customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      // count(o_orderkey) counts non-null rows only: customers whose
+      // every order was filtered away (or who never ordered) score 0
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Skew.saltedEquiJoin under the oracle gate: lineitem⋈supplier with
     * the fact side salted 16 ways — row-identical to the plain join
     * (which IS the oracle), while any hot supplier's rows spread

@@ -233,6 +233,49 @@ object TextOps {
       )
   }
 
+  val ChunkLen = 32
+  val ChunkStride = 16
+
+  /** Sequence chunking with overlap: sliding token windows of
+    * ChunkLen tokens every ChunkStride, the standard way long
+    * documents become fixed-size training sequences without losing
+    * cross-boundary context. Windows start at 0, ChunkStride, … and
+    * stop at the last start that still contributes a new token
+    * (start + ChunkLen − ChunkStride < n_toks); the final window is
+    * simply shorter rather than padded. All per-row: a codegen
+    * `sequence` + `explode` fans each doc out to its ~n/stride chunk
+    * descriptors with no shuffle at all — at 100 TB this is a pure
+    * map stage, and downstream repartitioning (e.g. seq_packing's
+    * per-source bins) is the only exchange.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("bigint").as("n_toks")
+      )
+    docs
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        explode(
+          sequence(
+            lit(0L),
+            greatest(lit(0L), col("n_toks") - lit(ChunkLen.toLong - ChunkStride + 1)),
+            lit(ChunkStride.toLong)
+          )
+        ).as("start_tok")
+      )
+      .select(
+        col("doc_id"),
+        (col("start_tok") / lit(ChunkStride.toLong)).cast("bigint").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(ChunkLen.toLong), col("n_toks") - col("start_tok")).as("chunk_toks")
+      )
+  }
+
   /** TF-IDF top terms per document. IDF uses the rational form
     * (N+1)/(df+1) rather than its logarithm: ln() is not guaranteed
     * identically rounded across engines (Java Math.log permits 1 ulp),

@@ -890,4 +890,80 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(got(b)._2 - rev.toDouble) < 1e-6)
     }
   }
+
+  test("q21 waiting suppliers matches a driver-side sole-late-supplier recompute") {
+    val lines = Tables.lineitem(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        (unix_timestamp(col("l_shipdate")) >
+          unix_timestamp(col("o_orderdate")) + 60L * 86400L).as("late"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expected = lines.groupBy(_._1).values.flatMap { ls =>
+      val supps = ls.map(_._2).toSet
+      val lateSupps = ls.filter(_._3).map(_._2).toSet
+      if (supps.size >= 2 && lateSupps.size == 1) Some(lateSupps.head) else None
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val got = RelationalOps.waitingSuppliers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q13 distribution: counts every customer once, weights to the filtered orders") {
+    val rows = RelationalOps.orderCountDistribution(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, Sf0001).count()
+    val nOrd = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.values.sum === nCust)
+    assert(rows.map { case (k, n) => k * n }.sum === nOrd)
+  }
+
+  test("unpivot of the daily pivot round-trips to the long-form aggregate") {
+    val long = EventOps.unpivotDaily(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, Sf0001)
+      .groupBy((col("ts") / lit(86400000000000L)).cast("long").as("d"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every observed (day, type) count survives the pivot→unpivot trip
+    direct.foreach { case (k, n) => assert(long(k) === n) }
+    // and the melted matrix is dense: |days| × |types|, zeros included
+    val days = direct.keys.map(_._1).toSet
+    assert(long.size === days.size * EventOps.EventTypes.size)
+    assert(long.values.sum === direct.values.sum)
+  }
+
+  test("chunk windows: stride/coverage invariants and exact per-doc recompute") {
+    val got = TextOps.chunkWindows(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nToks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet === nToks.keySet)
+    byDoc.foreach { case (doc, chunks) =>
+      val n = nToks(doc)
+      val starts = chunks.sortBy(_._2).map(_._3)
+      // windows start at 0 and advance by exactly one stride
+      assert(starts.head === 0L)
+      starts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a === TextOps.ChunkStride.toLong)
+        case _           =>
+      }
+      // every window is non-empty, within bounds, and the last one
+      // reaches the end of the doc (full coverage, no dead windows)
+      chunks.foreach { case (_, idx, s, len) =>
+        assert(idx === s / TextOps.ChunkStride)
+        assert(len === math.min(TextOps.ChunkLen.toLong, n - s))
+        assert(len > 0 && s + len <= n)
+      }
+      assert(chunks.map(c => c._3 + c._4).max === n)
+      // and no extra window would add new tokens
+      assert(starts.last + TextOps.ChunkLen >= n)
+    }
+  }
 }
