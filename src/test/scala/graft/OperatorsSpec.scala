@@ -129,7 +129,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exprPath === typedPath)
   }
 
-  test("sources/sinks: JSON, CSV, and ORC roundtrip the documents table") {
+  test("sources/sinks: JSON, CSV, ORC, and XML roundtrip the documents table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf0001).orderBy("doc_id")
     val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
@@ -137,18 +137,23 @@ class OperatorsSpec extends AnyFunSuite {
     docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true")
       .csv(s"$tmp/c")
     docs.write.mode("overwrite").orc(s"$tmp/o")
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(s"$tmp/x")
     val fromJson = spark.read.json(s"$tmp/j")
       .select(docs.columns.map(col): _*)
     val fromCsv = spark.read.option("header", "true").schema(docs.schema).csv(s"$tmp/c")
     val fromOrc = spark.read.orc(s"$tmp/o")
+    val fromXml = spark.read.option("rowTag", "doc").schema(docs.schema)
+      .format("xml").load(s"$tmp/x")
     assert(fromJson.count() === docs.count())
     assert(fromCsv.count() === docs.count())
-    assert(fromOrc.schema === docs.schema) // ORC is schema-preserving, unlike csv/json
+    assert(fromOrc.schema === docs.schema) // ORC is schema-preserving, unlike csv/json/xml
     val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val j = fromJson.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val o = fromOrc.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val x = fromXml.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(j === orig)
     assert(o === orig)
+    assert(x === orig)
   }
 
   test("the full SQL surface works: q1 as spark.sql over temp views") {

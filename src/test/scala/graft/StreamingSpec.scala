@@ -152,6 +152,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("transformWithState counters: final totals == batch counts, state spans batches") {
+    // two time-ordered files -> two micro-batches; counters started in
+    // batch 1 must keep incrementing in batch 2 (MapState survival)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    val ev = graft.operators.Tables.events(spark, Sf0001).orderBy("ts")
+    val rows = ev.collect()
+    val half = rows.length / 2
+    for ((part, sub, ageSec) <- Seq(
+        (rows.take(half), "f1", 120L), (rows.drop(half), "f2", 0L))) {
+      val d = s"$tmp/$sub"
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq), ev.schema)
+        .coalesce(1).write.parquet(d)
+      val src = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    val q = graft.streaming.CounterStream.typeCounts(spark, tmp)
+      .writeStream.outputMode("update").format("memory").queryName("tws_stream").start()
+    try {
+      q.processAllAvailable()
+      val updates = spark.table("tws_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      // counters are monotone, so the final value per key is the max update
+      val finals = updates.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      val batch = graft.operators.Tables.events(spark, Sf0001)
+        .groupBy("user_id", "event_type").count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(finals === batch)
+      // some counter must have been updated in BOTH batches (value
+      // emitted twice for the same key), or cross-batch state is unproven
+      assert(updates.groupBy(_._1).exists(_._2.length >= 2))
+      assert(finals.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch pair join, pairs span micro-batches") {
     // two time-ordered files -> two micro-batches, so clicks buffered
     // in join state from batch 1 must match purchases arriving in
