@@ -462,6 +462,61 @@ object Oracles2 {
       |SELECT token, cnt, rnk, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share
       |FROM w WHERE (cum - cnt) * 10 < total * 9""".stripMargin
 
+  /** Same quality formula as the quality_score oracle; selection is a
+    * per-language running token sum over (quality DESC, doc_id).
+    */
+  val budgetSelect: String =
+    """WITH base AS (
+      | SELECT doc_id, lang, n_chars, text,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |scored AS (
+      | SELECT doc_id, lang,
+      |  CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS est_tokens,
+      |  (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
+      |   * (1.0 - CASE WHEN length(text) > 0
+      |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+      |                 AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+      |   * (0.5 + CASE WHEN len(toks) > 0
+      |            THEN CAST(len(list_filter(toks, t -> t IN
+      |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
+      |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END) AS quality
+      | FROM base),
+      |sel AS (
+      | SELECT lang, est_tokens, quality,
+      |  SUM(est_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_toks
+      | FROM scored)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(est_tokens) AS BIGINT) AS kept_tokens,
+      | MIN(quality) AS cutoff_quality
+      |FROM sel WHERE cum_toks <= 2000 GROUP BY lang""".stripMargin
+
+  /** Bigram model + per-doc re-join; p is one double division, the
+    * doc mean runs over round(p*1e9) fixed-point BIGINTs (exact).
+    */
+  val lmDocScore: String =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |bg AS (
+      | SELECT doc_id, split_part(b, ' ', 1) AS head, split_part(b, ' ', 2) AS nxt
+      | FROM (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+      |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS b
+      |  FROM toks WHERE len(toks) >= 2)),
+      |counts AS (SELECT head, nxt, COUNT(*) AS cnt FROM bg GROUP BY head, nxt),
+      |model AS (
+      | SELECT head, nxt,
+      |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY head) AS DOUBLE) AS p
+      | FROM counts),
+      |scored AS (
+      | SELECT doc_id, CAST(round(p * 1000000000.0) AS BIGINT) AS qp, p
+      | FROM bg JOIN model USING (head, nxt))
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS sum_qp,
+      | CAST(SUM(qp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS avg_p,
+      | MIN(p) AS min_p
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   val bigramTransitions: String =
     """WITH toks AS (
       | SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),

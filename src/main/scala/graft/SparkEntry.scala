@@ -82,6 +82,8 @@ object SparkEntry {
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
     "chunk_windows" -> TextOps.chunkWindows,
+    "budget_select" -> TextOps.budgetSelect,
+    "lm_doc_score" -> TextOps.lmDocScore,
     // SpaceSaving sketch is exact below capacity (see scaladoc)
     "heavy_hitters" -> TextOps.heavyHitters,
     "stratified_sample" -> TextOps.stratifiedSample,
@@ -635,6 +637,8 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand""".stripMargin,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
+    "budget_select" -> Oracles2.budgetSelect,
+    "lm_doc_score" -> Oracles2.lmDocScore,
     "bigram_transitions" -> Oracles2.bigramTransitions,
     "stats_corr" -> Oracles2.statsCorr,
     "price_histogram" -> Oracles2.priceHistogram,

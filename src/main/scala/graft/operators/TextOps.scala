@@ -558,6 +558,108 @@ object TextOps {
       )
   }
 
+  val BudgetTokensPerLang = 2000L
+
+  /** Token-budget corpus selection: per language, keep the
+    * highest-quality documents until a token budget fills — the
+    * "curate the best N tokens per language" step that follows
+    * scoring in a training-data pipeline. Selection is a running sum
+    * over the (quality DESC, doc_id) order within each language
+    * partition: one window sort per language, no self-join, no
+    * global order. doc_id tiebreak makes the cut deterministic even
+    * where quality values tie. The report aggregates what survived;
+    * MIN(quality) is the effective admission cutoff each language
+    * paid for its budget.
+    */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("toks"), col("text"))
+    )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("quality"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("bigint").as("est_tokens")
+      )
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_toks", sum(col("est_tokens")).over(w))
+      .filter(col("cum_toks") <= BudgetTokensPerLang)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("est_tokens")).as("kept_tokens"),
+        min(col("quality")).as("cutoff_quality")
+      )
+  }
+
+  /** Bigram-LM document scoring: score every document by the corpus's
+    * own bigram transition model — the statistical stand-in for
+    * "perplexity filtering" (docs whose transitions the corpus finds
+    * improbable score low). Two passes over the bigram stream: one
+    * builds the maximum-likelihood model (count shuffle + a per-head
+    * window), one joins each document's bigrams back to their model
+    * probability (equi-join on the bigram; the model is vocabulary²-
+    * bounded, so AQE broadcasts it while it fits). The bigram stream
+    * feeds both passes, so it is localCheckpoint'd once — the same
+    * multi-consumer materialization the dedup pipelines use.
+    *
+    * Oracle-parity: per-bigram p = cnt/head_total is one IEEE double
+    * division (exact both engines); the cross-row mean goes through
+    * round(p·1e9) fixed-point BIGINT sums (order-independent exact —
+    * the label_centroids discipline), and MIN(p) needs no care.
+    */
+  def lmDocScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val bigrams = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        split(col("bg"), " ").getItem(0).as("head"),
+        split(col("bg"), " ").getItem(1).as("nxt")
+      )
+      .localCheckpoint()
+    val model = bigrams
+      .groupBy(col("head"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("head_total", sum(col("cnt")).over(Window.partitionBy(col("head"))))
+      .select(
+        col("head"),
+        col("nxt"),
+        (col("cnt").cast("double") / col("head_total").cast("double")).as("p")
+      )
+    bigrams
+      .join(model, Seq("head", "nxt"))
+      .select(col("doc_id"), round(col("p") * 1e9).cast("bigint").as("qp"), col("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("qp")).as("sum_qp"),
+        min(col("p")).as("min_p")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("sum_qp"),
+        (col("sum_qp").cast("double") / col("n_bigrams").cast("double") / 1e9).as("avg_p"),
+        col("min_p")
+      )
+  }
+
   /** Typo-candidate pairs: distinct corpus tokens (length >= 4) within
     * edit distance 2 of each other — the spelling-normalization /
     * fuzzy-key-matching primitive of a text-cleaning pipeline. The

@@ -941,6 +941,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(long.values.sum === direct.values.sum)
   }
 
+  test("budget select: greedy per-lang recompute matches, the budget actually cuts") {
+    val scored = TextOps.qualityScore(spark, Sf0001)
+      .join(Tables.documents(spark, Sf0001).select("doc_id", "lang", "n_chars"), "doc_id")
+      .selectExpr("doc_id", "lang", "quality",
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS est")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val expected = scored.groupBy(_._2).map { case (lang, docs) =>
+      val ordered = docs.sortBy(d => (-d._3, d._1))
+      var cum = 0L
+      val kept = ordered.takeWhile { d => cum += d._4; cum <= TextOps.BudgetTokensPerLang }
+      lang -> (kept.length.toLong, kept.map(_._4).sum, kept.map(_._3).min)
+    }
+    val got = TextOps.budgetSelect(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expected)
+    // the budget must exclude someone in every language, or the op is vacuous
+    val perLang = scored.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (lang, (nKept, toks, _)) =>
+      assert(nKept < perLang(lang))
+      assert(toks <= TextOps.BudgetTokensPerLang)
+    }
+  }
+
+  test("lm doc score: exact fixed-point recompute of the bigram model scoring") {
+    val docToks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val bigrams = docToks.flatMap { case (id, ts) => ts.sliding(2).collect {
+      case scala.collection.Seq(a, b) => (id, a, b) } }
+    val cnt = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val headTotal = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ps = bs.map { case (_, h, n) => cnt((h, n)).toDouble / headTotal(h).toDouble }
+      id -> (bs.length.toLong, ps.map(p => math.round(p * 1e9)).sum, ps.min)
+    }
+    val got = TextOps.lmDocScore(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got === expected)
+    // model probabilities are genuine: some doc scores below 1.0
+    assert(got.values.exists(_._3 < 1.0))
+  }
+
   test("chunk windows: stride/coverage invariants and exact per-doc recompute") {
     val got = TextOps.chunkWindows(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

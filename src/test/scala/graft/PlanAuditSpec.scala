@@ -127,6 +127,56 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair join keys on raw shingle strings")
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate join, no per-row rescans") {
+    Tables.part(spark, Sf0001).createOrReplaceTempView("part_v")
+    Tables.lineitem(spark, Sf0001).createOrReplaceTempView("lineitem_v")
+    val df = spark.sql(
+      """SELECT p_partkey,
+        | (SELECT COUNT(*) FROM lineitem_v WHERE l_partkey = p_partkey) AS n_lines
+        |FROM part_v""".stripMargin)
+    val plan = planOf(df)
+    // Catalyst rewrites the correlated subquery into agg + outer join:
+    // running it per part row would be |part| scans of lineitem
+    assert(!plan.contains("ScalarSubquery"), s"subquery survived decorrelation: $plan")
+    assert(!plan.contains("CartesianProduct"))
+    val expected = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === Tables.part(spark, Sf0001).count())
+    got.foreach { case (k, n) => assert(n === expected.getOrElse(k, 0L)) }
+  }
+
+  test("runtime bloom filter prunes the fact scan from a selective dim filter") {
+    // a selective filter on the build side injects a bloom-filter
+    // predicate into the fact side's scan stage at runtime — at 100 TB
+    // this is the difference between shuffling every fact row and
+    // shuffling only rows that can possibly join. Thresholds are
+    // lowered because the test tables are far below the 10 MB/10 GB
+    // production defaults; broadcast is disabled because runtime
+    // filters target shuffle joins (broadcast joins prune inline).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sup = Tables.supplier(spark, Sf0001).filter(col("s_nationkey") === 3)
+      val df = Tables.lineitem(spark, Sf0001)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      val plan = planOf(df)
+      assert(plan.contains("might_contain"), s"no bloom filter injected: $plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("heavy hitters aggregates in one pass: partial and final sketch merge, no explode") {
     val df = graft.operators.TextOps.heavyHitters(spark, Sf0001)
     df.collect()
