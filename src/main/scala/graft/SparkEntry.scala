@@ -54,6 +54,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers,
     "q13_order_distribution" -> RelationalOps.orderCountDistribution,
     "dq_checks" -> RelationalOps.dqChecks,
+    "hier_rollup" -> RelationalOps.hierRollup,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -548,6 +549,15 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "hier_rollup" ->
+      """WITH RECURSIVE anc(node, c_acctbal) AS (
+        | SELECT c_custkey AS node, c_acctbal FROM customer
+        | UNION ALL
+        | SELECT node // 2 AS node, c_acctbal FROM anc WHERE node > 1)
+        |SELECT node, COUNT(*) AS subtree_size,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS subtree_bal
+        |FROM anc WHERE node < 64
+        |GROUP BY node""".stripMargin,
     "q21_waiting_suppliers" ->
       """WITH per AS (
         | SELECT l_orderkey,

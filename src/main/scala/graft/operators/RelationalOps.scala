@@ -292,6 +292,32 @@ object RelationalOps {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** Hierarchical rollup via WITH RECURSIVE (Spark 4's recursive CTE
+    * surface — the org-chart / category-tree aggregation shape).
+    * Customers form a deterministic binary referral tree (parent =
+    * id / 2); every customer is expanded to its ancestor chain and
+    * the regroup by ancestor yields subtree sizes and balances. The
+    * recursion is O(log N) self-join rounds and the expansion is
+    * N·log N rows — viable when depth is bounded (true of real org
+    * hierarchies); for unbounded-diameter graphs GraphOps'
+    * label-propagation loop is the scale path, this is the SQL
+    * surface. Output is cut to the tree's top (node < 64) to keep
+    * the report the "management rollup" rather than a per-leaf dump.
+    */
+  def hierRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("hier_customer_v")
+    spark.sql(
+      """WITH RECURSIVE anc(node, c_acctbal) AS (
+        |  SELECT c_custkey AS node, c_acctbal FROM hier_customer_v
+        |  UNION ALL
+        |  SELECT node DIV 2 AS node, c_acctbal FROM anc WHERE node > 1
+        |)
+        |SELECT node, COUNT(*) AS subtree_size,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS subtree_bal
+        |FROM anc WHERE node < 64
+        |GROUP BY node""".stripMargin)
+  }
+
   /** Skew.saltedEquiJoin under the oracle gate: lineitem⋈supplier with
     * the fact side salted 16 ways — row-identical to the plain join
     * (which IS the oracle), while any hot supplier's rows spread

@@ -941,6 +941,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(long.values.sum === direct.values.sum)
   }
 
+  test("hier rollup: root covers everyone, sizes obey the tree recurrence") {
+    val rows = RelationalOps.hierRollup(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // ids start at 0; id 0 is parentless (0 DIV 2 = 0, recursion
+    // guard node > 1), so node 1 roots every customer with id >= 1
+    val nCust = Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") >= 1).count()
+    assert(rows(1L)._1 === nCust)
+    assert(rows.get(0L).forall(_._1 === 1L)) // id 0 is its own singleton
+    // internal nodes: subtree(n) = self + subtree(2n) + subtree(2n+1)
+    // (nodes < 32 have both children inside the reported node < 64 cut)
+    (1L until 32L).foreach { n =>
+      val self = if (n <= nCust) 1L else 0L
+      val expected = self + rows.get(2 * n).map(_._1).getOrElse(0L) +
+        rows.get(2 * n + 1).map(_._1).getOrElse(0L)
+      assert(rows.get(n).map(_._1).getOrElse(0L) === expected, s"node $n")
+    }
+  }
+
   test("budget select: greedy per-lang recompute matches, the budget actually cuts") {
     val scored = TextOps.qualityScore(spark, Sf0001)
       .join(Tables.documents(spark, Sf0001).select("doc_id", "lang", "n_chars"), "doc_id")
