@@ -55,6 +55,7 @@ object SparkEntry {
     "q13_order_distribution" -> RelationalOps.orderCountDistribution,
     "dq_checks" -> RelationalOps.dqChecks,
     "hier_rollup" -> RelationalOps.hierRollup,
+    "q18_large_orders" -> RelationalOps.largeQuantityOrders,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -549,6 +550,17 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+        | o_totalprice, total_qty
+        |FROM orders
+        | JOIN (SELECT l_orderkey,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |         AS total_qty
+        |       FROM lineitem GROUP BY l_orderkey
+        |       HAVING total_qty > 250.0) ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "hier_rollup" ->
       """WITH RECURSIVE anc(node, c_acctbal) AS (
         | SELECT c_custkey AS node, c_acctbal FROM customer

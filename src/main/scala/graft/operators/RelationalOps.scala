@@ -292,6 +292,37 @@ object RelationalOps {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** TPC-H Q18-shape: large-quantity orders — the "IN (aggregated
+    * HAVING subquery)" pattern. The textbook form filters orders by
+    * membership in a grouped-HAVING subquery and then re-aggregates
+    * lineitem for the report; both collapse into ONE per-order
+    * aggregate that serves as filter (HAVING) and report column
+    * (total_qty) — a second pass over the fact table would double the
+    * dominant scan at 100 TB. The qualifying set is tiny (selective
+    * HAVING), so AQE broadcasts it to orders and customer joins stay
+    * on the slim side.
+    */
+  val BigOrderQty = 250.0
+
+  def largeQuantityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(xsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > BigOrderQty)
+    Tables
+      .orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        col("o_totalprice"),
+        col("total_qty")
+      )
+  }
+
   /** Hierarchical rollup via WITH RECURSIVE (Spark 4's recursive CTE
     * surface — the org-chart / category-tree aggregation shape).
     * Customers form a deterministic binary referral tree (parent =

@@ -941,6 +941,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(long.values.sum === direct.values.sum)
   }
 
+  test("q18 large orders: one row per qualifying order, totals match a recompute") {
+    val perOrder = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(x => BigDecimal(x._2)).sum).toMap
+    val expected = perOrder.filter(_._2 > 250).keySet
+    val got = RelationalOps.largeQuantityOrders(spark, Sf0001).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got.keySet === expected)
+    got.foreach { case (ok, qty) =>
+      assert(qty > 250.0)
+      assert(math.abs(qty - perOrder(ok).toDouble) < 1e-9)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("hier rollup: root covers everyone, sizes obey the tree recurrence") {
     val rows = RelationalOps.hierRollup(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
