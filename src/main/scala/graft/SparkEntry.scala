@@ -56,6 +56,7 @@ object SparkEntry {
     "dq_checks" -> RelationalOps.dqChecks,
     "hier_rollup" -> RelationalOps.hierRollup,
     "q18_large_orders" -> RelationalOps.largeQuantityOrders,
+    "q20_excess_suppliers" -> RelationalOps.excessShareSuppliers,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -550,6 +551,20 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH per AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sq100
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |w AS (
+        | SELECT l_partkey, l_suppkey, sq100,
+        |  CAST(SUM(sq100) OVER (PARTITION BY l_partkey) AS BIGINT) AS tot100,
+        |  COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp
+        | FROM per)
+        |SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_excess_parts,
+        | MAX(CAST(sq100 AS DOUBLE) / CAST(tot100 AS DOUBLE)) AS max_share
+        |FROM w WHERE sq100 * nsupp > tot100 * 2
+        |GROUP BY l_suppkey""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_custkey, o_orderkey,
         | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,

@@ -323,6 +323,40 @@ object RelationalOps {
       )
   }
 
+  /** TPC-H Q20-shape: suppliers shipping an outsized share of a part —
+    * the nested "share of a correlated total" subquery family. Per
+    * (part, supplier) quantity vs the part's total collapses into one
+    * aggregate plus windows over the same partitioning: an explicit
+    * hash(partkey) exchange feeds the (part, supplier) group-by AND
+    * both per-part windows, so the fact table is scanned and shuffled
+    * once. "Excess" = more than 2× the part's fair (equal-split)
+    * share. Quantities have ≤ 2 decimals, so round(qty·100) BIGINTs
+    * make every sum/compare integer-exact on both engines; only the
+    * reported share ratio goes through (one) double division.
+    */
+  def excessShareSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_partkey"),
+        col("l_suppkey"),
+        round(col("l_quantity") * 100.0).cast("bigint").as("q100")
+      )
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q100")).as("sq100"))
+    val w = Window.partitionBy(col("l_partkey"))
+    per
+      .withColumn("tot100", sum(col("sq100")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .filter(col("sq100") * col("nsupp") > col("tot100") * 2)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(
+        count(lit(1)).as("n_excess_parts"),
+        max(col("sq100").cast("double") / col("tot100").cast("double")).as("max_share")
+      )
+  }
+
   /** Hierarchical rollup via WITH RECURSIVE (Spark 4's recursive CTE
     * surface — the org-chart / category-tree aggregation shape).
     * Customers form a deterministic binary referral tree (parent =

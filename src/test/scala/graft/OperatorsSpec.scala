@@ -957,6 +957,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q20 excess suppliers: integer-exact share recompute matches") {
+    val lines = Tables.lineitem(spark, Sf0001)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100.0)))
+    val perPS = lines.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val perPart = lines.groupBy(_._1).view
+      .mapValues(ls => (ls.map(_._3).sum, ls.map(_._2).distinct.size.toLong)).toMap
+    val expected = perPS.toSeq.collect {
+      case ((pk, sk), sq) if sq * perPart(pk)._2 > perPart(pk)._1 * 2 => sk
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = RelationalOps.excessShareSuppliers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.view.mapValues(_._1).toMap === expected)
+    got.values.foreach { case (_, share) => assert(share > 0.0 && share <= 1.0) }
+    assert(got.nonEmpty)
+  }
+
   test("hier rollup: root covers everyone, sizes obey the tree recurrence") {
     val rows = RelationalOps.hierRollup(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

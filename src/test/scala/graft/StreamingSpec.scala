@@ -152,6 +152,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("watermark drops data later than the delay; on-time state still finalizes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    // hand-built micro-batches with controlled event times:
+    //   f1: three events in hour 0 and one in hour 10
+    //   f2: one event in hour 11 — watermark advances to h8, then h9;
+    //       the hour-0 window finalizes and is emitted
+    //   f3: a straggler back in hour 0 (far behind the watermark) and
+    //       one event in hour 12
+    // The input-side watermark filter applies the PREVIOUS batch's
+    // watermark, so the straggler is deliberately sent two batches
+    // after the window closed — the realistic "hours-late event" case.
+    val h0 = 1704067200L * 1000000000L // 2024-01-01 00:00 UTC, ns
+    def ev(id: Long, hour: Long, offMin: Long): Row =
+      Row(id, h0 + hour * 3600L * 1000000000L + offMin * 60L * 1000000000L,
+        7L, "click", 1.0, "{}")
+    val f1 = Seq(ev(1, 0, 1), ev(2, 0, 20), ev(3, 0, 40), ev(4, 10, 0))
+    val f2 = Seq(ev(5, 11, 0))
+    val f3 = Seq(ev(6, 0, 30), ev(7, 12, 0)) // id 6 is the late straggler
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    for ((rows, sub, ageSec) <- Seq((f1, "f1", 120L), (f2, "f2", 60L), (f3, "f3", 0L))) {
+      val d = s"$tmp/$sub"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        graft.streaming.EventStream.eventsSchema).coalesce(1).write.parquet(d)
+      val src = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    // same window+watermark shape as EventStream.hourlyRollupStream,
+    // but in APPEND mode over the custom dir: windows only emit once
+    // the watermark passes their end, and stragglers behind the
+    // watermark are discarded instead of reopening finalized state
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"), col("n_events"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wm_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      // hour 0 finalized with f1's three on-time events, exactly once:
+      // the straggler (id 6) was dropped — it neither inflated the
+      // count nor reopened the window as a second hour-0 emission
+      assert(rows.filter(_._1 == 1704067200L).toSeq === Seq(1704067200L -> 3L))
+    } finally q.stop()
+  }
+
   test("transformWithState counters: final totals == batch counts, state spans batches") {
     // two time-ordered files -> two micro-batches; counters started in
     // batch 1 must keep incrementing in batch 2 (MapState survival)
