@@ -156,6 +156,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(x === orig)
   }
 
+  test("corrupt JSON records: PERMISSIVE quarantines rows, FAILFAST refuses them") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "part.json"),
+      Seq(
+        """{"doc_id": 1, "text": "ok row"}""",
+        """{"doc_id": oops not json""",
+        """{"doc_id": 3, "text": "another ok row"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp).cache() // cache: corrupt-record queries need the full row materialized
+    try {
+      assert(permissive.count() === 3)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .select(sum(col("doc_id"))).collect()(0).getLong(0) === 4L)
+      val failfast = spark.read
+        .schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(tmp)
+      intercept[org.apache.spark.SparkException](failfast.count())
+    } finally permissive.unpersist()
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1 lacks the quality column; generation 2 adds it
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/g=1")
+    Seq((3L, "c", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$tmp/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "g"))
+    val rows = merged.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        (if (r.isNullAt(r.fieldIndex("quality"))) None
+         else Some(r.getDouble(r.fieldIndex("quality"))))).toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+  }
+
   test("the full SQL surface works: q1 as spark.sql over temp views") {
     Tables.lineitem(spark, Sf0001).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(
