@@ -314,6 +314,37 @@ object Oracles2 {
        | doc = label AS is_canonical
        |FROM comp JOIN sizes USING (label)""".stripMargin
 
+  /** dedupClusters ⋈ the quality_score formula; keep = best quality
+    * per cluster (doc_id tiebreak), as a window rank test.
+    */
+  val clusterKeepers: String =
+    s"""WITH RECURSIVE mh AS ($minhashLsh),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label),
+       |q AS (
+       | SELECT doc_id,
+       |  (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
+       |   * (1.0 - CASE WHEN length(text) > 0
+       |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+       |                 AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+       |   * (0.5 + CASE WHEN len(toks) > 0
+       |            THEN CAST(len(list_filter(toks, t -> t IN
+       |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
+       |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END) AS quality
+       | FROM (SELECT doc_id, text,
+       |        list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       |       FROM documents))
+       |SELECT comp.doc AS doc_id, comp.label AS canonical_id, sizes.cluster_size, q.quality,
+       | ROW_NUMBER() OVER (PARTITION BY comp.label
+       |                    ORDER BY q.quality DESC, comp.doc ASC) = 1 AS keep
+       |FROM comp JOIN sizes USING (label) JOIN q ON q.doc_id = comp.doc""".stripMargin
+
   /** Near-dup pair leakage across the md5 80/10/10 split (mirrors
     * TextOps.splitExpr on both ends of every minhashLsh pair).
     */

@@ -97,6 +97,7 @@ object SparkEntry {
     "simhash_fingerprint" -> DedupOps.simhash,
     "simhash_pairs" -> DedupOps.simhashPairs,
     "dedup_clusters" -> GraphOps.dedupClusters,
+    "cluster_keepers" -> GraphOps.clusterKeepers,
     "decontaminate" -> DedupOps.decontaminate,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
@@ -685,6 +686,7 @@ object SparkEntry {
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,
     "dedup_clusters" -> Oracles2.dedupClusters,
+    "cluster_keepers" -> Oracles2.clusterKeepers,
     "minhash_lsh_pairs" -> Oracles2.minhashLsh,
     "ngram_jaccard_pairs" -> Oracles2.ngramJaccard,
     "simhash_fingerprint" -> Oracles2.simhashFingerprint,

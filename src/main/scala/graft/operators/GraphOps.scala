@@ -115,6 +115,37 @@ object GraphOps {
     * definition and omitted here (the output covers only docs that
     * appear in some pair).
     */
+  /** Quality-aware survivorship: within each near-dup cluster, keep
+    * the highest-quality document (doc_id tiebreak) instead of the
+    * naive min-id canonical — the policy real pipelines want, since
+    * the canonical duplicate is often the worst OCR/boilerplate copy.
+    * Pure composition of existing operators: cluster labels
+    * (MinHash → LSH → verify → connected components) ⋈ quality
+    * scores, then one row_number per cluster. The join and the window
+    * both key on cluster/doc ids only — no text moves — so the extra
+    * cost over dedupClusters is one broadcast-or-shuffle of 2-column
+    * rows.
+    */
+  def clusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextOps
+      .qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    dedupClusters(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(
+        col("doc_id"),
+        col("canonical_id"),
+        col("cluster_size"),
+        col("quality"),
+        col("keep")
+      )
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // connectedComponents checkpoints the pair list itself, so the
     // MinHash pipeline executes exactly once end-to-end.

@@ -1003,6 +1003,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("cluster keepers: one survivor per cluster, and it is the best-quality doc") {
+    val rows = GraphOps.clusterKeepers(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, cluster) =>
+      assert(cluster.count(_._5) === 1) // exactly one keeper
+      val keeper = cluster.find(_._5).get
+      val best = cluster.minBy(d => (-d._4, d._1)) // max quality, min id
+      assert(keeper._1 === best._1)
+      assert(cluster.map(_._3).distinct.length === 1) // size is cluster-wide
+      assert(cluster.length === cluster.head._3) // and counts the members
+    }
+    // survivorship differs from naive min-id somewhere, or the quality
+    // policy is indistinguishable from the default
+    assert(rows.exists(r => r._5 && r._1 != r._2))
+  }
+
   test("q20 excess suppliers: integer-exact share recompute matches") {
     val lines = Tables.lineitem(spark, Sf0001)
       .select("l_partkey", "l_suppkey", "l_quantity").collect()
