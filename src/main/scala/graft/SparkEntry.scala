@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
     "knn_join" -> SimilarityOps.knnJoin,
     "label_centroids" -> SimilarityOps.labelCentroids,
+    "vec_quantize" -> SimilarityOps.vecQuantize,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
@@ -695,6 +696,22 @@ object SparkEntry {
     "ann_topk_ivf" -> Oracles2.annTopkIvf,
     "ann_topk_lsh" -> Oracles2.annTopkLsh,
     "ann_near_dup" -> Oracles2.annNearDup,
+    // per-row arithmetic only: max/round/abs + a sequential index-order
+    // fold, bit-exact across engines (no decimal mediation needed)
+    "vec_quantize" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, max_abs,
+        | CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs ELSE 1.0 END AS scale,
+        | list_reduce(
+        |  list_prepend(0.0, list_transform(embedding, v ->
+        |    abs(CAST(v AS DOUBLE) -
+        |        round(CAST(v AS DOUBLE) *
+        |              (CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs ELSE 1.0 END)) /
+        |        (CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs ELSE 1.0 END)))),
+        |  (a, x) -> a + x) AS sum_abs_err
+        |FROM (SELECT vec_id, embedding,
+        |       list_reduce(list_prepend(0.0, list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |                   (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS max_abs
+        |      FROM embeddings)""".stripMargin,
     "events_hourly" -> Oracles2.eventsHourly,
     "sessions" -> Oracles2.sessions,
     "purchase_attribution" -> Oracles2.purchaseAttribution,

@@ -298,4 +298,37 @@ object SimilarityOps {
       col("n_vecs"), col("centroid_norm"), col("top_dim"), col("top_dim_mean")
     )
   }
+
+  /** Int8 quantization report: per vector, the symmetric scale
+    * (127 / max|x|), and the L1 reconstruction error of
+    * round(x·scale)/scale — the storage/ANN-prep compression step
+    * (4 B float → 1 B int per dim) with its quality bill. Everything
+    * is PER-ROW arithmetic (max, round, abs, one sequential
+    * index-order fold), so no cross-row accumulation discipline is
+    * needed and the whole query is a zero-shuffle map stage. HOF
+    * lambdas are interpreted (CodegenFallback) — fine off the hot
+    * path for a once-per-corpus compression pass; the codegen
+    * expression route exists if this ever gates a pipeline.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val maxAbs = aggregate(x, lit(0.0), (a, v) => greatest(a, abs(v)))
+    emb(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("n_dims"),
+        maxAbs.as("max_abs"),
+        x.as("x")
+      )
+      .withColumn(
+        "scale",
+        when(col("max_abs") > 0.0, lit(127.0) / col("max_abs")).otherwise(lit(1.0))
+      )
+      .withColumn(
+        "sum_abs_err",
+        aggregate(col("x"), lit(0.0),
+          (a, v) => a + abs(v - round(v * col("scale")) / col("scale")))
+      )
+      .select(col("vec_id"), col("n_dims"), col("max_abs"), col("scale"), col("sum_abs_err"))
+  }
 }

@@ -1003,6 +1003,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("vec quantize: exact per-vector recompute; error bounded by the quant step") {
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val got = SimilarityOps.vecQuantize(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    vecs.foreach { case (id, xs) =>
+      val (nDims, maxAbs, scale, err) = got(id)
+      assert(nDims === xs.length.toLong)
+      assert(maxAbs === xs.map(math.abs).foldLeft(0.0)(math.max))
+      assert(scale === (if (maxAbs > 0) 127.0 / maxAbs else 1.0))
+      val expErr = xs.foldLeft(0.0) { (a, v) =>
+        val q = BigDecimal(v * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        a + math.abs(v - q / scale)
+      }
+      assert(err === expErr)
+      // symmetric int8: per-element error < half a quant step
+      assert(err < xs.length * (0.5 / scale) + 1e-12)
+      assert(err > 0.0)
+    }
+  }
+
   test("cluster keepers: one survivor per cluster, and it is the best-quality doc") {
     val rows = GraphOps.clusterKeepers(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
