@@ -249,6 +249,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timers: idle session emitted by watermark, not by a next event") {
+    import org.apache.spark.sql.Row
+    // user 42 has one 3-event session and never returns; user 99's
+    // later events only advance the watermark. Session 42 can ONLY be
+    // emitted by its event-time timer firing — there is no next event
+    // for the inline-close path.
+    val t0 = 1704067200L * 1000000000L // ns
+    def ev(id: Long, user: Long, offMin: Long): Row =
+      Row(id, t0 + offMin * 60L * 1000000000L, user, "click", 1.0, "{}")
+    val f1 = Seq(ev(1, 42, 0), ev(2, 42, 5), ev(3, 42, 10))
+    val f2 = Seq(ev(4, 99, 120))
+    val f3 = Seq(ev(5, 99, 240))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-timer").toString
+    for ((rows, sub, ageSec) <- Seq((f1, "f1", 120L), (f2, "f2", 60L), (f3, "f3", 0L))) {
+      val d = s"$tmp/$sub"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        graft.streaming.EventStream.eventsSchema).coalesce(1).write.parquet(d)
+      val src = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    val q = graft.streaming.TimerSessionStream.timedOutSessions(spark, tmp)
+      .writeStream.outputMode("append").format("memory").queryName("timer_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("timer_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val m = 60L * 1000000L // minute in µs
+      val t0us = 1704067200L * 1000000L
+      assert(streamed.contains((42L, 3L, t0us, t0us + 10 * m)),
+        s"timer-emitted session missing from: $streamed")
+      // user 99's first single-event session closed inline (gap
+      // exceeded by their own later event); the last stays open
+      assert(streamed.contains((99L, 1L, t0us + 120 * m, t0us + 120 * m)))
+      assert(streamed.size === 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch pair join, pairs span micro-batches") {
     // two time-ordered files -> two micro-batches, so clicks buffered
     // in join state from batch 1 must match purchases arriving in
