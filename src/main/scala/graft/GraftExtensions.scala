@@ -3,8 +3,41 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.functions.VectorExpressions._
+
+/** Catalog knowledge as a Rule[LogicalPlan]: nation (25 rows) and
+  * region (5 rows) are FIXED-size dimensions at any corpus scale
+  * (TPC-H invariant), so any scan of them is always broadcast-safe.
+  * This rule adds the BROADCAST hint automatically — the query author
+  * no longer has to know which tables are bounded, and a 100 TB plan
+  * can never accidentally shuffle the fact side against a 25-row dim
+  * because a size estimate went missing. Injected post-hoc in the
+  * analyzer (runs before the optimizer's hint resolution, unlike
+  * injectOptimizerRule, whose batch runs after EliminateResolvedHint
+  * would have consumed the hint). The `hinted` guard makes the rule
+  * idempotent when a plan is re-analyzed.
+  */
+object FixedDimBroadcastHint extends Rule[LogicalPlan] {
+  private val FixedDimFiles = Set("nation.parquet", "region.parquet")
+
+  private def isFixedDim(lr: LogicalRelation): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(p => FixedDimFiles.contains(p.getName))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val hinted = plan.collect { case ResolvedHint(c, _) => c }.toSet
+    plan.transformUp {
+      case lr: LogicalRelation if isFixedDim(lr) && !hinted.contains(lr) =>
+        ResolvedHint(lr, HintInfo(strategy = Some(BROADCAST)))
+    }
+  }
+}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to ANY session — including plain SQL users —
@@ -15,6 +48,7 @@ import graft.functions.VectorExpressions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPostHocResolutionRule(_ => FixedDimBroadcastHint)
     e.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

@@ -177,6 +177,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("injected rule auto-broadcasts fixed dims even with size-based broadcast off") {
+    // autoBroadcastJoinThreshold=-1 removes every size-based broadcast
+    // decision, so a BroadcastHashJoin can only come from the
+    // FixedDimBroadcastHint rule injected via GraftExtensions
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val withDim = Tables.supplier(spark, Sf0001)
+        .join(Tables.nation(spark, Sf0001), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      assert(planOf(withDim).contains("BroadcastHashJoin"),
+        "nation scan was not auto-hinted broadcast")
+      // negative control: customer grows with the corpus — no auto
+      // hint, so with thresholds off it must shuffle
+      val withFact = Tables.orders(spark, Sf0001)
+        .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val factPlan = planOf(withFact)
+      assert(!factPlan.contains("BroadcastHashJoin"), s"unexpected broadcast: $factPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("heavy hitters aggregates in one pass: partial and final sketch merge, no explode") {
     val df = graft.operators.TextOps.heavyHitters(spark, Sf0001)
     df.collect()
