@@ -84,6 +84,7 @@ object SparkEntry {
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
+    "pack_offsets" -> TextOps.packOffsets,
     "chunk_windows" -> TextOps.chunkWindows,
     "budget_select" -> TextOps.budgetSelect,
     "lm_doc_score" -> TextOps.lmDocScore,
@@ -504,6 +505,19 @@ object SparkEntry {
     "scd2_history" -> Oracles2.scd2History,
     "decontaminate" -> Oracles2.decontaminate,
     "seq_packing" -> Oracles2.seqPacking,
+    "pack_offsets" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        | FROM d)
+        |SELECT doc_id, source, (cum - n_tokens) // 512 AS bin,
+        | CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS offset_tokens,
+        | n_tokens
+        |FROM c""".stripMargin,
     "stratified_sample" ->
       """SELECT source, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, doc_id, lang, n_chars
         |FROM (SELECT source, doc_id, lang, n_chars,

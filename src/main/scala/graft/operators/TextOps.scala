@@ -763,7 +763,11 @@ object TextOps {
     * reason); the busiest single source bounds skew, same contract as
     * sessionize.
     */
-  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc packing assignment (shared by seqPacking's bin report and
+    * packOffsets' manifest): cumulative token start per source, bin =
+    * start div budget.
+    */
+  private def packAssign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     Tables
       .documents(spark, dir)
@@ -777,6 +781,10 @@ object TextOps {
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // integer div, not floor(double): bit-exact bin ids in any engine
       .withColumn("bin", expr(s"(cum - n_tokens) div $PackBudget"))
+  }
+
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    packAssign(spark, dir)
       .groupBy(col("source"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -785,5 +793,24 @@ object TextOps {
         max(col("doc_id")).as("last_doc")
       )
       .withColumn("overflowed", col("bin_tokens") > PackBudget)
+  }
+
+  /** The writer manifest seq_packing implies: for every document, its
+    * bin and token offset INSIDE that bin — exactly what a shard
+    * writer needs to lay docs into packed context windows, and what a
+    * loader needs to find them again. Same single per-source window
+    * as seqPacking (the offset is the cumulative start minus the
+    * bin's base), so the manifest costs nothing beyond the assignment
+    * it already computes.
+    */
+  def packOffsets(spark: SparkSession, dir: String): DataFrame = {
+    packAssign(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("bin"),
+        (col("cum") - col("n_tokens") - col("bin") * PackBudget).as("offset_tokens"),
+        col("n_tokens")
+      )
   }
 }

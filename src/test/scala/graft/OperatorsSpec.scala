@@ -1003,6 +1003,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("pack offsets: manifest agrees with a driver-side greedy packer") {
+    val toks = Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "source",
+        "CAST(size(regexp_extract_all(text, '[\\\\p{L}]+|[0-9]|[^\\\\p{L}0-9\\\\s]', 0)) AS LONG) AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = toks.groupBy(_._2).flatMap { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val start = cum; cum += n
+        val bin = start / TextOps.PackBudget
+        id -> (bin, start - bin * TextOps.PackBudget, n)
+      }
+    }
+    val got = TextOps.packOffsets(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+    // every doc STARTS inside its bin's budget window
+    got.values.foreach { case (_, off, _) =>
+      assert(off >= 0 && off < TextOps.PackBudget)
+    }
+  }
+
   test("vec quantize: exact per-vector recompute; error bounded by the quant step") {
     val vecs = Tables.embeddings(spark, Sf0001)
       .select(col("vec_id"), col("embedding")).collect()
