@@ -14,20 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      // testdata tables are single parquet files; without a small split
-      // size every scan is one partition and one core does all the work
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     // Warm codegen/JIT so the first measured query doesn't absorb the
     // one-time session cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -35,17 +22,10 @@ object Bench {
     // plan JIT/codegen (2-10x) and this host shows transient external
     // load spikes; min-of-2 approximates steady-state throughput.
     val failed = scala.collection.mutable.ListBuffer[String]()
-    // Several pipelines localCheckpoint()/cache() shared intermediates;
-    // those blocks are only reclaimed when the ContextCleaner notices
-    // the RDD got GC'd. Across ~100 query runs that lag accumulates
-    // into storage-memory pressure that evicts/spills LATER queries'
-    // blocks (observed as 5-10x slowdowns on the checkpoint-heavy
-    // queries under a loaded host). Drop every block eagerly after
-    // each run so queries are measured independent.
-    def dropAllBlocks(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    }
+    // Queries are measured independent of each other: see
+    // GraftSession.dropAllBlocks (checkpoint-block lag was observed as
+    // 5-10x slowdowns on later queries under a loaded host).
+    def dropAllBlocks(): Unit = GraftSession.dropAllBlocks(spark)
     // Dev-only filter (the driver never sets it): bench a subset to
     // reproduce full-run timings without the 60-query wait.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -54,14 +34,17 @@ object Bench {
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // capture BEFORE the finally: the block teardown is session
+          // hygiene between runs, not part of the query's cost
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name
-            return -1.0 // sentinel: failed queries must not shrink the total
+            -1.0 // sentinel: failed queries must not shrink the total
         } finally dropAllBlocks()
-        (System.nanoTime() - t0) / 1e9
       }
       val a = once()
       name -> (if (a < 0) -1.0 else math.min(a, once()))

@@ -23,6 +23,23 @@ object Oracles2 {
     """CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)""".stripMargin
 
+  /** The quality_score formula over columns (text, toks) — ONE
+    * definition mirroring TextOps.withQualityCols, interpolated by
+    * every oracle that re-derives the score (a drifted copy would
+    * silently assert a stale formula). Declared before first use:
+    * object vals initialize in declaration order, and a forward
+    * reference interpolates null into the SQL.
+    */
+  private val qualityExprSql: String =
+    """(CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
+      |   * (1.0 - CASE WHEN length(text) > 0
+      |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+      |                 AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+      |   * (0.5 + CASE WHEN len(toks) > 0
+      |            THEN CAST(len(list_filter(toks, t -> t IN
+      |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
+      |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END)""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size,
       | MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
@@ -329,14 +346,7 @@ object Oracles2 {
        |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label),
        |q AS (
        | SELECT doc_id,
-       |  (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
-       |   * (1.0 - CASE WHEN length(text) > 0
-       |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-       |                 AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
-       |   * (0.5 + CASE WHEN len(toks) > 0
-       |            THEN CAST(len(list_filter(toks, t -> t IN
-       |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
-       |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END) AS quality
+       |  $qualityExprSql AS quality
        | FROM (SELECT doc_id, text,
        |        list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        |       FROM documents))
@@ -384,7 +394,8 @@ object Oracles2 {
       | event_type AS latest_type, value AS latest_value,
       | COUNT(*) OVER (PARTITION BY user_id) AS n_versions
       |FROM events
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin
 
   /** list() keeps the NULLs the non-matching CASE arms produce, but
     * list_filter's NULL comparisons drop them — same contents as
@@ -493,25 +504,18 @@ object Oracles2 {
       |SELECT token, cnt, rnk, CAST(cum AS DOUBLE)/CAST(total AS DOUBLE) AS cum_share
       |FROM w WHERE (cum - cnt) * 10 < total * 9""".stripMargin
 
-  /** Same quality formula as the quality_score oracle; selection is a
-    * per-language running token sum over (quality DESC, doc_id).
+  /** Selection is a per-language running token sum over
+    * (quality DESC, doc_id).
     */
   val budgetSelect: String =
-    """WITH base AS (
+    s"""WITH base AS (
       | SELECT doc_id, lang, n_chars, text,
-      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
       |scored AS (
       | SELECT doc_id, lang,
       |  CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS est_tokens,
-      |  (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
-      |   * (1.0 - CASE WHEN length(text) > 0
-      |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-      |                 AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
-      |   * (0.5 + CASE WHEN len(toks) > 0
-      |            THEN CAST(len(list_filter(toks, t -> t IN
-      |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
-      |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END) AS quality
+      |  $qualityExprSql AS quality
       | FROM base),
       |sel AS (
       | SELECT lang, est_tokens, quality,

@@ -660,7 +660,7 @@ object SparkEntry {
         | COUNT(*) FROM lineitem
         |UNION ALL
         |SELECT 'document_nchars_mismatch',
-        | CAST(SUM(CASE WHEN n_chars <> strlen(text) THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+        | CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
         |FROM documents
         |UNION ALL
         |SELECT 'lineitem_orphan_order',

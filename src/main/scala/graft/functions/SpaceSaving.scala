@@ -49,28 +49,58 @@ object SpaceSaving {
   final class Sketch(val capacity: Int) {
     val entries: mutable.HashMap[UTF8String, Entry] = mutable.HashMap.empty
 
+    // count -> tokens at that count, both tree-ordered: the saturated
+    // update path (the 100 TB regime — most rows evict) needs the min
+    // count and its binary-greatest token in O(log capacity), not two
+    // full O(capacity) scans per input row. Built lazily on the first
+    // eviction (cheap streams never pay) and invalidated by merge
+    // (merges happen once per partial, updates once per row).
+    private var byCount: java.util.TreeMap[Long, java.util.TreeSet[UTF8String]] = _
+
+    private def addIdx(k: UTF8String, c: Long): Unit =
+      byCount
+        .computeIfAbsent(c, _ => new java.util.TreeSet[UTF8String]())
+        .add(k)
+
+    private def removeIdx(k: UTF8String, c: Long): Unit = {
+      val s = byCount.get(c)
+      s.remove(k)
+      if (s.isEmpty) byCount.remove(c)
+    }
+
+    private def buildIndex(): Unit = {
+      byCount = new java.util.TreeMap[Long, java.util.TreeSet[UTF8String]]()
+      entries.foreach { case (k, e) => addIdx(k, e.cnt) }
+    }
+
     private def minCount: Long =
       if (entries.isEmpty) 0L else entries.valuesIterator.map(_.cnt).min
 
     def add(key: UTF8String): Unit = {
       entries.get(key) match {
-        case Some(e) => e.cnt += 1
+        case Some(e) =>
+          if (byCount != null) { removeIdx(key, e.cnt); e.cnt += 1; addIdx(key, e.cnt) }
+          else e.cnt += 1
         case None if entries.size < capacity =>
-          entries.put(key.clone(), Entry(1L, 0L))
+          val k = key.clone()
+          entries.put(k, Entry(1L, 0L))
+          if (byCount != null) addIdx(k, 1L)
         case None =>
           // evict a minimum-count entry; among ties the binary-greatest
           // token goes, so the update path is deterministic
-          val m = minCount
-          val victim = entries.iterator
-            .filter(_._2.cnt == m)
-            .map(_._1)
-            .max
+          if (byCount == null) buildIndex()
+          val m = byCount.firstKey()
+          val victim = byCount.firstEntry().getValue.last()
+          removeIdx(victim, m)
           entries.remove(victim)
-          entries.put(key.clone(), Entry(m + 1L, m))
+          val k = key.clone()
+          entries.put(k, Entry(m + 1L, m))
+          addIdx(k, m + 1L)
       }
     }
 
     def mergeWith(other: Sketch): Unit = {
+      byCount = null // merge rewrites counts wholesale; rebuild lazily
       val amin1 = if (entries.size < capacity) 0L else minCount
       val amin2 =
         if (other.entries.size < other.capacity) 0L

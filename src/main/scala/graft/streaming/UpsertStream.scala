@@ -50,13 +50,28 @@ object UpsertStream {
         .filter { case (_, p) => new java.io.File(p, "_SUCCESS").exists() }
   }
 
-  /** Latest committed snapshot, or None before the first batch. */
-  def readLatest(spark: SparkSession, targetDir: String): Option[DataFrame] = {
-    val vs = versionDirs(spark, targetDir)
+  /** Latest committed snapshot, or None before the first batch.
+    * `below`: consider only versions < that id — the replay guard
+    * (see upsert).
+    */
+  def readLatest(
+      spark: SparkSession,
+      targetDir: String,
+      below: Long = Long.MaxValue
+  ): Option[DataFrame] = {
+    val vs = versionDirs(spark, targetDir).filter(_._1 < below)
     if (vs.isEmpty) None else Some(spark.read.parquet(vs.maxBy(_._1)._2))
   }
 
-  /** Fold one micro-batch of raw events into snapshot v{batchId}. */
+  /** Fold one micro-batch of raw events into snapshot v{batchId}.
+    * IDEMPOTENT under micro-batch replay: foreachBatch re-delivers a
+    * batchId if the query crashed after writing v{batchId} but before
+    * the streaming commit log recorded it. Folding onto "the latest
+    * snapshot" would then fold the same delta twice (v{batchId}
+    * already contains it); folding onto the latest version STRICTLY
+    * BELOW batchId recomputes v{batchId} to the identical contents
+    * instead.
+    */
   def upsert(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
     val delta = foldPerUser(
       batch.select(
@@ -66,7 +81,7 @@ object UpsertStream {
         expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)").as("latest_us")
       )
     )
-    val next = readLatest(batch.sparkSession, targetDir) match {
+    val next = readLatest(batch.sparkSession, targetDir, below = batchId) match {
       case Some(cur) => foldPerUser(cur.unionByName(delta))
       case None => delta
     }

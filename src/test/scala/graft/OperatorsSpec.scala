@@ -976,7 +976,7 @@ class OperatorsSpec extends AnyFunSuite {
     val long = EventOps.unpivotDaily(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val direct = Tables.events(spark, Sf0001)
-      .groupBy((col("ts") / lit(86400000000000L)).cast("long").as("d"), col("event_type"))
+      .groupBy(expr("ts DIV 86400000000000").as("d"), col("event_type"))
       .count().collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     // every observed (day, type) count survives the pivot→unpivot trip

@@ -150,6 +150,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     assert(got === batch)
     assert(got.nonEmpty)
+    // crash-replay idempotency: foreachBatch re-delivers the last
+    // batchId if the commit log lagged the write — re-upserting the
+    // same batch must leave the snapshot bit-identical, not doubled
+    val lastBatch = spark.read.parquet(s"$src/p2.parquet")
+    graft.streaming.UpsertStream.upsert(lastBatch, parts.length - 1L, target)
+    val replayed = graft.streaming.UpsertStream.readLatest(spark, target).get
+      .selectExpr("user_id", "n_events", "CAST(sum_value AS DOUBLE)", "latest_us")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(replayed === batch)
   }
 
   test("watermark drops data later than the delay; on-time state still finalizes") {
