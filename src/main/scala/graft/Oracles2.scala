@@ -619,4 +619,19 @@ object Oracles2 {
       | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_price,
       | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** vocabNucleus interpolated as the vocab CTE (declared above — see
+    * the qualityExprSql note on val initialization order).
+    */
+  val oovRate: String =
+    s"""WITH v AS ($vocabNucleus),
+       |t AS (
+       | SELECT doc_id, unnest(list_filter(
+       |   regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS tok
+       | FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_toks,
+       | CAST(COUNT(*) - COUNT(v.token) AS BIGINT) AS n_oov,
+       | CAST(COUNT(*) - COUNT(v.token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM t LEFT JOIN v ON t.tok = v.token
+       |GROUP BY doc_id""".stripMargin
 }

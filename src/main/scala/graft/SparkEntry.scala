@@ -81,6 +81,7 @@ object SparkEntry {
     "repetition_stats" -> TextOps.repetitionStats,
     "domain_mix" -> TextOps.domainMix,
     "vocab_nucleus" -> TextOps.vocabNucleus,
+    "oov_rate" -> TextOps.oovRate,
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
@@ -690,6 +691,7 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand""".stripMargin,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
+    "oov_rate" -> Oracles2.oovRate,
     "budget_select" -> Oracles2.budgetSelect,
     "lm_doc_score" -> Oracles2.lmDocScore,
     "bigram_transitions" -> Oracles2.bigramTransitions,

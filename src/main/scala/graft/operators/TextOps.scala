@@ -516,6 +516,35 @@ object TextOps {
       )
   }
 
+  /** Per-document out-of-vocabulary rate against the 90%-mass nucleus
+    * vocabulary (vocabNucleus) — the "how much of this doc will my
+    * tokenizer shred into rare pieces" metric that gates docs before
+    * expensive tokenization. Two corpus passes by construction (one
+    * builds the global vocab, one scores docs against it — the same
+    * shape every tokenizer-coverage job has); the vocab is
+    * types-sized, so the membership join broadcasts. The left join +
+    * count(match) keeps zero-OOV docs and all-OOV docs exact.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabNucleus(spark, dir).select(col("token"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .join(vocab, col("tok") === col("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(col("token")).as("n_in_vocab")
+      )
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        (col("n_toks") - col("n_in_vocab")).as("n_oov"),
+        ((col("n_toks") - col("n_in_vocab")).cast("double") / col("n_toks").cast("double"))
+          .as("oov_rate")
+      )
+  }
+
   /** Bigram transition model: top-3 next tokens per head token with
     * maximum-likelihood transition probability — the n-gram LM /
     * next-token-statistics primitive. Bigrams are built per row by the

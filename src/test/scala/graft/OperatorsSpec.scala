@@ -1003,6 +1003,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("oov rate: matches a driver-side nucleus recompute, cut is non-vacuous") {
+    val docToks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val counts = docToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    // nucleus: smallest (cnt desc, token asc) prefix holding 90% mass
+    var cum = 0L
+    val nucleus = counts.toSeq.sortBy { case (t, c) => (-c, t) }.takeWhile { case (_, c) =>
+      val before = cum; cum += c; before * 10 < total * 9
+    }.map(_._1).toSet
+    assert(nucleus.size < counts.size) // something is actually out of vocab
+    val expected = docToks.map { case (id, ts) =>
+      id -> (ts.length.toLong, ts.count(t => !nucleus.contains(t)).toLong)
+    }.toMap
+    val got = TextOps.oovRate(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum > 0) // OOV tokens exist corpus-wide
+  }
+
   test("pack offsets: manifest agrees with a driver-side greedy packer") {
     val toks = Tables.documents(spark, Sf0001)
       .selectExpr("doc_id", "source",
