@@ -1,0 +1,149 @@
+package graft
+
+/** DuckDB oracle SQL for the TpchOps suite (Q2, Q6-Q12, Q14, Q15 —
+  * see operators/TpchOps.scala). Same parity conventions as
+  * SparkEntry/Oracles2: identical column aliases, BIGINT derived ints,
+  * DECIMAL(38,10)→VARCHAR→DOUBLE for cross-row double sums, epoch
+  * integers for any timestamp arithmetic.
+  */
+object Oracles3 {
+
+  val forecastRevenue: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+      |  AS revenue,
+      | COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      | AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24.0""".stripMargin
+
+  val nationVolume: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+      |  AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      | AND n1.n_name <> n2.n_name AND n1.n_regionkey = n2.n_regionkey
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val marketShare: String =
+    """SELECT o_year, nation_volume, total_volume,
+      | nation_volume / total_volume AS mkt_share
+      |FROM (
+      | SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS nation_volume,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS total_volume
+      | FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      | WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      | GROUP BY o_year)""".stripMargin
+
+  val productProfit: String =
+    """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) - p_retailprice*l_quantity*0.1
+      |      AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year""".stripMargin
+
+  val returnedItems: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment, revenue FROM (
+      | SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS revenue
+      | FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      | WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment)
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  val importantParts: String =
+    """WITH per AS (
+      | SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS dec_value
+      | FROM lineitem GROUP BY l_partkey),
+      |tot AS (
+      | SELECT CAST(CAST(SUM(dec_value) AS VARCHAR) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_parts FROM per)
+      |SELECT l_partkey, CAST(CAST(dec_value AS VARCHAR) AS DOUBLE) AS part_value
+      |FROM per, tot
+      |WHERE CAST(CAST(dec_value AS VARCHAR) AS DOUBLE) * n_parts > total_value * 1.4""".stripMargin
+
+  val shippingPriority: String =
+    """SELECT CASE WHEN CAST(epoch(l_shipdate) AS BIGINT)
+      |            > CAST(epoch(o_orderdate) AS BIGINT) + 5184000
+      |       THEN 'late' ELSE 'ontime' END AS ship_class,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+      |  AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY ship_class""".stripMargin
+
+  val promoEffect: String =
+    """SELECT ship_month, promo_revenue, total_revenue,
+      | promo_revenue * 100.0 / total_revenue AS promo_share
+      |FROM (
+      | SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ship_month,
+      |  CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS total_revenue
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      | GROUP BY ship_month)""".stripMargin
+
+  val topSupplier: String =
+    """WITH rev AS (
+      | SELECT l_suppkey,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10)))
+      |       AS VARCHAR) AS DOUBLE) AS total_revenue
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, s_acctbal, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
+
+  val minCostSupplier: String =
+    """WITH per AS (
+      | SELECT p_partkey, p_brand, l_suppkey,
+      |  MIN(l_extendedprice / l_quantity) AS min_unit_price
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE p_size BETWEEN 10 AND 30 AND p_type = 'SMALL'
+      | GROUP BY p_partkey, p_brand, l_suppkey),
+      |rk AS (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+      |                              ORDER BY min_unit_price ASC, l_suppkey ASC) AS rnk
+      | FROM per)
+      |SELECT p_partkey, p_brand, s_suppkey, s_name, min_unit_price
+      |FROM rk JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rnk = 1""".stripMargin
+}

@@ -57,6 +57,17 @@ object SparkEntry {
     "hier_rollup" -> RelationalOps.hierRollup,
     "q18_large_orders" -> RelationalOps.largeQuantityOrders,
     "q20_excess_suppliers" -> RelationalOps.excessShareSuppliers,
+    // TpchOps: the remaining TPC-H shapes (full 22-query sweep with the above)
+    "q2_min_cost_supplier" -> TpchOps.minCostSupplier,
+    "q6_forecast_revenue" -> TpchOps.forecastRevenue,
+    "q7_nation_volume" -> TpchOps.nationVolume,
+    "q8_market_share" -> TpchOps.marketShare,
+    "q9_product_profit" -> TpchOps.productProfit,
+    "q10_returned_items" -> TpchOps.returnedItems,
+    "q11_important_parts" -> TpchOps.importantParts,
+    "q12_shipping_priority" -> TpchOps.shippingPriority,
+    "q14_promo_effect" -> TpchOps.promoEffect,
+    "q15_top_supplier" -> TpchOps.topSupplier,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -690,6 +701,16 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand""".stripMargin,
+    "q2_min_cost_supplier" -> Oracles3.minCostSupplier,
+    "q6_forecast_revenue" -> Oracles3.forecastRevenue,
+    "q7_nation_volume" -> Oracles3.nationVolume,
+    "q8_market_share" -> Oracles3.marketShare,
+    "q9_product_profit" -> Oracles3.productProfit,
+    "q10_returned_items" -> Oracles3.returnedItems,
+    "q11_important_parts" -> Oracles3.importantParts,
+    "q12_shipping_priority" -> Oracles3.shippingPriority,
+    "q14_promo_effect" -> Oracles3.promoEffect,
+    "q15_top_supplier" -> Oracles3.topSupplier,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
     "oov_rate" -> Oracles2.oovRate,
     "budget_select" -> Oracles2.budgetSelect,

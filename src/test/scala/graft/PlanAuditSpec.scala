@@ -127,6 +127,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair join keys on raw shingle strings")
   }
 
+  test("Q6 pushes all three scan predicates into the lineitem scan") {
+    val df = TpchOps.forecastRevenue(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate"), s"no shipdate pushdown in: $pushed")
+    assert(pushed.contains("l_discount"), s"no discount pushdown in: $pushed")
+    assert(pushed.contains("l_quantity"), s"no quantity pushdown in: $pushed")
+  }
+
+  test("Q15/Q11 global-scalar joins broadcast the one-row side, never a cartesian") {
+    for (df <- Seq(TpchOps.topSupplier(spark, Sf0001), TpchOps.importantParts(spark, Sf0001))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"))
+      // the scalar side is a 1-row broadcast; BroadcastNestedLoopJoin
+      // over it is O(N) with no shuffle — the right plan here
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("Q2 per-part top-1 prunes via WindowGroupLimit before any join") {
+    val plan = planOf(TpchOps.minCostSupplier(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in: $plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("correlated scalar subquery decorrelates to an aggregate join, no per-row rescans") {
     Tables.part(spark, Sf0001).createOrReplaceTempView("part_v")
     Tables.lineitem(spark, Sf0001).createOrReplaceTempView("lineitem_v")

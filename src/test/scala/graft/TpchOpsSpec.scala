@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Driver-side recomputes for the TpchOps suite (Q2/Q6-Q12/Q14/Q15) —
+  * each query's core invariant re-derived with plain Scala over the
+  * collected sf0.001 tables, independent of any SQL engine (the
+  * DuckDB hash gate is the driver's; these prove the semantics).
+  */
+class TpchOpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Session TZ is UTC, so cutoff literals must be epoch'd in UTC too
+    * (java.sql.Timestamp.valueOf would use the JVM default zone).
+    */
+  private def utcEpoch(iso: String): Long =
+    java.time.LocalDateTime.parse(iso).toEpochSecond(java.time.ZoneOffset.UTC)
+
+  private lazy val li = Tables
+    .lineitem(spark, Sf0001)
+    .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), unix_timestamp(col("l_shipdate")).as("ship_s"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getLong(6)))
+
+  test("q6: revenue equals a sequential fold over the filtered lines") {
+    val row = TpchOps.forecastRevenue(spark, Sf0001).collect()(0)
+    val lo = utcEpoch("1996-01-01T00:00:00")
+    val hi = utcEpoch("1997-01-01T00:00:00")
+    val kept = li.filter { case (_, _, _, qty, _, disc, ship) =>
+      ship >= lo && ship < hi && disc >= 0.02 && disc <= 0.04 && qty < 24.0
+    }
+    // decimal-exact sum: accumulate in BigDecimal like the query does
+    val rev = kept.map { case (_, _, _, _, price, disc, _) =>
+      BigDecimal(price * disc).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(row.getLong(1) === kept.length.toLong)
+    assert(math.abs(row.getDouble(0) - rev.toDouble) < 1e-6)
+  }
+
+  test("q11: exactly the parts above 1.4x the mean per-part value are reported") {
+    val perPart = li
+      .groupBy(_._2)
+      .view
+      .mapValues(_.map { case (_, _, _, _, price, disc, _) =>
+        BigDecimal(price * (1.0 - disc)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum)
+      .toMap
+    val total = perPart.values.sum.toDouble
+    val n = perPart.size
+    val expected = perPart.collect {
+      case (pk, v) if v.toDouble * n > total * 1.4 => pk
+    }.toSet
+    val got = TpchOps.importantParts(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold must stay non-vacuous at sf0.001")
+  }
+
+  test("q15: the reported supplier(s) hold the maximum quarterly revenue") {
+    val lo = utcEpoch("1996-01-01T00:00:00")
+    val hi = utcEpoch("1996-04-01T00:00:00")
+    val perSupp = li
+      .filter { case (_, _, _, _, _, _, ship) => ship >= lo && ship < hi }
+      .groupBy(_._3)
+      .view
+      .mapValues(_.map { case (_, _, _, _, price, disc, _) =>
+        BigDecimal(price * (1.0 - disc)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble)
+      .toMap
+    val mx = perSupp.values.max
+    val winners = perSupp.collect { case (sk, v) if v == mx => sk }.toSet
+    val rows = TpchOps.topSupplier(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet === winners)
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - mx) < 1e-6))
+  }
+
+  test("q2: reported supplier has the part's global minimum unit price") {
+    val partFilter = Tables
+      .part(spark, Sf0001)
+      .filter(col("p_size").between(10, 30) && col("p_type") === "SMALL")
+      .select("p_partkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val best = li
+      .filter(t => partFilter.contains(t._2))
+      .groupBy(_._2)
+      .view
+      .mapValues { rows =>
+        val bySupp = rows
+          .groupBy(_._3)
+          .view
+          .mapValues(_.map(t => t._5 / t._4).min)
+        val mn = bySupp.values.min
+        // the query tiebreaks equal min prices on the lowest suppkey
+        (bySupp.collect { case (sk, v) if v == mn => sk }.min, mn)
+      }
+      .toMap
+    val rows = TpchOps.minCostSupplier(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet === best.keySet)
+    rows.foreach { r =>
+      val (supp, mn) = best(r.getLong(0))
+      assert(r.getLong(2) === supp)
+      assert(math.abs(r.getDouble(4) - mn) < 1e-12)
+    }
+  }
+
+  test("q12: late+ontime line counts conserve the joined row total") {
+    val rows = TpchOps.shippingPriority(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("late", "ontime"))
+    val totalCounted = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(totalCounted === li.length.toLong,
+      "every lineitem joins exactly one order and lands in exactly one class")
+  }
+
+  test("q8: market share is within [0,1] and volumes are consistent") {
+    val rows = TpchOps.marketShare(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0.0 && nat <= tot)
+      assert(math.abs(share - nat / tot) < 1e-15)
+    }
+  }
+}
