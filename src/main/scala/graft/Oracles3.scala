@@ -132,6 +132,41 @@ object Oracles3 {
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
 
+  /** Sequential-fold dot/norm (same fold order as the Spark codegen
+    * expressions — see Oracles2). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private val normSqSql: String =
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private val kmeansAssignCte: String =
+    s"""seeds AS (SELECT vec_id AS seed_id, embedding AS se, $normSqSql AS sn2
+       |          FROM embeddings WHERE vec_id < 8),
+       |v AS (SELECT vec_id, embedding, $normSqSql AS vn2 FROM embeddings),
+       |d AS (SELECT vec_id, seed_id,
+       |       vn2 + sn2 - 2.0 * ${dotSql("v.embedding", "se")} AS dist_sq
+       |      FROM v, seeds),
+       |asg AS (SELECT vec_id, seed_id AS cluster, dist_sq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                               ORDER BY dist_sq ASC, seed_id ASC) AS rnk
+       |  FROM d) WHERE rnk = 1)""".stripMargin
+
+  val kmeansAssign: String =
+    s"""WITH $kmeansAssignCte
+       |SELECT vec_id, cluster, dist_sq FROM asg""".stripMargin
+
+  val semanticDedup: String =
+    s"""WITH $kmeansAssignCte,
+       |e AS (SELECT vec_id, embedding, sqrt($normSqSql) AS nv FROM embeddings)
+       |SELECT cluster, vec_a, vec_b, score FROM (
+       | SELECT x.cluster AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nv * eb.nv) AS score
+       | FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  JOIN e ea ON ea.vec_id = x.vec_id
+       |  JOIN e eb ON eb.vec_id = y.vec_id)
+       |WHERE score >= 0.4""".stripMargin
+
   val minCostSupplier: String =
     """WITH per AS (
       | SELECT p_partkey, p_brand, l_suppkey,

@@ -119,6 +119,8 @@ object SparkEntry {
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
     "knn_join" -> SimilarityOps.knnJoin,
     "label_centroids" -> SimilarityOps.labelCentroids,
+    "kmeans_assign" -> SimilarityOps.kmeansAssign,
+    "semantic_dedup" -> SimilarityOps.semanticDedup,
     "vec_quantize" -> SimilarityOps.vecQuantize,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
@@ -701,6 +703,8 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand""".stripMargin,
+    "kmeans_assign" -> Oracles3.kmeansAssign,
+    "semantic_dedup" -> Oracles3.semanticDedup,
     "q2_min_cost_supplier" -> Oracles3.minCostSupplier,
     "q6_forecast_revenue" -> Oracles3.forecastRevenue,
     "q7_nation_volume" -> Oracles3.nationVolume,

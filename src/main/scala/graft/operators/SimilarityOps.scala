@@ -239,6 +239,75 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  val KmeansK = 8
+
+  /** K-means cell assignment (the Lloyd E-step) with deterministic
+    * seeds — the centroids are the first K vectors (vec_id < K), so
+    * the assignment is reproducible on any engine with no RNG. Squared
+    * L2 is derived as ‖v‖² + ‖s‖² − 2·v·s: the two norms are computed
+    * once per row/seed (not once per pair), and all three terms are
+    * sequential folds, so the combined per-row expression is IEEE-
+    * exact and oracle-matchable.
+    *
+    * Scale shape: seeds are a fixed-K broadcast (K rows at ANY corpus
+    * size); the scoring pass is map-only over the corpus; the argmin
+    * is min(struct(dist, seed)) — all K candidate rows of a vector sit
+    * in the same input partition, so partial aggregation collapses
+    * them map-side and the one shuffle carries N rows, not N·K.
+    * This is the assignment step of k-means / the coarse-quantizer
+    * pass of IVF training / the clustering stage of SemDeDup.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e
+      .filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        normSq(col("embedding")).as("sn2"))
+    val v = spread(e).select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("vn2"))
+    v.crossJoin(broadcast(seeds))
+      .select(
+        col("vec_id"),
+        struct(
+          (col("vn2") + col("sn2") - lit(2.0) * dot(col("embedding"), col("se"))).as("dist_sq"),
+          col("seed_id").as("cluster")
+        ).as("ds")
+      )
+      .groupBy(col("vec_id"))
+      .agg(min(col("ds")).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"), col("best.dist_sq").as("dist_sq"))
+  }
+
+  val SemDedupThreshold = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
+    * corpus (kmeansAssign), then compare vectors only WITHIN their
+    * cluster and report pairs above the cosine threshold. The cluster
+    * pre-partition is what makes embedding dedup tractable at scale —
+    * the pair join is an equi-join on the cluster id, so candidate
+    * volume is Σ|cell|² instead of N², and K is the knob that keeps
+    * cells executor-sized (raise K as the corpus grows; AQE skew-join
+    * splits oversized cells). Within-cell scoring is exact cosine —
+    * same dot/norm folds as the ANN suite, so the oracle mirrors the
+    * identical candidate set and scores bit-identically.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the assignment feeds both sides of the pair join; one execution
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster")).localCheckpoint()
+    val v = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      sqrt(normSq(col("embedding"))).as("nv"))
+    asg
+      .select(col("cluster"), col("vec_id").as("vec_a"))
+      .join(asg.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nv").as("na")),
+        Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nv").as("nb")),
+        Seq("vec_b"))
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("score") >= SemDedupThreshold)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("score"))
+  }
+
   /** Per-label centroid statistics — the "class prototype" pass of an
     * embedding pipeline (cluster summaries, IVF coarse quantizer
     * training, drift monitoring).

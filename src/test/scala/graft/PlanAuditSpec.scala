@@ -152,6 +152,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semantic dedup pair join is an equi join on the cluster id, never a cartesian") {
+    val plan = planOf(SimilarityOps.semanticDedup(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop is the fixed-K seed broadcast inside the
+    // assignment (K rows at any corpus size); the PAIR join itself
+    // must hash on the cluster key
+    assert(plan.linesIterator.exists(l => l.contains("Join") && l.contains("cluster")),
+      s"no cluster-keyed join in: $plan")
+  }
+
   test("correlated scalar subquery decorrelates to an aggregate join, no per-row rescans") {
     Tables.part(spark, Sf0001).createOrReplaceTempView("part_v")
     Tables.lineitem(spark, Sf0001).createOrReplaceTempView("lineitem_v")

@@ -117,6 +117,62 @@ class TpchOpsSpec extends AnyFunSuite {
       "every lineitem joins exactly one order and lands in exactly one class")
   }
 
+  test("kmeans: every vector is assigned to its true nearest seed; seeds self-assign at 0") {
+    val vecs = Tables
+      .embeddings(spark, Sf0001)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val seeds = vecs.filter(_._1 < SimilarityOps.KmeansK).sortBy(_._1)
+    def distSq(a: Array[Float], b: Array[Float]): Double = {
+      // same derivation as the query: ||a||^2 + ||b||^2 - 2 a.b, each a
+      // sequential fold
+      def n2(x: Array[Float]) = x.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      val d = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      n2(a) + n2(b) - 2.0 * d
+    }
+    val expected = vecs.map { case (id, v) =>
+      val (bestSeed, bestD) = seeds
+        .map { case (sid, sv) => (sid, distSq(v, sv)) }
+        .minBy { case (sid, d) => (d, sid) }
+      id -> ((bestSeed, bestD))
+    }.toMap
+    val rows = SimilarityOps.kmeansAssign(spark, Sf0001).collect()
+    assert(rows.length === vecs.length)
+    rows.foreach { r =>
+      val (sid, d) = expected(r.getLong(0))
+      assert(r.getLong(1) === sid, s"vec ${r.getLong(0)} wrong cell")
+      assert(math.abs(r.getDouble(2) - d) < 1e-9)
+    }
+    // a seed's nearest centroid is itself, at distance exactly 0
+    rows.filter(_.getLong(0) < SimilarityOps.KmeansK).foreach { r =>
+      assert(r.getLong(1) === r.getLong(0))
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("semantic dedup reports exactly the within-cell pairs above threshold") {
+    val asg = SimilarityOps.kmeansAssign(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def n2(x: Array[Float]) = x.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+      val d = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      d / (math.sqrt(n2(a)) * math.sqrt(n2(b)))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && asg(i) == asg(j)
+      s = cos(vecs(i), vecs(j)) if s >= SimilarityOps.SemDedupThreshold
+    } yield (i, j)).toSet
+    val got = SimilarityOps.semanticDedup(spark, Sf0001).collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSet === expected)
+    assert(got.nonEmpty, "threshold must stay non-vacuous at sf0.001")
+    got.foreach(r => assert(asg(r.getLong(1)) === r.getLong(0) && asg(r.getLong(2)) === r.getLong(0)))
+  }
+
   test("q8: market share is within [0,1] and volumes are consistent") {
     val rows = TpchOps.marketShare(spark, Sf0001).collect()
     assert(rows.nonEmpty)
