@@ -156,6 +156,35 @@ object Oracles3 {
     s"""WITH $kmeansAssignCte
        |SELECT vec_id, cluster, dist_sq FROM asg""".stripMargin
 
+  val kmeansStep: String =
+    s"""WITH $kmeansAssignCte,
+       |flat AS (
+       | SELECT cluster,
+       |  CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+       |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       | FROM embeddings JOIN asg USING (vec_id)),
+       |dims AS (
+       | SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+       | FROM flat GROUP BY cluster, pos),
+       |sd AS (
+       | SELECT vec_id AS cluster,
+       |  CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+       |  CAST(UNNEST(embedding) AS DOUBLE) AS s
+       | FROM embeddings WHERE vec_id < 8)
+       |SELECT cluster, MAX(n) AS n_vecs,
+       | sqrt(list_reduce(
+       |  list_prepend(0.0, list(
+       |    (CAST(sum_q AS DOUBLE)/1000000.0/n) * (CAST(sum_q AS DOUBLE)/1000000.0/n)
+       |    ORDER BY pos)),
+       |  (a, x) -> a + x)) AS centroid_norm,
+       | sqrt(list_reduce(
+       |  list_prepend(0.0, list(
+       |    (CAST(sum_q AS DOUBLE)/1000000.0/n - s) * (CAST(sum_q AS DOUBLE)/1000000.0/n - s)
+       |    ORDER BY pos)),
+       |  (a, x) -> a + x)) AS seed_shift
+       |FROM dims JOIN sd USING (cluster, pos)
+       |GROUP BY cluster""".stripMargin
+
   val semanticDedup: String =
     s"""WITH $kmeansAssignCte,
        |e AS (SELECT vec_id, embedding, sqrt($normSqSql) AS nv FROM embeddings)

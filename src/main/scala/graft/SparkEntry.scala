@@ -120,6 +120,7 @@ object SparkEntry {
     "knn_join" -> SimilarityOps.knnJoin,
     "label_centroids" -> SimilarityOps.labelCentroids,
     "kmeans_assign" -> SimilarityOps.kmeansAssign,
+    "kmeans_step" -> SimilarityOps.kmeansStep,
     "semantic_dedup" -> SimilarityOps.semanticDedup,
     "vec_quantize" -> SimilarityOps.vecQuantize,
     // Event analytics
@@ -704,6 +705,7 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand""".stripMargin,
     "kmeans_assign" -> Oracles3.kmeansAssign,
+    "kmeans_step" -> Oracles3.kmeansStep,
     "semantic_dedup" -> Oracles3.semanticDedup,
     "q2_min_cost_supplier" -> Oracles3.minCostSupplier,
     "q6_forecast_revenue" -> Oracles3.forecastRevenue,

@@ -277,6 +277,58 @@ object SimilarityOps {
       .select(col("vec_id"), col("best.cluster").as("cluster"), col("best.dist_sq").as("dist_sq"))
   }
 
+  /** K-means M-step: recompute each cell's centroid from its assigned
+    * vectors, and report the convergence signal — how far the new
+    * centroid moved from its seed. One Lloyd iteration = kmeansAssign
+    * (E) + this (M); iterating is a driver loop over these two
+    * dataframes, exactly like GraphOps' label-propagation rounds.
+    *
+    * Exactness: same discipline as labelCentroids — per-dim means come
+    * from round(x·10⁶) BIGINT sums (order-independent integer adds),
+    * doubles reappear only in per-row math; the 64-dim norm/shift
+    * folds run in ascending-dim order over a dimension-sized collected
+    * list. Scale shape: the 64× posexplode partial-aggregates to
+    * (K × 64) rows map-side before the only wide shuffle; the seed
+    * join touches K×64 rows.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val dims = emb(spark, dir)
+      .join(asg, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("cluster"),
+        col("pos").cast("bigint").as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q")
+      )
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+    val seedDims = emb(spark, dir)
+      .filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cluster"), posexplode(col("embedding")).as(Seq("pos", "sx")))
+      .select(col("cluster"), col("pos").cast("bigint").as("pos"),
+        col("sx").cast("double").as("s"))
+    dims
+      .join(seedDims, Seq("cluster", "pos"))
+      .groupBy(col("cluster"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        expr("array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q, 's', s)))").as("ds")
+      )
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        sqrt(expr(
+          "aggregate(ds, 0.0D, (a, t) -> a + (CAST(t.sum_q AS DOUBLE) / 1000000.0 / n_vecs)" +
+            " * (CAST(t.sum_q AS DOUBLE) / 1000000.0 / n_vecs))"
+        )).as("centroid_norm"),
+        sqrt(expr(
+          "aggregate(ds, 0.0D, (a, t) -> a + (CAST(t.sum_q AS DOUBLE) / 1000000.0 / n_vecs - t.s)" +
+            " * (CAST(t.sum_q AS DOUBLE) / 1000000.0 / n_vecs - t.s))"
+        )).as("seed_shift")
+      )
+  }
+
   val SemDedupThreshold = 0.4
 
   /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the

@@ -173,6 +173,33 @@ class TpchOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(asg(r.getLong(1)) === r.getLong(0) && asg(r.getLong(2)) === r.getLong(0)))
   }
 
+  test("kmeans M-step: centroids match a driver recompute; cells cover the corpus") {
+    val asg = SimilarityOps.kmeansAssign(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val rows = SimilarityOps.kmeansStep(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === vecs.length.toLong, "cells partition the corpus")
+    val byCell = vecs.groupBy { case (id, _) => asg(id) }
+    rows.foreach { r =>
+      val cell = byCell(r.getLong(0))
+      assert(r.getLong(1) === cell.length.toLong)
+      // quantized-integer mean per dim, then ascending-dim norm fold —
+      // the query's own arithmetic, re-derived sequentially
+      val mean = Array.tabulate(64) { d =>
+        cell.map { case (_, v) => math.round(v(d).toDouble * 1e6) }.sum.toDouble / 1e6 / cell.length
+      }
+      val seed = vecs.toMap.apply(r.getLong(0))
+      val norm = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
+      val shift = math.sqrt(mean.zip(seed).foldLeft(0.0) { case (a, (m, s)) =>
+        a + (m - s.toDouble) * (m - s.toDouble)
+      })
+      assert(math.abs(r.getDouble(2) - norm) < 1e-9)
+      assert(math.abs(r.getDouble(3) - shift) < 1e-9)
+    }
+  }
+
   test("q8: market share is within [0,1] and volumes are consistent") {
     val rows = TpchOps.marketShare(spark, Sf0001).collect()
     assert(rows.nonEmpty)
