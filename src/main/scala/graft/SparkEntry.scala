@@ -45,6 +45,7 @@ object SparkEntry {
     "stats_corr" -> RelationalOps.corrStats,
     "price_histogram" -> RelationalOps.priceHistogram,
     "window_rank_suite" -> RelationalOps.rankSuite,
+    "window_order_gaps" -> RelationalOps.orderGaps,
     "full_outer_nation" -> RelationalOps.fullOuterNationBalance,
     "intersect_loyal_buyers" -> RelationalOps.loyalBuyers,
     "q4_late_orders" -> RelationalOps.latePriorityOrders,
@@ -96,6 +97,7 @@ object SparkEntry {
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
+    "pmi_pairs" -> TextOps.pmiPairs,
     "pack_offsets" -> TextOps.packOffsets,
     "chunk_windows" -> TextOps.chunkWindows,
     "budget_select" -> TextOps.budgetSelect,
@@ -112,6 +114,7 @@ object SparkEntry {
     "dedup_clusters" -> GraphOps.dedupClusters,
     "cluster_keepers" -> GraphOps.clusterKeepers,
     "decontaminate" -> DedupOps.decontaminate,
+    "span_dedup" -> DedupOps.spanDedup,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
@@ -126,6 +129,7 @@ object SparkEntry {
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
+    "session_window_agg" -> EventOps.sessionWindowAgg,
     "purchase_attribution" -> EventOps.purchaseAttribution,
     "user_activity" -> EventOps.userActivity,
     "value_quantiles" -> EventOps.valueQuantiles,
@@ -756,6 +760,10 @@ object SparkEntry {
         |                   (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS max_abs
         |      FROM embeddings)""".stripMargin,
     "events_hourly" -> Oracles2.eventsHourly,
+    "session_window_agg" -> Oracles4.sessionWindowAgg,
+    "window_order_gaps" -> Oracles4.orderGaps,
+    "pmi_pairs" -> Oracles4.pmiPairs,
+    "span_dedup" -> Oracles4.spanDedup,
     "sessions" -> Oracles2.sessions,
     "purchase_attribution" -> Oracles2.purchaseAttribution,
     "user_activity" -> Oracles2.userActivity,

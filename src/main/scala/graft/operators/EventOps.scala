@@ -408,6 +408,43 @@ object EventOps {
       )
   }
 
+  /** Sessionization via Spark's built-in `session_window` aggregation
+    * (vs sessionize's hand-rolled gaps-and-islands): group by
+    * (user_id, session_window(ts, 30 min)) and let the engine merge
+    * overlapping windows. Semantically this is the MergingSessionsExec
+    * path — a single shuffle on user_id with in-sort window merge, no
+    * per-row lag() pass, and the same operator Structured Streaming
+    * uses for session state, so batch and stream share semantics.
+    *
+    * Boundary contract (pinned by the boundary spec, mirrored in the
+    * oracle): a session window is [first_ts, last_ts + gap) and an
+    * event exactly AT the window's end still MERGES — a new session
+    * needs a gap strictly > 30 min. That is the same rule as
+    * sessionize's `gap > 30min`, so the two operators agree on every
+    * input, equality gaps included.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        timestamp_micros(tsUs).as("ts"),
+        col("value")
+      )
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"),
+        col("sum_value")
+      )
+  }
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull `$.k` out with the codegen `get_json_object` path evaluator
     * and aggregate it per event type. At 100 TB this is the canonical

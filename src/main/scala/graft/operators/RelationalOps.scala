@@ -906,4 +906,35 @@ object RelationalOps {
         max(col("o_totalprice")).as("max_price")
       )
   }
+
+  /** Navigation-window suite (lag/lead/first_value/last_value — the
+    * rank-family twin of rankSuite): per customer order, days since the
+    * previous order, days until the next, and the first/latest order
+    * price in the customer's full history. All five functions ride ONE
+    * (custkey)-partitioned sort — one shuffle, no self-joins; the
+    * deterministic (epoch_day, o_orderkey) tiebreak makes lag/lead and
+    * both frame endpoints exact. last_value needs the explicit
+    * unbounded-following frame: the default frame ends at CURRENT ROW,
+    * which would silently return each row's own price.
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("epoch_day"),
+        col("o_totalprice")
+      )
+      .withColumn("idx", row_number().over(w).cast("bigint"))
+      .withColumn("prev_gap_days", col("epoch_day") - lag(col("epoch_day"), 1).over(w))
+      .withColumn("next_gap_days", lead(col("epoch_day"), 1).over(w) - col("epoch_day"))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+  }
 }

@@ -842,4 +842,65 @@ object TextOps {
         col("n_tokens")
       )
   }
+
+  val PmiMinCount = 5L
+  val PmiTopK = 25
+
+  /** PMI association mining: the top-25 adjacent token pairs by
+    * pointwise-mutual-information lift, lift(a,b) = P(a,b)/(P(a)P(b))
+    * = n_ab·T / (n_a·n_b) — the collocation-detection primitive
+    * (phrase mining, tokenizer-merge candidates). Bigrams come from
+    * the codegen `word_ngrams` expression (token arrays never leave
+    * their scan stage); the corpus-sized work is ONE (head,nxt) count
+    * aggregate plus a vocabulary-sized unigram aggregate; T joins back
+    * as a one-row broadcast (the Q11/Q15 global-scalar shape).
+    *
+    * Exactness: lift is emitted as the double quotient of two exact
+    * BIGINT products. n_ab·T and n_a·n_b stay under 2^53 up to ~10^8
+    * corpus bigrams (T ~ 10^7 at sf0.1); beyond that, pre-divide by
+    * gcd or emit the factors — the ORDER itself is what matters, and
+    * tie-broken (lift, head, nxt) ordering keeps top-k deterministic.
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val bg = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .select(
+        split(col("bg"), " ").getItem(0).as("head"),
+        split(col("bg"), " ").getItem(1).as("nxt")
+      )
+    val pairCounts = bg.groupBy(col("head"), col("nxt")).agg(count(lit(1)).as("n_ab"))
+    // Unigram counts over bigram POSITIONS (heads + tails), so P(a) and
+    // P(a,b) share one sample space — the textbook PMI estimator. Both
+    // derive from pairCounts: no second corpus pass.
+    val uni = pairCounts
+      .select(col("head").as("tok"), col("n_ab"))
+      .unionAll(pairCounts.select(col("nxt").as("tok"), col("n_ab")))
+      .groupBy(col("tok"))
+      .agg(sum(col("n_ab")).as("n_tok"))
+    val total = pairCounts.agg(sum(col("n_ab")).as("t2")).select((col("t2") * 2).as("t_pos"))
+    pairCounts
+      .filter(col("n_ab") >= PmiMinCount)
+      .join(uni.withColumnRenamed("tok", "head").withColumnRenamed("n_tok", "n_a"), Seq("head"))
+      .join(uni.withColumnRenamed("tok", "nxt").withColumnRenamed("n_tok", "n_b"), Seq("nxt"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("head"),
+        col("nxt"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        ((col("n_ab") * col("t_pos")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift")
+      )
+      .orderBy(col("lift").desc, col("head").asc, col("nxt").asc)
+      .limit(PmiTopK)
+  }
 }

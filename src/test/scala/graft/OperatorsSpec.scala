@@ -1194,4 +1194,121 @@ class OperatorsSpec extends AnyFunSuite {
       assert(starts.last + TextOps.ChunkLen >= n)
     }
   }
+
+  test("session_window agg: differential vs gaps-and-islands sessionize") {
+    // the two operators agree everywhere except a gap of EXACTLY the
+    // session timeout (pinned by the boundary test below); the random
+    // ns test data has none, so the session sets must match 1:1
+    val viaBuiltin = EventOps.sessionWindowAgg(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet // (user, start, n)
+    val viaIslands = EventOps.sessionize(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2))).toSet // user, start_us, n_events
+    assert(viaBuiltin === viaIslands)
+    // window end = last event + gap, so every window spans >= the gap
+    EventOps.sessionWindowAgg(spark, Sf001).collect().foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) >= 1800000000L)
+    }
+  }
+
+  test("session_window boundary: an exact 30-min gap merges; 30 min + 1 us splits") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val t0 = 1700000000000000000L // ns
+    val gapNs = 1800L * 1000 * 1000 * 1000
+    Seq(
+      (1L, t0, 7L, "click", 1.0, "{}"),
+      (2L, t0 + gapNs, 7L, "click", 1.0, "{}"),                  // exactly at window end -> merges
+      (3L, t0 + gapNs + gapNs + 1000L, 7L, "click", 1.0, "{}")   // 1 us over -> new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val sessions = EventOps.sessionWindowAgg(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(sessions.length === 2)
+    assert(sessions(0)._2 === 2L) // first and second merged at the exact boundary
+    assert(sessions(1)._2 === 1L) // the strictly-over gap starts fresh
+  }
+
+  test("order gaps: lag/lead duality, frame endpoints, dense index") {
+    val rows = RelationalOps.orderGaps(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getDouble(7), r.getDouble(8)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cust) =>
+      val byIdx = cust.sortBy(_._5)
+      // idx is dense 1..n in (epoch_day, orderkey) order
+      assert(byIdx.map(_._5).toSeq === (1L to cust.length).toSeq)
+      assert(byIdx.map(r => (r._3, r._2)).toSeq === cust.map(r => (r._3, r._2)).sorted.toSeq)
+      // my gap to the previous order IS the previous order's gap to me
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._6 === Some(b._3 - a._3))
+          assert(a._7 === Some(b._3 - a._3))
+        case _ =>
+      }
+      assert(byIdx.head._6 === None && byIdx.last._7 === None)
+      // first/last frame endpoints are the per-customer constants
+      cust.foreach { r =>
+        assert(r._8 === byIdx.head._4)
+        assert(r._9 === byIdx.last._4)
+      }
+    }
+  }
+
+  test("pmi pairs: exact driver recompute of counts, lift, and top-k order") {
+    val docs = Tables.documents(spark, Sf0001).select("text").collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val toks = t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).map(a => (a(0), a(1)))
+    }
+    val nAb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val uni = (bigrams.map(_._1) ++ bigrams.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tPos = 2L * bigrams.length
+    val expected = nAb.toSeq
+      .filter(_._2 >= TextOps.PmiMinCount)
+      .map { case ((a, b), c) =>
+        (a, b, c, uni(a), uni(b), (c * tPos).toDouble / (uni(a) * uni(b)).toDouble)
+      }
+      .sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }
+      .take(TextOps.PmiTopK)
+    val got = TextOps.pmiPairs(spark, Sf0001)
+      .select("head", "nxt", "n_ab", "n_a", "n_b", "lift").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq === expected)
+    assert(got.length === TextOps.PmiTopK)
+  }
+
+  test("span dedup: block-count identity and partial-copy sensitivity") {
+    import spark.implicits._
+    // corpus identity: total blocks = sum over docs of len(toks) / 8
+    val totBlocks = DedupOps.spanDedup(spark, Sf0001)
+      .agg(sum("n_blocks")).collect()(0).getLong(0)
+    val direct = Tables.documents(spark, Sf0001)
+      .select((size(TextOps.tokens(lower(col("text")))) / DedupOps.SpanTokens)
+        .cast("long").as("nb"))
+      .agg(sum("nb")).collect()(0).getLong(0)
+    assert(totBlocks === direct)
+    // planted partial copy: doc 2 copies 12 of doc 1's 16 blocks.
+    // words must be pure letters — the tokenizer drops digits.
+    def w(p: Char, i: Int) =
+      s"$p${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val words = (0 until 128).map(i => w('w', i))
+    val a = words.mkString(" ")
+    val b = (words.take(96) ++ (0 until 32).map(i => w('x', i))).mkString(" ")
+    val c = (0 until 64).map(i => w('y', i)).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span").toString
+    Seq((1L, a, "en", "s", a.length.toLong), (2L, b, "en", "s", b.length.toLong),
+      (3L, c, "en", "s", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.spanDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((16L, 12L, 0.75, false)))
+    assert(got(2L) === ((16L, 12L, 0.75, false)))
+    assert(got(3L) === ((8L, 0L, 0.0, true)))
+  }
 }
