@@ -104,4 +104,85 @@ object Oracles4 {
       | CASE WHEN COALESCE(n_blocks, 0) = 0 THEN 0.0
       |      ELSE CAST(n_dup_blocks AS DOUBLE) / CAST(n_blocks AS DOUBLE) END < 0.5 AS keep
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def normSqSql(v: String): String =
+    s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** PQ encode + ADC twin: subvector m = embedding[m·8+1 .. m·8+8],
+    * codebook = the subvectors of vec_id < 16, encode = argmin
+    * (distance, code_id), ADC = sum of round(d·10⁹) BIGINT lookups.
+    */
+  val pqAdcTopK: String = {
+    val sv = "embedding[CAST(m*8+1 AS INT):CAST(m*8+8 AS INT)]"
+    s"""WITH subs AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS sub),
+       |sv AS (SELECT vec_id, m AS sub, $sv AS sv,
+       |        ${normSqSql(sv)} AS svn2
+       |       FROM embeddings, (SELECT sub AS m FROM subs)),
+       |cb AS (SELECT vec_id AS code_id, sub, sv AS cw, svn2 AS cwn2
+       |       FROM sv WHERE vec_id < 16),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |  SELECT sv.vec_id, sv.sub, cb.code_id AS code,
+       |   ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |     ORDER BY sv.svn2 + cb.cwn2 - 2.0 * ${dotSql("sv.sv", "cb.cw")} ASC,
+       |              cb.code_id ASC) AS rnk
+       |  FROM sv JOIN cb USING (sub)) WHERE rnk = 1),
+       |lut AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code_id AS code,
+       |         sv.svn2 + cb.cwn2 - 2.0 * ${dotSql("sv.sv", "cb.cw")} AS d
+       |        FROM sv JOIN cb USING (sub) WHERE sv.vec_id < 5),
+       |adc AS (SELECT query_id, vec_id,
+       |         CAST(SUM(CAST(round(d * 1000000000.0) AS BIGINT)) AS BIGINT) AS adc_q
+       |        FROM enc JOIN lut USING (sub, code)
+       |        WHERE vec_id <> query_id
+       |        GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id AS neighbor_id,
+       | CAST(adc_q AS DOUBLE) / 1000000000.0 AS adc_dist, rnk
+       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY adc_q ASC, vec_id ASC) AS BIGINT) AS rnk FROM adc)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Power-of-two decay is exact in doubles; the cross-row sum is the
+    * usual round(w·10⁹) BIGINT fixed point — see EventOps.ewmaUserValue.
+    */
+  val ewmaUserValue: String =
+    """WITH e AS (SELECT user_id, value,
+      |            CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day FROM events),
+      |w AS (SELECT user_id, value, day,
+      |       MAX(day) OVER (PARTITION BY user_id) AS last_day FROM e),
+      |c AS (SELECT user_id, day,
+      |       CAST(round(value * 1000000000.0 /
+      |            CAST((CAST(1 AS BIGINT) << CAST(LEAST(last_day - day, 62) AS INT))
+      |                 AS DOUBLE)) AS BIGINT) AS contrib
+      |      FROM w)
+      |SELECT user_id, COUNT(*) AS n_events, MAX(day) AS last_day,
+      | CAST(SUM(contrib) AS BIGINT) AS score_q,
+      | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
+      |FROM c GROUP BY user_id""".stripMargin
+
+  /** Three unrolled propagation rounds — the CTE chain mirrors the
+    * driver loop in GraphOps.pagerankReferral exactly (integer
+    * micro-rank units, (r·85)//100 floor transfers).
+    */
+  val pagerankReferral: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT n.node AS node,
+         |  CAST(150000 + COALESCE(SUM(m.c), 0) AS BIGINT) AS r
+         | FROM nodes n LEFT JOIN (
+         |   SELECT e.parent AS node, ($prev.r * 85) // 100 AS c
+         |   FROM edges e JOIN $prev ON e.node = $prev.node) m ON n.node = m.node
+         | GROUP BY n.node)""".stripMargin
+    s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+       |edges AS (SELECT node, node // 2 AS parent FROM nodes WHERE node > 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |nc AS (SELECT parent AS node, COUNT(*) AS n_children FROM edges GROUP BY parent)
+       |SELECT r3.node, r3.r AS rank_q, CAST(r3.r AS DOUBLE) / 1000000.0 AS pr,
+       | COALESCE(n_children, 0) AS n_children
+       |FROM r3 LEFT JOIN nc USING (node)""".stripMargin
+  }
 }

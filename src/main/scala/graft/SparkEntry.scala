@@ -126,6 +126,7 @@ object SparkEntry {
     "kmeans_step" -> SimilarityOps.kmeansStep,
     "semantic_dedup" -> SimilarityOps.semanticDedup,
     "vec_quantize" -> SimilarityOps.vecQuantize,
+    "pq_adc_topk" -> SimilarityOps.pqAdcTopK,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
@@ -144,6 +145,8 @@ object SparkEntry {
     "scd2_history" -> EventOps.scd2History,
     // HLL estimates are engine-specific -> certificate gate like approx_stats
     "hll_user_reach" -> EventOps.hllUserReach,
+    "ewma_user_value" -> EventOps.ewmaUserValue,
+    "pagerank_referral" -> GraphOps.pagerankReferral,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
@@ -764,6 +767,9 @@ object SparkEntry {
     "window_order_gaps" -> Oracles4.orderGaps,
     "pmi_pairs" -> Oracles4.pmiPairs,
     "span_dedup" -> Oracles4.spanDedup,
+    "pq_adc_topk" -> Oracles4.pqAdcTopK,
+    "ewma_user_value" -> Oracles4.ewmaUserValue,
+    "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,
     "purchase_attribution" -> Oracles2.purchaseAttribution,
     "user_activity" -> Oracles2.userActivity,

@@ -445,6 +445,54 @@ object EventOps {
       )
   }
 
+  val EwmaMaxAgeHalvings = 62 // BIGINT shift bound; older contributions round to 0 anyway
+
+  /** Time-decayed user value (EWMA with a 1-day half-life): each
+    * user's score at their LAST event is Σ value·2^(-age_days) — the
+    * recency-weighted activity/LTV primitive. Decay per whole epoch-day
+    * keeps the weight a power of two: value·2^(-k) is EXACT in IEEE
+    * doubles (pure exponent shift), so the only cross-row hazard is
+    * the sum — handled with the house fixed-point discipline
+    * (round(w·10⁹) BIGINT, order-independent integer adds).
+    *
+    * Scale shape: one shuffle on user_id; the per-user reference point
+    * (max day) is a frameless window over the same exchange the final
+    * aggregate rides. Ages cap at 62 halvings (the BIGINT shift bound)
+    * — a contribution that old is < 10⁻9 of its value and rounds to
+    * zero regardless, so the cap never changes the answer.
+    */
+  def ewmaUserValue(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("value"), floorDiv(86400000000000L).as("day"))
+      .withColumn("last_day", max(col("day")).over(byUser))
+      .withColumn(
+        "age",
+        least(col("last_day") - col("day"), lit(EwmaMaxAgeHalvings.toLong))
+      )
+      .withColumn(
+        "contrib",
+        expr(
+          "CAST(round(value * 1000000000.0 / " +
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(age AS INT)) AS DOUBLE)) AS BIGINT)"
+        )
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("day")).as("last_day"),
+        sum(col("contrib")).as("score_q")
+      )
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("last_day"),
+        col("score_q"),
+        (col("score_q").cast("double") / 1e9).as("score")
+      )
+  }
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull `$.k` out with the codegen `get_json_object` path evaluator
     * and aggregate it per event type. At 100 TB this is the canonical

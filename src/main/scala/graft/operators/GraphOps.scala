@@ -161,4 +161,62 @@ object GraphOps {
         (col("doc") === col("label")).as("is_canonical")
       )
   }
+
+  val PagerankIters = 3
+  val PagerankUnit = 1000000L // micro-rank fixed point
+  val PagerankDampNum = 85L // damping 0.85 as an integer ratio
+  val PagerankDampDen = 100L
+
+  /** Fixed-iteration PageRank over the deterministic referral tree
+    * (node = custkey, parent = custkey/2 — the same graph as
+    * hier_rollup): the weighted-propagation twin of the
+    * connected-components loop. Each round every node forwards 85% of
+    * its rank to its parent and resets to the 15% teleport base —
+    * out-degree is 1, so the transfer is the full damped mass.
+    *
+    * All arithmetic is integer (micro-rank units; the damped transfer
+    * is (r·85) DIV 100 — floor division, positive operands, identical
+    * in both engines), so three distributed rounds are bit-exact
+    * against a 3-deep chained-CTE oracle. Node 1 has no parent: its
+    * outbound mass exits the system (the standard dangling-mass model,
+    * documented rather than redistributed).
+    *
+    * Scale shape: one equi-join + one aggregate per round, both on the
+    * node key — the Pregel iteration pattern; per-round
+    * localCheckpoint keeps the plan flat (same discipline as
+    * connectedComponentsDistributed). The driver only loops; no data
+    * leaves the cluster.
+    */
+  def pagerankReferral(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey").as("node"))
+      .localCheckpoint()
+    val edges = nodes
+      .filter(col("node") > 1)
+      .select(col("node"), expr("node DIV 2").as("parent"))
+    var rank = nodes.select(col("node"), lit(PagerankUnit).as("r"))
+    for (_ <- 1 to PagerankIters) {
+      val inMass = rank
+        .join(edges, Seq("node"))
+        .select(col("parent").as("node"),
+          expr(s"r * $PagerankDampNum DIV $PagerankDampDen").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      val teleport = PagerankUnit * (PagerankDampDen - PagerankDampNum) / PagerankDampDen
+      rank = nodes
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"), (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    val nChildren = edges.groupBy(col("parent").as("node")).agg(count(lit(1)).as("n_children"))
+    rank
+      .join(nChildren, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("r").as("rank_q"),
+        (col("r").cast("double") / PagerankUnit.toDouble).as("pr"),
+        coalesce(col("n_children"), lit(0L)).as("n_children")
+      )
+  }
 }

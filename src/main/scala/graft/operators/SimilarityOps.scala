@@ -452,4 +452,85 @@ object SimilarityOps {
       )
       .select(col("vec_id"), col("n_dims"), col("max_abs"), col("scale"), col("sum_abs_err"))
   }
+
+  val PqSubspaces = 8
+  val PqSubDim = 8 // 64 dims / 8 subspaces
+  val PqCodewords = 16 // codebook m = the m-th subvectors of vec_id < 16
+
+  /** Product-quantization ANN (the IVF-PQ memory-compression layer):
+    * each vector is split into 8 subvectors of 8 dims; each subvector
+    * is ENCODED as the id of its nearest codeword (so a 256 B float
+    * vector becomes 8 code bytes); a query is answered by ADC
+    * (asymmetric distance computation) — precompute the query's exact
+    * distance to every codeword of every subspace (a Q×8×16 lookup
+    * table), then score each corpus vector as the SUM of 8 table
+    * lookups, never touching the original floats.
+    *
+    * Codebooks are deterministic (the subvectors of the first 16
+    * vectors — one k-means++ -less "iteration zero"; kmeansStep is the
+    * training loop if real codebooks are wanted), so encode/ADC are
+    * exactly reproducible in SQL.
+    *
+    * Scale shape: the codebook (8×16 subvectors) and the LUT (Q×8×16
+    * distances) are broadcast at ANY corpus size; encoding is one
+    * map-side-combined argmin over N×8 rows (same min(struct) shape as
+    * kmeansAssign); the ADC scan shuffles N×Q pre-combined partial
+    * sums — the standard PQ probe cost, with Q a small query slice.
+    * Per-subspace distances are fixed-point-quantized (round(d·10⁹)
+    * BIGINT) before the cross-row sum so the 8-way addition is
+    * order-independent and oracle-exact.
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    def subvecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(
+          col("vec_id").as(idAs),
+          explode(array((0 until PqSubspaces).map { m =>
+            struct(
+              lit(m.toLong).as("sub"),
+              slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sv")
+            )
+          }: _*)).as("s")
+        )
+        .select(col(idAs), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val cb = subvecs(e.filter(col("vec_id") < PqCodewords), "code_id")
+      .select(col("code_id"), col("sub"), col("sv").as("cw"), normSq(col("sv")).as("cwn2"))
+    val codes = subvecs(spread(e), "vec_id")
+      .withColumn("svn2", normSq(col("sv")))
+      .join(broadcast(cb), Seq("sub"))
+      .select(
+        col("vec_id"),
+        col("sub"),
+        struct(
+          (col("svn2") + col("cwn2") - lit(2.0) * dot(col("sv"), col("cw"))).as("d"),
+          col("code_id").as("code")
+        ).as("dc")
+      )
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val lut = subvecs(e.filter(col("vec_id") < NumQueries), "query_id")
+      .withColumn("qn2", normSq(col("sv")))
+      .join(cb, Seq("sub"))
+      .select(
+        col("query_id"),
+        col("sub"),
+        col("code_id").as("code"),
+        (col("qn2") + col("cwn2") - lit(2.0) * dot(col("sv"), col("cw"))).as("d")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_q").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(expr("CAST(round(d * 1000000000.0) AS BIGINT)")).as("adc_q"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (col("adc_q").cast("double") / 1e9).as("adc_dist"),
+        col("rnk")
+      )
+  }
 }

@@ -1311,4 +1311,89 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((16L, 12L, 0.75, false)))
     assert(got(3L) === ((8L, 0L, 0.0, true)))
   }
+
+  test("pq adc: exhaustive driver recompute of codes, LUT, and top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sub(v: Array[Float], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      // same ||a||^2 + ||b||^2 - 2ab shape, each a sequential fold
+      def fold(f: Int => Double) = (0 until 8).foldLeft(0.0)((acc, i) => acc + f(i))
+      fold(i => a(i).toDouble * a(i).toDouble) +
+        fold(i => b(i).toDouble * b(i).toDouble) -
+        2.0 * fold(i => a(i).toDouble * b(i).toDouble)
+    }
+    val codebook = (0 until SimilarityOps.PqCodewords)
+      .map(c => c -> (0 until SimilarityOps.PqSubspaces).map(m => sub(emb(c.toLong), m)))
+    val codes = emb.map { case (id, v) =>
+      id -> (0 until SimilarityOps.PqSubspaces).map { m =>
+        codebook.map { case (c, cws) => (d2(sub(v, m), cws(m)), c) }.min._2
+      }
+    }
+    val expected = (0L until SimilarityOps.NumQueries.toLong).flatMap { q =>
+      val lut = (0 until SimilarityOps.PqSubspaces).map { m =>
+        (0 until SimilarityOps.PqCodewords).map(c =>
+          math.round(d2(sub(emb(q), m), codebook(c)._2(m)) * 1e9))
+      }
+      emb.keys.filter(_ != q).toSeq
+        .map { id =>
+          (q, id, (0 until SimilarityOps.PqSubspaces).map(m => lut(m)(codes(id)(m))).sum)
+        }
+        .sortBy { case (_, id, dq) => (dq, id) }
+        .take(SimilarityOps.TopK)
+        .zipWithIndex
+        .map { case ((_, id, dq), i) => (q, id, dq, (i + 1).toLong) }
+    }.toSet
+    val got = SimilarityOps.pqAdcTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("ewma user value: exact fixed-point driver recompute") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val lastDay = rows.map(_._2).max
+      val score = rows.map { case (_, day, v) =>
+        val age = math.min(lastDay - day, 62L)
+        math.round(v * 1e9 / (1L << age).toDouble)
+      }.sum
+      u -> ((rows.length.toLong, lastDay, score))
+    }
+    val got = EventOps.ewmaUserValue(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // recency matters: someone's score differs from their plain sum
+    val plain = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> math.round(rows.map(_._3).sum * 1e9)
+    }
+    assert(expected.exists { case (u, (_, _, s)) => s != plain(u) })
+  }
+
+  test("pagerank referral: exact integer driver recompute of 3 rounds") {
+    val nodes = Tables.customer(spark, Sf0001)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val parent = nodes.filter(_ > 1).map(n => n -> n / 2).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to GraphOps.PagerankIters) {
+      val in = nodes.filter(_ > 1).toSeq
+        .groupBy(parent)
+        .map { case (p, kids) => p -> kids.map(k => rank(k) * 85 / 100).sum }
+      rank = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    val got = GraphOps.pagerankReferral(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap === rank)
+    // n_children from the same edge set; every rank >= the teleport base
+    val kidCount = nodes.filter(_ > 1).groupBy(parent).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (n, (r, nc)) =>
+      assert(nc === kidCount.getOrElse(n, 0L))
+      assert(r >= 150000L)
+    }
+    // propagation is real: internal nodes outrank childless leaves
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
 }
