@@ -49,6 +49,9 @@ object FixedDimBroadcastHint extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => FixedDimBroadcastHint)
+    // whole-operator extension (SURVEY §2C path c): the AS-OF join's
+    // logical node plans 1:1 to its distribution-aware merge exec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

@@ -162,6 +162,21 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** States the as-of rule directly: the signup with the greatest
+    * (s_us, signup_id) among those with s_us <= p_us, per purchase.
+    */
+  val asofJoinNative: String =
+    """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT user_id, purchase_id, signup_id, p_us - s_us AS gap_us FROM (
+      | SELECT p.user_id AS user_id, purchase_id, signup_id, p_us, s_us,
+      |  ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                     ORDER BY s_us DESC, signup_id DESC) AS rnk
+      | FROM p JOIN s ON p.user_id = s.user_id AND s.s_us <= p.p_us)
+      |WHERE rnk = 1""".stripMargin
+
   /** Three unrolled propagation rounds — the CTE chain mirrors the
     * driver loop in GraphOps.pagerankReferral exactly (integer
     * micro-rank units, (r·85)//100 floor transfers).

@@ -132,6 +132,8 @@ object SparkEntry {
     "sessions" -> EventOps.sessionize,
     "session_window_agg" -> EventOps.sessionWindowAgg,
     "purchase_attribution" -> EventOps.purchaseAttribution,
+    // the same as-of semantics on the custom Catalyst operator
+    "asof_join_native" -> EventOps.purchaseAttributionAsOf,
     "user_activity" -> EventOps.userActivity,
     "value_quantiles" -> EventOps.valueQuantiles,
     "cube_daily" -> EventOps.cubeDaily,
@@ -768,6 +770,7 @@ object SparkEntry {
     "pmi_pairs" -> Oracles4.pmiPairs,
     "span_dedup" -> Oracles4.spanDedup,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
+    "asof_join_native" -> Oracles4.asofJoinNative,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

@@ -445,6 +445,36 @@ object EventOps {
       )
   }
 
+  /** purchaseAttribution re-expressed on the NATIVE as-of join
+    * operator (graft.plans.AsOfJoin — logical node + strategy +
+    * streaming-merge exec): each purchase pairs with the latest signup
+    * at-or-before it, ties on the timestamp resolved toward the larger
+    * event_id. Semantics note vs the union+window form: a signup at
+    * the EXACT purchase microsecond matches here (time <= time),
+    * whereas the interleaved window only sees rows sorted before the
+    * purchase — the differential spec pins both on data where no such
+    * tie exists. One exchange per side, O(1) merge state per
+    * partition; the physical plan is asserted in PlanAuditSpec.
+    */
+  def purchaseAttributionAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), tsUs.as("p_us"))
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), tsUs.as("s_us"))
+    graft.plans.AsOfJoin
+      .join(purchases, signups, "p_user", "s_user", "p_us", "s_us", "signup_id")
+      .filter(col("signup_id").isNotNull)
+      .select(
+        col("p_user").as("user_id"),
+        col("purchase_id"),
+        col("signup_id"),
+        (col("p_us") - col("s_us")).as("gap_us")
+      )
+  }
+
   val EwmaMaxAgeHalvings = 62 // BIGINT shift bound; older contributions round to 0 anyway
 
   /** Time-decayed user value (EWMA with a 1-day half-life): each

@@ -1396,4 +1396,45 @@ class OperatorsSpec extends AnyFunSuite {
     // propagation is real: internal nodes outrank childless leaves
     assert(got.values.map(_._1).toSet.size > 1)
   }
+
+  test("native as-of join: differential vs the union+window attribution") {
+    // same semantics on tie-free data; both non-empty and identical
+    val native = EventOps.purchaseAttributionAsOf(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val window = EventOps.purchaseAttribution(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native.nonEmpty)
+    assert(native === window)
+  }
+
+  test("native as-of join: boundary semantics on a planted edge-case table") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // key 1: signups at 90 and 100 -> exact-tie time matches (100)
+      (1L, 95L, 11L),  // between the two -> 90
+      (2L, 50L, 20L),  // key 2: only later right rows -> no match
+      (3L, 70L, 30L),  // key 3: two right rows at SAME time 60 -> larger seq wins
+      (4L, 10L, 40L)   // key absent on the right -> no match
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 90L, 201L),
+      (1L, 100L, 202L),
+      (2L, 60L, 203L),
+      (3L, 60L, 204L),
+      (3L, 60L, 205L)
+    ).toDF("k2", "t2", "rid")
+    val got = graft.plans.AsOfJoin
+      .join(left.repartition(3), right.repartition(2), "k", "k2", "t", "t2", "rid")
+      .select(col("lid"), col("rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got === Map(
+      10L -> Some(202L), // t2 = t exactly -> matches (<=)
+      11L -> Some(201L),
+      20L -> None,       // right rows exist but all later
+      30L -> Some(205L), // time tie -> greatest tiebreak
+      40L -> None        // key missing entirely
+    ))
+  }
 }

@@ -249,4 +249,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // final pair — the sketch IS the aggregation buffer
     assert(plan.linesIterator.count(l => l.contains("ObjectHashAggregate")) >= 2, plan)
   }
+
+  test("native as-of join plans as AsOfJoinExec: one exchange per side, no range blowup") {
+    val df = EventOps.purchaseAttributionAsOf(spark, Sf0001)
+    // AQE renders Final + Initial; audit the final plan only (the
+    // physical node prints as "AsOfJoin" — nodeName strips "Exec")
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin "), plan)
+    // EnsureRequirements supplies exactly the two key exchanges the
+    // declared ClusteredDistribution asks for (plus sorts), and the
+    // time predicate never degenerates into a nested-loop range join
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // OUR merge, not a rewritten equi-join
+  }
 }
