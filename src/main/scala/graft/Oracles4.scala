@@ -162,6 +162,17 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** Char-for-byte window energy (the corpus is ASCII, so
+    * ascii(substr(text, i, 1)) is byte i of the binary payload).
+    */
+  val audioEnergy: String =
+    """SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+      | CAST(w * 64 AS BIGINT) AS win_start,
+      | CAST(list_sum(list_transform(range(1, 65),
+      |   i -> ascii(substr(text, CAST(w * 64 + i AS INT), 1)))) AS BIGINT) AS energy
+      |FROM (SELECT doc_id, text, unnest(range(length(text) // 64)) AS w
+      |      FROM documents WHERE length(text) // 64 > 0)""".stripMargin
+
   /** States the as-of rule directly: the signup with the greatest
     * (s_us, signup_id) among those with s_us <= p_us, per purchase.
     */

@@ -151,7 +151,8 @@ object SparkEntry {
     "pagerank_referral" -> GraphOps.pagerankReferral,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
-    "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d))
+    "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d)),
+    "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy
   )
 
   /** DuckDB twins of `queries`, same table names / same column aliases. */
@@ -771,6 +772,7 @@ object SparkEntry {
     "span_dedup" -> Oracles4.spanDedup,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
+    "mm_audio_energy" -> Oracles4.audioEnergy,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

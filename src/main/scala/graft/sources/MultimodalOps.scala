@@ -77,6 +77,42 @@ object MultimodalOps {
       )
   }
 
+  val AudioWinBytes = 64
+
+  /** Audio-style feature extraction over the raw payload: cut the byte
+    * stream into fixed 64-byte windows (full windows only — the
+    * sample-frame grid) and compute each window's "energy" = exact sum
+    * of its byte values. This is the actual decode-side compute shape
+    * (PCM frame energy / spectral feature per window), done on real
+    * bytes — only the codec is faked, not the windowing or arithmetic.
+    *
+    * Scale shape: pure map stage — the explode emits (id, window)
+    * index pairs and each energy reads only its own 64-byte slice, so
+    * rows widen by bytes/64 while the payload column itself never
+    * enters a shuffle. Integer energy needs no float discipline.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    // payload stays textual for the byte reads: the corpus is ASCII,
+    // so ascii(char i) IS byte i — the oracle mirrors char-for-byte
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        (length(col("text")).cast("bigint") / AudioWinBytes).cast("bigint").as("n_wins"))
+      .filter(col("n_wins") > 0)
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0L), col("n_wins") - 1)).as("win_idx"))
+      .select(
+        col("media_id"),
+        col("win_idx"),
+        (col("win_idx") * AudioWinBytes).as("win_start"),
+        expr(
+          s"aggregate(transform(sequence(1, $AudioWinBytes), " +
+            s"i -> ascii(substring(text, CAST(win_idx * $AudioWinBytes + i AS INT), 1))), " +
+            "0L, (a, x) -> a + x)"
+        ).as("energy")
+      )
+  }
+
   /** Typed decoded-media record (what a real decoder would emit). */
   final case class MediaMeta(
       media_id: Long,

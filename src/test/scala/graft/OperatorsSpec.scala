@@ -1437,4 +1437,25 @@ class OperatorsSpec extends AnyFunSuite {
       40L -> None        // key missing entirely
     ))
   }
+
+  test("audio window energy: exact per-window recompute and grid coverage") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MultimodalOps.audioEnergy(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every emitted window: full 64-byte, correct start, exact energy
+    got.foreach { case (id, w, start, energy) =>
+      val text = docs(id)
+      assert(start === w * 64)
+      assert(start + 64 <= text.length)
+      assert(energy === text.substring(start.toInt, start.toInt + 64).map(_.toLong).sum)
+    }
+    // grid coverage: exactly len/64 windows per doc that has any
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val n = text.length / 64
+      assert(byDoc.getOrElse(id, Seq.empty) === (0L until n.toLong))
+    }
+  }
 }

@@ -220,6 +220,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon dups dropped, state evicted beyond it") {
+    import org.apache.spark.sql.Row
+    val t0 = 1704067200L * 1000000000L // ns
+    def row(id: Long, min: Long, fp: String): Row =
+      Row(id, t0 + min * 60L * 1000000000L, fp)
+    // f1: fp A at m0, filler W at m30 -> after batch 1 the watermark is
+    // m20 (30 - 10min delay), past A's m0+10min horizon
+    val f1 = Seq(row(1, 0, "A"), row(2, 30, "W"))
+    // f2: expired state is evicted at the END of the batch AFTER the
+    // watermark passes it, so a spacer batch lets A's eviction land
+    val f2 = Seq(row(3, 31, "X"))
+    // f3: A again at m40 (beyond horizon -> re-admitted, BY DESIGN) and
+    // a W duplicate at m32 (W's horizon is m40 > watermark -> dropped)
+    val f3 = Seq(row(4, 40, "A"), row(5, 32, "W"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddww").toString
+    for ((rows, sub, ageSec) <- Seq((f1, "f1", 120L), (f2, "f2", 60L), (f3, "f3", 0L))) {
+      val d = s"$tmp/$sub"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        graft.streaming.DedupStream.arrivalSchema).coalesce(1).write.parquet(d)
+      val src = new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, s"$sub.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageSec * 1000)
+      )
+    }
+    val q = graft.streaming.DedupStream
+      .firstSeenWithinHorizon(spark, tmp)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ddww_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.table("ddww_stream").collect().map(_.getLong(0)).toSet
+      assert(survivors === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("transformWithState counters: final totals == batch counts, state spans batches") {
     // two time-ordered files -> two micro-batches; counters started in
     // batch 1 must keep incrementing in batch 2 (MapState survival)
