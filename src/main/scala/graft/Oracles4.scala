@@ -162,6 +162,51 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** States the overlap join directly (DuckDB plans it as an IEJoin);
+    * the Spark side's bin+equi-join+distinct plan must agree exactly.
+    */
+  val concurrentSessions: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS (SELECT user_id, event_id, ts_us,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_session
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |t AS (SELECT user_id, ts_us,
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM s),
+      |sess AS (SELECT user_id, session_id,
+      |          MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |         FROM t GROUP BY user_id, session_id)
+      |SELECT a.user_id, a.session_id, a.start_us, a.end_us,
+      | CAST(COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL
+      |       THEN struct_pack(u := b.user_id, s := b.session_id) END) AS BIGINT)
+      |  AS n_concurrent
+      |FROM sess a LEFT JOIN sess b
+      | ON a.user_id <> b.user_id
+      | AND b.start_us <= a.end_us AND a.start_us <= b.end_us
+      |GROUP BY a.user_id, a.session_id, a.start_us, a.end_us""".stripMargin
+
+  val rollingUsers7d: String =
+    """WITH grid AS (SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+      |              user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM grid)
+      |SELECT d.day AS day, COUNT(DISTINCT g.user_id) AS n_users_7d
+      |FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day""".stripMargin
+
+  val bpeMerges: String =
+    """WITH vocab AS (
+      | SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |    t -> t <> '')) AS word
+      |  FROM documents) GROUP BY word),
+      |p AS (SELECT unnest(list_transform(range(length(word) - 1),
+      |        i -> substr(word, CAST(i + 1 AS INT), 2))) AS pair, cnt
+      |      FROM vocab WHERE length(word) >= 2)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 25""".stripMargin
+
   /** Char-for-byte window energy (the corpus is ASCII, so
     * ascii(substr(text, i, 1)) is byte i of the binary payload).
     */

@@ -98,6 +98,7 @@ object SparkEntry {
     "typo_pairs" -> TextOps.typoPairs,
     "seq_packing" -> TextOps.seqPacking,
     "pmi_pairs" -> TextOps.pmiPairs,
+    "bpe_merges" -> TextOps.bpeMerges,
     "pack_offsets" -> TextOps.packOffsets,
     "chunk_windows" -> TextOps.chunkWindows,
     "budget_select" -> TextOps.budgetSelect,
@@ -131,6 +132,8 @@ object SparkEntry {
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
     "session_window_agg" -> EventOps.sessionWindowAgg,
+    "concurrent_sessions" -> EventOps.concurrentSessions,
+    "rolling_7d_users" -> EventOps.rollingUsers7d,
     "purchase_attribution" -> EventOps.purchaseAttribution,
     // the same as-of semantics on the custom Catalyst operator
     "asof_join_native" -> EventOps.purchaseAttributionAsOf,
@@ -773,6 +776,9 @@ object SparkEntry {
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,
+    "concurrent_sessions" -> Oracles4.concurrentSessions,
+    "rolling_7d_users" -> Oracles4.rollingUsers7d,
+    "bpe_merges" -> Oracles4.bpeMerges,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

@@ -475,6 +475,73 @@ object EventOps {
       )
   }
 
+  /** Interval-overlap join, binned: for each session, how many OTHER
+    * users' sessions overlap it in time ([start,end] inclusive) — the
+    * concurrency/contention primitive. The naive form is a non-equi
+    * self-join (BroadcastNestedLoopJoin at scale); the scalable shape
+    * mirrors clicksBeforePurchase: explode each session over the hour
+    * bins it touches, equi-join on the bin, apply the exact overlap
+    * predicate, and COUNT(DISTINCT other-session) so a pair sharing
+    * several bins still counts once. Two overlapping intervals always
+    * share the bin of any common instant, so the candidate set is
+    * lossless. Bin fanout = session span / 1 h + 1 (sessions are
+    * gap-bounded, so small); hot bins (peak hours) are the skew knob —
+    * shrink the bin width as concurrency grows.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000 * 1000
+    val s = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+      .localCheckpoint() // both sides of the self-join; one execution
+    def binned(prefix: String) = s.toDF(
+        s"${prefix}_user", s"${prefix}_session", s"${prefix}_start", s"${prefix}_end")
+      // DIV, not `/`: long division (timestamps exceed double mantissa)
+      .withColumn("bin",
+        explode(sequence(
+          expr(s"${prefix}_start DIV $binUs"), expr(s"${prefix}_end DIV $binUs"))))
+    // inner join: every session collides with at least its own bins,
+    // so zero-overlap sessions still form a (count = 0) group
+    binned("a")
+      .join(binned("b"), Seq("bin"))
+      .withColumn(
+        "overlaps",
+        col("a_user") =!= col("b_user") &&
+          col("b_start") <= col("a_end") && col("a_start") <= col("b_end")
+      )
+      .groupBy(col("a_user").as("user_id"), col("a_session").as("session_id"),
+        col("a_start").as("start_us"), col("a_end").as("end_us"))
+      .agg(
+        countDistinct(
+          when(col("overlaps"), col("b_user")),
+          when(col("overlaps"), col("b_session"))
+        ).as("n_concurrent")
+      )
+  }
+
+  /** Sliding 7-day distinct users per day — the rolling-reach metric.
+    * COUNT(DISTINCT) cannot ride a sliding window frame, and at scale
+    * you never self-join raw events: reduce to the (day, user)
+    * distinct grid first (one shuffle, corpus-sized), then explode
+    * each grid cell to the <= 7 target days it contributes to
+    * (grid-sized fanout, NOT corpus-sized) and count distinct users
+    * per target day. Emitted days are restricted to days that exist
+    * in the data (the leading horizon would otherwise report partial
+    * windows past the last event).
+    */
+  def rollingUsers7d(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables
+      .events(spark, dir)
+      .select(floorDiv(86400000000000L).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds the fanout and the emitted-day filter
+    val contrib = grid
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+    contrib
+      .join(grid.select(col("day")).distinct(), Seq("day")) // only real days
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+  }
+
   val EwmaMaxAgeHalvings = 62 // BIGINT shift bound; older contributions round to 0 anyway
 
   /** Time-decayed user value (EWMA with a 1-day half-life): each

@@ -843,6 +843,38 @@ object TextOps {
       )
   }
 
+  val BpeTopK = 25
+
+  /** BPE merge-candidate counting (one iteration of byte-pair-encoding
+    * training): the top adjacent CHARACTER pairs across the corpus,
+    * each word occurrence contributing every position. The trick that
+    * makes BPE training tractable at 100 TB: collapse the corpus to
+    * the (word, count) vocabulary FIRST (one corpus-sized shuffle —
+    * the wordCount aggregate), then enumerate pairs over vocabulary
+    * TYPES weighted by count — pair work scales with |vocab|, not
+    * corpus tokens. Iterating (merge top pair, re-pair) is a driver
+    * loop over these two dataframes, like GraphOps/kmeans rounds.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(
+        col("cnt"),
+        explode(
+          expr("transform(sequence(1, length(word) - 1), i -> substring(word, CAST(i AS INT), 2))")
+        ).as("pair")
+      )
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(BpeTopK)
+  }
+
   val PmiMinCount = 5L
   val PmiTopK = 25
 

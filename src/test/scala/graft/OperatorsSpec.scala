@@ -1458,4 +1458,49 @@ class OperatorsSpec extends AnyFunSuite {
       assert(byDoc.getOrElse(id, Seq.empty) === (0L until n.toLong))
     }
   }
+
+  test("concurrent sessions: matches the direct all-pairs overlap recompute") {
+    val sess = EventOps.sessionize(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))) // user, sid, start, end
+    val expected = sess.map { case (u, sid, s, e) =>
+      (u, sid) -> sess.count { case (u2, _, s2, e2) => u2 != u && s2 <= e && s <= e2 }.toLong
+    }.toMap
+    val got = EventOps.concurrentSessions(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got === expected)
+    // non-vacuous in both directions
+    assert(got.values.exists(_ > 0) && got.size === sess.length)
+  }
+
+  test("rolling 7-day users: exact per-day recompute, window wider than a day") {
+    val grid = Tables.events(spark, Sf0001)
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = grid.map(_._1).distinct
+    val expected = days.map { d =>
+      d -> grid.filter(g => g._1 >= d - 6 && g._1 <= d).map(_._2).distinct.length.toLong
+    }.toMap
+    val got = EventOps.rollingUsers7d(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the window really accumulates: some day's 7d reach exceeds its 1d reach
+    val daily = grid.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(days.exists(d => got(d) > daily(d)))
+  }
+
+  test("bpe merges: exact weighted pair recompute and top-k order") {
+    val words = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    val pairCounts = words.toSeq
+      .filter(_._1.length >= 2)
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val expected = pairCounts.toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(TextOps.BpeTopK)
+    val got = TextOps.bpeMerges(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+  }
 }
