@@ -162,6 +162,29 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** Quantized-exact centroids (labelCentroids discipline), then a
+    * per-row ascending-dim (x−mean)² fold and a top-3 window.
+    */
+  val centroidOutliers: String =
+    """WITH flat AS (
+      | SELECT label, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+      |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      | FROM embeddings),
+      |dims AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+      |         FROM flat GROUP BY label, pos),
+      |cent AS (SELECT label,
+      |          list(CAST(sum_q AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS centroid
+      |         FROM dims GROUP BY label),
+      |d AS (SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+      |       list_sum(list_transform(list_zip(e.embedding, c.centroid),
+      |         p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist_sq
+      |      FROM embeddings e JOIN cent c ON e.label = c.label)
+      |SELECT label, vec_id, dist_sq, rnk FROM (
+      | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+      |            ORDER BY dist_sq DESC, vec_id ASC) AS BIGINT) AS rnk FROM d)
+      |WHERE rnk <= 3""".stripMargin
+
   /** States the overlap join directly (DuckDB plans it as an IEJoin);
     * the Spark side's bin+equi-join+distinct plan must agree exactly.
     */

@@ -128,6 +128,7 @@ object SparkEntry {
     "semantic_dedup" -> SimilarityOps.semanticDedup,
     "vec_quantize" -> SimilarityOps.vecQuantize,
     "pq_adc_topk" -> SimilarityOps.pqAdcTopK,
+    "centroid_outliers" -> SimilarityOps.centroidOutliers,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
     "sessions" -> EventOps.sessionize,
@@ -779,6 +780,7 @@ object SparkEntry {
     "concurrent_sessions" -> Oracles4.concurrentSessions,
     "rolling_7d_users" -> Oracles4.rollingUsers7d,
     "bpe_merges" -> Oracles4.bpeMerges,
+    "centroid_outliers" -> Oracles4.centroidOutliers,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

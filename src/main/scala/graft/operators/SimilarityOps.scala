@@ -453,6 +453,53 @@ object SimilarityOps {
       .select(col("vec_id"), col("n_dims"), col("max_abs"), col("scale"), col("sum_abs_err"))
   }
 
+  val OutlierTopK = 3
+
+  /** Per-label outlier detection: each vector's squared distance to
+    * its label centroid, top-3 farthest per label — the
+    * embedding-space anomaly/mislabeled-data sweep that follows
+    * centroid computation in a curation pipeline.
+    *
+    * Exactness: centroids use labelCentroids' quantized-integer
+    * discipline (round(x·10⁶) BIGINT sums — order-independent), then
+    * the centroid's 64 means come back as ONE pos-sorted array per
+    * label and each vector folds (x−mean)² over it in ascending-dim
+    * order with zip_with — per-row IEEE arithmetic, oracle-exact.
+    *
+    * Scale shape: the posexplode partial-aggregates to labels×64 rows
+    * map-side (the only wide shuffle); the centroid-array join is a
+    * labels-sized broadcast; the per-label top-3 plans as
+    * WindowGroupLimit (map-side partial top-k), so no full sort of
+    * the corpus ever happens.
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroid = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr(
+        "transform(array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q, 'n', n)))," +
+          " s -> CAST(s.sum_q AS DOUBLE) / 1000000.0 / s.n)"
+      ).as("centroid"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist_sq").desc, col("vec_id").asc)
+    spread(e)
+      .join(broadcast(centroid), Seq("label"))
+      .select(
+        col("label").cast("bigint").as("label"),
+        col("vec_id"),
+        expr(
+          "aggregate(zip_with(embedding, centroid, (x, c) -> " +
+            "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0.0D, (a, v) -> a + v)"
+        ).as("dist_sq")
+      )
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= OutlierTopK)
+  }
+
   val PqSubspaces = 8
   val PqSubDim = 8 // 64 dims / 8 subspaces
   val PqCodewords = 16 // codebook m = the m-th subvectors of vec_id < 16

@@ -1488,6 +1488,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(days.exists(d => got(d) > daily(d)))
   }
 
+  test("centroid outliers: exact distance recompute, k per label, ordered") {
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    val centroid = rows.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map { p =>
+        vs.map(v => math.round(v._3(p).toDouble * 1e6)).sum.toDouble / 1e6 / vs.length
+      }
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (l, vs) =>
+      vs.map { case (id, _, e) =>
+        val c = centroid(l)
+        val d = (0 until 64).foldLeft(0.0) { (a, p) =>
+          a + (e(p).toDouble - c(p)) * (e(p).toDouble - c(p))
+        }
+        (l, id, d)
+      }.toSeq.sortBy { case (_, id, d) => (-d, id) }
+        .take(SimilarityOps.OutlierTopK)
+        .zipWithIndex.map { case ((_, id, d), i) => (l, id, d, (i + 1).toLong) }
+    }.toSet
+    val got = SimilarityOps.centroidOutliers(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).values.forall(_.size == SimilarityOps.OutlierTopK))
+  }
+
   test("bpe merges: exact weighted pair recompute and top-k order") {
     val words = Tables.documents(spark, Sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
