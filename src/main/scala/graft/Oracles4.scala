@@ -162,6 +162,47 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** Round-1 assignment (Oracles3.kmeansAssign shape) → quantized
+    * centroids → round-2 assignment against the K recomputed centroid
+    * arrays → per-cluster convergence report.
+    */
+  val kmeansRound2: String =
+    s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se,
+       |  ${normSqSql("embedding")} AS sn2 FROM embeddings WHERE vec_id < 8),
+       |v AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS vn2 FROM embeddings),
+       |d AS (SELECT vec_id, seed_id,
+       |       vn2 + sn2 - 2.0 * ${dotSql("v.embedding", "se")} AS dist_sq
+       |      FROM v, seeds),
+       |asg AS (SELECT vec_id, seed_id AS cluster FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                               ORDER BY dist_sq ASC, seed_id ASC) AS rnk
+       |  FROM d) WHERE rnk = 1),
+       |flat AS (SELECT cluster, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+       |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       | FROM embeddings JOIN asg USING (vec_id)),
+       |dims AS (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+       |         FROM flat GROUP BY cluster, pos),
+       |cent AS (SELECT cluster AS c2,
+       |          list(CAST(sum_q AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS centroid
+       |         FROM dims GROUP BY cluster),
+       |d2 AS (SELECT e.vec_id, cent.c2,
+       |        list_sum(list_transform(list_zip(e.embedding, cent.centroid),
+       |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist_sq
+       |       FROM embeddings e, cent),
+       |a2 AS (SELECT vec_id, c2 AS cluster2, dist_sq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                               ORDER BY dist_sq ASC, c2 ASC) AS rnk FROM d2)
+       | WHERE rnk = 1)
+       |SELECT a2.cluster2 AS cluster, COUNT(*) AS n_vecs,
+       | CAST(SUM(CASE WHEN a2.cluster2 <> asg.cluster THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_switched,
+       | CAST(SUM(CAST(round(dist_sq * 1000000000.0) AS BIGINT)) AS BIGINT) AS dist_mass_q,
+       | CAST(CAST(SUM(CAST(round(dist_sq * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |  / 1000000000.0 / COUNT(*) AS mean_dist_sq
+       |FROM a2 JOIN asg USING (vec_id)
+       |GROUP BY a2.cluster2""".stripMargin
+
   /** Quantized-exact centroids (labelCentroids discipline), then a
     * per-row ascending-dim (x−mean)² fold and a top-3 window.
     */

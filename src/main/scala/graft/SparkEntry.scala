@@ -125,6 +125,7 @@ object SparkEntry {
     "label_centroids" -> SimilarityOps.labelCentroids,
     "kmeans_assign" -> SimilarityOps.kmeansAssign,
     "kmeans_step" -> SimilarityOps.kmeansStep,
+    "kmeans_round2" -> SimilarityOps.kmeansRound2,
     "semantic_dedup" -> SimilarityOps.semanticDedup,
     "vec_quantize" -> SimilarityOps.vecQuantize,
     "pq_adc_topk" -> SimilarityOps.pqAdcTopK,
@@ -781,6 +782,7 @@ object SparkEntry {
     "rolling_7d_users" -> Oracles4.rollingUsers7d,
     "bpe_merges" -> Oracles4.bpeMerges,
     "centroid_outliers" -> Oracles4.centroidOutliers,
+    "kmeans_round2" -> Oracles4.kmeansRound2,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

@@ -453,6 +453,61 @@ object SimilarityOps {
       .select(col("vec_id"), col("n_dims"), col("max_abs"), col("scale"), col("sum_abs_err"))
   }
 
+  /** The second Lloyd iteration end-to-end: assignment against the
+    * RECOMPUTED (non-seed) centroids — proving the E→M→E driver loop
+    * converges under the exact-arithmetic gates, not just the
+    * seed-based first pass. Round-1 assignment and the M-step reuse
+    * kmeansAssign / the quantized-centroid discipline; the round-2
+    * E-step folds (x−c)² against each of the K centroid arrays
+    * (broadcast, K rows at any corpus size) and takes
+    * min(struct(dist, cluster)). Output is the per-cluster convergence
+    * report: size after round 2, how many vectors switched clusters,
+    * and the exact fixed-point within-cluster distance mass.
+    */
+  def kmeansRound2(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val asg1 = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster")).localCheckpoint()
+    val cent = e
+      .join(asg1, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cluster"), col("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr(
+        "transform(array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q, 'n', n)))," +
+          " s -> CAST(s.sum_q AS DOUBLE) / 1000000.0 / s.n)"
+      ).as("centroid"))
+      .select(col("cluster").as("c2"), col("centroid"))
+    val asg2 = spread(e)
+      .crossJoin(broadcast(cent))
+      .select(
+        col("vec_id"),
+        struct(
+          expr(
+            "aggregate(zip_with(embedding, centroid, (x, c) -> " +
+              "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0.0D, (a, v) -> a + v)"
+          ).as("dist_sq"),
+          col("c2").as("cluster2")
+        ).as("dc")
+      )
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.cluster2").as("cluster2"),
+        col("best.dist_sq").as("dist_sq"))
+    asg2
+      .join(asg1, Seq("vec_id"))
+      .groupBy(col("cluster2").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("cluster2") =!= col("cluster"), 1L).otherwise(0L)).as("n_switched"),
+        sum(expr("CAST(round(dist_sq * 1000000000.0) AS BIGINT)")).as("dist_mass_q")
+      )
+      .select(col("cluster"), col("n_vecs"), col("n_switched"), col("dist_mass_q"),
+        (col("dist_mass_q").cast("double") / 1e9 / col("n_vecs")).as("mean_dist_sq"))
+  }
+
   val OutlierTopK = 3
 
   /** Per-label outlier detection: each vector's squared distance to

@@ -1514,6 +1514,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).values.forall(_.size == SimilarityOps.OutlierTopK))
   }
 
+  test("kmeans round 2: exact E-M-E recompute, some vectors switch clusters") {
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def fold64(f: Int => Double) = (0 until 64).foldLeft(0.0)((a, i) => a + f(i))
+    // round 1: nearest seed by ||v||^2 + ||s||^2 - 2vs (kmeansAssign's shape)
+    val seeds = rows.filter(_._1 < SimilarityOps.KmeansK)
+    val asg1 = rows.map { case (id, v) =>
+      val vn2 = fold64(i => v(i).toDouble * v(i).toDouble)
+      id -> seeds.map { case (sid, s) =>
+        val sn2 = fold64(i => s(i).toDouble * s(i).toDouble)
+        val dot = fold64(i => v(i).toDouble * s(i).toDouble)
+        (vn2 + sn2 - 2.0 * dot, sid)
+      }.min._2
+    }.toMap
+    // M: quantized-integer centroids per cluster
+    val cent = rows.groupBy(r => asg1(r._1)).map { case (c, vs) =>
+      c -> (0 until 64).map { p =>
+        vs.map(v => math.round(v._2(p).toDouble * 1e6)).sum.toDouble / 1e6 / vs.length
+      }
+    }
+    // round 2: nearest recomputed centroid by direct (x-c)^2 fold
+    val asg2 = rows.map { case (id, v) =>
+      val (d, c) = cent.toSeq.map { case (c, m) =>
+        (fold64(i => (v(i).toDouble - m(i)) * (v(i).toDouble - m(i))), c)
+      }.min
+      (id, c, d)
+    }
+    val expected = asg2.groupBy(_._2).map { case (c, vs) =>
+      c -> ((vs.length.toLong,
+        vs.count { case (id, c2, _) => c2 != asg1(id) }.toLong,
+        vs.map(v => math.round(v._3 * 1e9)).sum))
+    }
+    val got = SimilarityOps.kmeansRound2(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the loop is really converging on something: round 2 moved vectors
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("bpe merges: exact weighted pair recompute and top-k order") {
     val words = Tables.documents(spark, Sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))

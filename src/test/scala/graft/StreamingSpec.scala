@@ -220,6 +220,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == batch join, no state store") {
+    val q = graft.streaming.EnrichStream
+      .enrichedClicks(spark, Sf0001)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      val batch = {
+        import org.apache.spark.sql.functions._
+        graft.operators.Tables.events(spark, Sf0001)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+          .join(graft.streaming.EnrichStream.userProfile(spark, Sf0001), Seq("user_id"))
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      }
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon dups dropped, state evicted beyond it") {
     import org.apache.spark.sql.Row
     val t0 = 1704067200L * 1000000000L // ns
