@@ -162,6 +162,74 @@ object Oracles4 {
       | CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1000000000.0 AS score
       |FROM c GROUP BY user_id""".stripMargin
 
+  /** Same quality formula as the quality_score oracle, binned to the
+    * 1e-4 grid; the running below-count windows over distinct bins.
+    */
+  val qualityPercentile: String =
+    """WITH base AS (
+      | SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |counts AS (
+      | SELECT doc_id, text, len(toks) AS n_words,
+      |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |  len(list_filter(toks, t -> t IN
+      |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
+      | FROM base),
+      |scored AS (
+      | SELECT doc_id, CAST(round(
+      |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+      |   * (1.0 - CASE WHEN length(text) > 0
+      |            THEN CAST(n_punct AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+      |   * (0.5 + CASE WHEN n_words > 0
+      |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END)
+      |  * 10000.0) AS BIGINT) AS q4
+      | FROM counts),
+      |bins AS (SELECT q4, COUNT(*) AS cnt FROM scored GROUP BY q4),
+      |below AS (SELECT q4,
+      |  CAST(SUM(cnt) OVER (ORDER BY q4 ASC ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT)
+      |   AS n_below,
+      |  cnt AS bin_n FROM bins),
+      |tot AS (SELECT COUNT(*) AS n_total FROM scored)
+      |SELECT doc_id, q4, n_below, bin_n,
+      | CAST(n_below AS DOUBLE) / CAST(n_total AS DOUBLE) AS pct_below
+      |FROM scored JOIN below USING (q4) CROSS JOIN tot""".stripMargin
+
+  /** Same md5 split coin as the data_split oracle, collapsed to
+    * train-vs-rest; LEAST caps the fixed-width n_chars bins.
+    */
+  val splitDrift: String =
+    """WITH d AS (
+      | SELECT CASE WHEN b < 80 THEN 'train' ELSE 'rest' END AS split,
+      |  LEAST(n_chars // 100, 19) AS bin
+      | FROM (SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS UBIGINT) % 100 AS INT) AS b, n_chars FROM documents)),
+      |c AS (SELECT bin,
+      |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
+      | FROM d GROUP BY bin),
+      |t AS (SELECT
+      |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t_train,
+      |  CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t_rest
+      | FROM d)
+      |SELECT bin, n_train, n_rest, p_train, p_rest,
+      | CASE WHEN p_train + p_rest > 0.0
+      |      THEN (p_train - p_rest) * (p_train - p_rest) / (p_train + p_rest)
+      |      ELSE 0.0 END AS drift_term
+      |FROM (SELECT bin, n_train, n_rest,
+      |       CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE) AS p_train,
+      |       CAST(n_rest AS DOUBLE) / CAST(t_rest AS DOUBLE) AS p_rest
+      |      FROM c CROSS JOIN t)""".stripMargin
+
+  val flagProfile: String =
+    """SELECT l_returnflag,
+      | bool_and(l_quantity > 0.0) AS all_positive_qty,
+      | bool_or(l_discount > 0.08) AS any_deep_discount,
+      | COUNT(*) FILTER (l_tax = 0.0) AS n_tax_free,
+      | COUNT(*) FILTER (l_discount = 0.0) AS n_undiscounted,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Round-1 assignment (Oracles3.kmeansAssign shape) → quantized
     * centroids → round-2 assignment against the K recomputed centroid
     * arrays → per-cluster convergence report.

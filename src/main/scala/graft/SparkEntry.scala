@@ -55,6 +55,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers,
     "q13_order_distribution" -> RelationalOps.orderCountDistribution,
     "dq_checks" -> RelationalOps.dqChecks,
+    "flag_profile" -> RelationalOps.flagProfile,
     "hier_rollup" -> RelationalOps.hierRollup,
     "q18_large_orders" -> RelationalOps.largeQuantityOrders,
     "q20_excess_suppliers" -> RelationalOps.excessShareSuppliers,
@@ -84,6 +85,8 @@ object SparkEntry {
     // Text analysis suite
     "lang_id" -> TextOps.langId,
     "quality_score" -> TextOps.qualityScore,
+    "quality_percentile" -> TextOps.qualityPercentile,
+    "split_drift" -> TextOps.splitDrift,
     "token_count" -> TextOps.tokenCount,
     "doc_fingerprint" -> TextOps.fingerprint,
     "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -783,6 +786,9 @@ object SparkEntry {
     "bpe_merges" -> Oracles4.bpeMerges,
     "centroid_outliers" -> Oracles4.centroidOutliers,
     "kmeans_round2" -> Oracles4.kmeansRound2,
+    "quality_percentile" -> Oracles4.qualityPercentile,
+    "split_drift" -> Oracles4.splitDrift,
+    "flag_profile" -> Oracles4.flagProfile,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

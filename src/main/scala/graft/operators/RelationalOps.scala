@@ -907,6 +907,24 @@ object RelationalOps {
       )
   }
 
+  /** Boolean/conditional aggregate family (bool_and / bool_or /
+    * count_if) — the predicate-profile shape of a data-quality
+    * dashboard, one map-side-combined pass. Booleans aggregate as
+    * AND/OR monoids, so partial aggregation is exact like any sum.
+    */
+  def flagProfile(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bool_and(l_quantity > 0.0)").as("all_positive_qty"),
+        expr("bool_or(l_discount > 0.08)").as("any_deep_discount"),
+        expr("count_if(l_tax = 0.0)").as("n_tax_free"),
+        expr("count_if(l_discount = 0.0)").as("n_undiscounted"),
+        count(lit(1)).as("n")
+      )
+  }
+
   /** Navigation-window suite (lag/lead/first_value/last_value — the
     * rank-family twin of rankSuite): per customer order, days since the
     * previous order, days until the next, and the first/latest order

@@ -843,6 +843,42 @@ object TextOps {
       )
   }
 
+  /** Global percentile WITHOUT a global sort — the "where does each
+    * doc sit in the corpus-wide quality distribution" primitive,
+    * computed scale-safely: a single-partition window over N rows is
+    * the classic 100 TB killer, so scores are binned to a fixed 1e-4
+    * grid (data-independent, <= ~20k bins at any corpus size), the
+    * running count rides a window over DISTINCT BINS only, and each
+    * doc joins its bin's below-count back. Exact integers end to end;
+    * pct_below = docs in strictly-lower bins / corpus.
+    */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), toks.as("toks"), col("text"))
+    ).select(col("doc_id"),
+      expr("CAST(round(quality * 10000.0) AS BIGINT)").as("q4"))
+    val bins = scored.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
+    val wBins = Window.orderBy(col("q4").asc) // distinct-bin-sized, not corpus-sized
+    val below = bins
+      .withColumn("cum", sum(col("cnt")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("q4"), (col("cum") - col("cnt")).as("n_below"), col("cnt").as("bin_n"))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    scored
+      .join(below, Seq("q4"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("q4"),
+        col("n_below"),
+        col("bin_n"),
+        (col("n_below").cast("double") / col("n_total").cast("double")).as("pct_below")
+      )
+  }
+
   val BpeTopK = 25
 
   /** BPE merge-candidate counting (one iteration of byte-pair-encoding
@@ -873,6 +909,54 @@ object TextOps {
       .agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(BpeTopK)
+  }
+
+  val DriftBins = 20
+
+  /** Split-vs-split distribution drift — the monitoring check that a
+    * train/val/test split (or two corpus snapshots) have the same
+    * feature distribution. Feature = n_chars in fixed-width bins
+    * (data-independent grid, so the bin set never grows with the
+    * corpus); divergence per bin = the chi-square-style
+    * (p−q)²/(p+q) term, chosen over PSI because it is RATIONAL —
+    * ln() is not guaranteed bit-identical across engines, ratios of
+    * exact integer counts are. Per-bin rows are emitted (the total is
+    * a 20-element sum the consumer can fold); everything cross-row is
+    * integer counts, everything double is per-row.
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        splitExpr(col("doc_id")).as("split"),
+        least(expr("n_chars DIV 100"), lit((DriftBins - 1).toLong)).as("bin")
+      )
+    val counts = d
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_rest")
+      )
+    val totals = d.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("t_train"),
+      sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("t_rest")
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("p_train", col("n_train").cast("double") / col("t_train").cast("double"))
+      .withColumn("p_rest", col("n_rest").cast("double") / col("t_rest").cast("double"))
+      .select(
+        col("bin"),
+        col("n_train"),
+        col("n_rest"),
+        col("p_train"),
+        col("p_rest"),
+        when(col("p_train") + col("p_rest") > 0.0,
+          (col("p_train") - col("p_rest")) * (col("p_train") - col("p_rest"))
+            / (col("p_train") + col("p_rest")))
+          .otherwise(lit(0.0))
+          .as("drift_term")
+      )
   }
 
   val PmiMinCount = 5L

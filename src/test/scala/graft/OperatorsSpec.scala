@@ -1514,6 +1514,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).values.forall(_.size == SimilarityOps.OutlierTopK))
   }
 
+  test("quality percentile: below-counts match the quality_score output exactly") {
+    val q4 = TextOps.qualityScore(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(6) * 1e4)).toMap
+    val got = TextOps.qualityPercentile(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === q4.size)
+    val n = q4.size.toDouble
+    got.foreach { case (id, bin, below, binN, pct) =>
+      assert(bin === q4(id))
+      assert(below === q4.values.count(_ < bin).toLong)
+      assert(binN === q4.values.count(_ == bin).toLong)
+      assert(pct === below / n)
+    }
+  }
+
+  test("split drift: exact bin recompute; same-distribution split drifts near zero") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(TextOps.splitExpr(col("doc_id")).as("split"), col("n_chars"))
+      .collect().map(r => (r.getString(0) == "train", math.min(r.getLong(1) / 100, 19L)))
+    val got = TextOps.splitDrift(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    val (train, rest) = docs.partition(_._1)
+    got.foreach { case (bin, (nTrain, nRest, term)) =>
+      assert(nTrain === train.count(_._2 == bin).toLong)
+      assert(nRest === rest.count(_._2 == bin).toLong)
+      assert(term >= 0.0 && term <= 1.0)
+    }
+    // a hash split IS distribution-preserving: total drift is small
+    assert(got.values.map(_._3).sum < 0.2)
+  }
+
+  test("flag profile: boolean monoids match the direct recompute") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_returnflag", "l_quantity", "l_discount", "l_tax").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val expected = li.groupBy(_._1).map { case (f, rows) =>
+      f -> ((rows.forall(_._2 > 0.0), rows.exists(_._3 > 0.08),
+        rows.count(_._4 == 0.0).toLong, rows.count(_._3 == 0.0).toLong, rows.length.toLong))
+    }
+    val got = RelationalOps.flagProfile(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
   test("kmeans round 2: exact E-M-E recompute, some vectors switch clusters") {
     val rows = Tables.embeddings(spark, Sf0001)
       .select("vec_id", "embedding").collect()
