@@ -221,6 +221,21 @@ object Oracles4 {
       |       CAST(n_rest AS DOUBLE) / CAST(t_rest AS DOUBLE) AS p_rest
       |      FROM c CROSS JOIN t)""".stripMargin
 
+  val hourlySpineFilled: String =
+    """WITH hourly AS (
+      | SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+      | FROM events GROUP BY hour),
+      |spine AS (SELECT unnest(generate_series(
+      |  (SELECT MIN(hour) FROM hourly), (SELECT MAX(hour) FROM hourly))) AS hour)
+      |SELECT s.hour AS hour, s.hour * 3600 AS hour_epoch,
+      | COALESCE(n_events, 0) AS n_events,
+      | COALESCE(n_events, 0) = 0 AS is_gap,
+      | last_value(sum_value IGNORE NULLS)
+      |  OVER (ORDER BY s.hour ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  AS carried_value
+      |FROM spine s LEFT JOIN hourly USING (hour)""".stripMargin
+
   val flagProfile: String =
     """SELECT l_returnflag,
       | bool_and(l_quantity > 0.0) AS all_positive_qty,

@@ -135,6 +135,7 @@ object SparkEntry {
     "centroid_outliers" -> SimilarityOps.centroidOutliers,
     // Event analytics
     "events_hourly" -> EventOps.hourlyRollup,
+    "hourly_spine_filled" -> EventOps.hourlySpineFilled,
     "sessions" -> EventOps.sessionize,
     "session_window_agg" -> EventOps.sessionWindowAgg,
     "concurrent_sessions" -> EventOps.concurrentSessions,
@@ -789,6 +790,7 @@ object SparkEntry {
     "quality_percentile" -> Oracles4.qualityPercentile,
     "split_drift" -> Oracles4.splitDrift,
     "flag_profile" -> Oracles4.flagProfile,
+    "hourly_spine_filled" -> Oracles4.hourlySpineFilled,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

@@ -518,6 +518,44 @@ object EventOps {
       )
   }
 
+  /** Time-series gap filling: the complete hour spine from first to
+    * last event, with missing hours ZERO-filled for counts and
+    * FORWARD-filled for the last observed hourly value sum — the
+    * dashboard/feature-store densification step (downstream window
+    * features break on absent rows). The spine generates from one
+    * min/max aggregate (a 2-value broadcast, then a bounded explode —
+    * hours in the time range, not corpus rows); the forward fill is a
+    * last(ignoreNulls) window over that same bounded spine. The
+    * global-ordered window is SAFE here precisely because the spine is
+    * range-sized: at 100 TB of events it is still one row per hour.
+    */
+  def hourlySpineFilled(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(floorDiv(3600000000000L).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("sum_value")
+      )
+    val spine = hourly
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val wFill = Window
+      .orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, Seq("hour"), "left")
+      .select(
+        col("hour"),
+        (col("hour") * 3600).as("hour_epoch"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value")
+      )
+      .withColumn("is_gap", col("n_events") === 0L)
+      .withColumn("carried_value", last(col("sum_value"), ignoreNulls = true).over(wFill))
+      .drop("sum_value")
+  }
+
   /** Sliding 7-day distinct users per day — the rolling-reach metric.
     * COUNT(DISTINCT) cannot ride a sliding window frame, and at scale
     * you never self-join raw events: reduce to the (day, user)

@@ -1514,6 +1514,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).values.forall(_.size == SimilarityOps.OutlierTopK))
   }
 
+  test("hourly spine: dense grid, zero-filled gaps, forward-filled carries") {
+    val rows = EventOps.hourlySpineFilled(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1)
+    // dense: every hour between first and last, exactly once
+    assert(rows.map(_._1).toSeq === (rows.head._1 to rows.last._1))
+    // gaps are real on this data, and a gap is exactly n_events == 0
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+    rows.foreach { case (_, n, gap, _) => assert(gap === (n == 0L)) }
+    // forward fill: a gap hour carries the previous non-gap hour's value
+    val hourly = EventOps.hourlyRollup(spark, Sf0001).collect()
+      .map(_.getLong(0) / 3600).toSet
+    rows.sliding(2).foreach {
+      case Array((h1, _, gap1, c1), (h2, _, gap2, c2)) =>
+        if (gap2) assert(c2 === c1, s"gap hour $h2 must carry $h1's value")
+        else assert(c2.isDefined)
+      case _ =>
+    }
+    // spot-consistency with the typed rollup's hour set
+    assert(rows.filterNot(_._3).map(_._1).toSet === hourly)
+  }
+
   test("quality percentile: below-counts match the quality_score output exactly") {
     val q4 = TextOps.qualityScore(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> math.round(r.getDouble(6) * 1e4)).toMap

@@ -250,6 +250,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(l => l.contains("ObjectHashAggregate")) >= 2, plan)
   }
 
+  test("interval-overlap join never plans a nested loop; PQ LUT and centroids broadcast") {
+    val overlap = planOf(EventOps.concurrentSessions(spark, Sf0001))
+    assert(!overlap.contains("BroadcastNestedLoopJoin") && !overlap.contains("CartesianProduct"),
+      overlap)
+    // the candidate join is an EQUI join on the bin key (broadcast at
+    // this SF; shuffled-hash/SMJ at scale) — never a nested loop
+    assert(overlap.contains("Join [bin"), overlap)
+    val pq = planOf(SimilarityOps.pqAdcTopK(spark, Sf0001))
+    // both the codebook and the ADC lookup table ride broadcasts —
+    // the corpus side never shuffles to meet them
+    assert(pq.linesIterator.count(_.contains("BroadcastExchange")) >= 2, pq)
+    val outliers = planOf(SimilarityOps.centroidOutliers(spark, Sf0001))
+    assert(outliers.contains("BroadcastExchange"), outliers) // labels-sized centroid join
+    assert(outliers.contains("WindowGroupLimit"), outliers) // map-side partial top-3
+  }
+
   test("native as-of join plans as AsOfJoinExec: one exchange per side, no range blowup") {
     val df = EventOps.purchaseAttributionAsOf(spark, Sf0001)
     // AQE renders Final + Initial; audit the final plan only (the

@@ -220,6 +220,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window: emitted sessions are exactly batch sessions (watermark-closed)") {
+    import org.apache.spark.sql.functions._
+    // the same session_window aggregate EventOps.sessionWindowAgg runs
+    // in batch, as a watermarked stream — shared MergingSessions
+    // semantics is the point. Append mode only emits sessions the
+    // watermark has CLOSED, so the final (pending) sessions per user
+    // stay unflushed on a finite file: emitted must be a strict,
+    // non-empty subset that agrees row-for-row with batch.
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(Sf0001)
+      .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("event_time"),
+        col("value"))
+      .withWatermark("event_time", "1 minute")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_win_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventOps.sessionWindowAgg(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+      // only the per-user tail sessions may be pending
+      val pendingOk = (batch -- streamed).groupBy(_._1).values.forall(_.size == 1)
+      assert(pendingOk, "more than the final session pending for some user")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch join, no state store") {
     val q = graft.streaming.EnrichStream
       .enrichedClicks(spark, Sf0001)
