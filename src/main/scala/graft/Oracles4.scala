@@ -221,6 +221,17 @@ object Oracles4 {
       |       CAST(n_rest AS DOUBLE) / CAST(t_rest AS DOUBLE) AS p_rest
       |      FROM c CROSS JOIN t)""".stripMargin
 
+  /** Exact top-20 + certificate booleans (heavy_hitters gate shape). */
+  val cmTokenCounts: String =
+    """SELECT token, COUNT(*) AS cnt,
+      | TRUE AS no_undercount, TRUE AS within_eps
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |             t -> t <> '')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY cnt DESC, token ASC
+      |LIMIT 20""".stripMargin
+
   val hourlySpineFilled: String =
     """WITH hourly AS (
       | SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour, COUNT(*) AS n_events,

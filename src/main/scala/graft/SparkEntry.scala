@@ -108,6 +108,8 @@ object SparkEntry {
     "lm_doc_score" -> TextOps.lmDocScore,
     // SpaceSaving sketch is exact below capacity (see scaladoc)
     "heavy_hitters" -> TextOps.heavyHitters,
+    // Count-Min estimates are engine-specific -> certificate gate
+    "cm_token_counts" -> TextOps.cmTokenCounts,
     "stratified_sample" -> TextOps.stratifiedSample,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
@@ -791,6 +793,7 @@ object SparkEntry {
     "split_drift" -> Oracles4.splitDrift,
     "flag_profile" -> Oracles4.flagProfile,
     "hourly_spine_filled" -> Oracles4.hourlySpineFilled,
+    "cm_token_counts" -> Oracles4.cmTokenCounts,
     "ewma_user_value" -> Oracles4.ewmaUserValue,
     "pagerank_referral" -> Oracles4.pagerankReferral,
     "sessions" -> Oracles2.sessions,

@@ -879,6 +879,43 @@ object TextOps {
       )
   }
 
+  /** Count-Min point-frequency check: sketch the token stream once
+    * (d=4 × w=1024 counters — fixed memory at any vocabulary size),
+    * then probe the exact top-20 tokens against it. Like approx_stats
+    * and hll_user_reach, sketch internals are engine-specific so the
+    * gate is CERTIFICATES: no_undercount (the CM hard guarantee) and
+    * within_eps (est <= exact + ceil(e·N/w)). The sketch and the total
+    * ride ONE aggregate; estimates evaluate against the broadcast
+    * one-row sketch, never per corpus row.
+    */
+  def cmTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CountMin.register(spark)
+    val toks = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .localCheckpoint() // feeds the sketch pass and the exact top-20
+    val sk = toks.agg(
+      graft.functions.CountMin.cmSketch(col("token"), lit(4), lit(1024)).as("sk"),
+      count(lit(1)).as("n_total")
+    )
+    val top = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+    top
+      .crossJoin(broadcast(sk))
+      .withColumn("est", graft.functions.CountMin.cmEstimate(col("sk"), col("token")))
+      .select(
+        col("token"),
+        col("cnt"),
+        (col("est") >= col("cnt")).as("no_undercount"),
+        (col("est") <= col("cnt") +
+          expr("CAST(ceil(2.718281828 * n_total / 1024.0) AS BIGINT)")).as("within_eps")
+      )
+  }
+
   val BpeTopK = 25
 
   /** BPE merge-candidate counting (one iteration of byte-pair-encoding

@@ -1622,6 +1622,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0)
   }
 
+  test("count-min: merge-order invariant, never undercounts, collision-bounded") {
+    import spark.implicits._
+    graft.functions.CountMin.register(spark)
+    // 3000 distinct keys into 4x64 counters — heavy collisions by design
+    val keys = (0 until 3000).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def sketchOf(parts: Int): Array[Byte] = keys.toDF("k").repartition(parts)
+      .agg(graft.functions.CountMin.cmSketch(col("k"), lit(4), lit(64)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val one = sketchOf(1)
+    val eight = sketchOf(8)
+    // element-wise-add merge is commutative: result independent of partitioning
+    assert(java.util.Arrays.equals(one, eight))
+    val sk = graft.functions.CountMin.fromBytes(one)
+    val n = keys.length.toLong
+    val eps = math.ceil(2.718281828 * n / 64.0).toLong
+    truth.foreach { case (k, t) =>
+      val est = sk.estimate(org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      assert(est >= t, s"$k undercounted: $est < $t")
+      assert(est <= t + eps, s"$k over eps bound: $est > $t + $eps")
+    }
+    // collisions actually happened (the sketch is under real pressure)
+    assert(truth.exists { case (k, t) =>
+      sk.estimate(org.apache.spark.unsafe.types.UTF8String.fromString(k)) > t
+    })
+  }
+
   test("bpe merges: exact weighted pair recompute and top-k order") {
     val words = Tables.documents(spark, Sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
