@@ -7,8 +7,11 @@ package graft
   */
 object Oracles2 {
 
-  /** Shared CTE prefix: tokenized docs and word-3-gram shingle sets. */
-  private val shinglesCte =
+  /** Shared CTE prefix: tokenized docs and word-3-gram shingle sets.
+    * private[graft]: Oracles5's minhash-rollup oracle reuses it so the
+    * shingle definition cannot drift between the two files.
+    */
+  private[graft] val shinglesCte =
     """toks AS (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks

@@ -1,0 +1,116 @@
+package graft
+
+/** DuckDB oracle SQL for the round-3 additions (layout, sketch-merge,
+  * spectrum). Same conventions as Oracles2-4: identical column
+  * aliases, BIGINT derived ints, integer-exact arithmetic wherever the
+  * gate hashes values.
+  */
+object Oracles5 {
+
+  /** Unrolled 10-bit Morton interleave — the SQL twin of the codegen
+    * `zorder64` expression (bit-identical for inputs < 2^10, which the
+    * query guarantees by folding both dims mod 1024).
+    */
+  private def interleave10(x: String, y: String): String =
+    (0 until graft.operators.LayoutOps.ZDimBits)
+      .map(i => s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+  val zorderLayout: String = {
+    val shift = graft.operators.LayoutOps.ZBucketShift
+    s"""WITH dims AS (
+       | SELECT o_custkey % 1024 AS x,
+       |        (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 1024 AS y
+       | FROM orders),
+       |zed AS (SELECT x, y, ${interleave10("x", "y")} AS z FROM dims)
+       |SELECT z // ${1L << shift} AS z_bucket, COUNT(*) AS n_rows,
+       | MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       | MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+       |FROM zed GROUP BY 1""".stripMargin
+  }
+
+  /** Per-source and whole-corpus MinHash signatures from ONE rollup —
+    * the oracle re-derives both levels independently of each other
+    * (per-source mins and global mins straight from the per-doc
+    * signature list), so agreement proves the elementwise-MIN merge
+    * rule, not just that two engines ran the same rollup.
+    */
+  val minhashSources: String = {
+    val sigsSelect = (0 until graft.operators.DedupOps.MinhashPerms)
+      .map(k => s"MIN(sigs[${k + 1}]) AS sig$k")
+      .mkString(", ")
+    s"""WITH ${Oracles2.shinglesCte},
+       |hs AS (
+       | SELECT doc_id, list_transform(shingles,
+       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
+       | FROM sh),
+       |sigs AS (
+       | SELECT doc_id, list_transform(range(12),
+       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
+       | FROM hs),
+       |bysrc AS (
+       | SELECT d.source AS source, $sigsSelect
+       | FROM sigs JOIN documents d USING (doc_id) GROUP BY d.source),
+       |global AS (
+       | SELECT 'ALL' AS source, $sigsSelect
+       | FROM sigs)
+       |SELECT * FROM bysrc UNION ALL SELECT * FROM global""".stripMargin
+  }
+
+  /** Oriented census over the same MinHash pair CTE: wedges a<m<b,
+    * triangles = wedges whose closing edge exists (each counted once).
+    */
+  val triangleStats: String =
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM mh),
+       |w AS (SELECT e1.a AS a, e2.b AS b FROM e e1 JOIN e e2 ON e1.b = e2.a),
+       |t AS (SELECT w.a, w.b FROM w JOIN e ON w.a = e.a AND w.b = e.b)
+       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       |       (SELECT COUNT(*) FROM w) AS n_wedges,
+       |       (SELECT COUNT(*) FROM t) AS n_triangles""".stripMargin
+
+  /** Byte-grid average-hash and banded near-dup pairs — char-for-byte
+    * on the ASCII corpus, mirroring MultimodalOps.aHash/aHashPairs.
+    */
+  val aHashPairs: String = {
+    val px = graft.sources.MultimodalOps.AHashPixels
+    s"""WITH m AS (
+       | SELECT doc_id AS media_id, text, length(text) // $px AS w
+       | FROM documents WHERE length(text) >= $px),
+       |px AS (
+       | SELECT media_id, list_transform(range($px), k ->
+       |   list_sum(list_transform(range(w), j ->
+       |     ascii(substr(text, CAST(k*w + j + 1 AS INT), 1))))) AS pixels
+       | FROM m),
+       |ah AS (
+       | SELECT media_id, array_to_string(list_transform(pixels,
+       |   p -> CASE WHEN $px*p > list_sum(pixels) THEN '1' ELSE '0' END), '') AS ahash
+       | FROM px),
+       |bands AS (
+       | SELECT media_id, ahash, b.band_idx,
+       |  substr(ahash, CAST(b.band_idx*16 + 1 AS INT), 16) AS bits
+       | FROM ah, (SELECT unnest(range(4)) AS band_idx) b),
+       |cand AS (
+       | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |  a.ahash AS ah_a, b.ahash AS ah_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bits = b.bits AND a.media_id < b.media_id)
+       |SELECT media_a, media_b, hamming FROM (
+       | SELECT media_a, media_b,
+       |  CAST(list_sum(list_transform(range($px), i ->
+       |    CASE WHEN substr(ah_a, CAST(i + 1 AS INT), 1) <> substr(ah_b, CAST(i + 1 AS INT), 1)
+       |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       | FROM cand)
+       |WHERE hamming <= ${graft.sources.MultimodalOps.AHashHammingMax}""".stripMargin
+  }
+
+  val freqSpectrum: String =
+    """WITH wc AS (
+      | SELECT t AS word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS t
+      |  FROM documents)
+      | GROUP BY t)
+      |SELECT CAST(length(bin(cnt)) AS BIGINT) AS band, COUNT(*) AS n_types,
+      | CAST(SUM(cnt) AS BIGINT) AS n_tokens, MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
+      |FROM wc GROUP BY 1""".stripMargin
+}

@@ -108,6 +108,7 @@ object SparkEntry {
     "lm_doc_score" -> TextOps.lmDocScore,
     // SpaceSaving sketch is exact below capacity (see scaladoc)
     "heavy_hitters" -> TextOps.heavyHitters,
+    "freq_spectrum" -> TextOps.freqSpectrum,
     // Count-Min estimates are engine-specific -> certificate gate
     "cm_token_counts" -> TextOps.cmTokenCounts,
     "stratified_sample" -> TextOps.stratifiedSample,
@@ -120,6 +121,9 @@ object SparkEntry {
     "dedup_clusters" -> GraphOps.dedupClusters,
     "cluster_keepers" -> GraphOps.clusterKeepers,
     "decontaminate" -> DedupOps.decontaminate,
+    // bloom semi-join reduction; exact result -> shares the oracle
+    "decontaminate_bloom" -> DedupOps.decontaminateBloom,
+    "minhash_sources" -> DedupOps.minhashSources,
     "span_dedup" -> DedupOps.spanDedup,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
@@ -160,10 +164,14 @@ object SparkEntry {
     "hll_user_reach" -> EventOps.hllUserReach,
     "ewma_user_value" -> EventOps.ewmaUserValue,
     "pagerank_referral" -> GraphOps.pagerankReferral,
+    "graph_triangles" -> GraphOps.triangleStats,
     // Multimodal plumbing (deterministic decode stub — see MultimodalOps)
     "mm_decode_meta" -> graft.sources.MultimodalOps.decodeMeta,
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d)),
-    "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy
+    "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy,
+    "mm_ahash_pairs" -> graft.sources.MultimodalOps.aHashPairs,
+    // Layout: Z-order clustering report
+    "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
 
   /** DuckDB twins of `queries`, same table names / same column aliases. */
@@ -802,6 +810,14 @@ object SparkEntry {
     "value_quantiles" -> Oracles2.valueQuantiles,
     "cube_daily" -> Oracles2.cubeDaily,
     "mm_decode_meta" -> Oracles2.mmDecodeMeta,
-    "mm_frame_sample" -> Oracles2.mmFrameSample
+    "mm_frame_sample" -> Oracles2.mmFrameSample,
+    // bloom prefilter is lossless (exact join removes false positives)
+    // -> same oracle as the unfiltered form
+    "decontaminate_bloom" -> Oracles2.decontaminate,
+    "minhash_sources" -> Oracles5.minhashSources,
+    "freq_spectrum" -> Oracles5.freqSpectrum,
+    "zorder_layout" -> Oracles5.zorderLayout,
+    "graph_triangles" -> Oracles5.triangleStats,
+    "mm_ahash_pairs" -> Oracles5.aHashPairs
   )
 }

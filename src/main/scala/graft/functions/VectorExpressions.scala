@@ -388,6 +388,65 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** zorder64(x, y): Morton interleave of the low 32 bits of two
+    * non-negative longs — x in the even bit positions, y in the odd —
+    * producing the 64-bit Z-address used for multi-dimensional data
+    * clustering. Sorting (or range-partitioning) by the Z-address
+    * keeps rows close in BOTH dimensions within each output file, so
+    * parquet min/max footer stats prune scans on EITHER predicate —
+    * the layout trick single-column sorting can't provide. The spread
+    * is the standard five-mask bit doubling (O(log w), branch-free),
+    * identical in interpreted eval and codegen; inputs outside
+    * [0, 2^32) are masked to their low 32 bits (documented contract —
+    * callers bucket/offset real values into unsigned 32-bit space).
+    */
+  case class ZOrder64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "zorder64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("zorder64", Seq(left.dataType, right.dataType),
+        Seq((_ == LongType, "bigint"), (_ == LongType, "bigint")))
+
+    @inline private def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+
+    override def nullSafeEval(x: Any, y: Any): Any =
+      spread(x.asInstanceOf[Long]) | (spread(y.asInstanceOf[Long]) << 1)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val fn = ctx.addNewFunction(
+          "zorderSpread32",
+          s"""
+             |private long zorderSpread32(long v) {
+             |  v &= 0xFFFFFFFFL;
+             |  v = (v | (v << 16)) & 0x0000FFFF0000FFFFL;
+             |  v = (v | (v << 8)) & 0x00FF00FF00FF00FFL;
+             |  v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+             |  v = (v | (v << 2)) & 0x3333333333333333L;
+             |  v = (v | (v << 1)) & 0x5555555555555555L;
+             |  return v;
+             |}
+           """.stripMargin
+        )
+        s"${ev.value} = $fn($x) | ($fn($y) << 1);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
   /** Register the expressions in the session's function registry
     * (idempotent). The Column/Expression bridge objects are
     * private[sql] in Spark 4, so the public path to a custom
@@ -443,6 +502,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "word_ngrams")(exprs); WordNgrams(e(0), e(1)) },
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "zorder64",
+      exprs => { val e = expect(2, "zorder64")(exprs); ZOrder64(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -457,4 +521,6 @@ object VectorExpressions {
   def intVecSum(a: Column): Column = call_function("int_vec_sum", a)
 
   def wordNgrams(toks: Column, n: Column): Column = call_function("word_ngrams", toks, n)
+
+  def zorder64(x: Column, y: Column): Column = call_function("zorder64", x, y)
 }

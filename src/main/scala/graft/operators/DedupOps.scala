@@ -101,6 +101,51 @@ object DedupOps {
   private def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashPrime
 
+  /** Per-doc MinHash signatures as a flat relational aggregation (12
+    * MIN aggregates over posting rows): the mins run inside codegen'd
+    * hash aggregation with primitive longs.
+    * Permutation k: (a_k*h + b_k) mod p, a_k = 1000003k+1,
+    * b_k = 999983k+12345 — mirrored verbatim in the SQL oracle.
+    */
+  private def docSignatures(posting: DataFrame): DataFrame = {
+    val perShingle = posting
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+    val sigCols = (0 until MinhashPerms).map { k =>
+      min((lit(k.toLong * 1000003L + 1L) * col("h") + lit(k.toLong * 999983L + 12345L)) % MinhashPrime)
+        .as(s"sig$k")
+    }
+    perShingle.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash signatures are MERGEABLE summaries: the signature of a
+    * union of doc sets is the elementwise MIN of the sets' signatures
+    * — so per-shard signatures roll up to a corpus signature without
+    * touching the shards' shingles again (the incremental-dedup /
+    * cross-shard-similarity pattern: each 100 TB ingest batch
+    * publishes 12 longs per partition of interest, and any grouping of
+    * batches gets a signature by folding MIN). Demonstrated here as
+    * one ROLLUP pass: per-source signatures AND the whole-corpus
+    * signature ('ALL' row) from the same aggregate — Spark computes
+    * the rollup via partial-aggregate merge, which IS the signature
+    * merge, and the oracle re-derives both levels independently.
+    * Estimated pairwise source similarity then follows from signature
+    * agreement without any pair join; the exact-similarity twin
+    * (`verifyJaccard`) stays the precision path.
+    */
+  def minhashSources(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val sigCols = (0 until MinhashPerms).map(k => min(col(s"sig$k")).as(s"sig$k"))
+    docSignatures(posting)
+      .join(src, Seq("doc_id"))
+      .rollup(col("source"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(
+        (coalesce(col("source"), lit("ALL")).as("source") ::
+          (0 until MinhashPerms).map(k => col(s"sig$k")).toList): _*
+      )
+  }
+
   /** MinHash+LSH near-dup pairs. Signature k = min over shingles of a
     * universal hash of the shingle's md5 (a valid min-hash family).
     * Bands of 3 signature rows form the bucket key; docs sharing any
@@ -125,18 +170,7 @@ object DedupOps {
     // equivalents are reliable checkpoint(), persist(DISK_ONLY_2), or
     // an explicit staging write.
     val posting = shinglePosting(spark, dir).localCheckpoint()
-    // Signatures as a flat relational aggregation (12 MIN aggregates
-    // over posting rows): the mins run inside codegen'd hash
-    // aggregation with primitive longs.
-    // Permutation k: (a_k*h + b_k) mod p, a_k = 1000003k+1,
-    // b_k = 999983k+12345 — mirrored verbatim in the SQL oracle.
-    val perShingle = posting
-      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
-    val sigCols = (0 until MinhashPerms).map { k =>
-      min((lit(k.toLong * 1000003L + 1L) * col("h") + lit(k.toLong * 999983L + 12345L)) % MinhashPrime)
-        .as(s"sig$k")
-    }
-    val withSigs = perShingle.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val withSigs = docSignatures(posting)
     val buckets = withSigs
       .select(
         col("doc_id"),
@@ -310,9 +344,13 @@ object DedupOps {
     * oracle mirrors the hash), and at 10^9 distinct shingles the
     * expected collision count is ~10^18/2^61 < 1.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, split, h): every doc's distinct word-8-gram 60-bit
+    * hashes with its train/val/test assignment — the shared input of
+    * both decontamination variants.
+    */
+  private def decontamPosting(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val posting = Tables
+    Tables
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
@@ -329,12 +367,14 @@ object DedupOps {
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h")
       )
       .distinct()
-    val train = posting
-      .filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), col("h"))
-    val test = posting
-      .filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("h"))
+  }
+
+  /** Leak report: contaminated train docs grouped from the train⋈test
+    * shingle-hash join (shared by both decontamination variants — the
+    * bloom variant feeds a prefiltered train side through the SAME
+    * exact join, so results are identical by construction).
+    */
+  private def leakReport(train: DataFrame, test: DataFrame): DataFrame =
     train
       .join(test, Seq("h"))
       .groupBy(col("train_doc"))
@@ -343,6 +383,50 @@ object DedupOps {
         countDistinct(col("test_doc")).as("n_test_docs"),
         min(col("test_doc")).as("first_test_doc")
       )
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val posting = decontamPosting(spark, dir)
+    val train = posting
+      .filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val test = posting
+      .filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    leakReport(train, test)
+  }
+
+  /** Bloom-prefiltered decontamination — the semi-join-reduction form
+    * of `decontaminate`, same answer by construction. The test split
+    * stands in for the external benchmark suite, which at production
+    * scale is BOUNDED (thousands of eval docs — a fixed few-MB bloom)
+    * while the train side is the 100 TB corpus: a bloom over the
+    * benchmark's shingle hashes drops ~99% of train shingles at the
+    * map stage (fpp 1%), so the shuffle that feeds the exact join
+    * carries the contaminated sliver instead of the corpus. False
+    * positives survive the prefilter but die in the exact join; blooms
+    * have no false negatives — so this is hash-identical to the
+    * unfiltered form and shares its oracle. The posting is
+    * materialized once and feeds the bloom build + both join sides.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomBridge.register(spark)
+    val posting = decontamPosting(spark, dir).localCheckpoint()
+    val train = posting
+      .filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val test = posting
+      .filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    // distributed build (treeAggregate); only the final bits reach the
+    // driver. Sizing: distinct benchmark shingles, known exactly here;
+    // a production pipeline would size from the benchmark's manifest.
+    val nTest = test.count()
+    val bloom = test.stat.bloomFilter("h", math.max(nTest, 1L), 0.01)
+    val prefiltered = train.filter(
+      graft.functions.BloomBridge
+        .mightContain(lit(graft.functions.BloomBridge.serialized(bloom)), col("h"))
+    )
+    leakReport(prefiltered, test)
   }
 
   val SpanTokens = 8

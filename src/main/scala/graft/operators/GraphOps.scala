@@ -187,6 +187,41 @@ object GraphOps {
     * connectedComponentsDistributed). The driver only loops; no data
     * leaves the cluster.
     */
+  /** Triangle / wedge census of the near-dup pair graph — the graph
+    * structure report that distinguishes "chains of borderline pairs"
+    * from "tight duplicate cliques" (a high triangle-to-wedge ratio
+    * means clusters are genuinely mutual, so picking one keeper per
+    * cluster is safe; a low ratio warns the threshold is gluing
+    * near-strangers through a middleman).
+    *
+    * Algorithm: ordered (oriented) counting — edges are kept as
+    * a < b, wedges enumerated once as a < m < b paths, triangles =
+    * wedges whose closing (a, b) edge exists. Every join is an equi
+    * join on node ids; each triangle is counted exactly once, no
+    * permutation blowup. At 100 TB the id orientation is replaced by
+    * DEGREE orientation (orient each edge toward the higher-degree
+    * endpoint) so a hub's wedge fan-out is bounded — same plan shape,
+    * one extra degree join; noted here because the synthetic pair
+    * graph has no hubs to demonstrate it on.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    // a < b by construction in minhashLsh; the edge list feeds three
+    // consumers (wedge sides + closing probe) — materialize once.
+    val edges = DedupOps
+      .minhashLsh(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val wedges = edges
+      .select(col("a"), col("b").as("m"))
+      .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
+      .select(col("a"), col("b"))
+    val closed = wedges.join(edges, Seq("a", "b"), "left_semi")
+    edges
+      .agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   def pagerankReferral(spark: SparkSession, dir: String): DataFrame = {
     val nodes = Tables
       .customer(spark, dir)

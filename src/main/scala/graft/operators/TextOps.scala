@@ -776,6 +776,30 @@ object TextOps {
       .limit(25)
   }
 
+  /** Frequency-of-frequency spectrum (the Zipf sanity report): how
+    * many token TYPES occur with counts in each power-of-two band,
+    * and the token mass those bands carry. The corpus-health check a
+    * tokenizer-training run looks at first — a healthy natural-text
+    * corpus shows the Zipf staircase; boilerplate floods the top band,
+    * OCR noise floods band 1. Banding is integer-exact on both
+    * engines (band = number of binary digits of the count, not a
+    * float log2, whose rounding at exact powers of two is
+    * engine-specific). Shape: the corpus-sized shuffle is the word
+    * count; the spectrum is a second ~|vocab|-row aggregate with
+    * map-side combine into <= 64 groups.
+    */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    wordCount(spark, dir)
+      .select(col("cnt"), length(bin(col("cnt"))).cast("bigint").as("band"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt")
+      )
+  }
+
   /** Token budget per packed sequence bin. */
   val PackBudget = 512L
 

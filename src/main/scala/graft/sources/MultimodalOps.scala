@@ -113,6 +113,82 @@ object MultimodalOps {
       )
   }
 
+  /** Average-hash (aHash) grid: 64 "pixels", each the exact integer
+    * sum of an equal-width byte window over the payload prefix.
+    */
+  val AHashPixels = 64
+
+  /** Per-media perceptual average-hash over the raw byte grid — the
+    * multimodal twin of SimHash: resize the payload to a fixed
+    * 64-cell grid (window width = bytes DIV 64, trailing remainder
+    * dropped), light each bit whose cell sum exceeds the grid mean.
+    * Near-identical payloads (re-encoded, padded, trailing-edit
+    * copies) land within a few bits of each other; only the codec is
+    * faked (char-for-byte on the ASCII corpus, like audioEnergy) —
+    * the grid, arithmetic, and banding are the real aHash pipeline.
+    * The mean compare is cross-multiplied (64·cell > total) so every
+    * value the gate hashes is integer-exact on both engines.
+    * Payloads shorter than 64 bytes have no grid and are skipped.
+    */
+  def aHash(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("w", expr(s"length(text) DIV $AHashPixels"))
+      .filter(col("w") >= 1)
+      .withColumn(
+        "pixels",
+        expr(
+          s"transform(sequence(0, ${AHashPixels - 1}), k -> " +
+            "aggregate(transform(sequence(1, w), j -> " +
+            "ascii(substring(text, CAST(k*w + j AS INT), 1))), 0L, (a, x) -> a + x))"
+        )
+      )
+      .withColumn("total", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
+      .select(
+        col("media_id"),
+        expr(
+          s"array_join(transform(pixels, p -> CASE WHEN ${AHashPixels}*p > total " +
+            "THEN '1' ELSE '0' END), '')"
+        ).as("ahash")
+      )
+  }
+
+  val AHashHammingMax = 6
+
+  /** Near-duplicate media pairs by aHash hamming distance, banded
+    * exactly like DedupOps.simhashPairs: 4 x 16-bit bands generate
+    * candidates (hamming <= 3 guaranteed caught; <= 6 is the verify
+    * threshold), so the pair join is an equi join on (band_idx, bits)
+    * — 64-char hash strings shuffle, payload bytes never do. This is
+    * the image-dedup shape (pHash bucketing) with the decode stubbed.
+    */
+  def aHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val fp = aHash(spark, dir).localCheckpoint()
+    val banded = fp.select(
+      col("media_id"),
+      col("ahash"),
+      posexplode(
+        transform(sequence(lit(0), lit(3)), b => col("ahash").substr(b * 16 + 1, lit(16)))
+      ).as(Seq("band_idx", "band_bits"))
+    )
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("media_id").as("media_a"), col("ahash").as("ah_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("media_id").as("media_b"), col("ahash").as("ah_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("ah_a"), col("ah_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn(
+        "hamming",
+        graft.functions.VectorExpressions.hammingBits(col("ah_a"), col("ah_b"))
+      )
+      .filter(col("hamming") <= AHashHammingMax)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
   /** Typed decoded-media record (what a real decoder would emit). */
   final case class MediaMeta(
       media_id: Long,

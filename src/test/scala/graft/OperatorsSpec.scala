@@ -1664,4 +1664,142 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === expected)
   }
+
+  test("zorder64: codegen interleave matches a bit-by-bit reference") {
+    graft.functions.VectorExpressions.register(spark)
+    // deterministic pseudo-random probe values incl. the mask edges
+    val probes = (0 until 200).map { i =>
+      val x = (i * 2654435761L) & 0xFFFFFFFFL
+      val y = (i * 40503L + 7) & 0xFFFFFFFFL
+      (x, y)
+    } ++ Seq((0L, 0L), (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0xFFFFFFFFL))
+    def ref(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    import spark.implicits._
+    val got = probes.toDF("x", "y")
+      .select(graft.functions.VectorExpressions.zorder64(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === probes.map { case (x, y) => ref(x, y) })
+  }
+
+  test("zorder layout: every bucket bounds BOTH dims simultaneously") {
+    val rows = LayoutOps.zorderLayout(spark, Sf001).collect()
+    // 5 fixed Z-prefix bits = x bits 9-8 and y bits 9-7 fixed:
+    // within any bucket x spans < 256 and y spans < 128 — the
+    // two-dimensional bound no single-column sort can give
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_span") <= 255L, s"bucket ${r.getAs[Long]("z_bucket")}")
+      assert(r.getAs[Long]("y_span") <= 127L, s"bucket ${r.getAs[Long]("z_bucket")}")
+    }
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === Tables.orders(spark, Sf001).count())
+  }
+
+  test("zorder write shape: range partitions cover disjoint z-ranges") {
+    val parts = LayoutOps.zorderPartitioned(spark, Sf001, 8)
+      .groupBy(col("part_id"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect()
+      .sortBy(_.getAs[Int]("part_id"))
+    assert(parts.length > 1)
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _           =>
+    }
+  }
+
+  test("bloom decontamination: identical to the exact form, prefilter in plan") {
+    val exact = DedupOps.decontaminate(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val df = DedupOps.decontaminateBloom(spark, Sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === exact)
+    assert(exact.nonEmpty) // non-vacuous: the synthetic corpus leaks
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from the physical plan")
+  }
+
+  test("minhash sources: the ALL row is the elementwise MIN of the source rows") {
+    val rows = DedupOps.minhashSources(spark, Sf0001).collect()
+    val (all, bySrc) = rows.partition(_.getString(0) == "ALL")
+    assert(all.length === 1 && bySrc.nonEmpty)
+    (1 to DedupOps.MinhashPerms).foreach { i =>
+      val merged = bySrc.map(_.getLong(i)).min
+      assert(all.head.getLong(i) === merged, s"sig${i - 1}")
+    }
+  }
+
+  test("graph triangles: exact census recompute from the edge list") {
+    val edges = DedupOps.minhashLsh(spark, Sf001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wedges = for {
+      (a, m1) <- edges.toSeq
+      (m2, b) <- edges.toSeq if m1 == m2
+    } yield (a, b)
+    val triangles = wedges.count(edges.contains)
+    val row = GraphOps.triangleStats(spark, Sf001).collect().head
+    assert(row.getLong(0) === edges.size.toLong)
+    assert(row.getLong(1) === wedges.size.toLong)
+    assert(row.getLong(2) === triangles.toLong)
+    assert(triangles > 0, "census is vacuous at this SF — pick data with a clique")
+  }
+
+  test("ahash: exact driver recompute of the byte-grid hash") {
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") < 20).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(text: String): Option[String] = {
+      val w = text.length / 64
+      if (w < 1) None
+      else {
+        val pixels = (0 until 64).map { k =>
+          (1 to w).map(j => text.charAt(k * w + j - 1).toInt.toLong).sum
+        }
+        val total = pixels.sum
+        Some(pixels.map(p => if (64 * p > total) '1' else '0').mkString)
+      }
+    }
+    val got = MultimodalOps.aHash(spark, Sf0001)
+      .filter(col("media_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.flatMap { case (id, t) => ref(t).map(id -> _) }
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("ahash pairs: within threshold, complete for hamming <= 3, dups at 0") {
+    val hashes = MultimodalOps.aHash(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val pairs = MultimodalOps.aHashPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case ((a, b), h) => assert(a < b && h <= 6L) }
+    // banding guarantee: any pair within hamming 3 shares a 16-bit band
+    val close = for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib && ham(ha, hb) <= 3
+    } yield (ia, ib)
+    close.foreach(p => assert(pairs.contains(p), s"missed guaranteed pair $p"))
+    // the corpus has exact duplicates -> hamming-0 pairs must exist
+    assert(pairs.values.exists(_ == 0L))
+  }
+
+  test("freq spectrum: bands partition the vocabulary, mass conserved") {
+    val rows = TextOps.freqSpectrum(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_cnt") >= (1L << (band - 1)))
+      assert(r.getAs[Long]("max_cnt") < (1L << band))
+    }
+    val types = rows.map(_.getAs[Long]("n_types")).sum
+    val mass = rows.map(_.getAs[Long]("n_tokens")).sum
+    val wc = TextOps.wordCount(spark, Sf0001)
+      .agg(count(lit(1)), sum(col("cnt"))).collect()(0)
+    assert(types === wc.getLong(0))
+    assert(mass === wc.getLong(1))
+  }
 }

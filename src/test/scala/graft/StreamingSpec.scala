@@ -464,4 +464,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(straddling.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming SpaceSaving sketch == batch sketch (unsaturated => exact)") {
+    // two micro-batches of documents; capacity far above the corpus
+    // vocabulary, so the sketch is in its exact regime and streamed
+    // state-merge must reproduce the batch answer bit-for-bit
+    val tmp = java.nio.file.Files.createTempDirectory("sketch-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/d0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/d1")
+    Seq("d0", "d1").foreach { sub =>
+      val src = new java.io.File(s"$tmp/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"$sub.parquet"))
+    }
+    val cap = 4096
+    val q = graft.streaming.SketchStream
+      .heavyHittersByLang(spark, tmp, cap)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_stream").start()
+    try {
+      q.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getLong(1), e.getLong(2)))
+      }.toMap
+      val streamed = asMap(spark.table("sketch_stream").collect())
+      val batch = asMap(
+        graft.streaming.SketchStream.heavyHittersByLangBatch(spark, tmp, cap).collect())
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // exact regime: zero error on every entry
+      streamed.values.flatten.foreach { case (_, _, err) => assert(err === 0L) }
+    } finally q.stop()
+  }
 }

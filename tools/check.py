@@ -16,8 +16,11 @@ def main():
     outdir = args[1] if len(args) > 1 else '/tmp/verify_out'
     only = set(args[2:])
     if '--skip-verify' not in sys.argv:
+        env = dict(os.environ)
+        if only:
+            env['SPARK_GRAFT_ONLY'] = ','.join(sorted(only))
         r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {sfdir} {outdir}'],
-                           cwd='/root/repo', capture_output=True, text=True)
+                           cwd='/root/repo', capture_output=True, text=True, env=env)
         sys.stdout.write('\n'.join(l for l in r.stdout.splitlines()
                                    if 'error' in l.lower() or 'failed' in l.lower()) + '\n')
         if r.returncode != 0:
