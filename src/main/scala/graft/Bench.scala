@@ -47,7 +47,16 @@ object Bench {
         } finally dropAllBlocks()
       }
       val a = once()
-      name -> (if (a < 0) -1.0 else math.min(a, once()))
+      val b = if (a < 0) -1.0 else once()
+      val m = math.min(a, b)
+      // This host shows multi-second external load spikes (profiled:
+      // the same query 1.1 s quiet, 12 s under a spike). When the two
+      // runs disagree by more than 50% a spike likely spanned one of
+      // them — take one extra measurement so min-of-N reflects the
+      // engine, not the neighbor.
+      val stable =
+        if (m >= 0 && math.abs(a - b) > 0.5 * m) math.min(m, once()) else m
+      name -> (if (a < 0) -1.0 else stable)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

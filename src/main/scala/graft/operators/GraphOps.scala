@@ -215,11 +215,15 @@ object GraphOps {
       .select(col("a"), col("b").as("m"))
       .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
       .select(col("a"), col("b"))
-    val closed = wedges.join(edges, Seq("a", "b"), "left_semi")
+    // wedge + triangle tallies in ONE pass: a left join marks each
+    // wedge whose closing (a, b) edge exists, and a single aggregate
+    // counts both — no separate semi-join pass over the wedge set
+    val census = wedges
+      .join(edges.withColumn("closing", lit(1)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("closing")).as("n_triangles"))
     edges
       .agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(census) // 1-row x 1-row combine
   }
 
   def pagerankReferral(spark: SparkSession, dir: String): DataFrame = {

@@ -280,4 +280,31 @@ class PlanAuditSpec extends AnyFunSuite {
       plan)
     assert(!plan.contains("SortMergeJoin"), plan) // OUR merge, not a rewritten equi-join
   }
+
+  test("zorder layout: one exchange (the final agg); interleave stays in codegen") {
+    val df = LayoutOps.zorderLayout(spark, Sf0001)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // map-side partial agg + one hash exchange on the bucket key: the
+    // interleave itself adds NO shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, plan)
+    // zorder64 participates in whole-stage codegen (no CodegenFallback
+    // marker on the projection that computes it)
+    assert(!plan.contains("Fallback"), plan)
+  }
+
+  test("bloom prefilter sits before the decontamination join, equi joins only") {
+    val plan = planOf(DedupOps.decontaminateBloom(spark, Sf0001))
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("ahash pairs and triangle census never plan a cartesian") {
+    val p1 = planOf(graft.sources.MultimodalOps.aHashPairs(spark, Sf0001))
+    assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"))
+    val p2 = planOf(GraphOps.triangleStats(spark, Sf0001)).split("== Initial Plan ==")(0)
+    assert(!p2.contains("CartesianProduct"))
+    // edge/wedge joins must all be hash equi joins; the one allowed
+    // nested loop is the final 1-row x 1-row census combine
+    assert(p2.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p2)
+  }
 }
