@@ -104,6 +104,15 @@ object Oracles5 {
        |WHERE hamming <= ${graft.sources.MultimodalOps.AHashHammingMax}""".stripMargin
   }
 
+  /** Certificate gate (approx_stats discipline): the oracle re-derives
+    * only the engine-independent columns; the rank-envelope booleans
+    * are asserted TRUE and a sketch outside its envelope flips one.
+    */
+  val kllValueQuantiles: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      | TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   val freqSpectrum: String =
     """WITH wc AS (
       | SELECT t AS word, COUNT(*) AS cnt FROM (

@@ -151,6 +151,8 @@ object SparkEntry {
     "asof_join_native" -> EventOps.purchaseAttributionAsOf,
     "user_activity" -> EventOps.userActivity,
     "value_quantiles" -> EventOps.valueQuantiles,
+    // KLL estimates are merge-order-specific -> certificate gate
+    "kll_value_quantiles" -> EventOps.kllValueQuantiles,
     "cube_daily" -> EventOps.cubeDaily,
     "weekly_retention" -> EventOps.weeklyRetention,
     "pivot_daily" -> EventOps.pivotDaily,
@@ -816,6 +818,7 @@ object SparkEntry {
     "decontaminate_bloom" -> Oracles2.decontaminate,
     "minhash_sources" -> Oracles5.minhashSources,
     "freq_spectrum" -> Oracles5.freqSpectrum,
+    "kll_value_quantiles" -> Oracles5.kllValueQuantiles,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -128,6 +128,65 @@ object EventOps {
         max(col("value")).as("max_value"),
         count(lit(1)).as("n")
       )
+  }
+
+  /** KLL quantile-sketch twin of valueQuantiles, certificate-gated:
+    * sketch contents depend on partial-merge order (true of any
+    * mergeable summary — see functions/KllSketch.scala), so the query
+    * emits rank CERTIFICATES instead of the estimates: for each target
+    * quantile q the estimate's exact rank (computed by one conditional
+    * re-aggregation against the events table) must sit within ±5% of
+    * q·n. The oracle re-derives n and asserts the booleans TRUE —
+    * a sketch outside its envelope flips a bit and the hash gate goes
+    * red. At 100 TB the point is the SUMMARY: per-shard sketches
+    * merge into any later rollup without re-reading values, at
+    * O(k·log(N/k)) state — the quantile member of the HLL/Count-Min/
+    * SpaceSaving family.
+    *
+    * Shape: pass 1 builds the per-type sketch (one hash exchange);
+    * the tiny per-type estimate rows broadcast back onto the events
+    * scan for the exact-rank counts (pass 2) — no sort anywhere.
+    */
+  def kllValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KllSketch.register(spark)
+    val targets = Seq(0.5, 0.95, 0.99)
+    val eps = 0.05
+    val ests = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.KllSketch
+          .kllQuantiles(col("value"), lit(256), array(targets.map(lit): _*))
+          .as("ests"),
+        count(lit(1)).as("n_rows")
+      )
+      .select(
+        col("event_type"),
+        col("n_rows"),
+        col("ests").getItem(0).as("est_p50"),
+        col("ests").getItem(1).as("est_p95"),
+        col("ests").getItem(2).as("est_p99")
+      )
+    val ranks = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(ests), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L)).as("rank_p50"),
+        sum(when(col("value") <= col("est_p95"), 1L).otherwise(0L)).as("rank_p95"),
+        sum(when(col("value") <= col("est_p99"), 1L).otherwise(0L)).as("rank_p99"),
+        count(lit(1)).as("n_rows")
+      )
+    def ok(rank: Column, q: Double, n: Column): Column =
+      abs(rank - lit(q) * n) <= lit(eps) * n
+    ranks.select(
+      col("event_type"),
+      col("n_rows"),
+      ok(col("rank_p50"), 0.5, col("n_rows")).as("p50_ok"),
+      ok(col("rank_p95"), 0.95, col("n_rows")).as("p95_ok"),
+      ok(col("rank_p99"), 0.99, col("n_rows")).as("p99_ok")
+    )
   }
 
   /** CUBE over (event_type, epoch-day): all grouping-set rollups of

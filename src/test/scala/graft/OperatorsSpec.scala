@@ -1788,6 +1788,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.values.exists(_ == 0L))
   }
 
+  test("kll sketch: exact below k, rank-bounded on an adversarial sorted stream") {
+    // exact regime: N < k means no compaction ever fires
+    val small = new graft.functions.KllSketch.Sketch(64)
+    val vals = (1 to 50).map(_.toDouble)
+    vals.foreach(small.add)
+    assert(small.total === 50L)
+    val got = small.quantiles(Array(0.5, 0.9, 1.0))
+    assert(got.toSeq === Seq(25.0, 45.0, 50.0)) // lower rule: ceil(q*n)-th value
+    // adversarial regime: 50k values fed in SORTED order (the worst
+    // case for alternation bias), tiny k
+    val big = new graft.functions.KllSketch.Sketch(64)
+    val n = 50000
+    (1 to n).foreach(v => big.add(v.toDouble))
+    assert(big.total === n.toLong)
+    Seq(0.1, 0.5, 0.95, 0.99).foreach { q =>
+      val est = big.quantiles(Array(q))(0)
+      val rank = est // values are 1..n, so rank(est) == est
+      assert(math.abs(rank - q * n) <= 0.05 * n, s"q=$q est=$est")
+    }
+    // merge path: two disjoint halves merged must conserve weight and
+    // stay inside the same envelope
+    val a = new graft.functions.KllSketch.Sketch(64)
+    val b = new graft.functions.KllSketch.Sketch(64)
+    (1 to n / 2).foreach(v => a.add(v.toDouble))
+    (n / 2 + 1 to n).foreach(v => b.add(v.toDouble))
+    a.mergeWith(b)
+    assert(a.total === n.toLong)
+    Seq(0.5, 0.95).foreach { q =>
+      val est = a.quantiles(Array(q))(0)
+      assert(math.abs(est - q * n) <= 0.05 * n, s"merged q=$q est=$est")
+    }
+  }
+
+  test("kll quantile certificates: all types in envelope, non-vacuous") {
+    val rows = EventOps.kllValueQuantiles(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), r.toString)
+      assert(r.getLong(1) > 256L, "certificate vacuous: sketch never compacted")
+    }
+  }
+
   test("freq spectrum: bands partition the vocabulary, mass conserved") {
     val rows = TextOps.freqSpectrum(spark, Sf0001).collect()
     rows.foreach { r =>

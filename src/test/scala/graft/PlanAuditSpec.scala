@@ -298,6 +298,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("metadata-only aggregates push into the parquet scan (DSv2)") {
+    // At 100 TB a COUNT/MIN/MAX-only query should read footers, not
+    // rows. The v1 path can't express it; the v2 reader pushes the
+    // whole aggregate (plan shows PushedAggregation) when enabled.
+    val prev = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.parquet(s"$Sf001/orders.parquet")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan)
+      val r = df.collect()(0)
+      val exact = Tables.orders(spark, Sf001)
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+        ((exact.getLong(0), exact.getLong(1), exact.getLong(2))))
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None    => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("ahash pairs and triangle census never plan a cartesian") {
     val p1 = planOf(graft.sources.MultimodalOps.aHashPairs(spark, Sf0001))
     assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"))
