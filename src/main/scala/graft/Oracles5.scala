@@ -113,6 +113,14 @@ object Oracles5 {
       | TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  val shuffleShards: String =
+    s"""SELECT CAST(CAST(concat('0x', substr(k, 1, 2)) AS UBIGINT) % ${graft.operators.TextOps.NShards} AS BIGINT) AS shard,
+       | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       | MIN(k) AS first_key, MAX(k) AS last_key
+       |FROM (SELECT md5(concat('${graft.operators.TextOps.ShuffleSeed}', CAST(doc_id AS VARCHAR))) AS k, n_chars
+       |      FROM documents)
+       |GROUP BY 1""".stripMargin
+
   val freqSpectrum: String =
     """WITH wc AS (
       | SELECT t AS word, COUNT(*) AS cnt FROM (

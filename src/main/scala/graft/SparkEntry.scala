@@ -112,6 +112,7 @@ object SparkEntry {
     // Count-Min estimates are engine-specific -> certificate gate
     "cm_token_counts" -> TextOps.cmTokenCounts,
     "stratified_sample" -> TextOps.stratifiedSample,
+    "shuffle_shards" -> TextOps.shuffleShards,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -819,6 +820,7 @@ object SparkEntry {
     "minhash_sources" -> Oracles5.minhashSources,
     "freq_spectrum" -> Oracles5.freqSpectrum,
     "kll_value_quantiles" -> Oracles5.kllValueQuantiles,
+    "shuffle_shards" -> Oracles5.shuffleShards,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -800,6 +800,39 @@ object TextOps {
       )
   }
 
+  val ShuffleSeed = "shuffle-seed-1:"
+  val NShards = 8
+
+  /** Reproducible training-order sharding: every doc gets a shuffle
+    * key = md5(seed || doc_id) and a shard = key's first byte mod 8 —
+    * the "write N globally-shuffled shards" step before training.
+    * Deterministic on any engine/partitioning (pure key arithmetic,
+    * no RNG), resumable (re-runs produce identical shards), and
+    * shuffle-free here: shard assignment is a map, the report is one
+    * aggregate. At 100 TB the actual write is partitionBy(shard) on
+    * the same expression; within-shard order = the shuffle key, so a
+    * reader streaming shard files in key order sees a uniform random
+    * permutation. The report's per-shard doc/char balance (uniform
+    * md5 ⇒ ±small%) and key ranges are the operational check.
+    */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit(ShuffleSeed), col("doc_id").cast("string")))
+    Tables
+      .documents(spark, dir)
+      .select(
+        (conv(substring(key, 1, 2), 16, 10).cast("bigint") % NShards).as("shard"),
+        col("n_chars"),
+        key.as("k")
+      )
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("k")).as("first_key"),
+        max(col("k")).as("last_key")
+      )
+  }
+
   /** Token budget per packed sequence bin. */
   val PackBudget = 512L
 

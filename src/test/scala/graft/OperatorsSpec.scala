@@ -1830,6 +1830,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle shards: all shards present, corpus covered, balanced, rerun-stable") {
+    val rows = TextOps.shuffleShards(spark, Sf001).collect()
+    assert(rows.length === TextOps.NShards)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, Sf001).count())
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max < 2 * counts.min, counts.mkString(",")) // md5 uniformity
+    val again = TextOps.shuffleShards(spark, Sf001).collect().map(_.toString).sorted
+    assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
+  }
+
   test("freq spectrum: bands partition the vocabulary, mass conserved") {
     val rows = TextOps.freqSpectrum(spark, Sf0001).collect()
     rows.foreach { r =>

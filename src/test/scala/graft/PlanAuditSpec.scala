@@ -298,6 +298,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("board-wide sweep: no query plans a CartesianProduct") {
+    // The blanket version of the per-operator audits: every registered
+    // query's physical plan, built against sf0.001, must be free of
+    // true cartesian joins (1-row BroadcastNestedLoopJoin combines are
+    // legitimate and excluded from this check — a CartesianProduct
+    // node is never the plan you want at 100 TB).
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("metadata-only aggregates push into the parquet scan (DSv2)") {
     // At 100 TB a COUNT/MIN/MAX-only query should read footers, not
     // rows. The v1 path can't express it; the v2 reader pushes the
