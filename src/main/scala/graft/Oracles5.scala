@@ -121,6 +121,65 @@ object Oracles5 {
        |      FROM documents)
        |GROUP BY 1""".stripMargin
 
+  /** Mirrors TextOps.mixWeights: same BPE-ish token regex as
+    * seqPacking, integer ppm share, and the one double —
+    * sqrt(cell/max) — built from correctly-rounded IEEE division +
+    * sqrt so both engines emit the identical bits.
+    */
+  val mixWeights: String =
+    """WITH cells AS (
+      | SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]'))) AS BIGINT)
+      |    AS cell_tokens
+      | FROM documents GROUP BY lang, source),
+      |g AS (SELECT CAST(SUM(cell_tokens) AS BIGINT) AS total_tokens,
+      |             MAX(cell_tokens) AS max_tokens FROM cells)
+      |SELECT lang, source, n_docs, cell_tokens,
+      | (cell_tokens * 1000000) // total_tokens AS share_ppm,
+      | sqrt(CAST(cell_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)) AS rel_weight
+      |FROM cells, g""".stripMargin
+
+  /** Mirrors TextOps.dsirImportance: same tokenizer, space-joined
+    * bigrams, md5 first-byte bucket, exact integer cross-product ppm.
+    */
+  val dsirImportance: String =
+    s"""WITH toks AS (
+       | SELECT lang,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |bg AS (
+       | SELECT lang, unnest(list_transform(range(len(toks)-1),
+       |   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)])) AS bg
+       | FROM toks),
+       |b AS (
+       | SELECT CAST(CAST(concat('0x', substr(md5(bg), 1, 2)) AS UBIGINT)
+       |          % ${graft.operators.TextOps.DsirBuckets} AS BIGINT) AS bucket,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS target_count,
+       |  COUNT(*) AS raw_count
+       | FROM bg GROUP BY 1),
+       |t AS (SELECT CAST(SUM(target_count) AS BIGINT) AS t_total,
+       |             CAST(SUM(raw_count) AS BIGINT) AS r_total FROM b)
+       |SELECT bucket, target_count, raw_count,
+       | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
+       |FROM b, t""".stripMargin
+
+  /** Mirrors TextOps.compactionPlan: ceil-division file counts in
+    * pure BIGINT math.
+    */
+  val compactionPlan: String = {
+    val t = graft.operators.TextOps.CompactTargetBytes
+    s"""WITH c AS (
+       | SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS cell_bytes,
+       |  MAX(n_chars) AS max_doc_bytes
+       | FROM documents GROUP BY source, lang)
+       |SELECT source, lang, n_docs, cell_bytes,
+       | (cell_bytes + ${t - 1L}) // $t AS n_files,
+       | cell_bytes // ((cell_bytes + ${t - 1L}) // $t) AS avg_file_bytes,
+       | max_doc_bytes
+       |FROM c""".stripMargin
+  }
+
   val freqSpectrum: String =
     """WITH wc AS (
       | SELECT t AS word, COUNT(*) AS cnt FROM (

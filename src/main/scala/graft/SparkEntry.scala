@@ -113,6 +113,9 @@ object SparkEntry {
     "cm_token_counts" -> TextOps.cmTokenCounts,
     "stratified_sample" -> TextOps.stratifiedSample,
     "shuffle_shards" -> TextOps.shuffleShards,
+    "mix_weights" -> TextOps.mixWeights,
+    "dsir_importance" -> TextOps.dsirImportance,
+    "compaction_plan" -> TextOps.compactionPlan,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -821,6 +824,9 @@ object SparkEntry {
     "freq_spectrum" -> Oracles5.freqSpectrum,
     "kll_value_quantiles" -> Oracles5.kllValueQuantiles,
     "shuffle_shards" -> Oracles5.shuffleShards,
+    "mix_weights" -> Oracles5.mixWeights,
+    "dsir_importance" -> Oracles5.dsirImportance,
+    "compaction_plan" -> Oracles5.compactionPlan,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1113,4 +1113,131 @@ object TextOps {
       .orderBy(col("lift").desc, col("head").asc, col("nxt").asc)
       .limit(PmiTopK)
   }
+
+  /** Temperature-scaled mixture weights per (lang, source) corpus cell —
+    * the multilingual-sampling step (tau = 0.5, i.e. p ∝ tokens^0.5)
+    * that upweights low-resource cells relative to proportional
+    * sampling. Exactness discipline: token totals and ppm shares are
+    * BIGINT integer arithmetic; the only double is
+    * sqrt(tokens/max_tokens), and IEEE division + sqrt are both
+    * correctly rounded, so the value is bit-identical on any engine —
+    * no order-dependent double sums (which is why the weight is
+    * reported relative to the LARGEST cell, an order-free reduction,
+    * instead of softmax-normalized).
+    *
+    * Scale: one partial-agg shuffle on (lang, source) — a handful of
+    * cells — then a one-row global broadcast re-joined (the Q11/Q15
+    * scalar-threshold shape). Nothing here grows with corpus size.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        col("source"),
+        size(regexp_extract_all(col("text"), lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]"), lit(0)))
+          .cast("long")
+          .as("n_tokens")
+      )
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("cell_tokens"))
+    val global = cells.agg(
+      sum(col("cell_tokens")).as("total_tokens"),
+      max(col("cell_tokens")).as("max_tokens")
+    )
+    cells
+      .crossJoin(broadcast(global))
+      .select(
+        col("lang"),
+        col("source"),
+        col("n_docs"),
+        col("cell_tokens"),
+        expr("(cell_tokens * 1000000) div total_tokens").as("share_ppm"),
+        sqrt(col("cell_tokens").cast("double") / col("max_tokens").cast("double"))
+          .as("rel_weight")
+      )
+  }
+
+  /** DSIR-style hashed importance buckets: bigram features hashed into
+    * 64 buckets; each bucket's target-vs-raw frequency ratio is the
+    * importance weight a doc scorer would average over its features
+    * (Xie et al. 2023, data selection via importance resampling).
+    * Target distribution = the English slice; raw = the whole corpus.
+    * The ratio is reported in exact integer arithmetic — ppm of the
+    * cross-product (t_c * r_total * 1e6) / (r_c * t_total) — so the
+    * gate is engine-exact with no float log-likelihoods.
+    *
+    * Scale: bigrams are built per row by the codegen `word_ngrams`
+    * expression and partially aggregated to 64 buckets map-side, so
+    * the shuffle carries 64 rows per task regardless of corpus size;
+    * totals fold from the bucket table (no second corpus pass).
+    */
+  val DsirBuckets = 64
+
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val feats = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("lang"),
+        explode(
+          graft.functions.VectorExpressions.wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .select(
+        (conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("bigint") % DsirBuckets)
+          .as("bucket"),
+        (col("lang") === "en").cast("long").as("is_target")
+      )
+    val buckets = feats
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_target")).as("target_count"), count(lit(1)).as("raw_count"))
+    val totals = buckets.agg(
+      sum(col("target_count")).as("t_total"),
+      sum(col("raw_count")).as("r_total")
+    )
+    buckets
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        col("target_count"),
+        col("raw_count"),
+        expr("(target_count * r_total * 1000000) div (raw_count * t_total)").as("ratio_ppm")
+      )
+  }
+
+  /** Compaction planner: per (source, lang) output-table cell, how many
+    * target-size files the writer should coalesce to — the
+    * OPTIMIZE/small-files planning step run before a big rewrite.
+    * n_files = ceil(bytes / target) in pure integer math; avg and max
+    * expose residual skew (a cell whose max doc approaches the target
+    * needs the per-file row-group cap instead). The report is one
+    * partial-agg shuffle over a handful of cells; at 100 TB the same
+    * aggregate drives `repartitionByRange(n_files)` per cell.
+    */
+  val CompactTargetBytes = 65536L
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("cell_bytes"),
+        max(col("n_chars")).as("max_doc_bytes")
+      )
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("cell_bytes"),
+        expr(s"(cell_bytes + ${CompactTargetBytes - 1L}) div $CompactTargetBytes")
+          .as("n_files"),
+        expr(
+          s"cell_bytes div ((cell_bytes + ${CompactTargetBytes - 1L}) div $CompactTargetBytes)"
+        ).as("avg_file_bytes"),
+        col("max_doc_bytes")
+      )
+  }
 }

@@ -1841,6 +1841,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("mix weights: max cell gets weight 1, low-resource cells upweighted vs share") {
+    val rows = TextOps.mixWeights(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    // exactly one cell sits at the temperature scale's reference point
+    assert(rows.count(_.getAs[Double]("rel_weight") == 1.0) === 1)
+    val maxTok = rows.map(_.getAs[Long]("cell_tokens")).max
+    rows.foreach { r =>
+      val w = r.getAs[Double]("rel_weight")
+      val share = r.getAs[Long]("cell_tokens").toDouble / maxTok
+      assert(w >= share - 1e-12, s"tau=0.5 must not DOWNweight vs proportional: $r")
+      assert(math.abs(w - math.sqrt(share)) < 1e-12)
+    }
+    // ppm shares sum to ~1e6 (floor division loses < nCells ppm)
+    val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+  }
+
+  test("dsir importance: buckets cover corpus, ratios straddle parity, identity when target=raw") {
+    val rows = TextOps.dsirImportance(spark, Sf001).collect()
+    assert(rows.length === TextOps.DsirBuckets)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_count") <= r.getAs[Long]("raw_count"))
+    }
+    // an informative feature hash has buckets on both sides of 1.0x
+    val ratios = rows.map(_.getAs[Long]("ratio_ppm"))
+    assert(ratios.exists(_ > 1000000L) && ratios.exists(_ < 1000000L))
+    // weighted mean of ratio over raw mass = 1 by construction:
+    // sum(t_c * r_tot / (r_c * t_tot) * r_c) = r_tot
+    val tTot = rows.map(_.getAs[Long]("target_count")).sum.toDouble
+    val rTot = rows.map(_.getAs[Long]("raw_count")).sum.toDouble
+    val mean = rows.map { r =>
+      r.getAs[Long]("target_count") * rTot / (r.getAs[Long]("raw_count") * tTot) *
+        r.getAs[Long]("raw_count")
+    }.sum / rTot
+    assert(math.abs(mean - 1.0) < 1e-9)
+  }
+
+  test("compaction plan: every file under target, ceil-division identities hold") {
+    val rows = TextOps.compactionPlan(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getAs[Long]("cell_bytes")
+      val files = r.getAs[Long]("n_files")
+      assert(files === (bytes + TextOps.CompactTargetBytes - 1) / TextOps.CompactTargetBytes)
+      assert(r.getAs[Long]("avg_file_bytes") <= TextOps.CompactTargetBytes)
+      assert((files - 1) * TextOps.CompactTargetBytes < bytes, s"one file too many: $r")
+    }
+  }
+
   test("freq spectrum: bands partition the vocabulary, mass conserved") {
     val rows = TextOps.freqSpectrum(spark, Sf0001).collect()
     rows.foreach { r =>
