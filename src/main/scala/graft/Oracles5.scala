@@ -121,6 +121,41 @@ object Oracles5 {
        |      FROM documents)
        |GROUP BY 1""".stripMargin
 
+  /** Mirrors SimilarityOps.rpProject: same md5-derived Rademacher
+    * signs, same dot/normSq list folds as the ANN oracles, and the
+    * same left-associated 16-term d2_proj sum, so every double matches
+    * bit-for-bit.
+    */
+  val rpProject: String = {
+    def signList(k: Int): String =
+      s"""list_transform(range(${graft.operators.SimilarityOps.Dim}),
+         |  j -> CASE WHEN substr(md5('rp${k}_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)""".stripMargin
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def normSqSql(v: String): String =
+      s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val rp = graft.operators.SimilarityOps.RpDims
+    val yCols = (0 until rp)
+      .map(k => s" ${dotSql("embedding", signList(k))} AS y$k")
+      .mkString(",\n")
+    val d2proj = (0 until rp)
+      .map(k => s"(a.y$k - b.y$k) * (a.y$k - b.y$k)")
+      .mkString(" + ")
+    s"""WITH y AS (
+       | SELECT vec_id, embedding,
+       |$yCols
+       | FROM embeddings WHERE vec_id < ${graft.operators.SimilarityOps.RpProbe}),
+       |p AS (
+       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ((${normSqSql("a.embedding")} + ${normSqSql("b.embedding")}) -
+       |    2.0 * ${dotSql("a.embedding", "b.embedding")}) AS d2_orig,
+       |  ($d2proj) AS d2_proj
+       | FROM y a JOIN y b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, d2_orig, d2_proj, d2_proj / (16.0 * d2_orig) AS ratio
+       |FROM p""".stripMargin
+  }
+
   /** Mirrors TextOps.mixWeights: same BPE-ish token regex as
     * seqPacking, integer ppm share, and the one double —
     * sqrt(cell/max) — built from correctly-rounded IEEE division +

@@ -116,6 +116,7 @@ object SparkEntry {
     "mix_weights" -> TextOps.mixWeights,
     "dsir_importance" -> TextOps.dsirImportance,
     "compaction_plan" -> TextOps.compactionPlan,
+    "rp_project" -> SimilarityOps.rpProject,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -827,6 +828,7 @@ object SparkEntry {
     "mix_weights" -> Oracles5.mixWeights,
     "dsir_importance" -> Oracles5.dsirImportance,
     "compaction_plan" -> Oracles5.compactionPlan,
+    "rp_project" -> Oracles5.rpProject,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

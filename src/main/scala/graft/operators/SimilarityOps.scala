@@ -635,4 +635,62 @@ object SimilarityOps {
         col("rnk")
       )
   }
+
+  /** Johnson-Lindenstrauss random projection QA: project 64-dim
+    * embeddings to 16 dims with a deterministic Rademacher matrix
+    * (md5("rp{k}_{j}") signs — same reproducible-anywhere construction
+    * as the LSH planes) and report, for every pair in a fixed probe
+    * set, how well ||Sx - Sy||^2 / 16 preserves ||x - y||^2 — the
+    * contract that justifies running ANN/clustering on the compressed
+    * vectors. Exactness: projections are 16 independent codegen
+    * vec_dot folds; squared distances use the (||a||^2 + ||b||^2) -
+    * 2ab identity, and d2_proj is an explicit left-associated 16-term
+    * sum, so every double op has one defined evaluation order on both
+    * engines.
+    *
+    * Scale: the projection itself is a pure map (16 dots per row, no
+    * shuffle) — at 100 TB it runs over the full corpus and feeds the
+    * ANN/kmeans ops at 4x less width; the all-pairs report here is
+    * deliberately bounded to the 10-vector probe (45 pairs), the
+    * documented eval harness, not a corpus-wide pair join.
+    */
+  val RpDims = 16
+  val RpProbe = 10
+
+  private[operators] def rpSigns: Array[Array[Float]] = {
+    val mdig = MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, Dim) { (k, j) =>
+      val hex = mdig
+        .digest(s"rp${k}_$j".getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_))
+        .mkString
+      if (hex.charAt(0) < '8') 1.0f else -1.0f
+    }
+  }
+
+  def rpProject(spark: SparkSession, dir: String): DataFrame = {
+    val signs = rpSigns
+    val withY = emb(spark, dir)
+      .filter(col("vec_id") < RpProbe)
+      .select(
+        col("vec_id") +: col("embedding") +:
+          (0 until RpDims).map(k => dot(col("embedding"), typedLit(signs(k).toSeq)).as(s"y$k")): _*
+      )
+    val a = withY.select(withY.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
+    val b = withY.select(withY.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
+    val d2proj = (0 until RpDims)
+      .map { k =>
+        (col(s"a_y$k") - col(s"b_y$k")) * (col(s"a_y$k") - col(s"b_y$k"))
+      }
+      .reduceLeft(_ + _)
+    a.join(b, col("a_vec_id") < col("b_vec_id"))
+      .select(
+        col("a_vec_id").as("vec_a"),
+        col("b_vec_id").as("vec_b"),
+        ((normSq(col("a_embedding")) + normSq(col("b_embedding"))) -
+          lit(2.0) * dot(col("a_embedding"), col("b_embedding"))).as("d2_orig"),
+        d2proj.as("d2_proj")
+      )
+      .withColumn("ratio", col("d2_proj") / (lit(16.0) * col("d2_orig")))
+  }
 }

@@ -1841,6 +1841,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("rp project: 45 probe pairs, JL ratios concentrate around 1, deterministic") {
+    val rows = SimilarityOps.rpProject(spark, Sf001).collect()
+    assert(rows.length === SimilarityOps.RpProbe * (SimilarityOps.RpProbe - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("d2_orig") > 0.0 && r.getAs[Double]("d2_proj") >= 0.0)
+      val ratio = r.getAs[Double]("ratio")
+      // K=16 Rademacher JL: sd(ratio) = sqrt(2/16) ~ 0.35; 3 sigma
+      assert(ratio > 0.0 && ratio < 2.5, s"JL preservation broken: $r")
+    }
+    val mean = rows.map(_.getAs[Double]("ratio")).sum / rows.length
+    assert(math.abs(mean - 1.0) < 0.35, s"mean ratio $mean")
+    // deterministic end to end (md5 signs, no RNG): a rerun is identical
+    val again = SimilarityOps.rpProject(spark, Sf001).collect().map(_.toString).sorted
+    assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
+  }
+
   test("mix weights: max cell gets weight 1, low-resource cells upweighted vs share") {
     val rows = TextOps.mixWeights(spark, Sf001).collect()
     assert(rows.nonEmpty)
