@@ -298,6 +298,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("curation ops: one-row globals broadcast, partial aggs map-side, probe filter pushed") {
+    // mix_weights / dsir_importance re-join a one-row global via
+    // BroadcastExchange (the Q11/Q15 scalar-threshold shape) — a
+    // shuffled join against one row would be the 100 TB anti-pattern
+    val mw = planOf(TextOps.mixWeights(spark, Sf0001))
+    assert(mw.contains("BroadcastExchange") || mw.contains("BroadcastNestedLoopJoin"), mw)
+    assert(!mw.contains("CartesianProduct") && !mw.contains("SortMergeJoin"))
+    val ds = planOf(TextOps.dsirImportance(spark, Sf0001))
+    assert(ds.contains("BroadcastExchange") || ds.contains("BroadcastNestedLoopJoin"), ds)
+    // the bucket aggregate partially aggregates BEFORE its exchange:
+    // the shuffle carries <= 64 rows per task, not the bigram stream
+    assert(ds.contains("partial_sum") || ds.contains("partial_count"),
+      "dsir bigram stream shuffles unaggregated")
+    // compaction_plan / shuffle_shards: one hash-partition exchange each
+    Seq(
+      planOf(TextOps.compactionPlan(spark, Sf0001)),
+      planOf(TextOps.shuffleShards(spark, Sf0001))
+    ).foreach { full =>
+      // AQE renders the plan twice (Final + Initial); count the final only
+      val p = full.split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    }
+    // rp_project: probe filter reaches the parquet scan; the bounded
+    // 45-pair combine may BNLJ but never a CartesianProduct
+    val rp = planOf(SimilarityOps.rpProject(spark, Sf0001))
+    assert(rp.contains("LessThan(vec_id,10)") || rp.contains("vec_id < 10"), rp)
+    assert(!rp.contains("CartesianProduct"))
+  }
+
   test("board-wide sweep: no query plans a CartesianProduct") {
     // The blanket version of the per-operator audits: every registered
     // query's physical plan, built against sf0.001, must be free of
