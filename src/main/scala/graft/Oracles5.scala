@@ -198,6 +198,46 @@ object Oracles5 {
        | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
        |FROM b, t""".stripMargin
 
+  /** Mirrors TextOps.bm25TopK: same rational idf, same parenthesized
+    * IEEE evaluation order for every double, per-term columns summed
+    * left-associated.
+    */
+  val bm25TopK: String = {
+    val terms = graft.operators.TextOps.Bm25Terms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val ptCols = terms
+      .map(t => s"  COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0.0) AS s_$t")
+      .mkString(",\n")
+    val scoreSum = terms.map(t => s"s_$t").mkString(" + ")
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
+       |p AS (
+       | SELECT doc_id, dl, term, COUNT(*) AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dlt)
+       | WHERE term IN ($inList)
+       | GROUP BY doc_id, dl, term),
+       |f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+       |s AS (
+       | SELECT doc_id, dl, term,
+       |  (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * 2.2))
+       |  / (CAST(tf AS DOUBLE) +
+       |     1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) /
+       |                   (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+       | FROM p JOIN f USING (term), g),
+       |pt AS (
+       | SELECT doc_id, dl,
+       |$ptCols
+       | FROM s GROUP BY doc_id, dl)
+       |SELECT doc_id, dl, ${terms.map(t => s"s_$t").mkString(", ")}, $scoreSum AS score
+       |FROM pt
+       |ORDER BY score DESC, doc_id ASC LIMIT ${graft.operators.TextOps.Bm25TopK}""".stripMargin
+  }
+
   /** Mirrors TextOps.compactionPlan: ceil-division file counts in
     * pure BIGINT math.
     */

@@ -117,6 +117,7 @@ object SparkEntry {
     "dsir_importance" -> TextOps.dsirImportance,
     "compaction_plan" -> TextOps.compactionPlan,
     "rp_project" -> SimilarityOps.rpProject,
+    "bm25_topk" -> TextOps.bm25TopK,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -829,6 +830,7 @@ object SparkEntry {
     "dsir_importance" -> Oracles5.dsirImportance,
     "compaction_plan" -> Oracles5.compactionPlan,
     "rp_project" -> Oracles5.rpProject,
+    "bm25_topk" -> Oracles5.bm25TopK,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

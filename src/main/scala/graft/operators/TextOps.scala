@@ -1207,6 +1207,76 @@ object TextOps {
       )
   }
 
+  /** BM25 retrieval: top-10 docs for a fixed 4-term query, scored with
+    * the log-free rational idf (N - df + 0.5)/(df + 0.5) — same
+    * "ln is not bit-stable across engines" discipline as split_drift;
+    * the idf ORDERING is identical to Robertson's log form, so top-k
+    * and relative ranks match what a log-idf engine would return.
+    * k1 = 1.2, b = 0.75. Exactness: tf/df/dl/N are integers; avgdl and
+    * each per-term partial are IEEE doubles derived from them in one
+    * defined order, and the doc score is a left-associated 4-term sum
+    * of per-term columns (conditional aggregates), never an
+    * order-undefined SUM over a term stream.
+    *
+    * Scale: the token explode filters to the 4 query terms BEFORE the
+    * (doc, term) shuffle — the posting volume is |matches|, not
+    * |tokens|; df and avgdl are a 4-row and a 1-row broadcast;
+    * top-10 plans as TakeOrdered. At 100 TB swap the literal term list
+    * for a broadcast query table: same shape.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("join", "dup", "query", "sort")
+  val Bm25TopK = 10
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val lens = docs.select(col("doc_id"), col("dl"))
+    val global = lens.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl")
+    )
+    val posting = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = posting
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(global))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn(
+        "idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+      )
+      .withColumn(
+        "s",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl")))
+      )
+    val termCols = Bm25Terms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
+    val perTerm = scored
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(termCols.head, termCols.tail: _*)
+    perTerm
+      .select(
+        col("doc_id") +: col("dl") +:
+          Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0)).as(s"s_$t")): _*
+      )
+      .withColumn(
+        "score",
+        Bm25Terms.map(t => col(s"s_$t")).reduceLeft(_ + _)
+      )
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
   /** Compaction planner: per (source, lang) output-table cell, how many
     * target-size files the writer should coalesce to — the
     * OPTIMIZE/small-files planning step run before a big rewrite.

@@ -1841,6 +1841,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("bm25: top-10 scores match an exhaustive driver recompute, rare term dominates") {
+    val rows = TextOps.bm25TopK(spark, Sf001).collect()
+    assert(rows.length === TextOps.Bm25TopK)
+    // driver-side oracle: recompute BM25 from raw text with plain Scala
+    val docs = Tables
+      .documents(spark, Sf001)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = TextOps.Bm25Terms
+      .map(t => t -> docs.count(_._2.contains(t)).toDouble)
+      .toMap
+    def score(toks: Array[String]): Double =
+      TextOps.Bm25Terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + (0.75 * toks.length) / avgdl))
+        }
+      }.sum
+    val expect = docs
+      .map { case (id, toks) => (id, score(toks)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(TextOps.Bm25TopK)
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    got.zip(expect).foreach { case ((gi, gs), (ei, es)) =>
+      assert(gi === ei, s"rank order differs: got ${got.toSeq} want ${expect.toSeq}")
+      assert(math.abs(gs - es) < 1e-9)
+    }
+    // 'dup' is ~30x rarer than the other terms: any top doc containing it
+    // must outscore every doc that matches only common terms equally often
+    val dupDocs = docs.filter(_._2.contains("dup")).map(_._1).toSet
+    if (dupDocs.nonEmpty) assert(dupDocs.contains(got.head._1))
+  }
+
   test("rp project: 45 probe pairs, JL ratios concentrate around 1, deterministic") {
     val rows = SimilarityOps.rpProject(spark, Sf001).collect()
     assert(rows.length === SimilarityOps.RpProbe * (SimilarityOps.RpProbe - 1) / 2)
