@@ -198,6 +198,39 @@ object Oracles5 {
        | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
        |FROM b, t""".stripMargin
 
+  /** Mirrors RelationalOps.tableChecksum: same canonical row strings,
+    * same 60-bit md5 hash, same xor/modular-sum folds (both
+    * commutative, so partitioning never matters).
+    */
+  val tableChecksum: String = {
+    def h(s: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)"
+    def one(name: String, table: String, canon: String): String =
+      s"""SELECT '$name' AS tbl, COUNT(*) AS n_rows,
+         | bit_xor(h) AS xor_fp, CAST(SUM(h % 1000000000) AS BIGINT) AS sum_fp
+         |FROM (SELECT ${h("c")} AS h
+         |      FROM (SELECT $canon AS c FROM $table))""".stripMargin
+    val li = """concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+      | CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      | CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR),
+      | CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+      | CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR),
+      | CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR),
+      | l_returnflag, l_linestatus,
+      | CAST(CAST(epoch(l_shipdate) AS BIGINT) AS VARCHAR))""".stripMargin
+    val o = """concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      | o_orderstatus,
+      | CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      | CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR), o_orderpriority)""".stripMargin
+    val d = """concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang, source,
+      | CAST(n_chars AS VARCHAR))""".stripMargin
+    s"""${one("lineitem", "lineitem", li)}
+       |UNION ALL
+       |${one("orders", "orders", o)}
+       |UNION ALL
+       |${one("documents", "documents", d)}""".stripMargin
+  }
+
   /** Mirrors TextOps.bm25TopK: same rational idf, same parenthesized
     * IEEE evaluation order for every double, per-term columns summed
     * left-associated.

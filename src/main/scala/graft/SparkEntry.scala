@@ -118,6 +118,7 @@ object SparkEntry {
     "compaction_plan" -> TextOps.compactionPlan,
     "rp_project" -> SimilarityOps.rpProject,
     "bm25_topk" -> TextOps.bm25TopK,
+    "table_checksum" -> RelationalOps.tableChecksum,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -831,6 +832,7 @@ object SparkEntry {
     "compaction_plan" -> Oracles5.compactionPlan,
     "rp_project" -> Oracles5.rpProject,
     "bm25_topk" -> Oracles5.bm25TopK,
+    "table_checksum" -> Oracles5.tableChecksum,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -955,4 +955,70 @@ object RelationalOps {
       .withColumn("first_price", first(col("o_totalprice")).over(full))
       .withColumn("last_price", last(col("o_totalprice")).over(full))
   }
+
+  /** Cross-engine table fingerprints: one row per table with n_rows, a
+    * bit_xor fold of a 60-bit per-row hash, and an independent modular
+    * sum — the "did the copy/migration corrupt anything" primitive run
+    * after every bulk move. Both folds are commutative+associative, so
+    * the result is partitioning- and order-independent on any engine,
+    * and partial fingerprints of shards combine into the table's
+    * (xor / modular add are mergeable) — at 100 TB each output file's
+    * fingerprint folds into the catalog entry without re-reading.
+    *
+    * Row canonicalization: integers and strings cast to string,
+    * timestamps as epoch microseconds, <= 2-decimal doubles as
+    * round(x*100) fixed-point, long text via md5 — every piece
+    * bit-stable across engines (no raw double formatting).
+    * The whole query is three scan + partial-agg passes (one per
+    * table) unioned — no shuffle wider than one row each.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def h(s: Column): Column =
+      conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+    def one(name: String, df: DataFrame, canon: Column): DataFrame =
+      df.select(h(canon).as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(col("h") % 1000000000L).as("sum_fp")
+        )
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_fp"), col("sum_fp"))
+    val li = Tables.lineitem(spark, dir)
+    val liCanon = concat_ws(
+      "|",
+      col("l_orderkey").cast("string"),
+      col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      round(col("l_quantity") * 100).cast("long").cast("string"),
+      round(col("l_extendedprice") * 100).cast("long").cast("string"),
+      round(col("l_discount") * 100).cast("long").cast("string"),
+      round(col("l_tax") * 100).cast("long").cast("string"),
+      col("l_returnflag"),
+      col("l_linestatus"),
+      unix_timestamp(col("l_shipdate")).cast("string")
+    )
+    val o = Tables.orders(spark, dir)
+    val oCanon = concat_ws(
+      "|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").cast("string"),
+      unix_timestamp(col("o_orderdate")).cast("string"),
+      col("o_orderpriority")
+    )
+    val d = Tables.documents(spark, dir)
+    val dCanon = concat_ws(
+      "|",
+      col("doc_id").cast("string"),
+      md5(col("text")),
+      col("lang"),
+      col("source"),
+      col("n_chars").cast("string")
+    )
+    one("lineitem", li, liCanon)
+      .unionAll(one("orders", o, oCanon))
+      .unionAll(one("documents", d, dCanon))
+  }
 }

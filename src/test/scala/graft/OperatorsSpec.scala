@@ -1841,6 +1841,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("table checksum: mergeable across shards, sensitive to any single-row change") {
+    val rows = RelationalOps.tableChecksum(spark, Sf001).collect()
+    assert(rows.map(_.getAs[String]("tbl")).toSet === Set("lineitem", "orders", "documents"))
+    val docRow = rows.find(_.getAs[String]("tbl") == "documents").get
+    assert(docRow.getAs[Long]("n_rows") === Tables.documents(spark, Sf001).count())
+    // mergeability: xor of per-source shard fingerprints == whole-table xor
+    val hExpr = org.apache.spark.sql.functions
+      .conv(substring(md5(concat_ws("|",
+        col("doc_id").cast("string"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint")
+    val shards = Tables.documents(spark, Sf001)
+      .select(col("source"), hExpr.as("h"))
+      .groupBy("source")
+      .agg(expr("bit_xor(h)").as("xfp"))
+      .collect()
+      .map(_.getAs[Long]("xfp"))
+    assert(shards.reduce(_ ^ _) === docRow.getAs[Long]("xor_fp"))
+    // sensitivity: flipping one row's n_chars changes both fingerprints
+    val tampered = Tables.documents(spark, Sf001)
+      .withColumn("n_chars",
+        when(col("doc_id") === 0L, col("n_chars") + 1L).otherwise(col("n_chars")))
+      .select(concat_ws("|",
+        col("doc_id").cast("string"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars").cast("string")).as("c"))
+      .select(org.apache.spark.sql.functions
+        .conv(substring(md5(col("c")), 1, 15), 16, 10).cast("bigint").as("h"))
+      .agg(expr("bit_xor(h)").as("xfp"), sum(col("h") % 1000000000L).as("sfp"))
+      .collect()(0)
+    assert(tampered.getAs[Long]("xfp") !== docRow.getAs[Long]("xor_fp"))
+    assert(tampered.getAs[Long]("sfp") !== docRow.getAs[Long]("sum_fp"))
+  }
+
   test("bm25: top-10 scores match an exhaustive driver recompute, rare term dominates") {
     val rows = TextOps.bm25TopK(spark, Sf001).collect()
     assert(rows.length === TextOps.Bm25TopK)
