@@ -198,6 +198,53 @@ object Oracles5 {
        | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
        |FROM b, t""".stripMargin
 
+  /** Mirrors EventOps.winsorizedStats: same centi-grid bins, integer
+    * ceil ranks, exact clamped sums.
+    */
+  val winsorizedStats: String =
+    """WITH b AS (
+      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb, COUNT(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_type, vb, cnt,
+      |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb ROWS UNBOUNDED PRECEDING) AS cum,
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      | FROM b),
+      |k AS (
+      | SELECT event_type, n,
+      |  MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN vb END) AS p05_c,
+      |  MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN vb END) AS p95_c
+      | FROM c GROUP BY 1, 2),
+      |f AS (
+      | SELECT b.event_type, n, p05_c, p95_c,
+      |  CAST(SUM(vb * cnt) AS BIGINT) AS sum_c,
+      |  CAST(SUM(greatest(least(vb, p95_c), p05_c) * cnt) AS BIGINT) AS wsum_c
+      | FROM b JOIN k USING (event_type) GROUP BY 1, 2, 3, 4)
+      |SELECT event_type, n AS n_events,
+      | CAST(p05_c AS DOUBLE) / 100.0 AS p05,
+      | CAST(p95_c AS DOUBLE) / 100.0 AS p95,
+      | CAST(sum_c AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_binned,
+      | CAST(wsum_c AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_winsorized
+      |FROM f""".stripMargin
+
+  /** Mirrors EventOps.valueOutliers: decimal-exact moments (VARCHAR-
+    * mediated decimal→double), identical mean/std/z expression order.
+    */
+  val valueOutliers: String =
+    """WITH m AS (
+      | SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s,
+      |  CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s2
+      | FROM events GROUP BY 1),
+      |mm AS (
+      | SELECT event_type, s / CAST(n AS DOUBLE) AS mean,
+      |  sqrt(s2 / CAST(n AS DOUBLE) -
+      |       (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS std
+      | FROM m)
+      |SELECT event_id, event_type, value, (value - mean) / std AS z
+      |FROM events JOIN mm USING (event_type)
+      |ORDER BY abs((value - mean) / std) DESC, event_id ASC LIMIT 25""".stripMargin
+
   /** Mirrors RelationalOps.tableChecksum: same canonical row strings,
     * same 60-bit md5 hash, same xor/modular-sum folds (both
     * commutative, so partitioning never matters).

@@ -119,6 +119,8 @@ object SparkEntry {
     "rp_project" -> SimilarityOps.rpProject,
     "bm25_topk" -> TextOps.bm25TopK,
     "table_checksum" -> RelationalOps.tableChecksum,
+    "winsorized_stats" -> EventOps.winsorizedStats,
+    "value_outliers" -> EventOps.valueOutliers,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -833,6 +835,8 @@ object SparkEntry {
     "rp_project" -> Oracles5.rpProject,
     "bm25_topk" -> Oracles5.bm25TopK,
     "table_checksum" -> Oracles5.tableChecksum,
+    "winsorized_stats" -> Oracles5.winsorizedStats,
+    "value_outliers" -> Oracles5.valueOutliers,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

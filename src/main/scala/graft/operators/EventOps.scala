@@ -711,4 +711,81 @@ object EventOps {
         countDistinct(col("k")).as("n_distinct_k")
       )
   }
+
+  /** Winsorized per-type value stats WITHOUT a global sort: values bin
+    * to a fixed centi-grid (floor(v*100), exact in IEEE), the p05/p95
+    * cut bins come from a running below-count over DISTINCT bins only
+    * (the window input is |value range|×100 rows per type at any
+    * corpus size, not |events|), and the winsorized mean is an exact
+    * integer sum of clamped bins. The robust-stats step that feeds
+    * outlier-clipped features to training without letting one bad
+    * sensor reading poison a mean. Ranks are ceil-integer arithmetic
+    * ((n*k+99) div 100) — no float percentile anywhere.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables
+      .events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+      .groupBy(col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val cuts = cum
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("vb"))).as("p05_c"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("vb"))).as("p95_c")
+      )
+    bins
+      .join(broadcast(cuts), Seq("event_type"))
+      .withColumn("clamped", greatest(least(col("vb"), col("p95_c")), col("p05_c")))
+      .groupBy(col("event_type"), col("n"), col("p05_c"), col("p95_c"))
+      .agg(
+        sum(col("vb") * col("cnt")).as("sum_c"),
+        sum(col("clamped") * col("cnt")).as("wsum_c")
+      )
+      .select(
+        col("event_type"),
+        col("n").as("n_events"),
+        (col("p05_c").cast("double") / lit(100.0)).as("p05"),
+        (col("p95_c").cast("double") / lit(100.0)).as("p95"),
+        (col("sum_c").cast("double") / (col("n").cast("double") * lit(100.0)))
+          .as("mean_binned"),
+        (col("wsum_c").cast("double") / (col("n").cast("double") * lit(100.0)))
+          .as("mean_winsorized")
+      )
+  }
+
+  /** Global top-25 |z-score| outliers of event values, standardized
+    * within each event type. Moments are decimal-exact sums (order
+    * free); mean/var/std then z are per-row IEEE expressions in one
+    * defined order, so the scores — and the top-k cut — are
+    * bit-identical on any engine. The plan is one partial-agg moment
+    * pass, a 5-row broadcast back onto the stream, and a TakeOrdered —
+    * no sort of the full corpus.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 10))).cast("double").as("s"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 10))).cast("double").as("s2")
+      )
+      .withColumn("mean", col("s") / col("n").cast("double"))
+      .withColumn("std", sqrt(col("s2") / col("n").cast("double") - col("mean") * col("mean")))
+    Tables
+      .events(spark, dir)
+      .join(broadcast(m.select(col("event_type"), col("mean"), col("std"))), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(25)
+  }
 }

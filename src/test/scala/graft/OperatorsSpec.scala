@@ -1841,6 +1841,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("winsorized stats: cuts at the right ranks, winsorized mean pulled toward center") {
+    val rows = EventOps.winsorizedStats(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    // driver recompute per type from raw values
+    val byType = Tables.events(spark, Sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val n = vs.length
+      assert(r.getAs[Long]("n_events") === n.toLong)
+      val lo = vs((n * 5 + 99) / 100 - 1)
+      val hi = vs((n * 95 + 99) / 100 - 1)
+      assert(r.getAs[Double]("p05") === lo / 100.0)
+      assert(r.getAs[Double]("p95") === hi / 100.0)
+      val wm = vs.map(v => math.max(math.min(v, hi), lo)).sum.toDouble / (n * 100.0)
+      assert(math.abs(r.getAs[Double]("mean_winsorized") - wm) < 1e-9)
+      // clipping both tails at 5% must not move the mean outside the cuts
+      assert(r.getAs[Double]("mean_winsorized") >= r.getAs[Double]("p05"))
+      assert(r.getAs[Double]("mean_winsorized") <= r.getAs[Double]("p95"))
+    }
+  }
+
+  test("value outliers: top-25 by |z| matches driver recompute, all types standardized") {
+    val rows = EventOps.valueOutliers(spark, Sf001).collect()
+    assert(rows.length === 25)
+    val data = Tables.events(spark, Sf001)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = data.groupBy(_._2).map { case (t, xs) =>
+      val n = xs.length.toDouble
+      val s = xs.map(x => BigDecimal(x._3)).sum.toDouble
+      val s2 = xs.map(x => BigDecimal(x._3 * x._3)).sum.toDouble
+      val mean = s / n
+      t -> (mean, math.sqrt(s2 / n - mean * mean))
+    }
+    val expect = data
+      .map { case (id, t, v) => (id, (v - stats(t)._1) / stats(t)._2) }
+      .sortBy { case (id, z) => (-math.abs(z), id) }
+      .take(25)
+    rows.zip(expect).foreach { case (r, (ei, ez)) =>
+      assert(r.getAs[Long]("event_id") === ei)
+      assert(math.abs(r.getAs[Double]("z") - ez) < 1e-6)
+    }
+  }
+
   test("table checksum: mergeable across shards, sensitive to any single-row change") {
     val rows = RelationalOps.tableChecksum(spark, Sf001).collect()
     assert(rows.map(_.getAs[String]("tbl")).toSet === Set("lineitem", "orders", "documents"))
