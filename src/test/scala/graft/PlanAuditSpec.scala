@@ -327,6 +327,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!rp.contains("CartesianProduct"))
   }
 
+  test("retrieval/robust-stats ops: top-k without global sort, no corpus-wide sorts") {
+    // bm25 / value_outliers: LIMIT over ORDER BY must plan as
+    // TakeOrdered (per-partition top-k + merge), never a global sort
+    val bm = planOf(TextOps.bm25TopK(spark, Sf0001))
+    assert(bm.contains("TakeOrderedAndProject"), bm)
+    val vo = planOf(EventOps.valueOutliers(spark, Sf0001))
+    assert(vo.contains("TakeOrderedAndProject"), vo)
+    assert(vo.contains("BroadcastExchange"), "moments must broadcast, not shuffle-join")
+    // winsorized_stats sorts only inside the per-type window over
+    // DISTINCT BINS — a range-partitioned (global) sort of raw events
+    // would be the 100 TB anti-pattern
+    val ws = planOf(EventOps.winsorizedStats(spark, Sf0001))
+    assert(!ws.contains("Exchange rangepartitioning"), ws)
+    // table_checksum is scan -> partial agg -> one-row final per table:
+    // mergeable folds need no hash-partitioned shuffle at all
+    val tc = planOf(RelationalOps.tableChecksum(spark, Sf0001))
+    assert(!tc.contains("Exchange hashpartitioning"), tc)
+  }
+
   test("board-wide sweep: no query plans a CartesianProduct") {
     // The blanket version of the per-operator audits: every registered
     // query's physical plan, built against sf0.001, must be free of
