@@ -198,6 +198,72 @@ object Oracles5 {
        | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
        |FROM b, t""".stripMargin
 
+  /** Mirrors TextOps.langidConfusion: the lang_id oracle's scorer with
+    * the true label carried through and the matrix grouped.
+    */
+  val langidConfusion: String =
+    """WITH scored AS (
+      | SELECT lang,
+      |  len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
+      |  len(list_filter(toks, t -> t IN ('el','la','de','los','es','y','que'))) AS n_es,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS n_de,
+      |  len(list_filter(toks, t -> t IN ('le','les','et','des','une','est','dans'))) AS n_fr,
+      |  len(list_filter(toks, t -> t IN ('de','shi','le','zai','you','wo','ta'))) AS n_zh
+      | FROM (SELECT lang,
+      |        list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      |       FROM documents)),
+      |p AS (
+      | SELECT lang,
+      |  CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+      |       WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
+      |       WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
+      |       WHEN n_fr >= n_zh THEN 'fr'
+      |       ELSE 'zh' END AS pred_lang
+      | FROM scored)
+      |SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors TextOps.ngramDiversity: same space-joined n-gram
+    * construction as the decontaminate oracle, integer ppm ratio.
+    */
+  val ngramDiversity: String = {
+    def level(n: Int): String =
+      s"""SELECT source, CAST($n AS BIGINT) AS n, COUNT(*) AS types,
+         | CAST(SUM(c) AS BIGINT) AS tokens,
+         | (COUNT(*) * 1000000) // CAST(SUM(c) AS BIGINT) AS ttr_ppm
+         |FROM (
+         | SELECT source, g, COUNT(*) AS c FROM (
+         |  SELECT source, unnest(list_transform(range(len(toks)-${n - 1}),
+         |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+$n AS INT)], ' '))) AS g
+         |  FROM (SELECT source,
+         |         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+         |        FROM documents))
+         | GROUP BY 1, 2)
+         |GROUP BY source""".stripMargin
+    s"${level(1)}\nUNION ALL\n${level(2)}\nUNION ALL\n${level(3)}"
+  }
+
+  /** Mirrors DedupOps.incrementalDedup: same bag-of-words fingerprint,
+    * split, and keeper window.
+    */
+  val incrementalDedup: String =
+    """WITH f AS (
+      | SELECT doc_id, lang,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> ''))), ' ')) AS fp
+      | FROM documents),
+      |o AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+      |nn AS (SELECT * FROM f WHERE doc_id % 2 = 1),
+      |j AS (
+      | SELECT nn.doc_id, nn.lang, nn.fp, o.fp IS NOT NULL AS in_old,
+      |  MIN(nn.doc_id) OVER (PARTITION BY nn.fp) AS keeper
+      | FROM nn LEFT JOIN o ON nn.fp = o.fp)
+      |SELECT lang,
+      | CASE WHEN in_old THEN 'dup_of_old'
+      |      WHEN doc_id <> keeper THEN 'dup_in_batch'
+      |      ELSE 'fresh' END AS status,
+      | COUNT(*) AS n_docs
+      |FROM j GROUP BY 1, 2""".stripMargin
+
   /** Mirrors EventOps.winsorizedStats: same centi-grid bins, integer
     * ceil ranks, exact clamped sums.
     */

@@ -121,6 +121,9 @@ object SparkEntry {
     "table_checksum" -> RelationalOps.tableChecksum,
     "winsorized_stats" -> EventOps.winsorizedStats,
     "value_outliers" -> EventOps.valueOutliers,
+    "langid_confusion" -> TextOps.langidConfusion,
+    "ngram_diversity" -> TextOps.ngramDiversity,
+    "incremental_dedup" -> DedupOps.incrementalDedup,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -837,6 +840,9 @@ object SparkEntry {
     "table_checksum" -> Oracles5.tableChecksum,
     "winsorized_stats" -> Oracles5.winsorizedStats,
     "value_outliers" -> Oracles5.valueOutliers,
+    "langid_confusion" -> Oracles5.langidConfusion,
+    "ngram_diversity" -> Oracles5.ngramDiversity,
+    "incremental_dedup" -> Oracles5.incrementalDedup,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

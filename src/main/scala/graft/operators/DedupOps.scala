@@ -499,4 +499,49 @@ object DedupOps {
       )
       .withColumn("keep", col("dup_ratio") < SpanKeepBelow)
   }
+
+  /** Incremental ingestion dedup: the daily-batch shape. "Yesterday's
+    * corpus" is the even doc_ids (a deterministic stand-in for the
+    * previous snapshot's fingerprint store); the new batch is the odd
+    * ids. Every new doc is classified dup_of_old (fingerprint already
+    * in the store), dup_in_batch (fresh fp shared within the batch —
+    * min doc_id is the keeper), or fresh. The fingerprint is the
+    * BAG-OF-WORDS key — md5 over the sorted distinct token set — which
+    * catches reordering/template duplicates that exact text hashing
+    * misses (and gives this corpus real collisions).
+    *
+    * Scale: at 100 TB the old-fp probe is a bloom prefilter + exact
+    * semi join (the decontaminate_bloom shape) against the fingerprint
+    * store, NOT a scan of yesterday's corpus; the within-batch window
+    * is bounded by batch size. Here both stages are exact: one fp
+    * equi join + one fp window, payload = (fp, doc_id, lang) only.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(lower(col("text")))))))
+          .as("fp")
+      )
+    val oldFps = docs
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("fp"))
+      .distinct
+      .withColumn("in_old", lit(1L))
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .filter(col("doc_id") % 2 === 1)
+      .join(oldFps, Seq("fp"), "left")
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn(
+        "status",
+        when(col("in_old").isNotNull, "dup_of_old")
+          .when(col("doc_id") =!= col("keeper"), "dup_in_batch")
+          .otherwise("fresh")
+      )
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

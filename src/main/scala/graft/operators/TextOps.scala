@@ -105,11 +105,10 @@ object TextOps {
     * preference order on ties. Deliberately simple + fully
     * deterministic so the DuckDB oracle can mirror it exactly.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = lower(col("text"))
-    val base = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), tokens(toks).as("toks"))
+  /** Appends n_<lang> marker counts and the arg-max pred_lang to a df
+    * with a "toks" column (shared by langId and langidConfusion).
+    */
+  private def withLangPred(base: DataFrame): DataFrame = {
     val withScores = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
       df.withColumn(
         s"n_$lang",
@@ -117,17 +116,37 @@ object TextOps {
       )
     }
     val Seq(en, es, de, fr, zh) = langMarkers.map { case (l, _) => col(s"n_$l") }
-    withScores
-      .withColumn(
-        "pred_lang",
-        when(en >= es && en >= de && en >= fr && en >= zh, "en")
-          .when(es >= de && es >= fr && es >= zh, "es")
-          .when(de >= fr && de >= zh, "de")
-          .when(fr >= zh, "fr")
-          .otherwise("zh")
-      )
-      .select(col("doc_id"), col("pred_lang"), en.as("n_en"), es.as("n_es"), de.as("n_de"),
-        fr.as("n_fr"), zh.as("n_zh"))
+    withScores.withColumn(
+      "pred_lang",
+      when(en >= es && en >= de && en >= fr && en >= zh, "en")
+        .when(es >= de && es >= fr && es >= zh, "es")
+        .when(de >= fr && de >= zh, "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    )
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    withLangPred(base)
+      .select(col("doc_id"), col("pred_lang"), col("n_en"), col("n_es"), col("n_de"),
+        col("n_fr"), col("n_zh"))
+  }
+
+  /** Language-ID confusion matrix: predicted vs labeled language, one
+    * pass (the prediction columns are appended inline, no self-join),
+    * one tiny-group shuffle. The QA table that decides whether the
+    * heuristic classifier is safe to route 100 TB of docs with.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("lang"), tokens(lower(col("text"))).as("toks"))
+    withLangPred(base)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
   }
 
   private val stopwords =
@@ -1205,6 +1224,40 @@ object TextOps {
         col("raw_count"),
         expr("(target_count * r_total * 1000000) div (raw_count * t_total)").as("ratio_ppm")
       )
+  }
+
+  /** N-gram diversity (type/token ratios at n = 1, 2, 3) per source —
+    * the "diversity collapse" detector run over generated or scraped
+    * corpora (a source whose TTR craters is template spam or model
+    * output). Exact integer counts; the ratio is ppm integer division.
+    * Per level: one (source, gram) partial-agg shuffle collapses the
+    * gram stream map-side, then a per-source rollup — gram strings
+    * never fan out wider than the distinct-gram set.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val base = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), tokens(lower(col("text"))).as("toks"))
+    def level(n: Int): DataFrame =
+      base
+        .select(
+          col("source"),
+          explode(graft.functions.VectorExpressions.wordNgrams(col("toks"), lit(n))).as("g")
+        )
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"))
+        .select(
+          col("source"),
+          lit(n.toLong).as("n"),
+          col("types"),
+          col("tokens"),
+          expr("(types * 1000000) div tokens").as("ttr_ppm")
+        )
+    level(1).unionAll(level(2)).unionAll(level(3))
   }
 
   /** BM25 retrieval: top-10 docs for a fixed 4-term query, scored with

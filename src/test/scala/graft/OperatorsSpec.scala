@@ -1841,6 +1841,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.map(_.toString).sorted.toSeq)
   }
 
+  test("langid confusion: matrix mass == corpus, diagonal == langId agreement") {
+    val rows = TextOps.langidConfusion(spark, Sf001).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.documents(spark, Sf001).count())
+    // diagonal must equal the per-doc join of langId preds with labels
+    val preds = TextOps.langId(spark, Sf001).select("doc_id", "pred_lang")
+    val agree = preds
+      .join(Tables.documents(spark, Sf001).select("doc_id", "lang"), Seq("doc_id"))
+      .filter(col("pred_lang") === col("lang"))
+      .count()
+    val diag = rows
+      .filter(r => r.getAs[String]("lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n"))
+      .sum
+    assert(diag === agree)
+  }
+
+  test("ngram diversity: TTR monotone in n, token counts consistent across levels") {
+    val rows = TextOps.ngramDiversity(spark, Sf001).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      val byN = rs.map(r => r.getAs[Long]("n") -> r).toMap
+      assert(byN.keySet === Set(1L, 2L, 3L))
+      // higher n => more types (longer contexts repeat less) => TTR rises
+      assert(byN(1L).getAs[Long]("ttr_ppm") <= byN(2L).getAs[Long]("ttr_ppm"))
+      assert(byN(2L).getAs[Long]("ttr_ppm") <= byN(3L).getAs[Long]("ttr_ppm"))
+      // each extra gram level loses exactly one position per doc with
+      // >= n tokens: token counts strictly decrease
+      assert(byN(1L).getAs[Long]("tokens") > byN(2L).getAs[Long]("tokens"))
+      assert(byN(2L).getAs[Long]("tokens") > byN(3L).getAs[Long]("tokens"))
+      rs.foreach(r => assert(r.getAs[Long]("types") <= r.getAs[Long]("tokens")))
+    }
+  }
+
+  test("incremental dedup: statuses partition the batch, all three statuses non-vacuous at sf0.01") {
+    val rows = DedupOps.incrementalDedup(spark, Sf001).collect()
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses === Set("dup_of_old", "dup_in_batch", "fresh"))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val batch = Tables.documents(spark, Sf001).filter(col("doc_id") % 2 === 1).count()
+    assert(total === batch)
+  }
+
   test("winsorized stats: cuts at the right ranks, winsorized mean pulled toward center") {
     val rows = EventOps.winsorizedStats(spark, Sf001).collect()
     assert(rows.nonEmpty)
