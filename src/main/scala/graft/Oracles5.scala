@@ -293,6 +293,48 @@ object Oracles5 {
       | CAST(wsum_c AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_winsorized
       |FROM f""".stripMargin
 
+  /** Mirrors EventOps.quantileNormalize: same centi-bins, ceil-rank
+    * cross products, and union+window as-of bin lookup (marker vbs
+    * ascend with position, so MIN over the following frame is the
+    * first covering bin on both engines).
+    */
+  val quantileNormalize: String =
+    """WITH ev AS (
+      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb FROM events),
+      |sb AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |src AS (
+      | SELECT event_type, vb, cnt,
+      |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb ROWS UNBOUNDED PRECEDING) AS cum,
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+      | FROM sb),
+      |gb AS (SELECT vb, COUNT(*) AS gcnt FROM ev GROUP BY 1),
+      |mk AS (
+      | SELECT CAST(SUM(gcnt) OVER (ORDER BY vb ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos,
+      |  CAST(0 AS BIGINT) AS is_src, vb AS gvb,
+      |  CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS svb,
+      |  CAST(NULL AS BIGINT) AS cnt
+      | FROM gb),
+      |nt AS (SELECT COUNT(*) AS n_total FROM ev),
+      |pr AS (
+      | SELECT CAST((cum * n_total + n_t - 1) // n_t AS BIGINT) AS pos,
+      |  CAST(1 AS BIGINT) AS is_src, CAST(NULL AS BIGINT) AS gvb,
+      |  event_type, vb AS svb, cnt
+      | FROM src, nt),
+      |u AS (
+      | SELECT *, MIN(CASE WHEN is_src = 0 THEN gvb END) OVER
+      |   (ORDER BY pos ASC, is_src DESC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |   AS mapped
+      | FROM (SELECT * FROM mk UNION ALL SELECT * FROM pr))
+      |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+      | CAST(SUM(svb * cnt) AS BIGINT) AS raw_c,
+      | CAST(SUM(mapped * cnt) AS BIGINT) AS mapped_c,
+      | CAST(SUM(mapped * cnt) - SUM(svb * cnt) AS BIGINT) AS shift_c,
+      | CAST(CAST(SUM(svb * cnt) AS BIGINT) AS DOUBLE) /
+      |   (CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) * 100.0) AS mean_raw,
+      | CAST(CAST(SUM(mapped * cnt) AS BIGINT) AS DOUBLE) /
+      |   (CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) * 100.0) AS mean_mapped
+      |FROM u WHERE is_src = 1 GROUP BY 1""".stripMargin
+
   /** Mirrors EventOps.valueOutliers: decimal-exact moments (VARCHAR-
     * mediated decimal→double), identical mean/std/z expression order.
     */
@@ -410,4 +452,64 @@ object Oracles5 {
       |SELECT CAST(length(bin(cnt)) AS BIGINT) AS band, COUNT(*) AS n_types,
       | CAST(SUM(cnt) AS BIGINT) AS n_tokens, MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
       |FROM wc GROUP BY 1""".stripMargin
+
+  /** Mirrors DedupOps.containmentPairs: same rare-shingle candidate
+    * screen as ngramJaccard (corpus-relative df cap, containment-0.7
+    * admission over the rare-projected sets), full-set verify with
+    * containment = shared/min and the diluted jaccard alongside.
+    */
+  val containmentPairs: String =
+    s"""WITH ${Oracles2.shinglesCte},
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM posting GROUP BY shingle
+       |         HAVING COUNT(*) <= GREATEST(50,
+       |                 CAST(ceil(0.001 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+       |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+       |rc AS (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
+       |cand AS (
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       | JOIN rc ra ON ra.doc_id = doc_a JOIN rc rb ON rb.doc_id = doc_b
+       | WHERE n_shared >= GREATEST(3, CAST(ceil(LEAST(ra.n_rare, rb.n_rare) * 0.7) AS BIGINT))),
+       |v AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_shared,
+       |  CAST(len(sa.shingles) AS BIGINT) AS na, CAST(len(sb.shingles) AS BIGINT) AS nb
+       | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+       | CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_big,
+       | LEAST(na, nb) AS n_small, GREATEST(na, nb) AS n_big, n_shared,
+       | CAST(n_shared AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment,
+       | CAST(n_shared AS DOUBLE) / CAST(na + nb - n_shared AS DOUBLE) AS jaccard
+       |FROM v WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.7""".stripMargin
+
+  /** Mirrors EventOps.intervalCoverage: distinct floor-second starts,
+    * fixed 3600 s half-open intervals, running-max-end island
+    * detection (touching merges), floor-div utilization.
+    */
+  val intervalCoverage: String =
+    """WITH iv AS (
+      | SELECT event_type, epoch_us(ts) // 1000000 AS s, COUNT(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |m AS (
+      | SELECT event_type, s, s + 3600 AS e, cnt,
+      |  MAX(s + 3600) OVER (PARTITION BY event_type ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      | FROM iv),
+      |isl AS (
+      | SELECT *, SUM(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY event_type ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+      | FROM m),
+      |pi AS (
+      | SELECT event_type, island, MIN(s) AS i_start, MAX(e) AS i_end,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_ev
+      | FROM isl GROUP BY 1, 2)
+      |SELECT event_type, CAST(SUM(i_end - i_start) AS BIGINT) AS covered_s,
+      | COUNT(*) AS n_islands, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      | MIN(i_start) AS first_s, MAX(i_end) AS last_s,
+      | CAST(SUM(i_end - i_start) AS BIGINT) * 1000000 // (MAX(i_end) - MIN(i_start))
+      |   AS utilization_ppm
+      |FROM pi GROUP BY 1""".stripMargin
 }

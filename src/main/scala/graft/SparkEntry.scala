@@ -124,6 +124,9 @@ object SparkEntry {
     "langid_confusion" -> TextOps.langidConfusion,
     "ngram_diversity" -> TextOps.ngramDiversity,
     "incremental_dedup" -> DedupOps.incrementalDedup,
+    "quantile_normalize" -> EventOps.quantileNormalize,
+    "interval_coverage" -> EventOps.intervalCoverage,
+    "containment_pairs" -> DedupOps.containmentPairs,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -843,6 +846,9 @@ object SparkEntry {
     "langid_confusion" -> Oracles5.langidConfusion,
     "ngram_diversity" -> Oracles5.ngramDiversity,
     "incremental_dedup" -> Oracles5.incrementalDedup,
+    "quantile_normalize" -> Oracles5.quantileNormalize,
+    "interval_coverage" -> Oracles5.intervalCoverage,
+    "containment_pairs" -> Oracles5.containmentPairs,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -256,6 +256,86 @@ object DedupOps {
     verifyJaccard(pairs, posting, threshold = 0.5)
   }
 
+  /** Directional containment pairs: |A∩B| / min(|A|,|B|) over the
+    * 3-gram shingle sets — the metric that catches a small doc pasted
+    * inside a big one (a quote, a boilerplate inclusion), which plain
+    * Jaccard DILUTES: a 50-shingle doc fully contained in a
+    * 5000-shingle doc has containment 1.0 but jaccard ≈ 0.01, far
+    * below any dedup threshold. Both metrics are reported so the gap
+    * is visible per pair.
+    *
+    * Candidate screen mirrors ngramJaccard's rare-shingle inverted
+    * index (df-capped posting self-join; the cap is corpus-relative),
+    * with the admission bound adapted to containment: over the
+    * rare-projected sets, containment >= 0.7 forces
+    * n_shared >= ceil(0.7 * min) — size-relative and lossless for the
+    * projected sets; the full-set verify then recomputes the exact
+    * metric from the unpruned posting. Same recall contract as
+    * ngramJaccard (pairs sharing only capped stop-shingles are not
+    * candidates), mirrored verbatim in the oracle.
+    *
+    * Scale: identical machinery to ngramJaccard — the pair join
+    * carries (shingle, doc_id) on rare shingles only, verify touches
+    * candidates only, nothing is all-pairs.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val nDocs = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val rare = posting
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .filter(
+        col("df") <= greatest(
+          lit(MaxDocFreqFloor),
+          ceil(col("n_docs") * MaxDocFreqFrac).cast("bigint")
+        )
+      )
+      .select(col("shingle"))
+    val pruned = posting.join(rare, Seq("shingle")).localCheckpoint()
+    val rareCounts = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val pairs = pruned
+      .select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_r"))
+      .join(rareCounts.select(col("doc_id").as("doc_a"), col("n_rare").as("nra")), Seq("doc_a"))
+      .join(rareCounts.select(col("doc_id").as("doc_b"), col("n_rare").as("nrb")), Seq("doc_b"))
+      .filter(
+        col("n_shared_r") >= greatest(
+          lit(3L),
+          ceil(least(col("nra"), col("nrb")) * 0.7).cast("bigint")
+        )
+      )
+      .select(col("doc_a"), col("doc_b"))
+    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn(
+        "containment",
+        col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double")
+      )
+      .filter(col("containment") >= 0.7)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        col("n_shared"),
+        col("containment"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard")
+      )
+  }
+
   /** SimHash-64 fingerprints: sum the ±1 bit vectors of every token
     * occurrence (integer sums — order-independent), sign each of the
     * 64 positions. Output is the bit string; integer-exact on both

@@ -761,6 +761,81 @@ object EventOps {
       )
   }
 
+  /** Quantile normalization: map each event type's value distribution
+    * onto the GLOBAL distribution (the batch-effect correction used to
+    * make heterogeneous sources comparable before mixing). Exact
+    * integer rank arithmetic end to end: a value at within-type rank r
+    * of n_t maps to the global bin covering rank ceil(r*N/n_t); the
+    * bin lookup is the union+window as-of trick — global bins become
+    * markers at position gcum, source bins probe at their target rank,
+    * and MIN(marker vb) over the following frame (marker vbs ascend
+    * with position) finds the covering bin. No range join, no
+    * rank-explode. The global window runs over DISTINCT BINS + probe
+    * rows (bounded by value range x 100 + bins-per-type, not corpus
+    * size — the hourlySpineFilled justification). Output per type:
+    * exact centi-unit raw/mapped sums, their exact integer shift, and
+    * the derived double means.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+    val sb = ev.groupBy(col("event_type"), col("vb")).agg(count(lit(1)).as("cnt"))
+    val wS = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val src = sb
+      .withColumn("cum", sum(col("cnt")).over(wS))
+      .withColumn("n_t", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val gb = ev.groupBy(col("vb")).agg(count(lit(1)).as("gcnt"))
+    val wG = Window.orderBy(col("vb")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val markers = gb
+      .withColumn("gcum", sum(col("gcnt")).over(wG))
+      .select(
+        col("gcum").as("pos"),
+        lit(0L).as("is_src"),
+        col("vb").as("gvb"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("vb"),
+        lit(null).cast("long").as("cnt")
+      )
+    val probes = src
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
+      .select(
+        expr("(cum * n_total + n_t - 1) div n_t").as("pos"),
+        lit(1L).as("is_src"),
+        lit(null).cast("long").as("gvb"),
+        col("event_type"),
+        col("vb"),
+        col("cnt")
+      )
+    val w = Window
+      .orderBy(col("pos").asc, col("is_src").desc, col("event_type").asc, col("vb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    markers
+      .unionAll(probes)
+      .withColumn("mapped", min(when(col("is_src") === 0L, col("gvb"))).over(w))
+      .filter(col("is_src") === 1L)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n_events"),
+        sum(col("vb") * col("cnt")).as("raw_c"),
+        sum(col("mapped") * col("cnt")).as("mapped_c")
+      )
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("raw_c"),
+        col("mapped_c"),
+        (col("mapped_c") - col("raw_c")).as("shift_c"),
+        (col("raw_c").cast("double") / (col("n_events").cast("double") * lit(100.0)))
+          .as("mean_raw"),
+        (col("mapped_c").cast("double") / (col("n_events").cast("double") * lit(100.0)))
+          .as("mean_mapped")
+      )
+  }
+
   /** Global top-25 |z-score| outliers of event values, standardized
     * within each event type. Moments are decimal-exact sums (order
     * free); mean/var/std then z are per-row IEEE expressions in one
@@ -787,5 +862,65 @@ object EventOps {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(abs(col("z")).desc, col("event_id").asc)
       .limit(25)
+  }
+
+  /** Overlapping-interval union per event type: each event opens a
+    * 1-hour activity interval [s, s+3600) in epoch seconds; intervals
+    * from DIFFERENT users interleave freely, and the query reports the
+    * union — total covered seconds, number of maximal busy islands
+    * (touching intervals merge: next start == running max end is NOT a
+    * new island under the half-open convention), and floor-div
+    * utilization ppm of the type's overall span. The classic
+    * gaps-and-islands-over-overlapping-intervals shape (uptime /
+    * coverage / SLA math) that naive SQL gets wrong with MIN/MAX alone.
+    *
+    * Scale: all intervals share one fixed length, so the union depends
+    * only on DISTINCT start seconds — the first aggregate collapses the
+    * corpus to ≤ (types × seconds-in-range) rows BEFORE any window
+    * runs (the hourlySpineFilled bound: range-sized, not corpus-sized).
+    * The per-type window sorts that bounded set only; event counts ride
+    * along as pre-aggregated cnt so nothing re-reads the corpus.
+    */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .events(spark, dir)
+      .select(col("event_type"), floorDiv(1000000000L).as("s"))
+      .groupBy(col("event_type"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("e", col("s") + lit(3600L))
+    val wPrev = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      .withColumn(
+        "new_island",
+        when(col("prev_end").isNull || col("s") > col("prev_end"), 1L).otherwise(0L)
+      )
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("event_type"), col("island"))
+      .agg(
+        min(col("s")).as("i_start"),
+        max(col("e")).as("i_end"),
+        sum(col("cnt")).as("n_ev")
+      )
+    islands
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("i_end") - col("i_start")).as("covered_s"),
+        count(lit(1)).as("n_islands"),
+        sum(col("n_ev")).as("n_events"),
+        min(col("i_start")).as("first_s"),
+        max(col("i_end")).as("last_s")
+      )
+      .withColumn(
+        "utilization_ppm",
+        expr("covered_s * 1000000 DIV (last_s - first_s)")
+      )
   }
 }

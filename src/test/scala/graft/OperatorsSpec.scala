@@ -1884,6 +1884,98 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total === batch)
   }
 
+  test("quantile normalize: mapped sums match an exact driver recompute of the rank map") {
+    val rows = EventOps.quantileNormalize(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.events(spark, Sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+    val globalSorted = data.map(_._2).sorted // global rank -> bin
+    val nTotal = globalSorted.length.toLong
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = data.filter(_._1 == t).map(_._2).sorted
+      val nT = vs.length.toLong
+      assert(r.getAs[Long]("n_events") === nT)
+      assert(r.getAs[Long]("raw_c") === vs.sum)
+      // exact recompute: value at within-type rank r maps to the global
+      // bin at rank ceil(r*N/n_t); ranks here are per distinct bin
+      // (cum = count of type values <= vb), matching the operator
+      val mapped = vs.distinct.map { vb =>
+        val cum = vs.count(_ <= vb).toLong
+        val target = (cum * nTotal + nT - 1) / nT
+        val g = globalSorted(target.toInt - 1)
+        g * vs.count(_ == vb)
+      }.sum
+      assert(r.getAs[Long]("mapped_c") === mapped, s"type $t")
+      assert(r.getAs[Long]("shift_c") === mapped - vs.sum)
+    }
+    // normalization sanity: mapping every type onto the global
+    // distribution moves type means TOWARD the global mean overall
+    val gMean = globalSorted.sum.toDouble / nTotal
+    val before = rows.map(r => math.abs(r.getAs[Double]("mean_raw") * 100.0 - gMean)).sum
+    val after = rows.map(r => math.abs(r.getAs[Double]("mean_mapped") * 100.0 - gMean)).sum
+    assert(after <= before + 1e-9, s"normalization diverged: $after > $before")
+  }
+
+  test("containment pairs: metrics exact vs raw shingle sets; catches jaccard-diluted pairs") {
+    val rows = DedupOps.containmentPairs(spark, Sf001).collect()
+    assert(rows.nonEmpty, "containment screen is vacuous at sf0.001")
+    val sets = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map { r =>
+        val toks = r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      .toMap
+    rows.foreach { r =>
+      val (s, b) = (r.getAs[Long]("doc_small"), r.getAs[Long]("doc_big"))
+      val (sa, sb) = (sets(s), sets(b))
+      val shared = (sa & sb).size.toLong
+      assert(r.getAs[Long]("n_small") === math.min(sa.size, sb.size).toLong)
+      assert(r.getAs[Long]("n_big") === math.max(sa.size, sb.size).toLong)
+      assert(r.getAs[Long]("n_shared") === shared)
+      assert(r.getAs[Double]("containment") ===
+        shared.toDouble / math.min(sa.size, sb.size).toDouble)
+      assert(r.getAs[Double]("containment") >= 0.7)
+      assert(sa.size <= sb.size || s > b, "doc_small must carry the smaller set")
+      assert(r.getAs[Double]("jaccard") ===
+        shared.toDouble / (sa.size + sb.size - shared).toDouble)
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("containment") + 1e-12)
+    }
+  }
+
+  test("interval coverage: union length matches an exact sweep over raw seconds") {
+    val rows = EventOps.intervalCoverage(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.events(spark, Sf001)
+      .select(col("event_type"), expr("ts DIV 1000000000").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val starts = data.filter(_._1 == t).map(_._2)
+      assert(r.getAs[Long]("n_events") === starts.length.toLong)
+      // oracle recompute: sweep the sorted distinct intervals
+      val iv = starts.distinct.sorted.map(s => (s, s + 3600L))
+      var covered = 0L; var islands = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+      iv.foreach { case (s, e) =>
+        if (curE == Long.MinValue || s > curE) { // new island (touching merges)
+          if (curE != Long.MinValue) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      covered += curE - curS
+      assert(r.getAs[Long]("covered_s") === covered, s"type $t")
+      assert(r.getAs[Long]("n_islands") === islands, s"type $t")
+      assert(r.getAs[Long]("first_s") === iv.head._1)
+      assert(r.getAs[Long]("last_s") === iv.map(_._2).max)
+      val span = iv.map(_._2).max - iv.head._1
+      assert(r.getAs[Long]("utilization_ppm") === covered * 1000000L / span)
+      // union is at most the sum of interval lengths and at least one interval
+      assert(covered <= 3600L * iv.length && covered >= 3600L)
+    }
+  }
+
   test("winsorized stats: cuts at the right ranks, winsorized mean pulled toward center") {
     val rows = EventOps.winsorizedStats(spark, Sf001).collect()
     assert(rows.nonEmpty)
