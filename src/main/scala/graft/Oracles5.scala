@@ -512,4 +512,81 @@ object Oracles5 {
       | CAST(SUM(i_end - i_start) AS BIGINT) * 1000000 // (MAX(i_end) - MIN(i_start))
       |   AS utilization_ppm
       |FROM pi GROUP BY 1""".stripMargin
+
+  /** Mirrors RelationalOps.skylineOrders: per-day champion (max
+    * centi-price, min orderkey) then strict-prior running-max
+    * staircase; integer price compares throughout.
+    */
+  val skylineOrders: String =
+    """WITH ord AS (
+      | SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |  o_totalprice
+      | FROM orders),
+      |ch AS (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderdate_epoch
+      |   ORDER BY price_c DESC, o_orderkey ASC) AS rn
+      | FROM ord),
+      |st AS (
+      | SELECT o_orderdate_epoch, o_orderkey, o_totalprice, price_c,
+      |  MAX(price_c) OVER (ORDER BY o_orderdate_epoch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      | FROM ch WHERE rn = 1)
+      |SELECT o_orderdate_epoch, o_orderkey, o_totalprice, price_c
+      |FROM st WHERE prev_max IS NULL OR price_c > prev_max""".stripMargin
+
+  /** Mirrors TextOps.vocabOverlap: distinct (source, token) sets via
+    * the shared non-letter-boundary tokenizer, pairwise shared counts,
+    * one exact-long division per pair.
+    */
+  val vocabOverlap: String =
+    """WITH v AS (
+      | SELECT DISTINCT source, word FROM (
+      |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+      |  FROM documents)
+      | WHERE word <> ''),
+      |s AS (SELECT source, COUNT(*) AS n_vocab FROM v GROUP BY 1),
+      |p AS (
+      | SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      | FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+      | GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared, sa.n_vocab AS na, sb.n_vocab AS nb,
+      | CAST(n_shared AS DOUBLE) / CAST(sa.n_vocab + sb.n_vocab - n_shared AS DOUBLE)
+      |   AS jaccard
+      |FROM p
+      |JOIN s sa ON sa.source = p.source_a
+      |JOIN s sb ON sb.source = p.source_b""".stripMargin
+
+  /** Mirrors EventOps.valueTrend: per-type recentered epoch seconds,
+    * exact DECIMAL moment sums (VARCHAR-mediated double casts), then
+    * the identical IEEE slope/intercept/r² expressions.
+    */
+  val valueTrend: String =
+    """WITH ev AS (
+      | SELECT event_type, epoch_us(ts) // 1000000 AS s,
+      |  CAST(value AS DECIMAL(18,2)) AS v
+      | FROM events),
+      |based AS (
+      | SELECT event_type, v,
+      |  s - MIN(s) OVER (PARTITION BY event_type) AS t
+      | FROM ev),
+      |m AS (
+      | SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(t AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_t,
+      |  CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_v,
+      |  CAST(CAST(SUM(CAST(t * v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_tv,
+      |  CAST(CAST(SUM(CAST(t * t AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_t2,
+      |  CAST(CAST(SUM(CAST(v * v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_v2
+      | FROM based GROUP BY 1)
+      |SELECT event_type, n, sum_t, sum_v, sum_tv, sum_t2, sum_v2,
+      | (CAST(n AS DOUBLE) * sum_tv - sum_t * sum_v)
+      |   / (CAST(n AS DOUBLE) * sum_t2 - sum_t * sum_t) * 86400.0 AS slope_per_day,
+      | (sum_v - (CAST(n AS DOUBLE) * sum_tv - sum_t * sum_v)
+      |   / (CAST(n AS DOUBLE) * sum_t2 - sum_t * sum_t) * sum_t) / CAST(n AS DOUBLE)
+      |   AS icept,
+      | (CAST(n AS DOUBLE) * sum_tv - sum_t * sum_v)
+      |   * (CAST(n AS DOUBLE) * sum_tv - sum_t * sum_v)
+      |   / ((CAST(n AS DOUBLE) * sum_t2 - sum_t * sum_t)
+      |      * (CAST(n AS DOUBLE) * sum_v2 - sum_v * sum_v)) AS r2
+      |FROM m""".stripMargin
 }

@@ -127,6 +127,9 @@ object SparkEntry {
     "quantile_normalize" -> EventOps.quantileNormalize,
     "interval_coverage" -> EventOps.intervalCoverage,
     "containment_pairs" -> DedupOps.containmentPairs,
+    "skyline_orders" -> RelationalOps.skylineOrders,
+    "vocab_overlap" -> TextOps.vocabOverlap,
+    "value_trend" -> EventOps.valueTrend,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -849,6 +852,9 @@ object SparkEntry {
     "quantile_normalize" -> Oracles5.quantileNormalize,
     "interval_coverage" -> Oracles5.intervalCoverage,
     "containment_pairs" -> Oracles5.containmentPairs,
+    "skyline_orders" -> Oracles5.skylineOrders,
+    "vocab_overlap" -> Oracles5.vocabOverlap,
+    "value_trend" -> Oracles5.valueTrend,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

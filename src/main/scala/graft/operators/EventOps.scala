@@ -923,4 +923,47 @@ object EventOps {
         expr("covered_s * 1000000 DIV (last_s - first_s)")
       )
   }
+
+  /** Per-type OLS time trend of event values: slope (per day),
+    * intercept, and r² of value vs time — the drift detector that
+    * tells a pipeline whether a source's signal is moving before it
+    * mixes it. Same determinism discipline as `corrStats`: the five
+    * moment sums are exact (time recentered to per-type offsets so t²
+    * products stay small — epoch² sums would not — and summed as
+    * DECIMALs; values as DECIMAL(18,2)); slope/intercept/r² are then
+    * per-row IEEE expressions over exact inputs, identical on any
+    * engine and any partitioning. One window pass for the per-type
+    * epoch base + one map-side-combined aggregate of #types groups;
+    * scan-bound at 100 TB.
+    */
+  def valueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        floorDiv(1000000000L).as("s"),
+        col("value").cast(DecimalType(18, 2)).as("v")
+      )
+    val based = ev.withColumn(
+      "t",
+      col("s") - min(col("s")).over(Window.partitionBy(col("event_type")))
+    )
+    val n = col("n").cast("double")
+    val num = n * col("sum_tv") - col("sum_t") * col("sum_v")
+    val denT = n * col("sum_t2") - col("sum_t") * col("sum_t")
+    val denV = n * col("sum_v2") - col("sum_v") * col("sum_v")
+    based
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("t").cast(DecimalType(38, 0))).cast("double").as("sum_t"),
+        sum(col("v").cast(DecimalType(38, 10))).cast("double").as("sum_v"),
+        sum((col("t") * col("v")).cast(DecimalType(38, 10))).cast("double").as("sum_tv"),
+        sum((col("t") * col("t")).cast(DecimalType(38, 0))).cast("double").as("sum_t2"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 10))).cast("double").as("sum_v2")
+      )
+      .withColumn("slope_per_day", num / denT * lit(86400.0))
+      .withColumn("icept", (col("sum_v") - num / denT * col("sum_t")) / n)
+      .withColumn("r2", num * num / (denT * denV))
+  }
 }

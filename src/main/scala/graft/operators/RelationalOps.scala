@@ -1021,4 +1021,50 @@ object RelationalOps {
       .unionAll(one("orders", o, oCanon))
       .unionAll(one("documents", d, dCanon))
   }
+
+  /** Pareto skyline of orders on (earliest date, highest price): an
+    * order survives iff no strictly-earlier day produced an equal-or
+    * -higher price — the classic staircase query (best-deal-so-far,
+    * efficient frontier) that naive MIN/MAX aggregation cannot answer.
+    *
+    * Two-step shape keeps it scale-safe: the per-day champion pass is
+    * an ordinary day-partitioned row_number (corpus shuffles once on
+    * day, ~date-range many groups), which collapses the input to one
+    * row per distinct day BEFORE the global staircase window runs —
+    * so the unpartitioned window sorts a date-range-bounded set
+    * (thousands of rows at any corpus size), never the corpus. Price
+    * comparisons are centi-unit integers end to end; ties on a day
+    * resolve to the lowest orderkey, so the output is deterministic.
+    */
+  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c"),
+        col("o_totalprice")
+      )
+    val wDay = Window
+      .partitionBy(col("o_orderdate_epoch"))
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+    val champs = ord
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    // one row per distinct day => ROWS and RANGE coincide; the frame
+    // excludes the current day so equal-price later days are dominated
+    val wRun = Window
+      .orderBy(col("o_orderdate_epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    champs
+      .withColumn("prev_max", max(col("price_c")).over(wRun))
+      .filter(col("prev_max").isNull || col("price_c") > col("prev_max"))
+      .select(
+        col("o_orderdate_epoch"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("price_c")
+      )
+  }
 }

@@ -1363,4 +1363,50 @@ object TextOps {
         col("max_doc_bytes")
       )
   }
+
+  /** Cross-source vocabulary overlap matrix: exact Jaccard between
+    * every pair of sources' distinct-token vocabularies — the source
+    * redundancy report that decides whether two crawls are worth
+    * keeping separately in a mixture. Counts are exact integers; the
+    * one derived double is a single division of two exact longs
+    * (correctly rounded on any engine).
+    *
+    * Scale: the corpus collapses to distinct (source, token) FIRST
+    * (vocabulary-sized, not corpus-sized); the pair join is an
+    * inverted-index self-join on token whose fan-out is bounded by
+    * sources²-per-token (sources is small and fixed — this is a
+    * per-source report, not a per-doc one), and the groupBy collapses
+    * it straight back to sources² rows. Vocabulary sizes ride in via
+    * broadcast. Nothing is all-pairs over docs.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    vocab
+      .select(col("word"), col("source").as("source_a"))
+      .join(vocab.select(col("word"), col("source").as("source_b")), Seq("word"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(
+        broadcast(sizes.select(col("source").as("source_a"), col("n_vocab").as("na"))),
+        Seq("source_a")
+      )
+      .join(
+        broadcast(sizes.select(col("source").as("source_b"), col("n_vocab").as("nb"))),
+        Seq("source_b")
+      )
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_shared"),
+        col("na"),
+        col("nb"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard")
+      )
+  }
 }

@@ -2173,4 +2173,96 @@ class OperatorsSpec extends AnyFunSuite {
     assert(types === wc.getLong(0))
     assert(mass === wc.getLong(1))
   }
+
+  test("skyline orders: exactly the non-dominated set under (date<=, price>=)") {
+    val rows = RelationalOps.skylineOrders(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val all = Tables.orders(spark, Sf0001)
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("d"),
+        (col("o_totalprice") * 100).cast("long").as("p")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force dominance oracle over the raw table (fine at sf0.001)
+    def dominated(k: Long, d: Long, p: Long): Boolean =
+      all.exists { case (k2, d2, p2) =>
+        k2 != k && d2 <= d && p2 >= p && (d2 < d || p2 > p ||
+          // equal (d, p): the lower orderkey is the canonical survivor
+          (d2 == d && p2 == p && k2 < k))
+      }
+    val skyline = rows.map(r => (r.getAs[Long]("o_orderkey"),
+      r.getAs[Long]("o_orderdate_epoch"), r.getAs[Long]("price_c"))).toSet
+    all.foreach { case (k, d, p) =>
+      assert(skyline.contains((k, d, p)) === !dominated(k, d, p),
+        s"order $k d=$d p=$p")
+    }
+    // staircase invariant: sorted by date, prices strictly increase
+    val byDate = rows.map(r => (r.getAs[Long]("o_orderdate_epoch"),
+      r.getAs[Long]("price_c"))).sortBy(_._1)
+    byDate.sliding(2).foreach {
+      case Array((d1, p1), (d2, p2)) => assert(d1 < d2 && p1 < p2)
+      case _ => ()
+    }
+  }
+
+  test("vocab overlap: counts exact vs driver token sets, jaccard symmetric-complete") {
+    val rows = TextOps.vocabOverlap(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val vocab = Tables.documents(spark, Sf0001)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).toSet }
+    // every unordered source pair with a shared token appears exactly once
+    val expectPairs = (for {
+      a <- vocab.keys; b <- vocab.keys
+      if a < b && (vocab(a) & vocab(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === expectPairs)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (va, vb) = (vocab(a), vocab(b))
+      assert(r.getAs[Long]("na") === va.size.toLong)
+      assert(r.getAs[Long]("nb") === vb.size.toLong)
+      val shared = (va & vb).size.toLong
+      assert(r.getAs[Long]("n_shared") === shared)
+      assert(r.getAs[Double]("jaccard") ===
+        shared.toDouble / (va.size + vb.size - shared).toDouble)
+    }
+  }
+
+  test("value trend: slope/intercept/r2 match an exact driver OLS; r2 in [0,1]") {
+    val rows = EventOps.valueTrend(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 1000000000").as("s"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.foreach { r =>
+      val t0 = r.getAs[String]("event_type")
+      val pts = ev.filter(_._1 == t0)
+      val base = pts.map(_._2).min
+      val n = pts.length.toLong
+      // exact integer/decimal moments, mirroring the operator
+      val ts = pts.map(p => BigDecimal(p._2 - base))
+      val vs = pts.map(_._3)
+      def d(x: BigDecimal) = x.toDouble
+      val (st, sv) = (d(ts.sum), d(vs.sum))
+      val stv = d(ts.zip(vs).map { case (a, b) => a * b }.sum)
+      val st2 = d(ts.map(a => a * a).sum)
+      val sv2 = d(vs.map(a => a * a).sum)
+      val num = n.toDouble * stv - st * sv
+      val denT = n.toDouble * st2 - st * st
+      val denV = n.toDouble * sv2 - sv * sv
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("sum_tv") === stv)
+      assert(r.getAs[Double]("slope_per_day") === num / denT * 86400.0)
+      assert(r.getAs[Double]("icept") === (sv - num / denT * st) / n.toDouble)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 === num * num / (denT * denV))
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
 }
