@@ -589,4 +589,57 @@ object Oracles5 {
       |   / ((CAST(n AS DOUBLE) * sum_t2 - sum_t * sum_t)
       |      * (CAST(n AS DOUBLE) * sum_v2 - sum_v * sum_v)) AS r2
       |FROM m""".stripMargin
+
+  /** Mirrors EventOps.cusumChangepoint: time-ordered running sums,
+    * D_k = n·S_k − k·S_n in exact centi-integers, earliest-k argmax,
+    * IEEE before/after means from exact decimal sums.
+    */
+  val cusumChangepoint: String =
+    """WITH ev AS (
+      | SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      |  CAST(value AS DECIMAL(18,2)) AS v
+      | FROM events),
+      |c AS (
+      | SELECT event_type, ts_us, event_id, v,
+      |  SUM(v) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS k,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |  SUM(v) OVER (PARTITION BY event_type) AS sum_v
+      | FROM ev),
+      |d AS (
+      | SELECT *, CAST(ABS((n * cum - k * sum_v) * 100) AS BIGINT) AS d_c FROM c),
+      |r AS (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |   ORDER BY d_c DESC, k ASC) AS rnk
+      | FROM d)
+      |SELECT event_type, n, k AS k_star, ts_us, d_c AS d_max_c,
+      | CAST(CAST(cum AS VARCHAR) AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+      | CAST(CAST(sum_v - cum AS VARCHAR) AS DOUBLE) / CAST(n - k AS DOUBLE)
+      |   AS mean_after
+      |FROM r WHERE rnk = 1""".stripMargin
+
+  /** Mirrors EventOps.bitmapOverlap: 63-packed user bitmaps per
+    * (type, block), bit_or merge, AND+popcount intersection, exact
+    * long division for the jaccard.
+    */
+  val bitmapOverlap: String =
+    """WITH bm AS (
+      | SELECT event_type, user_id // 63 AS block,
+      |  bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+      | FROM events GROUP BY 1, 2),
+      |s AS (
+      | SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+      | FROM bm GROUP BY 1),
+      |p AS (
+      | SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      | FROM bm a JOIN bm b ON a.block = b.block AND a.event_type < b.event_type
+      | GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n_users AS users_a, sb.n_users AS users_b, n_both,
+      | CAST(n_both AS DOUBLE) / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE)
+      |   AS jaccard
+      |FROM p
+      |JOIN s sa ON sa.event_type = p.type_a
+      |JOIN s sb ON sb.event_type = p.type_b""".stripMargin
 }

@@ -130,6 +130,8 @@ object SparkEntry {
     "skyline_orders" -> RelationalOps.skylineOrders,
     "vocab_overlap" -> TextOps.vocabOverlap,
     "value_trend" -> EventOps.valueTrend,
+    "cusum_changepoint" -> EventOps.cusumChangepoint,
+    "bitmap_overlap" -> EventOps.bitmapOverlap,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -855,6 +857,8 @@ object SparkEntry {
     "skyline_orders" -> Oracles5.skylineOrders,
     "vocab_overlap" -> Oracles5.vocabOverlap,
     "value_trend" -> Oracles5.valueTrend,
+    "cusum_changepoint" -> Oracles5.cusumChangepoint,
+    "bitmap_overlap" -> Oracles5.bitmapOverlap,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

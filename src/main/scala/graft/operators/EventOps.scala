@@ -810,9 +810,18 @@ object EventOps {
         col("vb"),
         col("cnt")
       )
+    // "MIN over [current row, end)" — but written as a running MIN over
+    // the EXACT-REVERSE ordering: Spark executes unbounded-FOLLOWING
+    // frames by recomputing the aggregate per row (O(n²) — profiled at
+    // 68 s for the sf0.1 union), while unbounded-PRECEDING frames
+    // accumulate in O(n). The sort key is strict (marker positions are
+    // distinct cumulative counts; probe (event_type, vb) is unique;
+    // is_src splits the two), so reversing every key (asc-nulls-first ↔
+    // desc-nulls-last, Spark's defaults) yields the identical frame
+    // membership and the same `mapped` values.
     val w = Window
-      .orderBy(col("pos").asc, col("is_src").desc, col("event_type").asc, col("vb").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("pos").desc, col("is_src").asc, col("event_type").desc, col("vb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     markers
       .unionAll(probes)
       .withColumn("mapped", min(when(col("is_src") === 0L, col("gvb"))).over(w))
@@ -965,5 +974,114 @@ object EventOps {
       .withColumn("slope_per_day", num / denT * lit(86400.0))
       .withColumn("icept", (col("sum_v") - num / denT * col("sum_t")) / n)
       .withColumn("r2", num * num / (denT * denV))
+  }
+
+  /** Exact CUSUM changepoint per event type: the k maximizing
+    * |S_k − (k/n)·S_n| over the time-ordered value series — where the
+    * running sum deviates farthest from the uniform-trend line, i.e.
+    * the single most likely mean-shift point. All comparisons happen
+    * on D_k = n·S_k − k·S_n in centi-unit integers (values are
+    * DECIMAL(18,2); n·S_k and k·S_n are exact decimal products), so
+    * the argmax is bit-stable on any engine; ties resolve to the
+    * earliest k. Before/after means are per-row IEEE divisions of
+    * exact sums.
+    *
+    * Scale: one sort-shuffle per type (the window_running_total
+    * shape — O(1) state per row under the ordered scan); the argmax
+    * is a TakeOrdered-style row_number over the same partitioning, no
+    * second shuffle of the corpus. A 100 TB deployment would segment
+    * the series (per day/shard) and merge candidate maxima — the
+    * in-partition math is unchanged.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        tsUs.as("ts_us"),
+        col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("v")
+      )
+    val ord = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tot = Window.partitionBy(col("event_type"))
+    val d = ev
+      .withColumn("cum", sum(col("v")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("sum_v", sum(col("v")).over(tot))
+      .withColumn(
+        "d_c",
+        abs((col("n") * col("cum") - col("k") * col("sum_v")) * 100).cast("long")
+      )
+    d.withColumn(
+      "rnk",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("d_c").desc, col("k").asc))
+    ).filter(col("rnk") === 1)
+      .select(
+        col("event_type"),
+        col("n"),
+        col("k").as("k_star"),
+        col("ts_us"),
+        col("d_c").as("d_max_c"),
+        (col("cum").cast("double") / col("k").cast("double")).as("mean_before"),
+        ((col("sum_v") - col("cum")).cast("double") /
+          (col("n") - col("k")).cast("double")).as("mean_after")
+      )
+  }
+
+  /** Distinct-user overlap between every pair of event types via
+    * 63-packed bitmap blocks — the roaring-bitmap set-intersection
+    * pattern expressed relationally. Users collapse to (type,
+    * user_id DIV 63) blocks whose bit_or-aggregated masks carry 63
+    * users per row (63, not 64: a sign-bit mask is a portability
+    * trap — DuckDB's checked << rejects 1<<63), so the pair join
+    * shuffles ~64× fewer rows than a distinct-user self-join and the
+    * intersection is one AND+popcount per block. Counts are exact;
+    * the one double is a division of exact longs.
+    *
+    * Scale: block bitmaps are the standard distinct-set exchange
+    * format at 10⁹ users (byte-per-8-users); the per-pair fan-out is
+    * bounded by types² per block and collapses in the same aggregate.
+    */
+  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val bm = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr("user_id DIV 63").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("mask")
+      )
+      .groupBy(col("event_type"), col("block"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val sizes = bm
+      .groupBy(col("event_type"))
+      .agg(sum(expr("CAST(bit_count(bits) AS BIGINT)")).as("n_users"))
+    bm.select(col("event_type").as("type_a"), col("block"), col("bits").as("bits_a"))
+      .join(
+        bm.select(col("event_type").as("type_b"), col("block"), col("bits").as("bits_b")),
+        Seq("block")
+      )
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("CAST(bit_count(bits_a & bits_b) AS BIGINT)")).as("n_both"))
+      .join(
+        broadcast(sizes.select(col("event_type").as("type_a"), col("n_users").as("users_a"))),
+        Seq("type_a")
+      )
+      .join(
+        broadcast(sizes.select(col("event_type").as("type_b"), col("n_users").as("users_b"))),
+        Seq("type_b")
+      )
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("users_a"),
+        col("users_b"),
+        col("n_both"),
+        (col("n_both").cast("double") /
+          (col("users_a") + col("users_b") - col("n_both")).cast("double")).as("jaccard")
+      )
   }
 }

@@ -2265,4 +2265,60 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r2 >= 0.0 && r2 <= 1.0)
     }
   }
+
+  test("cusum changepoint: argmax matches an exact driver scan, earliest-k ties") {
+    val rows = EventOps.cusumChangepoint(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 1000"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = ev.filter(_._1 == t).sortBy(p => (p._2, p._3))
+      val n = series.length
+      val sumV = series.map(_._4).sum
+      var cum = BigDecimal(0)
+      var bestK = -1; var bestD = BigDecimal(-1); var bestCum = BigDecimal(0)
+      series.zipWithIndex.foreach { case (p, i) =>
+        cum += p._4
+        val d = (BigDecimal(n) * cum - BigDecimal(i + 1) * sumV).abs
+        if (d > bestD) { bestD = d; bestK = i + 1; bestCum = cum }
+      }
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("k_star") === bestK.toLong, s"type $t")
+      assert(r.getAs[Long]("ts_us") === series(bestK - 1)._2)
+      assert(r.getAs[Long]("d_max_c") === (bestD * 100).toLongExact)
+      assert(r.getAs[Double]("mean_before") ===
+        bestCum.toDouble / bestK.toDouble)
+      assert(r.getAs[Double]("mean_after") ===
+        (sumV - bestCum).toDouble / (n - bestK).toDouble)
+    }
+  }
+
+  test("bitmap overlap: intersection counts equal distinct-user set intersections") {
+    val rows = EventOps.bitmapOverlap(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, us) => t -> us.map(_._2).toSet }
+    // complete: every type pair sharing at least one bitmap block appears
+    val blocks = users.map { case (t, us) => t -> us.map(_ / 63) }
+    val expect = (for {
+      a <- users.keys; b <- users.keys
+      if a < b && (blocks(a) & blocks(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === expect)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("users_a") === users(a).size.toLong)
+      assert(r.getAs[Long]("users_b") === users(b).size.toLong)
+      val both = (users(a) & users(b)).size.toLong
+      assert(r.getAs[Long]("n_both") === both)
+      assert(r.getAs[Double]("jaccard") ===
+        both.toDouble / (users(a).size + users(b).size - both).toDouble)
+    }
+  }
 }
