@@ -642,4 +642,46 @@ object Oracles5 {
       |FROM p
       |JOIN s sa ON sa.event_type = p.type_a
       |JOIN s sb ON sb.event_type = p.type_b""".stripMargin
+
+  /** Mirrors EventOps.rollingMedian7d: centi-integer daily sums, ROWS
+    * 6 PRECEDING frame, doubled median so the even case stays integer.
+    */
+  val rollingMedian7d: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS day_c,
+      |  COUNT(*) AS n_events
+      | FROM events GROUP BY 1, 2),
+      |win AS (
+      | SELECT event_type, day, n_events, day_c,
+      |  list_sort(list(day_c) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      | FROM daily)
+      |SELECT event_type, day, n_events, day_c,
+      | CAST(len(arr) AS BIGINT) AS win_days,
+      | CAST(CASE WHEN len(arr) % 2 = 1 THEN 2 * arr[(len(arr) + 1) // 2]
+      |      ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1] END AS BIGINT)
+      |   AS med2_c
+      |FROM win""".stripMargin
+
+  /** Mirrors RelationalOps.benfordProfile: leading digit of the
+    * centi-unit decimal string, floor-div ppm, and the SAME
+    * precomputed Benford constants (no log at query time).
+    */
+  val benfordProfile: String = {
+    val cases = graft.operators.RelationalOps.BenfordPpm
+      .map { case (d, ppm) => s"WHEN $d THEN ${ppm}" }
+      .mkString(" ")
+    s"""WITH d AS (
+       | SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       | FROM orders),
+       |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+       |SELECT digit, n, n * 1000000 // total AS observed_ppm,
+       | CAST(CASE digit $cases END AS BIGINT) AS benford_ppm,
+       | n * 1000000 // total - CAST(CASE digit $cases END AS BIGINT) AS delta_ppm
+       |FROM g, t""".stripMargin
+  }
 }

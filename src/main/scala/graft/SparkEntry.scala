@@ -132,6 +132,8 @@ object SparkEntry {
     "value_trend" -> EventOps.valueTrend,
     "cusum_changepoint" -> EventOps.cusumChangepoint,
     "bitmap_overlap" -> EventOps.bitmapOverlap,
+    "rolling_median_7d" -> EventOps.rollingMedian7d,
+    "benford_profile" -> RelationalOps.benfordProfile,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -859,6 +861,8 @@ object SparkEntry {
     "value_trend" -> Oracles5.valueTrend,
     "cusum_changepoint" -> Oracles5.cusumChangepoint,
     "bitmap_overlap" -> Oracles5.bitmapOverlap,
+    "rolling_median_7d" -> Oracles5.rollingMedian7d,
+    "benford_profile" -> Oracles5.benfordProfile,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

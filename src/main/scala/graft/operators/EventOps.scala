@@ -1031,6 +1031,55 @@ object EventOps {
       )
   }
 
+  /** Rolling 7-day median of per-type daily value sums — the robust
+    * trend smoother (a median shrugs off the single-day spikes that
+    * wreck a rolling mean). Exactness discipline: daily sums are
+    * centi-unit integers; the window frame is ROWS 6 PRECEDING (same
+    * membership on any engine, dense days or not); and the median is
+    * reported DOUBLED (`med2_c` = 2·middle, or the sum of the two
+    * middles when the frame is even) so the even case stays an exact
+    * integer — no .5 ever touches a float.
+    *
+    * Scale: the corpus collapses to (type, day) rows FIRST (range ×
+    * types-sized, not corpus-sized); the sort-based frame median runs
+    * over that bounded set. The in-frame sort is 7 elements — constant
+    * work per row regardless of corpus size.
+    */
+  def rollingMedian7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("day_c"),
+        count(lit(1)).as("n_events")
+      )
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("day_c")).over(w)))
+      .withColumn("k", size(col("arr")))
+      .withColumn(
+        "med2_c",
+        when(
+          col("k") % 2 === 1,
+          element_at(col("arr"), ((col("k") + 1) / 2).cast("int")) * 2
+        ).otherwise(
+          element_at(col("arr"), (col("k") / 2).cast("int")) +
+            element_at(col("arr"), (col("k") / 2 + 1).cast("int"))
+        )
+      )
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events"),
+        col("day_c"),
+        col("k").cast("long").as("win_days"),
+        col("med2_c")
+      )
+  }
+
   /** Distinct-user overlap between every pair of event types via
     * 63-packed bitmap blocks — the roaring-bitmap set-intersection
     * pattern expressed relationally. Users collapse to (type,

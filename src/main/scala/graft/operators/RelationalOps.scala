@@ -1022,6 +1022,48 @@ object RelationalOps {
       .unionAll(one("documents", d, dCanon))
   }
 
+  /** floor(log10(1 + 1/d) · 1e6) for d = 1..9 — Benford's law in ppm,
+    * precomputed so neither engine evaluates a log at query time (the
+    * constants are the single source for the operator AND the oracle).
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L
+  )
+
+  /** First-significant-digit profile of order totals vs Benford's law
+    * — the fraud/synthetic-data screen (fabricated amounts flunk it,
+    * organic ones don't). The digit comes from the decimal string of
+    * the centi-unit price (leading digit is invariant under the ×100
+    * shift), so no float log10 anywhere; observed shares are floor-div
+    * ppm and the deviation is an exact integer difference against the
+    * precomputed Benford table. One map-side-combined 9-group
+    * aggregate + a 1-row broadcast total; scan-bound at 100 TB.
+    */
+  def benfordProfile(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables
+      .orders(spark, dir)
+      .select(
+        expr(
+          "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).as("digit")
+      )
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val benford = coalesce(
+      BenfordPpm.map { case (d, ppm) => when(col("digit") === d, lit(ppm)) }: _*
+    )
+    digits
+      .join(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .select(
+        col("digit"),
+        col("n"),
+        expr("n * 1000000 DIV total").as("observed_ppm"),
+        benford.as("benford_ppm")
+      )
+      .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
+  }
+
   /** Pareto skyline of orders on (earliest date, highest price): an
     * order survives iff no strictly-earlier day produced an equal-or
     * -higher price — the classic staircase query (best-deal-so-far,

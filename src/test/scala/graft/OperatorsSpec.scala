@@ -2321,4 +2321,40 @@ class OperatorsSpec extends AnyFunSuite {
         both.toDouble / (users(a).size + users(b).size - both).toDouble)
     }
   }
+
+  test("rolling median 7d: matches a driver sort over each trailing window") {
+    val rows = EventOps.rollingMedian7d(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = rows
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"), r.getAs[Long]("day_c")))
+      .groupBy(_._1).map { case (t, ds) => t -> ds.map(d => (d._2, d._3)).sortBy(_._1) }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t)
+      val idx = series.indexWhere(_._1 == r.getAs[Long]("day"))
+      val win = series.slice(math.max(0, idx - 6), idx + 1).map(_._2).sorted
+      val k = win.length
+      assert(r.getAs[Long]("win_days") === k.toLong)
+      val med2 = if (k % 2 == 1) 2 * win((k - 1) / 2) else win(k / 2 - 1) + win(k / 2)
+      assert(r.getAs[Long]("med2_c") === med2, s"$t day ${r.getAs[Long]("day")}")
+    }
+  }
+
+  test("benford profile: counts partition orders, ppm sums to ~1e6, digits in 1..9") {
+    val rows = RelationalOps.benfordProfile(spark, Sf0001).collect()
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nOrders)
+    assert(rows.forall(r => r.getAs[Long]("digit") >= 1 && r.getAs[Long]("digit") <= 9))
+    // floor-div ppm: total in (1e6 - 9, 1e6]
+    val ppm = rows.map(_.getAs[Long]("observed_ppm")).sum
+    assert(ppm > 999991L && ppm <= 1000000L)
+    // the constants really are Benford's law (re-derive with log10)
+    RelationalOps.BenfordPpm.foreach { case (d, p) =>
+      assert(p === math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_ppm") ===
+        r.getAs[Long]("observed_ppm") - r.getAs[Long]("benford_ppm"))
+    }
+  }
 }
