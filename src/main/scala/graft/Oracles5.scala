@@ -684,4 +684,51 @@ object Oracles5 {
        | n * 1000000 // total - CAST(CASE digit $cases END AS BIGINT) AS delta_ppm
        |FROM g, t""".stripMargin
   }
+
+  /** Mirrors EventOps.eventTrigrams: two leads within user order,
+    * exact counts, floor-div ppm share, lexicographic tie-break cut.
+    */
+  val eventTrigrams: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS t1
+      | FROM events),
+      |tri AS (
+      | SELECT t1,
+      |  LEAD(t1, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t2,
+      |  LEAD(t1, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t3
+      | FROM ev),
+      |g AS (
+      | SELECT t1, t2, t3, COUNT(*) AS cnt FROM tri
+      | WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g)
+      |SELECT t1, t2, t3, cnt, cnt * 1000000 // total AS share_ppm
+      |FROM g, t
+      |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC
+      |LIMIT 20""".stripMargin
+
+  /** Mirrors EventOps.dailyAutocorr: centi-integer daily sums, one
+    * lead per type, decimal-first Pearson moments, identical IEEE r.
+    */
+  val dailyAutocorr: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      | FROM events GROUP BY 1, 2),
+      |p AS (
+      | SELECT event_type, x,
+      |  LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
+      | FROM daily),
+      |m AS (
+      | SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_x,
+      |  CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_y,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_xy,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_x2,
+      |  CAST(CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_y2
+      | FROM p WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+      | (CAST(n AS DOUBLE) * sum_xy - sum_x * sum_y)
+      |   / (sqrt(CAST(n AS DOUBLE) * sum_x2 - sum_x * sum_x)
+      |      * sqrt(CAST(n AS DOUBLE) * sum_y2 - sum_y * sum_y)) AS corr_lag1
+      |FROM m""".stripMargin
 }

@@ -134,6 +134,8 @@ object SparkEntry {
     "bitmap_overlap" -> EventOps.bitmapOverlap,
     "rolling_median_7d" -> EventOps.rollingMedian7d,
     "benford_profile" -> RelationalOps.benfordProfile,
+    "event_trigrams" -> EventOps.eventTrigrams,
+    "daily_autocorr" -> EventOps.dailyAutocorr,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -863,6 +865,8 @@ object SparkEntry {
     "bitmap_overlap" -> Oracles5.bitmapOverlap,
     "rolling_median_7d" -> Oracles5.rollingMedian7d,
     "benford_profile" -> Oracles5.benfordProfile,
+    "event_trigrams" -> Oracles5.eventTrigrams,
+    "daily_autocorr" -> Oracles5.dailyAutocorr,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1031,6 +1031,80 @@ object EventOps {
       )
   }
 
+  /** Top-20 behavioral trigrams: the most common 3-event type
+    * sequences users actually perform (consecutive by (ts, event_id)
+    * within user) — the path-mining primitive behind funnel DISCOVERY
+    * (funnelStages checks a known path; this surfaces unknown ones).
+    * Counts are exact; the share is floor-div ppm of all trigram slots
+    * (Σ_u max(0, n_u − 2)), so every emitted number is an integer.
+    *
+    * Scale: one shuffle on user_id, two lead()s inside the per-user
+    * window (O(1) state), map-side-combined counts on the ≤ types³
+    * group space, TakeOrdered top-k — no global sort of the corpus.
+    * Ties break lexicographically so the cut is deterministic.
+    */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tri = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(byUser))
+      .withColumn("t3", lead(col("t1"), 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+    tri
+      .join(broadcast(tri.agg(sum(col("cnt")).as("total"))))
+      .select(col("t1"), col("t2"), col("t3"), col("cnt"),
+        expr("cnt * 1000000 DIV total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(20)
+  }
+
+  /** Lag-1 autocorrelation of per-type daily value sums — the
+    * persistence twin of valueTrend (trend says where the mean is
+    * going; autocorrelation says whether today predicts tomorrow).
+    * Daily sums are exact centi-integers; the (day, next-day) pairs
+    * come from one lead() over the bounded (type, day) collapse; the
+    * five Pearson moments are exact integer sums and r is a per-row
+    * IEEE expression over their correctly-rounded doubles (the
+    * corrStats discipline — bit-stable on any engine/partitioning).
+    */
+  def dailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("x"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(byType))
+      .filter(col("y").isNotNull)
+    val n = col("n").cast("double")
+    val num = n * col("sum_xy") - col("sum_x") * col("sum_y")
+    pairs
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sum_x"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sum_y"),
+        // decimal-first products: daily sums are ~1e13 centi-units at
+        // 100 TB, so a raw long*long would overflow before the cast
+        sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_xy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_x2"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_y2")
+      )
+      .withColumn(
+        "corr_lag1",
+        num / (sqrt(n * col("sum_x2") - col("sum_x") * col("sum_x")) *
+          sqrt(n * col("sum_y2") - col("sum_y") * col("sum_y")))
+      )
+  }
+
   /** Rolling 7-day median of per-type daily value sums — the robust
     * trend smoother (a median shrugs off the single-day spikes that
     * wreck a rolling mean). Exactness discipline: daily sums are

@@ -2357,4 +2357,57 @@ class OperatorsSpec extends AnyFunSuite {
         r.getAs[Long]("observed_ppm") - r.getAs[Long]("benford_ppm"))
     }
   }
+
+  test("event trigrams: top-20 matches a driver scan of per-user sequences") {
+    val rows = EventOps.eventTrigrams(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val seqs = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts DIV 1000"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        val o = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        o.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+      }.toSeq
+    val counts = seqs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = counts.values.sum
+    val expectTop = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(rows.map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+      r.getAs[Long]("cnt"))).toSeq === expectTop)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("cnt") * 1000000L / total)
+    }
+  }
+
+  test("daily autocorr: r matches a driver Pearson over lagged daily sums, |r|<=1") {
+    val rows = EventOps.dailyAutocorr(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 86400000000000"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1)
+      .map { case (t, es) =>
+        t -> es.groupBy(_._2).map { case (d, vs) => (d, vs.map(_._3).sum) }.toSeq.sortBy(_._1)
+      }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = daily(t).map(_._2)
+      val pairs = xs.zip(xs.drop(1))
+      val n = pairs.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      def d(l: Seq[Long]) = l.map(BigDecimal(_)).sum.toDouble
+      val (sx, sy) = (d(pairs.map(_._1)), d(pairs.map(_._2)))
+      val sxy = pairs.map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum.toDouble
+      val sx2 = pairs.map(p => BigDecimal(p._1) * BigDecimal(p._1)).sum.toDouble
+      val sy2 = pairs.map(p => BigDecimal(p._2) * BigDecimal(p._2)).sum.toDouble
+      val num = n.toDouble * sxy - sx * sy
+      val rr = num / (math.sqrt(n.toDouble * sx2 - sx * sx) * math.sqrt(n.toDouble * sy2 - sy * sy))
+      assert(r.getAs[Double]("corr_lag1") === rr, s"type $t")
+      assert(math.abs(rr) <= 1.0)
+    }
+  }
 }
