@@ -731,4 +731,44 @@ object Oracles5 {
       |   / (sqrt(CAST(n AS DOUBLE) * sum_x2 - sum_x * sum_x)
       |      * sqrt(CAST(n AS DOUBLE) * sum_y2 - sum_y * sum_y)) AS corr_lag1
       |FROM m""".stripMargin
+
+  /** Mirrors EventOps.activityGini: stable (count, user_id) ranks,
+    * decimal-exact Σ i·xᵢ, identical IEEE rank-formula G.
+    */
+  val activityGini: String =
+    """WITH c AS (
+      | SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2),
+      |r AS (
+      | SELECT event_type, x, user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x ASC, user_id ASC) AS i
+      | FROM c),
+      |m AS (
+      | SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  CAST(MAX(x) AS BIGINT) AS max_x,
+      |  CAST(CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+      |    AS VARCHAR) AS DOUBLE) AS sum_ix
+      | FROM r GROUP BY 1)
+      |SELECT event_type, n, sum_x, max_x, sum_ix,
+      | 2.0 * sum_ix / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE))
+      |  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+      |FROM m""".stripMargin
+
+  /** Mirrors EventOps.weekdayProfile: (epoch_day + 4) mod 7 weekday,
+    * floor-div ppm share, deterministic (count desc, weekday asc) peak.
+    */
+  val weekdayProfile: String =
+    """WITH e AS (
+      | SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      | FROM events),
+      |g AS (
+      | SELECT event_type, weekday, COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS sum_c
+      | FROM e GROUP BY 1, 2),
+      |w AS (
+      | SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_n,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, weekday ASC) AS rn
+      | FROM g)
+      |SELECT event_type, weekday, n, sum_c,
+      | n * 1000000 // type_n AS share_ppm, rn = 1 AS is_peak
+      |FROM w""".stripMargin
 }

@@ -136,6 +136,8 @@ object SparkEntry {
     "benford_profile" -> RelationalOps.benfordProfile,
     "event_trigrams" -> EventOps.eventTrigrams,
     "daily_autocorr" -> EventOps.dailyAutocorr,
+    "activity_gini" -> EventOps.activityGini,
+    "weekday_profile" -> EventOps.weekdayProfile,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -867,6 +869,8 @@ object SparkEntry {
     "benford_profile" -> Oracles5.benfordProfile,
     "event_trigrams" -> Oracles5.eventTrigrams,
     "daily_autocorr" -> Oracles5.dailyAutocorr,
+    "activity_gini" -> Oracles5.activityGini,
+    "weekday_profile" -> Oracles5.weekdayProfile,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

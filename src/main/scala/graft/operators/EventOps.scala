@@ -1031,6 +1031,81 @@ object EventOps {
       )
   }
 
+  /** Gini coefficient of per-user activity within each event type —
+    * the concentration report (is this signal five whales or a broad
+    * base?). Uses the rank formula G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n
+    * over ascending per-user counts with a DETERMINISTIC total order
+    * (count, then user_id — ties must rank stably or Σ i·xᵢ is
+    * engine-dependent). Both cross-products are exact integers; G is
+    * one IEEE expression over their correctly-rounded doubles.
+    *
+    * Scale: the corpus collapses to (type, user) counts first; the
+    * rank window runs per type over that collapsed set (users-per-type
+    * rows). At 10⁹ users/type the rank pass would become a
+    * repartitionByRange prefix-sum — the formula is unchanged.
+    */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val rnk = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("x").asc, col("user_id").asc)
+    val n = col("n").cast("double")
+    counts
+      .withColumn("i", row_number().over(rnk))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        max(col("x")).as("max_x"),
+        sum(col("i").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_ix")
+      )
+      .withColumn(
+        "gini",
+        lit(2.0) * col("sum_ix") / (n * col("sum_x").cast("double")) -
+          (n + lit(1.0)) / n
+      )
+  }
+
+  /** Day-of-week seasonality profile per event type: event share and
+    * exact value sum per weekday, plus each type's peak day — the
+    * seasonal-mix report feeding sampling schedules. Weekday from
+    * pure epoch arithmetic — (day + 4) mod 7, anchored by epoch day 0
+    * (1970-01-01) being a Thursday, so 0=Sunday … 6=Saturday — no
+    * calendar functions to disagree across engines;
+    * shares are floor-div ppm; the peak is a deterministic max
+    * (count, then earliest weekday). One map-side-combined aggregate
+    * of ≤ 7·types groups; scan-bound at 100 TB.
+    */
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        (floorDiv(86400000000000L) + 4) % 7 as "weekday",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v_c")
+      )
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+    val byType = Window.partitionBy(col("event_type"))
+    g.withColumn("type_n", sum(col("n")).over(byType))
+      .withColumn(
+        "is_peak",
+        row_number().over(byType.orderBy(col("n").desc, col("weekday").asc)) === 1
+      )
+      .select(
+        col("event_type"),
+        col("weekday"),
+        col("n"),
+        col("sum_c"),
+        expr("n * 1000000 DIV type_n").as("share_ppm"),
+        col("is_peak")
+      )
+  }
+
   /** Top-20 behavioral trigrams: the most common 3-event type
     * sequences users actually perform (consecutive by (ts, event_id)
     * within user) — the path-mining primitive behind funnel DISCOVERY

@@ -2410,4 +2410,52 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(rr) <= 1.0)
     }
   }
+
+  test("activity gini: matches driver rank formula; uniform counts give G near 0") {
+    val rows = EventOps.activityGini(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (t, us) =>
+        t -> us.groupBy(_._2).map { case (u, es) => (u, es.size.toLong) }.toSeq
+      }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = counts(t).sortBy { case (u, x) => (x, u) }.map(_._2)
+      val n = xs.length
+      val sumX = xs.sum
+      val sumIx = xs.zipWithIndex.map { case (x, i) => BigDecimal(i + 1) * BigDecimal(x) }.sum
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("sum_x") === sumX)
+      assert(r.getAs[Long]("max_x") === xs.max)
+      val g = 2.0 * sumIx.toDouble / (n.toDouble * sumX.toDouble) - (n.toDouble + 1.0) / n.toDouble
+      assert(r.getAs[Double]("gini") === g, s"type $t")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("weekday profile: shares partition each type, peak is the argmax weekday") {
+    val rows = EventOps.weekdayProfile(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val totalN = rs.map(_.getAs[Long]("n")).sum
+      // floor-div shares of one type sum to within 7 ppm-floors of 1e6
+      val ppm = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(ppm > 1000000L - 7 && ppm <= 1000000L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("weekday") >= 0 && r.getAs[Long]("weekday") <= 6)
+        assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("n") * 1000000L / totalN)
+      }
+      val peaks = rs.filter(_.getAs[Boolean]("is_peak"))
+      assert(peaks.length === 1)
+      val best = rs.maxBy(r => (r.getAs[Long]("n"), -r.getAs[Long]("weekday")))
+      assert(peaks.head.getAs[Long]("weekday") === best.getAs[Long]("weekday"))
+    }
+    // anchor the weekday encoding: 2024-01-01 (epoch day 19723) was a
+    // Monday, and (19723+4)%7 == 1 — so 0=Sunday, 1=Monday, …, 6=Saturday
+    assert((19723L + 4) % 7 === 1L)
+  }
 }
