@@ -771,4 +771,44 @@ object Oracles5 {
       |SELECT event_type, weekday, n, sum_c,
       | n * 1000000 // type_n AS share_ppm, rn = 1 AS is_peak
       |FROM w""".stripMargin
+
+  /** Mirrors EventOps.fanoFactor: hour-span n (zero hours enter via
+    * the span), decimal-first Σc², identical IEEE dispersion ratio.
+    */
+  val fanoFactor: String =
+    """WITH h AS (
+      | SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS c
+      | FROM events GROUP BY 1, 2),
+      |m AS (
+      | SELECT event_type, COUNT(*) AS n_obs_hours,
+      |  MAX(hour) - MIN(hour) + 1 AS n_hours,
+      |  CAST(SUM(c) AS BIGINT) AS sum_c,
+      |  CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+      |    AS VARCHAR) AS DOUBLE) AS sum_c2
+      | FROM h GROUP BY 1)
+      |SELECT event_type, n_obs_hours, n_hours, sum_c, sum_c2,
+      | (CAST(n_hours AS DOUBLE) * sum_c2
+      |   - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))
+      |  / (CAST(n_hours AS DOUBLE) * CAST(sum_c AS DOUBLE)) AS fano
+      |FROM m""".stripMargin
+
+  /** Mirrors TextOps.charClassProfile: length deltas after class
+    * removal (same RE2 classes), floor-div ppm.
+    */
+  val charClassProfile: String =
+    """WITH d AS (
+      | SELECT source, length(text) AS len,
+      |  length(text) - length(regexp_replace(text, '\p{L}', '', 'g')) AS nl,
+      |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ns
+      | FROM documents),
+      |g AS (
+      | SELECT source, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS n_chars,
+      |  CAST(SUM(nl) AS BIGINT) AS n_letters, CAST(SUM(ns) AS BIGINT) AS n_spaces,
+      |  CAST(SUM(len - nl - ns) AS BIGINT) AS n_other
+      | FROM d GROUP BY 1)
+      |SELECT source, n_docs, n_chars, n_letters, n_spaces, n_other,
+      | n_letters * 1000000 // n_chars AS letter_ppm,
+      | n_spaces * 1000000 // n_chars AS space_ppm,
+      | n_other * 1000000 // n_chars AS other_ppm
+      |FROM g""".stripMargin
 }

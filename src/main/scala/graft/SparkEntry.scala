@@ -138,6 +138,8 @@ object SparkEntry {
     "daily_autocorr" -> EventOps.dailyAutocorr,
     "activity_gini" -> EventOps.activityGini,
     "weekday_profile" -> EventOps.weekdayProfile,
+    "fano_factor" -> EventOps.fanoFactor,
+    "char_class_profile" -> TextOps.charClassProfile,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -871,6 +873,8 @@ object SparkEntry {
     "daily_autocorr" -> Oracles5.dailyAutocorr,
     "activity_gini" -> Oracles5.activityGini,
     "weekday_profile" -> Oracles5.weekdayProfile,
+    "fano_factor" -> Oracles5.fanoFactor,
+    "char_class_profile" -> Oracles5.charClassProfile,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

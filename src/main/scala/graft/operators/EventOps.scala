@@ -1031,6 +1031,42 @@ object EventOps {
       )
   }
 
+  /** Fano factor (variance-to-mean dispersion) of per-hour event
+    * counts per type — the burstiness screen: ≈1 means Poisson-like
+    * arrivals, ≫1 means bursts (bot storms, batch replays). Zero-count
+    * hours MUST enter the statistic or it biases high; they do so for
+    * free — n is the hour SPAN (max−min+1) while Σc and Σc² only need
+    * the observed hours (zeros add nothing). Both cross-products are
+    * exact integers (decimal-first squares); the Fano ratio
+    * (n·Σc² − (Σc)²)/(n·Σc) is one IEEE expression over their
+    * correctly-rounded doubles.
+    *
+    * Scale: one map-side-combined (type, hour) collapse, then a
+    * types-sized aggregate — scan-bound at 100 TB, no window, no spine
+    * explode.
+    */
+  def fanoFactor(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(3600000000000L).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val n = col("n_hours").cast("double")
+    hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_obs_hours"),
+        (max(col("hour")) - min(col("hour")) + 1).as("n_hours"),
+        sum(col("c")).as("sum_c"),
+        sum(col("c").cast(DecimalType(19, 0)) * col("c").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_c2")
+      )
+      .withColumn(
+        "fano",
+        (n * col("sum_c2") - col("sum_c").cast("double") * col("sum_c").cast("double")) /
+          (n * col("sum_c").cast("double"))
+      )
+  }
+
   /** Gini coefficient of per-user activity within each event type —
     * the concentration report (is this signal five whales or a broad
     * base?). Uses the rank formula G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n

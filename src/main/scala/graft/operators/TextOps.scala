@@ -1364,6 +1364,47 @@ object TextOps {
       )
   }
 
+  /** Character-class composition per source — letters / whitespace /
+    * other as exact counts and floor-div ppm. The cleaning signal that
+    * catches markup-heavy, table-dump, or binary-leak sources before
+    * tokenization (a source at 60% "other" is not prose). Class counts
+    * come from length deltas after regexp_replace-ing the class away —
+    * pure column arithmetic, same RE2-compatible classes (\p{L}, \s)
+    * on both engines, no UDF. One map-side-combined aggregate of
+    * #sources groups; scan-bound at 100 TB.
+    */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    val letters = length(col("text")) - length(regexp_replace(col("text"), "\\p{L}", ""))
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("len"),
+        letters.cast("long").as("nl"),
+        spaces.cast("long").as("ns")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_chars"),
+        sum(col("nl")).as("n_letters"),
+        sum(col("ns")).as("n_spaces"),
+        sum(col("len") - col("nl") - col("ns")).as("n_other")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_chars"),
+        col("n_letters"),
+        col("n_spaces"),
+        col("n_other"),
+        expr("n_letters * 1000000 DIV n_chars").as("letter_ppm"),
+        expr("n_spaces * 1000000 DIV n_chars").as("space_ppm"),
+        expr("n_other * 1000000 DIV n_chars").as("other_ppm")
+      )
+  }
+
   /** Cross-source vocabulary overlap matrix: exact Jaccard between
     * every pair of sources' distinct-token vocabularies — the source
     * redundancy report that decides whether two crawls are worth

@@ -2458,4 +2458,57 @@ class OperatorsSpec extends AnyFunSuite {
     // Monday, and (19723+4)%7 == 1 — so 0=Sunday, 1=Monday, …, 6=Saturday
     assert((19723L + 4) % 7 === 1L)
   }
+
+  test("fano factor: matches driver dispersion over the zero-filled hour span") {
+    val rows = EventOps.fanoFactor(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val hours = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 3600000000000")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, hs) =>
+        t -> hs.groupBy(_._2).map { case (h, es) => (h, es.size.toLong) }
+      }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val obs = hours(t)
+      val span = obs.keys.max - obs.keys.min + 1
+      // zero-filled series over the span: zeros change n but not the sums
+      val counts = (obs.keys.min to obs.keys.max).map(h => obs.getOrElse(h, 0L))
+      assert(r.getAs[Long]("n_hours") === span)
+      assert(r.getAs[Long]("n_obs_hours") === obs.size.toLong)
+      assert(r.getAs[Long]("sum_c") === counts.sum)
+      val sc2 = counts.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble
+      assert(r.getAs[Double]("sum_c2") === sc2)
+      val fano = (span.toDouble * sc2 - counts.sum.toDouble * counts.sum.toDouble) /
+        (span.toDouble * counts.sum.toDouble)
+      assert(r.getAs[Double]("fano") === fano, s"type $t")
+      assert(fano >= 0.0)
+    }
+  }
+
+  test("char class profile: classes partition every source's characters") {
+    val rows = TextOps.charClassProfile(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_letters") + r.getAs[Long]("n_spaces") +
+        r.getAs[Long]("n_other") === r.getAs[Long]("n_chars"))
+      val ppm = r.getAs[Long]("letter_ppm") + r.getAs[Long]("space_ppm") +
+        r.getAs[Long]("other_ppm")
+      assert(ppm > 999997L && ppm <= 1000000L)
+    }
+    // driver recompute on one source
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val texts = bySource(r.getAs[String]("source")).map(_._2)
+      assert(r.getAs[Long]("n_docs") === texts.length.toLong)
+      assert(r.getAs[Long]("n_letters") ===
+        texts.map(_.count(_.isLetter).toLong).sum)
+      assert(r.getAs[Long]("n_spaces") ===
+        texts.map(_.count(c => c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+          c == '\u000B' || c == '\f').toLong).sum)
+    }
+  }
 }
