@@ -811,4 +811,25 @@ object Oracles5 {
       | n_spaces * 1000000 // n_chars AS space_ppm,
       | n_other * 1000000 // n_chars AS other_ppm
       |FROM g""".stripMargin
+
+  /** Mirrors EventOps.madRobust: quantile_cont medians over
+    * centi-integers (.0/.5 doubles — bit-stable), exact deviations,
+    * identical literal threshold product.
+    */
+  val madRobust: String =
+    """WITH ev AS (
+      | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      | FROM events),
+      |med AS (
+      | SELECT event_type, quantile_cont(v_c, 0.5) AS med_c, COUNT(*) AS n
+      | FROM ev GROUP BY 1),
+      |mads AS (
+      | SELECT ev.event_type, quantile_cont(abs(CAST(v_c AS DOUBLE) - med_c), 0.5) AS mad_c
+      | FROM ev JOIN med USING (event_type) GROUP BY 1)
+      |SELECT ev.event_type, med.n, med.med_c, mads.mad_c,
+      | CAST(SUM(CASE WHEN abs(CAST(v_c AS DOUBLE) - med.med_c)
+      |                    > 3.0 * 1.4826 * mads.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_out3
+      |FROM ev JOIN med USING (event_type) JOIN mads USING (event_type)
+      |GROUP BY 1, 2, 3, 4""".stripMargin
 }

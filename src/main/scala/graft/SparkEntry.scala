@@ -140,6 +140,7 @@ object SparkEntry {
     "weekday_profile" -> EventOps.weekdayProfile,
     "fano_factor" -> EventOps.fanoFactor,
     "char_class_profile" -> TextOps.charClassProfile,
+    "mad_robust" -> EventOps.madRobust,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -875,6 +876,7 @@ object SparkEntry {
     "weekday_profile" -> Oracles5.weekdayProfile,
     "fano_factor" -> Oracles5.fanoFactor,
     "char_class_profile" -> Oracles5.charClassProfile,
+    "mad_robust" -> Oracles5.madRobust,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1031,6 +1031,54 @@ object EventOps {
       )
   }
 
+  /** Median absolute deviation per event type — the robust
+    * scale estimate (MAD shrugs off the outliers that inflate stddev,
+    * which is why robust z-scores use it), plus the count of robust
+    * outliers (|v − med| > 3·1.4826·MAD, the normal-consistency
+    * convention). Determinism: values are centi-integers, so both
+    * medians land on .0/.5 — exactly representable doubles that the
+    * oracle's quantile_cont reproduces bit-for-bit (the
+    * value_quantiles precedent); deviations are exact integer-valued
+    * doubles; the outlier threshold multiplies the same literals in
+    * the same order on both engines.
+    *
+    * Scale: two per-type percentile passes with the 5-row median
+    * table broadcast between them — no corpus self-join. At 100 TB
+    * each pass becomes approx_percentile or the KLL sketch; the
+    * robust-z contract is unchanged.
+    */
+  def madRobust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v_c")
+      )
+    val med = ev
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(v_c, 0.5)").as("med_c"), count(lit(1)).as("n"))
+    val mads = ev
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v_c").cast("double") - col("med_c")))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("med_c")).as("med_c"),
+        expr("percentile(dev, 0.5)").as("mad_c")
+      )
+    ev.join(broadcast(mads), Seq("event_type"))
+      .withColumn("dev", abs(col("v_c").cast("double") - col("med_c")))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("med_c")).as("med_c"),
+        first(col("mad_c")).as("mad_c"),
+        sum(
+          when(col("dev") > lit(3.0) * lit(1.4826) * col("mad_c"), 1L).otherwise(0L)
+        ).as("n_out3")
+      )
+  }
+
   /** Fano factor (variance-to-mean dispersion) of per-hour event
     * counts per type — the burstiness screen: ≈1 means Poisson-like
     * arrivals, ≫1 means bursts (bot storms, batch replays). Zero-count

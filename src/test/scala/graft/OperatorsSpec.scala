@@ -2511,4 +2511,33 @@ class OperatorsSpec extends AnyFunSuite {
           c == '\u000B' || c == '\f').toLong).sum)
     }
   }
+  test("mad robust: medians and outlier counts match a driver sort recompute") {
+    val rows = EventOps.madRobust(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    def medCont(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = vals(t).map(_.toDouble)
+      val med = medCont(xs)
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(r.getAs[Double]("med_c") === med, s"type $t")
+      val devs = xs.map(v => math.abs(v - med))
+      val mad = medCont(devs)
+      assert(r.getAs[Double]("mad_c") === mad)
+      val thr = 3.0 * 1.4826 * mad
+      assert(r.getAs[Long]("n_out3") === devs.count(_ > thr).toLong)
+      // MAD is never above the worst deviation and is nonnegative
+      assert(mad >= 0.0 && mad <= devs.max)
+    }
+  }
 }
