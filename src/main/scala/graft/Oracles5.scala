@@ -832,4 +832,49 @@ object Oracles5 {
       |   AS n_out3
       |FROM ev JOIN med USING (event_type) JOIN mads USING (event_type)
       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Mirrors EventOps.ksDrift: per-type CDFs at centi-value bins,
+    * cross-multiplied to the n_a·n_b denominator (decimal-exact),
+    * forward-filled union of jump points, earliest-bin argmax.
+    */
+  val ksDrift: String =
+    """WITH ev AS (
+      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb FROM events),
+      |bins AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_type, vb, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb
+      |   ROWS UNBOUNDED PRECEDING) AS cum
+      | FROM bins),
+      |t AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+      |p AS (
+      | SELECT a.event_type AS type_a, a.n AS n_a, b.event_type AS type_b, b.n AS n_b
+      | FROM t a JOIN t b ON a.event_type < b.event_type),
+      |u AS (
+      | SELECT p.type_a, p.type_b, p.n_a, p.n_b, c.vb, c.cum AS ca,
+      |  CAST(NULL AS BIGINT) AS cb
+      | FROM c JOIN p ON c.event_type = p.type_a
+      | UNION ALL
+      | SELECT p.type_a, p.type_b, p.n_a, p.n_b, c.vb, CAST(NULL AS BIGINT), c.cum
+      | FROM c JOIN p ON c.event_type = p.type_b),
+      |g AS (
+      | SELECT type_a, type_b, n_a, n_b, vb,
+      |  MAX(ca) AS ca, MAX(cb) AS cb
+      | FROM u GROUP BY 1, 2, 3, 4, 5),
+      |f AS (
+      | SELECT *, COALESCE(last_value(ca IGNORE NULLS) OVER w, 0) AS ca_ff,
+      |  COALESCE(last_value(cb IGNORE NULLS) OVER w, 0) AS cb_ff
+      | FROM g
+      | WINDOW w AS (PARTITION BY type_a, type_b ORDER BY vb ROWS UNBOUNDED PRECEDING)),
+      |d AS (
+      | SELECT *, CAST(ABS(CAST(ca_ff AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+      |   - CAST(cb_ff AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))) AS BIGINT)
+      |   AS d_scaled
+      | FROM f),
+      |r AS (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+      |   ORDER BY d_scaled DESC, vb ASC) AS rnk
+      | FROM d)
+      |SELECT type_a, type_b, n_a, n_b, vb AS vb_star, d_scaled,
+      | CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+      |FROM r WHERE rnk = 1""".stripMargin
 }

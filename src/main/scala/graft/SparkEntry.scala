@@ -141,6 +141,7 @@ object SparkEntry {
     "fano_factor" -> EventOps.fanoFactor,
     "char_class_profile" -> TextOps.charClassProfile,
     "mad_robust" -> EventOps.madRobust,
+    "ks_drift" -> EventOps.ksDrift,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -877,6 +878,7 @@ object SparkEntry {
     "fano_factor" -> Oracles5.fanoFactor,
     "char_class_profile" -> Oracles5.charClassProfile,
     "mad_robust" -> Oracles5.madRobust,
+    "ks_drift" -> Oracles5.ksDrift,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1031,6 +1031,95 @@ object EventOps {
       )
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between every pair
+    * of event types' value distributions — THE distribution-drift
+    * detector (did source A's signal move relative to B's?). The KS
+    * statistic D = max_x |F_a(x) − F_b(x)| is found entirely in
+    * integers: both CDFs are cross-multiplied to the common
+    * denominator n_a·n_b, so the argmax compares exact longs
+    * (decimal-mediated products), and only the final D is one IEEE
+    * division. The max is over the union of both types' distinct
+    * centi-value bins — exactly the jump points of either CDF, where
+    * the KS sup is attained; between jumps the difference is
+    * constant, so nothing is missed. Ties resolve to the earliest
+    * bin.
+    *
+    * Scale: the corpus collapses to (type, bin) counts first
+    * (value-range-sized); the pair fan-out replicates only that
+    * bounded table by the handful of pairs; the per-pair forward-fill
+    * window runs over ≤ 2·bins rows. No corpus self-join, no
+    * all-pairs over rows.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+    val bins = ev
+      .groupBy(col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "cum",
+        sum(col("cnt")).over(
+          Window
+            .partitionBy(col("event_type"))
+            .orderBy(col("vb"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = totals
+      .select(col("event_type").as("type_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("event_type").as("type_b"), col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+    val sideA = bins
+      .join(broadcast(pairs), col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"),
+        col("cum").as("ca"), lit(null).cast("long").as("cb"))
+    val sideB = bins
+      .join(broadcast(pairs), col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"),
+        lit(null).cast("long").as("ca"), col("cum").as("cb"))
+    val byPair = Window
+      .partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = sideA
+      .unionAll(sideB)
+      // a bin present in both sides yields two rows; collapse so the
+      // forward fill sees one row per (pair, vb)
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"))
+      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      .withColumn("ca_ff", coalesce(last(col("ca"), ignoreNulls = true).over(byPair), lit(0L)))
+      .withColumn("cb_ff", coalesce(last(col("cb"), ignoreNulls = true).over(byPair), lit(0L)))
+      .withColumn(
+        "d_scaled",
+        abs(
+          col("ca_ff").cast(DecimalType(19, 0)) * col("n_b").cast(DecimalType(19, 0)) -
+            col("cb_ff").cast(DecimalType(19, 0)) * col("n_a").cast(DecimalType(19, 0))
+        ).cast("long")
+      )
+    filled
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window
+            .partitionBy(col("type_a"), col("type_b"))
+            .orderBy(col("d_scaled").desc, col("vb").asc)
+        )
+      )
+      .filter(col("rnk") === 1)
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("vb").as("vb_star"),
+        col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks_d")
+      )
+  }
+
   /** Median absolute deviation per event type — the robust
     * scale estimate (MAD shrugs off the outliers that inflate stddev,
     * which is why robust z-scores use it), plus the count of robust

@@ -2540,4 +2540,31 @@ class OperatorsSpec extends AnyFunSuite {
       assert(mad >= 0.0 && mad <= devs.max)
     }
   }
+  test("ks drift: D matches a brute-force scaled-CDF scan, earliest-bin argmax") {
+    val rows = EventOps.ksDrift(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS LONG)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val types = vals.keys.toSeq.sorted
+    val expectPairs = (for { a <- types; b <- types if a < b } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === expectPairs)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (vals(a), vals(b))
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+      val grid = (xa ++ xb).distinct.sorted
+      var best = -1L; var bestVb = Long.MinValue
+      grid.foreach { x =>
+        val d = math.abs(xa.count(_ <= x) * nb - xb.count(_ <= x) * na)
+        if (d > best) { best = d; bestVb = x }
+      }
+      assert(r.getAs[Long]("d_scaled") === best, s"pair ($a,$b)")
+      assert(r.getAs[Long]("vb_star") === bestVb)
+      assert(r.getAs[Double]("ks_d") === best.toDouble / (na.toDouble * nb.toDouble))
+      assert(r.getAs[Double]("ks_d") >= 0.0 && r.getAs[Double]("ks_d") <= 1.0)
+    }
+  }
 }
