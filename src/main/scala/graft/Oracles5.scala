@@ -877,4 +877,29 @@ object Oracles5 {
       |SELECT type_a, type_b, n_a, n_b, vb AS vb_star, d_scaled,
       | CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
       |FROM r WHERE rnk = 1""".stripMargin
+
+  /** Mirrors TextOps.hapaxRatio: shared tokenizer, exact legomena
+    * counts, decimal Simpson numerator, floor-div ppm, IEEE division.
+    */
+  val hapaxRatio: String =
+    """WITH w AS (
+      | SELECT source, word FROM (
+      |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+      |  FROM documents)
+      | WHERE word <> ''),
+      |c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      |g AS (
+      | SELECT source, COUNT(*) AS vocab, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+      |  CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt - 1 AS DECIMAL(19,0)))
+      |    AS BIGINT) AS simpson_num
+      | FROM c GROUP BY 1)
+      |SELECT source, vocab, n_tokens, n_hapax, n_dis,
+      | n_hapax * 1000000 // vocab AS hapax_vocab_ppm,
+      | n_hapax * 1000000 // n_tokens AS hapax_mass_ppm,
+      | simpson_num,
+      | CAST(simpson_num AS DOUBLE)
+      |  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) AS simpson_d
+      |FROM g""".stripMargin
 }

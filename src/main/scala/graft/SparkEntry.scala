@@ -142,6 +142,7 @@ object SparkEntry {
     "char_class_profile" -> TextOps.charClassProfile,
     "mad_robust" -> EventOps.madRobust,
     "ks_drift" -> EventOps.ksDrift,
+    "hapax_ratio" -> TextOps.hapaxRatio,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -879,6 +880,7 @@ object SparkEntry {
     "char_class_profile" -> Oracles5.charClassProfile,
     "mad_robust" -> Oracles5.madRobust,
     "ks_drift" -> Oracles5.ksDrift,
+    "hapax_ratio" -> Oracles5.hapaxRatio,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

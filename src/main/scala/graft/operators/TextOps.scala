@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text operators: the reference's two real analytics queries — word
   * count (`plugins/wc.go:22-43`) and inverted index
@@ -1402,6 +1403,51 @@ object TextOps {
         expr("n_letters * 1000000 DIV n_chars").as("letter_ppm"),
         expr("n_spaces * 1000000 DIV n_chars").as("space_ppm"),
         expr("n_other * 1000000 DIV n_chars").as("other_ppm")
+      )
+  }
+
+  /** Per-source lexical profile: hapax/dis legomena and Simpson
+    * diversity — the vocabulary-health report (a source whose hapax
+    * share collapses is template spam; one whose Simpson index spikes
+    * is dominated by few tokens). Everything is exact: legomena are
+    * integer counts, shares are floor-div ppm, and Simpson's
+    * Σnᵢ(nᵢ−1)/(N(N−1)) is kept as its integer numerator (decimal
+    * sums — token counts square) next to one IEEE division. Entropy is
+    * deliberately NOT here: log() differs in the last ulp across libm
+    * implementations, so a bit-stable cross-engine entropy does not
+    * exist (the same reason bm25_topk uses the log-free rational idf).
+    *
+    * Scale: one (source, token) collapse, then a #sources aggregate —
+    * the wordCount shuffle shape, nothing else.
+    */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n_dis"),
+        sum(col("cnt").cast(DecimalType(19, 0)) * (col("cnt") - 1).cast(DecimalType(19, 0)))
+          .cast("long").as("simpson_num")
+      )
+      .select(
+        col("source"),
+        col("vocab"),
+        col("n_tokens"),
+        col("n_hapax"),
+        col("n_dis"),
+        expr("n_hapax * 1000000 DIV vocab").as("hapax_vocab_ppm"),
+        expr("n_hapax * 1000000 DIV n_tokens").as("hapax_mass_ppm"),
+        col("simpson_num"),
+        (col("simpson_num").cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double")))
+          .as("simpson_d")
       )
   }
 

@@ -2567,4 +2567,28 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("ks_d") >= 0.0 && r.getAs[Double]("ks_d") <= 1.0)
     }
   }
+  test("hapax ratio: legomena and Simpson numerator match driver token counts") {
+    val rows = TextOps.hapaxRatio(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, Sf0001)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, ws) =>
+        src -> ws.groupBy(_._2).map { case (_, g) => g.size.toLong }.toSeq
+      }
+    rows.foreach { r =>
+      val cnts = toks(r.getAs[String]("source"))
+      assert(r.getAs[Long]("vocab") === cnts.length.toLong)
+      assert(r.getAs[Long]("n_tokens") === cnts.sum)
+      assert(r.getAs[Long]("n_hapax") === cnts.count(_ == 1L).toLong)
+      assert(r.getAs[Long]("n_dis") === cnts.count(_ == 2L).toLong)
+      val sn = cnts.map(c => c * (c - 1)).sum
+      assert(r.getAs[Long]("simpson_num") === sn)
+      val n = cnts.sum
+      assert(r.getAs[Double]("simpson_d") === sn.toDouble / (n.toDouble * (n - 1).toDouble))
+      // bounds: Simpson in [0,1], hapax subset of vocab
+      assert(r.getAs[Double]("simpson_d") >= 0.0 && r.getAs[Double]("simpson_d") <= 1.0)
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("vocab"))
+    }
+  }
 }
