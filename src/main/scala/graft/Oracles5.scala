@@ -902,4 +902,50 @@ object Oracles5 {
       | CAST(simpson_num AS DOUBLE)
       |  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) AS simpson_d
       |FROM g""".stripMargin
+
+  /** Mirrors TextOps.rankAgreement: tie-broken strict permutations,
+    * exact concordance counts, tau-a as one IEEE division.
+    */
+  val rankAgreement: String =
+    """WITH w AS (
+      | SELECT source, word FROM (
+      |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+      |  FROM documents)
+      | WHERE word <> ''),
+      |m AS (
+      | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
+      | FROM w GROUP BY 1),
+      |r AS (
+      | SELECT source,
+      |  ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source ASC) AS r_mass,
+      |  ROW_NUMBER() OVER (ORDER BY vocab DESC, source ASC) AS r_vocab
+      | FROM m),
+      |p AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN (a.r_mass - b.r_mass) * (a.r_vocab - b.r_vocab) > 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS concordant
+      | FROM r a JOIN r b ON a.source < b.source)
+      |SELECT (SELECT COUNT(*) FROM m) AS n_items, n_pairs, concordant,
+      | n_pairs - concordant AS discordant,
+      | CAST(concordant - (n_pairs - concordant) AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+      |   AS kendall_tau
+      |FROM p""".stripMargin
+
+  /** Mirrors RelationalOps.equidepthHist: NTILE over the strict
+    * (centi-price, orderkey) order, integer per-bucket stats.
+    */
+  val equidepthHist: String =
+    """WITH o AS (
+      | SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      | FROM orders),
+      |b AS (
+      | SELECT price_c,
+      |  NTILE(10) OVER (ORDER BY price_c ASC, o_orderkey ASC) AS bucket
+      | FROM o)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+      | MIN(price_c) AS lo_c, MAX(price_c) AS hi_c,
+      | CAST(SUM(price_c) AS BIGINT) AS sum_c
+      |FROM b GROUP BY 1""".stripMargin
 }

@@ -143,6 +143,8 @@ object SparkEntry {
     "mad_robust" -> EventOps.madRobust,
     "ks_drift" -> EventOps.ksDrift,
     "hapax_ratio" -> TextOps.hapaxRatio,
+    "rank_agreement" -> TextOps.rankAgreement,
+    "equidepth_hist" -> RelationalOps.equidepthHist,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -881,6 +883,8 @@ object SparkEntry {
     "mad_robust" -> Oracles5.madRobust,
     "ks_drift" -> Oracles5.ksDrift,
     "hapax_ratio" -> Oracles5.hapaxRatio,
+    "rank_agreement" -> Oracles5.rankAgreement,
+    "equidepth_hist" -> Oracles5.equidepthHist,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1064,6 +1064,41 @@ object RelationalOps {
       .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
   }
 
+  /** Equi-depth 10-bucket histogram of order totals — the optimizer's
+    * selectivity-estimation structure (equal mass per bucket, unlike
+    * the fixed-width price_histogram). NTILE over the deterministic
+    * (centi-price, orderkey) total order assigns buckets; per-bucket
+    * bounds/counts/exact sums fall out of one aggregate. All hashed
+    * columns are integers.
+    *
+    * Scale: a global NTILE is a total sort — the operator states the
+    * honest cost (one range-partitioned sort of the key column, the
+    * same price Spark's own repartitionByRange pays); at 100 TB the
+    * drop-in replacement is approx_percentile boundaries, same output
+    * contract.
+    */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c")
+      )
+    ord
+      .withColumn(
+        "bucket",
+        ntile(10).over(Window.orderBy(col("price_c").asc, col("o_orderkey").asc))
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("price_c")).as("lo_c"),
+        max(col("price_c")).as("hi_c"),
+        sum(col("price_c")).as("sum_c")
+      )
+      .withColumn("bucket", col("bucket").cast("long"))
+  }
+
   /** Pareto skyline of orders on (earliest date, highest price): an
     * order survives iff no strictly-earlier day produced an equal-or
     * -higher price — the classic staircase query (best-deal-so-far,

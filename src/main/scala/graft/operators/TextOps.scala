@@ -1451,6 +1451,58 @@ object TextOps {
       )
   }
 
+  /** Kendall rank agreement between two source orderings — by token
+    * mass and by vocabulary size. Answers "do my size and diversity
+    * rankings tell the same story?", the sanity check before using
+    * either as a sampling weight. Ranks are tie-broken to a strict
+    * permutation ((metric desc, source asc) — so tau is exactly
+    * tau-a); concordant/discordant pair counts are exact integers
+    * from a self-join of the #sources-row aggregate, and tau is one
+    * IEEE division.
+    *
+    * Scale: the pair join is over the per-source AGGREGATE (sources²
+    * pairs, not corpus rows) — at any corpus size this is a
+    * few-hundred-row comparison. Corpus-scale Kendall over raw rows
+    * would be merge-sort inversion counting; this operator's contract
+    * is source-level.
+    */
+  def rankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val ranked = m
+      .withColumn(
+        "r_mass",
+        row_number().over(Window.orderBy(col("n_tokens").desc, col("source").asc))
+      )
+      .withColumn(
+        "r_vocab",
+        row_number().over(Window.orderBy(col("vocab").desc, col("source").asc))
+      )
+    val a = ranked.select(col("source").as("src_a"), col("r_mass").as("ma"), col("r_vocab").as("va"))
+    val b = ranked.select(col("source").as("src_b"), col("r_mass").as("mb"), col("r_vocab").as("vb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(
+        when((col("ma") - col("mb")) * (col("va") - col("vb")) > 0, 1L)
+          .otherwise(0L).as("conc")
+      )
+      .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+      .withColumn("discordant", col("n_pairs") - col("concordant"))
+      .join(broadcast(m.agg(count(lit(1)).as("n_items"))))
+      .select(
+        col("n_items"),
+        col("n_pairs"),
+        col("concordant"),
+        col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double")).as("kendall_tau")
+      )
+  }
+
   /** Cross-source vocabulary overlap matrix: exact Jaccard between
     * every pair of sources' distinct-token vocabularies — the source
     * redundancy report that decides whether two crawls are worth

@@ -2591,4 +2591,48 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("vocab"))
     }
   }
+  test("rank agreement: tau matches driver Kendall over tie-broken ranks") {
+    val rows = TextOps.rankAgreement(spark, Sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val m = Tables.documents(spark, Sf0001)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .groupBy(_._1).map { case (src, ws) => (src, ws.length.toLong, ws.map(_._2).distinct.length.toLong) }
+      .toSeq
+    val rMass = m.sortBy(x => (-x._2, x._1)).zipWithIndex.map { case (x, i) => x._1 -> (i + 1) }.toMap
+    val rVocab = m.sortBy(x => (-x._3, x._1)).zipWithIndex.map { case (x, i) => x._1 -> (i + 1) }.toMap
+    val srcs = m.map(_._1).sorted
+    val pairs = for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    val conc = pairs.count { case (a, b) =>
+      (rMass(a) - rMass(b)) * (rVocab(a) - rVocab(b)) > 0 }
+    assert(r.getAs[Long]("n_items") === srcs.length.toLong)
+    assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(r.getAs[Long]("concordant") === conc.toLong)
+    assert(r.getAs[Long]("discordant") === (pairs.length - conc).toLong)
+    val tau = (2.0 * conc - pairs.length).toDouble / pairs.length.toDouble
+    assert(math.abs(r.getAs[Double]("kendall_tau") - tau) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kendall_tau")) <= 1.0)
+  }
+
+  test("equidepth hist: buckets cover all orders with near-equal depth, ordered bounds") {
+    val rows = RelationalOps.equidepthHist(spark, Sf0001).collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length === 10)
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nOrders)
+    // NTILE depth spread is at most 1
+    assert(rows.map(_.getAs[Long]("n")).max - rows.map(_.getAs[Long]("n")).min <= 1)
+    // bucket ranges ascend and do not overlap (equal boundary values
+    // can only touch, not cross)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_c") <= b.getAs[Long]("lo_c"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_c") <= r.getAs[Long]("hi_c"))
+      assert(r.getAs[Long]("sum_c") >= r.getAs[Long]("n") * r.getAs[Long]("lo_c"))
+      assert(r.getAs[Long]("sum_c") <= r.getAs[Long]("n") * r.getAs[Long]("hi_c"))
+    }
+  }
 }
