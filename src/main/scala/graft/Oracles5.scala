@@ -948,4 +948,23 @@ object Oracles5 {
       | MIN(price_c) AS lo_c, MAX(price_c) AS hi_c,
       | CAST(SUM(price_c) AS BIGINT) AS sum_c
       |FROM b GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.wowGrowth: fixed 7-day epoch blocks, one lag,
+    * exact integer delta, IEEE growth ratio, first week dropped.
+    */
+  val wowGrowth: String =
+    """WITH weekly AS (
+      | SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS sum_c,
+      |  COUNT(*) AS n_events
+      | FROM events GROUP BY 1, 2),
+      |l AS (
+      | SELECT *, LAG(sum_c, 1) OVER (PARTITION BY event_type ORDER BY week)
+      |   AS prev_c
+      | FROM weekly)
+      |SELECT event_type, week, n_events, sum_c, prev_c,
+      | sum_c - prev_c AS delta_c,
+      | CAST(sum_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) AS growth
+      |FROM l WHERE prev_c IS NOT NULL""".stripMargin
 }

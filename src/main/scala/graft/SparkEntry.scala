@@ -145,6 +145,7 @@ object SparkEntry {
     "hapax_ratio" -> TextOps.hapaxRatio,
     "rank_agreement" -> TextOps.rankAgreement,
     "equidepth_hist" -> RelationalOps.equidepthHist,
+    "wow_growth" -> EventOps.wowGrowth,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -885,6 +886,7 @@ object SparkEntry {
     "hapax_ratio" -> Oracles5.hapaxRatio,
     "rank_agreement" -> Oracles5.rankAgreement,
     "equidepth_hist" -> Oracles5.equidepthHist,
+    "wow_growth" -> Oracles5.wowGrowth,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

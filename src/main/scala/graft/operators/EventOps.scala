@@ -1031,6 +1031,44 @@ object EventOps {
       )
   }
 
+  /** Week-over-week growth per event type — exact weekly centi-sums
+    * on fixed 7-day epoch blocks (day DIV 7; no ISO-week calendar
+    * functions to disagree across engines), the previous week via one
+    * lag, the delta as an exact integer, and the growth ratio as one
+    * IEEE division of exact integers. The first week of each type is
+    * dropped (growth is undefined without a prior week) so no NULL
+    * semantics reach the hash gate. Note DIV vs floor-div: deltas can
+    * be negative, and Spark's DIV truncates toward zero while the
+    * oracle's // floors — a ppm-style DIV here would silently
+    * disagree on negative growth, hence the double.
+    *
+    * Scale: (type, week) collapse first; the lag window runs over the
+    * range-bounded weekly table.
+    */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(604800000000000L).as("week"))
+      .agg(
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("sum_c"),
+        count(lit(1)).as("n_events")
+      )
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_c", lag(col("sum_c"), 1).over(w))
+      .filter(col("prev_c").isNotNull)
+      .select(
+        col("event_type"),
+        col("week"),
+        col("n_events"),
+        col("sum_c"),
+        col("prev_c"),
+        (col("sum_c") - col("prev_c")).as("delta_c"),
+        ((col("sum_c") - col("prev_c")).cast("double") /
+          col("prev_c").cast("double")).as("growth")
+      )
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between every pair
     * of event types' value distributions — THE distribution-drift
     * detector (did source A's signal move relative to B's?). The KS

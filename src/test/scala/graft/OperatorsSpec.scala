@@ -2635,4 +2635,34 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_c") <= r.getAs[Long]("n") * r.getAs[Long]("hi_c"))
     }
   }
+  test("wow growth: deltas and ratios match driver weekly sums; first week absent") {
+    val rows = EventOps.wowGrowth(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val weekly = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 604800000000000"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1)
+      .map { case (t, es) =>
+        t -> es.groupBy(_._2).map { case (w, vs) => (w, vs.map(_._3).sum, vs.size.toLong) }
+          .toSeq.sortBy(_._1)
+      }
+    val got = rows.map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("week")), r)).toMap
+    weekly.foreach { case (t, series) =>
+      // first week of each type must be absent from the output
+      assert(!got.contains((t, series.head._1)))
+      series.sliding(2).foreach {
+        case Seq((_, prevSum, _), (wk, curSum, curN)) =>
+          val r = got((t, wk))
+          assert(r.getAs[Long]("n_events") === curN)
+          assert(r.getAs[Long]("sum_c") === curSum)
+          assert(r.getAs[Long]("prev_c") === prevSum)
+          assert(r.getAs[Long]("delta_c") === curSum - prevSum)
+          assert(r.getAs[Double]("growth") ===
+            (curSum - prevSum).toDouble / prevSum.toDouble)
+        case _ => ()
+      }
+    }
+    assert(rows.length === weekly.values.map(_.length - 1).sum)
+  }
 }
