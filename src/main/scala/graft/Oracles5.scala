@@ -967,4 +967,50 @@ object Oracles5 {
       | sum_c - prev_c AS delta_c,
       | CAST(sum_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) AS growth
       |FROM l WHERE prev_c IS NOT NULL""".stripMargin
+
+  /** Mirrors EventOps.valueStreaks: gaps-and-islands runs per user,
+    * per-user best, corpus summary + lowest-user champion.
+    */
+  val valueStreaks: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      | FROM events),
+      |m AS (
+      | SELECT user_id, ts_us, event_id, v_c,
+      |  LAG(v_c, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_v
+      | FROM ev),
+      |i AS (
+      | SELECT user_id,
+      |  SUM(CASE WHEN prev_v IS NULL OR v_c <= prev_v THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS run_id
+      | FROM m),
+      |runs AS (SELECT user_id, run_id, COUNT(*) AS len FROM i GROUP BY 1, 2),
+      |pu AS (
+      | SELECT user_id, MAX(len) AS best, COUNT(*) AS n_runs FROM runs GROUP BY 1),
+      |s AS (
+      | SELECT COUNT(*) AS n_users, CAST(MAX(best) AS BIGINT) AS max_streak,
+      |  CAST(SUM(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_streak3,
+      |  CAST(SUM(n_runs) AS BIGINT) AS n_runs
+      | FROM pu),
+      |c AS (
+      | SELECT user_id AS champion_user FROM pu
+      | ORDER BY best DESC, user_id ASC LIMIT 1)
+      |SELECT * FROM s, c""".stripMargin
+
+  /** Mirrors EventOps.firstTouch: row_number-1 per user, floor-div
+    * ppm of all users.
+    */
+  val firstTouch: String =
+    """WITH f AS (
+      | SELECT user_id, event_type,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) AS rn
+      | FROM events),
+      |g AS (
+      | SELECT event_type, COUNT(*) AS n_users FROM f WHERE rn = 1 GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM g)
+      |SELECT event_type, n_users, n_users * 1000000 // total AS share_ppm
+      |FROM g, t""".stripMargin
 }

@@ -146,6 +146,8 @@ object SparkEntry {
     "rank_agreement" -> TextOps.rankAgreement,
     "equidepth_hist" -> RelationalOps.equidepthHist,
     "wow_growth" -> EventOps.wowGrowth,
+    "value_streaks" -> EventOps.valueStreaks,
+    "first_touch" -> EventOps.firstTouch,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -887,6 +889,8 @@ object SparkEntry {
     "rank_agreement" -> Oracles5.rankAgreement,
     "equidepth_hist" -> Oracles5.equidepthHist,
     "wow_growth" -> Oracles5.wowGrowth,
+    "value_streaks" -> Oracles5.valueStreaks,
+    "first_touch" -> Oracles5.firstTouch,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1031,6 +1031,79 @@ object EventOps {
       )
   }
 
+  /** Longest strictly-increasing value run per user, summarized
+    * corpus-wide — the monotone-streak probe (gaming/fraud signal:
+    * organic values wiggle, scripted ones climb). Runs are the classic
+    * gaps-and-islands: a new island whenever the value fails to rise,
+    * island id by running sum, then two aggregates. Everything is
+    * exact integers; ties for the longest streak resolve to the
+    * lowest user_id.
+    *
+    * Scale: one shuffle on user_id, O(1) window state, then
+    * map-side-combined aggregates — the sessionize shape.
+    */
+  def valueStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v_c"))
+      .withColumn("prev_v", lag(col("v_c"), 1).over(byUser))
+      .withColumn(
+        "brk",
+        when(col("prev_v").isNull || col("v_c") <= col("prev_v"), 1L).otherwise(0L)
+      )
+      .withColumn(
+        "run_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+    val perUser = runs
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best"), count(lit(1)).as("n_runs"))
+    val summary = perUser.agg(
+      count(lit(1)).as("n_users"),
+      max(col("best")).as("max_streak"),
+      sum(when(col("best") >= 3, 1L).otherwise(0L)).as("n_users_streak3"),
+      sum(col("n_runs")).as("n_runs")
+    )
+    val champion = perUser
+      .orderBy(col("best").desc, col("user_id").asc)
+      .limit(1)
+      .select(col("user_id").as("champion_user"))
+    summary.join(broadcast(champion))
+  }
+
+  /** First-touch distribution: which event type begins each user's
+    * history (deterministic (ts, event_id) order) — the acquisition
+    * mix report. Exact counts + floor-div ppm of all users.
+    *
+    * Scale: one shuffle on user_id for the row_number, then a
+    * types-sized aggregate with the 1-row user total broadcast.
+    */
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val firsts = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    firsts
+      .join(broadcast(firsts.agg(sum(col("n_users")).as("total"))))
+      .select(
+        col("event_type"),
+        col("n_users"),
+        expr("n_users * 1000000 DIV total").as("share_ppm")
+      )
+  }
+
   /** Week-over-week growth per event type — exact weekly centi-sums
     * on fixed 7-day epoch blocks (day DIV 7; no ISO-week calendar
     * functions to disagree across engines), the previous week via one

@@ -2665,4 +2665,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(rows.length === weekly.values.map(_.length - 1).sum)
   }
+  test("value streaks: summary matches a driver island scan, champion is lowest tied user") {
+    val rows = EventOps.valueStreaks(spark, Sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts DIV 1000"), col("event_id"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        (BigDecimal(x.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      var best = 1; var cur = 1; var runs = 1
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b > a) { cur += 1; best = math.max(best, cur) }
+          else { cur = 1; runs += 1 }
+        case _ => ()
+      }
+      (u, best.toLong, runs.toLong)
+    }.toSeq
+    assert(r.getAs[Long]("n_users") === perUser.length.toLong)
+    val maxStreak = perUser.map(_._2).max
+    assert(r.getAs[Long]("max_streak") === maxStreak)
+    assert(r.getAs[Long]("n_users_streak3") === perUser.count(_._2 >= 3).toLong)
+    assert(r.getAs[Long]("n_runs") === perUser.map(_._3).sum)
+    assert(r.getAs[Long]("champion_user") ===
+      perUser.filter(_._2 == maxStreak).map(_._1).min)
+  }
+
+  test("first touch: every user counted once, shares exact, types partition users") {
+    val rows = EventOps.firstTouch(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val firsts = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts DIV 1000"), col("event_id"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .groupBy(_._1).map { case (_, es) => es.minBy(e => (e._2, e._3))._4 }.toSeq
+    val total = firsts.length.toLong
+    assert(rows.map(_.getAs[Long]("n_users")).sum === total)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_users") === firsts.count(_ == t).toLong)
+      assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("n_users") * 1000000L / total)
+    }
+  }
 }
