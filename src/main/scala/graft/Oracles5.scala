@@ -1013,4 +1013,46 @@ object Oracles5 {
       |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM g)
       |SELECT event_type, n_users, n_users * 1000000 // total AS share_ppm
       |FROM g, t""".stripMargin
+
+  /** Mirrors EventOps.gapQuantiles: one lag per (type, user), exact
+    * integer µs gaps, quantile_cont percentiles.
+    */
+  val gapQuantiles: String =
+    """WITH ev AS (
+      | SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (
+      | SELECT event_type,
+      |  ts_us - LAG(ts_us, 1) OVER (PARTITION BY event_type, user_id
+      |    ORDER BY ts_us, event_id) AS gap_us
+      | FROM ev)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      | quantile_cont(gap_us, 0.5) AS p50_us,
+      | quantile_cont(gap_us, 0.95) AS p95_us,
+      | MIN(gap_us) AS min_us, MAX(gap_us) AS max_us
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Mirrors RelationalOps.clvDeciles: per-customer exact centi-sums,
+    * NTILE-10 over the strict (clv, custkey) order, ppm mass shares.
+    */
+  val clvDeciles: String =
+    """WITH clv AS (
+      | SELECT o_custkey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS clv_c,
+      |  COUNT(*) AS n_orders
+      | FROM orders GROUP BY 1),
+      |t AS (
+      | SELECT clv_c, n_orders,
+      |  NTILE(10) OVER (ORDER BY clv_c ASC, o_custkey ASC) AS decile
+      | FROM clv),
+      |g AS (
+      | SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |  MIN(clv_c) AS lo_c, MAX(clv_c) AS hi_c,
+      |  CAST(SUM(clv_c) AS BIGINT) AS mass_c
+      | FROM t GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(mass_c) AS BIGINT) AS total_c FROM g)
+      |SELECT decile, n_customers, n_orders, lo_c, hi_c, mass_c,
+      | mass_c * 1000000 // total_c AS mass_ppm
+      |FROM g, tt""".stripMargin
 }

@@ -148,6 +148,8 @@ object SparkEntry {
     "wow_growth" -> EventOps.wowGrowth,
     "value_streaks" -> EventOps.valueStreaks,
     "first_touch" -> EventOps.firstTouch,
+    "gap_quantiles" -> EventOps.gapQuantiles,
+    "clv_deciles" -> RelationalOps.clvDeciles,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -891,6 +893,8 @@ object SparkEntry {
     "wow_growth" -> Oracles5.wowGrowth,
     "value_streaks" -> Oracles5.valueStreaks,
     "first_touch" -> Oracles5.firstTouch,
+    "gap_quantiles" -> Oracles5.gapQuantiles,
+    "clv_deciles" -> Oracles5.clvDeciles,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1031,6 +1031,37 @@ object EventOps {
       )
   }
 
+  /** Inter-event gap quantiles per type: p50/p95/max of the µs gaps
+    * between a user's consecutive events of that type — the cadence
+    * report (is this signal hourly heartbeats or monthly statements?).
+    * Gaps are exact integer µs from one lag per (type, user); the
+    * percentiles are exact interpolations over integers (the
+    * value_quantiles precedent: .0/.5 doubles, bit-stable vs
+    * quantile_cont).
+    *
+    * Scale: shuffle on (type, user) for the lag, then a per-type
+    * percentile; at 100 TB the percentile becomes approx_percentile /
+    * KLL, same contract.
+    */
+  def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byTu = Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byTu))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_us"),
+        min(col("gap_us")).as("min_us"),
+        max(col("gap_us")).as("max_us")
+      )
+  }
+
   /** Longest strictly-increasing value run per user, summarized
     * corpus-wide — the monotone-streak probe (gaming/fraud signal:
     * organic values wiggle, scripted ones climb). Runs are the classic

@@ -1064,6 +1064,48 @@ object RelationalOps {
       .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
   }
 
+  /** Customer-lifetime-value deciles: per-customer exact order-total
+    * sums, ranked into ten equal-population tiers (NTILE over the
+    * strict (clv, custkey) order), per-tier bounds/mass/share — the
+    * whale-curve report behind "top decile drives X% of revenue".
+    * Aggregate-then-rank: the corpus collapses to one row per
+    * customer BEFORE the sort, so the NTILE runs over customers, not
+    * orders; all hashed columns are exact integers or floor-div ppm.
+    */
+  def clvDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val clv = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("clv_c"),
+        count(lit(1)).as("n_orders")
+      )
+    val tiers = clv
+      .withColumn(
+        "decile",
+        ntile(10).over(Window.orderBy(col("clv_c").asc, col("o_custkey").asc))
+      )
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        min(col("clv_c")).as("lo_c"),
+        max(col("clv_c")).as("hi_c"),
+        sum(col("clv_c")).as("mass_c")
+      )
+    tiers
+      .join(broadcast(tiers.agg(sum(col("mass_c")).as("total_c"))))
+      .select(
+        col("decile").cast("long").as("decile"),
+        col("n_customers"),
+        col("n_orders"),
+        col("lo_c"),
+        col("hi_c"),
+        col("mass_c"),
+        expr("mass_c * 1000000 DIV total_c").as("mass_ppm")
+      )
+  }
+
   /** Equi-depth 10-bucket histogram of order totals — the optimizer's
     * selectivity-estimation structure (equal mass per bucket, unlike
     * the fixed-width price_histogram). NTILE over the deterministic

@@ -2708,4 +2708,48 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("n_users") * 1000000L / total)
     }
   }
+  test("gap quantiles: gap counts and interpolated percentiles match a driver scan") {
+    val rows = EventOps.gapQuantiles(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id"), expr("ts DIV 1000"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * q
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val gaps = ev.filter(_._1 == t).groupBy(_._2).values.flatMap { es =>
+        val ts = es.sortBy(e => (e._3, e._4)).map(_._3)
+        ts.zip(ts.drop(1)).map { case (a, b) => (b - a).toDouble }
+      }.toSeq
+      assert(r.getAs[Long]("n_gaps") === gaps.length.toLong)
+      assert(r.getAs[Double]("p50_us") === pct(gaps, 0.5), s"type $t")
+      assert(r.getAs[Double]("p95_us") === pct(gaps, 0.95))
+      assert(r.getAs[Long]("min_us") === gaps.min.toLong)
+      assert(r.getAs[Long]("max_us") === gaps.max.toLong)
+    }
+  }
+
+  test("clv deciles: equal-population tiers, mass conserved, whale curve ascends") {
+    val rows = RelationalOps.clvDeciles(spark, Sf0001).collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val nCust = Tables.orders(spark, Sf0001).select(col("o_custkey")).distinct().count()
+    val nOrd = Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrd)
+    assert(rows.map(_.getAs[Long]("n_customers")).max -
+      rows.map(_.getAs[Long]("n_customers")).min <= 1)
+    // deciles ascend in CLV: each tier's mass is at least the previous one's
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_c") <= b.getAs[Long]("lo_c"))
+      case _ => ()
+    }
+    val ppm = rows.map(_.getAs[Long]("mass_ppm")).sum
+    assert(ppm > 999990L && ppm <= 1000000L)
+  }
 }
