@@ -1055,4 +1055,45 @@ object Oracles5 {
       |SELECT decile, n_customers, n_orders, lo_c, hi_c, mass_c,
       | mass_c * 1000000 // total_c AS mass_ppm
       |FROM g, tt""".stripMargin
+
+  /** Mirrors RelationalOps.returnLift: exact cross-multiplied
+    * contingency deltas, one IEEE lift division.
+    */
+  val returnLift: String =
+    """WITH cells AS (
+      | SELECT p_brand, l_returnflag, COUNT(*) AS o
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY 1, 2),
+      |r AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+      |c AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+      |g AS (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM cells)
+      |SELECT p_brand, l_returnflag, o, row_total, col_total,
+      | CAST(CAST(o AS DECIMAL(19,0)) * CAST(grand AS DECIMAL(19,0))
+      |  - CAST(row_total AS DECIMAL(19,0)) * CAST(col_total AS DECIMAL(19,0))
+      |  AS BIGINT) AS delta_scaled,
+      | (CAST(o AS DOUBLE) * CAST(grand AS DOUBLE))
+      |  / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)) AS lift
+      |FROM cells JOIN r USING (p_brand) JOIN c USING (l_returnflag), g""".stripMargin
+
+  /** Mirrors RelationalOps.copurchaseLift: distinct (order, part)
+    * lines, bounded self-join pairs, deterministic top-20, IEEE lift.
+    */
+  val copurchaseLift: String =
+    """WITH lines AS (
+      | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (
+      | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co
+      | FROM lines a JOIN lines b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      | GROUP BY 1, 2),
+      |f AS (SELECT l_partkey, COUNT(*) AS f FROM lines GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lines)
+      |SELECT part_a, part_b, co, fa.f AS f_a, fb.f AS f_b,
+      | (CAST(co AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |  / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) AS lift
+      |FROM p
+      |JOIN f fa ON fa.l_partkey = p.part_a
+      |JOIN f fb ON fb.l_partkey = p.part_b, n
+      |ORDER BY co DESC, part_a ASC, part_b ASC
+      |LIMIT 20""".stripMargin
 }

@@ -150,6 +150,8 @@ object SparkEntry {
     "first_touch" -> EventOps.firstTouch,
     "gap_quantiles" -> EventOps.gapQuantiles,
     "clv_deciles" -> RelationalOps.clvDeciles,
+    "return_lift" -> RelationalOps.returnLift,
+    "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
     "dedup_exact" -> DedupOps.exactDedup,
     "minhash_lsh_pairs" -> DedupOps.minhashLsh,
@@ -895,6 +897,8 @@ object SparkEntry {
     "first_touch" -> Oracles5.firstTouch,
     "gap_quantiles" -> Oracles5.gapQuantiles,
     "clv_deciles" -> Oracles5.clvDeciles,
+    "return_lift" -> Oracles5.returnLift,
+    "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs

@@ -1064,6 +1064,90 @@ object RelationalOps {
       .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
   }
 
+  /** Brand × return-flag association lift: which brands come back.
+    * The contingency table is kept exact by cross-multiplying to the
+    * common denominator — delta_scaled = o·N − rowTotal·colTotal is an
+    * exact integer whose sign/magnitude ranks the association without
+    * a single float (the KS/ppm discipline applied to independence
+    * testing); lift = o·N/(rowTotal·colTotal) is the one IEEE
+    * division. Chi-square itself is deliberately not emitted: its
+    * per-cell divisions don't share a denominator, so no exact form
+    * exists.
+    *
+    * Scale: lineitem ⋈ broadcast(part-brand), one (brand, flag)
+    * aggregate, marginals broadcast back — scan-bound.
+    */
+  def returnLift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey")
+      )
+      .groupBy(col("p_brand"), col("l_returnflag"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("p_brand")).agg(sum(col("o")).as("row_total"))
+    val colT = cells.groupBy(col("l_returnflag")).agg(sum(col("o")).as("col_total"))
+    cells
+      .join(broadcast(rowT), Seq("p_brand"))
+      .join(broadcast(colT), Seq("l_returnflag"))
+      .join(broadcast(cells.agg(sum(col("o")).as("grand"))))
+      .select(
+        col("p_brand"),
+        col("l_returnflag"),
+        col("o"),
+        col("row_total"),
+        col("col_total"),
+        (col("o").cast(DecimalType(19, 0)) * col("grand").cast(DecimalType(19, 0)) -
+          col("row_total").cast(DecimalType(19, 0)) * col("col_total").cast(DecimalType(19, 0)))
+          .cast("long").as("delta_scaled"),
+        ((col("o").cast("double") * col("grand").cast("double")) /
+          (col("row_total").cast("double") * col("col_total").cast("double"))).as("lift")
+      )
+  }
+
+  /** Market-basket co-purchase mining: the top-20 part pairs that
+    * appear in the same order more than independence predicts. Pair
+    * counts come from an equi-self-join on l_orderkey (fan-out
+    * bounded by lines-per-order², a per-order constant — never a
+    * cartesian over the corpus); part frequencies broadcast back, and
+    * the ranking key is the exact integer pair count with
+    * deterministic (count desc, part_a, part_b) ties. Lift
+    * (co·N_orders)/(f_a·f_b) is the one IEEE expression.
+    */
+  def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val pairs = lines
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(
+        lines.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey")
+      )
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("co"))
+    val freq = lines.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+    val nOrders = lines.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("f").as("f_a")), Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"), col("f").as("f_b")), Seq("part_b"))
+      .join(broadcast(nOrders))
+      .select(
+        col("part_a"),
+        col("part_b"),
+        col("co"),
+        col("f_a"),
+        col("f_b"),
+        ((col("co").cast("double") * col("n_orders").cast("double")) /
+          (col("f_a").cast("double") * col("f_b").cast("double"))).as("lift")
+      )
+      .orderBy(col("co").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** Customer-lifetime-value deciles: per-customer exact order-total
     * sums, ranked into ten equal-population tiers (NTILE over the
     * strict (clv, custkey) order), per-tier bounds/mass/share — the

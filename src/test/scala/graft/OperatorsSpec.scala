@@ -2752,4 +2752,48 @@ class OperatorsSpec extends AnyFunSuite {
     val ppm = rows.map(_.getAs[Long]("mass_ppm")).sum
     assert(ppm > 999990L && ppm <= 1000000L)
   }
+  test("return lift: deltas sum to zero per margin, lift matches driver recompute") {
+    val rows = RelationalOps.returnLift(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // independence identity: sum of delta_scaled over any brand's row is 0
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("delta_scaled")).sum === 0L)
+    }
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("delta_scaled")).sum === 0L)
+    }
+    val grand = rows.map(_.getAs[Long]("o")).sum
+    rows.foreach { r =>
+      val expect = (r.getAs[Long]("o").toDouble * grand.toDouble) /
+        (r.getAs[Long]("row_total").toDouble * r.getAs[Long]("col_total").toDouble)
+      assert(r.getAs[Double]("lift") === expect)
+      assert(r.getAs[Long]("delta_scaled") ===
+        r.getAs[Long]("o") * grand - r.getAs[Long]("row_total") * r.getAs[Long]("col_total"))
+    }
+  }
+
+  test("copurchase lift: pair counts match a driver basket scan, top-20 cut is stable") {
+    val rows = RelationalOps.copurchaseLift(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lines = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = lines.groupBy(_._1).map { case (_, ps) => ps.map(_._2).toSeq.sorted }
+    val co = baskets.toSeq.flatMap { b =>
+      for { i <- b.indices; j <- (i + 1) until b.length } yield (b(i), b(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val freq = lines.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nOrders = baskets.size.toLong
+    val expectTop = co.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    assert(rows.map(r => ((r.getAs[Long]("part_a"), r.getAs[Long]("part_b")),
+      r.getAs[Long]("co"))).toSeq === expectTop)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("f_a") === freq(a))
+      assert(r.getAs[Long]("f_b") === freq(b))
+      assert(r.getAs[Double]("lift") ===
+        (r.getAs[Long]("co").toDouble * nOrders.toDouble) /
+          (freq(a).toDouble * freq(b).toDouble))
+    }
+  }
 }
