@@ -150,6 +150,8 @@ object SparkEntry {
     "first_touch" -> EventOps.firstTouch,
     "gap_quantiles" -> EventOps.gapQuantiles,
     "clv_deciles" -> RelationalOps.clvDeciles,
+    "cohort_matrix" -> EventOps.cohortMatrix,
+    "rfm_segments" -> RelationalOps.rfmSegments,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -897,6 +899,8 @@ object SparkEntry {
     "first_touch" -> Oracles5.firstTouch,
     "gap_quantiles" -> Oracles5.gapQuantiles,
     "clv_deciles" -> Oracles5.clvDeciles,
+    "cohort_matrix" -> Oracles6.cohortMatrix,
+    "rfm_segments" -> Oracles6.rfmSegments,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

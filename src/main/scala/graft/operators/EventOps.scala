@@ -1597,4 +1597,40 @@ object EventOps {
           (col("users_a") + col("users_b") - col("n_both")).cast("double")).as("jaccard")
       )
   }
+
+  /** Cohort retention triangle: users bucketed by their FIRST active
+    * week (the cohort), then counted at every later week-offset —
+    * the classic "week-0 signups still active at week k" matrix that
+    * weekly_retention (week→week+1 only) cannot express. Activity
+    * collapses to distinct (user, week) first; each user's cohort is
+    * a window MIN over that collapse (one user_id shuffle, no
+    * self-join); retention is floor-div ppm of exact integers.
+    *
+    * Scale: the corpus reduces to ≤ |users|·|weeks| distinct rows in
+    * one pass, the matrix itself is |weeks|² cells, and the
+    * cohort-size join broadcasts a weeks-bounded table. Nothing
+    * corpus-sized survives the first aggregate.
+    */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Tables
+      .events(spark, dir)
+      .select(col("user_id"), floorDiv(604800000000000L).as("wk"))
+      .distinct()
+    val cells = wu
+      .withColumn("cohort", min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells
+      .filter(col("offset") === 0)
+      .select(col("cohort").as("c0"), col("n_active").as("cohort_size"))
+    cells
+      .join(broadcast(sizes), col("cohort") === col("c0"))
+      .select(
+        col("cohort"),
+        col("offset"),
+        col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 DIV cohort_size").as("ret_ppm")
+      )
+  }
 }

@@ -1270,4 +1270,47 @@ object RelationalOps {
         col("price_c")
       )
   }
+
+  /** RFM segmentation: every ordering customer scored into quintiles
+    * on Recency (last order epoch), Frequency (order count) and
+    * Monetary (exact centi-sum), then the 5×5×5 segment grid reported
+    * with exact population and mass — the classic CRM targeting
+    * cube. Tier 5 is best on every axis (latest / most / highest);
+    * each NTILE runs over a strict (metric, custkey) order so ties
+    * are deterministic.
+    *
+    * Scale: aggregate-then-rank (the clv_deciles discipline) — orders
+    * collapse to one row per customer before any sort, so the three
+    * NTILEs sort the customer-level table, never the order corpus;
+    * the output is at most 125 cells. At 100 TB the NTILE sorts swap
+    * for approx_percentile tier bounds, same output contract.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(unix_timestamp(col("o_orderdate"))).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("mon_c")
+      )
+    per
+      .withColumn("r_tier", ntile(5).over(Window.orderBy(col("last_s").asc, col("o_custkey").asc)))
+      .withColumn("f_tier", ntile(5).over(Window.orderBy(col("freq").asc, col("o_custkey").asc)))
+      .withColumn("m_tier", ntile(5).over(Window.orderBy(col("mon_c").asc, col("o_custkey").asc)))
+      .groupBy(col("r_tier"), col("f_tier"), col("m_tier"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("freq")).as("n_orders"),
+        sum(col("mon_c")).as("mass_c")
+      )
+      .select(
+        col("r_tier").cast("long").as("r_tier"),
+        col("f_tier").cast("long").as("f_tier"),
+        col("m_tier").cast("long").as("m_tier"),
+        col("n_customers"),
+        col("n_orders"),
+        col("mass_c")
+      )
+  }
 }

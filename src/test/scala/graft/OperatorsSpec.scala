@@ -2796,4 +2796,64 @@ class OperatorsSpec extends AnyFunSuite {
           (freq(a).toDouble * freq(b).toDouble))
     }
   }
+
+  test("cohort matrix: cells match a driver first-week scan, offset 0 is the cohort size") {
+    val rows = EventOps.cohortMatrix(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val wu = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts DIV 604800000000000")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cohortOf = wu.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val cells = wu
+      .map { case (u, w) => (cohortOf(u), w - cohortOf(u)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.length === cells.size)
+    val sizes = cells.collect { case ((c, 0L), n) => c -> n }
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("cohort"), r.getAs[Long]("offset"))
+      assert(r.getAs[Long]("n_active") === cells(key))
+      assert(r.getAs[Long]("cohort_size") === sizes(key._1))
+      assert(r.getAs[Long]("ret_ppm") === cells(key) * 1000000L / sizes(key._1))
+      assert(r.getAs[Long]("offset") >= 0L)
+    }
+    // every cohort's offset-0 cell is its size, and no cell exceeds it
+    rows.foreach(r => assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size")))
+  }
+
+  test("rfm segments: grid matches a driver NTILE recompute, population conserved") {
+    val rows = RelationalOps.rfmSegments(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 125)
+    val per = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).map { case (c, os) =>
+        (c, os.map(_._2).max, os.size.toLong, os.map(_._3).sum)
+      }.toSeq
+    def tiers(sorted: Seq[Long]): Map[Long, Long] = {
+      // NTILE(5): first n%5 buckets get one extra row
+      val n = sorted.length; val q = n / 5; val rem = n % 5
+      sorted.zipWithIndex.map { case (cust, i) =>
+        val bucket =
+          if (i < (q + 1) * rem) i / (q + 1) + 1
+          else (i - (q + 1) * rem) / q + rem + 1
+        cust -> bucket.toLong
+      }.toMap
+    }
+    val rT = tiers(per.sortBy(x => (x._2, x._1)).map(_._1))
+    val fT = tiers(per.sortBy(x => (x._3, x._1)).map(_._1))
+    val mT = tiers(per.sortBy(x => (x._4, x._1)).map(_._1))
+    val grid = per.groupBy(x => (rT(x._1), fT(x._1), mT(x._1)))
+      .map { case (k, cs) => k -> ((cs.size.toLong, cs.map(_._3).sum, cs.map(_._4).sum)) }
+    assert(rows.length === grid.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("r_tier"), r.getAs[Long]("f_tier"), r.getAs[Long]("m_tier"))
+      val (nc, no, mc) = grid(k)
+      assert(r.getAs[Long]("n_customers") === nc)
+      assert(r.getAs[Long]("n_orders") === no)
+      assert(r.getAs[Long]("mass_c") === mc)
+    }
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === per.length.toLong)
+  }
 }
