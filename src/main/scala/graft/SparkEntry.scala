@@ -152,6 +152,8 @@ object SparkEntry {
     "clv_deciles" -> RelationalOps.clvDeciles,
     "cohort_matrix" -> EventOps.cohortMatrix,
     "rfm_segments" -> RelationalOps.rfmSegments,
+    "phrase_hits" -> TextOps.phraseHits,
+    "vocab_growth" -> TextOps.vocabGrowth,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -901,6 +903,8 @@ object SparkEntry {
     "clv_deciles" -> Oracles5.clvDeciles,
     "cohort_matrix" -> Oracles6.cohortMatrix,
     "rfm_segments" -> Oracles6.rfmSegments,
+    "phrase_hits" -> Oracles6.phraseHits,
+    "vocab_growth" -> Oracles6.vocabGrowth,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1548,4 +1548,93 @@ object TextOps {
           (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard")
       )
   }
+
+  /** Phrase search over n-gram postings: find every document holding
+    * the corpus's most frequent bigram (deterministic: count desc,
+    * then lexicographic) and report per-doc occurrence counts — the
+    * phrase-query shape of a positional/bigram inverted index, with
+    * the query term chosen by the data so no magic constant is baked
+    * in. Bigrams come from the codegen `word_ngrams` expression;
+    * the chosen phrase is a one-row broadcast, so the per-doc match
+    * filter runs map-side and only matching (doc, phrase) rows ever
+    * shuffle.
+    *
+    * Scale: two passes over the token stream (pick the phrase, count
+    * its hits), both pure map + hash-agg; the phrase filter drops
+    * ~everything before the second shuffle. A standing phrase
+    * workload would materialize the bigram posting list once and
+    * reuse it — this query IS that posting-build + probe, fused.
+    */
+  def phraseHits(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    def bigrams = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+    val top = bigrams
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("bg").asc)
+      .limit(1)
+    bigrams
+      .join(broadcast(top), Seq("bg"))
+      .groupBy(col("doc_id"), col("bg").as("phrase"), col("n_total"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("phrase"), col("n_hits"), col("n_total"))
+  }
+
+  /** Vocabulary growth (Heaps'-law) curve: cumulative distinct
+    * vocabulary vs cumulative token mass at ten doc-id-order
+    * checkpoints — the "is more data still buying new words?"
+    * saturation report that sizes tokenizer vocabularies. A token's
+    * first appearance is its MIN doc_id, so the cumulative vocab at
+    * checkpoint d is just "first_doc ≤ d" — no running set union.
+    *
+    * Scale: the corpus collapses to (a) one row per doc (token
+    * count) and (b) one row per distinct first-appearance doc; both
+    * join the TEN broadcast checkpoint bounds with a ≤ predicate
+    * (map-side 10× fan-out, partial-agged to 10 groups), so nothing
+    * corpus-sized is ever sorted. The checkpoint NTILE itself sorts
+    * only the doc-id directory; at 100 TB it swaps for
+    * approx_percentile bounds, same contract.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val perDoc = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    val newWords = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("n_new"))
+    val bounds = perDoc
+      .select(col("doc_id"))
+      .withColumn("bucket", ntile(10).over(Window.orderBy(col("doc_id").asc)))
+      .groupBy(col("bucket"))
+      .agg(max(col("doc_id")).as("bound"), count(lit(1)).as("n_docs"))
+    val cumDocs = perDoc
+      .join(broadcast(bounds), col("doc_id") <= col("bound"))
+      .groupBy(col("bucket"), col("bound"))
+      .agg(count(lit(1)).as("cum_docs"), sum(col("n_toks")).as("cum_tokens"))
+    val cumVocab = newWords
+      .join(broadcast(bounds), col("first_doc") <= col("bound"))
+      .groupBy(col("bucket").as("b2"))
+      .agg(sum(col("n_new")).as("cum_vocab"))
+    cumDocs
+      .join(cumVocab, col("bucket") === col("b2"))
+      .select(
+        col("bucket").cast("long").as("bucket"),
+        col("bound"),
+        col("cum_docs"),
+        col("cum_tokens"),
+        col("cum_vocab")
+      )
+  }
 }

@@ -2856,4 +2856,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_customers")).sum === per.length.toLong)
   }
+
+  test("phrase hits: top bigram and per-doc counts match a driver token scan") {
+    val rows = TextOps.phraseHits(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val docToks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val bigrams = docToks.flatMap { case (d, ts) =>
+      ts.sliding(2).collect { case Seq(a, b) => (d, s"$a $b") }
+    }
+    val counts = bigrams.groupBy(_._2).map { case (g, v) => g -> v.size.toLong }
+    val top = counts.toSeq.sortBy { case (g, n) => (-n, g) }.head
+    val perDoc = bigrams.filter(_._2 == top._1)
+      .groupBy(_._1).map { case (d, v) => d -> v.size.toLong }
+    assert(rows.length === perDoc.size)
+    rows.foreach { r =>
+      assert(r.getAs[String]("phrase") === top._1)
+      assert(r.getAs[Long]("n_total") === top._2)
+      assert(r.getAs[Long]("n_hits") === perDoc(r.getAs[Long]("doc_id")))
+    }
+    assert(rows.map(_.getAs[Long]("n_hits")).sum === top._2)
+  }
+
+  test("vocab growth: checkpoints are cumulative, monotone, and match a driver recompute") {
+    val rows = TextOps.vocabGrowth(spark, Sf0001).collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length === 10)
+    val docToks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+      .sortBy(_._1)
+    val n = docToks.length; val q = n / 10; val rem = n % 10
+    val bounds = (1 to 10).map { k =>
+      // NTILE(10) bucket k's last row index (1-based ranks)
+      val hi = if (k <= rem) k * (q + 1) else rem * (q + 1) + (k - rem) * q
+      k.toLong -> docToks(hi - 1)._1
+    }
+    val firstDoc = docToks.flatMap { case (d, ts) => ts.distinct.map(t => (t, d)) }
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).min }
+    rows.zip(bounds).foreach { case (r, (k, bound)) =>
+      assert(r.getAs[Long]("bucket") === k)
+      assert(r.getAs[Long]("bound") === bound)
+      val in = docToks.filter(_._1 <= bound)
+      assert(r.getAs[Long]("cum_docs") === in.length.toLong)
+      assert(r.getAs[Long]("cum_tokens") === in.map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("cum_vocab") === firstDoc.values.count(_ <= bound).toLong)
+    }
+    // Heaps-law shape: strictly more docs per bucket, non-decreasing vocab
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_docs") < b.getAs[Long]("cum_docs"))
+        assert(a.getAs[Long]("cum_vocab") <= b.getAs[Long]("cum_vocab"))
+        assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+      case _ => ()
+    }
+    assert(rows.last.getAs[Long]("cum_docs") === n.toLong)
+  }
 }
