@@ -22,7 +22,7 @@ object Oracles2 {
       |    i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS shingles
       | FROM toks WHERE len(toks) >= 3)""".stripMargin
 
-  private val jaccardExpr =
+  private[graft] val jaccardExpr =
     """CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)""".stripMargin
 

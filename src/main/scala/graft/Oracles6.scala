@@ -96,4 +96,74 @@ object Oracles6 {
       | FROM nw JOIN bounds ON first_doc <= bound GROUP BY 1)
       |SELECT CAST(bucket AS BIGINT) AS bucket, bound, cum_docs, cum_tokens, cum_vocab
       |FROM cd JOIN cv ON bucket = b2""".stripMargin
+
+  /** Mirrors DedupOps.sortedNeighborhood: 16-letter normalized block
+    * key, lead-1/lead-2 neighbors in (bkey, doc_id) order, exact
+    * 3-gram Jaccard ≥ 0.5 over the shared shingle CTE.
+    */
+  val sortedNeighborhood: String =
+    s"""WITH ${Oracles2.shinglesCte},
+       |k AS (
+       | SELECT doc_id,
+       |  substr(regexp_replace(lower(text), '[^\\p{L}]+', '', 'g'), 1, 16) AS bkey
+       | FROM documents),
+       |o AS (
+       | SELECT doc_id,
+       |  LEAD(doc_id, 1) OVER (ORDER BY bkey ASC, doc_id ASC) AS nbr1,
+       |  LEAD(doc_id, 2) OVER (ORDER BY bkey ASC, doc_id ASC) AS nbr2
+       | FROM k),
+       |cand AS (
+       | SELECT LEAST(doc_id, nbr1) AS doc_a, GREATEST(doc_id, nbr1) AS doc_b
+       | FROM o WHERE nbr1 IS NOT NULL
+       | UNION ALL
+       | SELECT LEAST(doc_id, nbr2), GREATEST(doc_id, nbr2)
+       | FROM o WHERE nbr2 IS NOT NULL)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT doc_a, doc_b, ${Oracles2.jaccardExpr} AS jaccard
+       | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Mirrors EventOps.abTest: md5-parity arms, conversion = purchase
+    * count ≥ corpus lower-median (relative cutoff from distinct-count
+    * bins), exact integer counts/delta, IEEE rates and pooled z from
+    * one fixed expression tree, z = 0 on degenerate variance.
+    */
+  val abTest: String =
+    """WITH pu AS (
+      | SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      | FROM events GROUP BY 1),
+      |bins AS (SELECT np, COUNT(*) AS cnt FROM pu GROUP BY 1),
+      |nu AS (SELECT COUNT(*) AS n_users FROM pu),
+      |cut AS (
+      | SELECT MIN(np) AS cutoff FROM (
+      |  SELECT np, SUM(cnt) OVER (ORDER BY np ASC ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM bins), nu
+      | WHERE cum * 2 >= n_users),
+      |arms AS (
+      | SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS UBIGINT) % 2 AS BIGINT) AS arm,
+      |  CASE WHEN np >= cutoff THEN 1 ELSE 0 END AS conv, cutoff
+      | FROM pu, cut),
+      |s AS (
+      | SELECT cutoff,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      | FROM arms GROUP BY 1)
+      |SELECT cutoff, n_a, conv_a, n_b, conv_b,
+      | conv_a * n_b - conv_b * n_a AS delta_scaled,
+      | CASE WHEN n_a = 0 THEN 0.0
+      |      ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+      | CASE WHEN n_b = 0 THEN 0.0
+      |      ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+      | CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+      |       OR conv_a + conv_b = n_a + n_b THEN 0.0
+      |      ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z_stat
+      |FROM s""".stripMargin
 }

@@ -154,6 +154,8 @@ object SparkEntry {
     "rfm_segments" -> RelationalOps.rfmSegments,
     "phrase_hits" -> TextOps.phraseHits,
     "vocab_growth" -> TextOps.vocabGrowth,
+    "sorted_neighborhood_pairs" -> DedupOps.sortedNeighborhood,
+    "ab_test" -> EventOps.abTest,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -905,6 +907,8 @@ object SparkEntry {
     "rfm_segments" -> Oracles6.rfmSegments,
     "phrase_hits" -> Oracles6.phraseHits,
     "vocab_growth" -> Oracles6.vocabGrowth,
+    "sorted_neighborhood_pairs" -> Oracles6.sortedNeighborhood,
+    "ab_test" -> Oracles6.abTest,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -624,4 +624,45 @@ object DedupOps {
       .groupBy(col("lang"), col("status"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): sort the corpus
+    * on a content block key (first 16 letters of the letter-only
+    * normalized text), take each doc's next-1 and next-2 neighbors in
+    * that order as candidate pairs, verify with exact 3-gram Jaccard
+    * ≥ 0.5 — the third classic blocking family on the board next to
+    * LSH (minhash/simhash) and inverted-index (ngram/containment)
+    * candidates. Near-identical texts share a normalized prefix, so
+    * they land adjacent; candidates are O(w·N), never N².
+    *
+    * Scale: the sort IS the method's defining cost — a
+    * range-partitioned total sort of (16-char key, id), the same
+    * price as repartitionByRange; the window then holds O(w) state.
+    * The single-partition Window here becomes per-range windows with
+    * a w-row boundary overlap at cluster scale. Verification reuses
+    * the count-based posting join (no shingle arrays shuffle).
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^\\p{L}]+", ""), 1, 16).as("bkey")
+      )
+    val w = Window.orderBy(col("bkey").asc, col("doc_id").asc)
+    val nbrs = keyed
+      .withColumn("nbr1", lead(col("doc_id"), 1).over(w))
+      .withColumn("nbr2", lead(col("doc_id"), 2).over(w))
+      .localCheckpoint()
+    val cand = nbrs
+      .filter(col("nbr1").isNotNull)
+      .select(least(col("doc_id"), col("nbr1")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr1")).as("doc_b"))
+      .unionAll(
+        nbrs
+          .filter(col("nbr2").isNotNull)
+          .select(least(col("doc_id"), col("nbr2")).as("doc_a"),
+            greatest(col("doc_id"), col("nbr2")).as("doc_b"))
+      )
+    verifyJaccard(cand, shinglePosting(spark, dir), 0.5)
+  }
 }

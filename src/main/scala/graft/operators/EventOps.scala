@@ -1633,4 +1633,91 @@ object EventOps {
         expr("n_active * 1000000 DIV cohort_size").as("ret_ppm")
       )
   }
+
+  /** Two-proportion A/B test: users deterministically halved by md5
+    * parity (the data_split discipline), conversion = "purchase count
+    * at or above the corpus median" (a RELATIVE cutoff, so the metric
+    * keeps variance at any scale — an absolute count threshold would
+    * drift degenerate as corpora grow, the ngram stop-cap lesson),
+    * and the pooled two-proportion z-statistic. Arm split, conversion
+    * counts, the median cutoff and the cross-multiplied exact delta
+    * (conv_a·n_b − conv_b·n_a, sign/rank-stable) are pure integers;
+    * rates and z are IEEE doubles derived from those exact integers
+    * by one fixed expression tree (div/add/mul/sqrt are correctly
+    * rounded, so both engines agree bit-for-bit). Degenerate variance
+    * (all or no users converted) yields z = 0 by explicit contract —
+    * never a NULL or a divide-by-zero.
+    *
+    * Scale: one user_id shuffle to per-user purchase counts; the
+    * median comes from distinct-count bins (count-range-bounded, no
+    * user sort) as a one-row broadcast; then a map-side conditional
+    * aggregate to a single row.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val bins = perUser.groupBy(col("np")).agg(count(lit(1)).as("cnt"))
+    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+    // lower-median cutoff: smallest np whose running user count
+    // reaches ceil(n/2) — integer rank arithmetic over distinct bins
+    val cutoff = bins
+      .withColumn(
+        "cum",
+        sum(col("cnt")).over(
+          Window.orderBy(col("np").asc).rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+      .join(broadcast(nUsers))
+      .filter(col("cum") * 2 >= col("n_users"))
+      .agg(min(col("np")).as("cutoff"))
+    val flagged = perUser
+      .join(broadcast(cutoff))
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("arm"),
+        when(col("np") >= col("cutoff"), 1L).otherwise(0L).as("conv"),
+        col("cutoff")
+      )
+    flagged
+      .groupBy(col("cutoff"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b")
+      )
+      .select(
+        col("cutoff"),
+        col("n_a"),
+        col("conv_a"),
+        col("n_b"),
+        col("conv_b"),
+        (col("conv_a") * col("n_b") - col("conv_b") * col("n_a")).as("delta_scaled"),
+        when(col("n_a") === 0, lit(0.0))
+          .otherwise(col("conv_a").cast("double") / col("n_a").cast("double"))
+          .as("rate_a"),
+        when(col("n_b") === 0, lit(0.0))
+          .otherwise(col("conv_b").cast("double") / col("n_b").cast("double"))
+          .as("rate_b"),
+        when(
+          col("n_a") === 0 || col("n_b") === 0 ||
+            col("conv_a") + col("conv_b") === 0 ||
+            col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+          lit(0.0)
+        ).otherwise(
+          (col("conv_a").cast("double") / col("n_a").cast("double") -
+            col("conv_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(
+              ((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))
+            )
+        ).as("z_stat")
+      )
+  }
 }

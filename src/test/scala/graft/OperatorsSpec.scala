@@ -2914,4 +2914,73 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(rows.last.getAs[Long]("cum_docs") === n.toLong)
   }
+
+  test("sorted neighborhood: pairs come from the window, jaccard matches raw shingle sets") {
+    val rows = DedupOps.sortedNeighborhood(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = docs
+      .map { case (d, t) => (d, t.replaceAll("[^\\p{L}]+", "").take(16)) }
+      .sortBy { case (d, k) => (k, d) }
+    val cand = keyed.indices.flatMap { i =>
+      Seq(i + 1, i + 2).filter(_ < keyed.length).map { j =>
+        val (a, b) = (keyed(i)._1, keyed(j)._1)
+        (math.min(a, b), math.max(a, b))
+      }
+    }.toSet
+    val shingleSets = docs.map { case (d, t) =>
+      val ts = t.split("[^\\p{L}]+").filter(_.nonEmpty)
+      d -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expect = cand.toSeq.flatMap { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      if (sa.isEmpty || sb.isEmpty) None
+      else {
+        val j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+        if (j >= 0.5) Some(((a, b), j)) else None
+      }
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(cand.contains(k))
+      assert(r.getAs[Double]("jaccard") === expect(k))
+    }
+  }
+
+  test("ab test: arm counts and z match a driver recompute; arms partition users") {
+    val rows = EventOps.abTest(spark, Sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val np = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .groupBy(_._1).map { case (u, es) => (u, es.count(_._2 == "purchase").toLong) }
+    // lower median: smallest np with running count reaching half
+    val sortedNp = np.values.toSeq.sorted
+    val cutoff = sortedNp((np.size - 1) / 2)
+    assert(r.getAs[Long]("cutoff") === cutoff)
+    val perUser = np.map { case (u, n) => (u, n >= cutoff) }
+    def arm(u: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16) % 2
+    val a = perUser.filter(x => arm(x._1) == 0)
+    val b = perUser.filter(x => arm(x._1) == 1)
+    assert(r.getAs[Long]("n_a") === a.size.toLong)
+    assert(r.getAs[Long]("n_b") === b.size.toLong)
+    assert(r.getAs[Long]("conv_a") === a.count(_._2).toLong)
+    assert(r.getAs[Long]("conv_b") === b.count(_._2).toLong)
+    val (na, ca, nb, cb) = (a.size.toLong, a.count(_._2).toLong, b.size.toLong, b.count(_._2).toLong)
+    assert(ca + cb > 0L && ca + cb < na + nb) // metric keeps variance
+    assert(r.getAs[Long]("delta_scaled") === ca * nb - cb * na)
+    assert(r.getAs[Double]("rate_a") === ca.toDouble / na.toDouble)
+    assert(r.getAs[Double]("rate_b") === cb.toDouble / nb.toDouble)
+    val p = (ca + cb).toDouble / (na + nb).toDouble
+    val z = (ca.toDouble / na.toDouble - cb.toDouble / nb.toDouble) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    assert(r.getAs[Double]("z_stat") === z)
+  }
 }
