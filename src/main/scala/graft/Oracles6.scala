@@ -166,4 +166,45 @@ object Oracles6 {
       |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
       |              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z_stat
       |FROM s""".stripMargin
+
+  /** Shared recursive-CTE prefix re-deriving minhashLsh clusters —
+    * the same two-independent-algorithms check dedupClusters uses.
+    */
+  private val compCte =
+    s"""mh AS (${Oracles2.minhashLsh}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)""".stripMargin
+
+  /** Mirrors GraphOps.clusterSizeHist: per-size cluster/doc counts
+    * plus the singleton complement row.
+    */
+  val clusterSizeHist: String =
+    s"""WITH RECURSIVE $compCte,
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label),
+       |hist AS (
+       | SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       | FROM sizes GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |inc AS (SELECT COUNT(*) AS n_in FROM comp)
+       |SELECT cluster_size, n_clusters, n_docs FROM hist
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in FROM tot, inc""".stripMargin
+
+  /** Mirrors GraphOps.dupBySource: doc-unique membership left join,
+    * per-source exact counts, floor-div ppm.
+    */
+  val dupBySource: String =
+    s"""WITH RECURSIVE $compCte
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN comp.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       | CAST(SUM(CASE WHEN comp.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   * 1000000 // COUNT(*) AS dup_ppm
+       |FROM documents LEFT JOIN comp ON comp.doc = documents.doc_id
+       |GROUP BY 1""".stripMargin
 }

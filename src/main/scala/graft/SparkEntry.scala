@@ -156,6 +156,8 @@ object SparkEntry {
     "vocab_growth" -> TextOps.vocabGrowth,
     "sorted_neighborhood_pairs" -> DedupOps.sortedNeighborhood,
     "ab_test" -> EventOps.abTest,
+    "cluster_size_hist" -> GraphOps.clusterSizeHist,
+    "dup_by_source" -> GraphOps.dupBySource,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -909,6 +911,8 @@ object SparkEntry {
     "vocab_growth" -> Oracles6.vocabGrowth,
     "sorted_neighborhood_pairs" -> Oracles6.sortedNeighborhood,
     "ab_test" -> Oracles6.abTest,
+    "cluster_size_hist" -> Oracles6.clusterSizeHist,
+    "dup_by_source" -> Oracles6.dupBySource,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

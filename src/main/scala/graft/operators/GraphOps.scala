@@ -258,4 +258,66 @@ object GraphOps {
         coalesce(col("n_children"), lit(0L)).as("n_children")
       )
   }
+
+  /** Near-dup cluster size distribution — the corpus duplication
+    * profile ("how much of the data is 2×, 5×, 50× duplicated?") that
+    * decides whether dedup is worth a full pass at all. Multi-doc
+    * clusters come from dedupClusters; the size-1 row is the
+    * complement count (docs in no near-dup pair), so the histogram's
+    * n_docs column partitions the whole corpus.
+    *
+    * Scale: the cluster table is pair-bounded (tiny next to the
+    * corpus); the histogram is one aggregate over it; the singleton
+    * row is two scalar counts. Nothing new shuffles.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).localCheckpoint()
+    val hist = clusters
+      .groupBy(col("cluster_size"))
+      .agg(
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs")
+      )
+    val totals = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val singletons = totals
+      .join(broadcast(clusters.agg(count(lit(1)).as("n_in"))))
+      .select(
+        lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_in")).as("n_clusters"),
+        (col("n_total") - col("n_in")).as("n_docs")
+      )
+    hist
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+      .unionAll(singletons)
+  }
+
+  /** Duplication burden per source: how many of each source's docs
+    * sit in a near-dup cluster (ppm) — the report that points the
+    * dedup budget at the crawl segment producing the duplicates.
+    * The cluster membership list is doc-unique, so the left join
+    * cannot fan out; counts are exact integers, share is floor-div
+    * ppm.
+    *
+    * Scale: one broadcast-sized membership list (pair-bounded)
+    * against the doc directory, one (source) aggregate.
+    */
+  def dupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = dedupClusters(spark, dir)
+      .select(col("doc_id"), lit(1L).as("in_dup"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(clustered, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("in_dup").isNotNull, 1L).otherwise(0L)).as("n_dup")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_dup"),
+        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm")
+      )
+  }
 }

@@ -2983,4 +2983,50 @@ class OperatorsSpec extends AnyFunSuite {
       math.sqrt(p * (1.0 - p) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
     assert(r.getAs[Double]("z_stat") === z)
   }
+
+  test("cluster size hist: partitions the corpus, matches the cluster table") {
+    val rows = GraphOps.clusterSizeHist(spark, Sf0001).collect()
+    val clusters = GraphOps.dedupClusters(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size")))
+    val nTotal = Tables.documents(spark, Sf0001).count()
+    val bySize = clusters.groupBy(_._3).map { case (s, cs) =>
+      s -> ((cs.map(_._2).distinct.length.toLong, cs.length.toLong))
+    }
+    val singles = nTotal - clusters.length
+    rows.foreach { r =>
+      val s = r.getAs[Long]("cluster_size")
+      if (s == 1L) {
+        assert(r.getAs[Long]("n_clusters") === singles)
+        assert(r.getAs[Long]("n_docs") === singles)
+      } else {
+        val (nc, nd) = bySize(s)
+        assert(r.getAs[Long]("n_clusters") === nc)
+        assert(r.getAs[Long]("n_docs") === nd)
+        assert(nd === s * nc) // every cluster of size s holds s docs
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nTotal)
+    assert(rows.count(_.getAs[Long]("cluster_size") == 1L) === 1)
+  }
+
+  test("dup by source: membership counts match, ppm exact, totals conserved") {
+    val rows = GraphOps.dupBySource(spark, Sf0001).collect()
+    val clustered = GraphOps.dedupClusters(spark, Sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).map { case (s, ds) =>
+      s -> ((ds.length.toLong, ds.count(d => clustered(d._1)).toLong))
+    }
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val (nd, dup) = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_dup") === dup)
+      assert(r.getAs[Long]("dup_ppm") === dup * 1000000L / nd)
+    }
+    assert(rows.map(_.getAs[Long]("n_dup")).sum === clustered.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+  }
 }
