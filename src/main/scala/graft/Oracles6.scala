@@ -207,4 +207,37 @@ object Oracles6 {
        |   * 1000000 // COUNT(*) AS dup_ppm
        |FROM documents LEFT JOIN comp ON comp.doc = documents.doc_id
        |GROUP BY 1""".stripMargin
+
+  /** Mirrors TextOps.doclenHist: power-of-two token-count bands per
+    * source, band 0 reserved for empty docs.
+    */
+  val doclenHist: String =
+    """WITH d AS (
+      | SELECT source,
+      |  len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> ''))
+      |    AS n_toks
+      | FROM documents)
+      |SELECT source,
+      | CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(length(bin(n_toks)) AS BIGINT) END AS band,
+      | COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      | CAST(MIN(n_toks) AS BIGINT) AS min_len, CAST(MAX(n_toks) AS BIGINT) AS max_len
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors MultimodalOps.sceneCuts: frame energies from the shared
+    * audio-window oracle, lag deltas, fixed 512 cut threshold,
+    * max_delta 0 for single-frame media.
+    */
+  val sceneCuts: String =
+    s"""WITH fr AS (${Oracles4.audioEnergy}),
+       |l AS (
+       | SELECT media_id, energy,
+       |  LAG(energy, 1) OVER (PARTITION BY media_id ORDER BY win_idx) AS prev_e
+       | FROM fr)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       | CAST(SUM(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 512
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       | CAST(COALESCE(MAX(CASE WHEN prev_e IS NOT NULL
+       |               THEN abs(energy - prev_e) END), 0) AS BIGINT) AS max_delta
+       |FROM l GROUP BY 1""".stripMargin
 }

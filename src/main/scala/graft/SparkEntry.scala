@@ -158,6 +158,8 @@ object SparkEntry {
     "ab_test" -> EventOps.abTest,
     "cluster_size_hist" -> GraphOps.clusterSizeHist,
     "dup_by_source" -> GraphOps.dupBySource,
+    "doclen_hist" -> TextOps.doclenHist,
+    "mm_scene_cuts" -> graft.sources.MultimodalOps.sceneCuts,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -913,6 +915,8 @@ object SparkEntry {
     "ab_test" -> Oracles6.abTest,
     "cluster_size_hist" -> Oracles6.clusterSizeHist,
     "dup_by_source" -> Oracles6.dupBySource,
+    "doclen_hist" -> Oracles6.doclenHist,
+    "mm_scene_cuts" -> Oracles6.sceneCuts,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1637,4 +1637,35 @@ object TextOps {
         col("cum_vocab")
       )
   }
+
+  /** Sequence-length histogram: docs binned into power-of-two
+    * token-count bands per source (the freq_spectrum band function on
+    * doc lengths) — the batch-shape/packing-planner readout every
+    * training pipeline reads before choosing a context length.
+    * Zero-token docs get their own band 0 (bin() would collide them
+    * with length-1 docs). All columns exact integers.
+    *
+    * Scale: pure map (tokenize + band) into a (source × ~40 bands)
+    * aggregate — map-side partials collapse everything before the one
+    * tiny shuffle.
+    */
+  def doclenHist(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .select(
+        col("source"),
+        col("n_toks"),
+        when(col("n_toks") === 0, 0L)
+          .otherwise(length(bin(col("n_toks"))).cast("long"))
+          .as("band")
+      )
+      .groupBy(col("source"), col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("n_toks")).as("min_len"),
+        max(col("n_toks")).as("max_len")
+      )
+  }
 }

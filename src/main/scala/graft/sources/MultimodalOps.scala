@@ -246,4 +246,46 @@ object MultimodalOps {
       checksum = hex
     )
   }
+
+  /** Scene-cut threshold: a frame-to-frame energy jump above this is
+    * a cut. 512 over a 64-byte frame = the mean byte value moving by
+    * >8 — a codec-level constant (per-frame, corpus-size-free), not a
+    * scale-dependent tuning knob.
+    */
+  val SceneCutDelta = 512L
+
+  /** Video scene-cut detection over the synthetic frame grid:
+    * consecutive-frame energy deltas per media, cuts counted above
+    * the fixed per-frame threshold — the shot-segmentation pass of a
+    * video curation pipeline (sample frames → feature per frame →
+    * temporal delta → segment). Reuses audioEnergy's 64-byte frame
+    * windows (only the codec is faked; the windowing, lag and
+    * thresholding are the real pipeline). Single-frame media report
+    * max_delta = 0 by contract (no NULL reaches the gate).
+    *
+    * Scale: the frame stream shuffles once on media_id; the lag
+    * window holds O(1) state; the aggregate collapses to one row per
+    * media. Payload bytes never shuffle (energies already extracted).
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("win_idx"))
+    audioEnergy(spark, dir)
+      .withColumn("prev_e", lag(col("energy"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(
+          when(
+            col("prev_e").isNotNull &&
+              abs(col("energy") - col("prev_e")) > SceneCutDelta,
+            1L
+          ).otherwise(0L)
+        ).as("n_cuts"),
+        coalesce(
+          max(when(col("prev_e").isNotNull, abs(col("energy") - col("prev_e")))),
+          lit(0L)
+        ).as("max_delta")
+      )
+  }
 }

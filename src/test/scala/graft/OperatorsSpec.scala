@@ -3029,4 +3029,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup")).sum === clustered.size.toLong)
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
   }
+
+  test("doclen hist: bands partition docs, bounds inside band ranges") {
+    val rows = TextOps.doclenHist(spark, Sf0001).collect()
+    val lens = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("[^\\p{L}]+").count(_.nonEmpty).toLong))
+    def band(n: Long): Long = if (n == 0) 0L else 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val grid = lens.groupBy(x => (x._1, band(x._2))).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._2).sum, v.map(_._2).min, v.map(_._2).max))
+    }
+    assert(rows.length === grid.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("band"))
+      val (nd, nt, lo, hi) = grid(k)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("min_len") === lo)
+      assert(r.getAs[Long]("max_len") === hi)
+      // band b covers [2^(b-1), 2^b - 1]
+      if (k._2 > 0) {
+        assert(lo >= (1L << (k._2 - 1).toInt))
+        assert(hi < (1L << k._2.toInt))
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === lens.length.toLong)
+  }
+
+  test("scene cuts: per-media counts match a driver frame scan") {
+    val rows = MultimodalOps.sceneCuts(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    val expect = texts.map { case (id, t) =>
+      val energies = (0 until t.length / 64).map { w =>
+        (0 until 64).map(i => t.charAt(w * 64 + i).toLong).sum
+      }
+      val deltas = energies.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.toSeq
+      id -> ((energies.length.toLong, deltas.count(_ > 512L).toLong,
+        if (deltas.isEmpty) 0L else deltas.max))
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (nf, nc, md) = expect(r.getAs[Long]("media_id"))
+      assert(r.getAs[Long]("n_frames") === nf)
+      assert(r.getAs[Long]("n_cuts") === nc)
+      assert(r.getAs[Long]("max_delta") === md)
+    }
+  }
 }
