@@ -240,4 +240,73 @@ object Oracles6 {
        | CAST(COALESCE(MAX(CASE WHEN prev_e IS NOT NULL
        |               THEN abs(energy - prev_e) END), 0) AS BIGINT) AS max_delta
        |FROM l GROUP BY 1""".stripMargin
+
+  /** Mirrors RelationalOps.hazardTable: event gaps + censored tails,
+    * distinct-time collapse, exclusive-frame reverse at-risk counts,
+    * floor-div ppm hazard.
+    */
+  val hazardTable: String =
+    """WITH o AS (
+      | SELECT o_custkey, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+      | FROM orders),
+      |mx AS (SELECT MAX(day) AS max_day FROM o),
+      |l AS (
+      | SELECT o_custkey, day,
+      |  LEAD(day, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS nxt
+      | FROM o),
+      |obs AS (
+      | SELECT CASE WHEN nxt IS NOT NULL THEN nxt - day ELSE max_day - day END AS t_days,
+      |  CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      | FROM l, mx),
+      |byt AS (
+      | SELECT t_days, CAST(SUM(is_event) AS BIGINT) AS d_events,
+      |  CAST(SUM(1 - is_event) AS BIGINT) AS n_censored, COUNT(*) AS tot
+      | FROM obs GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS n_total FROM obs),
+      |r AS (
+      | SELECT t_days, d_events, n_censored,
+      |  n_total - COALESCE(CAST(SUM(tot) OVER (ORDER BY t_days ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+      | FROM byt, tt)
+      |SELECT t_days, n_risk, d_events, n_censored,
+      | d_events * 1000000 // n_risk AS hazard_ppm
+      |FROM r""".stripMargin
+
+  /** Mirrors RelationalOps.zonePruning: NTILE(64) zones under two
+    * layouts, max-price footer stats, ≥450k scan predicate.
+    */
+  val zonePruning: String =
+    """WITH o AS (
+      | SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      | FROM orders),
+      |zk AS (
+      | SELECT price_c, NTILE(64) OVER (ORDER BY o_orderkey ASC) AS zone FROM o),
+      |zp AS (
+      | SELECT price_c, NTILE(64) OVER (ORDER BY price_c ASC, o_orderkey ASC) AS zone
+      | FROM o),
+      |sk AS (
+      | SELECT zone, COUNT(*) AS n_rows, MAX(price_c) AS max_c FROM zk GROUP BY 1),
+      |sp AS (
+      | SELECT zone, COUNT(*) AS n_rows, MAX(price_c) AS max_c FROM zp GROUP BY 1),
+      |rk AS (
+      | SELECT 'key_order' AS layout, COUNT(*) AS n_zones,
+      |  CAST(SUM(CASE WHEN max_c >= 45000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_scanned_zones,
+      |  CAST(SUM(CASE WHEN max_c >= 45000000 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS n_rows_scanned,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      | FROM sk),
+      |rp AS (
+      | SELECT 'price_order' AS layout, COUNT(*) AS n_zones,
+      |  CAST(SUM(CASE WHEN max_c >= 45000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_scanned_zones,
+      |  CAST(SUM(CASE WHEN max_c >= 45000000 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS n_rows_scanned,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      | FROM sp)
+      |SELECT layout, n_zones, n_scanned_zones, n_rows_scanned, n_rows,
+      | n_rows_scanned * 1000000 // n_rows AS scan_ppm
+      |FROM (SELECT * FROM rk UNION ALL SELECT * FROM rp)""".stripMargin
 }

@@ -160,6 +160,8 @@ object SparkEntry {
     "dup_by_source" -> GraphOps.dupBySource,
     "doclen_hist" -> TextOps.doclenHist,
     "mm_scene_cuts" -> graft.sources.MultimodalOps.sceneCuts,
+    "hazard_table" -> RelationalOps.hazardTable,
+    "zone_pruning" -> RelationalOps.zonePruning,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -917,6 +919,8 @@ object SparkEntry {
     "dup_by_source" -> Oracles6.dupBySource,
     "doclen_hist" -> Oracles6.doclenHist,
     "mm_scene_cuts" -> Oracles6.sceneCuts,
+    "hazard_table" -> Oracles6.hazardTable,
+    "zone_pruning" -> Oracles6.zonePruning,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

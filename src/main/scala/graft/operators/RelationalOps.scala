@@ -1271,6 +1271,126 @@ object RelationalOps {
       )
   }
 
+  /** Kaplan–Meier hazard table over inter-order gaps: each
+    * consecutive-order gap is an EVENT observation (time = days to
+    * the next order); each customer's tail (last order → corpus max
+    * day) is a CENSORED observation — the survival-analysis "when do
+    * customers come back" primitive behind churn models. One row per
+    * distinct observed time: the at-risk count (obs with time ≥ t —
+    * censoring at t counts as at-risk, the standard convention),
+    * events and censorings at t, and the discrete hazard d/n as
+    * floor-div ppm. Every column is an exact integer; the KM survival
+    * product (a float chain) is deliberately left to the caller —
+    * hazard steps are the mergeable, bit-stable core.
+    *
+    * Scale: one custkey shuffle for the lag, then the corpus
+    * collapses to distinct gap values (day-granularity-bounded); the
+    * reverse-cumulative at-risk sum runs over that bounded table via
+    * an exclusive ascending frame; totals broadcast.
+    */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("day")
+      )
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day").asc, col("o_orderkey").asc)
+    val maxDay = o.agg(max(col("day")).as("max_day"))
+    val obs = o
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .join(broadcast(maxDay))
+      .select(
+        when(col("nxt").isNotNull, col("nxt") - col("day"))
+          .otherwise(col("max_day") - col("day"))
+          .as("t_days"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("is_event")
+      )
+    val byT = obs
+      .groupBy(col("t_days"))
+      .agg(
+        sum(col("is_event")).as("d_events"),
+        sum(lit(1L) - col("is_event")).as("n_censored"),
+        count(lit(1)).as("tot")
+      )
+    val total = obs.agg(count(lit(1)).as("n_total"))
+    byT
+      .withColumn(
+        "before",
+        coalesce(
+          sum(col("tot")).over(
+            Window.orderBy(col("t_days").asc).rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .join(broadcast(total))
+      .select(
+        col("t_days"),
+        (col("n_total") - col("before")).as("n_risk"),
+        col("d_events"),
+        col("n_censored"),
+        expr("d_events * 1000000 DIV (n_total - before)").as("hazard_ppm")
+      )
+  }
+
+  /** Zone-map pruning report: the same 64-zone min/max footer stats a
+    * columnar store keeps, computed under TWO physical layouts — the
+    * natural key order and a price-clustered order — and evaluated
+    * against a standing predicate (totalprice ≥ 450k, the top ~10%).
+    * One row per layout: zones/rows the predicate must scan, as
+    * exact counts and floor-div ppm. The point the report makes is
+    * the zorder_layout lesson in numbers: on a random layout nearly
+    * every zone contains one hot row (scan_ppm ≈ 10⁶), clustered
+    * layout prunes ~90% — why OPTIMIZE/CLUSTER BY exists.
+    *
+    * Scale: each NTILE is one range-sort of a (key, price) pair
+    * table — the same price the layout rewrite itself pays; stats
+    * and the two summary rows are tiny aggregates. At 100 TB the
+    * zone stats come free from parquet footers; this query IS the
+    * planner's pruning estimate over them.
+    */
+  val ZoneCount = 64
+  val ZoneScanThresholdC = 45000000L // $450k in centi-units
+
+  def zonePruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c")
+      )
+    def summarize(zoned: DataFrame, layout: String): DataFrame =
+      zoned
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"), max(col("price_c")).as("max_c"))
+        .agg(
+          count(lit(1)).as("n_zones"),
+          sum(when(col("max_c") >= ZoneScanThresholdC, 1L).otherwise(0L)).as("n_scanned_zones"),
+          sum(when(col("max_c") >= ZoneScanThresholdC, col("n_rows")).otherwise(0L))
+            .as("n_rows_scanned"),
+          sum(col("n_rows")).as("n_rows")
+        )
+        .select(
+          lit(layout).as("layout"),
+          col("n_zones"),
+          col("n_scanned_zones"),
+          col("n_rows_scanned"),
+          col("n_rows"),
+          expr("n_rows_scanned * 1000000 DIV n_rows").as("scan_ppm")
+        )
+    val byKey = o.withColumn(
+      "zone",
+      ntile(ZoneCount).over(Window.orderBy(col("o_orderkey").asc))
+    )
+    val byPrice = o.withColumn(
+      "zone",
+      ntile(ZoneCount).over(Window.orderBy(col("price_c").asc, col("o_orderkey").asc))
+    )
+    summarize(byKey, "key_order").unionAll(summarize(byPrice, "price_order"))
+  }
+
   /** RFM segmentation: every ordering customer scored into quintiles
     * on Recency (last order epoch), Frequency (order count) and
     * Monetary (exact centi-sum), then the 5×5×5 segment grid reported

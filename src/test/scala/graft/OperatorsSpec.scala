@@ -3080,4 +3080,65 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_delta") === md)
     }
   }
+
+  test("hazard table: at-risk counts telescope, observations conserved") {
+    val rows = RelationalOps.hazardTable(spark, Sf0001).collect().sortBy(_.getAs[Long]("t_days"))
+    assert(rows.nonEmpty)
+    val ords = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), expr("unix_timestamp(o_orderdate) DIV 86400"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDay = ords.map(_._3).max
+    val obs = ords.groupBy(_._1).toSeq.flatMap { case (_, os) =>
+      val days = os.sortBy(o => (o._3, o._2)).map(_._3)
+      val gaps = days.sliding(2).collect { case Array(a, b) => (b - a, true) }.toSeq
+      gaps :+ ((maxDay - days.last, false))
+    }
+    val byT = obs.groupBy(_._1).map { case (t, v) =>
+      t -> ((v.count(_._2).toLong, v.count(!_._2).toLong))
+    }
+    assert(rows.length === byT.size)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t_days")
+      val (d, c) = byT(t)
+      assert(r.getAs[Long]("d_events") === d)
+      assert(r.getAs[Long]("n_censored") === c)
+      assert(r.getAs[Long]("n_risk") === obs.count(_._1 >= t).toLong)
+      assert(r.getAs[Long]("hazard_ppm") === d * 1000000L / obs.count(_._1 >= t))
+    }
+    // telescoping: risk at t(i+1) = risk at t(i) - tot at t(i)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") ===
+          a.getAs[Long]("n_risk") - a.getAs[Long]("d_events") - a.getAs[Long]("n_censored"))
+      case _ => ()
+    }
+    assert(rows.head.getAs[Long]("n_risk") === obs.length.toLong)
+    assert(rows.map(r => r.getAs[Long]("d_events") + r.getAs[Long]("n_censored")).sum ===
+      obs.length.toLong)
+  }
+
+  test("zone pruning: clustered layout prunes, key layout does not; rows conserved") {
+    val rows = RelationalOps.zonePruning(spark, Sf0001).collect()
+    assert(rows.length === 2)
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    val prices = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val nHot = prices.count(_._2 >= 45000000L).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_zones") === 64L)
+      assert(r.getAs[Long]("n_rows") === prices.length.toLong)
+      assert(r.getAs[Long]("n_rows_scanned") >= nHot) // scan is a superset of hits
+      assert(r.getAs[Long]("scan_ppm") ===
+        r.getAs[Long]("n_rows_scanned") * 1000000L / r.getAs[Long]("n_rows"))
+    }
+    val kp = byLayout("key_order"); val pp = byLayout("price_order")
+    // clustered layout confines hot rows to the minimal zone suffix
+    val zoneCap = (prices.length + 63) / 64
+    assert(pp.getAs[Long]("n_scanned_zones") <= nHot / math.max(1, prices.length / 64 - 1) + 2)
+    assert(pp.getAs[Long]("n_scanned_zones") <= kp.getAs[Long]("n_scanned_zones"))
+    assert(pp.getAs[Long]("n_rows_scanned") < prices.length.toLong)
+    assert(zoneCap > 0)
+  }
 }
