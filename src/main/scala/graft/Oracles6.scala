@@ -309,4 +309,64 @@ object Oracles6 {
       |SELECT layout, n_zones, n_scanned_zones, n_rows_scanned, n_rows,
       | n_rows_scanned * 1000000 // n_rows AS scan_ppm
       |FROM (SELECT * FROM rk UNION ALL SELECT * FROM rp)""".stripMargin
+
+  /** Mirrors EventOps.theilsenTrend: daily collapse, pairwise exact
+    * rational slopes, rank-selected lower median per type.
+    */
+  val theilsenTrend: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      | FROM events GROUP BY 1, 2),
+      |p AS (
+      | SELECT a.event_type, b.sum_c - a.sum_c AS dy, b.day - a.day AS dx,
+      |  CAST(b.sum_c - a.sum_c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      | FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (
+      | SELECT *,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type
+      |                     ORDER BY slope ASC, dy ASC, dx ASC) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      | FROM p),
+      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT r.event_type, n_days, n_pairs, dy AS med_dy, dx AS med_dx, slope
+      |FROM r JOIN nd ON r.event_type = nd.event_type
+      |WHERE rn = (n_pairs + 1) // 2""".stripMargin
+
+  /** Mirrors EventOps.sessionEntryExit: sessionize discipline
+    * (30-min gap, (ts, event_id) order), first/last rows via
+    * bidirectional row numbers, exact duration sums.
+    */
+  val sessionEntryExit: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |m AS (
+      | SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |   AS prev_us
+      | FROM ev),
+      |s AS (
+      | SELECT *,
+      |  SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+      |   AS session_id
+      | FROM m),
+      |sess AS (
+      | SELECT user_id, session_id, ts_us, event_type,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                     ORDER BY ts_us, event_id) AS rn_a,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                     ORDER BY ts_us DESC, event_id DESC) AS rn_d,
+      |  COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_events
+      | FROM s),
+      |fx AS (
+      | SELECT a.event_type AS entry_type, d.event_type AS exit_type,
+      |  a.n_events, d.ts_us - a.ts_us AS dur_us
+      | FROM sess a JOIN sess d
+      |  ON a.user_id = d.user_id AND a.session_id = d.session_id
+      |  AND a.rn_a = 1 AND d.rn_d = 1)
+      |SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+      | CAST(SUM(n_events) AS BIGINT) AS n_events,
+      | CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
+      |FROM fx GROUP BY 1, 2""".stripMargin
 }

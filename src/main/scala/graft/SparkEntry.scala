@@ -162,6 +162,8 @@ object SparkEntry {
     "mm_scene_cuts" -> graft.sources.MultimodalOps.sceneCuts,
     "hazard_table" -> RelationalOps.hazardTable,
     "zone_pruning" -> RelationalOps.zonePruning,
+    "theilsen_trend" -> EventOps.theilsenTrend,
+    "session_entry_exit" -> EventOps.sessionEntryExit,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -921,6 +923,8 @@ object SparkEntry {
     "mm_scene_cuts" -> Oracles6.sceneCuts,
     "hazard_table" -> Oracles6.hazardTable,
     "zone_pruning" -> Oracles6.zonePruning,
+    "theilsen_trend" -> Oracles6.theilsenTrend,
+    "session_entry_exit" -> Oracles6.sessionEntryExit,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1634,6 +1634,100 @@ object EventOps {
       )
   }
 
+  /** Theil–Sen robust trend per event type: the MEDIAN of all
+    * pairwise day-to-day slopes of the daily value sums — the
+    * outlier-resistant alternative to value_trend's OLS (one wild day
+    * shifts OLS, not the median slope). Slopes stay exact rationals
+    * (dy centi-integer, dx days); the median is selected by rank over
+    * (IEEE slope, dy, dx) — the double only orders, and the exact
+    * tiebreak pins equal-double pairs, so selection is deterministic
+    * on both engines; the reported slope is one IEEE division of the
+    * selected exact pair.
+    *
+    * Scale: the corpus collapses to (type, day) sums first, so the
+    * pair join is an equi-join on type over a date-range-bounded
+    * table — days² pairs per type regardless of corpus size, never
+    * rows². The per-type rank sorts that bounded pair set.
+    */
+  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("sum_c"))
+    val a = daily.select(col("event_type"), col("day").as("day_a"), col("sum_c").as("sum_a"))
+    val b = daily.select(col("event_type").as("et_b"), col("day").as("day_b"), col("sum_c").as("sum_b"))
+    val pairs = a
+      .join(b, col("event_type") === col("et_b") && col("day_a") < col("day_b"))
+      .select(
+        col("event_type"),
+        (col("sum_b") - col("sum_a")).as("dy"),
+        (col("day_b") - col("day_a")).as("dx")
+      )
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val wRank = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("slope").asc, col("dy").asc, col("dx").asc)
+    val stats = daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    pairs
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .join(stats, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_pairs"),
+        col("dy").as("med_dy"),
+        col("dx").as("med_dx"),
+        col("slope")
+      )
+  }
+
+  /** Session entry→exit matrix: which event type OPENS a session
+    * crossed with which type CLOSES it (deterministic (ts, event_id)
+    * bounds via min/max-struct selection — no second window pass),
+    * with session counts, event totals and exact summed durations —
+    * the "how do visits start and end" product readout on top of the
+    * sessionize discipline.
+    *
+    * Scale: one user_id shuffle builds sessions (the sessionize
+    * plan); the struct min/max ride the same aggregate, and the
+    * matrix is ≤ |types|² rows.
+    */
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("first_ev"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("last_ev")
+      )
+      .select(
+        col("first_ev.event_type").as("entry_type"),
+        col("last_ev.event_type").as("exit_type"),
+        col("n_events"),
+        (col("last_ev.ts_us") - col("first_ev.ts_us")).as("dur_us")
+      )
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_us")).as("sum_dur_us")
+      )
+  }
+
   /** Two-proportion A/B test: users deterministically halved by md5
     * parity (the data_split discipline), conversion = "purchase count
     * at or above the corpus median" (a RELATIVE cutoff, so the metric

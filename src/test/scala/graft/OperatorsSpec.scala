@@ -3141,4 +3141,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pp.getAs[Long]("n_rows_scanned") < prices.length.toLong)
     assert(zoneCap > 0)
   }
+
+  test("theilsen trend: median slope matches a driver pair scan") {
+    val rows = EventOps.theilsenTrend(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 86400000000000"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(x => (x._1, x._2)).map { case ((t, d), vs) => (t, d, vs.map(_._3).sum) }
+      .toSeq
+    val byType = daily.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = byType(t).sortBy(_._2)
+      val pairs = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield (days(j)._3 - days(i)._3, days(j)._2 - days(i)._2)
+      val ranked = pairs
+        .map { case (dy, dx) => (dy.toDouble / dx.toDouble, dy, dx) }
+        .sortBy(identity)
+      val med = ranked((pairs.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("n_days") === days.length.toLong)
+      assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+      assert(r.getAs[Long]("med_dy") === med._2)
+      assert(r.getAs[Long]("med_dx") === med._3)
+      assert(r.getAs[Double]("slope") === med._1)
+    }
+  }
+
+  test("session entry-exit: matrix conserves sessionize's session and event totals") {
+    val rows = EventOps.sessionEntryExit(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val sessions = EventOps.sessionize(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === sessions.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      sessions.map(_.getAs[Long]("n_events")).sum)
+    // exact duration mass equals sessionize's end-start sum
+    assert(rows.map(_.getAs[Long]("sum_dur_us")).sum ===
+      sessions.map(s => s.getAs[Long]("end_us") - s.getAs[Long]("start_us")).sum)
+    // single-event sessions must land on the diagonal
+    val diag = rows.filter(r => r.getAs[String]("entry_type") == r.getAs[String]("exit_type"))
+      .map(_.getAs[Long]("n_sessions")).sum
+    assert(diag >= sessions.count(_.getAs[Long]("n_events") == 1L).toLong)
+  }
 }
