@@ -369,4 +369,77 @@ object Oracles6 {
       | CAST(SUM(n_events) AS BIGINT) AS n_events,
       | CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us
       |FROM fx GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors DedupOps.lshBandSweep: the minhashLsh signature CTE
+    * re-banded per configuration, candidate/verified counts, ppm
+    * precision. Config CTEs are generated from the same (bands,
+    * rows) list as the operator.
+    */
+  val lshBandSweep: String = {
+    val cfgs = Seq((2, 6), (4, 3), (6, 2))
+    val cfgCtes = cfgs
+      .map { case (nb, rpb) =>
+        val t = s"${nb}_$rpb"
+        s"""bands$t AS (
+           | SELECT doc_id, b.band_idx,
+           |  array_to_string(sigs[CAST(b.band_idx*$rpb+1 AS INT):CAST(b.band_idx*$rpb+$rpb AS INT)], ',')
+           |    AS band_hash
+           | FROM sigs, (SELECT unnest(range($nb)) AS band_idx) b),
+           |cand$t AS (
+           | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           | FROM bands$t a JOIN bands$t b
+           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |  AND a.doc_id < b.doc_id),
+           |nc$t AS (SELECT COUNT(*) AS nc FROM cand$t),
+           |nv$t AS (SELECT COUNT(*) AS nv FROM (
+           |  SELECT ${Oracles2.jaccardExpr} AS j
+           |  FROM cand$t JOIN sh sa ON sa.doc_id = doc_a
+           |   JOIN sh sb ON sb.doc_id = doc_b) WHERE j >= 0.5),
+           |r$t AS (
+           | SELECT '${nb}x$rpb' AS config, CAST($nb AS BIGINT) AS n_bands,
+           |  CAST($rpb AS BIGINT) AS rows_per_band,
+           |  nc AS n_candidates, nv AS n_verified
+           | FROM nc$t, nv$t)""".stripMargin
+      }
+      .mkString(",\n")
+    val union = cfgs
+      .map { case (nb, rpb) => s"SELECT * FROM r${nb}_$rpb" }
+      .mkString(" UNION ALL ")
+    s"""WITH ${Oracles2.shinglesCte},
+       |hs AS (
+       | SELECT doc_id, list_transform(shingles,
+       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
+       | FROM sh),
+       |sigs AS (
+       | SELECT doc_id, list_transform(range(12),
+       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
+       | FROM hs),
+       |$cfgCtes
+       |SELECT config, n_bands, rows_per_band, n_candidates, n_verified,
+       | CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE n_verified * 1000000 // n_candidates END AS precision_ppm
+       |FROM ($union)""".stripMargin
+  }
+
+  /** Mirrors SimilarityOps.embeddingQa: per-row array folds on the
+    * labelCentroids 1e-6 quantization grid, per-label aggregate.
+    */
+  val embeddingQa: String =
+    """WITH per AS (
+      | SELECT label, len(embedding) AS n_dims,
+      |  len(list_filter(embedding, v -> isnan(v))) AS n_nan,
+      |  CASE WHEN len(list_filter(embedding, v -> v <> 0)) = 0 THEN 1 ELSE 0 END
+      |    AS is_zero,
+      |  list_min(list_transform(embedding,
+      |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS mn,
+      |  list_max(list_transform(embedding,
+      |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS mx
+      | FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+      | CAST(MIN(n_dims) AS BIGINT) AS n_dims_min,
+      | CAST(MAX(n_dims) AS BIGINT) AS n_dims_max,
+      | CAST(SUM(is_zero) AS BIGINT) AS n_zero_vecs,
+      | MIN(mn) AS min_q, MAX(mx) AS max_q,
+      | CAST(SUM(n_nan) AS BIGINT) AS n_nan_dims
+      |FROM per GROUP BY 1""".stripMargin
 }

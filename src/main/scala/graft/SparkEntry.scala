@@ -164,6 +164,8 @@ object SparkEntry {
     "zone_pruning" -> RelationalOps.zonePruning,
     "theilsen_trend" -> EventOps.theilsenTrend,
     "session_entry_exit" -> EventOps.sessionEntryExit,
+    "lsh_band_sweep" -> DedupOps.lshBandSweep,
+    "embedding_qa" -> SimilarityOps.embeddingQa,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -925,6 +927,8 @@ object SparkEntry {
     "zone_pruning" -> Oracles6.zonePruning,
     "theilsen_trend" -> Oracles6.theilsenTrend,
     "session_entry_exit" -> Oracles6.sessionEntryExit,
+    "lsh_band_sweep" -> Oracles6.lshBandSweep,
+    "embedding_qa" -> Oracles6.embeddingQa,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -665,4 +665,60 @@ object DedupOps {
       )
     verifyJaccard(cand, shinglePosting(spark, dir), 0.5)
   }
+
+  /** LSH band-configuration sweep: the SAME 12 MinHash signatures
+    * bucketed three ways — 2 bands × 6 rows, 4 × 3, 6 × 2 — with
+    * candidate volume, exact-verified (J ≥ 0.5) survivors and
+    * precision ppm per configuration. This is the S-curve tuning
+    * table operators read before fixing a config: more bands ⇒ more
+    * candidates and recall, collapsing precision; the report measures
+    * that tradeoff on the corpus itself rather than assuming the
+    * theoretical (1−(1−s^r)^b) curve.
+    *
+    * Scale: signatures are computed ONCE (12 MIN aggregates) and
+    * re-bucketed per config — re-banding shuffles only (band, hash,
+    * id) tuples; each verify touches its candidate set only. The
+    * degenerate no-candidates case reports 0 ppm by contract.
+    */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val sigs = docSignatures(posting).localCheckpoint()
+    val configs = Seq((2, 6), (4, 3), (6, 2))
+    configs
+      .map { case (nb, rpb) =>
+        val buckets = sigs.select(
+          col("doc_id"),
+          posexplode(
+            array((0 until nb).map { b =>
+              concat_ws(",", (0 until rpb).map(r => col(s"sig${b * rpb + r}")): _*)
+            }: _*)
+          ).as(Seq("band_idx", "band_hash"))
+        )
+        val pairs = buckets
+          .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+          .join(
+            buckets.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+            Seq("band_idx", "band_hash")
+          )
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+          .localCheckpoint()
+        val nCand = pairs.agg(count(lit(1)).as("n_candidates"))
+        val nVer = verifyJaccard(pairs, posting, 0.5).agg(count(lit(1)).as("n_verified"))
+        nCand
+          .join(nVer)
+          .select(
+            lit(s"${nb}x$rpb").as("config"),
+            lit(nb.toLong).as("n_bands"),
+            lit(rpb.toLong).as("rows_per_band"),
+            col("n_candidates"),
+            col("n_verified"),
+            when(col("n_candidates") === 0, 0L)
+              .otherwise(expr("n_verified * 1000000 DIV n_candidates"))
+              .as("precision_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
+  }
 }

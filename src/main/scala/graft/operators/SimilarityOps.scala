@@ -693,4 +693,44 @@ object SimilarityOps {
       )
       .withColumn("ratio", col("d2_proj") / (lit(16.0) * col("d2_orig")))
   }
+
+  /** Embedding data-quality report: the validation pass every ANN /
+    * clustering pipeline runs before trusting a vector column — per
+    * label: vector count, dimension consistency (min/max width —
+    * a ragged column breaks every dot-product kernel), zero-vector
+    * count (cosine is undefined on them), NaN dimension count, and
+    * quantized value bounds (the labelCentroids 1e-6 grid, so the
+    * bounds are exact integers on both engines).
+    *
+    * Scale: pure map over vectors (per-row array folds, no explode)
+    * into a per-label aggregate — one tiny shuffle.
+    */
+  def embeddingQa(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        expr("size(filter(embedding, v -> isnan(v)))").cast("long").as("n_nan"),
+        when(expr("size(filter(embedding, v -> v <> 0))") === 0, 1L)
+          .otherwise(0L)
+          .as("is_zero"),
+        expr(
+          "array_min(transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).as("mn"),
+        expr(
+          "array_max(transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).as("mx")
+      )
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("n_dims")).as("n_dims_min"),
+        max(col("n_dims")).as("n_dims_max"),
+        sum(col("is_zero")).as("n_zero_vecs"),
+        min(col("mn")).as("min_q"),
+        max(col("mx")).as("max_q"),
+        sum(col("n_nan")).as("n_nan_dims")
+      )
+  }
 }

@@ -3186,4 +3186,47 @@ class OperatorsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_sessions")).sum
     assert(diag >= sessions.count(_.getAs[Long]("n_events") == 1L).toLong)
   }
+
+  test("lsh band sweep: monotone candidates in band count, 4x3 row matches minhashLsh") {
+    val rows = DedupOps.lshBandSweep(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("config") -> r).toMap
+    assert(rows.keySet === Set("2x6", "4x3", "6x2"))
+    // more bands = looser OR over bands = at least as many candidates
+    assert(rows("2x6").getAs[Long]("n_candidates") <= rows("4x3").getAs[Long]("n_candidates"))
+    assert(rows("4x3").getAs[Long]("n_candidates") <= rows("6x2").getAs[Long]("n_candidates"))
+    // verified survivors can only grow with the candidate set too
+    assert(rows("2x6").getAs[Long]("n_verified") <= rows("4x3").getAs[Long]("n_verified"))
+    assert(rows("4x3").getAs[Long]("n_verified") <= rows("6x2").getAs[Long]("n_verified"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+      val (nc, nv) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"))
+      assert(r.getAs[Long]("precision_ppm") === (if (nc == 0) 0L else nv * 1000000L / nc))
+    }
+    // the 4x3 config is exactly minhashLsh's banding; its verified set
+    // at J>=0.5 must be a superset of the registered J>=0.7 pairs
+    val lsh07 = DedupOps.minhashLsh(spark, Sf0001).count()
+    assert(rows("4x3").getAs[Long]("n_verified") >= lsh07)
+  }
+
+  test("embedding qa: per-label stats match a driver scan of raw vectors") {
+    val rows = SimilarityOps.embeddingQa(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.length === byLabel.size)
+    rows.foreach { r =>
+      val vs = byLabel(r.getAs[Long]("label")).map(_._2)
+      assert(r.getAs[Long]("n_vecs") === vs.length.toLong)
+      assert(r.getAs[Long]("n_dims_min") === vs.map(_.length).min.toLong)
+      assert(r.getAs[Long]("n_dims_max") === vs.map(_.length).max.toLong)
+      assert(r.getAs[Long]("n_zero_vecs") === vs.count(_.forall(_ == 0f)).toLong)
+      assert(r.getAs[Long]("n_nan_dims") === vs.map(_.count(_.isNaN)).sum.toLong)
+      val qs = vs.flatten.map(v =>
+        BigDecimal(v.toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+      assert(r.getAs[Long]("min_q") === qs.min)
+      assert(r.getAs[Long]("max_q") === qs.max)
+    }
+  }
 }
