@@ -442,4 +442,53 @@ object Oracles6 {
       | MIN(mn) AS min_q, MAX(mx) AS max_q,
       | CAST(SUM(n_nan) AS BIGINT) AS n_nan_dims
       |FROM per GROUP BY 1""".stripMargin
+
+  /** Mirrors MultimodalOps.mmClusters: the aHashPairs oracle resolved
+    * by the dedupClusters recursive-CTE component twin.
+    */
+  val mmClusters: String =
+    s"""WITH RECURSIVE mp AS (${Oracles5.aHashPairs}),
+       |edges AS (SELECT media_a AS a, media_b AS b FROM mp
+       |          UNION SELECT media_b AS a, media_a AS b FROM mp),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+       |SELECT doc AS media_id, label AS canonical_id, cluster_size,
+       | doc = label AS is_canonical
+       |FROM comp JOIN sizes USING (label)""".stripMargin
+
+  /** Mirrors EventOps.funnelWindowed: the funnelStages oracle with a
+    * 24 h (86400000000 µs) conversion window per stage.
+    */
+  val funnelWindowed: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      | WHERE event_type IN ('view', 'click', 'purchase')),
+      |f AS (
+      | SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
+      |  list(CASE WHEN event_type = 'click' THEN ts_us END) AS click_ts,
+      |  list(CASE WHEN event_type = 'purchase' THEN ts_us END) AS purch_ts
+      | FROM ev GROUP BY user_id),
+      |g AS (
+      | SELECT user_id, first_view_us, purch_ts,
+      |  list_min(list_filter(click_ts,
+      |    t -> t >= first_view_us AND t <= first_view_us + 86400000000))
+      |    AS first_click_us
+      | FROM f),
+      |h AS (
+      | SELECT user_id, first_view_us, first_click_us,
+      |  list_min(list_filter(purch_ts,
+      |    t -> t >= first_click_us AND t <= first_click_us + 86400000000))
+      |    AS first_purchase_us
+      | FROM g)
+      |SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+      | CAST(CASE WHEN first_view_us IS NULL THEN 0
+      |           WHEN first_click_us IS NULL THEN 1
+      |           WHEN first_purchase_us IS NULL THEN 2
+      |           ELSE 3 END AS BIGINT) AS stage
+      |FROM h""".stripMargin
 }

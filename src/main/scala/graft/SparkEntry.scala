@@ -166,6 +166,8 @@ object SparkEntry {
     "session_entry_exit" -> EventOps.sessionEntryExit,
     "lsh_band_sweep" -> DedupOps.lshBandSweep,
     "embedding_qa" -> SimilarityOps.embeddingQa,
+    "mm_clusters" -> graft.sources.MultimodalOps.mmClusters,
+    "funnel_windowed" -> EventOps.funnelWindowed,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -929,6 +931,8 @@ object SparkEntry {
     "session_entry_exit" -> Oracles6.sessionEntryExit,
     "lsh_band_sweep" -> Oracles6.lshBandSweep,
     "embedding_qa" -> Oracles6.embeddingQa,
+    "mm_clusters" -> Oracles6.mmClusters,
+    "funnel_windowed" -> Oracles6.funnelWindowed,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -404,6 +404,66 @@ object EventOps {
       )
   }
 
+  /** Per-stage conversion window for funnelWindowed: a stage only
+    * counts within 24 h of the previous one.
+    */
+  val FunnelWindowUs = 86400000000L
+
+  /** Time-bounded funnel: funnelStages' semantics with a 24 h
+    * conversion window per stage — the click must land within 24 h of
+    * the first view, the purchase within 24 h of that click (how
+    * product analytics actually defines conversion; the unbounded
+    * funnel credits week-later purchases). Same single-aggregate
+    * plan: per-user firsts + per-row array filters, never an event
+    * self-join.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+    val firsts = ev
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view_us"),
+        collect_list(when(col("event_type") === "click", col("ts_us"))).as("click_ts"),
+        collect_list(when(col("event_type") === "purchase", col("ts_us"))).as("purch_ts")
+      )
+    firsts
+      .withColumn(
+        "first_click_us",
+        array_min(
+          filter(
+            col("click_ts"),
+            t => t >= col("first_view_us") && t <= col("first_view_us") + FunnelWindowUs
+          )
+        )
+      )
+      .withColumn(
+        "first_purchase_us",
+        array_min(
+          filter(
+            col("purch_ts"),
+            t => t >= col("first_click_us") && t <= col("first_click_us") + FunnelWindowUs
+          )
+        )
+      )
+      .withColumn(
+        "stage",
+        when(col("first_view_us").isNull, 0L)
+          .when(col("first_click_us").isNull, 1L)
+          .when(col("first_purchase_us").isNull, 2L)
+          .otherwise(3L)
+      )
+      .select(
+        col("user_id"),
+        col("first_view_us"),
+        col("first_click_us"),
+        col("first_purchase_us"),
+        col("stage")
+      )
+  }
+
   /** SCD2 history: the event changelog per user expanded into
     * validity intervals — each version carries [valid_from, valid_to)
     * epoch-µs bounds, its version number, and an is_current flag

@@ -267,6 +267,33 @@ object MultimodalOps {
     * window holds O(1) state; the aggregate collapses to one row per
     * media. Payload bytes never shuffle (energies already extracted).
     */
+  /** Media near-dup clusters: the aHash hamming pairs resolved into
+    * connected components (same GraphOps engine and output contract
+    * as the text-side dedup_clusters) — re-encoded/padded copies of
+    * one asset chain through pairwise hits into one cluster with a
+    * canonical id, completing the media dedup pipeline
+    * (hash → banded pairs → clusters).
+    *
+    * Scale: the pair graph is banded-candidate-bounded; component
+    * resolution inherits GraphOps' hybrid (bounded driver union-find
+    * under 2M edges, distributed label propagation above).
+    */
+  def mmClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = aHashPairs(spark, dir).select(col("media_a"), col("media_b"))
+    val comps = graft.operators.GraphOps
+      .connectedComponents(pairs, "media_a", "media_b")
+      .localCheckpoint()
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    comps
+      .join(sizes, Seq("label"))
+      .select(
+        col("doc").as("media_id"),
+        col("label").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc") === col("label")).as("is_canonical")
+      )
+  }
+
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("media_id")).orderBy(col("win_idx"))

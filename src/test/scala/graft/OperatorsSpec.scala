@@ -3229,4 +3229,58 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_q") === qs.max)
     }
   }
+
+  test("mm clusters: components cover exactly the paired media, labels are set minima") {
+    val rows = MultimodalOps.mmClusters(spark, Sf0001).collect()
+    val pairs = MultimodalOps.aHashPairs(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
+    assert(rows.nonEmpty === pairs.nonEmpty)
+    // driver union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(m => m -> find(m)).toMap
+    assert(rows.length === expect.size)
+    val byCluster = expect.groupBy(_._2)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("canonical_id") === expect(m))
+      assert(r.getAs[Long]("cluster_size") === byCluster(expect(m)).size.toLong)
+      assert(r.getAs[Boolean]("is_canonical") === (m == expect(m)))
+    }
+  }
+
+  test("funnel windowed: stages are a subset of the unbounded funnel's") {
+    val bounded = EventOps.funnelWindowed(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val free = EventOps.funnelStages(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(bounded.keySet === free.keySet)
+    bounded.foreach { case (u, b) =>
+      val f = free(u)
+      // the window can only DEMOTE a user, never promote
+      assert(b.getAs[Long]("stage") <= f.getAs[Long]("stage"))
+      assert(b.getAs[Long]("first_view_us") === f.getAs[Long]("first_view_us"))
+      // a bounded click, when present, is within 24 h of the view and
+      // at or after the unbounded first click
+      if (b.getAs[Long]("stage") >= 2) {
+        assert(b.getAs[Long]("first_click_us") >= f.getAs[Long]("first_click_us"))
+        assert(b.getAs[Long]("first_click_us") - b.getAs[Long]("first_view_us") <=
+          EventOps.FunnelWindowUs)
+      }
+      if (b.getAs[Long]("stage") == 3) {
+        assert(b.getAs[Long]("first_purchase_us") - b.getAs[Long]("first_click_us") <=
+          EventOps.FunnelWindowUs)
+      }
+    }
+    // the window must actually bite somewhere at this SF
+    assert(bounded.values.map(_.getAs[Long]("stage")).sum <=
+      free.values.map(_.getAs[Long]("stage")).sum)
+  }
 }
