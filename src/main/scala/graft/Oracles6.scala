@@ -491,4 +491,38 @@ object Oracles6 {
       |           WHEN first_purchase_us IS NULL THEN 2
       |           ELSE 3 END AS BIGINT) AS stage
       |FROM h""".stripMargin
+
+  /** Mirrors EventOps.seasonalDecompose: (type, day) collapse,
+    * (type, weekday) exact sums, cross-multiplied residual + IEEE
+    * residual from exact inputs.
+    */
+  val seasonalDecompose: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      | FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, (day + 4) % 7 AS wd FROM daily),
+      |w AS (
+      | SELECT event_type AS et_w, wd AS wd_w, COUNT(*) AS wd_n,
+      |  CAST(SUM(sum_c) AS BIGINT) AS wd_sum_c
+      | FROM d2 GROUP BY 1, 2)
+      |SELECT event_type, day, wd, sum_c, wd_n, wd_sum_c,
+      | sum_c * wd_n - wd_sum_c AS resid_scaled,
+      | CAST(sum_c AS DOUBLE) - CAST(wd_sum_c AS DOUBLE) / CAST(wd_n AS DOUBLE)
+      |   AS resid
+      |FROM d2 JOIN w ON event_type = et_w AND wd = wd_w""".stripMargin
+
+  /** Mirrors GraphOps.degreeHist: minhashLsh pair degrees in
+    * power-of-two bands.
+    */
+  val degreeHist: String =
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |deg AS (
+       | SELECT doc, COUNT(*) AS degree FROM (
+       |  SELECT doc_a AS doc FROM mh UNION ALL SELECT doc_b AS doc FROM mh)
+       | GROUP BY 1)
+       |SELECT CAST(length(bin(degree)) AS BIGINT) AS band, COUNT(*) AS n_nodes,
+       | CAST(SUM(degree) AS BIGINT) AS sum_degree,
+       | MIN(degree) AS min_degree, MAX(degree) AS max_degree
+       |FROM deg GROUP BY 1""".stripMargin
 }

@@ -168,6 +168,8 @@ object SparkEntry {
     "embedding_qa" -> SimilarityOps.embeddingQa,
     "mm_clusters" -> graft.sources.MultimodalOps.mmClusters,
     "funnel_windowed" -> EventOps.funnelWindowed,
+    "seasonal_decompose" -> EventOps.seasonalDecompose,
+    "graph_degree_hist" -> GraphOps.degreeHist,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -933,6 +935,8 @@ object SparkEntry {
     "embedding_qa" -> Oracles6.embeddingQa,
     "mm_clusters" -> Oracles6.mmClusters,
     "funnel_windowed" -> Oracles6.funnelWindowed,
+    "seasonal_decompose" -> Oracles6.seasonalDecompose,
+    "graph_degree_hist" -> Oracles6.degreeHist,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

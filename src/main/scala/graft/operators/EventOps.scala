@@ -1745,6 +1745,46 @@ object EventOps {
       )
   }
 
+  /** Weekday-effect seasonal decomposition: each (type, day) daily
+    * sum split against its weekday's mean for that type — observed,
+    * the weekday component (as exact sum/count, not a rounded mean),
+    * and the residual both ways: resid_scaled = observed·n − Σweekday
+    * is the exact cross-multiplied integer (sign/rank-stable), resid
+    * the IEEE value derived from those exact integers. Weekday comes
+    * from pure epoch arithmetic ((day+4) mod 7 — the weekday_profile
+    * anchor), no calendar functions.
+    *
+    * Scale: corpus → (type, day) collapse; the weekday means are a
+    * (type × 7)-row broadcast; the decomposition is a pure map over
+    * the bounded daily table.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("sum_c"))
+      .withColumn("wd", expr("(day + 4) % 7"))
+    val wdMeans = daily
+      .groupBy(col("event_type").as("et_w"), col("wd").as("wd_w"))
+      .agg(count(lit(1)).as("wd_n"), sum(col("sum_c")).as("wd_sum_c"))
+    daily
+      .join(
+        broadcast(wdMeans),
+        col("event_type") === col("et_w") && col("wd") === col("wd_w")
+      )
+      .select(
+        col("event_type"),
+        col("day"),
+        col("wd"),
+        col("sum_c"),
+        col("wd_n"),
+        col("wd_sum_c"),
+        (col("sum_c") * col("wd_n") - col("wd_sum_c")).as("resid_scaled"),
+        (col("sum_c").cast("double") -
+          col("wd_sum_c").cast("double") / col("wd_n").cast("double")).as("resid")
+      )
+  }
+
   /** Session entry→exit matrix: which event type OPENS a session
     * crossed with which type CLOSES it (deterministic (ts, event_id)
     * bounds via min/max-struct selection — no second window pass),

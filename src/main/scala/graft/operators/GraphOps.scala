@@ -259,6 +259,34 @@ object GraphOps {
       )
   }
 
+  /** Degree distribution of the near-dup pair graph in power-of-two
+    * bands (the freq_spectrum band function on node degrees) — the
+    * skew readout that decides whether the pair graph needs the
+    * degree-orientation guard graph_triangles applies: a hub node in
+    * band 10 means some template document matches ~1000 others and
+    * every per-node expansion must be orientation-bounded.
+    *
+    * Scale: degrees are one aggregate over the (bounded) pair list;
+    * the histogram collapses nodes to ≤ 64 bands.
+    */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val degrees = pairs
+      .select(col("doc_a").as("doc"))
+      .unionAll(pairs.select(col("doc_b").as("doc")))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("degree"))
+    degrees
+      .select(col("degree"), length(bin(col("degree"))).cast("long").as("band"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("degree")).as("sum_degree"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree")
+      )
+  }
+
   /** Near-dup cluster size distribution — the corpus duplication
     * profile ("how much of the data is 2×, 5×, 50× duplicated?") that
     * decides whether dedup is worth a full pass at all. Multi-doc

@@ -3283,4 +3283,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bounded.values.map(_.getAs[Long]("stage")).sum <=
       free.values.map(_.getAs[Long]("stage")).sum)
   }
+
+  test("seasonal decompose: residuals zero-sum within each (type, weekday) cell") {
+    val rows = EventOps.seasonalDecompose(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wd") === (r.getAs[Long]("day") + 4) % 7)
+      assert(r.getAs[Long]("resid_scaled") ===
+        r.getAs[Long]("sum_c") * r.getAs[Long]("wd_n") - r.getAs[Long]("wd_sum_c"))
+      assert(r.getAs[Double]("resid") ===
+        r.getAs[Long]("sum_c").toDouble -
+          r.getAs[Long]("wd_sum_c").toDouble / r.getAs[Long]("wd_n").toDouble)
+    }
+    // the weekday mean is the within-cell average: scaled residuals
+    // sum to zero per (type, wd), and each cell's n/sum are consistent
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("wd"))).foreach {
+      case (_, cell) =>
+        assert(cell.map(_.getAs[Long]("resid_scaled")).sum === 0L)
+        assert(cell.length.toLong === cell.head.getAs[Long]("wd_n"))
+        assert(cell.map(_.getAs[Long]("sum_c")).sum === cell.head.getAs[Long]("wd_sum_c"))
+    }
+  }
+
+  test("graph degree hist: bands conserve nodes and edge endpoints") {
+    val rows = GraphOps.degreeHist(spark, Sf0001).collect()
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(rows.nonEmpty === pairs.nonEmpty)
+    val degrees = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity)
+      .map { case (_, v) => v.size.toLong }
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === degrees.size.toLong)
+    // handshake lemma: total degree = 2 |edges|
+    assert(rows.map(_.getAs[Long]("sum_degree")).sum === 2L * pairs.length)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_degree") >= (1L << (b - 1).toInt))
+      assert(r.getAs[Long]("max_degree") < (1L << b.toInt))
+      assert(r.getAs[Long]("n_nodes") === degrees.count(d =>
+        d >= (1L << (b - 1).toInt) && d < (1L << b.toInt)).toLong)
+    }
+  }
 }
