@@ -525,4 +525,73 @@ object Oracles6 {
        | CAST(SUM(degree) AS BIGINT) AS sum_degree,
        | MIN(degree) AS min_degree, MAX(degree) AS max_degree
        |FROM deg GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.xcorrTypes: daily collapse, (day + lag) equi
+    * join per ordered type pair, corrStats decimal moments, r = 0 on
+    * degenerate variance, n ≥ 8 floor.
+    */
+  val xcorrTypes: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      | FROM events GROUP BY 1, 2),
+      |lags AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS lag),
+      |j AS (
+      | SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag, a.x, b.x AS y
+      | FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day + l.lag
+      | WHERE a.event_type < b.event_type),
+      |m AS (
+      | SELECT type_a, type_b, lag, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_x,
+      |  CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_y,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_xy,
+      |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_x2,
+      |  CAST(CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sum_y2
+      | FROM j GROUP BY 1, 2, 3)
+      |SELECT type_a, type_b, lag, n,
+      | CASE WHEN CAST(n AS DOUBLE) * sum_x2 - sum_x * sum_x <= 0.0
+      |       OR CAST(n AS DOUBLE) * sum_y2 - sum_y * sum_y <= 0.0 THEN 0.0
+      |      ELSE (CAST(n AS DOUBLE) * sum_xy - sum_x * sum_y)
+      |       / (sqrt(CAST(n AS DOUBLE) * sum_x2 - sum_x * sum_x)
+      |          * sqrt(CAST(n AS DOUBLE) * sum_y2 - sum_y * sum_y)) END AS r
+      |FROM m WHERE n >= 8""".stripMargin
+
+  /** Mirrors DedupOps.minhashCalibration: the minhashLsh signature +
+    * banding CTEs, J ≥ 0.5 verified candidates, signature agreement
+    * vs exact Jaccard.
+    */
+  val minhashCalibration: String =
+    s"""WITH ${Oracles2.shinglesCte},
+       |hs AS (
+       | SELECT doc_id, list_transform(shingles,
+       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
+       | FROM sh),
+       |sigs AS (
+       | SELECT doc_id, list_transform(range(12),
+       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
+       | FROM hs),
+       |bands AS (
+       | SELECT doc_id, b.band_idx,
+       |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
+       | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |v AS (
+       | SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, ${Oracles2.jaccardExpr} AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       | WHERE jaccard >= 0.5)
+       |SELECT doc_a, doc_b,
+       | CAST(len(list_filter(range(12),
+       |   k -> ga.sigs[CAST(k+1 AS INT)] = gb.sigs[CAST(k+1 AS INT)])) AS BIGINT) AS n_match,
+       | CAST(len(list_filter(range(12),
+       |   k -> ga.sigs[CAST(k+1 AS INT)] = gb.sigs[CAST(k+1 AS INT)])) AS DOUBLE) / 12.0 AS est,
+       | jaccard,
+       | abs(CAST(len(list_filter(range(12),
+       |   k -> ga.sigs[CAST(k+1 AS INT)] = gb.sigs[CAST(k+1 AS INT)])) AS DOUBLE) / 12.0
+       |     - jaccard) AS abs_err
+       |FROM v JOIN sigs ga ON ga.doc_id = doc_a JOIN sigs gb ON gb.doc_id = doc_b""".stripMargin
 }

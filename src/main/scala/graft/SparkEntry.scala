@@ -170,6 +170,8 @@ object SparkEntry {
     "funnel_windowed" -> EventOps.funnelWindowed,
     "seasonal_decompose" -> EventOps.seasonalDecompose,
     "graph_degree_hist" -> GraphOps.degreeHist,
+    "xcorr_types" -> EventOps.xcorrTypes,
+    "minhash_calibration" -> DedupOps.minhashCalibration,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -937,6 +939,8 @@ object SparkEntry {
     "funnel_windowed" -> Oracles6.funnelWindowed,
     "seasonal_decompose" -> Oracles6.seasonalDecompose,
     "graph_degree_hist" -> Oracles6.degreeHist,
+    "xcorr_types" -> Oracles6.xcorrTypes,
+    "minhash_calibration" -> Oracles6.minhashCalibration,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -680,6 +680,61 @@ object DedupOps {
     * id) tuples; each verify touches its candidate set only. The
     * degenerate no-candidates case reports 0 ppm by contract.
     */
+  /** MinHash estimator calibration: for every banded candidate pair
+    * with exact Jaccard ≥ 0.5, the signature-agreement estimate
+    * (matching mins / 12) next to the true Jaccard and the absolute
+    * error — the measured answer to "how far off are 12
+    * permutations?" that sizes the signature width (stddev ≈
+    * √(J(1−J)/k)). n_match is an exact integer; est and abs_err are
+    * IEEE values derived from exact integers.
+    *
+    * Scale: reuses the one-pass signatures and the banded candidate
+    * join; the calibration join carries 12 longs per side for the
+    * candidate set only.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val sigs = docSignatures(posting).localCheckpoint()
+    val buckets = sigs.select(
+      col("doc_id"),
+      posexplode(
+        array((0 until MinhashBands).map { b =>
+          concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
+        }: _*)
+      ).as(Seq("band_idx", "band_hash"))
+    )
+    val pairs = buckets
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(
+        buckets.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val verified = verifyJaccard(pairs, posting, 0.5)
+    val sa = sigs.select(
+      (col("doc_id").as("doc_a") +: (0 until MinhashPerms).map(k => col(s"sig$k").as(s"a$k"))): _*
+    )
+    val sb = sigs.select(
+      (col("doc_id").as("doc_b") +: (0 until MinhashPerms).map(k => col(s"sig$k").as(s"b$k"))): _*
+    )
+    val nMatch = (0 until MinhashPerms)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    verified
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        nMatch.as("n_match"),
+        (nMatch.cast("double") / lit(12.0)).as("est"),
+        col("jaccard"),
+        abs(nMatch.cast("double") / lit(12.0) - col("jaccard")).as("abs_err")
+      )
+  }
+
   def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
     val posting = shinglePosting(spark, dir).localCheckpoint()
     val sigs = docSignatures(posting).localCheckpoint()

@@ -1555,6 +1555,57 @@ object EventOps {
       )
   }
 
+  /** Cross-type lag correlation: Pearson r between every ordered pair
+    * of event types' daily value series at lags 0–3 days — the
+    * leading-indicator scan (does type A's signal move k days before
+    * type B's?) extending daily_autocorr's self-lag to pairs. Moments
+    * follow the corrStats discipline exactly: decimal-first products
+    * of centi-integer daily sums, doubles only at the end; overlap
+    * days come from an equi join on (day + lag). Degenerate variance
+    * (either matched series constant) reports r = 0 by contract;
+    * pairs with under 8 overlapping days are dropped (no meaningful
+    * correlation from fewer points).
+    *
+    * Scale: the corpus collapses to (type, day) first; the pair×lag
+    * fan-out replicates only that bounded table ×4 lags; each cell's
+    * moments are one aggregate.
+    */
+  def xcorrTypes(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("x"))
+    val lags = spark.range(0, 4).select(col("id").as("lag"))
+    val a = daily
+      .select(col("event_type").as("type_a"), col("day"), col("x"))
+      .crossJoin(broadcast(lags))
+    val b = daily.select(col("event_type").as("type_b"), col("day").as("day_b"), col("x").as("y"))
+    val n = col("n").cast("double")
+    val varX = n * col("sum_x2") - col("sum_x") * col("sum_x")
+    val varY = n * col("sum_y2") - col("sum_y") * col("sum_y")
+    a.join(b, col("day_b") === col("day") + col("lag") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sum_x"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sum_y"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_xy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_x2"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+          .cast("double").as("sum_y2")
+      )
+      .filter(col("n") >= 8)
+      .withColumn(
+        "r",
+        when(varX <= 0.0 || varY <= 0.0, lit(0.0))
+          .otherwise((n * col("sum_xy") - col("sum_x") * col("sum_y")) /
+            (sqrt(varX) * sqrt(varY)))
+      )
+      .select(col("type_a"), col("type_b"), col("lag"), col("n"), col("r"))
+  }
+
   /** Rolling 7-day median of per-type daily value sums — the robust
     * trend smoother (a median shrugs off the single-day spikes that
     * wreck a rolling mean). Exactness discipline: daily sums are

@@ -3323,4 +3323,55 @@ class OperatorsSpec extends AnyFunSuite {
         d >= (1L << (b - 1).toInt) && d < (1L << b.toInt)).toLong)
     }
   }
+
+  test("xcorr types: lag-0 r matches a driver Pearson; r bounded; pairs ordered") {
+    val rows = EventOps.xcorrTypes(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 86400000000000"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(x => (x._1, x._2)).map { case ((t, d), vs) => ((t, d), vs.map(_._3).sum) }
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("n") >= 8L)
+      val (ta, tb, lag) =
+        (r.getAs[String]("type_a"), r.getAs[String]("type_b"), r.getAs[Long]("lag"))
+      val xs = daily.collect { case ((t, d), v) if t == ta => (d, v) }.toMap
+      val ys = daily.collect { case ((t, d), v) if t == tb => (d, v) }.toMap
+      val matched = xs.toSeq.flatMap { case (d, x) => ys.get(d + lag).map(y => (x, y)) }
+      assert(r.getAs[Long]("n") === matched.length.toLong)
+      val n = matched.length.toDouble
+      val (sx, sy) = (matched.map(_._1.toDouble).sum, matched.map(_._2.toDouble).sum)
+      val sxy = matched.map(p => p._1.toDouble * p._2.toDouble).sum
+      val sx2 = matched.map(p => p._1.toDouble * p._1.toDouble).sum
+      val sy2 = matched.map(p => p._2.toDouble * p._2.toDouble).sum
+      val denom = math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy)
+      if (denom > 0) {
+        // tolerance: the driver recompute sums doubles in arbitrary
+        // order; the operator's moments are decimal-exact
+        assert(math.abs(r.getAs[Double]("r") - (n * sxy - sx * sy) / denom) < 1e-9)
+      }
+    }
+  }
+
+  test("minhash calibration: n_match counts signature agreement, est within sketch bounds") {
+    val rows = DedupOps.minhashCalibration(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("n_match")
+      assert(nm >= 0L && nm <= 12L)
+      assert(r.getAs[Double]("est") === nm.toDouble / 12.0)
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Double]("abs_err") ===
+        math.abs(r.getAs[Double]("est") - r.getAs[Double]("jaccard")))
+      // banded candidates share at least one band = 3 consecutive sigs
+      assert(nm >= 3L)
+    }
+    // calibration property: mean error stays inside ~3 sigma of the
+    // k=12 sketch bound sqrt(J(1-J)/12) <= 0.145
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr <= 3 * 0.145)
+  }
 }
