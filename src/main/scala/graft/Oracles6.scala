@@ -594,4 +594,40 @@ object Oracles6 {
        |   k -> ga.sigs[CAST(k+1 AS INT)] = gb.sigs[CAST(k+1 AS INT)])) AS DOUBLE) / 12.0
        |     - jaccard) AS abs_err
        |FROM v JOIN sigs ga ON ga.doc_id = doc_a JOIN sigs gb ON gb.doc_id = doc_b""".stripMargin
+
+  /** Mirrors RelationalOps.keysetPage — stated as the OFFSET twin
+    * (ROW_NUMBER BETWEEN 41 AND 60), so the gate proves seek ≡
+    * offset on the strict (price desc, key asc) order.
+    */
+  val keysetPage: String =
+    """WITH o AS (
+      | SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      | FROM orders),
+      |r AS (
+      | SELECT o_orderkey, price_c,
+      |  ROW_NUMBER() OVER (ORDER BY price_c DESC, o_orderkey ASC) AS rn
+      | FROM o)
+      |SELECT o_orderkey, price_c, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn BETWEEN 41 AND 60""".stripMargin
+
+  /** Mirrors TextOps.stratifiedKfold: round-robin fold by in-stratum
+    * doc-id rank, exact expected counts, balance flag re-derived.
+    */
+  val stratifiedKfold: String =
+    """WITH ranked AS (
+      | SELECT lang,
+      |  (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) - 1) % 5 AS fold
+      | FROM documents),
+      |cells AS (
+      | SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n_docs
+      | FROM ranked GROUP BY 1, 2),
+      |t AS (
+      | SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+      | FROM cells)
+      |SELECT lang, fold, n_docs, lang_total,
+      | lang_total // 5 + CASE WHEN fold < lang_total % 5 THEN 1 ELSE 0 END AS expected,
+      | n_docs = lang_total // 5 + CASE WHEN fold < lang_total % 5 THEN 1 ELSE 0 END
+      |   AS balanced
+      |FROM t""".stripMargin
 }

@@ -172,6 +172,8 @@ object SparkEntry {
     "graph_degree_hist" -> GraphOps.degreeHist,
     "xcorr_types" -> EventOps.xcorrTypes,
     "minhash_calibration" -> DedupOps.minhashCalibration,
+    "keyset_page" -> RelationalOps.keysetPage,
+    "stratified_kfold" -> TextOps.stratifiedKfold,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -941,6 +943,8 @@ object SparkEntry {
     "graph_degree_hist" -> Oracles6.degreeHist,
     "xcorr_types" -> Oracles6.xcorrTypes,
     "minhash_calibration" -> Oracles6.minhashCalibration,
+    "keyset_page" -> Oracles6.keysetPage,
+    "stratified_kfold" -> Oracles6.stratifiedKfold,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

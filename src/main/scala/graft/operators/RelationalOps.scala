@@ -1271,6 +1271,55 @@ object RelationalOps {
       )
   }
 
+  /** Keyset ("seek-method") pagination: page 3 (rows 41–60) of the
+    * order book ordered by (price desc, key asc), fetched WITHOUT an
+    * offset scan — the cursor is row 40's (price, key) and the page
+    * is `WHERE (price, key) AFTER cursor ORDER BY … LIMIT 20`. The
+    * oracle states the OFFSET form (ROW_NUMBER BETWEEN 41 AND 60), so
+    * the hash gate is a cross-engine proof that seek ≡ offset on a
+    * strict total order — the pagination contract every API relies
+    * on. The row numbers attached to the page are the page-relative
+    * ranks + 40.
+    *
+    * Scale: THE point of seek — the cursor filter pushes into the
+    * scan (zone min/max prune everything above the cursor) and both
+    * steps are TakeOrdered top-k; an OFFSET N scan reads and sorts N
+    * rows forever deeper as N grows, seek stays O(page).
+    */
+  val PageSize = 20
+
+  def keysetPage(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c")
+      )
+    // row 40 = the tail of the top-40 under the page order
+    val cursor = o
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+      .limit(2 * PageSize)
+      .orderBy(col("price_c").asc, col("o_orderkey").desc)
+      .limit(1)
+      .select(col("price_c").as("c_price"), col("o_orderkey").as("c_key"))
+    val page = o
+      .join(broadcast(cursor))
+      .filter(
+        col("price_c") < col("c_price") ||
+          (col("price_c") === col("c_price") && col("o_orderkey") > col("c_key"))
+      )
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+      .limit(PageSize)
+    page
+      .withColumn(
+        "rn",
+        (row_number().over(
+          Window.orderBy(col("price_c").desc, col("o_orderkey").asc)
+        ) + 2 * PageSize).cast("long")
+      )
+      .select(col("o_orderkey"), col("price_c"), col("rn"))
+  }
+
   /** Kaplan–Meier hazard table over inter-order gaps: each
     * consecutive-order gap is an EVENT observation (time = days to
     * the next order); each customer's tail (last order → corpus max

@@ -1638,6 +1638,51 @@ object TextOps {
       )
   }
 
+  /** Stratified k-fold assignment: within each language stratum, docs
+    * take folds round-robin by doc-id rank — the cross-validation
+    * protocol that GUARANTEES per-stratum balance (every (lang, fold)
+    * cell holds ⌊n/5⌋ or ⌈n/5⌉ docs), unlike data_split's hash
+    * buckets whose balance is only statistical. The report emits each
+    * cell with its exact expected count and the balance flag the
+    * oracle asserts via the same rank arithmetic; assignment is a
+    * pure function of (lang, rank), so reruns are identical.
+    *
+    * Scale: one shuffle on lang for the rank window (skew = largest
+    * stratum; a salted two-level rank is the fix if one language IS
+    * the corpus), then a (lang × 5)-cell aggregate.
+    */
+  val KFolds = 5
+
+  def stratifiedKfold(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn(
+        "fold",
+        ((row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        ) - 1) % KFolds).cast("long")
+      )
+    ranked
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+      )
+      .select(
+        col("lang"),
+        col("fold"),
+        col("n_docs"),
+        col("lang_total"),
+        (expr("lang_total DIV 5") +
+          when(col("fold") < col("lang_total") % KFolds, 1L).otherwise(0L)).as("expected"),
+        (col("n_docs") ===
+          expr("lang_total DIV 5") +
+          when(col("fold") < col("lang_total") % KFolds, 1L).otherwise(0L)).as("balanced")
+      )
+  }
+
   /** Sequence-length histogram: docs binned into power-of-two
     * token-count bands per source (the freq_spectrum band function on
     * doc lengths) — the batch-shape/packing-planner readout every

@@ -3374,4 +3374,40 @@ class OperatorsSpec extends AnyFunSuite {
     val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
     assert(meanErr <= 3 * 0.145)
   }
+
+  test("keyset page: seek result equals the offset page 41-60 exactly") {
+    val rows = RelationalOps.keysetPage(spark, Sf0001).collect().sortBy(_.getAs[Long]("rn"))
+    assert(rows.length === 20)
+    val all = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .sortBy { case (k, p) => (-p, k) }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (k, p) = all(40 + i)
+      assert(r.getAs[Long]("rn") === 41L + i)
+      assert(r.getAs[Long]("o_orderkey") === k)
+      assert(r.getAs[Long]("price_c") === p)
+    }
+  }
+
+  test("stratified kfold: every cell balanced to floor/ceil, folds partition each stratum") {
+    val rows = TextOps.stratifiedKfold(spark, Sf0001).collect()
+    val langs = Tables.documents(spark, Sf0001)
+      .select(col("lang")).collect().map(_.getString(0))
+    val byLang = langs.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === langs.length.toLong)
+    rows.foreach { r =>
+      val total = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("lang_total") === total)
+      val base = total / 5
+      assert(r.getAs[Long]("n_docs") === base || r.getAs[Long]("n_docs") === base + 1)
+      assert(r.getAs[Boolean]("balanced"))
+      assert(r.getAs[Long]("n_docs") === r.getAs[Long]("expected"))
+    }
+    // every stratum with >= 5 docs uses all 5 folds
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, cells) =>
+      if (byLang(l) >= 5) assert(cells.map(_.getAs[Long]("fold")).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    }
+  }
 }
