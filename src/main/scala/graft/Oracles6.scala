@@ -630,4 +630,45 @@ object Oracles6 {
       | n_docs = lang_total // 5 + CASE WHEN fold < lang_total % 5 THEN 1 ELSE 0 END
       |   AS balanced
       |FROM t""".stripMargin
+
+  /** Mirrors EventOps.spikeDays: seasonal residuals truncating-
+    * divided to day scale (integer // truncates toward zero, same as
+    * Spark DIV), two quantile_cont passes, 3·1.4826·MAD threshold.
+    */
+  val spikeDays: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      | FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, (day + 4) % 7 AS wd FROM daily),
+      |w AS (
+      | SELECT event_type AS et_w, wd AS wd_w, COUNT(*) AS wd_n,
+      |  CAST(SUM(sum_c) AS BIGINT) AS wd_sum_c
+      | FROM d2 GROUP BY 1, 2),
+      |q AS (
+      | SELECT event_type, day,
+      |  CAST((sum_c * wd_n - wd_sum_c) // wd_n AS BIGINT) AS resid_q
+      | FROM d2 JOIN w ON event_type = et_w AND wd = wd_w),
+      |med AS (SELECT event_type, quantile_cont(resid_q, 0.5) AS med_q FROM q GROUP BY 1),
+      |dv AS (
+      | SELECT q.event_type, q.day, q.resid_q, med.med_q,
+      |  abs(CAST(q.resid_q AS DOUBLE) - med.med_q) AS dev
+      | FROM q JOIN med USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_q FROM dv GROUP BY 1)
+      |SELECT dv.event_type, day, resid_q, dev, med_q, mad_q
+      |FROM dv JOIN md USING (event_type)
+      |WHERE dev > 3.0 * 1.4826 * mad_q""".stripMargin
+
+  /** Mirrors GraphOps.clusterEdgeStats: compCte clusters joined back
+    * to the verified pair list, per-cluster edge stats + density ppm.
+    */
+  val clusterEdgeStats: String =
+    s"""WITH RECURSIVE $compCte,
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+       |SELECT comp.label AS canonical_id, sizes.cluster_size, COUNT(*) AS n_edges,
+       | MIN(mh.jaccard) AS min_j, MAX(mh.jaccard) AS max_j,
+       | COUNT(*) * 2 * 1000000 // (sizes.cluster_size * (sizes.cluster_size - 1))
+       |   AS density_ppm
+       |FROM mh JOIN comp ON comp.doc = mh.doc_a JOIN sizes ON sizes.label = comp.label
+       |GROUP BY 1, 2""".stripMargin
 }

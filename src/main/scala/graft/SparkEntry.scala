@@ -174,6 +174,8 @@ object SparkEntry {
     "minhash_calibration" -> DedupOps.minhashCalibration,
     "keyset_page" -> RelationalOps.keysetPage,
     "stratified_kfold" -> TextOps.stratifiedKfold,
+    "spike_days" -> EventOps.spikeDays,
+    "cluster_edge_stats" -> GraphOps.clusterEdgeStats,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -945,6 +947,8 @@ object SparkEntry {
     "minhash_calibration" -> Oracles6.minhashCalibration,
     "keyset_page" -> Oracles6.keysetPage,
     "stratified_kfold" -> Oracles6.stratifiedKfold,
+    "spike_days" -> Oracles6.spikeDays,
+    "cluster_edge_stats" -> Oracles6.clusterEdgeStats,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

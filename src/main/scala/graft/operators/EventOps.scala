@@ -1836,6 +1836,47 @@ object EventOps {
       )
   }
 
+  /** Anomalous-day detection: days whose weekday-adjusted residual
+    * (seasonalDecompose's output, floor-divided back to the day
+    * scale) exceeds 3·1.4826·MAD of that type's residuals — the
+    * seasonal twin of value_outliers, and a deliberate COMPOSITION of
+    * two registered operators (decompose → robust threshold), the way
+    * pipelines actually stack. resid_q is an exact truncating-div
+    * integer — Spark's DIV and DuckDB's integer // BOTH truncate
+    * toward zero (verified; the floor-vs-trunc trap bites the other
+    * way on epoch buckets, which are never negative); medians over
+    * integers interpolate on the .0/.5 grid, exactly representable
+    * (the mad_robust discipline).
+    *
+    * Scale: inherits seasonalDecompose's bounded daily table; two
+    * percentile passes over it with broadcast joins.
+    */
+  def spikeDays(spark: SparkSession, dir: String): DataFrame = {
+    val resid = seasonalDecompose(spark, dir)
+      .select(col("event_type"), col("day"), col("resid_scaled"), col("wd_n"))
+      .withColumn("resid_q", expr("resid_scaled DIV wd_n"))
+    val med = resid
+      .groupBy(col("event_type").as("et_m"))
+      .agg(expr("percentile(resid_q, 0.5)").as("med_q"))
+    val withDev = resid
+      .join(broadcast(med), col("event_type") === col("et_m"))
+      .withColumn("dev", abs(col("resid_q").cast("double") - col("med_q")))
+    val mads = withDev
+      .groupBy(col("event_type").as("et_d"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_q"))
+    withDev
+      .join(broadcast(mads), col("event_type") === col("et_d"))
+      .filter(col("dev") > lit(3.0) * lit(1.4826) * col("mad_q"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("resid_q"),
+        col("dev"),
+        col("med_q"),
+        col("mad_q")
+      )
+  }
+
   /** Session entry→exit matrix: which event type OPENS a session
     * crossed with which type CLOSES it (deterministic (ts, event_id)
     * bounds via min/max-struct selection — no second window pass),

@@ -287,6 +287,42 @@ object GraphOps {
       )
   }
 
+  /** Per-cluster edge statistics: each near-dup cluster's verified
+    * edge count, Jaccard bounds, and edge density (2E/(n(n−1)) as
+    * floor-div ppm) — density 10⁶ means a clique (every member pairs
+    * with every other: true mass duplication); low density means a
+    * CHAIN (A≈B≈C but A≉C), where collapsing to one canonical doc is
+    * lossy — the report that says which clusters to trust.
+    *
+    * Scale: edges and clusters are both pair-bounded; one equi join
+    * maps edges to clusters (both endpoints share a component by
+    * construction), one aggregate per cluster.
+    */
+  def clusterEdgeStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = DedupOps
+      .minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id").as("doc_a"), col("canonical_id"), col("cluster_size"))
+    edges
+      .join(clusters, Seq("doc_a"))
+      .groupBy(col("canonical_id"), col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_j"),
+        max(col("jaccard")).as("max_j")
+      )
+      .select(
+        col("canonical_id"),
+        col("cluster_size"),
+        col("n_edges"),
+        col("min_j"),
+        col("max_j"),
+        expr("n_edges * 2 * 1000000 DIV (cluster_size * (cluster_size - 1))")
+          .as("density_ppm")
+      )
+  }
+
   /** Near-dup cluster size distribution — the corpus duplication
     * profile ("how much of the data is 2×, 5×, 50× duplicated?") that
     * decides whether dedup is worth a full pass at all. Multi-doc

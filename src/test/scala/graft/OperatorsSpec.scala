@@ -3410,4 +3410,52 @@ class OperatorsSpec extends AnyFunSuite {
       if (byLang(l) >= 5) assert(cells.map(_.getAs[Long]("fold")).toSet === Set(0L, 1L, 2L, 3L, 4L))
     }
   }
+
+  test("spike days: flagged rows match a driver MAD recompute over seasonal residuals") {
+    val spikes = EventOps.spikeDays(spark, Sf0001).collect()
+    val resid = EventOps.seasonalDecompose(spark, Sf0001)
+      .select(col("event_type"), col("day"), col("resid_scaled"), col("wd_n")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("resid_scaled") / r.getAs[Long]("wd_n")))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val expect = resid.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val med = median(rs.toSeq.map(_._3.toDouble))
+      val devs = rs.toSeq.map(r => (r._2, r._3, math.abs(r._3.toDouble - med)))
+      val mad = median(devs.map(_._3))
+      devs.filter(_._3 > 3.0 * 1.4826 * mad).map(d => ((t, d._1), (d._2, d._3, med, mad)))
+    }.toMap
+    assert(spikes.length === expect.size)
+    spikes.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+      val (rq, dev, med, mad) = expect(k)
+      assert(r.getAs[Long]("resid_q") === rq)
+      assert(r.getAs[Double]("dev") === dev)
+      assert(r.getAs[Double]("med_q") === med)
+      assert(r.getAs[Double]("mad_q") === mad)
+    }
+  }
+
+  test("cluster edge stats: edges conserved, density bounded, clique clusters at 1e6") {
+    val rows = GraphOps.clusterEdgeStats(spark, Sf0001).collect()
+    val edges = DedupOps.minhashLsh(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum === edges)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val e = r.getAs[Long]("n_edges")
+      assert(size >= 2L)
+      // a connected component on `size` nodes has between size-1 and
+      // size(size-1)/2 edges
+      assert(e >= size - 1)
+      assert(e <= size * (size - 1) / 2)
+      assert(r.getAs[Long]("density_ppm") === e * 2 * 1000000L / (size * (size - 1)))
+      assert(r.getAs[Long]("density_ppm") <= 1000000L)
+      if (size == 2L) assert(r.getAs[Long]("density_ppm") === 1000000L)
+      assert(r.getAs[Double]("min_j") <= r.getAs[Double]("max_j"))
+      assert(r.getAs[Double]("min_j") >= 0.7) // the minhashLsh verify threshold
+    }
+  }
 }
