@@ -671,4 +671,50 @@ object Oracles6 {
        |   AS density_ppm
        |FROM mh JOIN comp ON comp.doc = mh.doc_a JOIN sizes ON sizes.label = comp.label
        |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors EventOps.maxDrawdown: running cum/peak/drawdown in
+    * exact centi-integers, earliest-day trough selection.
+    */
+  val maxDrawdown: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      | FROM events GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_type, day,
+      |  CAST(SUM(sum_c) OVER (PARTITION BY event_type ORDER BY day
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      | FROM daily),
+      |r AS (
+      | SELECT event_type, day, cum_c,
+      |  CAST(MAX(cum_c) OVER (PARTITION BY event_type ORDER BY day
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_c
+      | FROM c),
+      |d AS (
+      | SELECT *, peak_c - cum_c AS dd_c,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY peak_c - cum_c DESC, day ASC)
+      |    AS rk,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      | FROM r)
+      |SELECT event_type, n_days, day AS trough_day, peak_c,
+      | cum_c AS cum_at_trough_c, dd_c AS max_dd_c
+      |FROM d WHERE rk = 1""".stripMargin
+
+  /** Mirrors EventOps.funnelLatency: funnelWindowed stage-3 delays,
+    * interpolated quantiles over exact integer µs.
+    */
+  val funnelLatency: String =
+    s"""WITH fw AS ($funnelWindowed),
+       |lat AS (
+       | SELECT first_click_us - first_view_us AS vc_us,
+       |  first_purchase_us - first_click_us AS cp_us
+       | FROM fw WHERE stage = 3)
+       |SELECT COUNT(*) AS n_converted,
+       | quantile_cont(vc_us, 0.5) AS vc_p50_us,
+       | quantile_cont(vc_us, 0.9) AS vc_p90_us,
+       | MAX(vc_us) AS vc_max_us,
+       | quantile_cont(cp_us, 0.5) AS cp_p50_us,
+       | quantile_cont(cp_us, 0.9) AS cp_p90_us,
+       | MAX(cp_us) AS cp_max_us
+       |FROM lat""".stripMargin
 }

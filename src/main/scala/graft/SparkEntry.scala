@@ -176,6 +176,8 @@ object SparkEntry {
     "stratified_kfold" -> TextOps.stratifiedKfold,
     "spike_days" -> EventOps.spikeDays,
     "cluster_edge_stats" -> GraphOps.clusterEdgeStats,
+    "max_drawdown" -> EventOps.maxDrawdown,
+    "funnel_latency" -> EventOps.funnelLatency,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -949,6 +951,8 @@ object SparkEntry {
     "stratified_kfold" -> Oracles6.stratifiedKfold,
     "spike_days" -> Oracles6.spikeDays,
     "cluster_edge_stats" -> Oracles6.clusterEdgeStats,
+    "max_drawdown" -> Oracles6.maxDrawdown,
+    "funnel_latency" -> Oracles6.funnelLatency,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

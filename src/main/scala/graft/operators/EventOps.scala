@@ -1836,6 +1836,74 @@ object EventOps {
       )
   }
 
+  /** Maximum drawdown per event type: the deepest peak-to-trough fall
+    * of the cumulative daily value series — "how far under its
+    * high-water mark did this signal sink" (the standard health
+    * metric for any monotone-ish KPI; a deep drawdown in a
+    * data-volume series is a pipeline outage). Cumulative sum,
+    * running peak and drawdown are all exact centi-integers riding
+    * ONE ordered window; the trough row is rank-selected with
+    * (drawdown desc, day asc) so ties take the earliest day.
+    *
+    * Scale: the corpus collapses to (type, day) first; the window
+    * holds O(1) state over that bounded series.
+    */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val run = byType.rowsBetween(Window.unboundedPreceding, 0)
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("sum_c"))
+      .withColumn("cum_c", sum(col("sum_c")).over(run))
+      .withColumn("peak_c", max(col("cum_c")).over(run))
+      .withColumn("dd_c", col("peak_c") - col("cum_c"))
+    daily
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("dd_c").desc, col("day").asc)
+        )
+      )
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("day").as("trough_day"),
+        col("peak_c"),
+        col("cum_c").as("cum_at_trough_c"),
+        col("dd_c").as("max_dd_c")
+      )
+  }
+
+  /** Funnel latency: among users who completed the windowed funnel
+    * (stage 3), the distribution of view→click and click→purchase
+    * delays — the "how fast do conversions happen" readout that sets
+    * the funnel window itself. Delays are exact integer µs; p50/p90
+    * interpolate on those integers (the gap_quantiles discipline).
+    *
+    * Scale: one pass over funnelWindowed's per-user aggregate, one
+    * single-row summary.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    funnelWindowed(spark, dir)
+      .filter(col("stage") === 3)
+      .select(
+        (col("first_click_us") - col("first_view_us")).as("vc_us"),
+        (col("first_purchase_us") - col("first_click_us")).as("cp_us")
+      )
+      .agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(vc_us, 0.5)").as("vc_p50_us"),
+        expr("percentile(vc_us, 0.9)").as("vc_p90_us"),
+        max(col("vc_us")).as("vc_max_us"),
+        expr("percentile(cp_us, 0.5)").as("cp_p50_us"),
+        expr("percentile(cp_us, 0.9)").as("cp_p90_us"),
+        max(col("cp_us")).as("cp_max_us")
+      )
+  }
+
   /** Anomalous-day detection: days whose weekday-adjusted residual
     * (seasonalDecompose's output, floor-divided back to the day
     * scale) exceeds 3·1.4826·MAD of that type's residuals — the

@@ -3458,4 +3458,56 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("min_j") >= 0.7) // the minhashLsh verify threshold
     }
   }
+
+  test("max drawdown: matches a driver cumulative scan, trough is earliest max") {
+    val rows = EventOps.maxDrawdown(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 86400000000000"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(x => (x._1, x._2)).map { case ((t, d), vs) => (t, d, vs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    assert(rows.length === daily.size)
+    rows.foreach { r =>
+      val series = daily(r.getAs[String]("event_type")).sortBy(_._2)
+      var cum = 0L; var peak = Long.MinValue
+      var best = (Long.MinValue, 0L, 0L, 0L) // (dd, day, peak, cum)
+      series.foreach { case (_, d, v) =>
+        cum += v; peak = math.max(peak, cum)
+        val dd = peak - cum
+        if (dd > best._1) best = (dd, d, peak, cum)
+      }
+      assert(r.getAs[Long]("n_days") === series.length.toLong)
+      assert(r.getAs[Long]("max_dd_c") === best._1)
+      assert(r.getAs[Long]("trough_day") === best._2)
+      assert(r.getAs[Long]("peak_c") === best._3)
+      assert(r.getAs[Long]("cum_at_trough_c") === best._4)
+      assert(r.getAs[Long]("max_dd_c") >= 0L)
+    }
+  }
+
+  test("funnel latency: n matches stage-3 population, quantiles ordered and bounded") {
+    val rows = EventOps.funnelLatency(spark, Sf0001).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val s3 = EventOps.funnelWindowed(spark, Sf0001).filter(col("stage") === 3).collect()
+    assert(r.getAs[Long]("n_converted") === s3.length.toLong)
+    val vc = s3.map(x => x.getAs[Long]("first_click_us") - x.getAs[Long]("first_view_us"))
+    val cp = s3.map(x => x.getAs[Long]("first_purchase_us") - x.getAs[Long]("first_click_us"))
+    assert(r.getAs[Double]("vc_p50_us") <= r.getAs[Double]("vc_p90_us"))
+    assert(r.getAs[Double]("cp_p50_us") <= r.getAs[Double]("cp_p90_us"))
+    assert(r.getAs[Long]("vc_max_us") === vc.max)
+    assert(r.getAs[Long]("cp_max_us") === cp.max)
+    // all delays respect the 24 h funnel window
+    assert(vc.max <= EventOps.FunnelWindowUs && cp.max <= EventOps.FunnelWindowUs)
+    // driver median recompute (interpolated, same grid)
+    def p(xs: Seq[Long], f: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * f
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    assert(r.getAs[Double]("vc_p50_us") === p(vc.toSeq, 0.5))
+    assert(r.getAs[Double]("cp_p50_us") === p(cp.toSeq, 0.5))
+  }
 }
