@@ -717,4 +717,51 @@ object Oracles6 {
        | quantile_cont(cp_us, 0.9) AS cp_p90_us,
        | MAX(cp_us) AS cp_max_us
        |FROM lat""".stripMargin
+
+  /** Mirrors TextOps.consonantRuns: longest consonant run per doc via
+    * the shared regexp, per-source flag rate.
+    */
+  val consonantRuns: String =
+    """WITH per AS (
+      | SELECT source,
+      |  CAST(COALESCE(list_max(list_transform(
+      |    regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
+      |    s -> length(s))), 0) AS BIGINT) AS max_run
+      | FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN max_run >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      | MAX(max_run) AS max_run,
+      | quantile_cont(max_run, 0.5) AS p50_run,
+      | CAST(SUM(CASE WHEN max_run >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |   * 1000000 // COUNT(*) AS flag_ppm
+      |FROM per GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.bounceRate: sessionize discipline, entry type
+    * via first-row selection, one-event-session share.
+    */
+  val bounceRate: String =
+    """WITH ev AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |m AS (
+      | SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |   AS prev_us
+      | FROM ev),
+      |s AS (
+      | SELECT *,
+      |  SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+      |   AS session_id
+      | FROM m),
+      |sess AS (
+      | SELECT user_id, session_id, event_type,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                     ORDER BY ts_us, event_id) AS rn_a,
+      |  COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_events
+      | FROM s)
+      |SELECT event_type AS entry_type, COUNT(*) AS n_sessions,
+      | CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      | CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   * 1000000 // COUNT(*) AS bounce_ppm
+      |FROM sess WHERE rn_a = 1 GROUP BY 1""".stripMargin
 }

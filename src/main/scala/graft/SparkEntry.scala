@@ -178,6 +178,8 @@ object SparkEntry {
     "cluster_edge_stats" -> GraphOps.clusterEdgeStats,
     "max_drawdown" -> EventOps.maxDrawdown,
     "funnel_latency" -> EventOps.funnelLatency,
+    "consonant_runs" -> TextOps.consonantRuns,
+    "bounce_rate" -> EventOps.bounceRate,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -953,6 +955,8 @@ object SparkEntry {
     "cluster_edge_stats" -> Oracles6.clusterEdgeStats,
     "max_drawdown" -> Oracles6.maxDrawdown,
     "funnel_latency" -> Oracles6.funnelLatency,
+    "consonant_runs" -> Oracles6.consonantRuns,
+    "bounce_rate" -> Oracles6.bounceRate,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1836,6 +1836,45 @@ object EventOps {
       )
   }
 
+  /** Bounce rate by session entry type: how often a session that
+    * OPENS with a given event type ends after that single event — the
+    * landing-quality readout sessionEntryExit's matrix folds away
+    * (one-event sessions sit on its diagonal mixed with true
+    * round-trips). Same sessionize plan; the entry type rides the
+    * aggregate as a min-struct.
+    *
+    * Scale: one user_id shuffle; output is |types| rows.
+    */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("first_ev")
+      )
+      .groupBy(col("first_ev.event_type").as("entry_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces")
+      )
+      .select(
+        col("entry_type"),
+        col("n_sessions"),
+        col("n_bounces"),
+        expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm")
+      )
+  }
+
   /** Maximum drawdown per event type: the deepest peak-to-trough fall
     * of the cumulative daily value series — "how far under its
     * high-water mark did this signal sink" (the standard health

@@ -1638,6 +1638,49 @@ object TextOps {
       )
   }
 
+  /** Gibberish screen via consonant runs: the longest unbroken
+    * consonant sequence per doc (encoding noise, base64 blobs and
+    * mashed-key text all show pathological runs; natural language
+    * tops out around 6 — "strengths"), rolled up per source with the
+    * ≥ 8 flag rate — a curation signal character-class ratios miss
+    * (they count, runs MEASURE adjacency). Runs come from one
+    * regexp_extract_all both engines share; all outputs exact
+    * integers/ppm.
+    *
+    * Scale: pure per-row map into a per-source aggregate.
+    */
+  val ConsonantRunFlag = 8
+
+  def consonantRuns(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        coalesce(
+          expr(
+            "array_max(transform(regexp_extract_all(lower(text), " +
+              "'[bcdfghjklmnpqrstvwxyz]+', 0), s -> length(s)))"
+          ),
+          lit(0)
+        ).cast("long").as("max_run")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("max_run") >= ConsonantRunFlag, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("max_run")).as("max_run"),
+        expr("percentile(max_run, 0.5)").as("p50_run")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_flagged"),
+        col("max_run"),
+        col("p50_run"),
+        expr("n_flagged * 1000000 DIV n_docs").as("flag_ppm")
+      )
+  }
+
   /** Stratified k-fold assignment: within each language stratum, docs
     * take folds round-robin by doc-id rank — the cross-validation
     * protocol that GUARANTEES per-stratum balance (every (lang, fold)

@@ -3510,4 +3510,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("vc_p50_us") === p(vc.toSeq, 0.5))
     assert(r.getAs[Double]("cp_p50_us") === p(cp.toSeq, 0.5))
   }
+
+  test("consonant runs: per-source flags match a driver regex scan") {
+    val rows = TextOps.consonantRuns(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("source"), lower(col("text"))).collect()
+      .map { r =>
+        val runs = "[bcdfghjklmnpqrstvwxyz]+".r.findAllIn(r.getString(1)).map(_.length).toSeq
+        (r.getString(0), if (runs.isEmpty) 0L else runs.max.toLong)
+      }
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val runs = bySource(r.getAs[String]("source")).map(_._2)
+      assert(r.getAs[Long]("n_docs") === runs.length.toLong)
+      assert(r.getAs[Long]("n_flagged") === runs.count(_ >= 8L).toLong)
+      assert(r.getAs[Long]("max_run") === runs.max)
+      assert(r.getAs[Long]("flag_ppm") === runs.count(_ >= 8L).toLong * 1000000L / runs.length)
+    }
+  }
+
+  test("bounce rate: totals agree with the entry-exit matrix and sessionize") {
+    val rows = EventOps.bounceRate(spark, Sf0001).collect()
+    val sessions = EventOps.sessionize(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === sessions.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_bounces")).sum ===
+      sessions.count(_.getAs[Long]("n_events") == 1L).toLong)
+    val matrix = EventOps.sessionEntryExit(spark, Sf0001).collect()
+    val perEntry = matrix.groupBy(_.getAs[String]("entry_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n_sessions")).sum }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") === perEntry(r.getAs[String]("entry_type")))
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("bounce_ppm") ===
+        r.getAs[Long]("n_bounces") * 1000000L / r.getAs[Long]("n_sessions"))
+    }
+  }
 }
