@@ -764,4 +764,46 @@ object Oracles6 {
       | CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |   * 1000000 // COUNT(*) AS bounce_ppm
       |FROM sess WHERE rn_a = 1 GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.stickiness: distinct (day,user) and (week,user)
+    * collapses, cross-multiplied ppm ratio.
+    */
+  val stickiness: String =
+    """WITH du AS (
+      | SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      |dau AS (
+      | SELECT day // 7 AS week, COUNT(*) AS n_days,
+      |  CAST(SUM(dau) AS BIGINT) AS sum_dau
+      | FROM (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1) GROUP BY 1),
+      |wau AS (
+      | SELECT wk, COUNT(*) AS wau FROM (
+      |  SELECT DISTINCT day // 7 AS wk, user_id FROM du) GROUP BY 1)
+      |SELECT week, n_days, wau, sum_dau,
+      | sum_dau * 1000000 // (n_days * wau) AS stickiness_ppm
+      |FROM dau JOIN wau ON week = wk""".stripMargin
+
+  /** Mirrors EventOps.rollingZscore: trailing-14-exclusive frame,
+    * decimal-exact window moments, z = 0 on zero variance, n ≥ 7.
+    */
+  val rollingZscore: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      | FROM events GROUP BY 1, 2),
+      |w AS (
+      | SELECT event_type, day, sum_c,
+      |  COUNT(*) OVER t AS n_prior,
+      |  CAST(CAST(SUM(CAST(sum_c AS DECIMAL(38,0))) OVER t AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(SUM(CAST(sum_c AS DECIMAL(19,0)) * CAST(sum_c AS DECIMAL(19,0)))
+      |       OVER t AS VARCHAR) AS DOUBLE) AS sx2
+      | FROM daily
+      | WINDOW t AS (PARTITION BY event_type ORDER BY day
+      |              ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, sum_c, n_prior,
+      | CASE WHEN CAST(n_prior AS DOUBLE) * sx2 - sx * sx <= 0.0 THEN 0.0
+      |      ELSE (CAST(sum_c AS DOUBLE) - sx / CAST(n_prior AS DOUBLE))
+      |       / sqrt((CAST(n_prior AS DOUBLE) * sx2 - sx * sx)
+      |              / (CAST(n_prior AS DOUBLE) * (CAST(n_prior AS DOUBLE) - 1.0)))
+      |  END AS z
+      |FROM w WHERE n_prior >= 7""".stripMargin
 }

@@ -180,6 +180,8 @@ object SparkEntry {
     "funnel_latency" -> EventOps.funnelLatency,
     "consonant_runs" -> TextOps.consonantRuns,
     "bounce_rate" -> EventOps.bounceRate,
+    "stickiness" -> EventOps.stickiness,
+    "rolling_zscore" -> EventOps.rollingZscore,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -957,6 +959,8 @@ object SparkEntry {
     "funnel_latency" -> Oracles6.funnelLatency,
     "consonant_runs" -> Oracles6.consonantRuns,
     "bounce_rate" -> Oracles6.bounceRate,
+    "stickiness" -> Oracles6.stickiness,
+    "rolling_zscore" -> Oracles6.rollingZscore,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1836,6 +1836,89 @@ object EventOps {
       )
   }
 
+  /** DAU/WAU stickiness: per epoch-week, the ratio of average daily
+    * active users to weekly active users — THE product-engagement
+    * ratio ("what fraction of the weekly audience shows up on a given
+    * day"). Exactness: Σdau and wau are exact distinct counts; the
+    * ratio is floor-div ppm of Σdau·10⁶ over n_days·wau (cross-
+    * multiplied, so no per-day float average); n_days counts OBSERVED
+    * active days (documented — edge weeks aren't padded).
+    *
+    * Scale: two distinct-collapses ((day,user) and (week,user)), each
+    * one shuffle; weeks are range-bounded.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables
+      .events(spark, dir)
+      .select(floorDiv(86400000000000L).as("day"), col("user_id"))
+      .distinct()
+    val dau = du
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(expr("day DIV 7").as("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val wau = du
+      .select(expr("day DIV 7").as("wk"), col("user_id"))
+      .distinct()
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, col("week") === col("wk"))
+      .select(
+        col("week"),
+        col("n_days"),
+        col("wau"),
+        col("sum_dau"),
+        expr("sum_dau * 1000000 DIV (n_days * wau)").as("stickiness_ppm")
+      )
+  }
+
+  /** Rolling z-score anomaly scoring: each day's value total scored
+    * against its own trailing 14-day window (current day excluded —
+    * scoring a point against a baseline that contains it dilutes the
+    * signal) — the ONLINE anomaly shape, vs spike_days' batch
+    * seasonal residuals. Window moments are decimal-exact sums cast
+    * to double (the corrStats discipline, per-frame); z is one IEEE
+    * tree per row; days with under 7 prior points are dropped and
+    * zero-variance baselines report z = 0 by contract.
+    *
+    * Scale: the (type, day) collapse bounds the window input; the
+    * trailing frame holds ≤ 14 rows of state.
+    */
+  def rollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val trail = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day").asc)
+      .rowsBetween(-14, -1)
+    val n = col("n_prior").cast("double")
+    val varN = n * col("sx2") - col("sx") * col("sx")
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), floorDiv(86400000000000L).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("sum_c"))
+      .withColumn("n_prior", count(lit(1)).over(trail))
+      .withColumn("sx", sum(col("sum_c").cast(DecimalType(38, 0))).over(trail).cast("double"))
+      .withColumn(
+        "sx2",
+        sum(col("sum_c").cast(DecimalType(19, 0)) * col("sum_c").cast(DecimalType(19, 0)))
+          .over(trail)
+          .cast("double")
+      )
+      .filter(col("n_prior") >= 7)
+      .select(
+        col("event_type"),
+        col("day"),
+        col("sum_c"),
+        col("n_prior"),
+        when(varN <= 0.0, lit(0.0))
+          .otherwise(
+            (col("sum_c").cast("double") - col("sx") / n) /
+              sqrt(varN / (n * (n - lit(1.0))))
+          )
+          .as("z")
+      )
+  }
+
   /** Bounce rate by session entry type: how often a session that
     * OPENS with a given event type ends after that single event — the
     * landing-quality readout sessionEntryExit's matrix folds away

@@ -3547,4 +3547,56 @@ class OperatorsSpec extends AnyFunSuite {
         r.getAs[Long]("n_bounces") * 1000000L / r.getAs[Long]("n_sessions"))
     }
   }
+
+  test("stickiness: ratio bounded by 1e6, counts match a driver distinct scan") {
+    val rows = EventOps.stickiness(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val du = Tables.events(spark, Sf0001)
+      .select(expr("ts DIV 86400000000000"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byWeek = du.groupBy(_._1 / 7)
+    assert(rows.length === byWeek.size)
+    rows.foreach { r =>
+      val wk = byWeek(r.getAs[Long]("week"))
+      val days = wk.map(_._1).distinct
+      assert(r.getAs[Long]("n_days") === days.length.toLong)
+      assert(r.getAs[Long]("wau") === wk.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("sum_dau") === wk.length.toLong) // distinct (day,user) pairs
+      assert(r.getAs[Long]("stickiness_ppm") ===
+        wk.length.toLong * 1000000L / (days.length.toLong * wk.map(_._2).distinct.length))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+  }
+
+  test("rolling zscore: z matches a driver trailing-window recompute") {
+    val rows = EventOps.rollingZscore(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts DIV 86400000000000"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(x => (x._1, x._2)).map { case ((t, d), vs) => (t, d, vs.map(_._3).sum) }
+      .toSeq.groupBy(_._1).map { case (t, s) => t -> s.sortBy(_._2) }
+    val got = rows.map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("day")), r)).toMap
+    var checked = 0
+    daily.foreach { case (t, series) =>
+      series.zipWithIndex.foreach { case ((_, d, x), i) =>
+        val win = series.slice(math.max(0, i - 14), i)
+        if (win.length >= 7) {
+          val r = got((t, d))
+          val n = win.length.toDouble
+          val sx = win.map(w => BigDecimal(w._3)).sum.toDouble
+          val sx2 = win.map(w => BigDecimal(w._3) * BigDecimal(w._3)).sum.toDouble
+          val varN = n * sx2 - sx * sx
+          val expectZ =
+            if (varN <= 0.0) 0.0
+            else (x.toDouble - sx / n) / math.sqrt(varN / (n * (n - 1.0)))
+          assert(r.getAs[Long]("n_prior") === win.length.toLong)
+          assert(r.getAs[Double]("z") === expectZ)
+          checked += 1
+        } else assert(!got.contains((t, d)))
+      }
+    }
+    assert(checked === rows.length)
+  }
 }
