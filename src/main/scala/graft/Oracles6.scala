@@ -806,4 +806,59 @@ object Oracles6 {
       |              / (CAST(n_prior AS DOUBLE) * (CAST(n_prior AS DOUBLE) - 1.0)))
       |  END AS z
       |FROM w WHERE n_prior >= 7""".stripMargin
+
+  /** Mirrors RelationalOps.tierMigration: midpoint-day halves,
+    * per-half strict NTILE(5) tiers, full-outer cross-tab with tier
+    * 0 for absentees.
+    */
+  val tierMigration: String =
+    """WITH o AS (
+      | SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      | FROM orders),
+      |m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM o),
+      |h1 AS (
+      | SELECT o_custkey,
+      |  CAST(NTILE(5) OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS tier_h1
+      | FROM (SELECT o_custkey, CAST(SUM(price_c) AS BIGINT) AS spend_c
+      |       FROM o, m WHERE day < mid_day GROUP BY 1)),
+      |h2 AS (
+      | SELECT o_custkey,
+      |  CAST(NTILE(5) OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS tier_h2
+      | FROM (SELECT o_custkey, CAST(SUM(price_c) AS BIGINT) AS spend_c
+      |       FROM o, m WHERE day >= mid_day GROUP BY 1))
+      |SELECT COALESCE(tier_h1, 0) AS tier_h1, COALESCE(tier_h2, 0) AS tier_h2,
+      | COUNT(*) AS n_customers
+      |FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors GraphOps.percolationSweep: the minhashLsh pairs filtered
+    * per threshold, each re-resolved by the recursive component twin.
+    */
+  val percolationSweep: String = {
+    val perT = Seq(700, 800, 900)
+      .map { t =>
+        val j = t / 100 // 7, 8, 9 -> 0.7 etc.
+        s"""e$t AS (SELECT doc_a, doc_b FROM mh WHERE jaccard >= 0.$j),
+           |ed$t AS (SELECT doc_a AS a, doc_b AS b FROM e$t
+           |         UNION SELECT doc_b, doc_a FROM e$t),
+           |r$t(a, b) AS (
+           | SELECT a, b FROM ed$t
+           | UNION
+           | SELECT r.a, e.b FROM r$t r JOIN ed$t e ON r.b = e.a),
+           |c$t AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM r$t GROUP BY a),
+           |s$t AS (SELECT label, COUNT(*) AS sz FROM c$t GROUP BY 1),
+           |g$t AS (
+           | SELECT CAST($t AS BIGINT) AS threshold_pm,
+           |  (SELECT COUNT(*) FROM e$t) AS n_edges,
+           |  (SELECT COUNT(*) FROM c$t) AS n_nodes,
+           |  COUNT(*) AS n_components,
+           |  CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_component
+           | FROM s$t)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH RECURSIVE mh AS (${Oracles2.minhashLsh}),
+       |$perT
+       |SELECT * FROM g700 UNION ALL SELECT * FROM g800 UNION ALL SELECT * FROM g900""".stripMargin
+  }
 }

@@ -182,6 +182,8 @@ object SparkEntry {
     "bounce_rate" -> EventOps.bounceRate,
     "stickiness" -> EventOps.stickiness,
     "rolling_zscore" -> EventOps.rollingZscore,
+    "tier_migration" -> RelationalOps.tierMigration,
+    "percolation_sweep" -> GraphOps.percolationSweep,
     "return_lift" -> RelationalOps.returnLift,
     "copurchase_lift" -> RelationalOps.copurchaseLift,
     // Dedup suite
@@ -961,6 +963,8 @@ object SparkEntry {
     "bounce_rate" -> Oracles6.bounceRate,
     "stickiness" -> Oracles6.stickiness,
     "rolling_zscore" -> Oracles6.rollingZscore,
+    "tier_migration" -> Oracles6.tierMigration,
+    "percolation_sweep" -> Oracles6.percolationSweep,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

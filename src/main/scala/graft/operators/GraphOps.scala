@@ -287,6 +287,49 @@ object GraphOps {
       )
   }
 
+  /** Percolation sweep: the near-dup graph re-resolved at Jaccard
+    * thresholds 0.7 / 0.8 / 0.9 — edges, nodes, component count and
+    * giant-component size per threshold (permille-int keys). THE
+    * dedup-tuning readout: a threshold where one giant component
+    * swallows the corpus means the verify bar is too low (chains of
+    * barely-similar docs all collapse to one canonical), while
+    * components shattering to pairs means headroom to dedup harder.
+    *
+    * Scale: the pair list is computed once; each threshold filters it
+    * (monotone shrinking edge sets) and resolves components on a
+    * pair-bounded graph.
+    */
+  val PercolationThresholds = Seq(700L, 800L, 900L)
+
+  def percolationSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps
+      .minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
+    PercolationThresholds
+      .map { t =>
+        val edges = pairs.filter(col("jaccard") >= t.toDouble / 1000.0)
+        val comps = connectedComponents(edges, "doc_a", "doc_b")
+        val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        val eCount = edges.agg(count(lit(1)).as("n_edges"))
+        sizes
+          .agg(
+            count(lit(1)).as("n_components"),
+            coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+            coalesce(max(col("sz")), lit(0L)).as("max_component")
+          )
+          .join(eCount)
+          .select(
+            lit(t).as("threshold_pm"),
+            col("n_edges"),
+            col("n_nodes"),
+            col("n_components"),
+            col("max_component")
+          )
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** Per-cluster edge statistics: each near-dup cluster's verified
     * edge count, Jaccard bounds, and edge density (2E/(n(n−1)) as
     * floor-div ppm) — density 10⁶ means a clique (every member pairs

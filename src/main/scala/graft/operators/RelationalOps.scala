@@ -1271,6 +1271,49 @@ object RelationalOps {
       )
   }
 
+  /** CLV tier migration: every customer's spend quintile in the first
+    * half of the order history crossed with their quintile in the
+    * second — the upgrade/downgrade/churn matrix behind "are whales
+    * staying whales". The halves split at the midpoint day (derived
+    * from the data, broadcast as one row); tiers are strict-order
+    * NTILE(5) per half (the rfm discipline); customers absent from a
+    * half carry tier 0, so the matrix partitions ALL customers.
+    *
+    * Scale: two aggregate-then-rank passes over customer-level
+    * tables and one full outer join on custkey.
+    */
+  def tierMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c")
+      )
+    val mid = o.agg(expr("(MIN(day) + MAX(day) + 1) DIV 2").as("mid_day"))
+    val halves = o.join(broadcast(mid))
+    def tiers(half: DataFrame, keep: Column, tierName: String): DataFrame =
+      half
+        .filter(keep)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("price_c")).as("spend_c"))
+        .withColumn(
+          tierName,
+          ntile(5)
+            .over(Window.orderBy(col("spend_c").asc, col("o_custkey").asc))
+            .cast("long")
+        )
+        .select(col("o_custkey"), col(tierName))
+    val h1 = tiers(halves, col("day") < col("mid_day"), "tier_h1")
+    val h2 = tiers(halves, col("day") >= col("mid_day"), "tier_h2")
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .groupBy(
+        coalesce(col("tier_h1"), lit(0L)).as("tier_h1"),
+        coalesce(col("tier_h2"), lit(0L)).as("tier_h2")
+      )
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Keyset ("seek-method") pagination: page 3 (rows 41–60) of the
     * order book ordered by (price desc, key asc), fetched WITHOUT an
     * offset scan — the cursor is row 40's (price, key) and the page

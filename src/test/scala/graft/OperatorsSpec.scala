@@ -3599,4 +3599,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(checked === rows.length)
   }
+
+  test("tier migration: matrix partitions all customers, tiers match a driver NTILE") {
+    val rows = RelationalOps.tierMigration(spark, Sf0001).collect()
+    val o = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), expr("unix_timestamp(o_orderdate) DIV 86400"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mid = (o.map(_._2).min + o.map(_._2).max + 1) / 2
+    def tiers(half: Seq[(Long, Long)]): Map[Long, Long] = {
+      val n = half.length; val q = n / 5; val rem = n % 5
+      half.sortBy { case (c, s) => (s, c) }.zipWithIndex.map { case ((c, _), i) =>
+        val b = if (i < (q + 1) * rem) i / (q + 1) + 1 else (i - (q + 1) * rem) / q + rem + 1
+        c -> b.toLong
+      }.toMap
+    }
+    val h1 = tiers(o.filter(_._2 < mid).groupBy(_._1).toSeq
+      .map { case (c, os) => (c, os.map(_._3).sum) })
+    val h2 = tiers(o.filter(_._2 >= mid).groupBy(_._1).toSeq
+      .map { case (c, os) => (c, os.map(_._3).sum) })
+    val expect = (h1.keySet ++ h2.keySet).toSeq
+      .map(c => (h1.getOrElse(c, 0L), h2.getOrElse(c, 0L)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") ===
+        expect((r.getAs[Long]("tier_h1"), r.getAs[Long]("tier_h2"))))
+    }
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === (h1.keySet ++ h2.keySet).size.toLong)
+  }
+
+  test("percolation sweep: monotone edge/component structure across thresholds") {
+    val rows = GraphOps.percolationSweep(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("threshold_pm") -> r).toMap
+    assert(rows.keySet === Set(700L, 800L, 900L))
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    Seq(700L, 800L, 900L).foreach { t =>
+      val r = rows(t)
+      val edges = pairs.filter(_._3 >= t.toDouble / 1000.0)
+      assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+      assert(r.getAs[Long]("n_nodes") ===
+        (edges.map(_._1) ++ edges.map(_._2)).distinct.length.toLong)
+      assert(r.getAs[Long]("max_component") <= r.getAs[Long]("n_nodes"))
+      if (r.getAs[Long]("n_nodes") > 0) {
+        assert(r.getAs[Long]("n_components") >= 1L)
+        assert(r.getAs[Long]("max_component") >= 2L)
+      }
+    }
+    // raising the bar can only shrink the graph
+    assert(rows(800L).getAs[Long]("n_edges") <= rows(700L).getAs[Long]("n_edges"))
+    assert(rows(900L).getAs[Long]("n_edges") <= rows(800L).getAs[Long]("n_edges"))
+    assert(rows(800L).getAs[Long]("max_component") <= rows(700L).getAs[Long]("max_component"))
+  }
 }
