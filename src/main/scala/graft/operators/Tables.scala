@@ -17,11 +17,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table carries nanosecond timestamps, which Spark's
-    * parquet reader rejects; read them as raw ns-since-epoch longs
-    * (exact — and safer than timestamps for oracle parity, since ns
-    * magnitudes exceed double's 2^53 mantissa). Downstream ops use
-    * integer DIV arithmetic on the ns values.
+  /** The events table's `ts` column has shipped in two physical forms:
+    * ns-precision timestamps (which Spark's parquet reader only exposes
+    * as raw int64 via `nanosAsLong`) and µs-precision timestamps (read
+    * as TIMESTAMP_NTZ). The engine's contract downstream is ONE shape:
+    * ns-since-epoch longs — exact integer DIV arithmetic, and safer
+    * than timestamps for oracle parity (ns magnitudes exceed double's
+    * 2^53 mantissa). Normalize here, at the read boundary: a timestamp
+    * column becomes `unix_micros(ts) * 1000` (UTC session — the NTZ
+    * wall clock IS the epoch instant, matching DuckDB's `epoch_ns`).
     */
   /** Session contract: nanosAsLong should be set at session creation
     * (Bench/Verify/tests all do). Only set it as a fallback when unset
@@ -33,9 +37,22 @@ object Tables {
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
   }
 
+  /** ns-since-epoch long from whatever physical type `ts` landed as. */
+  private[graft] def tsAsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) *
+            org.apache.spark.sql.functions.lit(1000L))
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    table(spark, dir, "events")
+    tsAsNanos(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

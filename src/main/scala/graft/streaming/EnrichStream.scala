@@ -34,11 +34,7 @@ object EnrichStream {
     */
   def enrichedClicks(spark: SparkSession, dir: String): DataFrame = {
     val profile = userProfile(spark, dir)
-    spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    EventStream.readEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("value"))
       .join(profile, Seq("user_id"))

@@ -26,16 +26,29 @@ object EventStream {
     StructField("props", StringType)
   ))
 
+  /** THE streaming events source: every streaming query reads through
+    * here so the `ts`-is-ns-longs contract holds regardless of the
+    * physical form the driver generated (ns-annotated int64 vs µs
+    * timestamp — see Tables.events). readStream requires a declared
+    * schema, so probe the real file schema with a one-off batch read
+    * (metadata-only; no data scan) instead of hard-coding one.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Tables.ensureNanosAsLong(spark)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    graft.operators.Tables.tsAsNanos(stream)
+  }
+
   /** Streaming hourly rollup: count + value sum per (hour, type) with
     * a 2-hour watermark on event time.
     */
   def hourlyRollupStream(spark: SparkSession, dir: String): DataFrame = {
-    graft.operators.Tables.ensureNanosAsLong(spark)
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     stream
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", "2 hours")

@@ -228,11 +228,7 @@ class StreamingSpec extends AnyFunSuite {
     // watermark has CLOSED, so the final (pending) sessions per user
     // stay unflushed on a finite file: emitted must be a strict,
     // non-empty subset that agrees row-for-row with batch.
-    val stream = spark.readStream
-      .schema(graft.streaming.EventStream.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(Sf0001)
+    val stream = graft.streaming.EventStream.readEvents(spark, Sf0001)
       .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("event_time"),
         col("value"))
       .withWatermark("event_time", "1 minute")
