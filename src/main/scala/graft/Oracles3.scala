@@ -210,4 +210,25 @@ object Oracles3 {
       |SELECT p_partkey, p_brand, s_suppkey, s_name, min_unit_price
       |FROM rk JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rnk = 1""".stripMargin
+
+  /** Q17 twin: same decorrelation, same cross-multiplied exact-decimal
+    * threshold (5·qty·n < sum — no float 0.2·avg anywhere).
+    */
+  val smallQtyRevenue: String =
+    """WITH sel AS (
+      | SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_size < 25),
+      |j AS (
+      | SELECT l_partkey, l_quantity, l_extendedprice
+      | FROM lineitem JOIN sel ON l_partkey = p_partkey),
+      |st AS (
+      | SELECT l_partkey AS pk,
+      |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS qty_sum,
+      |  COUNT(*) AS qty_n
+      | FROM j GROUP BY 1)
+      |SELECT
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / 7.0
+      |   AS avg_yearly,
+      | COUNT(*) AS n_lines
+      |FROM j JOIN st ON l_partkey = pk
+      |WHERE CAST(l_quantity AS DECIMAL(38,10)) * 5 * qty_n < qty_sum""".stripMargin
 }

@@ -861,4 +861,35 @@ object Oracles6 {
        |$perT
        |SELECT * FROM g700 UNION ALL SELECT * FROM g800 UNION ALL SELECT * FROM g900""".stripMargin
   }
+
+  /** Mirrors SimilarityOps.matryoshkaRecall: list_slice prefixes, the
+    * same sequential-fold dot/norm (Oracles2 convention), the same
+    * (score DESC, neighbor ASC) row_number cut, overlap vs the k=64
+    * anchor. recall_ppm = overlap * 100000 (== *1e6 DIV 10), exact.
+    */
+  val matryoshkaRecall: String =
+    """WITH ks AS (SELECT CAST(k AS INTEGER) AS k FROM (VALUES (8), (16), (32), (64)) t(k)),
+      |q AS (
+      | SELECT k, vec_id AS query_id, list_slice(embedding, 1, k) AS qe
+      | FROM embeddings, ks WHERE vec_id < 5),
+      |n AS (
+      | SELECT k, vec_id AS neighbor_id, list_slice(embedding, 1, k) AS ne
+      | FROM embeddings, ks),
+      |p AS (
+      | SELECT q.k, query_id, neighbor_id,
+      |  list_sum(list_transform(list_zip(qe, ne), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+      | FROM q JOIN n USING (k) WHERE query_id <> neighbor_id),
+      |top AS (
+      | SELECT k, query_id, neighbor_id FROM (
+      |  SELECT k, query_id, neighbor_id,
+      |   ROW_NUMBER() OVER (PARTITION BY k, query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+      |  FROM p)
+      | WHERE rnk <= 10),
+      |full_w AS (SELECT query_id AS fq, neighbor_id AS fn FROM top WHERE k = 64)
+      |SELECT CAST(k AS BIGINT) AS k, query_id, COUNT(fn) AS n_overlap,
+      | COUNT(fn) * 100000 AS recall_ppm
+      |FROM top LEFT JOIN full_w ON query_id = fq AND neighbor_id = fn
+      |GROUP BY 1, 2""".stripMargin
 }

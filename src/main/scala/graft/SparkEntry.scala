@@ -70,6 +70,7 @@ object SparkEntry {
     "q12_shipping_priority" -> TpchOps.shippingPriority,
     "q14_promo_effect" -> TpchOps.promoEffect,
     "q15_top_supplier" -> TpchOps.topSupplier,
+    "q17_small_qty_revenue" -> TpchOps.smallQtyRevenue,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -201,6 +202,7 @@ object SparkEntry {
     "span_dedup" -> DedupOps.spanDedup,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
+    "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -822,6 +824,7 @@ object SparkEntry {
     "q12_shipping_priority" -> Oracles3.shippingPriority,
     "q14_promo_effect" -> Oracles3.promoEffect,
     "q15_top_supplier" -> Oracles3.topSupplier,
+    "q17_small_qty_revenue" -> Oracles3.smallQtyRevenue,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
     "oov_rate" -> Oracles2.oovRate,
     "budget_select" -> Oracles2.budgetSelect,
@@ -965,6 +968,7 @@ object SparkEntry {
     "rolling_zscore" -> Oracles6.rollingZscore,
     "tier_migration" -> Oracles6.tierMigration,
     "percolation_sweep" -> Oracles6.percolationSweep,
+    "matryoshka_recall" -> Oracles6.matryoshkaRecall,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -733,4 +733,59 @@ object SimilarityOps {
         sum(col("n_nan")).as("n_nan_dims")
       )
   }
+
+  /** Matryoshka/prefix-dimension retrieval quality: how much ANN
+    * accuracy survives truncating embeddings to their first k dims —
+    * the dimension-ablation report behind storage/latency tradeoffs
+    * (half the dims = half the scan bytes and half the FLOPs per
+    * pair). For k in {8,16,32,64}: exact cosine top-10 per query
+    * using only embedding[0:k], overlapped against the full-width
+    * (k=64) top-10. Emits per (k, query) the overlap count and its
+    * floor-div recall ppm; the k=64 row is the self-consistency
+    * anchor (overlap == 10 by construction, asserted in the spec).
+    *
+    * Scale: the k fan-out multiplies the scored pairs 4x, but each
+    * prefix pair costs proportionally less (VecDot walks only k
+    * elements); the broadcast-queries x streamed-corpus shape and the
+    * (k, query) top-k window are unchanged from bruteForceTopK. At
+    * 100 TB the same plan runs over an evaluation slice, and the
+    * verdict ("k=16 keeps 80% recall") retunes the production index
+    * width — the sliced scoring itself never touches the full corpus
+    * twice: one scan feeds all four widths.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val kdf = spark.range(0, 4)
+      .select((lit(8) * pow(lit(2), col("id")).cast("int")).cast("int").as("k"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(kdf))
+      .select(col("k"), col("vec_id").as("query_id"),
+        slice(col("embedding"), lit(1), col("k")).as("qe"))
+      .withColumn("nq", sqrt(normSq(col("qe"))))
+    val n = spread(e).crossJoin(broadcast(kdf))
+      .select(col("k").as("nk"), col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), lit(1), col("k")).as("ne"))
+      .withColumn("nn", sqrt(normSq(col("ne"))))
+    val scored = broadcast(q)
+      .join(n, col("k") === col("nk") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
+    val w = Window.partitionBy(col("k"), col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // 4 k-widths x Q queries x 10 rows — bounded; materialized once so
+    // the full-width anchor join doesn't re-run the scoring pass
+    val top = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("k"), col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val full = top.filter(col("k") === 64)
+      .select(col("query_id").as("fq"), col("neighbor_id").as("fn"))
+    top
+      // LEFT join: a prefix width whose top-10 shares NOTHING with the
+      // full-width list must still report its (k, query) row with 0
+      .join(full, col("query_id") === col("fq") && col("neighbor_id") === col("fn"), "left")
+      .groupBy(col("k").cast("bigint").as("k"), col("query_id"))
+      .agg(count(col("fn")).as("n_overlap"))
+      .withColumn("recall_ppm", expr("n_overlap * 100000")) // == *1e6 DIV 10, exact
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import RelationalOps.{xsum, xavg}
 
@@ -286,5 +287,50 @@ object TpchOps {
       .filter(col("rnk") === 1)
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"), col("min_unit_price"))
+  }
+
+  /** TPC-H Q17: small-quantity-order revenue — the correlated-scalar-
+    * subquery shape (`l_quantity < 0.2 * avg(l_quantity) per part`),
+    * decorrelated the way every engine executes it: aggregate
+    * per-part stats once, join back, filter. The part filter
+    * (p_container has no twin in this schema; p_brand + p_size stand
+    * in) runs FIRST and semi-prunes lineitem before the per-part
+    * aggregate, so the avg is computed only over surviving parts —
+    * equivalent because the subquery correlates on p_partkey alone.
+    *
+    * Parity: `0.2 * avg` is a float boundary — a last-ulp difference
+    * between engines flips rows at the threshold. 0.2 = 1/5 exactly,
+    * so the comparison is cross-multiplied into exact decimal
+    * integers: qty < sum/(5n)  ⇔  5·qty·n < sum (quantities are
+    * positive, n > 0). Both engines evaluate the SAME exact decimal
+    * comparison; no float threshold exists in the plan.
+    *
+    * Scale: per-part stats are a partial+final hash agg on l_partkey
+    * (the natural shuffle); the stats side is parts-sized (bounded by
+    * the dim, not the corpus), so AQE broadcasts the join-back. At
+    * 100 TB nothing here materializes more than the filtered-part
+    * lineitem slice.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4" && col("p_size") < 25)
+      .select(col("p_partkey"))
+    val li = Tables
+      .lineitem(spark, dir)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(38, 10))).as("qty_sum"),
+        count(lit(1)).as("qty_n")
+      )
+      .withColumnRenamed("l_partkey", "pk")
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(DecimalType(38, 10)) * lit(5) * col("qty_n") < col("qty_sum"))
+      .agg(
+        (xsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines")
+      )
   }
 }

@@ -100,6 +100,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall@5 too low: $recall")
   }
 
+  test("matryoshka recall: matches a sequential prefix-dim recompute; k=64 anchor is exact") {
+    val vecs = Tables.embeddings(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    // the query's own arithmetic: sequential left-fold dot/norm in
+    // double (VecDot's loop order), score DESC / neighbor ASC cut
+    def top10(k: Int, qid: Long): Seq[Long] = {
+      val qe = vecs(qid)
+      def dotN(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < k) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+      }
+      def norm(a: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < k) { s += a(i).toDouble * a(i).toDouble; i += 1 }; math.sqrt(s)
+      }
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, dotN(qe, v) / (norm(qe) * norm(v))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10).map(_._1)
+    }
+    val got = SimilarityOps.matryoshkaRecall(spark, Sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (qid <- 0L until SimilarityOps.NumQueries.toLong) {
+      val anchor = top10(64, qid).toSet
+      for (k <- Seq(8, 16, 32, 64)) {
+        val expected = (top10(k, qid).toSet & anchor).size.toLong
+        assert(got((k.toLong, qid)) === expected, s"k=$k query=$qid")
+      }
+      assert(got((64L, qid)) === 10L, "full-width anchor must self-overlap exactly")
+    }
+  }
+
   test("sessions: per-user session ids are contiguous and gaps respected") {
     val s = EventOps.sessionize(spark, Sf0001).collect()
     s.groupBy(_.getLong(0)).foreach { case (_, g) =>

@@ -209,4 +209,25 @@ class TpchOpsSpec extends AnyFunSuite {
       assert(math.abs(share - nat / tot) < 1e-15)
     }
   }
+
+  test("q17: sum/7 over exactly the lines under one-fifth of their part's mean quantity") {
+    val parts = Tables.part(spark, Sf0001)
+      .filter(col("p_brand") === "Brand#4" && col("p_size") < 25)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val sel = li.filter { case (_, pk, _, _, _, _, _) => parts.contains(pk) }
+    // exact-rational threshold: qty < sum/(5n) ⇔ 5·qty·n < sum, in
+    // BigDecimal — the same cross-multiplied compare both engines run
+    val stats = sel.groupBy(_._2).view.mapValues { ls =>
+      (ls.map(l => BigDecimal(l._4)).sum, ls.length)
+    }.toMap
+    val kept = sel.filter { case (_, pk, _, qty, _, _, _) =>
+      val (s, n) = stats(pk)
+      BigDecimal(qty) * 5 * n < s
+    }
+    val expected = kept.map(l => BigDecimal(l._5).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+    val row = TpchOps.smallQtyRevenue(spark, Sf0001).collect()(0)
+    assert(row.getLong(1) === kept.length.toLong)
+    assert(kept.nonEmpty, "filter must stay non-vacuous at sf0.001")
+    assert(math.abs(row.getDouble(0) - expected.toDouble / 7.0) < 1e-6)
+  }
 }
