@@ -892,4 +892,33 @@ object Oracles6 {
       | COUNT(fn) * 100000 AS recall_ppm
       |FROM top LEFT JOIN full_w ON query_id = fq AND neighbor_id = fn
       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirrors EventOps.tvdDrift: integer epoch-µs midpoint split,
+    * centi-value bins, cross-multiplied |c0·n1 − c1·n0| numerator,
+    * one trailing IEEE division.
+    */
+  val tvdDrift: String =
+    """WITH e AS (
+      | SELECT event_type, epoch_us(ts) AS us,
+      |  CAST(floor(value * 100) AS BIGINT) AS vb
+      | FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+      |f AS (SELECT event_type, vb,
+      |       CASE WHEN us <= mid THEN 0 ELSE 1 END AS h
+      |      FROM e, mid),
+      |b AS (SELECT event_type, vb,
+      |       SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+      |       SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1
+      |      FROM f GROUP BY 1, 2),
+      |t AS (SELECT event_type,
+      |       SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n_first,
+      |       SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n_second
+      |      FROM f GROUP BY 1)
+      |SELECT event_type, n_first, n_second,
+      | CAST(SUM(ABS(c0 * n_second - c1 * n_first)) AS BIGINT) AS tvd_scaled,
+      | COUNT(*) AS n_bins,
+      | CAST(SUM(ABS(c0 * n_second - c1 * n_first)) AS DOUBLE)
+      |   / (2.0 * n_first * n_second) AS tvd
+      |FROM b JOIN t USING (event_type)
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -203,6 +203,7 @@ object SparkEntry {
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
+    "tvd_drift" -> EventOps.tvdDrift,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -969,6 +970,7 @@ object SparkEntry {
     "tier_migration" -> Oracles6.tierMigration,
     "percolation_sweep" -> Oracles6.percolationSweep,
     "matryoshka_recall" -> Oracles6.matryoshkaRecall,
+    "tvd_drift" -> Oracles6.tvdDrift,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -2196,4 +2196,66 @@ object EventOps {
         ).as("z_stat")
       )
   }
+
+  /** Temporal distribution drift: total-variation distance between the
+    * first and second half of the corpus's time range, per event type
+    * — the deploy-time monitoring twin of `ksDrift` (which compares
+    * type vs type; this compares now vs before). TVD rather than PSI
+    * because PSI needs ln() and libm is not bit-stable across engines
+    * (the hazard_table/hapax_ratio rationale); TVD = ½·Σ|p−q| is
+    * exact: with half sizes n0/n1 and per-bin counts c0/c1, the
+    * numerator Σ|c0·n1 − c1·n0| is integer arithmetic, cross-
+    * multiplied to the common n0·n1 denominator exactly like ks_drift,
+    * and the one IEEE division happens at the very end from exact
+    * inputs. Bins are centi-integer values (the ksDrift convention),
+    * zero-filled implicitly: one groupBy carries both halves, so a bin
+    * seen in only one half contributes its full mass — no outer join,
+    * no spine.
+    *
+    * Scale: the corpus collapses to (type, bin) counts in one partial+
+    * final hash agg (bins are range-bounded, not corpus-bounded); the
+    * time midpoint is one tiny global agg broadcast back. Drift per
+    * day/week instead of half-vs-half is the same plan with the half
+    * flag swapped for a bucketed epoch.
+    */
+  def tvdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        floor(col("value") * 100).cast("long").as("vb"))
+    val mid = ev
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid")) // exact integer midpoint (all-positive epochs)
+    val flagged = ev
+      .crossJoin(broadcast(mid))
+      .withColumn("h", when(col("us") <= col("mid"), 0).otherwise(1))
+    val binned = flagged
+      .groupBy(col("event_type"), col("vb"))
+      .agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1")
+      )
+    val totals = flagged
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_second")
+      )
+    binned
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn(
+        "d",
+        abs(
+          col("c0").cast(DecimalType(19, 0)) * col("n_second").cast(DecimalType(19, 0)) -
+            col("c1").cast(DecimalType(19, 0)) * col("n_first").cast(DecimalType(19, 0))
+        )
+      )
+      .groupBy(col("event_type"), col("n_first"), col("n_second"))
+      .agg(sum(col("d")).cast("long").as("tvd_scaled"), count(lit(1)).as("n_bins"))
+      .withColumn(
+        "tvd",
+        col("tvd_scaled").cast("double") /
+          (lit(2.0) * col("n_first").cast("double") * col("n_second").cast("double"))
+      )
+  }
 }

@@ -132,6 +132,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tvd drift: matches a sequential recompute and stays within [0,1]") {
+    val ev = Tables.events(spark, Sf0001)
+      .selectExpr("event_type", "ts DIV 1000 AS us", "CAST(floor(value * 100) AS LONG) AS vb")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val rows = EventOps.tvdDrift(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === ev.map(_._1).toSet)
+    rows.foreach { r =>
+      val (tpe, nf, ns) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val mine = ev.filter(_._1 == tpe)
+      val (first, second) = mine.partition(_._2 <= mid)
+      assert(nf === first.length.toLong && ns === second.length.toLong)
+      val c0 = first.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val c1 = second.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = (c0.keySet ++ c1.keySet).toSeq.map { vb =>
+        (BigInt(c0.getOrElse(vb, 0L)) * ns - BigInt(c1.getOrElse(vb, 0L)) * nf).abs
+      }.sum
+      assert(r.getLong(3) === num.toLong)
+      assert(r.getLong(4) === (c0.keySet ++ c1.keySet).size.toLong)
+      val tvd = r.getDouble(5)
+      assert(tvd >= 0.0 && tvd <= 1.0)
+      assert(math.abs(tvd - num.toDouble / (2.0 * nf * ns)) < 1e-12)
+    }
+  }
+
   test("sessions: per-user session ids are contiguous and gaps respected") {
     val s = EventOps.sessionize(spark, Sf0001).collect()
     s.groupBy(_.getLong(0)).foreach { case (_, g) =>
