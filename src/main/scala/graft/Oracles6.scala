@@ -921,4 +921,48 @@ object Oracles6 {
       |   / (2.0 * n_first * n_second) AS tvd
       |FROM b JOIN t USING (event_type)
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Mirrors TextOps.bpeTrain: the same word-type collapse, the same
+    * per-round (count DESC, pair ASC) argmax, and the same 3-pass
+    * replace() merge contract, unrolled as chained CTEs — one
+    * (pairs, argmax, apply) triple per merge round.
+    */
+  val bpeTrain: String = {
+    val init =
+      """r0 AS (
+        | SELECT word, COUNT(*) AS freq,
+        |  ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
+        | FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS word
+        |  FROM documents)
+        | GROUP BY 1)""".stripMargin
+    val rep = "' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '"
+    val rounds = (1 to graft.operators.TextOps.BpeMerges).map { k =>
+      s"""p$k AS (
+         | SELECT pair, SUM(freq) AS cnt FROM (
+         |  SELECT freq,
+         |   unnest(list_filter(
+         |     list_transform(list_zip(syms, syms[2:]),
+         |       x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || ' ' || x[2] END),
+         |     y -> y IS NOT NULL)) AS pair
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM r${k - 1}))
+         | GROUP BY 1),
+         |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |r$k AS (
+         | SELECT word, freq,
+         |  replace(replace(replace(seq, $rep), $rep), $rep) AS seq
+         | FROM r${k - 1}, m$k)""".stripMargin
+    }
+    val sel = (1 to graft.operators.TextOps.BpeMerges)
+      .map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank,
+           | string_split(pair, ' ')[1] AS left_sym,
+           | string_split(pair, ' ')[2] AS right_sym,
+           | replace(pair, ' ', '') AS merged,
+           | CAST(cnt AS BIGINT) AS pair_count
+           |FROM m$k""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n${rounds.mkString(",\n")}\n$sel"
+  }
 }

@@ -204,6 +204,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
     "tvd_drift" -> EventOps.tvdDrift,
+    "bpe_train" -> TextOps.bpeTrain,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -971,6 +972,7 @@ object SparkEntry {
     "percolation_sweep" -> Oracles6.percolationSweep,
     "matryoshka_recall" -> Oracles6.matryoshkaRecall,
     "tvd_drift" -> Oracles6.tvdDrift,
+    "bpe_train" -> Oracles6.bpeTrain,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1756,4 +1756,74 @@ object TextOps {
         max(col("n_toks")).as("max_len")
       )
   }
+
+  val BpeMerges = 6
+
+  /** BPE tokenizer training — the first `BpeMerges` merge rules
+    * learned from the corpus, the way real tokenizer trainers run it:
+    * the corpus collapses ONCE to the word-type table (word, freq) —
+    * Heaps-bounded, millions of rows at 100 TB, never the corpus —
+    * and every merge round then runs on types only, each symbol-pair
+    * count weighted by the type's corpus frequency.
+    *
+    * Per round: (1) adjacent-pair counts over the current symbol
+    * sequences (one hash agg on the type table); (2) argmax pair with
+    * the deterministic (count DESC, pair ASC) cut — a single scalar,
+    * collected (this is the merge RULE; collecting it is the
+    * bounded-driver-state pattern, GraphOps.connectedComponents doc);
+    * (3) the rule applied to every type's sequence. Sequences are
+    * space-separated symbol strings (" k e y "), and a merge is
+    * `replace(seq, ' a b ', ' ab ')` applied 3 times: replace() in
+    * both engines substitutes non-overlapping occurrences left-to-
+    * right in one pass, so a fixed pass count is a deterministic,
+    * engine-portable contract (pass 2+ catches occurrences whose
+    * shared boundary space the previous pass consumed; 3 passes are
+    * exact for runs up to length 8, far beyond this corpus). The
+    * DuckDB twin unrolls the same rounds as chained CTEs.
+    *
+    * Scale: each round is one partial+final agg over types plus a
+    * map — merge rounds are embarrassingly parallel over the type
+    * table, and the per-round driver traffic is one row. M rounds =
+    * M bounded jobs (localCheckpoint keeps lineage flat, the
+    * GraphOps iteration discipline).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      // " k e y " — every symbol (incl. first/last) is space-delimited
+      .withColumn("seq", concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+      .localCheckpoint()
+
+    val pairsOf = // adjacent symbol pairs of the current sequence
+      """CASE WHEN size(syms) >= 2
+        |     THEN transform(sequence(0, size(syms) - 2),
+        |                    i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))
+        |     ELSE array() END""".stripMargin
+    var cur = types
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val best = cur
+        .withColumn("syms", split(trim(col("seq")), " "))
+        .select(col("freq"), explode(expr(pairsOf)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()(0)
+      val pair = best.getString(0)
+      val Array(a, b) = pair.split(" ", 2)
+      val merged = a + b
+      merges += ((k.toLong, a, b, merged, best.getLong(1)))
+      val from = s" $pair "
+      val to = s" $merged "
+      cur = cur
+        .withColumn("seq", expr(s"replace(replace(replace(seq, '$from', '$to'), '$from', '$to'), '$from', '$to')"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
 }

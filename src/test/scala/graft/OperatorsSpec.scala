@@ -132,6 +132,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe train: matches an independent greedy left-to-right merge recompute") {
+    // independent implementation: symbol VECTORS + a greedy fold, not
+    // the string-replace form the query uses — agreeing results prove
+    // the 3-pass replace contract equals true greedy merging here
+    val words = Tables.documents(spark, Sf0001)
+      .collect().flatMap(_.getString(1).split("[^\\p{L}]+")).filter(_.nonEmpty)
+    var types: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, g) => (w.map(_.toString).toVector, g.length.toLong) }
+    def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to TextOps.BpeMerges).map { k =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- types; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      types = types.groupBy { case (syms, _) => mergeGreedy(syms, a, b) }
+        .map { case (m, g) => (m, g.values.sum) }
+      (k.toLong, a, b, a + b, cnt)
+    }
+    val got = TextOps.bpeTrain(spark, Sf0001)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === expected)
+  }
+
   test("tvd drift: matches a sequential recompute and stays within [0,1]") {
     val ev = Tables.events(spark, Sf0001)
       .selectExpr("event_type", "ts DIV 1000 AS us", "CAST(floor(value * 100) AS LONG) AS vb")
