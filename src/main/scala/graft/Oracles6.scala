@@ -927,7 +927,8 @@ object Oracles6 {
     * replace() merge contract, unrolled as chained CTEs — one
     * (pairs, argmax, apply) triple per merge round.
     */
-  val bpeTrain: String = {
+  /** The shared r0..rM CTE chain (type collapse + M merge rounds). */
+  private def bpeChain: String = {
     val init =
       """r0 AS (
         | SELECT word, COUNT(*) AS freq,
@@ -953,6 +954,10 @@ object Oracles6 {
          |  replace(replace(replace(seq, $rep), $rep), $rep) AS seq
          | FROM r${k - 1}, m$k)""".stripMargin
     }
+    s"$init,\n${rounds.mkString(",\n")}"
+  }
+
+  val bpeTrain: String = {
     val sel = (1 to graft.operators.TextOps.BpeMerges)
       .map { k =>
         s"""SELECT CAST($k AS BIGINT) AS rank,
@@ -963,6 +968,31 @@ object Oracles6 {
            |FROM m$k""".stripMargin
       }
       .mkString("\nUNION ALL\n")
-    s"WITH $init,\n${rounds.mkString(",\n")}\n$sel"
+    s"WITH $bpeChain\n$sel"
+  }
+
+  /** Mirrors TextOps.bpeEncode: encode via the final round's type
+    * sequences, occurrence-weighted per source.
+    */
+  val bpeEncode: String = {
+    val last = s"r${graft.operators.TextOps.BpeMerges}"
+    s"""WITH $bpeChain,
+       |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
+       |        FROM $last),
+       |occ AS (
+       | SELECT source, word, COUNT(*) AS cnt FROM (
+       |  SELECT source,
+       |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1, 2)
+       |SELECT source,
+       | CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       | COUNT(DISTINCT word) AS n_word_types,
+       | CAST(SUM(cnt * length(word)) AS BIGINT) AS n_letters,
+       | CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+       | CAST((CAST(SUM(cnt * n_syms) AS BIGINT) * 1000000)
+       |      // CAST(SUM(cnt * length(word)) AS BIGINT) AS BIGINT) AS compression_ppm
+       |FROM occ JOIN enc USING (word)
+       |GROUP BY 1""".stripMargin
   }
 }

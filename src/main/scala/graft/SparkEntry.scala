@@ -205,6 +205,7 @@ object SparkEntry {
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
     "tvd_drift" -> EventOps.tvdDrift,
     "bpe_train" -> TextOps.bpeTrain,
+    "bpe_encode" -> TextOps.bpeEncode,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -973,6 +974,7 @@ object SparkEntry {
     "matryoshka_recall" -> Oracles6.matryoshkaRecall,
     "tvd_drift" -> Oracles6.tvdDrift,
     "bpe_train" -> Oracles6.bpeTrain,
+    "bpe_encode" -> Oracles6.bpeEncode,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1789,6 +1789,17 @@ object TextOps {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeFit(spark, dir)._1
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** The shared fit loop: returns the learned merge table AND the
+    * final per-word-type symbol sequences (`word, freq, seq`).
+    */
+  private def bpeFit(
+      spark: SparkSession,
+      dir: String
+  ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val types = Tables
       .documents(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
@@ -1824,6 +1835,35 @@ object TextOps {
         .withColumn("seq", expr(s"replace(replace(replace(seq, '$from', '$to'), '$from', '$to'), '$from', '$to')"))
         .localCheckpoint()
     }
-    merges.result().toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+    (merges.result(), cur)
+  }
+
+  /** BPE encoding of the corpus with the merges just learned — the
+    * tokenizer-evaluation readout: per source, how many BPE tokens the
+    * text shreds into vs its letter count (compression ppm, floor-div)
+    * and the tokens-per-word-occurrence load. Encoding rides the TYPE
+    * table (each distinct word is encoded once; the corpus only
+    * contributes per-(source, word) occurrence counts), so the join
+    * back is types-sized — the same reason tokenizer inference at
+    * 100 TB memoizes per distinct word.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeFit(spark, dir)._2
+      .select(col("word"), size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    occ
+      .join(enc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_word_occurrences"),
+        countDistinct(col("word")).as("n_word_types"),
+        sum(col("cnt") * length(col("word"))).as("n_letters"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens")
+      )
+      .withColumn("compression_ppm", expr("n_bpe_tokens * 1000000 DIV n_letters"))
   }
 }

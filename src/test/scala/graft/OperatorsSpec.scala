@@ -165,6 +165,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("bpe encode: letter mass is conserved and compression never exceeds 1:1") {
+    val rows = TextOps.bpeEncode(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the per-source letter/occurrence mass
+    val docs = Tables.documents(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    rows.foreach { r =>
+      val words = docs.filter(_._1 == r.getString(0))
+        .flatMap(_._2.split("[^\\p{L}]+")).filter(_.nonEmpty)
+      assert(r.getLong(1) === words.length.toLong, "occurrence mass")
+      assert(r.getLong(2) === words.distinct.length.toLong, "type count")
+      assert(r.getLong(3) === words.map(_.length.toLong).sum, "letter mass")
+      // merges only ever shrink sequences: chars >= bpe tokens >= words
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(4) >= r.getLong(1))
+      assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(3))
+    }
+  }
+
   test("tvd drift: matches a sequential recompute and stays within [0,1]") {
     val ev = Tables.events(spark, Sf0001)
       .selectExpr("event_type", "ts DIV 1000 AS us", "CAST(floor(value * 100) AS LONG) AS vb")
