@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the Engine.writeText sink — the
+  * reference's reduce-output layout (`mr-out-N` per reduce bucket,
+  * `key value` lines, keys sorted within a file; reference
+  * `mr/worker.go:129-141`, `test-mr.sh:60-66`) exposed as a proper
+  * table with schema `(bucket INT, key STRING, value STRING)`.
+  *
+  * The point at scale: the sink's FNV-bucket layout IS a partitioning
+  * scheme, and this source makes Spark exploit it —
+  *   - **file pruning**: `bucket = 3` (or IN (...)) is pushed down and
+  *     prunes input partitions to the named files only; a key-routed
+  *     lookup touches 1/nReduce of the bytes (the same contract
+  *     Hive-style partition dirs give parquet scans);
+  *   - **column pruning**: a `select(key)` never materializes values;
+  *   - one input partition per bucket file, so parallelism = nReduce
+  *     with zero shuffle on read.
+  * Both prunings are asserted in EngineSpec (partition counts, not
+  * just plan text).
+  *
+  * Usage: `spark.read.format("graft.sources.MrTextSource")
+  *   .option("path", dir).load()`.
+  */
+class MrTextSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MrTextSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new MrTextTable(properties.get("path"))
+}
+
+object MrTextSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = true)
+  ))
+}
+
+private[sources] class MrTextTable(path: String) extends Table with SupportsRead {
+  require(path != null, "MrTextSource requires .option(\"path\", <dir>)")
+  override def name(): String = s"mrtext:$path"
+  override def schema(): StructType = MrTextSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MrTextScanBuilder(path)
+}
+
+private[sources] class MrTextScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var buckets: Option[Set[Int]] = None // None = no bucket predicate
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = MrTextSource.Schema
+
+  /** bucket == file index exactly, so an accepted bucket filter needs
+    * NO residual re-evaluation: only the unsupported rest is returned.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition {
+      case EqualTo("bucket", _: Int) => true
+      case In("bucket", vs) => vs.forall(_.isInstanceOf[Int])
+      case _ => false
+    }
+    val sets = sup.map {
+      case EqualTo("bucket", v: Int) => Set(v)
+      case In("bucket", vs) => vs.map(_.asInstanceOf[Int]).toSet
+      case f => sys.error(s"unreachable: $f")
+    }
+    if (sets.nonEmpty) {
+      val merged = sets.reduce(_ intersect _)
+      buckets = Some(buckets.fold(merged)(_ intersect merged))
+    }
+    pushed = sup
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new MrTextScan(path, buckets, required)
+}
+
+private[sources] class MrTextScan(path: String, buckets: Option[Set[Int]], required: StructType)
+    extends Scan
+    with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MrTextScan(path=$path, buckets=${buckets.map(_.toSeq.sorted.mkString(",")).getOrElse("*")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p)
+      .iterator
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(f => (f.toString, f.getName.stripPrefix("part-").toInt))
+      .filter { case (_, b) => buckets.forall(_.contains(b)) }
+      .map { case (f, b) => MrTextPartition(f, b): InputPartition }
+      .toArray
+      .sortBy(_.asInstanceOf[MrTextPartition].bucket)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new MrTextReaderFactory(required)
+}
+
+private[sources] case class MrTextPartition(file: String, bucket: Int) extends InputPartition
+
+private[sources] class MrTextReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val MrTextPartition(file, bucket) = partition.asInstanceOf[MrTextPartition]
+    new PartitionReader[InternalRow] {
+      private val path = new Path(file)
+      private val in = path.getFileSystem(new Configuration()).open(path)
+      private val lines = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      private var line: String = _
+
+      override def next(): Boolean = { line = lines.readLine(); line != null }
+
+      /** Project only the pruned columns, in the pruned order. */
+      override def get(): InternalRow = {
+        val sp = line.indexOf(' ')
+        val (k, v) = if (sp < 0) (line, "") else (line.substring(0, sp), line.substring(sp + 1))
+        new GenericInternalRow(required.fields.map(_.name match {
+          case "bucket" => bucket: Any
+          case "key" => UTF8String.fromString(k)
+          case "value" => UTF8String.fromString(v)
+        }))
+      }
+
+      override def close(): Unit = lines.close()
+    }
+  }
+}

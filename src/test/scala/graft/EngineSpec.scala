@@ -106,6 +106,33 @@ class EngineSpec extends AnyFunSuite {
     assert(all.sorted === data.map(kv => s"${kv.key} ${kv.value}").sorted)
   }
 
+  test("MrTextSource: round-trips the sink, prunes files on bucket pushdown, prunes columns") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-src").toString
+    val data = (1 to 60).map(i => KeyValue(s"key$i", i.toString))
+    val nReduce = 4
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = nReduce)
+    val df = spark.read.format("graft.sources.MrTextSource").option("path", tmp).load()
+    // full round-trip, bucket column correct
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.map(t => (t._2, t._3)).sorted === data.map(kv => (kv.key, kv.value)).sorted)
+    rows.foreach { case (b, k, _) => assert(b === Fnv1a.hash(k) % nReduce) }
+    // bucket pushdown prunes input partitions to exactly one file
+    val one = df.filter($"bucket" === 2)
+    assert(one.rdd.getNumPartitions === 1, "bucket filter must prune files, not just rows")
+    assert(one.collect().forall(_.getInt(0) == 2))
+    assert(one.count() === rows.count(_._1 == 2).toLong)
+    val two = df.filter($"bucket".isin(1, 3))
+    assert(two.rdd.getNumPartitions === 2)
+    // the pushed filter is exact: no residual Filter node re-checks it
+    assert(!one.queryExecution.executedPlan.toString.contains("Filter "),
+      s"unexpected residual filter:\n${one.queryExecution.executedPlan}")
+    // column pruning reaches the scan
+    val pruned = df.select($"key").queryExecution.executedPlan
+    val scanOut = pruned.collectLeaves().head.output.map(_.name)
+    assert(scanOut === Seq("key"), s"scan must read only key, got $scanOut")
+  }
+
   test("fnv1a matches the published FNV-1a 32-bit test vectors") {
     // public FNV-1a reference values (Noll's tables), masked & 0x7fffffff
     assert(Fnv1a.hash("") === (0x811c9dc5 & 0x7fffffff))
