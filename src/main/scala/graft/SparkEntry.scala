@@ -206,6 +206,7 @@ object SparkEntry {
     "tvd_drift" -> EventOps.tvdDrift,
     "bpe_train" -> TextOps.bpeTrain,
     "bpe_encode" -> TextOps.bpeEncode,
+    "sql_interface" -> RelationalOps.sqlInterface,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -975,6 +976,7 @@ object SparkEntry {
     "tvd_drift" -> Oracles6.tvdDrift,
     "bpe_train" -> Oracles6.bpeTrain,
     "bpe_encode" -> Oracles6.bpeEncode,
+    "sql_interface" -> RelationalOps.SqlInterfaceText,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

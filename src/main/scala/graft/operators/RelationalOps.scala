@@ -1525,4 +1525,34 @@ object RelationalOps {
         col("mass_c")
       )
   }
+
+  /** The textual-SQL front door: ONE ANSI SQL string executed verbatim
+    * by `spark.sql` over temp views here AND by DuckDB as its own
+    * oracle — the strongest possible interface-parity statement (the
+    * oracle isn't a translation, it is byte-for-byte the same query).
+    * Every dialect-sensitive spot is pinned: counts are BIGINT in both
+    * engines, RANK() is CAST (Spark yields INT, DuckDB BIGINT), no
+    * float crosses the boundary. Catalyst plans it like any DataFrame
+    * query — broadcast dim join, partial+final agg, one window.
+    */
+  val SqlInterfaceText: String =
+    """WITH co AS (
+      | SELECT n_name, c_custkey
+      | FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |agg AS (
+      | SELECT n_name,
+      |  COUNT(DISTINCT co.c_custkey) AS n_customers,
+      |  COUNT(o.o_orderkey) AS n_orders
+      | FROM co LEFT JOIN orders o ON co.c_custkey = o.o_custkey
+      | GROUP BY n_name)
+      |SELECT n_name, n_customers, n_orders,
+      | CAST(RANK() OVER (ORDER BY n_orders DESC, n_name ASC) AS BIGINT) AS rnk
+      |FROM agg""".stripMargin
+
+  def sqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(SqlInterfaceText)
+  }
 }

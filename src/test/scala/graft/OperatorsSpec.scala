@@ -165,6 +165,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("sql interface: spark.sql runs the shared ANSI text; masses and ranks are consistent") {
+    val rows = RelationalOps.sqlInterface(spark, Sf0001).collect()
+    val nNations = Tables.nation(spark, Sf0001).count()
+    assert(rows.length.toLong === nNations)
+    val nCustomers = Tables.customer(spark, Sf0001).count()
+    val nOrders = Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getLong(1)).sum === nCustomers, "every customer counted once")
+    assert(rows.map(_.getLong(2)).sum === nOrders, "every order counted once")
+    // standard RANK semantics: sorted by (n_orders DESC, n_name) the ranks are 1,2,3,...
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getString(0)))
+    sorted.zipWithIndex.foreach { case (r, i) => assert(r.getLong(3) === i + 1L) }
+  }
+
   test("bpe encode: letter mass is conserved and compression never exceeds 1:1") {
     val rows = TextOps.bpeEncode(spark, Sf0001).collect()
     assert(rows.nonEmpty)
