@@ -387,6 +387,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka: one broadcast of queries, equi-join on width, no cartesian pair scan") {
+    val plan = planOf(SimilarityOps.matryoshkaRecall(spark, Sf0001))
+    // the q-side (queries x widths) broadcasts; the corpus never self-joins
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the scoring join is the equi form on the k width (plus the <> residual)
+    assert(!plan.split("== Initial Plan ==")(0).contains("SortMergeJoin"), plan)
+  }
+
+  test("q17 decorrelates: per-part stats hash-agg + join back, no per-row rescan") {
+    val plan = planOf(TpchOps.smallQtyRevenue(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exact-decimal threshold comparison must not block codegen of the final agg
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("tvd drift: corpus collapses to (type, bin) before any join; totals broadcast") {
+    val plan = planOf(EventOps.tvdDrift(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("ahash pairs and triangle census never plan a cartesian") {
     val p1 = planOf(graft.sources.MultimodalOps.aHashPairs(spark, Sf0001))
     assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"))
