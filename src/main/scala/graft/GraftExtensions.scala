@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, HintInfo, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -39,6 +40,40 @@ object FixedDimBroadcastHint extends Rule[LogicalPlan] {
   }
 }
 
+/** Opt-in approximation rewrite, the "sketch pushdown" a 100 TB
+  * deployment flips on for dashboards: under
+  * `spark.graft.approxCountDistinct=true` (default FALSE — the rule
+  * must never silently change exact results), every
+  * `count(DISTINCT x)` in the plan is rewritten to HyperLogLog++ with
+  * Spark's default 5% relative error. The win at scale is structural,
+  * not constant-factor: exact distinct counting re-shuffles the rows
+  * once PER DISTINCT AGGREGATE (the Expand/regrouping in
+  * RewriteDistinctAggregates), while the HLL sketch is one partial+
+  * final pass, mergeable, with fixed-size state per group — the same
+  * contract as the explicit `approx_stats`/`hll_user_reach` queries,
+  * applied transparently to unmodified user SQL.
+  *
+  * Guards: single-argument COUNT only, no FILTER clause, and the
+  * rewrite keeps the surrounding Alias (dataType LONG is preserved),
+  * so plan resolution is untouched.
+  */
+case class ApproxDistinctRewrite(spark: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("spark.graft.approxCountDistinct", "false").toBoolean) plan
+    else
+      plan.transform { case a: Aggregate =>
+        a.transformExpressions {
+          case ae @ AggregateExpression(Count(children), _, true, None, _)
+              if children.size == 1 =>
+            ae.copy(
+              aggregateFunction = new HyperLogLogPlusPlus(children.head),
+              isDistinct = false
+            )
+        }
+      }
+}
+
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to ANY session — including plain SQL users —
   * via `--conf spark.sql.extensions=graft.GraftExtensions`, the same
@@ -49,6 +84,7 @@ object FixedDimBroadcastHint extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => FixedDimBroadcastHint)
+    e.injectOptimizerRule(s => ApproxDistinctRewrite(s))
     // whole-operator extension (SURVEY §2C path c): the AS-OF join's
     // logical node plans 1:1 to its distribution-aware merge exec
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -409,6 +409,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("approx-distinct rewrite: off by default, opt-in swaps COUNT DISTINCT for HLL") {
+    def q: DataFrame = Tables.events(spark, Sf001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!planOf(q).contains("approx_count_distinct"), "must stay exact by default")
+    spark.conf.set("spark.graft.approxCountDistinct", "true")
+    try {
+      val plan = planOf(q)
+      assert(plan.contains("approx_count_distinct"), plan)
+      q.collect().foreach { r =>
+        val (t, approx) = (r.getString(0), r.getLong(1))
+        val rel = math.abs(approx - exact(t)).toDouble / exact(t)
+        assert(rel < 0.10, s"$t: approx $approx vs exact ${exact(t)}")
+      }
+    } finally spark.conf.set("spark.graft.approxCountDistinct", "false")
+  }
+
   test("ahash pairs and triangle census never plan a cartesian") {
     val p1 = planOf(graft.sources.MultimodalOps.aHashPairs(spark, Sf0001))
     assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"))
