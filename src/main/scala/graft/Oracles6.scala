@@ -995,4 +995,32 @@ object Oracles6 {
        |FROM occ JOIN enc USING (word)
        |GROUP BY 1""".stripMargin
   }
+
+  /** Mirrors GraphOps.kcorePeel: the same fixed peel rounds unrolled —
+    * degree filter + both-endpoint membership per round.
+    */
+  val kcorePeel: String = {
+    import graft.operators.GraphOps.{KCoreK, KCoreRounds}
+    // MATERIALIZED per round: each CTE is referenced several times by
+    // the next round, so default inlining would duplicate the whole
+    // prefix 3^rounds times (observed as fd exhaustion on the leaf
+    // parquet scans)
+    val rounds = (1 to KCoreRounds)
+      .map { r =>
+        s"""d$r AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM (
+           |  SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= $KCoreK),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+           |        WHERE a IN (SELECT n FROM k$r) AND b IN (SELECT n FROM k$r)),
+           |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT COUNT(*) FROM k$r) AS n_nodes,
+           |  (SELECT COUNT(*) FROM e$r) AS n_edges)""".stripMargin
+      }
+      .mkString(",\n")
+    val sel = (1 to KCoreRounds).map(r => s"SELECT * FROM s$r").mkString("\nUNION ALL\n")
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh),
+       |$rounds
+       |$sel""".stripMargin
+  }
 }

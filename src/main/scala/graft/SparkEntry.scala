@@ -207,6 +207,7 @@ object SparkEntry {
     "bpe_train" -> TextOps.bpeTrain,
     "bpe_encode" -> TextOps.bpeEncode,
     "sql_interface" -> RelationalOps.sqlInterface,
+    "kcore_peel" -> GraphOps.kcorePeel,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -977,6 +978,7 @@ object SparkEntry {
     "bpe_train" -> Oracles6.bpeTrain,
     "bpe_encode" -> Oracles6.bpeEncode,
     "sql_interface" -> RelationalOps.SqlInterfaceText,
+    "kcore_peel" -> Oracles6.kcorePeel,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

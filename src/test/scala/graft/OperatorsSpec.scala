@@ -165,6 +165,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("kcore peel: matches a sequential peel, trajectory is monotone and converges") {
+    val edges = operators.DedupOps.minhashLsh(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var e = edges.toSet
+    val expected = (1 to GraphOps.KCoreRounds).map { r =>
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2)).groupBy(identity).view.mapValues(_.size)
+      val kept = deg.filter(_._2 >= GraphOps.KCoreK).keys.toSet
+      e = e.filter { case (a, b) => kept.contains(a) && kept.contains(b) }
+      (r.toLong, kept.size.toLong, e.size.toLong)
+    }
+    val got = GraphOps.kcorePeel(spark, Sf0001)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    // shrinkage is monotone, and the peel has converged by the last round
+    got.sliding(2).foreach { case Array(p, n) =>
+      assert(n._2 <= p._2 && n._3 <= p._3)
+    case _ => }
+    assert(got(got.length - 1)._2 === got(got.length - 2)._2,
+      "raise KCoreRounds: peel did not converge on the test corpus")
+  }
+
   test("sql interface: spark.sql runs the shared ANSI text; masses and ranks are consistent") {
     val rows = RelationalOps.sqlInterface(spark, Sf0001).collect()
     val nNations = Tables.nation(spark, Sf0001).count()
