@@ -165,6 +165,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("observe(): in-flight data-quality telemetry matches an exact recompute") {
+    // the production pattern: metrics ride the query's own pass over
+    // the data (no second scan), surfaced when the action finishes
+    val obs = new org.apache.spark.sql.Observation("li_quality")
+    val df = Tables.lineitem(spark, Sf0001)
+      .observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+        max(col("l_extendedprice")).as("max_price")
+      )
+      .filter(col("l_quantity") > 25.0)
+    val kept = df.count()
+    val m = obs.get
+    val li = Tables.lineitem(spark, Sf0001).collect()
+    // observe sees PRE-filter rows: the metric point is the scan, not the result
+    assert(m("n_rows") === li.length.toLong)
+    assert(kept < li.length.toLong)
+    assert(m("n_null_qty") === 0L)
+    assert(m("max_price") === li.map(_.getAs[Double]("l_extendedprice")).max)
+  }
+
   test("kcore peel: matches a sequential peel, trajectory is monotone and converges") {
     val edges = operators.DedupOps.minhashLsh(spark, Sf0001)
       .select(col("doc_a"), col("doc_b"))
