@@ -211,6 +211,24 @@ object Oracles3 {
       |FROM rk JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rnk = 1""".stripMargin
 
+  /** Mirrors TpchOps.shipLagSla: exact epoch-second lags, quantile_cont
+    * percentiles, floor-div ppm.
+    */
+  val shipLagSla: String =
+    """WITH j AS (
+      | SELECT o_orderpriority,
+      |  CAST(epoch(l_shipdate) AS BIGINT) - CAST(epoch(o_orderdate) AS BIGINT) AS lag_s
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      | quantile_cont(lag_s, 0.5) AS p50_lag_s,
+      | quantile_cont(lag_s, 0.9) AS p90_lag_s,
+      | quantile_cont(lag_s, 0.99) AS p99_lag_s,
+      | CAST(MAX(lag_s) AS BIGINT) AS max_lag_s,
+      | CAST(SUM(CASE WHEN lag_s <= 2592000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+      | (CAST(SUM(CASE WHEN lag_s <= 2592000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |   // COUNT(*) AS within_30d_ppm
+      |FROM j GROUP BY 1""".stripMargin
+
   /** Q17 twin: same decorrelation, same cross-multiplied exact-decimal
     * threshold (5·qty·n < sum — no float 0.2·avg anywhere).
     */

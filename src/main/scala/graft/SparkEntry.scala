@@ -71,6 +71,7 @@ object SparkEntry {
     "q14_promo_effect" -> TpchOps.promoEffect,
     "q15_top_supplier" -> TpchOps.topSupplier,
     "q17_small_qty_revenue" -> TpchOps.smallQtyRevenue,
+    "ship_lag_sla" -> TpchOps.shipLagSla,
     // salting is an implementation detail: the plain join/agg IS the oracle
     "skew_salted_join" -> RelationalOps.saltedSupplierRevenue,
     "skew_salted_agg" -> RelationalOps.saltedFlagTotals,
@@ -830,6 +831,7 @@ object SparkEntry {
     "q14_promo_effect" -> Oracles3.promoEffect,
     "q15_top_supplier" -> Oracles3.topSupplier,
     "q17_small_qty_revenue" -> Oracles3.smallQtyRevenue,
+    "ship_lag_sla" -> Oracles3.shipLagSla,
     "vocab_nucleus" -> Oracles2.vocabNucleus,
     "oov_rate" -> Oracles2.oovRate,
     "budget_select" -> Oracles2.budgetSelect,

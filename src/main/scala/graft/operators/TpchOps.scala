@@ -311,6 +311,39 @@ object TpchOps {
     * 100 TB nothing here materializes more than the filtered-part
     * lineitem slice.
     */
+  /** Fulfillment-SLA report: ship-lag (l_shipdate − o_orderdate, in
+    * exact epoch seconds — no day floor-division, so no trunc-vs-floor
+    * trap) percentiles per order priority, plus the exact share of
+    * lines shipped within 30 days. The operations-dashboard twin of
+    * gap_quantiles: same interpolated-percentile discipline
+    * (`percentile` here == `quantile_cont` in the oracle, identical
+    * 0.x·(n−1) interpolation arithmetic on exact integer inputs).
+    *
+    * Scale: the only shuffle is the lineitem⋈orders equi-join on
+    * orderkey (the q3/q4 co-partitioned shape); percentiles are
+    * per-priority sorts of group-local seconds, 5 groups.
+    */
+  def shipLagSla(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate")).as("order_s"))
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_timestamp(col("l_shipdate")).as("ship_s"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_s", col("ship_s") - col("order_s"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr("percentile(lag_s, 0.5)").as("p50_lag_s"),
+        expr("percentile(lag_s, 0.9)").as("p90_lag_s"),
+        expr("percentile(lag_s, 0.99)").as("p99_lag_s"),
+        max(col("lag_s")).as("max_lag_s"),
+        sum(when(col("lag_s") <= 2592000L, 1L).otherwise(0L)).as("n_within_30d")
+      )
+      .withColumn("within_30d_ppm", expr("n_within_30d * 1000000 DIV n_lines"))
+  }
+
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val pt = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#4" && col("p_size") < 25)

@@ -210,6 +210,36 @@ class TpchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ship-lag SLA: percentiles match a sequential sort-and-interpolate recompute") {
+    val orders = Tables.orders(spark, Sf0001)
+      .selectExpr("o_orderkey", "o_orderpriority", "unix_timestamp(o_orderdate) AS os")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val lags = li.map { case (ok, _, _, _, _, _, ship) =>
+      val (prio, os) = orders(ok); (prio, ship - os)
+    }
+    def pct(sorted: Array[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo).toDouble
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val rows = TpchOps.shipLagSla(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === lags.map(_._1).toSet)
+    rows.foreach { r =>
+      val mine = lags.filter(_._1 == r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) === mine.length.toLong)
+      // relative tolerance: the recompute's interpolation term order
+      // differs from the engines' shared formula by float rounding
+      def close(a: Double, b: Double): Boolean = math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+      assert(close(r.getDouble(2), pct(mine, 0.5)), s"p50 ${r.getDouble(2)} vs ${pct(mine, 0.5)}")
+      assert(close(r.getDouble(3), pct(mine, 0.9)), s"p90 ${r.getDouble(3)} vs ${pct(mine, 0.9)}")
+      assert(close(r.getDouble(4), pct(mine, 0.99)), s"p99 ${r.getDouble(4)} vs ${pct(mine, 0.99)}")
+      assert(r.getLong(5) === mine.max)
+      assert(r.getLong(6) === mine.count(_ <= 2592000L).toLong)
+      assert(r.getLong(7) === r.getLong(6) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("q17: sum/7 over exactly the lines under one-fifth of their part's mean quantity") {
     val parts = Tables.part(spark, Sf0001)
       .filter(col("p_brand") === "Brand#4" && col("p_size") < 25)
