@@ -996,6 +996,37 @@ object Oracles6 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors EventOps.linearAttribution: the same four RANGE-frame
+    * window sums over one user sort, strict 1-µs-preceding upper
+    * bound, floor-div ppm credit.
+    */
+  val linearAttribution: String =
+    """WITH ev AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |w AS (
+      | SELECT event_type,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_error,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_view
+      | FROM ev
+      | WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
+      |               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+      |p AS (
+      | SELECT cnt_click, cnt_error, cnt_signup, cnt_view,
+      |  cnt_click + cnt_error + cnt_signup + cnt_view AS n
+      | FROM w WHERE event_type = 'purchase'),
+      |u AS (
+      | SELECT 'click' AS touch_type, cnt_click AS cnt, n FROM p
+      | UNION ALL SELECT 'error', cnt_error, n FROM p
+      | UNION ALL SELECT 'signup', cnt_signup, n FROM p
+      | UNION ALL SELECT 'view', cnt_view, n FROM p)
+      |SELECT touch_type, COUNT(*) AS n_purchases,
+      | CAST(SUM(cnt) AS BIGINT) AS n_touches,
+      | CAST(SUM(cnt * (1000000 // n)) AS BIGINT) AS credit_ppm
+      |FROM u WHERE cnt > 0
+      |GROUP BY 1""".stripMargin
+
   /** Mirrors GraphOps.kcorePeel: the same fixed peel rounds unrolled —
     * degree filter + both-endpoint membership per round.
     */

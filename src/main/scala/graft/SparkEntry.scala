@@ -209,6 +209,7 @@ object SparkEntry {
     "bpe_encode" -> TextOps.bpeEncode,
     "sql_interface" -> RelationalOps.sqlInterface,
     "kcore_peel" -> GraphOps.kcorePeel,
+    "linear_attribution" -> EventOps.linearAttribution,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -981,6 +982,7 @@ object SparkEntry {
     "bpe_encode" -> Oracles6.bpeEncode,
     "sql_interface" -> RelationalOps.SqlInterfaceText,
     "kcore_peel" -> Oracles6.kcorePeel,
+    "linear_attribution" -> Oracles6.linearAttribution,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -2197,6 +2197,49 @@ object EventOps {
       )
   }
 
+  /** Multi-touch LINEAR attribution — completes the attribution family
+    * (purchaseAttribution = last-touch, firstTouch = first-touch):
+    * every touch (non-purchase event of the same user in the 24 h
+    * before a purchase, strictly earlier) shares the conversion credit
+    * equally. NO self-join: per-purchase touch counts come from four
+    * per-type RANGE-frame window sums sharing ONE user-partitioned
+    * sort — the union+window discipline (a purchase×touch interval
+    * join would fan out touches² per hot user). Credit is exact
+    * floor-div ppm: each touch type gets cnt_type·(10⁶ DIV n) — the
+    * per-purchase remainder (< n µppm) is deliberately dropped, same
+    * both engines.
+    *
+    * Scale: one shuffle on user_id, O(1) window state per frame (sum
+    * of 0/1), then a 4-way stack and a 4-group aggregate. The 24 h
+    * RANGE frame bounds state by time, not corpus size.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-86400000000L, -1L)
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).over(fr).as(s"cnt_$t")
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      .select(col("event_type"), cnt("click"), cnt("error"), cnt("signup"), cnt("view"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("n", col("cnt_click") + col("cnt_error") + col("cnt_signup") + col("cnt_view"))
+      .select(
+        expr(
+          "stack(4, 'click', cnt_click, 'error', cnt_error, 'signup', cnt_signup, 'view', cnt_view) AS (touch_type, cnt)"),
+        col("n")
+      )
+      .filter(col("cnt") > 0)
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("cnt")).as("n_touches"),
+        sum(expr("cnt * (1000000 DIV n)")).as("credit_ppm")
+      )
+  }
+
   /** Temporal distribution drift: total-variation distance between the
     * first and second half of the corpus's time range, per event type
     * — the deploy-time monitoring twin of `ksDrift` (which compares

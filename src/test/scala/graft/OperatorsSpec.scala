@@ -187,6 +187,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("max_price") === li.map(_.getAs[Double]("l_extendedprice")).max)
   }
 
+  test("linear attribution: matches a sequential per-purchase window scan") {
+    val ev = Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "event_type", "ts DIV 1000 AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(1 + 1)))
+    val byUser = ev.groupBy(_._1)
+    case class Acc(var purchases: Long = 0, var touches: Long = 0, var credit: Long = 0)
+    val acc = scala.collection.mutable.Map[String, Acc]()
+    for ((_, g) <- byUser; (_, t, us) <- g if t == "purchase") {
+      val window = g.filter { case (_, tt, uu) =>
+        tt != "purchase" && uu >= us - 86400000000L && uu <= us - 1L
+      }
+      val n = window.length.toLong
+      if (n > 0) {
+        val share = 1000000L / n
+        window.groupBy(_._2).foreach { case (tt, ws) =>
+          val a = acc.getOrElseUpdate(tt, Acc())
+          a.purchases += 1; a.touches += ws.length; a.credit += ws.length * share
+        }
+      }
+    }
+    val got = EventOps.linearAttribution(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === acc.keySet)
+    acc.foreach { case (t, a) =>
+      assert(got(t) === ((a.purchases, a.touches, a.credit)), s"type $t")
+    }
+  }
+
   test("kcore peel: matches a sequential peel, trajectory is monotone and converges") {
     val edges = operators.DedupOps.minhashLsh(spark, Sf0001)
       .select(col("doc_a"), col("doc_b"))
