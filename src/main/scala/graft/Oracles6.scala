@@ -996,6 +996,43 @@ object Oracles6 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors TextOps.qualityGate: the quality_score ratio CTEs + the
+    * consonant-run regexp + the additive reason bitmask.
+    */
+  val qualityGate: String =
+    """WITH base AS (
+      | SELECT source, n_chars, text,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |counts AS (
+      | SELECT source, n_chars, text, len(toks) AS n_words,
+      |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |  len(list_filter(toks, t -> t IN
+      |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
+      | FROM base),
+      |ratios AS (
+      | SELECT source, n_chars, n_words,
+      |  CASE WHEN n_words > 0
+      |       THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+      |  CASE WHEN length(text) > 0
+      |       THEN CAST(n_punct AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+      |  CAST(COALESCE(list_max(list_transform(
+      |    regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
+      |    s -> length(s))), 0) AS BIGINT) AS max_run
+      | FROM counts),
+      |q AS (
+      | SELECT source, n_chars, n_words, max_run,
+      |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+      |   * (1.0 - punct_ratio) * (0.5 + stop_ratio) AS quality
+      | FROM ratios)
+      |SELECT source,
+      | CAST((CASE WHEN quality < 0.55 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN max_run >= 8 THEN 2 ELSE 0 END)
+      |     + (CASE WHEN n_words < 30 THEN 4 ELSE 0 END) AS BIGINT) AS reason_mask,
+      | COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM q GROUP BY 1, 2""".stripMargin
+
   /** Mirrors EventOps.linearAttribution: the same four RANGE-frame
     * window sums over one user sort, strict 1-µs-preceding upper
     * bound, floor-div ppm credit.

@@ -210,6 +210,7 @@ object SparkEntry {
     "sql_interface" -> RelationalOps.sqlInterface,
     "kcore_peel" -> GraphOps.kcorePeel,
     "linear_attribution" -> EventOps.linearAttribution,
+    "quality_gate" -> TextOps.qualityGate,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -983,6 +984,7 @@ object SparkEntry {
     "sql_interface" -> RelationalOps.SqlInterfaceText,
     "kcore_peel" -> Oracles6.kcorePeel,
     "linear_attribution" -> Oracles6.linearAttribution,
+    "quality_gate" -> Oracles6.qualityGate,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -1757,6 +1757,50 @@ object TextOps {
       )
   }
 
+  val GateMinWords = 30
+
+  /** The curation-funnel gate report: ONE pass over the corpus tags
+    * every doc with a rejection-reason bitmask (bit 0 = quality score
+    * below the trainingPrep threshold, bit 1 = consonant-run
+    * gibberish, bit 2 = under `GateMinWords` words) and reports
+    * per-(source, mask) doc and char mass — the "why is my data
+    * shrinking" table every filtering pipeline prints before it
+    * deletes anything. mask=0 is the surviving set; reason bits are
+    * diagnosable independently (a doc can fail several ways, and the
+    * mask keeps the combinations separate instead of double-counting
+    * a reasons histogram).
+    *
+    * Scale: all three signals are per-row expressions appended in the
+    * same projection (no join, no second scan); one partial+final agg
+    * on (source, mask) — cardinality ≤ sources × 8.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"), toks.as("toks"))
+    )
+      .withColumn(
+        "max_run",
+        coalesce(
+          expr(
+            "array_max(transform(regexp_extract_all(lower(text), " +
+              "'[bcdfghjklmnpqrstvwxyz]+', 0), s -> length(s)))"
+          ),
+          lit(0)
+        ).cast("long")
+      )
+      .withColumn(
+        "reason_mask",
+        when(col("quality") < TrainingPrepMinQuality, 1L).otherwise(0L) +
+          when(col("max_run") >= ConsonantRunFlag, 2L).otherwise(0L) +
+          when(col("n_words") < GateMinWords, 4L).otherwise(0L)
+      )
+      .groupBy(col("source"), col("reason_mask"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val BpeMerges = 6
 
   /** BPE tokenizer training — the first `BpeMerges` merge rules

@@ -187,6 +187,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("max_price") === li.map(_.getAs[Double]("l_extendedprice")).max)
   }
 
+  test("quality gate: masks partition the corpus; bits agree with the standalone screens") {
+    val rows = TextOps.qualityGate(spark, Sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(rows.map(_._2._1).sum === nDocs, "masks must partition the corpus")
+    assert(rows.map(_._1._2).distinct.length >= 2, "gate must be non-vacuous")
+    rows.foreach { case ((_, mask), _) => assert(mask >= 0 && mask <= 7) }
+    // bit 1 mass must equal the consonant screen's flag count
+    val flagged = TextOps.consonantRuns(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val bit1 = rows.filter { case ((_, m), _) => (m & 2L) != 0 }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum).toMap
+    flagged.foreach { case (src, n) =>
+      assert(bit1.getOrElse(src, 0L) === n, s"source $src consonant-bit mass")
+    }
+  }
+
   test("linear attribution: matches a sequential per-purchase window scan") {
     val ev = Tables.events(spark, Sf0001)
       .selectExpr("user_id", "event_type", "ts DIV 1000 AS us")
