@@ -8,9 +8,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,16 +55,42 @@ object MrTextSource {
     StructField("key", StringType, nullable = true),
     StructField("value", StringType, nullable = true)
   ))
+
+  /** Convenience writer: KeyValue dataset → reference sink layout via
+    * the declarative write path (bucket computed with the same FNV-1a
+    * codegen expression the engine uses everywhere).
+    */
+  def write(
+      ds: org.apache.spark.sql.Dataset[graft.engine.KeyValue],
+      outDir: String,
+      nReduce: Int = 10
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(ds.sparkSession)
+    ds.select(
+      expr(s"CAST(fnv1a(key) % $nReduce AS INT)").as("bucket"),
+      col("key"),
+      col("value")
+    )
+      .write
+      .format("graft.sources.MrTextSource")
+      .option("path", outDir)
+      .option("nreduce", nReduce.toString)
+      .mode("overwrite")
+      .save()
+  }
 }
 
-private[sources] class MrTextTable(path: String) extends Table with SupportsRead {
+private[sources] class MrTextTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "MrTextSource requires .option(\"path\", <dir>)")
   override def name(): String = s"mrtext:$path"
   override def schema(): StructType = MrTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrTextScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MrTextWriteBuilder(path, info)
 }
 
 private[sources] class MrTextScanBuilder(path: String)
@@ -128,6 +156,121 @@ private[sources] class MrTextScan(path: String, buckets: Option[Set[Int]], requi
 }
 
 private[sources] case class MrTextPartition(file: String, bucket: Int) extends InputPartition
+
+/** The write path — the sink layout as a DECLARED contract instead of
+  * hand-rolled RDD code: this Write tells Spark it requires the data
+  * CLUSTERED by `bucket` and SORTED by (bucket, key)
+  * (`RequiresDistributionAndOrdering`), and the planner inserts the
+  * shuffle + spillable sort itself — the declarative twin of
+  * Engine.writeText's repartitionAndSortWithinPartitions, with the
+  * same no-in-heap-materialization property at scale. Each task then
+  * streams contiguous bucket runs into `part-<bucket>` files; the
+  * driver commit fills in empty buckets ([0, nreduce)) and `_SUCCESS`,
+  * reproducing the reference layout byte-for-byte (asserted in
+  * EngineSpec against Engine.writeText's own output).
+  *
+  * Overwrite mode maps to TRUNCATE: existing files are removed on the
+  * driver before tasks launch. Task abort best-effort deletes the
+  * task's own files (bucket-unique names make that safe: a bucket is
+  * written by exactly one task under the clustered distribution).
+  */
+private[sources] class MrTextWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder
+    with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    require(
+      s.fieldNames.toSet == Set("bucket", "key", "value"),
+      s"MrTextSource writes (bucket, key, value); got ${s.fieldNames.mkString(",")}")
+    val nReduce = Option(info.options.get("nreduce")).map(_.toInt).getOrElse(10)
+    new MrTextWrite(path, s, nReduce, doTruncate)
+  }
+}
+
+private[sources] class MrTextWrite(path: String, schema: StructType, nReduce: Int, truncate: Boolean)
+    extends Write
+    with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("bucket")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("bucket"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
+  )
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      if (truncate && fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      new MrTextWriterFactory(path, schema)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val written = messages.collect { case MrTextCommit(bs) => bs }.flatten.toSet
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      // the reference sink materializes EVERY reduce bucket, empty ones
+      // included (mr-out-N exists for all N) — reproduce that
+      (0 until nReduce).filterNot(written).foreach { b =>
+        fs.create(new Path(p, f"part-$b%05d"), true).close()
+      }
+      fs.create(new Path(p, "_SUCCESS"), true).close()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      messages.collect { case MrTextCommit(bs) => bs }.flatten.foreach { b =>
+        fs.delete(new Path(p, f"part-$b%05d"), false)
+      }
+    }
+  }
+}
+
+private[sources] case class MrTextCommit(buckets: Seq[Int]) extends WriterCommitMessage
+
+private[sources] class MrTextWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val iBucket = schema.fieldIndex("bucket")
+    val iKey = schema.fieldIndex("key")
+    val iValue = schema.fieldIndex("value")
+    new DataWriter[InternalRow] {
+      private val fs = new Path(path).getFileSystem(new Configuration())
+      private var cur = -1
+      private var out: java.io.BufferedWriter = _
+      private val buckets = Seq.newBuilder[Int]
+
+      /** Rows arrive bucket-contiguous (required ordering), so a file
+        * is a single sequential stream per bucket — no buffering.
+        */
+      override def write(row: InternalRow): Unit = {
+        val b = row.getInt(iBucket)
+        if (b != cur) {
+          if (out != null) out.close()
+          cur = b
+          buckets += b
+          out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(new Path(new Path(path), f"part-$b%05d"), true),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+        out.write(s"${row.getUTF8String(iKey)} ${row.getUTF8String(iValue)}\n")
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        MrTextCommit(buckets.result())
+      }
+      override def abort(): Unit = if (out != null) out.close()
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class MrTextReaderFactory(required: StructType)
     extends PartitionReaderFactory {

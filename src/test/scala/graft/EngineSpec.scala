@@ -133,6 +133,30 @@ class EngineSpec extends AnyFunSuite {
     assert(scanOut === Seq("key"), s"scan must read only key, got $scanOut")
   }
 
+  test("MrTextSource write path: declared clustering+ordering reproduces Engine.writeText byte-for-byte") {
+    import spark.implicits._
+    val tmpA = Files.createTempDirectory("graft-wA").toString
+    val tmpB = Files.createTempDirectory("graft-wB").toString
+    val data = (1 to 80).map(i => KeyValue(s"key$i", i.toString))
+    val nReduce = 16 // > distinct buckets hit, so empty-bucket files are exercised
+    Engine.writeText(spark.createDataset(data), tmpA, nReduce = nReduce)
+    graft.sources.MrTextSource.write(spark.createDataset(data), tmpB, nReduce = nReduce)
+    def partFiles(dir: String): Map[String, Seq[String]] = Files
+      .list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .filterNot(p => p.getFileName.toString.endsWith(".crc"))
+      .map(p => p.getFileName.toString -> Files.readAllLines(p).asScala.toSeq)
+      .toMap
+    val a = partFiles(tmpA)
+    val b = partFiles(tmpB)
+    assert(b.keySet === a.keySet, "same file set, empty buckets included")
+    a.foreach { case (f, lines) => assert(b(f) === lines, s"$f differs") }
+    assert(Files.exists(Paths.get(tmpB, "_SUCCESS")))
+    // and the DSv2 reader closes the loop on the DSv2-written layout
+    val back = spark.read.format("graft.sources.MrTextSource").option("path", tmpB).load()
+    assert(back.count() === data.length.toLong)
+  }
+
   test("fnv1a matches the published FNV-1a 32-bit test vectors") {
     // public FNV-1a reference values (Noll's tables), masked & 0x7fffffff
     assert(Fnv1a.hash("") === (0x811c9dc5 & 0x7fffffff))
