@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event replay source: paced micro-batches drain the corpus; totals == batch") {
+    import org.apache.spark.sql.functions._
+    val q = spark.readStream
+      .format("graft.sources.EventReplay")
+      .option("path", Sf0001)
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("replay_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("replay_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Tables.events(spark, Sf0001)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch, "AvailableNow replay must drain the whole corpus")
+      // the pacing contract: 300-row batches over ~1000 rows => several batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, s"expected paced micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 300L), "maxRowsPerBatch must cap admission")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization: closed sessions match batch, state spans batches") {
     import spark.implicits._
     // split events into two time-ordered parquet files -> two
