@@ -618,22 +618,33 @@ object EventOps {
       .withColumn("bin",
         explode(sequence(
           expr(s"${prefix}_start DIV $binUs"), expr(s"${prefix}_end DIV $binUs"))))
-    // inner join: every session collides with at least its own bins,
-    // so zero-overlap sessions still form a (count = 0) group
-    binned("a")
+    // Shape note (profiled at sf0.1): filtering BEFORE deduplication
+    // shrinks the distinct's shuffle to genuinely-overlapping pairs
+    // (the earlier form count-distinct'd the whole bin join output —
+    // an Expand over every bin collision, ~10x more shuffled rows).
+    // Zero-overlap sessions come back via the sessions-bounded left
+    // join instead of riding the inner join as count-0 groups.
+    val overlapping = binned("a")
       .join(binned("b"), Seq("bin"))
-      .withColumn(
-        "overlaps",
+      .filter(
         col("a_user") =!= col("b_user") &&
           col("b_start") <= col("a_end") && col("a_start") <= col("b_end")
       )
-      .groupBy(col("a_user").as("user_id"), col("a_session").as("session_id"),
-        col("a_start").as("start_us"), col("a_end").as("end_us"))
-      .agg(
-        countDistinct(
-          when(col("overlaps"), col("b_user")),
-          when(col("overlaps"), col("b_session"))
-        ).as("n_concurrent")
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
+      .distinct() // a pair repeats once per shared bin
+      .groupBy(col("a_user"), col("a_session"))
+      .agg(count(lit(1)).as("n_over"))
+    s.join(
+      overlapping,
+      col("user_id") === col("a_user") && col("session_id") === col("a_session"),
+      "left"
+    )
+      .select(
+        col("user_id"),
+        col("session_id"),
+        col("start_us"),
+        col("end_us"),
+        coalesce(col("n_over"), lit(0L)).as("n_concurrent")
       )
   }
 
