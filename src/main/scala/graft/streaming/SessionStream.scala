@@ -64,12 +64,24 @@ object SessionStream {
     * Emits CLOSED sessions only; open sessions stay in state.
     */
   def closedSessions(spark: SparkSession, dir: String): Dataset[SessionRow] = {
-    import spark.implicits._
     graft.operators.Tables.ensureNanosAsLong(spark)
-    spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    closedSessionsFrom(
+      spark.readStream
+        .schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+    )
+  }
+
+  /** Source-agnostic sessionizer: any STREAMING DataFrame with
+    * (user_id, event_id, ts ns-long) columns — the parquet-directory
+    * source above or the EventReplay DSv2 source — feeds the same
+    * stateful fold.
+    */
+  def closedSessionsFrom(events: org.apache.spark.sql.DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)

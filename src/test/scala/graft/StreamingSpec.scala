@@ -99,6 +99,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows2 === 0L, s"restart must resume at the checkpointed end, admitted $rows2")
   }
 
+  test("replay -> stateful sessionizer: closed sessions match batch sessionize") {
+    import org.apache.spark.sql.functions._
+    val replayed = spark.readStream
+      .format("graft.sources.EventReplay")
+      .option("path", Sf0001)
+      .option("maxRowsPerBatch", "250")
+      .load()
+    val q = graft.streaming.SessionStream.closedSessionsFrom(replayed)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("replay_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("replay_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // batch truth: every session EXCEPT each user's last (which stays
+      // open in state when the replay ends)
+      val batch = graft.operators.EventOps.sessionize(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      val lastPerUser = batch.groupBy(_._1._1).view.mapValues(_.map(_._1._2).max).toMap
+      val expected = batch.filter { case ((u, sid), _) => sid != lastPerUser(u) }.toMap
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization: closed sessions match batch, state spans batches") {
     import spark.implicits._
     // split events into two time-ordered parquet files -> two
