@@ -1120,6 +1120,9 @@ object RelationalOps {
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
+      // four consumers (pair join x2, freq, n_orders): materialize the
+      // distinct once instead of re-running scan+shuffle per consumer
+      .localCheckpoint()
     val pairs = lines
       .select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(
