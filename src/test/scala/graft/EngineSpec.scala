@@ -133,6 +133,19 @@ class EngineSpec extends AnyFunSuite {
     assert(scanOut === Seq("key"), s"scan must read only key, got $scanOut")
   }
 
+  test("MrTextSource: contradictory bucket filters intersect to an empty scan") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-empty").toString
+    val data = (1 to 20).map(i => KeyValue(s"key$i", i.toString))
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = 3)
+    val df = spark.read.format("graft.sources.MrTextSource").option("path", tmp).load()
+    val none = df.filter($"bucket" === 0 && $"bucket" === 2)
+    assert(none.count() === 0L)
+    // pruned at planning: no partitions at all, not 0 rows from N files
+    assert(none.rdd.getNumPartitions === 0,
+      "intersecting contradictory pushed filters must prune every file")
+  }
+
   test("MrTextSource write path: declared clustering+ordering reproduces Engine.writeText byte-for-byte") {
     import spark.implicits._
     val tmpA = Files.createTempDirectory("graft-wA").toString
