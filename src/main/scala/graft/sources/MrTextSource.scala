@@ -96,11 +96,13 @@ private[sources] class MrTextTable(path: String) extends Table with SupportsRead
 private[sources] class MrTextScanBuilder(path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var buckets: Option[Set[Int]] = None // None = no bucket predicate
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = MrTextSource.Schema
+  private var aggFuncs: Option[Seq[String]] = None // "min" | "max" over key, in order
 
   /** bucket == file index exactly, so an accepted bucket filter needs
     * NO residual re-evaluation: only the unsupported rest is returned.
@@ -127,8 +129,120 @@ private[sources] class MrTextScanBuilder(path: String)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new MrTextScan(path, buckets, required)
+  /** MIN(key)/MAX(key) answered from the sink's SORT INVARIANT: keys
+    * are sorted within every bucket file (F5 parity), so a file's min
+    * key is its first line and its max key its last — the scan reads
+    * two lines per file instead of the file. Partial pushdown: each
+    * file contributes one (min, max) row and Spark's final aggregate
+    * merges across files (and across whatever bucket subset the
+    * pushed filters left alive — file pruning composes). This is the
+    * same trick a parquet footer-stats scan plays, earned here by the
+    * writer's declared ordering.
+    */
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // per-file partials; Spark merges
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("key")
+      case _ => false
+    }
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case m: Min if keyRef(m.column) => Some("min")
+      case m: Max if keyRef(m.column) => Some("max")
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) false
+    else {
+      aggFuncs = Some(funcs.flatten)
+      true
+    }
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new MrTextAggScan(path, buckets, funcs)
+    case None => new MrTextScan(path, buckets, required)
+  }
 }
+
+/** The pushed-aggregate scan: one partition per surviving file; each
+  * emits a single row of per-file (min/max key) partials read from
+  * the file's first and last lines only.
+  */
+private[sources] class MrTextAggScan(path: String, buckets: Option[Set[Int]], funcs: Seq[String])
+    extends Scan
+    with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.zipWithIndex.map { case (f, i) => StructField(s"${f}_$i", StringType) })
+  override def toBatch: Batch = this
+  override def description(): String = s"MrTextAggScan(path=$path, funcs=${funcs.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p)
+      .iterator
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(f => (f.toString, f.getName.stripPrefix("part-").toInt))
+      .filter { case (_, b) => buckets.forall(_.contains(b)) }
+      .map { case (f, b) => MrTextPartition(f, b): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new MrTextAggReaderFactory(funcs)
+}
+
+private[sources] class MrTextAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val file = partition.asInstanceOf[MrTextPartition].file
+      new PartitionReader[InternalRow] {
+        private var done = false
+        private var row: InternalRow = _
+
+        private def keyOf(line: String): UTF8String = {
+          val sp = line.indexOf(' ')
+          UTF8String.fromString(if (sp < 0) line else line.substring(0, sp))
+        }
+
+        override def next(): Boolean = {
+          if (done) return false
+          done = true
+          val p = new Path(file)
+          val fs = p.getFileSystem(new Configuration())
+          val len = fs.getFileStatus(p).getLen
+          if (len == 0) return false // empty bucket: no partial row
+          val in = fs.open(p)
+          try {
+            // first line = min key (per-file sort invariant)
+            val head = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+            val first = head.readLine()
+            // last line = max key, via a bounded tail read
+            val tailLen = math.min(len, 64 * 1024L).toInt
+            in.seek(len - tailLen)
+            val buf = new Array[Byte](tailLen)
+            in.readFully(len - tailLen, buf, 0, tailLen)
+            val tail = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+            val lines = tail.split("\n").filter(_.nonEmpty)
+            val last = lines.last
+            val mn = keyOf(first)
+            val mx = keyOf(last)
+            row = new GenericInternalRow(
+              funcs.map(f => (if (f == "min") mn else mx): Any).toArray)
+            true
+          } finally in.close()
+        }
+
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+  }
 
 private[sources] class MrTextScan(path: String, buckets: Option[Set[Int]], required: StructType)
     extends Scan

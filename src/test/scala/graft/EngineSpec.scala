@@ -146,6 +146,24 @@ class EngineSpec extends AnyFunSuite {
       "intersecting contradictory pushed filters must prune every file")
   }
 
+  test("MrTextSource: MIN/MAX(key) push down to first/last-line reads via the sort invariant") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-agg").toString
+    val data = (1 to 70).map(i => KeyValue(f"key$i%03d", i.toString))
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = 4)
+    val df = spark.read.format("graft.sources.MrTextSource").option("path", tmp).load()
+    val agg = df.agg(org.apache.spark.sql.functions.min($"key"), org.apache.spark.sql.functions.max($"key"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("MrTextAggScan"), s"aggregate not pushed:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getString(0) === "key001" && r.getString(1) === "key070")
+    // composes with bucket file pruning
+    val one = df.filter($"bucket" === 1)
+      .agg(org.apache.spark.sql.functions.min($"key"), org.apache.spark.sql.functions.max($"key")).collect()(0)
+    val keys = data.map(_.key).filter(k => Fnv1a.hash(k) % 4 === 1)
+    assert(one.getString(0) === keys.min && one.getString(1) === keys.max)
+  }
+
   test("MrTextSource write path: declared clustering+ordering reproduces Engine.writeText byte-for-byte") {
     import spark.implicits._
     val tmpA = Files.createTempDirectory("graft-wA").toString
