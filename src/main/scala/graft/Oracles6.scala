@@ -996,6 +996,18 @@ object Oracles6 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors SimilarityOps.gramMatrix: 0-based dims via
+    * generate_series, IEEE products, decimal-exact sums.
+    */
+  val gramMatrix: String =
+    """WITH a AS (
+      | SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS vi
+      | FROM embeddings, generate_series(0, 63) t(i))
+      |SELECT CAST(x.i AS BIGINT) AS i, CAST(y.i AS BIGINT) AS j,
+      | CAST(CAST(SUM(CAST(x.vi * y.vi AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS gram
+      |FROM a x JOIN a y ON x.vec_id = y.vec_id AND y.i >= x.i
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mirrors TextOps.qualityGate: the quality_score ratio CTEs + the
     * consonant-run regexp + the additive reason bitmask.
     */

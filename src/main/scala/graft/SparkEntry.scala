@@ -211,6 +211,7 @@ object SparkEntry {
     "kcore_peel" -> GraphOps.kcorePeel,
     "linear_attribution" -> EventOps.linearAttribution,
     "quality_gate" -> TextOps.qualityGate,
+    "gram_matrix" -> SimilarityOps.gramMatrix,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -985,6 +986,7 @@ object SparkEntry {
     "kcore_peel" -> Oracles6.kcorePeel,
     "linear_attribution" -> Oracles6.linearAttribution,
     "quality_gate" -> Oracles6.qualityGate,
+    "gram_matrix" -> Oracles6.gramMatrix,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -753,6 +753,34 @@ object SimilarityOps {
     * width — the sliced scoring itself never touches the full corpus
     * twice: one scan feeds all four widths.
     */
+  /** Gram matrix X^T·X of the embedding corpus (upper triangle): the
+    * distributed matrix primitive behind covariance/PCA/whitening and
+    * linear-probe training — each row contributes its outer product,
+    * summed per (i, j) cell. Relational form: one posexplode + a
+    * vec_id-co-partitioned self-join fans each vector into its
+    * dim-pair products, then a 64·65/2-group hash aggregate with
+    * map-side combine collapses the corpus. Products are computed in
+    * IEEE double (both engines identically) and SUMMED through
+    * DECIMAL(38,10) — order-independent exact, the xsum discipline.
+    *
+    * Scale: output is dims² (fixed), input explode is rows·dims² —
+    * at 100 TB swap the explode for a per-partition outer-product
+    * accumulator (a dims²-long TypedImperativeAggregate, the
+    * IntVecSumAgg pattern) — same result, one pass, no fan-out; the
+    * relational form here is the portable, oracle-checkable shape.
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val flat = spread(e)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")))
+      .select(col("vec_id"), col("i"), col("vi").cast("double").as("vi"))
+    val right = flat.select(col("vec_id").as("vid2"), col("i").as("j"), col("vi").as("vj"))
+    flat
+      .join(right, col("vec_id") === col("vid2") && col("j") >= col("i"))
+      .groupBy(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"))
+      .agg(RelationalOps.xsum(col("vi") * col("vj")).as("gram"))
+  }
+
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val kdf = spark.range(0, 4)

