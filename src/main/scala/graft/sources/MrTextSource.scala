@@ -56,6 +56,25 @@ object MrTextSource {
     StructField("value", StringType, nullable = true)
   ))
 
+  /** Bucket files of a sink dir: batch layout (`part-00003`) and
+    * streaming-epoch layout (`part-00003-00007`, bucket-task) both
+    * parse by the leading digit run after `part-`.
+    */
+  private[sources] def listBucketFiles(dir: String): Seq[(String, Int)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    val BucketName = "part-(\\d+).*".r
+    fs.listStatus(p)
+      .iterator
+      .map(_.getPath)
+      .flatMap(f =>
+        f.getName match {
+          case BucketName(b) => Some((f.toString, b.toInt))
+          case _ => None
+        })
+      .toSeq
+  }
+
   /** Convenience writer: KeyValue dataset → reference sink layout via
     * the declarative write path (bucket computed with the same FNV-1a
     * codegen expression the engine uses everywhere).
@@ -86,7 +105,8 @@ private[sources] class MrTextTable(path: String) extends Table with SupportsRead
   override def name(): String = s"mrtext:$path"
   override def schema(): StructType = MrTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrTextScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -180,18 +200,12 @@ private[sources] class MrTextAggScan(path: String, buckets: Option[Set[Int]], fu
   override def toBatch: Batch = this
   override def description(): String = s"MrTextAggScan(path=$path, funcs=${funcs.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p)
-      .iterator
-      .map(_.getPath)
-      .filter(_.getName.startsWith("part-"))
-      .map(f => (f.toString, f.getName.stripPrefix("part-").toInt))
+  override def planInputPartitions(): Array[InputPartition] =
+    MrTextSource
+      .listBucketFiles(path)
       .filter { case (_, b) => buckets.forall(_.contains(b)) }
       .map { case (f, b) => MrTextPartition(f, b): InputPartition }
       .toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = new MrTextAggReaderFactory(funcs)
 }
@@ -253,13 +267,8 @@ private[sources] class MrTextScan(path: String, buckets: Option[Set[Int]], requi
     s"MrTextScan(path=$path, buckets=${buckets.map(_.toSeq.sorted.mkString(",")).getOrElse("*")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p)
-      .iterator
-      .map(_.getPath)
-      .filter(_.getName.startsWith("part-"))
-      .map(f => (f.toString, f.getName.stripPrefix("part-").toInt))
+    MrTextSource
+      .listBucketFiles(path)
       .filter { case (_, b) => buckets.forall(_.contains(b)) }
       .map { case (f, b) => MrTextPartition(f, b): InputPartition }
       .toArray
@@ -315,6 +324,39 @@ private[sources] class MrTextWrite(path: String, schema: StructType, nReduce: In
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
   )
 
+  /** Streaming sink: every micro-batch lands as its OWN complete sink
+    * snapshot under `path/epoch=<id>/` — bucket files named
+    * `part-<bucket>-<writerPartition>` (the reader's digit-prefix
+    * parse accepts both layouts, so any epoch dir is directly readable
+    * by MrTextSource). Exactly-once comes from epoch idempotency: a
+    * replayed epoch finds its `_SUCCESS` already present and commit is
+    * a no-op; an aborted epoch's files are best-effort removed and the
+    * epoch re-executes. Unlike the batch path, a streaming task keeps
+    * one open writer per bucket it sees (<= nReduce) instead of
+    * assuming bucket-contiguous input — micro-batch plans don't carry
+    * the clustered-distribution guarantee.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo
+      ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        new MrTextStreamingWriterFactory(path, schema)
+
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val dir = new Path(new Path(path), s"epoch=$epochId")
+        val fs = dir.getFileSystem(new Configuration())
+        val marker = new Path(dir, "_SUCCESS")
+        if (!fs.exists(marker)) { fs.mkdirs(dir); fs.create(marker, true).close() }
+      }
+
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val dir = new Path(new Path(path), s"epoch=$epochId")
+        val fs = dir.getFileSystem(new Configuration())
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
+
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
       val p = new Path(path)
@@ -347,6 +389,39 @@ private[sources] class MrTextWrite(path: String, schema: StructType, nReduce: In
 }
 
 private[sources] case class MrTextCommit(buckets: Seq[Int]) extends WriterCommitMessage
+
+private[sources] class MrTextStreamingWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val iBucket = schema.fieldIndex("bucket")
+    val iKey = schema.fieldIndex("key")
+    val iValue = schema.fieldIndex("value")
+    new DataWriter[InternalRow] {
+      private val dir = new Path(new Path(path), s"epoch=$epochId")
+      private val fs = dir.getFileSystem(new Configuration())
+      fs.mkdirs(dir)
+      private val open = scala.collection.mutable.Map[Int, java.io.BufferedWriter]()
+
+      override def write(row: InternalRow): Unit = {
+        val b = row.getInt(iBucket)
+        val out = open.getOrElseUpdate(
+          b,
+          new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(new Path(dir, f"part-$b%05d-$partitionId%05d"), true),
+            java.nio.charset.StandardCharsets.UTF_8))
+        )
+        out.write(s"${row.getUTF8String(iKey)} ${row.getUTF8String(iValue)}\n")
+      }
+
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_.close())
+        MrTextCommit(open.keys.toSeq)
+      }
+      override def abort(): Unit = open.values.foreach(_.close())
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class MrTextWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {

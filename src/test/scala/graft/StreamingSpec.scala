@@ -129,6 +129,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MR sink: per-epoch snapshots, idempotent commit, reader-compatible layout") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val out = java.nio.file.Files.createTempDirectory("mr-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mr-stream-ckpt").toString
+    val q = spark.readStream
+      .format("graft.sources.EventReplay")
+      .option("path", Sf0001)
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .selectExpr(
+        "CAST(fnv1a(event_type) % 4 AS INT) AS bucket",
+        "event_type AS key",
+        "CAST(event_id AS STRING) AS value")
+      .writeStream
+      .format("graft.sources.MrTextSource")
+      .option("path", out)
+      .option("nreduce", "4")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val epochs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("epoch=")).toSeq
+    assert(epochs.length >= 3, s"paced replay must land several epochs, got ${epochs.length}")
+    epochs.foreach(e => assert(java.nio.file.Files.exists(e.resolve("_SUCCESS"))))
+    // every epoch dir is itself a readable MR sink; the union is the corpus exactly once
+    val all = epochs.flatMap { e =>
+      spark.read.format("graft.sources.MrTextSource").option("path", e.toString).load()
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    }
+    val corpus = graft.operators.Tables.events(spark, Sf0001)
+      .selectExpr("event_type", "CAST(event_id AS STRING)").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(all.map(t => (t._2, t._3)).sorted === corpus.toSeq.sorted)
+    all.foreach { case (b, k, _) => assert(b === graft.functions.Fnv1a.hash(k) % 4) }
+  }
+
   test("stateful streaming sessionization: closed sessions match batch, state spans batches") {
     import spark.implicits._
     // split events into two time-ordered parquet files -> two
