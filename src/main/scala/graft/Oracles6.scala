@@ -1008,6 +1008,36 @@ object Oracles6 {
       |FROM a x JOIN a y ON x.vec_id = y.vec_id AND y.i >= x.i
       |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors SimilarityOps.pcaPower: the same Gram rows, the same
+    * sequential folds (list_sum == Spark's aggregate() left fold, the
+    * dotSql contract), unrolled fixed rounds, MATERIALIZED per round.
+    */
+  val pcaPower: String = {
+    import graft.operators.SimilarityOps.PcaRounds
+    val rounds = (1 to PcaRounds)
+      .map { r =>
+        s"""y$r AS MATERIALIZED (
+           | SELECT i, list_sum(list_transform(list_zip(grow, xs), p -> p[1] * p[2])) AS y
+           | FROM grows, x${r - 1}),
+           |n$r AS MATERIALIZED (
+           | SELECT sqrt(list_sum(list_transform(ya, v -> v * v))) AS nrm, ya
+           | FROM (SELECT array_agg(y ORDER BY i) AS ya FROM y$r)),
+           |x$r AS MATERIALIZED (SELECT list_transform(ya, v -> v / nrm) AS xs FROM n$r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH g AS MATERIALIZED ($gramMatrix),
+       |full_g AS MATERIALIZED (
+       | SELECT i, j, gram FROM g
+       | UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
+       |grows AS MATERIALIZED (
+       | SELECT i, array_agg(gram ORDER BY j) AS grow FROM full_g GROUP BY 1),
+       |x0 AS MATERIALIZED (SELECT list_transform(range(64), t -> 0.125) AS xs),
+       |$rounds
+       |SELECT CAST(t.i AS BIGINT) AS i, xs[t.i + 1] AS loading,
+       | (SELECT nrm FROM n$PcaRounds) AS lambda
+       |FROM x$PcaRounds, generate_series(0, 63) t(i)""".stripMargin
+  }
+
   /** Mirrors TextOps.qualityGate: the quality_score ratio CTEs + the
     * consonant-run regexp + the additive reason bitmask.
     */

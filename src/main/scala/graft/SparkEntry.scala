@@ -212,6 +212,7 @@ object SparkEntry {
     "linear_attribution" -> EventOps.linearAttribution,
     "quality_gate" -> TextOps.qualityGate,
     "gram_matrix" -> SimilarityOps.gramMatrix,
+    "pca_power" -> SimilarityOps.pcaPower,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -987,6 +988,7 @@ object SparkEntry {
     "linear_attribution" -> Oracles6.linearAttribution,
     "quality_gate" -> Oracles6.qualityGate,
     "gram_matrix" -> Oracles6.gramMatrix,
+    "pca_power" -> Oracles6.pcaPower,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -781,6 +781,57 @@ object SimilarityOps {
       .agg(RelationalOps.xsum(col("vi") * col("vj")).as("gram"))
   }
 
+  val PcaRounds = 48
+
+  /** Top principal component by POWER ITERATION on the distributed
+    * Gram matrix — the eigen-solver shape every PCA/spectral pipeline
+    * runs at scale: G's rows stay distributed (dims² cells; at real
+    * width that's the big object), the iterate x broadcasts as a
+    * 64-literal array, and each round is one map (`aggregate(zip_with(
+    * grow, x))` — Spark's sequential left-fold HOF, the same fold
+    * contract as VecDot/list_sum, so float parity holds) plus one
+    * bounded 64-row collect for the normalization (the BPE merge-rule
+    * pattern: per-round driver state is the ITERATE, never data).
+    * Fixed `PcaRounds` rounds, x0 = 1/8 uniform — the kcore/pagerank
+    * determinism contract (the spec asserts the Rayleigh quotient has
+    * actually stabilized on this corpus). Output: the 64 loadings and
+    * the eigenvalue estimate λ = ‖G·x‖ from the last round.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = gramMatrix(spark, dir)
+    val full = g.unionByName(
+      g.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram"))
+    )
+    val rows = full
+      .groupBy(col("i"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, gram))), p -> p.gram)").as("grow"))
+      // 64 rows here: collapse to one task so each of the many tiny
+      // rounds is a single fast stage (at real width, stay partitioned)
+      .coalesce(1)
+      .localCheckpoint()
+    var x: Array[Double] = Array.fill(Dim)(0.125)
+    var lambda = 0.0
+    for (_ <- 1 to PcaRounds) {
+      val xLit = array(x.map(lit(_)): _*)
+      val yRows = rows
+        .withColumn("xs", xLit)
+        .select(col("i"),
+          expr("aggregate(zip_with(grow, xs, (a, b) -> a * b), 0D, (acc, v) -> acc + v)").as("y"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getDouble(1))
+      // sequential i-ascending norm fold — mirrored by the oracle's list_sum
+      lambda = math.sqrt(yRows.foldLeft(0.0)((acc, v) => acc + v * v))
+      x = yRows.map(_ / lambda)
+    }
+    x.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, lambda) }
+      .toSeq
+      .toDF("i", "loading", "lambda")
+  }
+
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val kdf = spark.range(0, 4)

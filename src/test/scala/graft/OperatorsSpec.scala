@@ -187,6 +187,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("max_price") === li.map(_.getAs[Double]("l_extendedprice")).max)
   }
 
+  test("pca power: unit-norm loadings, converged eigenpair of the exact Gram matrix") {
+    val vecs = Tables.embeddings(spark, Sf0001).collect().map(_.getSeq[Float](1).toArray)
+    // exact dense Gram, independently recomputed
+    val g = Array.tabulate(64, 64) { (i, j) =>
+      vecs.map(v => v(i).toDouble * v(j).toDouble).sum
+    }
+    val rows = SimilarityOps.pcaPower(spark, Sf0001).collect().sortBy(_.getLong(0))
+    assert(rows.length === 64)
+    val x = rows.map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    assert(rows.forall(r => r.getDouble(2) === lambda))
+    assert(math.abs(math.sqrt(x.map(v => v * v).sum) - 1.0) < 1e-12, "unit norm")
+    // eigenpair residual: ||G x - lambda x|| should be small vs lambda
+    val gx = g.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(gx.zip(x).map { case (y, xi) => (y - lambda * xi) * (y - lambda * xi) }.sum)
+    assert(resid / lambda < 0.02, s"power iteration not converged: resid/lambda = ${resid / lambda}")
+    assert(lambda > 0.0)
+  }
+
   test("gram matrix: upper triangle matches a sequential outer-product fold; diagonal = norms") {
     val vecs = Tables.embeddings(spark, Sf0001)
       .collect().map(_.getSeq[Float](1).toArray)
