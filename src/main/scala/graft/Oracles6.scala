@@ -1012,7 +1012,10 @@ object Oracles6 {
     * sequential folds (list_sum == Spark's aggregate() left fold, the
     * dotSql contract), unrolled fixed rounds, MATERIALIZED per round.
     */
-  val pcaPower: String = {
+  /** The shared fit chain (Gram, full mirror, row arrays, unrolled
+    * power rounds) ending at x<PcaRounds>.
+    */
+  private def pcaChain: String = {
     import graft.operators.SimilarityOps.PcaRounds
     val rounds = (1 to PcaRounds)
       .map { r =>
@@ -1025,17 +1028,39 @@ object Oracles6 {
            |x$r AS MATERIALIZED (SELECT list_transform(ya, v -> v / nrm) AS xs FROM n$r)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH g AS MATERIALIZED ($gramMatrix),
+    s"""g AS MATERIALIZED ($gramMatrix),
        |full_g AS MATERIALIZED (
        | SELECT i, j, gram FROM g
        | UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
        |grows AS MATERIALIZED (
        | SELECT i, array_agg(gram ORDER BY j) AS grow FROM full_g GROUP BY 1),
        |x0 AS MATERIALIZED (SELECT list_transform(range(64), t -> 0.125) AS xs),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val pcaPower: String = {
+    import graft.operators.SimilarityOps.PcaRounds
+    s"""WITH $pcaChain
        |SELECT CAST(t.i AS BIGINT) AS i, xs[t.i + 1] AS loading,
        | (SELECT nrm FROM n$PcaRounds) AS lambda
        |FROM x$PcaRounds, generate_series(0, 63) t(i)""".stripMargin
+  }
+
+  /** Mirrors SimilarityOps.pcaScores: project every embedding with the
+    * same sequential fold, per-label decimal-exact report.
+    */
+  val pcaScores: String = {
+    import graft.operators.SimilarityOps.PcaRounds
+    s"""WITH $pcaChain,
+       |scored AS (
+       | SELECT label,
+       |  list_sum(list_transform(list_zip(embedding, xs),
+       |    p -> CAST(p[1] AS DOUBLE) * p[2])) AS score
+       | FROM embeddings, x$PcaRounds)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       | CAST(CAST(SUM(CAST(score AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS score_sum,
+       | MIN(score) AS score_min, MAX(score) AS score_max
+       |FROM scored GROUP BY 1""".stripMargin
   }
 
   /** Mirrors TextOps.qualityGate: the quality_score ratio CTEs + the

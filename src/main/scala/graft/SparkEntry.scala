@@ -213,6 +213,7 @@ object SparkEntry {
     "quality_gate" -> TextOps.qualityGate,
     "gram_matrix" -> SimilarityOps.gramMatrix,
     "pca_power" -> SimilarityOps.pcaPower,
+    "pca_scores" -> SimilarityOps.pcaScores,
     "ann_topk_ivf" -> SimilarityOps.ivfLabelTopK,
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
@@ -989,6 +990,7 @@ object SparkEntry {
     "quality_gate" -> Oracles6.qualityGate,
     "gram_matrix" -> Oracles6.gramMatrix,
     "pca_power" -> Oracles6.pcaPower,
+    "pca_scores" -> Oracles6.pcaScores,
     "return_lift" -> Oracles5.returnLift,
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,

@@ -799,6 +799,15 @@ object SimilarityOps {
     */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (x, lambda) = pcaFit(spark, dir)
+    x.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, lambda) }
+      .toSeq
+      .toDF("i", "loading", "lambda")
+  }
+
+  /** The shared fit loop: returns (component, eigenvalue estimate). */
+  private def pcaFit(spark: SparkSession, dir: String): (Array[Double], Double) = {
     val g = gramMatrix(spark, dir)
     val full = g.unionByName(
       g.filter(col("i") =!= col("j"))
@@ -826,10 +835,34 @@ object SimilarityOps {
       lambda = math.sqrt(yRows.foldLeft(0.0)((acc, v) => acc + v * v))
       x = yRows.map(_ / lambda)
     }
-    x.zipWithIndex
-      .map { case (v, i) => (i.toLong, v, lambda) }
-      .toSeq
-      .toDF("i", "loading", "lambda")
+    (x, lambda)
+  }
+
+  /** Fit → TRANSFORM: every embedding projected onto the learned top
+    * component (the same sequential fold as the fit's matvec), then a
+    * per-label distribution report — n, decimal-exact score sum, IEEE
+    * min/max. The composition every feature pipeline runs: learn the
+    * projection on the corpus, apply it to the corpus, sanity-check
+    * the result per class. One pass over embeddings, one 10-group agg.
+    */
+  def pcaScores(spark: SparkSession, dir: String): DataFrame = {
+    val (x, _) = pcaFit(spark, dir)
+    val xLit = array(x.map(lit(_)): _*)
+    emb(spark, dir)
+      .withColumn("xs", xLit)
+      .select(
+        col("label"),
+        expr(
+          "aggregate(zip_with(embedding, xs, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, v) -> acc + v)")
+          .as("score")
+      )
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        RelationalOps.xsum(col("score")).as("score_sum"),
+        min(col("score")).as("score_min"),
+        max(col("score")).as("score_max")
+      )
   }
 
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {

@@ -206,6 +206,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lambda > 0.0)
   }
 
+  test("pca scores: per-label projection masses match a sequential recompute") {
+    val comp = SimilarityOps.pcaPower(spark, Sf0001).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .collect().map(r => (r.getInt(2), r.getSeq[Float](1).toArray))
+    val rows = SimilarityOps.pcaScores(spark, Sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === vecs.length.toLong)
+    rows.foreach { r =>
+      val mine = vecs.filter(_._1 == r.getLong(0))
+        .map { case (_, v) =>
+          v.zip(comp).foldLeft(0.0) { case (acc, (a, b)) => acc + a.toDouble * b }
+        }
+      assert(r.getLong(1) === mine.length.toLong)
+      val exact = mine.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(r.getDouble(2) - exact.toDouble) < 1e-9)
+      assert(r.getDouble(3) === mine.min && r.getDouble(4) === mine.max)
+    }
+  }
+
   test("gram matrix: upper triangle matches a sequential outer-product fold; diagonal = norms") {
     val vecs = Tables.embeddings(spark, Sf0001)
       .collect().map(_.getSeq[Float](1).toArray)
