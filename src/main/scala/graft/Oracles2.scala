@@ -455,12 +455,16 @@ object Oracles2 {
       |GROUP BY train_doc""".stripMargin
 
   /** Mirrors TextOps.seqPacking: BPE-ish token counts, per-source
-    * doc_id-ordered cumsum, integer-division bin ids.
+    * doc_id-ordered cumsum, integer-division bin ids. The tokenizer
+    * sanitizes to printable ASCII first and uses only explicit ASCII
+    * classes — no `\s`/`\p{L}`, whose meaning shifts with the regex
+    * engine's Unicode-table vintage (see TextOps.packAssign).
     */
   val seqPacking: String =
     """WITH d AS (
       | SELECT doc_id, source,
-      |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]')) AS BIGINT) AS n_tokens
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
       | FROM documents),
       |c AS (
       | SELECT doc_id, source, n_tokens,

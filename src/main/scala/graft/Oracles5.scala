@@ -269,7 +269,7 @@ object Oracles5 {
     */
   val winsorizedStats: String =
     """WITH b AS (
-      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb, COUNT(*) AS cnt
+      | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb, COUNT(*) AS cnt
       | FROM events GROUP BY 1, 2),
       |c AS (
       | SELECT event_type, vb, cnt,
@@ -300,7 +300,7 @@ object Oracles5 {
     */
   val quantileNormalize: String =
     """WITH ev AS (
-      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb FROM events),
+      | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
       |sb AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
       |src AS (
       | SELECT event_type, vb, cnt,
@@ -839,7 +839,7 @@ object Oracles5 {
     */
   val ksDrift: String =
     """WITH ev AS (
-      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vb FROM events),
+      | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
       |bins AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
       |c AS (
       | SELECT event_type, vb, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb

@@ -894,13 +894,14 @@ object Oracles6 {
       |GROUP BY 1, 2""".stripMargin
 
   /** Mirrors EventOps.tvdDrift: integer epoch-µs midpoint split,
-    * centi-value bins, cross-multiplied |c0·n1 − c1·n0| numerator,
-    * one trailing IEEE division.
+    * exact decimal centi-value bins, cross-multiplied |c0·n1 − c1·n0|
+    * numerator, one trailing IEEE division. Totals roll up from the
+    * bin counts, mirroring the engine's single events scan.
     */
   val tvdDrift: String =
     """WITH e AS (
       | SELECT event_type, epoch_us(ts) AS us,
-      |  CAST(floor(value * 100) AS BIGINT) AS vb
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb
       | FROM events),
       |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
       |f AS (SELECT event_type, vb,
@@ -911,9 +912,9 @@ object Oracles6 {
       |       SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1
       |      FROM f GROUP BY 1, 2),
       |t AS (SELECT event_type,
-      |       SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n_first,
-      |       SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n_second
-      |      FROM f GROUP BY 1)
+      |       CAST(SUM(c0) AS BIGINT) AS n_first,
+      |       CAST(SUM(c1) AS BIGINT) AS n_second
+      |      FROM b GROUP BY 1)
       |SELECT event_type, n_first, n_second,
       | CAST(SUM(ABS(c0 * n_second - c1 * n_first)) AS BIGINT) AS tvd_scaled,
       | COUNT(*) AS n_bins,

@@ -641,7 +641,8 @@ object SparkEntry {
     "pack_offsets" ->
       """WITH d AS (
         | SELECT doc_id, source,
-        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]')) AS BIGINT) AS n_tokens
+        |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
         | FROM documents),
         |c AS (
         | SELECT doc_id, source, n_tokens,

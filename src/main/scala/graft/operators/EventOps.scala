@@ -21,6 +21,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
+  /** Exact centi-value bin: `value` is a 2-decimal quantity, so the
+    * bin is the benford_profile derivation — double → DECIMAL(18,2)
+    * (a rounding both engines place on the decimal grid the value was
+    * generated on, never near a tie) → exact ×100 → BIGINT. NOT
+    * `floor(value*100)`: the double for x.yz is within 1e-13 of the
+    * grid point, so floor of the IEEE product sits within one ulp of
+    * an integer boundary for thousands of rows, and any engine pair
+    * that folds, fuses, or FMAs the multiply differently flips bins
+    * (the tvd_drift driver-gate red of round 3).
+    */
+  private val centiValue: Column =
+    expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
   /** Floor division of the ns timestamp by d — Spark's DIV truncates
     * toward zero, the DuckDB oracle's date_trunc///// floor; they only
     * differ for pre-1970 timestamps, but the operator should not
@@ -784,7 +797,7 @@ object EventOps {
   }
 
   /** Winsorized per-type value stats WITHOUT a global sort: values bin
-    * to a fixed centi-grid (floor(v*100), exact in IEEE), the p05/p95
+    * to a fixed centi-grid (exact decimal centi-units), the p05/p95
     * cut bins come from a running below-count over DISTINCT bins only
     * (the window input is |value range|×100 rows per type at any
     * corpus size, not |events|), and the winsorized mean is an exact
@@ -796,7 +809,7 @@ object EventOps {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val bins = Tables
       .events(spark, dir)
-      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+      .select(col("event_type"), centiValue.as("vb"))
       .groupBy(col("event_type"), col("vb"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window
@@ -850,7 +863,7 @@ object EventOps {
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(spark, dir)
-      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+      .select(col("event_type"), centiValue.as("vb"))
     val sb = ev.groupBy(col("event_type"), col("vb")).agg(count(lit(1)).as("cnt"))
     val wS = Window
       .partitionBy(col("event_type"))
@@ -1266,7 +1279,7 @@ object EventOps {
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(spark, dir)
-      .select(col("event_type"), floor(col("value") * 100).cast("long").as("vb"))
+      .select(col("event_type"), centiValue.as("vb"))
     val bins = ev
       .groupBy(col("event_type"), col("vb"))
       .agg(count(lit(1)).as("cnt"))
@@ -2276,7 +2289,7 @@ object EventOps {
     val ev = Tables
       .events(spark, dir)
       .select(col("event_type"), expr("ts DIV 1000").as("us"),
-        floor(col("value") * 100).cast("long").as("vb"))
+        centiValue.as("vb"))
     val mid = ev
       .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
       .select(expr("(mn + mx) DIV 2").as("mid")) // exact integer midpoint (all-positive epochs)
@@ -2289,11 +2302,15 @@ object EventOps {
         sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1")
       )
-    val totals = flagged
+    // totals roll up from the bin counts — the events scan is NOT
+    // re-aggregated a second time (round-3 verdict: the double scan
+    // was 2x the corpus read at scale for a value derivable from
+    // `binned`, which is bin-bounded, not corpus-bounded).
+    val totals = binned
       .groupBy(col("event_type"))
       .agg(
-        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_first"),
-        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_second")
+        sum(col("c0")).as("n_first"),
+        sum(col("c1")).as("n_second")
       )
     binned
       .join(broadcast(totals), Seq("event_type"))

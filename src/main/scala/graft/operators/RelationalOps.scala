@@ -698,7 +698,9 @@ object RelationalOps {
     * oracle asserts the same claims as TRUE literals — the hash gate
     * then fails iff a sketch ever leaves its error envelope.
     *   - HLL (rsd 0.05 default): |approx−exact| ≤ 15% of exact (3σ);
-    *   - approx_percentile (accuracy 10000, rank error ≤ N/10⁴): the
+    *   - approx_percentile (accuracy 2000, rank error ≤ N/2000 — a
+    *     10x margin under the certificate's ±0.005, for a 5x smaller
+    *     quantile summary than the 10000 default): the
     *     claim is checked in RANK space — the count of rows ≤ the
     *     returned value must put it within ±0.005 of the requested
     *     quantile (duplicate-safe: ≤-counts bound the rank from below,
@@ -728,7 +730,7 @@ object RelationalOps {
     // both requested quantiles
     val pcts = li
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("ap_arr"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 2000)").as("ap_arr"))
       .select(col("l_returnflag"), col("ap_arr")(0).as("p50"), col("ap_arr")(1).as("p95"))
     // rank check: broadcast the 6-row sketch results back over the
     // fact and count rows on each side of the sketch values

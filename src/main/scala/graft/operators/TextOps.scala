@@ -872,6 +872,17 @@ object TextOps {
   /** Per-doc packing assignment (shared by seqPacking's bin report and
     * packOffsets' manifest): cumulative token start per source, bin =
     * start div budget.
+    *
+    * The BPE-ish token count is deliberately free of `\s` / `\p{L}`:
+    * those classes are defined by the regex engine's Unicode-table
+    * vintage (Java's `\s` includes \x0B, RE2's doesn't; `\p{L}` moves
+    * with the bundled Unicode version), so an oracle running on a
+    * different engine build can disagree on exotic input. Instead,
+    * anything outside printable ASCII is first mapped to a space (one
+    * replacement per UTF-16 unit or per code point both erase the
+    * whole character, so engines agree on the result string), and the
+    * tokenizer itself uses only explicit ASCII classes that mean the
+    * same thing in every engine ever shipped.
     */
   private def packAssign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -880,7 +891,13 @@ object TextOps {
       .select(
         col("doc_id"),
         col("source"),
-        size(regexp_extract_all(col("text"), lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]"), lit(0)))
+        size(
+          regexp_extract_all(
+            regexp_replace(col("text"), "[^ -~]", " "),
+            lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"),
+            lit(0)
+          )
+        )
           .cast("bigint")
           .as("n_tokens")
       )
@@ -1231,9 +1248,15 @@ object TextOps {
     * the "diversity collapse" detector run over generated or scraped
     * corpora (a source whose TTR craters is template spam or model
     * output). Exact integer counts; the ratio is ppm integer division.
-    * Per level: one (source, gram) partial-agg shuffle collapses the
-    * gram stream map-side, then a per-source rollup — gram strings
-    * never fan out wider than the distinct-gram set.
+    *
+    * ONE corpus scan for all three levels (the round-3 board's
+    * slowest query re-read and re-tokenized the corpus per level):
+    * each document tokenizes once, emits its 1/2/3-gram arrays
+    * side by side, and a single explode feeds one (source, n, gram)
+    * partial-agg shuffle that collapses the gram stream map-side —
+    * gram strings never fan out wider than the distinct-gram set,
+    * and the shuffle volume is the same three level streams, just
+    * carried in one exchange instead of three scans.
     */
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -1241,24 +1264,31 @@ object TextOps {
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"), tokens(lower(col("text"))).as("toks"))
-    def level(n: Int): DataFrame =
-      base
-        .select(
-          col("source"),
-          explode(graft.functions.VectorExpressions.wordNgrams(col("toks"), lit(n))).as("g")
-        )
-        .groupBy(col("source"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"))
-        .select(
-          col("source"),
-          lit(n.toLong).as("n"),
-          col("types"),
-          col("tokens"),
-          expr("(types * 1000000) div tokens").as("ttr_ppm")
-        )
-    level(1).unionAll(level(2)).unionAll(level(3))
+    val grams = base
+      .select(
+        col("source"),
+        explode(
+          array((1 to 3).map { n =>
+            struct(
+              lit(n.toLong).as("n"),
+              graft.functions.VectorExpressions.wordNgrams(col("toks"), lit(n)).as("gs")
+            )
+          }: _*)
+        ).as("lv")
+      )
+      .select(col("source"), col("lv.n").as("n"), explode(col("lv.gs")).as("g"))
+    grams
+      .groupBy(col("source"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"))
+      .select(
+        col("source"),
+        col("n"),
+        col("types"),
+        col("tokens"),
+        expr("(types * 1000000) div tokens").as("ttr_ppm")
+      )
   }
 
   /** BM25 retrieval: top-10 docs for a fixed 4-term query, scored with

@@ -344,7 +344,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("tvd drift: matches a sequential recompute and stays within [0,1]") {
     val ev = Tables.events(spark, Sf0001)
-      .selectExpr("event_type", "ts DIV 1000 AS us", "CAST(floor(value * 100) AS LONG) AS vb")
+      .selectExpr("event_type", "ts DIV 1000 AS us", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS vb")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
     val rows = EventOps.tvdDrift(spark, Sf0001).collect()
@@ -1049,7 +1049,8 @@ class OperatorsSpec extends AnyFunSuite {
   test("seq packing matches a driver-side greedy packer; budget respected") {
     val perDoc = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
       .map { r =>
-        val n = "[\\p{L}]+|[0-9]|[^\\p{L}0-9\\s]".r.findAllIn(r.getString(2)).length.toLong
+        val n = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]".r
+          .findAllIn(r.getString(2).replaceAll("[^ -~]", " ")).length.toLong
         (r.getString(1), r.getLong(0), n)
       }
     val expected = perDoc.groupBy(_._1).flatMap { case (src, ds) =>
@@ -1294,7 +1295,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("pack offsets: manifest agrees with a driver-side greedy packer") {
     val toks = Tables.documents(spark, Sf0001)
       .selectExpr("doc_id", "source",
-        "CAST(size(regexp_extract_all(text, '[\\\\p{L}]+|[0-9]|[^\\\\p{L}0-9\\\\s]', 0)) AS LONG) AS n")
+        "CAST(size(regexp_extract_all(regexp_replace(text, '[^ -~]', ' '), '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) AS LONG) AS n")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val expected = toks.groupBy(_._2).flatMap { case (_, docs) =>
       var cum = 0L
@@ -2156,7 +2157,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val data = Tables.events(spark, Sf001)
       .select("event_type", "value").collect()
-      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+      .map(r => (r.getString(0), (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
     val globalSorted = data.map(_._2).sorted // global rank -> bin
     val nTotal = globalSorted.length.toLong
     rows.foreach { r =>
@@ -2249,7 +2250,7 @@ class OperatorsSpec extends AnyFunSuite {
     // driver recompute per type from raw values
     val byType = Tables.events(spark, Sf001)
       .select("event_type", "value").collect()
-      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+      .map(r => (r.getString(0), (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     rows.foreach { r =>
       val vs = byType(r.getAs[String]("event_type"))
@@ -2811,7 +2812,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = EventOps.ksDrift(spark, Sf0001).collect()
     assert(rows.nonEmpty)
     val vals = Tables.events(spark, Sf0001)
-      .select(col("event_type"), expr("CAST(floor(value * 100) AS LONG)")).collect()
+      .select(col("event_type"), expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
     val types = vals.keys.toSeq.sorted

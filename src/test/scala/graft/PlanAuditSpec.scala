@@ -409,6 +409,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("tvd drift: totals roll up from the bin counts — the (type, bin) shuffle is " +
+    "computed once and AQE reuses the stage, not a second corpus aggregation") {
+    val plan = planOf(EventOps.tvdDrift(spark, Sf0001))
+    // binned feeds both the join input and the totals rollup; the shared
+    // (event_type, vb) exchange must appear as a reused stage, so the big
+    // events aggregation runs once however large the corpus is
+    assert(plan.contains("reused") || plan.contains("ReusedExchange"), plan)
+  }
+
   test("approx-distinct rewrite: off by default, opt-in swaps COUNT DISTINCT for HLL") {
     def q: DataFrame = Tables.events(spark, Sf001)
       .groupBy(col("event_type"))
