@@ -470,7 +470,7 @@ object Oracles2 {
       | SELECT doc_id, source, n_tokens,
       |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       | FROM d)
-      |SELECT source, (cum - n_tokens) // 512 AS bin, COUNT(*) AS n_docs,
+      |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
       | CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
       | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       | CAST(SUM(n_tokens) AS BIGINT) > 512 AS overflowed

@@ -648,7 +648,7 @@ object SparkEntry {
         | SELECT doc_id, source, n_tokens,
         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
         | FROM d)
-        |SELECT doc_id, source, (cum - n_tokens) // 512 AS bin,
+        |SELECT doc_id, source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         | CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS offset_tokens,
         | n_tokens
         |FROM c""".stripMargin,

@@ -112,6 +112,18 @@ object Engine {
       })
       .map { case ((_, key), value) => s"$key $value" }
       .saveAsTextFile(outDir)
+    // Reference file-NAME parity: the reference names each reduce
+    // output `mr-out-<r>` (mr/worker.go:60-61); Hadoop's committer
+    // names the same bucket `part-0000r`. Rename after the commit —
+    // driver-side, nReduce files, and ChecksumFileSystem moves the
+    // .crc sibling along with each data file — so a directory diff
+    // against a real MR run matches name-for-name, not just
+    // byte-for-byte.
+    (0 until nReduce).foreach { r =>
+      val src = new org.apache.hadoop.fs.Path(path, f"part-$r%05d")
+      if (fs.exists(src))
+        fs.rename(src, new org.apache.hadoop.fs.Path(path, s"mr-out-$r"))
+    }
   }
 
   /** Sequential-oracle twin of `mapReduce` (mirrors

@@ -27,9 +27,11 @@ object EventOps {
     * generated on, never near a tie) → exact ×100 → BIGINT. NOT
     * `floor(value*100)`: the double for x.yz is within 1e-13 of the
     * grid point, so floor of the IEEE product sits within one ulp of
-    * an integer boundary for thousands of rows, and any engine pair
-    * that folds, fuses, or FMAs the multiply differently flips bins
-    * (the tvd_drift driver-gate red of round 3).
+    * an integer boundary for thousands of rows — any evaluation-
+    * strategy difference between engine builds flips bins. (The
+    * round-3 tvd_drift driver-gate red itself traced to the oracle
+    * emitting uncast HUGEINT totals, fixed separately; this
+    * derivation removes the floor hazard outright.)
     */
   private val centiValue: Column =
     expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -1106,7 +1108,9 @@ object EventOps {
       .select(
         col("event_type"),
         col("n"),
-        col("k").as("k_star"),
+        // BIGINT like every board integer: row_number() is int32 and an
+        // int32-vs-int64 output pair is a cross-engine hash hazard
+        col("k").cast("long").as("k_star"),
         col("ts_us"),
         col("d_c").as("d_max_c"),
         (col("cum").cast("double") / col("k").cast("double")).as("mean_before"),

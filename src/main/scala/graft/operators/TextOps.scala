@@ -1890,7 +1890,8 @@ object TextOps {
         |     ELSE array() END""".stripMargin
     var cur = types
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (k <- 1 to BpeMerges) {
+    var exhausted = false // a round with no adjacent pairs ends training
+    for (k <- 1 to BpeMerges if !exhausted) {
       val best = cur
         .withColumn("syms", split(trim(col("seq")), " "))
         .select(col("freq"), explode(expr(pairsOf)).as("pair"))
@@ -1898,16 +1899,23 @@ object TextOps {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1)
-        .collect()(0)
-      val pair = best.getString(0)
-      val Array(a, b) = pair.split(" ", 2)
-      val merged = a + b
-      merges += ((k.toLong, a, b, merged, best.getLong(1)))
-      val from = s" $pair "
-      val to = s" $merged "
-      cur = cur
-        .withColumn("seq", expr(s"replace(replace(replace(seq, '$from', '$to'), '$from', '$to'), '$from', '$to')"))
-        .localCheckpoint()
+        .collect()
+      if (best.isEmpty) exhausted = true // e.g. a corpus of single-letter types
+      else {
+        val pair = best(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        val merged = a + b
+        merges += ((k.toLong, a, b, merged, best(0).getLong(1)))
+        // Column-function replace, not SQL-string interpolation: the
+        // pair text never passes through a parser, so no symbol
+        // alphabet can break (or inject into) the merge expression
+        val from = lit(s" $pair ")
+        val to = lit(s" $merged ")
+        cur = cur
+          .withColumn("seq",
+            replace(replace(replace(col("seq"), from, to), from, to), from, to))
+          .localCheckpoint()
+      }
     }
     (merges.result(), cur)
   }

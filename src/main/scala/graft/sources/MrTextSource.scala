@@ -56,14 +56,16 @@ object MrTextSource {
     StructField("value", StringType, nullable = true)
   ))
 
-  /** Bucket files of a sink dir: batch layout (`part-00003`) and
-    * streaming-epoch layout (`part-00003-00007`, bucket-task) both
-    * parse by the leading digit run after `part-`.
+  /** Bucket files of a sink dir: the reference batch layout
+    * (`mr-out-3`, also what Engine.writeText and the batch sink emit),
+    * the Hadoop-committer layout (`part-00003`), and the
+    * streaming-epoch layout (`part-00003-00007`, bucket-task) all
+    * parse by the leading digit run after the prefix.
     */
   private[sources] def listBucketFiles(dir: String): Seq[(String, Int)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
-    val BucketName = "part-(\\d+).*".r
+    val BucketName = "(?:part|mr-out)-(\\d+).*".r
     fs.listStatus(p)
       .iterator
       .map(_.getPath)
@@ -236,14 +238,29 @@ private[sources] class MrTextAggReaderFactory(funcs: Seq[String])
             val head = new java.io.BufferedReader(
               new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
             val first = head.readLine()
-            // last line = max key, via a bounded tail read
-            val tailLen = math.min(len, 64 * 1024L).toInt
-            in.seek(len - tailLen)
-            val buf = new Array[Byte](tailLen)
-            in.readFully(len - tailLen, buf, 0, tailLen)
-            val tail = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-            val lines = tail.split("\n").filter(_.nonEmpty)
-            val last = lines.last
+            // last line = max key, via a tail read that GROWS until the
+            // window provably contains the whole final line — a fixed
+            // 64 KB cut could start mid-line (long values are legal
+            // sink data) or mid-UTF-8-character and silently return a
+            // fragment as MAX(key). Starting just after a '\n' byte is
+            // always a character boundary, so finding one fixes both.
+            var window = math.min(len, 64 * 1024L)
+            var last: String = null
+            while (last == null) {
+              val start = len - window
+              val buf = new Array[Byte](window.toInt)
+              in.readFully(start, buf, 0, window.toInt)
+              var end = buf.length // trim the file's trailing newline(s)
+              while (end > 0 && buf(end - 1) == '\n') end -= 1
+              var i = end - 1 // last '\n' strictly before the final line
+              while (i >= 0 && buf(i) != '\n') i -= 1
+              if (i >= 0)
+                last = new String(buf, i + 1, end - (i + 1),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else if (start == 0L) // whole file in window: single line
+                last = new String(buf, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+              else window = math.min(len, window * 2)
+            }
             val mn = keyOf(first)
             val mx = keyOf(last)
             row = new GenericInternalRow(
@@ -287,7 +304,8 @@ private[sources] case class MrTextPartition(file: String, bucket: Int) extends I
   * shuffle + spillable sort itself — the declarative twin of
   * Engine.writeText's repartitionAndSortWithinPartitions, with the
   * same no-in-heap-materialization property at scale. Each task then
-  * streams contiguous bucket runs into `part-<bucket>` files; the
+  * streams contiguous bucket runs into `mr-out-<bucket>` files (the
+  * reference's own names, mr/worker.go:60-61); the
   * driver commit fills in empty buckets ([0, nreduce)) and `_SUCCESS`,
   * reproducing the reference layout byte-for-byte (asserted in
   * EngineSpec against Engine.writeText's own output).
@@ -373,7 +391,7 @@ private[sources] class MrTextWrite(path: String, schema: StructType, nReduce: In
       // the reference sink materializes EVERY reduce bucket, empty ones
       // included (mr-out-N exists for all N) — reproduce that
       (0 until nReduce).filterNot(written).foreach { b =>
-        fs.create(new Path(p, f"part-$b%05d"), true).close()
+        fs.create(new Path(p, s"mr-out-$b"), true).close()
       }
       fs.create(new Path(p, "_SUCCESS"), true).close()
     }
@@ -382,7 +400,7 @@ private[sources] class MrTextWrite(path: String, schema: StructType, nReduce: In
       val p = new Path(path)
       val fs = p.getFileSystem(new Configuration())
       messages.collect { case MrTextCommit(bs) => bs }.flatten.foreach { b =>
-        fs.delete(new Path(p, f"part-$b%05d"), false)
+        fs.delete(new Path(p, s"mr-out-$b"), false)
       }
     }
   }
@@ -445,7 +463,7 @@ private[sources] class MrTextWriterFactory(path: String, schema: StructType)
           cur = b
           buckets += b
           out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            fs.create(new Path(new Path(path), f"part-$b%05d"), true),
+            fs.create(new Path(new Path(path), s"mr-out-$b"), true),
             java.nio.charset.StandardCharsets.UTF_8))
         }
         out.write(s"${row.getUTF8String(iKey)} ${row.getUTF8String(iValue)}\n")

@@ -92,9 +92,14 @@ class EngineSpec extends AnyFunSuite {
       .list(Paths.get(tmp))
       .iterator()
       .asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .map(p => p.getFileName.toString.drop(5).toInt -> Files.readAllLines(p).asScala.toSeq)
+      .filter(_.getFileName.toString.startsWith("mr-out-"))
+      .map(p => p.getFileName.toString.drop(7).toInt -> Files.readAllLines(p).asScala.toSeq)
       .toMap
+    // exact reference directory layout (mr/worker.go:60-61): every
+    // bucket file named mr-out-<r>, r in [0, nReduce), plus _SUCCESS
+    val names = Files.list(Paths.get(tmp)).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    assert(names === (0 until nReduce).map(r => s"mr-out-$r").toSet + "_SUCCESS")
     // every key is in exactly the file its FNV-1a bucket names
     // (mr/worker.go:129 Ihash(key) % nReduce), sorted within the file
     val all = byPart.toSeq.flatMap { case (part, lines) =>
@@ -174,7 +179,7 @@ class EngineSpec extends AnyFunSuite {
     graft.sources.MrTextSource.write(spark.createDataset(data), tmpB, nReduce = nReduce)
     def partFiles(dir: String): Map[String, Seq[String]] = Files
       .list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .filter(p => p.getFileName.toString.startsWith("mr-out-"))
       .filterNot(p => p.getFileName.toString.endsWith(".crc"))
       .map(p => p.getFileName.toString -> Files.readAllLines(p).asScala.toSeq)
       .toMap
@@ -225,6 +230,53 @@ class EngineSpec extends AnyFunSuite {
       .map(kv => kv.key -> kv.value)
       .toMap
     assert(result === runOracle(Apps.WordCount))
+  }
+
+  test("soak: randomized crash + stall injection on BOTH stages, repeated trials " +
+    "(test-mr.sh random-worker loop + test-mr-many.sh analogue)") {
+    // The reference soak (test-mr.sh:286-333) respawns randomly-dying
+    // workers until the job drains, and its crash plugin also STALLS
+    // (plugins/crash.go:29-34, sleep under the watcher's deadline);
+    // test-mr-many.sh loops the whole suite to flush flakes. Analogue:
+    // per trial, a seeded RNG picks map partitions AND reduce
+    // partitions to kill on attempt 0 (maxFailures=2 retries them) or
+    // to stall; every trial's output must equal the sequential oracle.
+    val want = runOracle(Apps.WordCount)
+    for (trial <- 1 to 3) {
+      val seed = 0xC0FFEE + trial
+      val faulty = new engine.MrApp {
+        def map(file: String, contents: String): Seq[KeyValue] = {
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) {
+            val rnd = new Random(seed * 1009L + tc.partitionId())
+            if (tc.attemptNumber() == 0 && rnd.nextInt(100) < 40)
+              throw new RuntimeException(s"injected map crash (trial $trial)")
+            if (rnd.nextInt(100) < 40)
+              Thread.sleep(50L + rnd.nextInt(200)) // stall under the retry deadline
+          }
+          Apps.WordCount.map(file, contents)
+        }
+        def reduce(key: String, values: Seq[String]): String = {
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) {
+            // per-PARTITION decision (same for every key in the task),
+            // so a doomed reduce task dies on its first key, once
+            val rnd = new Random(seed * 2003L + tc.partitionId())
+            if (tc.attemptNumber() == 0 && rnd.nextInt(100) < 30)
+              throw new RuntimeException(s"injected reduce crash (trial $trial)")
+            if (math.floorMod(key.hashCode, 97) == trial)
+              Thread.sleep(30L) // sparse per-key stall
+          }
+          Apps.WordCount.reduce(key, values)
+        }
+      }
+      val got = Engine
+        .run(spark, GutenbergGlob, faulty)
+        .collect()
+        .map(kv => kv.key -> kv.value)
+        .toMap
+      assert(got === want, s"trial $trial diverged from the sequential oracle")
+    }
   }
 
   test("output finality: commit marker exists before writeText returns (P6 analogue)") {
