@@ -1159,4 +1159,75 @@ object Oracles6 {
        |$rounds
        |$sel""".stripMargin
   }
+
+  /** Shared winnowing CTE chain (mirrors DedupOps.winnowed): 4-token
+    * shingle 60-bit hashes, distinct minima of every 5-wide window.
+    * Every derived integer is CAST to BIGINT (the HUGEINT-drift rule).
+    */
+  private val winnowedCte: String =
+    """toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |hs AS (SELECT doc_id,
+      |  list_transform(range(len(toks)-3),
+      |   i -> CAST(CAST(concat('0x', substr(md5(
+      |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ')), 1, 15))
+      |        AS UBIGINT) AS BIGINT)) AS hs
+      | FROM toks),
+      |fp AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+      |  list_distinct(list_transform(range(len(hs)-4),
+      |   i -> list_min(hs[CAST(i+1 AS INT):CAST(i+5 AS INT)]))) AS fps
+      | FROM hs)""".stripMargin
+
+  /** Mirrors DedupOps.winnowingFingerprints: per-doc selected-
+    * fingerprint report, min/max coalesced to -1 so the columns stay
+    * BIGINT.
+    */
+  val winnowingFingerprints: String =
+    s"""WITH $winnowedCte
+       |SELECT doc_id, n_shingles, CAST(len(fps) AS BIGINT) AS n_fps,
+       | CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp,
+       | CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp
+       |FROM fp""".stripMargin
+
+  /** Mirrors DedupOps.winnowingPairs: inverted-index join over the
+    * winnowed fingerprints, 2..50 posting cap, top-25 with the full
+    * (n_shared DESC, doc_a, doc_b) tie-break.
+    */
+  val winnowingPairs: String =
+    s"""WITH $winnowedCte,
+       |posts AS (SELECT doc_id, unnest(fps) AS fpv FROM fp),
+       |freq AS (SELECT fpv, COUNT(DISTINCT doc_id) AS nd FROM posts GROUP BY 1),
+       |alive AS (SELECT doc_id, fpv FROM posts JOIN freq USING (fpv)
+       |          WHERE nd >= 2 AND nd <= 50),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(COUNT(*) AS BIGINT) AS n_shared
+       |          FROM alive a JOIN alive b USING (fpv)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY n_shared DESC, doc_a ASC, doc_b ASC) AS rnk
+       | FROM pairs)
+       |WHERE rnk <= 25""".stripMargin
+
+  /** Mirrors TextOps.tokenBurstiness: per-(token, doc) counts, exact
+    * cross-multiplied dispersion index in ppm, top-20 by count.
+    */
+  val tokenBurstiness: String =
+    """WITH pd AS (
+      | SELECT token, doc_id, COUNT(*) AS c FROM (
+      |  SELECT doc_id,
+      |   unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '')) AS token
+      |  FROM documents)
+      | GROUP BY 1, 2),
+      |st AS (SELECT token, CAST(SUM(c) AS BIGINT) AS total_cnt,
+      |        CAST(SUM(c*c) AS BIGINT) AS sum_sq, COUNT(*) AS doc_freq
+      |       FROM pd GROUP BY 1),
+      |d AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT token, total_cnt, doc_freq, n_docs,
+      | CAST((n_docs * sum_sq - total_cnt * total_cnt) * 1000000
+      |      // (n_docs * total_cnt) AS BIGINT) AS burstiness_ppm
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY total_cnt DESC, token ASC) AS rnk
+      |      FROM st, d)
+      |WHERE rnk <= 20""".stripMargin
 }

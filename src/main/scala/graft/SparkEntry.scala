@@ -201,6 +201,9 @@ object SparkEntry {
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
     "span_dedup" -> DedupOps.spanDedup,
+    "winnowing_fingerprints" -> DedupOps.winnowingFingerprints,
+    "winnowing_pairs" -> DedupOps.winnowingPairs,
+    "token_burstiness" -> TextOps.tokenBurstiness,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -881,6 +884,9 @@ object SparkEntry {
     "window_order_gaps" -> Oracles4.orderGaps,
     "pmi_pairs" -> Oracles4.pmiPairs,
     "span_dedup" -> Oracles4.spanDedup,
+    "winnowing_fingerprints" -> Oracles6.winnowingFingerprints,
+    "winnowing_pairs" -> Oracles6.winnowingPairs,
+    "token_burstiness" -> Oracles6.tokenBurstiness,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

@@ -776,4 +776,108 @@ object DedupOps {
       }
       .reduce(_ unionAll _)
   }
+
+  /** Winnowing (the MOSS local fingerprinting scheme, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03): shingle width, window width, the
+    * hot-fingerprint posting cap, and the pair-report size.
+    */
+  val WinnowK = 4
+  val WinnowW = 5
+  val WinnowPairCap = 50L
+  val WinnowTopPairs = 25
+
+  /** Per-doc winnowed fingerprint vector: WinnowK-token shingle
+    * hashes, then the distinct minima of every WinnowW-wide window —
+    * selects ~2/(w+1) of the shingle hashes yet GUARANTEES any shared
+    * run of K+W-1 tokens contributes at least one common fingerprint
+    * (winnowing's detection guarantee; MinHash only detects in
+    * probability). 60-bit md5 prefixes keep every value an exact
+    * BIGINT in both engines.
+    */
+  private def winnowed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val hs = transform(
+      graft.functions.VectorExpressions
+        .wordNgrams(TextOps.tokens(lower(col("text"))), lit(WinnowK)),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    )
+    Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        when(
+          size(col("hs")) >= WinnowW,
+          array_distinct(
+            transform(
+              sequence(lit(0), size(col("hs")) - WinnowW),
+              i => array_min(slice(col("hs"), i + 1, lit(WinnowW)))
+            )
+          )
+        ).otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("fps")
+      )
+  }
+
+  /** Winnowing fingerprint report per document: shingle count, the
+    * (much smaller) selected-fingerprint count, and the fingerprint
+    * range. The per-doc compression ratio is the storage story — the
+    * index a plagiarism/near-dup service keeps is |fps|, not
+    * |shingles|. Scale: pure per-row array arithmetic, no shuffle at
+    * all; the min/max coalesce keeps the output columns BIGINT even
+    * for sub-window docs (NULL-bearing int columns decay to float in
+    * pandas — the HUGEINT-drift lesson).
+    */
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowed(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        size(col("fps")).cast("long").as("n_fps"),
+        coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+        coalesce(array_max(col("fps")), lit(-1L)).as("max_fp")
+      )
+
+  /** Near-dup candidate pairs via shared winnowed fingerprints: the
+    * inverted-index join over the SELECTED fingerprints only, with
+    * the usual hot-posting cap (a fingerprint shared by > cap docs is
+    * boilerplate, not evidence), top pairs by shared-fingerprint
+    * count with a full deterministic tie-break. The winnowing twin of
+    * minhash_lsh_pairs: ~1/3 the posting volume at the same shingle
+    * width, and any K+W-1-token shared run is guaranteed to surface.
+    *
+    * Scale: posting volume is Σ|fps| (winnowed, not all shingles);
+    * the self-join is bucketed by fingerprint with the cap bounding
+    * every bucket, so candidate volume is Σ min(nd, cap)² — the same
+    * no-quadratic-bucket contract as the shingle-posting joins.
+    */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val posts = winnowed(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint() // feeds the frequency cap AND both join sides
+    val alive = posts
+      .join(
+        posts
+          .groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2 && col("nd") <= WinnowPairCap),
+        Seq("fp")
+      )
+    val pairs = alive
+      .select(col("fp"), col("doc_id").as("doc_a"))
+      .join(alive.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+        )
+      )
+      .filter(col("rnk") <= WinnowTopPairs)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+  }
 }

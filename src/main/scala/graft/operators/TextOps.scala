@@ -1948,4 +1948,55 @@ object TextOps {
       )
       .withColumn("compression_ppm", expr("n_bpe_tokens * 1000000 DIV n_letters"))
   }
+
+  /** Term burstiness (the dispersion index var/mean over per-doc
+    * counts, zeros included) for the top-20 corpus tokens — Church &
+    * Gale's "burstiness": function words spread evenly (ratio ≈ 1 −
+    * mean), topical/template words clump (ratio ≫ 1). A high-count,
+    * high-burstiness token is boilerplate — the screen that catches
+    * template spam that per-doc repetition stats miss because the
+    * repetition is ACROSS docs of one template, not within one.
+    *
+    * Exactness: with D docs, per-token S1 = Σc, S2 = Σc², the
+    * population var/mean cross-multiplies to (D·S2 − S1²)·10⁶ div
+    * (D·S1) — all integer, decimal-widened so the products can't
+    * overflow at corpus scale, one floor division at the end.
+    *
+    * Scale: one (token, doc) partial-agg shuffle collapses the token
+    * stream map-side; token-type-bounded stats after that (the top-20
+    * window runs over |vocabulary| rows, not the corpus); D is a
+    * 1-row broadcast.
+    */
+  def tokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc
+      .groupBy(col("token"))
+      .agg(
+        sum(col("c")).as("total_cnt"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        count(lit(1)).as("doc_freq")
+      )
+    stats
+      .crossJoin(broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(col("total_cnt").desc, col("token").asc))
+      )
+      .filter(col("rnk") <= 20)
+      .select(
+        col("token"),
+        col("total_cnt"),
+        col("doc_freq"),
+        col("n_docs"),
+        expr(
+          """CAST(((CAST(n_docs AS DECIMAL(38,0)) * sum_sq -
+            |       CAST(total_cnt AS DECIMAL(38,0)) * total_cnt) * 1000000)
+            |     div (CAST(n_docs AS DECIMAL(38,0)) * total_cnt) AS BIGINT)""".stripMargin
+        ).as("burstiness_ppm")
+      )
+  }
 }

@@ -3921,4 +3921,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(900L).getAs[Long]("n_edges") <= rows(800L).getAs[Long]("n_edges"))
     assert(rows(800L).getAs[Long]("max_component") <= rows(700L).getAs[Long]("max_component"))
   }
+
+  /** Driver-side winnowing recompute shared by both winnowing specs. */
+  private def winnowDriver(): Map[Long, (Long, Set[Long])] = {
+    def fp60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    Tables.documents(spark, Sf0001).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val hs = toks.sliding(DedupOps.WinnowK).filter(_.length == DedupOps.WinnowK)
+        .map(g => fp60(g.mkString(" "))).toArray
+      val fps = hs.sliding(DedupOps.WinnowW).filter(_.length == DedupOps.WinnowW)
+        .map(_.min).toSet
+      r.getLong(0) -> (hs.length.toLong, fps)
+    }.toMap
+  }
+
+  test("winnowing fingerprints: exact driver recompute; selection is sparse but non-empty") {
+    val want = winnowDriver()
+    val got = DedupOps.winnowingFingerprints(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (nSh, nFp, mn, mx)) =>
+      val (wSh, wFps) = want(id)
+      assert(nSh === wSh, s"doc $id shingles")
+      assert(nFp === wFps.size.toLong, s"doc $id fps")
+      assert(mn === (if (wFps.isEmpty) -1L else wFps.min), s"doc $id min")
+      assert(mx === (if (wFps.isEmpty) -1L else wFps.max), s"doc $id max")
+      // winnowing selects a strict subset of the shingle stream; for
+      // any doc spanning >= 2 windows the selection is sparse
+      if (wSh >= 2L * DedupOps.WinnowW) assert(nFp < wSh)
+    }
+    assert(got.values.exists(_._2 > 0), "non-vacuous: some doc has fingerprints")
+  }
+
+  test("winnowing pairs: top-25 matches a driver-side posting join with the 2..50 cap") {
+    val fps = winnowDriver().view.mapValues(_._2).toMap
+    val posts = fps.toSeq.flatMap { case (id, s) => s.map(f => (f, id)) }
+    val byFp = posts.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+      .filter { case (_, ds) => ds.size >= 2 && ds.size <= DedupOps.WinnowPairCap }
+    val pairCnt = byFp.values.toSeq
+      .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = pairCnt.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(DedupOps.WinnowTopPairs)
+      .map { case ((a, b), n) => (a, b, n) }
+      .toSet
+    val got = DedupOps.winnowingPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "non-vacuous at sf0.001")
+  }
+
+  test("token burstiness: exact dispersion recompute, top-20 by count") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val d = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).map(w => (w, id))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byTok = perDoc.groupBy(_._1._1).view.mapValues(_.values.toSeq).toMap
+    val want = byTok.view.map { case (tok, cs) =>
+      val s1 = cs.sum; val s2 = cs.map(c => c * c).sum
+      tok -> (s1, cs.length.toLong, (BigInt(d) * s2 - BigInt(s1) * s1) * 1000000 / (BigInt(d) * s1))
+    }.toSeq.sortBy { case (tok, (s1, _, _)) => (-s1, tok) }.take(20).toMap
+    val rows = graft.operators.TextOps.tokenBurstiness(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (s1, df, b) = want(r.getString(0))
+      assert(r.getAs[Long]("total_cnt") === s1)
+      assert(r.getAs[Long]("doc_freq") === df)
+      assert(r.getAs[Long]("n_docs") === d)
+      assert(r.getAs[Long]("burstiness_ppm") === b.toLong)
+    }
+    // dispersion sanity: an evenly spread token (df == D) has var <
+    // mean^2 regime; at least one token must clump (ppm > 1e6 - mean)
+    assert(rows.map(_.getAs[Long]("burstiness_ppm")).max > 0L)
+  }
 }
