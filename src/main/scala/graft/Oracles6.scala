@@ -1230,4 +1230,103 @@ object Oracles6 {
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY total_cnt DESC, token ASC) AS rnk
       |      FROM st, d)
       |WHERE rnk <= 20""".stripMargin
+
+  /** Mirrors TextOps.paddingWaste: the packing family's ASCII-only
+    * tokenizer, per-source batches of 8 under doc_id vs length order,
+    * per-batch pad-to-max, floor-div ppm waste.
+    */
+  val paddingWaste: String =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |naive AS (
+      | SELECT source, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8
+      |         AS batch, n_tokens
+      | FROM d),
+      |srt AS (
+      | SELECT source,
+      |  (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) - 1) // 8
+      |         AS batch, n_tokens
+      | FROM d),
+      |nb AS (SELECT source, batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS sm
+      |       FROM naive GROUP BY 1, 2),
+      |sb AS (SELECT source, batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS sm
+      |       FROM srt GROUP BY 1, 2),
+      |agg AS (
+      | SELECT source, 'naive' AS strategy, COUNT(*) AS n_batches,
+      |  CAST(SUM(sm) AS BIGINT) AS total_tokens, CAST(SUM(bn * mx) AS BIGINT) AS padded_tokens
+      | FROM nb GROUP BY 1
+      | UNION ALL
+      | SELECT source, 'sorted' AS strategy, COUNT(*) AS n_batches,
+      |  CAST(SUM(sm) AS BIGINT) AS total_tokens, CAST(SUM(bn * mx) AS BIGINT) AS padded_tokens
+      | FROM sb GROUP BY 1)
+      |SELECT source, strategy, n_batches, total_tokens, padded_tokens,
+      | CAST((padded_tokens - total_tokens) * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
+      |FROM agg""".stripMargin
+
+  /** Mirrors TextOps.weightedSample: 32-bit md5 coin over the doc id,
+    * int64 priority (coin·10⁸) // (n_chars+1), 5 smallest per source.
+    */
+  val weightedSample: String =
+    """WITH p AS (
+      | SELECT source, doc_id, n_chars,
+      |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |    * 100000000 // (n_chars + 1) AS BIGINT) AS priority
+      | FROM documents)
+      |SELECT source, rank, doc_id, n_chars, priority FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |   ORDER BY priority ASC, doc_id ASC) AS rank
+      | FROM p)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Mirrors DedupOps.ngramDupRate: sliding 8-token grams, 60-bit md5
+    * fingerprints, per-source distinct/singleton/excess-occurrence
+    * rollup in exact integers.
+    */
+  val ngramDupRate: String =
+    """WITH toks AS (
+      | SELECT source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT source,
+      |  unnest(list_transform(range(len(toks)-7),
+      |   i -> CAST(CAST(concat('0x', substr(md5(
+      |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
+      |        AS UBIGINT) AS BIGINT))) AS fp
+      | FROM toks WHERE len(toks) >= 8),
+      |c AS (SELECT source, fp, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_grams,
+      |        COUNT(*) AS distinct_grams,
+      |        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_grams
+      |      FROM c GROUP BY 1)
+      |SELECT source, total_grams, distinct_grams, singleton_grams,
+      | CAST((total_grams - distinct_grams) * 1000000 // total_grams AS BIGINT) AS dup_ppm
+      |FROM r""".stripMargin
+
+  /** Mirrors EventOps.kAnonymity: QI = (event_type, epoch-hour mod 24,
+    * decimal centi-value // 5000), k = distinct users per class,
+    * per-type risk rollup at the k<5 line.
+    */
+  val kAnonymity: String =
+    """WITH q AS (
+      | SELECT event_type,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
+      |  user_id
+      | FROM events),
+      |cls AS (
+      | SELECT event_type, hour_of_day, value_band,
+      |  COUNT(DISTINCT user_id) AS k, COUNT(*) AS n_rows
+      | FROM q GROUP BY 1, 2, 3)
+      |SELECT event_type, COUNT(*) AS n_classes, CAST(MIN(k) AS BIGINT) AS min_k,
+      | CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+      | CAST(SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS risky_rows,
+      | CAST(SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END) * 1000000
+      |      // SUM(n_rows) AS BIGINT) AS suppress_ppm
+      |FROM cls GROUP BY 1""".stripMargin
 }

@@ -204,6 +204,10 @@ object SparkEntry {
     "winnowing_fingerprints" -> DedupOps.winnowingFingerprints,
     "winnowing_pairs" -> DedupOps.winnowingPairs,
     "token_burstiness" -> TextOps.tokenBurstiness,
+    "ngram_dup_rate" -> DedupOps.ngramDupRate,
+    "padding_waste" -> TextOps.paddingWaste,
+    "weighted_sample" -> TextOps.weightedSample,
+    "k_anonymity" -> EventOps.kAnonymity,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -887,6 +891,10 @@ object SparkEntry {
     "winnowing_fingerprints" -> Oracles6.winnowingFingerprints,
     "winnowing_pairs" -> Oracles6.winnowingPairs,
     "token_burstiness" -> Oracles6.tokenBurstiness,
+    "ngram_dup_rate" -> Oracles6.ngramDupRate,
+    "padding_waste" -> Oracles6.paddingWaste,
+    "weighted_sample" -> Oracles6.weightedSample,
+    "k_anonymity" -> Oracles6.kAnonymity,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

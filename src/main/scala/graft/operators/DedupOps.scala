@@ -880,4 +880,56 @@ object DedupOps {
       .filter(col("rnk") <= WinnowTopPairs)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
+
+  /** Per-source n-gram duplication rate — the corpus-health number a
+    * dedup pass is judged by (RefinedWeb/Gopher report exactly this
+    * curve): over all SLIDING 8-token grams of a source, how many
+    * occurrences are excess repeats of an already-seen gram. Reported
+    * as exact integers: total gram occurrences, distinct grams,
+    * singleton grams, and dup_ppm = (total − distinct)·10⁶ div total
+    * (0 ⇔ every gram unique, → 10⁶ as the source degenerates to
+    * copies). Distinctness is per source — cross-source repeats are
+    * measured by dup_by_source / containment, not here.
+    *
+    * Scale: grams come from the codegen word_ngrams expression, are
+    * hashed to 60-bit fingerprints immediately (shuffle rows carry 16
+    * bytes, never text), and the (source, fp) count agg is map-side
+    * combined; the per-source rollup then folds the fingerprint table
+    * once. No joins, no windows — scan-bound at 100 TB.
+    */
+  val DupRateN = 8
+
+  def ngramDupRate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val grams = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("source"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(TextOps.tokens(lower(col("text"))), lit(DupRateN))
+        ).as("g")
+      )
+      .select(
+        col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("fp")
+      )
+    grams
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("singleton_grams")
+      )
+      .select(
+        col("source"),
+        col("total_grams"),
+        col("distinct_grams"),
+        col("singleton_grams"),
+        expr("(total_grams - distinct_grams) * 1000000 div total_grams").as("dup_ppm")
+      )
+  }
 }

@@ -2333,4 +2333,55 @@ object EventOps {
           (lit(2.0) * col("n_first").cast("double") * col("n_second").cast("double"))
       )
   }
+
+  /** K-anonymity risk report over the event log — the governance gate
+    * a dataset must clear before release. Quasi-identifier =
+    * (event_type, hour-of-day, 50-unit value band): every class is a
+    * set of rows an attacker can't tell apart, and its k = the number
+    * of DISTINCT users inside. Per event type: class count, the
+    * minimum k (worst re-identification exposure), classes and rows
+    * below the k<5 safe-harbor line, and the floor-div ppm of rows a
+    * k≥5 release would have to suppress. Hour-of-day and the value
+    * band come from pure epoch/decimal integer arithmetic (the
+    * weekdayProfile / centiValue discipline) — no calendar function
+    * or float floor an engine pair could disagree on.
+    *
+    * Scale: one map-side-combined agg to the QI-class table (types ×
+    * 24 × bands — small), except the COUNT(DISTINCT user_id), which
+    * Spark plans as a two-phase expand+agg keyed by the QI — still
+    * one shuffle of (class, user) pairs, no row-level state. The
+    * rollup then folds classes per type. Scan-bound at 100 TB.
+    */
+  val KAnonThreshold = 5
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        (floorDiv(3600000000000L) % 24).as("hour_of_day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000").as("value_band"),
+        col("user_id")
+      )
+      .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
+      .agg(countDistinct(col("user_id")).as("k"), count(lit(1)).as("n_rows"))
+    classes
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < KAnonThreshold, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("k") < KAnonThreshold, col("n_rows")).otherwise(lit(0L)))
+          .as("risky_rows"),
+        sum(col("n_rows")).as("total_rows")
+      )
+      .select(
+        col("event_type"),
+        col("n_classes"),
+        col("min_k"),
+        col("risky_classes"),
+        col("risky_rows"),
+        expr("risky_rows * 1000000 div total_rows").as("suppress_ppm")
+      )
+  }
 }

@@ -884,6 +884,20 @@ object TextOps {
     * tokenizer itself uses only explicit ASCII classes that mean the
     * same thing in every engine ever shipped.
     */
+  /** BPE-ish token count with only explicit ASCII classes — the
+    * engine-stable tokenizer shared by the packing family and
+    * padding_waste (see packAssign's scaladoc for why `\s`/`\p{L}`
+    * are banned here).
+    */
+  private[operators] def packTokenCount(c: Column): Column =
+    size(
+      regexp_extract_all(
+        regexp_replace(c, "[^ -~]", " "),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"),
+        lit(0)
+      )
+    ).cast("bigint")
+
   private def packAssign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     Tables
@@ -891,15 +905,7 @@ object TextOps {
       .select(
         col("doc_id"),
         col("source"),
-        size(
-          regexp_extract_all(
-            regexp_replace(col("text"), "[^ -~]", " "),
-            lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"),
-            lit(0)
-          )
-        )
-          .cast("bigint")
-          .as("n_tokens")
+        packTokenCount(col("text")).as("n_tokens")
       )
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // integer div, not floor(double): bit-exact bin ids in any engine
@@ -1999,4 +2005,97 @@ object TextOps {
         ).as("burstiness_ppm")
       )
   }
+
+  /** Padding waste of length-bucketed vs arrival-order batching — the
+    * dynamic-batching readout of a training dataloader. Fixed batches
+    * of [[PadBatch]] docs are formed per source under two orderings
+    * (naive = doc_id arrival order; sorted = ascending token length);
+    * each batch pads every member to its longest doc, so
+    * padded = Σ_batch |batch|·max_len and the waste is
+    * (padded − real) / padded in floor-div ppm. Length-sorting is the
+    * standard trick that collapses padding overhead; this op measures
+    * exactly how much, per source.
+    *
+    * Scale: token counts are one corpus scan (localCheckpoint'd so
+    * the two ordering branches don't re-read); each ordering is one
+    * per-source window (the packing family's parallel unit — a
+    * 100 TB pipeline shards batching by source/file anyway, never
+    * globally), then map-side-combined per-batch and per-source
+    * rollups of ~|docs|/B groups. All emitted numbers are integers.
+    */
+  val PadBatch = 8
+
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), packTokenCount(col("text")).as("n_tokens"))
+      .localCheckpoint()
+
+    def branch(strategy: String, order: Seq[Column]): DataFrame =
+      base
+        .withColumn(
+          "batch",
+          expr(s"(${rowNumberSql(order)} - 1) div $PadBatch")
+        )
+        .groupBy(col("source"), col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("n_tokens")).as("mx"), sum(col("n_tokens")).as("sm"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("sm")).as("total_tokens"),
+          sum(col("bn") * col("mx")).as("padded_tokens")
+        )
+        .select(
+          col("source"),
+          lit(strategy).as("strategy"),
+          col("n_batches"),
+          col("total_tokens"),
+          col("padded_tokens"),
+          expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens").as("waste_ppm")
+        )
+
+    branch("naive", Seq(col("doc_id")))
+      .unionAll(branch("sorted", Seq(col("n_tokens"), col("doc_id"))))
+  }
+
+  private def rowNumberSql(order: Seq[Column]): String =
+    s"row_number() OVER (PARTITION BY source ORDER BY ${order.map(_.toString).mkString(", ")})"
+
+  /** Deterministic weighted sampling without replacement — 5 docs per
+    * source, selection probability ∝ (n_chars + 1). The A-ES
+    * exponential-race key u^(1/w) is monotone-equivalent to ranking by
+    * h/w for a fixed-size uniform hash h, and h/w order is decided
+    * here entirely in int64 — priority = (coin32 · 10⁸) div (w), with
+    * coin32 = the first 8 md5 hex digits of the doc id — so no pow/log
+    * call and no float comparison can flip a rank between engines.
+    * The same doc set falls out of ANY engine, which is what makes a
+    * sampled training mix reproducible across pipeline reruns.
+    *
+    * Scale: one scan, one per-source window over rank-5 survivors —
+    * Spark plans the rank filter as WindowGroupLimit, so each
+    * partition keeps a 5-row heap per source and the shuffle carries
+    * only candidates, not the corpus.
+    */
+  val SampleK = 5
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        expr(s"(${coinSql} * 100000000) div (n_chars + 1)").as("priority")
+      )
+      // row_number is int32; widen so the oracle's BIGINT can't drift
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= SampleK)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"), col("priority"))
+  }
+
+  private val coinSql =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
 }

@@ -4003,4 +4003,129 @@ class OperatorsSpec extends AnyFunSuite {
     // mean^2 regime; at least one token must clump (ppm > 1e6 - mean)
     assert(rows.map(_.getAs[Long]("burstiness_ppm")).max > 0L)
   }
+
+  private def packCount(text: String): Long = {
+    val ascii = text.map(c => if (c >= ' ' && c <= '~') c else ' ')
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]".r.findAllIn(ascii).length.toLong
+  }
+
+  test("padding waste: exact batch recompute; length-sorting never loses") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), packCount(r.getString(2))))
+    def wasteOf(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(TextOps.PadBatch).toSeq
+      val total = ordered.sum
+      val padded = batches.map(b => b.length * b.max).sum
+      (batches.length.toLong, total, padded)
+    }
+    val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val naive = ds.sortBy(_._1).map(_._3).toSeq
+      val sorted = ds.sortBy(d => (d._3, d._1)).map(_._3).toSeq
+      Seq((src, "naive", wasteOf(naive)), (src, "sorted", wasteOf(sorted)))
+    }.map { case (s, st, (nb, t, p)) =>
+      (s, st) -> (nb, t, p, (p - t) * 1000000L / p)
+    }.toMap
+    val rows = TextOps.paddingWaste(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nb, t, p, ppm) = want((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_batches") === nb)
+      assert(r.getAs[Long]("total_tokens") === t)
+      assert(r.getAs[Long]("padded_tokens") === p)
+      assert(r.getAs[Long]("waste_ppm") === ppm)
+    }
+    // the op's reason to exist: per source, sorted waste <= naive waste
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (_, rs) =>
+      val m = rs.map(r => r.getString(1) -> r.getAs[Long]("waste_ppm")).toMap
+      assert(m("sorted") <= m("naive"))
+    }
+  }
+
+  test("weighted sample: exact md5-race recompute, 5 per source, bigger docs win") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def coin32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._1, d._3, coin32(d._1) * 100000000L / (d._3 + 1)))
+        .sortBy(x => (x._4, x._2))
+        .take(TextOps.SampleK)
+        .zipWithIndex
+        .map { case ((s, id, nc, pr), i) => (s, i + 1L) -> (id, nc, pr) }
+    }.toMap
+    val rows = TextOps.weightedSample(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (id, nc, pr) = want((r.getString(0), r.getAs[Long]("rank")))
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Long]("n_chars") === nc)
+      assert(r.getAs[Long]("priority") === pr)
+    }
+    // weighting sanity: the sampled docs skew long — their mean length
+    // beats the corpus mean (prob ∝ n_chars+1)
+    val sampledMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean * 0.8)
+  }
+
+  test("ngram dup rate: exact sliding-8-gram recompute per source") {
+    val docs = Tables.documents(spark, Sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val grams = docs.flatMap { case (src, t) =>
+      val toks = t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      toks.sliding(DedupOps.DupRateN).filter(_.length == DedupOps.DupRateN)
+        .map(w => (src, w.mkString(" ")))
+    }
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.keys.toSeq.groupBy(_._1).map { case (src, ks) =>
+      val cs = ks.map(counts)
+      val total = cs.sum; val distinct = cs.size.toLong
+      val singles = cs.count(_ == 1L).toLong
+      src -> (total, distinct, singles, (total - distinct) * 1000000L / total)
+    }
+    val rows = DedupOps.ngramDupRate(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (t, d, s, ppm) = want(r.getString(0))
+      assert(r.getAs[Long]("total_grams") === t)
+      assert(r.getAs[Long]("distinct_grams") === d)
+      assert(r.getAs[Long]("singleton_grams") === s)
+      assert(r.getAs[Long]("dup_ppm") === ppm)
+    }
+    // the synthetic corpus draws from a tiny vocabulary: sliding
+    // 8-grams must still be overwhelmingly unique (hash space sanity)
+    assert(rows.map(_.getAs[Long]("dup_ppm")).max < 1000000L)
+  }
+
+  test("k-anonymity: exact QI-class recompute; risky rows consistent") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("value"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val classes = evs.map { case (et, ns, v, uid) =>
+      val hour = Math.floorDiv(ns, 3600000000000L) % 24
+      val band = (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong / 5000
+      ((et, hour, band), uid)
+    }.groupBy(_._1)
+    val want = classes.toSeq.groupBy(_._1._1).map { case (et, cls) =>
+      val ks = cls.map { case (_, rows) => (rows.map(_._2).distinct.size.toLong, rows.size.toLong) }
+      val totalRows = ks.map(_._2).sum
+      val risky = ks.filter(_._1 < EventOps.KAnonThreshold)
+      et -> (ks.size.toLong, ks.map(_._1).min, risky.size.toLong,
+        risky.map(_._2).sum, risky.map(_._2).sum * 1000000L / totalRows)
+    }
+    val rows = EventOps.kAnonymity(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nc, mk, rc, rr, ppm) = want(r.getString(0))
+      assert(r.getAs[Long]("n_classes") === nc)
+      assert(r.getAs[Long]("min_k") === mk)
+      assert(r.getAs[Long]("risky_classes") === rc)
+      assert(r.getAs[Long]("risky_rows") === rr)
+      assert(r.getAs[Long]("suppress_ppm") === ppm)
+    }
+  }
 }
