@@ -445,4 +445,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // nested loop is the final 1-row x 1-row census combine
     assert(p2.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p2)
   }
+
+  test("weighted sample prunes to a 5-row heap per source (WindowGroupLimit)") {
+    // rank <= K over a window must plan the group-limit pushdown: each
+    // map task keeps a K-row heap per source and the shuffle carries
+    // candidates, not the corpus — the difference between O(K·sources)
+    // and O(N) shuffle rows at 100 TB.
+    val plan = planOf(TextOps.weightedSample(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("ngram dup rate is pure scan->agg: no joins, no range partitioning") {
+    val plan = planOf(DedupOps.ngramDupRate(spark, Sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("padding waste and k-anonymity never global-sort the corpus") {
+    // both are per-source/per-class shapes: hash-partitioned windows
+    // and aggs only — a rangepartitioning exchange would mean a total
+    // sort crept in
+    val pw = planOf(TextOps.paddingWaste(spark, Sf0001))
+    assert(!pw.contains("Exchange rangepartitioning"), pw)
+    val ka = planOf(EventOps.kAnonymity(spark, Sf0001))
+    assert(!ka.contains("Exchange rangepartitioning"), ka)
+    assert(!ka.contains("Join"), ka)
+  }
 }
