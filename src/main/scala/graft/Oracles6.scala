@@ -1329,4 +1329,25 @@ object Oracles6 {
       | CAST(SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END) * 1000000
       |      // SUM(n_rows) AS BIGINT) AS suppress_ppm
       |FROM cls GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.lDiversity: same QI classes, l = distinct
+    * sensitive `$.k` prop values per class, homogeneity rollup.
+    */
+  val lDiversity: String =
+    """WITH q AS (
+      | SELECT event_type,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS sensitive
+      | FROM events),
+      |cls AS (
+      | SELECT event_type, hour_of_day, value_band,
+      |  COUNT(DISTINCT sensitive) AS l, COUNT(*) AS n_rows
+      | FROM q GROUP BY 1, 2, 3)
+      |SELECT event_type, COUNT(*) AS n_classes, CAST(MIN(l) AS BIGINT) AS min_l,
+      | CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS homogeneous_classes,
+      | CAST(SUM(CASE WHEN l = 1 THEN n_rows ELSE 0 END) AS BIGINT) AS homogeneous_rows,
+      | CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) * 1000000
+      |      // SUM(n_rows) AS BIGINT) AS low_div_ppm
+      |FROM cls GROUP BY 1""".stripMargin
 }

@@ -208,6 +208,7 @@ object SparkEntry {
     "padding_waste" -> TextOps.paddingWaste,
     "weighted_sample" -> TextOps.weightedSample,
     "k_anonymity" -> EventOps.kAnonymity,
+    "l_diversity" -> EventOps.lDiversity,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -895,6 +896,7 @@ object SparkEntry {
     "padding_waste" -> Oracles6.paddingWaste,
     "weighted_sample" -> Oracles6.weightedSample,
     "k_anonymity" -> Oracles6.kAnonymity,
+    "l_diversity" -> Oracles6.lDiversity,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

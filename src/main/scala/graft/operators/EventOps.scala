@@ -2354,15 +2354,23 @@ object EventOps {
     */
   val KAnonThreshold = 5
 
-  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
-    val classes = Tables
+  /** The QI-class projection shared by kAnonymity and lDiversity:
+    * (event_type, hour-of-day, 50-unit value band) plus the row's
+    * user and its sensitive attribute (the `$.k` prop).
+    */
+  private def qiClasses(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .events(spark, dir)
       .select(
         col("event_type"),
         (floorDiv(3600000000000L) % 24).as("hour_of_day"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000").as("value_band"),
-        col("user_id")
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("sensitive")
       )
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = qiClasses(spark, dir)
       .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
       .agg(countDistinct(col("user_id")).as("k"), count(lit(1)).as("n_rows"))
     classes
@@ -2382,6 +2390,45 @@ object EventOps {
         col("risky_classes"),
         col("risky_rows"),
         expr("risky_rows * 1000000 div total_rows").as("suppress_ppm")
+      )
+  }
+
+  /** L-diversity — k-anonymity's companion gate against ATTRIBUTE
+    * disclosure: a class can hold k≥5 distinct users yet carry one
+    * sensitive value (here the `$.k` prop), telling an attacker the
+    * attribute without identifying anyone. Per event type: the
+    * minimum l (distinct sensitive values per QI class), homogeneous
+    * classes (l = 1) and their rows, and the floor-div ppm of rows in
+    * classes below l<3 — the standard "well-represented" line.
+    *
+    * Scale: identical shape to kAnonymity — QI classes are the group
+    * key, COUNT(DISTINCT sensitive) is a two-phase expand+agg, and
+    * the rollup folds the small class table. Scan-bound at 100 TB.
+    */
+  val LDivThreshold = 3
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = qiClasses(spark, dir)
+      .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
+      .agg(countDistinct(col("sensitive")).as("l"), count(lit(1)).as("n_rows"))
+    classes
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("homogeneous_classes"),
+        sum(when(col("l") === 1, col("n_rows")).otherwise(lit(0L))).as("homogeneous_rows"),
+        sum(when(col("l") < LDivThreshold, col("n_rows")).otherwise(lit(0L)))
+          .as("low_div_rows"),
+        sum(col("n_rows")).as("total_rows")
+      )
+      .select(
+        col("event_type"),
+        col("n_classes"),
+        col("min_l"),
+        col("homogeneous_classes"),
+        col("homogeneous_rows"),
+        expr("low_div_rows * 1000000 div total_rows").as("low_div_ppm")
       )
   }
 }

@@ -4128,4 +4128,40 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("suppress_ppm") === ppm)
     }
   }
+
+  test("l-diversity: exact sensitive-distinct recompute; classes match k-anonymity") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("value"), col("props")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val classes = evs.map { case (et, ns, v, props) =>
+      val hour = Math.floorDiv(ns, 3600000000000L) % 24
+      val band = (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong / 5000
+      val sens = kRe.findFirstMatchIn(props).map(_.group(1).toLong).get
+      ((et, hour, band), sens)
+    }.groupBy(_._1)
+    val want = classes.toSeq.groupBy(_._1._1).map { case (et, cls) =>
+      val ls = cls.map { case (_, rows) => (rows.map(_._2).distinct.size.toLong, rows.size.toLong) }
+      val totalRows = ls.map(_._2).sum
+      val homog = ls.filter(_._1 == 1L)
+      val lowDiv = ls.filter(_._1 < EventOps.LDivThreshold)
+      et -> (ls.size.toLong, ls.map(_._1).min, homog.size.toLong,
+        homog.map(_._2).sum, lowDiv.map(_._2).sum * 1000000L / totalRows)
+    }
+    val rows = EventOps.lDiversity(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nc, ml, hc, hr, ppm) = want(r.getString(0))
+      assert(r.getAs[Long]("n_classes") === nc)
+      assert(r.getAs[Long]("min_l") === ml)
+      assert(r.getAs[Long]("homogeneous_classes") === hc)
+      assert(r.getAs[Long]("homogeneous_rows") === hr)
+      assert(r.getAs[Long]("low_div_ppm") === ppm)
+    }
+    // the two privacy gates partition the SAME classes: per type the
+    // class counts must agree, and l can never exceed the class's rows
+    val kRows = EventOps.kAnonymity(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_classes")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
+  }
 }
