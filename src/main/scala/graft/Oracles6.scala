@@ -1350,4 +1350,38 @@ object Oracles6 {
       | CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) * 1000000
       |      // SUM(n_rows) AS BIGINT) AS low_div_ppm
       |FROM cls GROUP BY 1""".stripMargin
+
+  /** Mirrors EventOps.mannWhitneyDrift: centi-bin counts, midrank
+    * 2·R_a accumulation per type pair, u2 = 2·U_a exact; one IEEE
+    * division for the AUC.
+    */
+  val mannWhitneyDrift: String =
+    """WITH ev AS (
+      | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
+      |bins AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+      |pairs AS (SELECT a.event_type AS type_a, a.n AS n_a, b.event_type AS type_b, b.n AS n_b
+      |          FROM tot a, tot b WHERE a.event_type < b.event_type),
+      |u AS (
+      | SELECT type_a, type_b, n_a, n_b, vb, SUM(a_v) AS a_v, SUM(b_v) AS b_v
+      | FROM (
+      |  SELECT p.type_a, p.type_b, p.n_a, p.n_b, bn.vb, bn.cnt AS a_v, 0 AS b_v
+      |  FROM bins bn JOIN pairs p ON bn.event_type = p.type_a
+      |  UNION ALL
+      |  SELECT p.type_a, p.type_b, p.n_a, p.n_b, bn.vb, 0, bn.cnt
+      |  FROM bins bn JOIN pairs p ON bn.event_type = p.type_b)
+      | GROUP BY 1, 2, 3, 4, 5),
+      |w AS (
+      | SELECT *, a_v + b_v AS m_v,
+      |  COALESCE(SUM(a_v + b_v) OVER (PARTITION BY type_a, type_b ORDER BY vb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+      | FROM u),
+      |r AS (
+      | SELECT type_a, type_b, n_a, n_b,
+      |  CAST(SUM(a_v * (2 * c_before + m_v + 1)) - n_a * (n_a + 1) AS BIGINT) AS u2_a
+      | FROM w GROUP BY 1, 2, 3, 4)
+      |SELECT type_a, type_b, n_a, n_b, u2_a,
+      | CAST(u2_a AS DOUBLE) /
+      |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
+      |FROM r""".stripMargin
 }

@@ -209,6 +209,7 @@ object SparkEntry {
     "weighted_sample" -> TextOps.weightedSample,
     "k_anonymity" -> EventOps.kAnonymity,
     "l_diversity" -> EventOps.lDiversity,
+    "mannwhitney_drift" -> EventOps.mannWhitneyDrift,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -897,6 +898,7 @@ object SparkEntry {
     "weighted_sample" -> Oracles6.weightedSample,
     "k_anonymity" -> Oracles6.kAnonymity,
     "l_diversity" -> Oracles6.lDiversity,
+    "mannwhitney_drift" -> Oracles6.mannWhitneyDrift,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

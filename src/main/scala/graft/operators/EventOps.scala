@@ -2405,6 +2405,76 @@ object EventOps {
     * key, COUNT(DISTINCT sensitive) is a two-phase expand+agg, and
     * the rollup folds the small class table. Scan-bound at 100 TB.
     */
+  /** Exact two-sample Mann–Whitney U between every pair of event
+    * types' value distributions — the rank-based drift test that
+    * complements ksDrift (KS feels the largest CDF gap; U feels a
+    * median/stochastic-dominance shift, and is THE test when the
+    * distribution shape is unknown). Ties get textbook midranks, and
+    * everything stays in integers: with combined bin counts m_v and
+    * the cumulative count C_v before bin v, an item in v has
+    * 2·midrank = 2·C_v + m_v + 1, so 2·R_a = Σ a_v·(2C_v + m_v + 1)
+    * and u2 = 2·U_a = 2·R_a − n_a(n_a+1) are exact longs (decimal-
+    * mediated products). The AUC effect size U_a/(n_a·n_b) — the
+    * probability a random A-value exceeds a random B-value — is the
+    * single IEEE division at the end; the spec checks the U_a + U_b =
+    * n_a·n_b identity that midranks guarantee.
+    *
+    * Scale: the ksDrift shape — the corpus collapses to (type,
+    * centi-bin) counts first, the pair fan-out replicates only that
+    * bounded table, the per-pair window runs over ≤ 2·bins rows.
+    */
+  def mannWhitneyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables
+      .events(spark, dir)
+      .select(col("event_type"), centiValue.as("vb"))
+      .groupBy(col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = bins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val pairs = totals
+      .select(col("event_type").as("type_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("event_type").as("type_b"), col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+    val sideA = bins
+      .join(broadcast(pairs), col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"),
+        col("cnt").as("a_v"), lit(0L).as("b_v"))
+    val sideB = bins
+      .join(broadcast(pairs), col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"),
+        lit(0L).as("a_v"), col("cnt").as("b_v"))
+    val byPair = Window
+      .partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sideA
+      .unionAll(sideB)
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("vb"))
+      .agg(sum(col("a_v")).as("a_v"), sum(col("b_v")).as("b_v"))
+      .withColumn("m_v", col("a_v") + col("b_v"))
+      .withColumn("c_before", coalesce(sum(col("m_v")).over(byPair), lit(0L)))
+      // 2·R_a accumulated per pair; all products fit DECIMAL(38,0)
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(
+          col("a_v").cast(DecimalType(38, 0)) *
+            (col("c_before").cast(DecimalType(38, 0)) * 2 + col("m_v") + 1)
+        ).cast(DecimalType(38, 0)).as("r2_a")
+      )
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        (col("r2_a") - col("n_a").cast(DecimalType(38, 0)) * (col("n_a") + 1))
+          .cast("long")
+          .as("u2_a")
+      )
+      .withColumn(
+        "auc_a",
+        col("u2_a").cast("double") / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double"))
+      )
+  }
+
   val LDivThreshold = 3
 
   def lDiversity(spark: SparkSession, dir: String): DataFrame = {

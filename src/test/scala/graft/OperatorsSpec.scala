@@ -4164,4 +4164,42 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("n_classes")).toMap
     rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
   }
+
+  test("mann-whitney: exact midrank recompute; U_a + U_b = n_a*n_b identity") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val byType = evs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val types = byType.keys.toSeq.sorted
+    def u2Of(a: Seq[Long], b: Seq[Long]): Long = {
+      val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+      // midranks over the combined sample, doubled to stay integral
+      val r2 = all.groupBy(_._1).view.mapValues(_.size).toMap
+      var c = 0L
+      var r2a = 0L
+      all.map(_._1).distinct.sorted.foreach { v =>
+        val m = r2(v).toLong
+        val aCount = a.count(_ == v).toLong
+        r2a += aCount * (2 * c + m + 1)
+        c += m
+      }
+      r2a - a.length.toLong * (a.length + 1)
+    }
+    val rows = EventOps.mannWhitneyDrift(spark, Sf0001).collect()
+    assert(rows.length === types.combinations(2).size)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (a, b) = (byType(ta), byType(tb))
+      val u2a = u2Of(a, b)
+      assert(r.getAs[Long]("n_a") === a.length.toLong)
+      assert(r.getAs[Long]("n_b") === b.length.toLong)
+      assert(r.getAs[Long]("u2_a") === u2a)
+      // the midrank identity: 2U_a + 2U_b = 2 n_a n_b, so the mirrored
+      // statistic is determined — a wrong tie treatment breaks this
+      assert(u2Of(b, a) === 2L * a.length * b.length - u2a)
+      val auc = r.getAs[Double]("auc_a")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
 }
