@@ -1384,4 +1384,43 @@ object Oracles6 {
       | CAST(u2_a AS DOUBLE) /
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
+
+  /** Mirrors EventOps.cramersV: (type, weekday, hour) cube, full
+    * margin grid per attribute pair (zero cells included),
+    * cross-multiplied per-cell floor-div chi-squared ppm, V as the
+    * single float.
+    */
+  val cramersV: String = {
+    def pairSql(name: String, x: String, y: String): String =
+      s"""SELECT '$name' AS attr_pair, n_rows, dof, chi2_ppm,
+         | sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0 /
+         |      CAST(n_rows * LEAST(nr - 1, nc - 1) AS DOUBLE)) AS cramers_v
+         |FROM (
+         | WITH p AS (SELECT CAST($x AS VARCHAR) AS x, CAST($y AS VARCHAR) AS y,
+         |             CAST(SUM(cnt) AS BIGINT) AS o FROM cube GROUP BY 1, 2),
+         | r AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM p GROUP BY 1),
+         | c AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM p GROUP BY 1),
+         | nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(DISTINCT x) AS nr,
+         |         COUNT(DISTINCT y) AS nc FROM p),
+         | g AS (SELECT r.x, c.y, r.r, c.c, COALESCE(p.o, 0) AS o
+         |       FROM r CROSS JOIN c LEFT JOIN p USING (x, y))
+         | SELECT any_value(n) AS n_rows, any_value((nr - 1) * (nc - 1)) AS dof,
+         |  any_value(nr) AS nr, any_value(nc) AS nc,
+         |  CAST(SUM((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+         |           (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
+         |          // (CAST(r AS HUGEINT) * c * n)) AS BIGINT) AS chi2_ppm
+         | FROM g, nn)""".stripMargin
+    s"""WITH e AS (
+       | SELECT event_type,
+       |  (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+       |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day
+       | FROM events),
+       |cube AS (SELECT event_type, weekday, hour_of_day, COUNT(*) AS cnt
+       |         FROM e GROUP BY 1, 2, 3)
+       |${pairSql("type_x_weekday", "event_type", "weekday")}
+       |UNION ALL
+       |${pairSql("type_x_hour", "event_type", "hour_of_day")}
+       |UNION ALL
+       |${pairSql("weekday_x_hour", "weekday", "hour_of_day")}""".stripMargin
+  }
 }

@@ -210,6 +210,7 @@ object SparkEntry {
     "k_anonymity" -> EventOps.kAnonymity,
     "l_diversity" -> EventOps.lDiversity,
     "mannwhitney_drift" -> EventOps.mannWhitneyDrift,
+    "cramers_v" -> EventOps.cramersV,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -899,6 +900,7 @@ object SparkEntry {
     "k_anonymity" -> Oracles6.kAnonymity,
     "l_diversity" -> Oracles6.lDiversity,
     "mannwhitney_drift" -> Oracles6.mannWhitneyDrift,
+    "cramers_v" -> Oracles6.cramersV,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

@@ -2475,6 +2475,79 @@ object EventOps {
       )
   }
 
+  /** Cramér's V association strength between the event log's
+    * categorical attributes (type × weekday, type × hour-of-day,
+    * weekday × hour-of-day) — the screening statistic for "is this
+    * feature informative or independent?" before a mixture/stratified
+    * design keys on it. χ² accumulates per cell as
+    * ((o·n − r·c)² · 10⁶) div (r·c·n) — cross-multiplied so no
+    * expected-count float appears; the per-cell floor-div-then-sum is
+    * the deterministic contract (identical in any engine), and V =
+    * sqrt(χ²ppm/10⁶ / (n·min(R−1,C−1))) is the single float at the
+    * end. Attributes come from the same epoch arithmetic as
+    * weekdayProfile/kAnonymity.
+    *
+    * Scale: ONE corpus scan collapses to (type, weekday, hour)
+    * counts — ≤ types·7·24 rows; every contingency table, margin, and
+    * χ² then derives from that tiny cube (re-aggregation, broadcast
+    * joins). Adding attribute pairs costs nothing at 100 TB.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cube = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        ((floorDiv(86400000000000L) + 4) % 7).as("weekday"),
+        (floorDiv(3600000000000L) % 24).as("hour_of_day")
+      )
+      .groupBy(col("event_type"), col("weekday"), col("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+    def pair(name: String, x: String, y: String): DataFrame = {
+      val o = cube
+        .groupBy(col(x).cast("string").as("x"), col(y).cast("string").as("y"))
+        .agg(sum(col("cnt")).as("o"))
+      val rTot = o.groupBy(col("x")).agg(sum(col("o")).as("r"))
+      val cTot = o.groupBy(col("y")).agg(sum(col("o")).as("c"))
+      val n = o.agg(sum(col("o")).as("n"), countDistinct(col("x")).as("nr"),
+        countDistinct(col("y")).as("nc"))
+      // the full margin grid, not just observed cells: an (x, y) with
+      // o = 0 still contributes (r·c)²/(r·c·n) to chi-squared
+      rTot
+        .crossJoin(cTot)
+        .join(o, Seq("x", "y"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .select(
+          expr(
+            """CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) *
+              |      (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * 1000000)
+              |     div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)""".stripMargin
+          ).as("cell"),
+          col("n"),
+          col("nr"),
+          col("nc")
+        )
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(col("cell")).as("chi2_ppm"))
+        .select(
+          lit(name).as("attr_pair"),
+          col("n").as("n_rows"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          col("chi2_ppm"),
+          sqrt(
+            col("chi2_ppm").cast("double") / lit(1000000.0) /
+              (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")
+          ).as("cramers_v")
+        )
+    }
+
+    pair("type_x_weekday", "event_type", "weekday")
+      .unionAll(pair("type_x_hour", "event_type", "hour_of_day"))
+      .unionAll(pair("weekday_x_hour", "weekday", "hour_of_day"))
+  }
+
   val LDivThreshold = 3
 
   def lDiversity(spark: SparkSession, dir: String): DataFrame = {

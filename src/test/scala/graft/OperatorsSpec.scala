@@ -4202,4 +4202,46 @@ class OperatorsSpec extends AnyFunSuite {
       assert(auc >= 0.0 && auc <= 1.0)
     }
   }
+
+  test("cramers v: exact chi-squared recompute over the full margin grid") {
+    val evs = Tables.events(spark, Sf0001).select(col("ts"), col("event_type")).collect()
+      .map { r =>
+        val ns = r.getLong(0)
+        (r.getString(1), (Math.floorDiv(ns, 86400000000000L) + 4) % 7,
+          Math.floorDiv(ns, 3600000000000L) % 24)
+      }
+    def chi2Of(xs: Seq[String], ys: Seq[String]): (Long, Long, Long, Double) = {
+      val o = xs.zip(ys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rT = o.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      val cT = o.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+      val n = xs.length.toLong
+      // iterate Seqs, not key Sets: a for over Sets yields a Set and
+      // equal per-cell contributions would collapse before the sum
+      val chi2 = (for { x <- rT.keys.toSeq; y <- cT.keys.toSeq } yield {
+        val ob = BigInt(o.getOrElse((x, y), 0L))
+        val d = ob * n - BigInt(rT(x)) * cT(y)
+        (d * d * 1000000 / (BigInt(rT(x)) * cT(y) * n)).toLong
+      }).sum
+      val dof = (rT.size - 1).toLong * (cT.size - 1)
+      val v = math.sqrt(chi2.toDouble / 1000000.0 /
+        (n * math.min(rT.size - 1, cT.size - 1)).toDouble)
+      (n, dof, chi2, v)
+    }
+    val want = Map(
+      "type_x_weekday" -> chi2Of(evs.map(_._1), evs.map(_._2.toString)),
+      "type_x_hour" -> chi2Of(evs.map(_._1), evs.map(_._3.toString)),
+      "weekday_x_hour" -> chi2Of(evs.map(_._2.toString), evs.map(_._3.toString))
+    )
+    val rows = EventOps.cramersV(spark, Sf0001).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (n, dof, chi2, v) = want(r.getString(0))
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("dof") === dof)
+      assert(r.getAs[Long]("chi2_ppm") === chi2)
+      assert(r.getAs[Double]("cramers_v") === v)
+      // V lives in [0, 1] by construction
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
 }
