@@ -853,7 +853,16 @@ object DedupOps {
     * no-quadratic-bucket contract as the shingle-posting joins.
     */
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the winnow BEFORE exploding. Catalyst's
+    // InferFiltersFromGenerate synthesizes `size(fps) > 0 AND
+    // isnotnull(fps)` under the Generate; against the live expression
+    // tree that filter inlines the whole winnow, and the lambda's
+    // slice(hs, ...) outer reference then re-evaluates the md5 shingle
+    // transform PER WINDOW — ~50x the hashing work, measured 35 s of
+    // this query's 36 s at sf0.1. Checkpointing first makes the
+    // inferred filter a cheap column test (0.5 s total).
     val posts = winnowed(spark, dir)
+      .localCheckpoint()
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .localCheckpoint() // feeds the frequency cap AND both join sides
     val alive = posts
