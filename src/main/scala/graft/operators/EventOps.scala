@@ -2423,12 +2423,23 @@ object EventOps {
     * centi-bin) counts first, the pair fan-out replicates only that
     * bounded table, the per-pair window runs over ≤ 2·bins rows.
     */
-  def mannWhitneyDrift(spark: SparkSession, dir: String): DataFrame = {
-    val bins = Tables
-      .events(spark, dir)
-      .select(col("event_type"), centiValue.as("vb"))
-      .groupBy(col("event_type"), col("vb"))
-      .agg(count(lit(1)).as("cnt"))
+  def mannWhitneyDrift(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyFromBins(
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), centiValue.as("vb"))
+        .groupBy(col("event_type"), col("vb"))
+        .agg(count(lit(1)).as("cnt"))
+    )
+
+  /** The streaming seam: the centi-bin expression (for a streaming
+    * bin-count state) and the bins → U combinator, shared by the
+    * batch query above and streaming.DriftStream so batch == stream
+    * holds by construction.
+    */
+  private[graft] def centiBin: Column = centiValue
+
+  private[graft] def mannWhitneyFromBins(bins: DataFrame): DataFrame = {
     val totals = bins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
     val pairs = totals
       .select(col("event_type").as("type_a"), col("n").as("n_a"))

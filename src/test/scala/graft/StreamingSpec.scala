@@ -627,4 +627,43 @@ class StreamingSpec extends AnyFunSuite {
       streamed.values.flatten.foreach { case (_, _, err) => assert(err === 0L) }
     } finally q.stop()
   }
+
+  test("streaming drift monitor: final Mann-Whitney state == batch query") {
+    // three micro-batches of events; the monitor's state is the
+    // (type, centi-bin) count table, and the U statistic derived from
+    // the final state must equal the batch mannwhitney_drift exactly
+    val tmp = java.nio.file.Files.createTempDirectory("drift-stream").toString
+    val evs = graft.operators.Tables.events(spark, Sf0001)
+    (0 to 2).foreach { k =>
+      evs.filter(col("event_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/e$k")
+      val src = new java.io.File(s"$tmp/e$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"e$k.parquet"))
+    }
+    val q = graft.streaming.DriftStream
+      .binCounts(spark, tmp)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("u2_a"),
+            r.getAs[Double]("auc_a"))
+      }.toMap
+      val streamed = key(
+        graft.streaming.DriftStream.mannWhitney(spark.table("drift_stream")).collect())
+      val batch = key(
+        graft.streaming.DriftStream
+          .mannWhitney(graft.streaming.DriftStream.binCountsBatch(spark, tmp))
+          .collect())
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // and the sliced replay reproduces the canonical table's answer
+      val canonical = key(
+        graft.operators.EventOps.mannWhitneyDrift(spark, Sf0001).collect())
+      assert(streamed === canonical)
+    } finally q.stop()
+  }
 }
