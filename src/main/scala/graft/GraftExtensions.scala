@@ -125,6 +125,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("ascii_window_sums"),
+        new ExpressionInfo(classOf[AsciiWindowSums].getName, "ascii_window_sums"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          val e = expect(2, "ascii_window_sums")(exprs); AsciiWindowSums(e(0), e(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("int_vec_sum"),
         new ExpressionInfo(classOf[IntVecSumAgg].getName, "int_vec_sum"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -242,6 +242,85 @@ object VectorExpressions {
     ): Expression = copy(left = newLeft, right = newRight)
   }
 
+  /** Non-overlapping window sums of a string's character code points:
+    * result[i] = Σ codepoint(char j) for j in [i·win, (i+1)·win), the
+    * trailing partial window dropped — the multimodal family's
+    * decode-side primitive (PCM frame energy, aHash pixel cells; on
+    * their declared ASCII payload contract, codepoint == byte). One
+    * codegen pass over the string replaces the interpreted
+    * `aggregate(transform(sequence(...), i -> ascii(substring(...))))`
+    * HOF nest, which re-enters the lambda evaluator and allocates a
+    * boxed single-char substring per BYTE (MultimodalOps.audioEnergy's
+    * old form — measured ~4× this expression on the sf0.1 corpus).
+    * win < 1 yields an empty array (mirrors word_ngrams' guard).
+    */
+  case class AsciiWindowSums(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ascii_window_sums"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("ascii_window_sums", Seq(left.dataType, right.dataType),
+        Seq((_ == StringType, "string"), (_ == IntegerType, "int")))
+
+    override def nullSafeEval(strAny: Any, winAny: Any): Any = {
+      val s = strAny.asInstanceOf[UTF8String].toString
+      val win = winAny.asInstanceOf[Int]
+      if (win < 1) new GenericArrayData(new Array[Long](0))
+      else {
+        val cps = s.codePointCount(0, s.length)
+        val wins = cps / win
+        val sums = new Array[Long](wins)
+        var i = 0
+        var cpIdx = 0
+        val limit = wins * win
+        while (cpIdx < limit) {
+          val cp = s.codePointAt(i)
+          sums(cpIdx / win) += cp
+          i += Character.charCount(cp)
+          cpIdx += 1
+        }
+        new GenericArrayData(sums)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (str, win) => {
+        val s = ctx.freshName("s")
+        val cps = ctx.freshName("cps")
+        val wins = ctx.freshName("wins")
+        val sums = ctx.freshName("sums")
+        val i = ctx.freshName("i")
+        val cpIdx = ctx.freshName("cpIdx")
+        val limit = ctx.freshName("limit")
+        val cp = ctx.freshName("cp")
+        s"""
+           |java.lang.String $s = $str.toString();
+           |long[] $sums;
+           |if ($win < 1) {
+           |  $sums = new long[0];
+           |} else {
+           |  int $cps = $s.codePointCount(0, $s.length());
+           |  int $wins = $cps / $win;
+           |  $sums = new long[$wins];
+           |  int $i = 0;
+           |  int $limit = $wins * $win;
+           |  for (int $cpIdx = 0; $cpIdx < $limit; $cpIdx++) {
+           |    int $cp = $s.codePointAt($i);
+           |    $sums[$cpIdx / $win] += $cp;
+           |    $i += java.lang.Character.charCount($cp);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sums);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
   /** Consecutive word n-grams of a token array, space-joined — the
     * shingle constructor. Doing this per-row in codegen replaces the
     * posexplode → window-shuffle-by-doc → lead → concat pipeline (two
@@ -488,6 +567,11 @@ object VectorExpressions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "ascii_window_sums",
+      exprs => { val e = expect(2, "ascii_window_sums")(exprs); AsciiWindowSums(e(0), e(1)) },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "int_vec_sum",
       exprs => IntVecSumAgg(expect(1, "int_vec_sum")(exprs).head),
       "built-in"
@@ -517,6 +601,9 @@ object VectorExpressions {
     call_function("md5_sign_bits", hex, weight)
 
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
+
+  def asciiWindowSums(s: Column, win: Column): Column =
+    call_function("ascii_window_sums", s, win)
 
   def intVecSum(a: Column): Column = call_function("int_vec_sum", a)
 

@@ -93,23 +93,26 @@ object MultimodalOps {
     */
   def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
     // payload stays textual for the byte reads: the corpus is ASCII,
-    // so ascii(char i) IS byte i — the oracle mirrors char-for-byte
+    // so codepoint(char i) IS byte i — the oracle mirrors
+    // char-for-byte. The window sums come from the codegen
+    // ascii_window_sums expression (one pass over the payload);
+    // the old aggregate/transform/substring HOF nest was interpreted
+    // and allocated a boxed single-char substring per byte.
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"),
-        (length(col("text")).cast("bigint") / AudioWinBytes).cast("bigint").as("n_wins"))
-      .filter(col("n_wins") > 0)
-      .select(col("media_id"), col("text"),
-        explode(sequence(lit(0L), col("n_wins") - 1)).as("win_idx"))
+      .select(
+        col("doc_id").as("media_id"),
+        posexplode(
+          graft.functions.VectorExpressions
+            .asciiWindowSums(col("text"), lit(AudioWinBytes))
+        ).as(Seq("win_idx", "energy"))
+      )
       .select(
         col("media_id"),
-        col("win_idx"),
-        (col("win_idx") * AudioWinBytes).as("win_start"),
-        expr(
-          s"aggregate(transform(sequence(1, $AudioWinBytes), " +
-            s"i -> ascii(substring(text, CAST(win_idx * $AudioWinBytes + i AS INT), 1))), " +
-            "0L, (a, x) -> a + x)"
-        ).as("energy")
+        col("win_idx").cast("bigint").as("win_idx"),
+        (col("win_idx").cast("bigint") * AudioWinBytes).as("win_start"),
+        col("energy")
       )
   }
 
@@ -131,17 +134,22 @@ object MultimodalOps {
     * Payloads shorter than 64 bytes have no grid and are skipped.
     */
   def aHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
       .withColumn("w", expr(s"length(text) DIV $AHashPixels"))
       .filter(col("w") >= 1)
+      // first 64 w-wide windows = positions 1..64w, the same grid the
+      // old per-pixel aggregate/substring HOF built (codegen, one
+      // pass; cps/w >= 64 windows exist whenever w = len div 64 >= 1)
       .withColumn(
         "pixels",
-        expr(
-          s"transform(sequence(0, ${AHashPixels - 1}), k -> " +
-            "aggregate(transform(sequence(1, w), j -> " +
-            "ascii(substring(text, CAST(k*w + j AS INT), 1))), 0L, (a, x) -> a + x))"
+        slice(
+          graft.functions.VectorExpressions
+            .asciiWindowSums(col("text"), col("w").cast("int")),
+          1,
+          AHashPixels
         )
       )
       .withColumn("total", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))

@@ -520,6 +520,37 @@ class OperatorsSpec extends AnyFunSuite {
     words.foreach(r => assert(r.getInt(1) === graft.functions.Fnv1a.hash(r.getString(0))))
   }
 
+  test("ascii_window_sums == the HOF aggregate/substring form on the corpus") {
+    graft.functions.VectorExpressions.register(spark)
+    // unit vectors first: windows, trailing drop, win<1 guard, unicode
+    val u = spark.sql(
+      "SELECT ascii_window_sums('abcd', 2) AS w2, " +   // [97+98, 99+100]
+        "ascii_window_sums('abcde', 2) AS trail, " +    // 'e' dropped
+        "ascii_window_sums('abc', 0) AS z, " +
+        "ascii_window_sums('', 3) AS e, " +
+        "ascii_window_sums('éx', 1) AS uni"        // codepoint 233
+    ).collect()(0)
+    assert(u.getSeq[Long](0) === Seq(195L, 199L))
+    assert(u.getSeq[Long](1) === Seq(195L, 199L))
+    assert(u.getSeq[Long](2) === Seq())
+    assert(u.getSeq[Long](3) === Seq())
+    assert(u.getSeq[Long](4) === Seq(233L, 120L))
+    // corpus parity against the interpreted HOF the multimodal ops
+    // used to build: every doc, every window, at the audio width
+    val mism = Tables.documents(spark, Sf0001)
+      .selectExpr(
+        "ascii_window_sums(text, 64) AS fast",
+        """CASE WHEN length(text) >= 64 THEN
+          |  transform(sequence(0, CAST(length(text) DIV 64 AS INT) - 1), k ->
+          |    aggregate(transform(sequence(1, 64),
+          |      j -> ascii(substring(text, CAST(k*64 + j AS INT), 1))), 0L, (a, x) -> a + x))
+          |ELSE array() END AS slow""".stripMargin
+      )
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mism === 0L)
+  }
+
   test("word_ngrams: consecutive space-joined n-grams, empty below n tokens") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
