@@ -1385,6 +1385,45 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors DedupOps.cdcChunks: boundary after tokens whose 60-bit
+    * md5 hash ≡ 0 mod 8, exclusive prefix-sum chunk ids, md5 of the
+    * pos-ordered space-joined chunk text, per-source dup rollup.
+    */
+  val cdcChunks: String =
+    """WITH toks AS (
+      | SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, source,
+      |  unnest(list_transform(range(len(toks)),
+      |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS s
+      | FROM toks),
+      |t AS (
+      | SELECT doc_id, source, s.pos AS pos, s.tok AS tok,
+      |  CASE WHEN CAST(concat('0x', substr(md5(s.tok), 1, 15)) AS UBIGINT) % 8 = 0
+      |       THEN 1 ELSE 0 END AS b
+      | FROM p),
+      |c AS (
+      | SELECT doc_id, source, pos, tok,
+      |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      | FROM t),
+      |ch AS (
+      | SELECT doc_id, source, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+      | FROM c GROUP BY 1, 2, 3),
+      |f AS (SELECT chash, COUNT(*) AS nc FROM ch GROUP BY 1),
+      |r AS (
+      | SELECT source, COUNT(*) AS n_chunks, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |  MAX(n_toks) AS max_chunk_tokens,
+      |  CAST(SUM(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+      | FROM ch JOIN f USING (chash) GROUP BY 1)
+      |SELECT source, n_chunks, total_tokens, max_chunk_tokens,
+      | CAST(total_tokens * 1000000 // n_chunks AS BIGINT) AS mean_len_ppm,
+      | CAST(dup_chunks * 1000000 // n_chunks AS BIGINT) AS dup_ppm
+      |FROM r""".stripMargin
+
   /** Mirrors EventOps.cramersV: (type, weekday, hour) cube, full
     * margin grid per attribute pair (zero cells included),
     * cross-multiplied per-cell floor-div chi-squared ppm, V as the

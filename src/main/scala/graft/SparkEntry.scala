@@ -205,6 +205,7 @@ object SparkEntry {
     "winnowing_pairs" -> DedupOps.winnowingPairs,
     "token_burstiness" -> TextOps.tokenBurstiness,
     "ngram_dup_rate" -> DedupOps.ngramDupRate,
+    "cdc_chunks" -> DedupOps.cdcChunks,
     "padding_waste" -> TextOps.paddingWaste,
     "weighted_sample" -> TextOps.weightedSample,
     "k_anonymity" -> EventOps.kAnonymity,
@@ -895,6 +896,7 @@ object SparkEntry {
     "winnowing_pairs" -> Oracles6.winnowingPairs,
     "token_burstiness" -> Oracles6.tokenBurstiness,
     "ngram_dup_rate" -> Oracles6.ngramDupRate,
+    "cdc_chunks" -> Oracles6.cdcChunks,
     "padding_waste" -> Oracles6.paddingWaste,
     "weighted_sample" -> Oracles6.weightedSample,
     "k_anonymity" -> Oracles6.kAnonymity,

@@ -890,6 +890,79 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
 
+  /** Content-defined chunking (token-level FastCDC/gear shape) and
+    * the duplicate-chunk rate — the STORAGE-dedup primitive: a chunk
+    * boundary falls after every token whose 60-bit hash ≡ 0 (mod
+    * [[CdcBoundaryMod]]), so boundaries are content-anchored and an
+    * insertion only reshapes the chunks it touches (fixed-width
+    * chunking would shift every later chunk — the whole point of
+    * CDC). Per source: chunk count, token total, mean chunk length in
+    * floor-div ppm, the largest chunk, and the ppm of chunks whose
+    * exact content (space-joined tokens, md5) appears more than once
+    * corpus-wide — what a dedup store would actually save.
+    *
+    * Scale: ONE shuffle of the token stream on doc_id (the
+    * sessionize window shape) assigns chunk ids; chunk texts are
+    * rebuilt per (doc, chunk) group and hashed immediately — only
+    * hashes join the corpus-wide frequency table (map-side combined).
+    * Expected chunk length is the boundary modulus, so state per
+    * group is bounded.
+    */
+  val CdcBoundaryMod = 8L
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(TextOps.tokens(lower(col("text")))).as(Seq("pos", "tok"))
+      )
+      .withColumn(
+        "b",
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % CdcBoundaryMod === 0L).cast("long")
+      )
+    val byDoc = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(byDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              s => s.getField("tok")
+            ),
+            " "
+          )
+        ).as("chash")
+      )
+    val freq = chunks.groupBy(col("chash")).agg(count(lit(1)).as("nc"))
+    chunks
+      .join(freq, Seq("chash"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("total_tokens"),
+        max(col("n_toks")).as("max_chunk_tokens"),
+        sum(when(col("nc") >= 2, 1L).otherwise(0L)).as("dup_chunks")
+      )
+      .select(
+        col("source"),
+        col("n_chunks"),
+        col("total_tokens"),
+        col("max_chunk_tokens"),
+        expr("total_tokens * 1000000 div n_chunks").as("mean_len_ppm"),
+        expr("dup_chunks * 1000000 div n_chunks").as("dup_ppm")
+      )
+  }
+
   /** Per-source n-gram duplication rate — the corpus-health number a
     * dedup pass is judged by (RefinedWeb/Gopher report exactly this
     * curve): over all SLIDING 8-token grams of a source, how many

@@ -4196,6 +4196,58 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
   }
 
+  test("cdc chunks: exact boundary recompute; boundaries are content-anchored") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def chunksOf(toks: Seq[String]): Seq[Seq[String]] = {
+      val out = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]
+      var nonEmpty = false
+      toks.foreach { t =>
+        cur += t; nonEmpty = true
+        if (h60(t) % DedupOps.CdcBoundaryMod == 0L) {
+          out += cur.result(); cur = Seq.newBuilder[String]; nonEmpty = false
+        }
+      }
+      if (nonEmpty) out += cur.result()
+      out.result()
+    }
+    val docs = Tables.documents(spark, Sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val all = docs.flatMap { case (src, t) =>
+      chunksOf(t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq)
+        .map(c => (src, c.mkString(" ")))
+    }
+    val freq = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = all.groupBy(_._1).map { case (src, cs) =>
+      val lens = cs.map(_._2.split(" ").length.toLong)
+      val total = lens.sum
+      src -> (cs.length.toLong, total, lens.max,
+        total * 1000000L / cs.length, cs.count(c => freq(c._2) >= 2).toLong * 1000000L / cs.length)
+    }
+    val rows = DedupOps.cdcChunks(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nc, tt, mx, mean, dup) = want(r.getString(0))
+      assert(r.getAs[Long]("n_chunks") === nc)
+      assert(r.getAs[Long]("total_tokens") === tt)
+      assert(r.getAs[Long]("max_chunk_tokens") === mx)
+      assert(r.getAs[Long]("mean_len_ppm") === mean)
+      assert(r.getAs[Long]("dup_ppm") === dup)
+    }
+    // the CDC property: prepending tokens to a stream leaves every
+    // chunk after the first boundary identical (fixed-width chunking
+    // would shift them all)
+    val base = "the fast key order sort table scan merge part window small hash".split(" ").toSeq
+    val shifted = Seq("zzz", "qqq") ++ base
+    val a = chunksOf(base).map(_.mkString(" "))
+    val b = chunksOf(shifted).map(_.mkString(" "))
+    if (a.length > 1) assert(a.tail === b.takeRight(a.tail.length))
+  }
+
   test("mann-whitney: exact midrank recompute; U_a + U_b = n_a*n_b identity") {
     val evs = Tables.events(spark, Sf0001)
       .select(col("event_type"), col("value")).collect()
