@@ -1385,6 +1385,16 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors EventOps.kllSources: the oracle re-derives each rollup
+    * scope's row count and asserts the rank certificates TRUE (sketch
+    * contents are merge-order-specific; the certificate is the
+    * engine-portable claim — the kllValueQuantiles convention).
+    */
+  val kllSources: String =
+    """SELECT COALESCE(event_type, 'ALL') AS scope, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY ROLLUP(event_type)""".stripMargin
+
   /** Mirrors DedupOps.cdcChunks: boundary after tokens whose 60-bit
     * md5 hash ≡ 0 mod 8, exclusive prefix-sum chunk ids, md5 of the
     * pos-ordered space-joined chunk text, per-source dup rollup.

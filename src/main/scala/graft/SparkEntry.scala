@@ -251,6 +251,7 @@ object SparkEntry {
     "value_quantiles" -> EventOps.valueQuantiles,
     // KLL estimates are merge-order-specific -> certificate gate
     "kll_value_quantiles" -> EventOps.kllValueQuantiles,
+    "kll_sources" -> EventOps.kllSources,
     "cube_daily" -> EventOps.cubeDaily,
     "weekly_retention" -> EventOps.weeklyRetention,
     "pivot_daily" -> EventOps.pivotDaily,
@@ -931,6 +932,7 @@ object SparkEntry {
     "minhash_sources" -> Oracles5.minhashSources,
     "freq_spectrum" -> Oracles5.freqSpectrum,
     "kll_value_quantiles" -> Oracles5.kllValueQuantiles,
+    "kll_sources" -> Oracles6.kllSources,
     "shuffle_shards" -> Oracles5.shuffleShards,
     "mix_weights" -> Oracles5.mixWeights,
     "dsir_importance" -> Oracles5.dsirImportance,

@@ -204,6 +204,59 @@ object EventOps {
     )
   }
 
+  /** KLL sketches merged THROUGH a rollup — the mergeability proof
+    * kllValueQuantiles only documents: per-event-type sketches and
+    * the ALL row (their merge across the grouping-set expand) come
+    * out of ONE aggregation, and every scope's estimates must clear
+    * the same ±5% exact-rank certificate. This is the property that
+    * matters at 100 TB: per-shard summaries roll up into any later
+    * scope without re-reading values — if Spark's partial/merge path
+    * through the rollup Expand mishandled a buffer, the ALL row's
+    * rank certificate flips a boolean and the hash gate goes red.
+    *
+    * Shape: pass 1 is one rollup aggregation (sketch state through
+    * Expand); the tiny scope rows broadcast back onto the events scan
+    * for exact ranks — per-type rows rank within their type, the ALL
+    * row against the whole table, in the same second pass.
+    */
+  def kllSources(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KllSketch.register(spark)
+    val targets = Seq(0.5, 0.9)
+    val eps = 0.05
+    val ests = Tables
+      .events(spark, dir)
+      .rollup(col("event_type"))
+      .agg(
+        graft.functions.KllSketch
+          .kllQuantiles(col("value"), lit(256), array(targets.map(lit): _*))
+          .as("ests")
+      )
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("scope"),
+        col("ests").getItem(0).as("est_p50"),
+        col("ests").getItem(1).as("est_p90")
+      )
+    val ranks = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .crossJoin(broadcast(ests))
+      .filter(col("scope") === col("event_type") || col("scope") === "ALL")
+      .groupBy(col("scope"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L)).as("rank_p50"),
+        sum(when(col("value") <= col("est_p90"), 1L).otherwise(0L)).as("rank_p90")
+      )
+    def ok(rank: Column, q: Double, n: Column): Column =
+      abs(rank - lit(q) * n) <= lit(eps) * n
+    ranks.select(
+      col("scope"),
+      col("n_rows"),
+      ok(col("rank_p50"), 0.5, col("n_rows")).as("p50_ok"),
+      ok(col("rank_p90"), 0.9, col("n_rows")).as("p90_ok")
+    )
+  }
+
   /** CUBE over (event_type, epoch-day): all grouping-set rollups of
     * the daily activity matrix in one pass.
     */

@@ -4196,6 +4196,24 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
   }
 
+  test("kll rollup merge: every scope (incl. the merged ALL row) clears its rank certificate") {
+    val rows = EventOps.kllSources(spark, Sf0001).collect()
+    val types = Tables.events(spark, Sf0001).select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet === types + "ALL")
+    val counts = Tables.events(spark, Sf0001).groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val scope = r.getString(0)
+      val n = if (scope == "ALL") counts.values.sum else counts(scope)
+      assert(r.getAs[Long]("n_rows") === n)
+      // the merge-path claim: a mishandled sketch buffer through the
+      // rollup Expand would blow the +-5% rank envelope
+      assert(r.getAs[Boolean]("p50_ok"))
+      assert(r.getAs[Boolean]("p90_ok"))
+    }
+  }
+
   test("cdc chunks: exact boundary recompute; boundaries are content-anchored") {
     def h60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
