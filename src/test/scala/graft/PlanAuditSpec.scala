@@ -461,6 +461,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("cdc chunks: doc-keyed window, no range partitioning, no cartesian") {
+    // chunk assignment is the sessionize shape — one hash exchange on
+    // doc_id; a rangepartitioning exchange would mean a global sort
+    val plan = planOf(DedupOps.cdcChunks(spark, Sf0001))
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("padding waste and k-anonymity never global-sort the corpus") {
     // both are per-source/per-class shapes: hash-partitioned windows
     // and aggs only — a rangepartitioning exchange would mean a total
