@@ -1385,6 +1385,39 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors DedupOps.spanRewrite: 8-token grid blocks (original
+    * token case), drop every cross-doc duplicated block, rebuild
+    * kept blocks in order + the remainder tokens, single-space join.
+    */
+  val spanRewrite: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |blocks AS (
+      | SELECT doc_id, i AS k,
+      |  array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS block
+      | FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM toks)),
+      |fpb AS (SELECT doc_id, k, block,
+      |        CAST(CAST(concat('0x', substr(md5(block), 1, 15)) AS UBIGINT) AS BIGINT) AS fp
+      |       FROM blocks),
+      |nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fpb GROUP BY 1),
+      |kept AS (
+      | SELECT doc_id, COUNT(*) AS n_blocks,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_blocks,
+      |  string_agg(CASE WHEN nd = 1 THEN block END, ' ' ORDER BY k) AS kept_text
+      | FROM fpb JOIN nd USING (fp) GROUP BY doc_id),
+      |base AS (
+      | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  array_to_string(toks[CAST(len(toks)//8*8+1 AS INT):CAST(len(toks) AS INT)], ' ')
+      |    AS remainder
+      | FROM toks)
+      |SELECT b.doc_id, n_tokens,
+      | COALESCE(n_blocks, 0) AS n_blocks,
+      | COALESCE(n_dropped_blocks, 0) AS n_dropped_blocks,
+      | trim(concat_ws(' ', COALESCE(kept_text, ''), remainder)) AS clean_text,
+      | n_tokens - COALESCE(n_dropped_blocks, 0) * 8 AS clean_tokens
+      |FROM base b LEFT JOIN kept USING (doc_id)""".stripMargin
+
   /** Mirrors EventOps.kllSources: the oracle re-derives each rollup
     * scope's row count and asserts the rank certificates TRUE (sketch
     * contents are merge-order-specific; the certificate is the

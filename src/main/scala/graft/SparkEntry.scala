@@ -206,6 +206,7 @@ object SparkEntry {
     "token_burstiness" -> TextOps.tokenBurstiness,
     "ngram_dup_rate" -> DedupOps.ngramDupRate,
     "cdc_chunks" -> DedupOps.cdcChunks,
+    "span_rewrite" -> DedupOps.spanRewrite,
     "padding_waste" -> TextOps.paddingWaste,
     "weighted_sample" -> TextOps.weightedSample,
     "k_anonymity" -> EventOps.kAnonymity,
@@ -898,6 +899,7 @@ object SparkEntry {
     "token_burstiness" -> Oracles6.tokenBurstiness,
     "ngram_dup_rate" -> Oracles6.ngramDupRate,
     "cdc_chunks" -> Oracles6.cdcChunks,
+    "span_rewrite" -> Oracles6.spanRewrite,
     "padding_waste" -> Oracles6.paddingWaste,
     "weighted_sample" -> Oracles6.weightedSample,
     "k_anonymity" -> Oracles6.kAnonymity,

@@ -890,6 +890,96 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
 
+  /** Exact-substring dedup as a REWRITE — the action spanDedup only
+    * reports: every 8-token grid block whose content appears in more
+    * than one document is dropped from ALL documents, and the cleaned
+    * corpus (kept blocks in order + the sub-block remainder tokens,
+    * single-space joined) is emitted per doc. Dropping every
+    * occurrence (not "all but the first") is deliberate: it is
+    * order-free, so the output is deterministic under any partitioning
+    * — "keep the first" needs a global document order that does not
+    * exist at 100 TB. The output is a TOKENIZED rewrite (original
+    * token case, single spaces); byte-level whitespace is not
+    * preserved — the shape every substring-dedup pipeline (C4,
+    * RefinedWeb) actually ships.
+    *
+    * Scale: the block grid, fingerprinting, and doc-frequency join
+    * are spanDedup's bounded machinery; the rebuild is one per-doc
+    * group of its own kept blocks (sort_array over ≤ n_tokens/8
+    * structs per doc, no window over the corpus).
+    */
+  def spanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds blocks AND the remainder rebuild
+    val blocks = docs
+      .select(
+        col("doc_id"),
+        posexplode(
+          graft.functions.VectorExpressions
+            .wordNgrams(TextOps.tokens(col("text")), lit(SpanTokens))
+        ).as(Seq("pos", "block"))
+      )
+      .filter(col("pos") % SpanTokens === 0)
+      .select(
+        col("doc_id"),
+        (col("pos") / SpanTokens).cast("long").as("k"),
+        col("block"),
+        conv(substring(md5(col("block")), 1, 15), 16, 10).cast("long").as("fp")
+      )
+      .localCheckpoint() // feeds the doc-frequency agg AND the rebuild
+    val nd = blocks.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
+    val kept = blocks
+      .join(nd, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dropped_blocks"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(when(col("nd") === 1, struct(col("k"), col("block"))))
+            ),
+            s => s.getField("block")
+          ),
+          " "
+        ).as("kept_text")
+      )
+    docs
+      .select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("toks")
+      )
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // integer DIV, not Column `/` (double): the remainder starts
+        // right after the last FULL 8-token block
+        expr(
+          s"""array_join(slice(toks,
+             |  CAST(size(toks) DIV $SpanTokens * $SpanTokens + 1 AS INT),
+             |  $SpanTokens), ' ')""".stripMargin
+        ).as("remainder")
+      )
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped_blocks"), lit(0L)).as("n_dropped_blocks"),
+        trim(
+          concat_ws(" ", coalesce(col("kept_text"), lit("")), col("remainder"))
+        ).as("clean_text")
+      )
+      .withColumn(
+        "clean_tokens",
+        col("n_tokens") - col("n_dropped_blocks") * SpanTokens
+      )
+  }
+
   /** Content-defined chunking (token-level FastCDC/gear shape) and
     * the duplicate-chunk rate — the STORAGE-dedup primitive: a chunk
     * boundary falls after every token whose 60-bit hash ≡ 0 (mod

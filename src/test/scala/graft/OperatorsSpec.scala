@@ -4196,6 +4196,51 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
   }
 
+  test("span rewrite: exact rebuild recompute; duplicated blocks vanish corpus-wide") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => id -> t.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq }.toMap
+    val blocks = toks.toSeq.flatMap { case (id, ts) =>
+      (0 until ts.length / 8).map(k => (id, k, ts.slice(k * 8, k * 8 + 8).mkString(" ")))
+    }
+    val nd = blocks.map(b => (h60(b._3), b._1)).distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val want = docs.map { case (id, _) =>
+      val ts = toks(id)
+      val bs = blocks.filter(_._1 == id).sortBy(_._2)
+      val keptText = bs.filter(b => nd(h60(b._3)) == 1).map(_._3).mkString(" ")
+      val remainder = ts.drop(ts.length / 8 * 8).mkString(" ")
+      val clean = (keptText + " " + remainder).trim
+      val dropped = bs.count(b => nd(h60(b._3)) >= 2).toLong
+      id -> (ts.length.toLong, bs.length.toLong, dropped, clean,
+        ts.length.toLong - dropped * 8)
+    }.toMap
+    val rows = DedupOps.spanRewrite(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    var anyDropped = false
+    rows.foreach { r =>
+      val (nt, nb, dropped, clean, cleanToks) = want(r.getLong(0))
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("n_blocks") === nb)
+      assert(r.getAs[Long]("n_dropped_blocks") === dropped)
+      assert(r.getAs[String]("clean_text") === clean)
+      assert(r.getAs[Long]("clean_tokens") === cleanToks)
+      if (dropped > 0) anyDropped = true
+    }
+    // non-vacuous on this corpus: at least one block was dropped, and
+    // token accounting is conserved corpus-wide
+    assert(anyDropped)
+    val totalClean = rows.map(_.getAs[Long]("clean_tokens")).sum
+    val totalOrig = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totalDropped = rows.map(_.getAs[Long]("n_dropped_blocks")).sum
+    assert(totalClean === totalOrig - totalDropped * DedupOps.SpanTokens)
+    assert(totalDropped > 0L)
+  }
+
   test("kll rollup merge: every scope (incl. the merged ALL row) clears its rank certificate") {
     val rows = EventOps.kllSources(spark, Sf0001).collect()
     val types = Tables.events(spark, Sf0001).select("event_type").distinct().collect()
