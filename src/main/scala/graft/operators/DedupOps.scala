@@ -608,7 +608,7 @@ object DedupOps {
     val oldFps = docs
       .filter(col("doc_id") % 2 === 0)
       .select(col("fp"))
-      .distinct
+      .distinct()
       .withColumn("in_old", lit(1L))
     val w = Window.partitionBy(col("fp"))
     docs

@@ -823,7 +823,7 @@ object SimilarityOps {
     var x: Array[Double] = Array.fill(Dim)(0.125)
     var lambda = 0.0
     for (_ <- 1 to PcaRounds) {
-      val xLit = array(x.map(lit(_)): _*)
+      val xLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(x.map(lit(_))): _*)
       val yRows = rows
         .withColumn("xs", xLit)
         .select(col("i"),
@@ -847,7 +847,7 @@ object SimilarityOps {
     */
   def pcaScores(spark: SparkSession, dir: String): DataFrame = {
     val (x, _) = pcaFit(spark, dir)
-    val xLit = array(x.map(lit(_)): _*)
+    val xLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(x.map(lit(_))): _*)
     emb(spark, dir)
       .withColumn("xs", xLit)
       .select(
