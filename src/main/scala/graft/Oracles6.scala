@@ -1385,6 +1385,22 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors GraphOps.referralDepth with DuckDB's ACTUAL recursive
+    * CTE — the gate proves the pointer-doubling rewrite equals
+    * textbook level-at-a-time recursion.
+    */
+  val referralDepth: String =
+    """WITH RECURSIVE par AS (
+      | SELECT c_custkey AS node,
+      |  CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+      |       AS UBIGINT) % CAST(c_custkey AS UBIGINT) AS BIGINT) AS parent
+      | FROM customer WHERE c_custkey > 0),
+      |dep AS (
+      | SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      | UNION ALL
+      | SELECT p.node, d.depth + 1 FROM par p JOIN dep d ON p.parent = d.node)
+      |SELECT depth, COUNT(*) AS n_nodes FROM dep GROUP BY 1""".stripMargin
+
   /** Mirrors DedupOps.spanRewrite: 8-token grid blocks (original
     * token case), drop every cross-doc duplicated block, rebuild
     * kept blocks in order + the remainder tokens, single-space join.

@@ -207,6 +207,7 @@ object SparkEntry {
     "ngram_dup_rate" -> DedupOps.ngramDupRate,
     "cdc_chunks" -> DedupOps.cdcChunks,
     "span_rewrite" -> DedupOps.spanRewrite,
+    "referral_depth" -> GraphOps.referralDepth,
     "padding_waste" -> TextOps.paddingWaste,
     "weighted_sample" -> TextOps.weightedSample,
     "k_anonymity" -> EventOps.kAnonymity,
@@ -900,6 +901,7 @@ object SparkEntry {
     "ngram_dup_rate" -> Oracles6.ngramDupRate,
     "cdc_chunks" -> Oracles6.cdcChunks,
     "span_rewrite" -> Oracles6.spanRewrite,
+    "referral_depth" -> Oracles6.referralDepth,
     "padding_waste" -> Oracles6.paddingWaste,
     "weighted_sample" -> Oracles6.weightedSample,
     "k_anonymity" -> Oracles6.kAnonymity,

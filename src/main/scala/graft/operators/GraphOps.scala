@@ -476,4 +476,53 @@ object GraphOps {
     }
     rows.result().toDF("round", "n_nodes", "n_edges")
   }
+
+  /** Hierarchy depth by POINTER DOUBLING — the recursive-CTE query
+    * shape (org charts, referral chains, reply threads) the rest of
+    * the board lacks, on a RANDOM RECURSIVE TREE over the customers:
+    * parent(v) = 60-bit-md5(v) mod v, so depths are genuinely
+    * data-dependent (expected ~2·ln n), unlike the analytic DIV-2
+    * tree pagerank uses. Each doubling round rewrites every node's
+    * (ancestor, distance) to (ancestor's ancestor, sum of distances),
+    * so after k rounds every node ≤ 2^k deep has resolved to the
+    * root: O(log depth) self-joins TOTAL, where the naive frontier
+    * BFS — and a straight recursive CTE — does one join PER LEVEL.
+    * That is the 100 TB story: a billion-node chain of depth 10⁴
+    * resolves in 14 rounds, not 10⁴. 8 fixed rounds here cover depth
+    * 256 ≫ the ~25 this tree can reach; the oracle is DuckDB's
+    * actual WITH RECURSIVE, so the gate proves the doubling rewrite
+    * equals the textbook recursion. Output: (depth, n_nodes)
+    * histogram.
+    */
+  val DepthDoublingRounds = 8
+
+  def referralDepth(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey").as("node"))
+      .localCheckpoint()
+    // parent(v) = h60(v) mod v < v, so 0 (the smallest custkey) is
+    // the root and the parent order is well-founded
+    val parent =
+      expr("CAST(conv(substring(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT) % node")
+    // state: (node, anc, d) with d = #edges from node to anc; root
+    // fixed at (0, 0, 0) so resolved chains are absorbing
+    var state = nodes
+      .select(
+        col("node"),
+        when(col("node") === 0L, lit(0L)).otherwise(parent).as("anc"),
+        when(col("node") === 0L, lit(0L)).otherwise(lit(1L)).as("d")
+      )
+      .localCheckpoint()
+    for (_ <- 1 to DepthDoublingRounds) {
+      val anc = state.select(col("node").as("anc"), col("anc").as("anc2"), col("d").as("d2"))
+      state = state
+        .join(anc, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+        .localCheckpoint()
+    }
+    state
+      .groupBy(col("d").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
 }

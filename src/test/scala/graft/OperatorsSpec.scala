@@ -4196,6 +4196,29 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_classes") === kRows(r.getString(0))))
   }
 
+  test("referral depth: pointer doubling == direct parent-chase recompute") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val nodes = Tables.customer(spark, Sf0001).select("c_custkey").collect()
+      .map(_.getLong(0)).sorted
+    val parent = nodes.filter(_ > 0).map(n => n -> h60(n.toString) % n).toMap
+    val depths = scala.collection.mutable.Map[Long, Long](0L -> 0L)
+    def depthOf(n: Long): Long = depths.getOrElseUpdate(n, depthOf(parent(n)) + 1)
+    nodes.foreach(depthOf)
+    val want = depths.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = GraphOps.referralDepth(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach(r => assert(r.getAs[Long]("n_nodes") === want(r.getAs[Long]("depth"))))
+    // a random recursive tree is SHALLOW: max depth ~ 2 ln n, far
+    // under the 2^8 the doubling rounds cover (the convergence margin)
+    val maxDepth = depths.values.max
+    assert(maxDepth < 256L)
+    assert(maxDepth >= 3L)
+  }
+
   test("span rewrite: exact rebuild recompute; duplicated blocks vanish corpus-wide") {
     def h60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
