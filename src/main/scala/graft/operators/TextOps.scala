@@ -889,7 +889,7 @@ object TextOps {
     * padding_waste (see packAssign's scaladoc for why `\s`/`\p{L}`
     * are banned here).
     */
-  private[operators] def packTokenCount(c: Column): Column =
+  private[graft] def packTokenCount(c: Column): Column =
     size(
       regexp_extract_all(
         regexp_replace(c, "[^ -~]", " "),
@@ -898,7 +898,7 @@ object TextOps {
       )
     ).cast("bigint")
 
-  private def packAssign(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def packAssign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     Tables
       .documents(spark, dir)

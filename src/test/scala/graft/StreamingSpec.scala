@@ -628,6 +628,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packer: incremental assignments == batch packAssign") {
+    // three contiguous doc_id slices, so each source's docs arrive in
+    // doc_id order across batches (the packer's ordering contract)
+    val tmp = java.nio.file.Files.createTempDirectory("pack-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001)
+    val cuts = Seq((0L, 167L), (167L, 334L), (334L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(s"$tmp/p$k")
+      val src = new java.io.File(s"$tmp/p$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"p$k.parquet"))
+    }
+    val q = graft.streaming.PackStream
+      .assignments(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pack_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("cum"), r.getAs[Long]("bin")))
+        .toMap
+      val batch = graft.operators.TextOps.packAssign(spark, Sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("cum"), r.getAs[Long]("bin")))
+        .toMap
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: final Mann-Whitney state == batch query") {
     // three micro-batches of events; the monitor's state is the
     // (type, centi-bin) count table, and the U statistic derived from
