@@ -134,6 +134,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("sliding_min"),
+        new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          val e = expect(2, "sliding_min")(exprs); SlidingMin(e(0), e(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("int_vec_sum"),
         new ExpressionInfo(classOf[IntVecSumAgg].getName, "int_vec_sum"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -321,6 +321,86 @@ object VectorExpressions {
     ): Expression = copy(left = newLeft, right = newRight)
   }
 
+  /** Sliding-window minima of a long array: result[i] =
+    * min(a[i..i+w-1]) for i in [0, n−w], the winnowing selector's
+    * inner loop. A monotonic deque makes it O(n) where the
+    * interpreted `transform(sequence, i -> array_min(slice(a, i, w)))`
+    * HOF form is O(n·w) with a boxed array copy per window — and, as
+    * the winnowing_pairs incident showed, that HOF nest is what
+    * optimizer rules inline into inferred filters. Arrays shorter
+    * than w (or w < 1) produce an empty array, matching word_ngrams'
+    * guard.
+    */
+  case class SlidingMin(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sliding_min"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("sliding_min", Seq(left.dataType, right.dataType),
+        Seq(({ case ArrayType(LongType, _) => true; case _ => false },
+          "array<bigint>"), (_ == IntegerType, "int")))
+
+    override def nullSafeEval(arr: Any, wAny: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val w = wAny.asInstanceOf[Int]
+      val n = a.numElements()
+      val m = if (w < 1) 0 else n - w + 1
+      if (m <= 0) new GenericArrayData(new Array[Long](0))
+      else {
+        val out = new Array[Long](m)
+        val deque = new Array[Int](n) // indices, increasing values
+        var head = 0
+        var tail = 0 // exclusive
+        var i = 0
+        while (i < n) {
+          val v = a.getLong(i)
+          while (tail > head && a.getLong(deque(tail - 1)) >= v) tail -= 1
+          deque(tail) = i; tail += 1
+          if (deque(head) <= i - w) head += 1
+          if (i >= w - 1) out(i - w + 1) = a.getLong(deque(head))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w) => {
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val deque = ctx.freshName("deque")
+        val head = ctx.freshName("head")
+        val tail = ctx.freshName("tail")
+        val i = ctx.freshName("i")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |int $m = ($w < 1) ? 0 : $n - $w + 1;
+           |if ($m < 0) $m = 0;
+           |long[] $out = new long[$m];
+           |if ($m > 0) {
+           |  int[] $deque = new int[$n];
+           |  int $head = 0; int $tail = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $v = $a.getLong($i);
+           |    while ($tail > $head && $a.getLong($deque[$tail - 1]) >= $v) $tail--;
+           |    $deque[$tail] = $i; $tail++;
+           |    if ($deque[$head] <= $i - $w) $head++;
+           |    if ($i >= $w - 1) $out[$i - $w + 1] = $a.getLong($deque[$head]);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
   /** Consecutive word n-grams of a token array, space-joined — the
     * shingle constructor. Doing this per-row in codegen replaces the
     * posexplode → window-shuffle-by-doc → lead → concat pipeline (two
@@ -572,6 +652,11 @@ object VectorExpressions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "sliding_min",
+      exprs => { val e = expect(2, "sliding_min")(exprs); SlidingMin(e(0), e(1)) },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "int_vec_sum",
       exprs => IntVecSumAgg(expect(1, "int_vec_sum")(exprs).head),
       "built-in"
@@ -604,6 +689,8 @@ object VectorExpressions {
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)
+
+  def slidingMin(a: Column, w: Column): Column = call_function("sliding_min", a, w)
 
   def intVecSum(a: Column): Column = call_function("int_vec_sum", a)
 

@@ -808,15 +808,12 @@ object DedupOps {
       .select(
         col("doc_id"),
         size(col("hs")).cast("long").as("n_shingles"),
-        when(
-          size(col("hs")) >= WinnowW,
-          array_distinct(
-            transform(
-              sequence(lit(0), size(col("hs")) - WinnowW),
-              i => array_min(slice(col("hs"), i + 1, lit(WinnowW)))
-            )
-          )
-        ).otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("fps")
+        // codegen O(n) monotonic-deque sliding minima; the old
+        // transform+slice HOF was interpreted O(n·w) and is what the
+        // optimizer inlined into the inferred Generate filter
+        array_distinct(
+          graft.functions.VectorExpressions.slidingMin(col("hs"), lit(WinnowW))
+        ).as("fps")
       )
   }
 

@@ -551,6 +551,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mism === 0L)
   }
 
+  test("sliding_min == the HOF transform/slice form; deque edge cases") {
+    graft.functions.VectorExpressions.register(spark)
+    val u = spark.sql(
+      "SELECT sliding_min(array(5L,3L,4L,1L,2L), 3) AS a, " + // [3,1,1]
+        "sliding_min(array(7L,7L,7L), 1) AS b, " +            // identity
+        "sliding_min(array(1L,2L), 3) AS short, " +
+        "sliding_min(array(1L,2L), 0) AS z, " +
+        "sliding_min(array(9L,8L,7L,6L), 4) AS whole"
+    ).collect()(0)
+    assert(u.getSeq[Long](0) === Seq(3L, 1L, 1L))
+    assert(u.getSeq[Long](1) === Seq(7L, 7L, 7L))
+    assert(u.getSeq[Long](2) === Seq())
+    assert(u.getSeq[Long](3) === Seq())
+    assert(u.getSeq[Long](4) === Seq(6L))
+    // corpus parity against the interpreted HOF the winnow used to
+    // build, over the real shingle-hash arrays
+    val mism = Tables.documents(spark, Sf0001)
+      .select(
+        graft.functions.VectorExpressions
+          .wordNgrams(TextOps.tokens(lower(col("text"))), lit(4)).as("g")
+      )
+      .selectExpr(
+        "transform(g, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)) AS hs"
+      )
+      .selectExpr(
+        "sliding_min(hs, 5) AS fast",
+        """CASE WHEN size(hs) >= 5
+          |  THEN transform(sequence(0, size(hs) - 5),
+          |                 i -> array_min(slice(hs, i + 1, 5)))
+          |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS slow""".stripMargin
+      )
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mism === 0L)
+  }
+
   test("word_ngrams: consecutive space-joined n-grams, empty below n tokens") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
