@@ -1385,6 +1385,39 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors EventOps.mannKendallTrend: daily centi-mean series,
+    * cross-multiplied sign pairs, per-day tie counts, 18·Var(S).
+    */
+  val mannKendallTrend: String =
+    """WITH daily AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
+      |  COUNT(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |p AS (
+      | SELECT a.event_type,
+      |  CASE WHEN CAST(b.sc AS HUGEINT) * a.n > CAST(a.sc AS HUGEINT) * b.n THEN 1
+      |       WHEN CAST(b.sc AS HUGEINT) * a.n < CAST(a.sc AS HUGEINT) * b.n THEN -1
+      |       ELSE 0 END AS sgn
+      | FROM daily a JOIN daily b USING (event_type)
+      | WHERE a.day < b.day),
+      |s AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+      |t AS (
+      | SELECT event_type, day_a, COUNT(*) AS t_day FROM (
+      |  SELECT a.event_type, a.day AS day_a
+      |  FROM daily a JOIN daily b USING (event_type)
+      |  WHERE CAST(a.sc AS HUGEINT) * b.n = CAST(b.sc AS HUGEINT) * a.n)
+      | GROUP BY 1, 2),
+      |ties AS (
+      | SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM((t_day - 1) * (t_day * 2 + 5)) AS BIGINT) AS tie_sum
+      | FROM t GROUP BY 1)
+      |SELECT event_type, n_days, s_stat,
+      | CAST(n_days * (n_days - 1) * (n_days * 2 + 5) - tie_sum AS BIGINT) AS var18,
+      | CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |   AS trend_sign
+      |FROM ties JOIN s USING (event_type)""".stripMargin
+
   /** Mirrors GraphOps.referralDepth with DuckDB's ACTUAL recursive
     * CTE — the gate proves the pointer-doubling rewrite equals
     * textbook level-at-a-time recursion.

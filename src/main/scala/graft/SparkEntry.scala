@@ -214,6 +214,7 @@ object SparkEntry {
     "l_diversity" -> EventOps.lDiversity,
     "mannwhitney_drift" -> EventOps.mannWhitneyDrift,
     "cramers_v" -> EventOps.cramersV,
+    "mann_kendall_trend" -> EventOps.mannKendallTrend,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -908,6 +909,7 @@ object SparkEntry {
     "l_diversity" -> Oracles6.lDiversity,
     "mannwhitney_drift" -> Oracles6.mannWhitneyDrift,
     "cramers_v" -> Oracles6.cramersV,
+    "mann_kendall_trend" -> Oracles6.mannKendallTrend,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

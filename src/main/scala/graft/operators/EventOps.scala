@@ -2387,6 +2387,67 @@ object EventOps {
       )
   }
 
+  /** Mann–Kendall trend test per event type — the nonparametric IS
+    * THERE a monotone trend companion to theilsen_trend's HOW STEEP:
+    * S = Σ_{i<j} sign(x_j − x_i) over the daily mean-value series,
+    * with the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_groups t(t−1)(2t+5). Every number is an integer: daily means
+    * compare by cross-multiplication (sc_i·n_j vs sc_j·n_i — no
+    * division), and the tie-group sum folds per day as
+    * (t_day − 1)(2·t_day + 5) where t_day counts days sharing the
+    * day's exact rational mean (each group of size t contributes t
+    * such rows = t(t−1)(2t+5)).
+    *
+    * Scale: the corpus collapses to ≤ days·types daily rows first
+    * (one map-side-combined agg); the pair and tie self-joins run
+    * over DAYS (≤ 60² per type), never events. The p-value
+    * normalization (S/√Var) is left to the caller — emitting only
+    * integers keeps the gate exact.
+    */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .select(col("event_type"), floorDiv(86400000000000L).as("day"), centiValue.as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("sc"), count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the pair join (twice) and the tie count
+    val a = daily.select(col("event_type"), col("day").as("day_a"),
+      col("sc").as("sc_a"), col("n").as("n_a"))
+    val b = daily.select(col("event_type"), col("day").as("day_b"),
+      col("sc").as("sc_b"), col("n").as("n_b"))
+    val cmpA = col("sc_a").cast(DecimalType(38, 0)) * col("n_b")
+    val cmpB = col("sc_b").cast(DecimalType(38, 0)) * col("n_a")
+    val s = a
+      .join(b, Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .select(
+        col("event_type"),
+        when(cmpB > cmpA, 1L).when(cmpB < cmpA, -1L).otherwise(0L).as("sgn")
+      )
+      .groupBy(col("event_type"))
+      .agg(sum(col("sgn")).as("s_stat"))
+    val ties = a
+      .join(b, Seq("event_type"))
+      .filter(cmpA === cmpB) // includes the self pair, so t_day >= 1
+      .groupBy(col("event_type"), col("day_a"))
+      .agg(count(lit(1)).as("t_day"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum((col("t_day") - 1) * (col("t_day") * 2 + 5)).as("tie_sum")
+      )
+    ties
+      .join(s, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("tie_sum"))
+          .as("var18"),
+        signum(col("s_stat")).cast("long").as("trend_sign")
+      )
+  }
+
   /** K-anonymity risk report over the event log — the governance gate
     * a dataset must clear before release. Quasi-identifier =
     * (event_type, hour-of-day, 50-unit value band): every class is a

@@ -4408,6 +4408,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mann-kendall: exact S and tie-corrected variance recompute") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map { r =>
+        (r.getString(0), Math.floorDiv(r.getLong(1), 86400000000000L),
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      }
+    val daily = evs.groupBy(e => (e._1, e._2)).map { case ((t, d), rs) =>
+      (t, d, rs.map(_._3).sum, rs.length.toLong)
+    }.toSeq
+    val want = daily.groupBy(_._1).map { case (t, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val means = sorted.map(x => (BigInt(x._3), BigInt(x._4)))
+      var s = 0L
+      for (i <- means.indices; j <- i + 1 until means.length) {
+        val c = (means(j)._1 * means(i)._2).compare(means(i)._1 * means(j)._2)
+        s += c.sign
+      }
+      val n = means.length.toLong
+      val tieSum = means.map { m =>
+        val t2 = means.count(x => x._1 * m._2 == m._1 * x._2).toLong
+        (t2 - 1) * (t2 * 2 + 5)
+      }.sum
+      t -> (n, s, n * (n - 1) * (n * 2 + 5) - tieSum)
+    }
+    val rows = EventOps.mannKendallTrend(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, s, v18) = want(r.getString(0))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("s_stat") === s)
+      assert(r.getAs[Long]("var18") === v18)
+      assert(r.getAs[Long]("trend_sign") === s.sign.toLong)
+      // variance is nonnegative by construction
+      assert(v18 >= 0L)
+    }
+  }
+
   test("cramers v: exact chi-squared recompute over the full margin grid") {
     val evs = Tables.events(spark, Sf0001).select(col("ts"), col("event_type")).collect()
       .map { r =>
