@@ -1385,6 +1385,34 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors EventOps.bootstrapMeans: md5(event_id:r) mod 10⁴ coin,
+    * Poisson(1) cumulative ladder, exact integer weighted sums, one
+    * IEEE division for the replica mean.
+    */
+  val bootstrapMeans: String =
+    """WITH e AS (
+      | SELECT event_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |  unnest(range(16)) AS replica
+      | FROM events),
+      |w AS (
+      | SELECT event_type, CAST(replica AS BIGINT) AS replica, vc,
+      |  CASE WHEN coin < 3679 THEN 0 WHEN coin < 7358 THEN 1
+      |       WHEN coin < 9197 THEN 2 WHEN coin < 9810 THEN 3
+      |       WHEN coin < 9963 THEN 4 WHEN coin < 9994 THEN 5
+      |       ELSE 6 END AS w
+      | FROM (SELECT *,
+      |        CAST(CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+      |          CAST(replica AS VARCHAR))), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) AS coin
+      |       FROM e)),
+      |agg AS (
+      | SELECT event_type, replica, CAST(SUM(w) AS BIGINT) AS w_count,
+      |  CAST(SUM(w * vc) AS BIGINT) AS w_sum_c
+      | FROM w GROUP BY 1, 2)
+      |SELECT event_type, replica, w_count, w_sum_c,
+      | CAST(w_sum_c AS DOUBLE) / CAST(w_count AS DOUBLE) AS mean_c
+      |FROM agg""".stripMargin
+
   /** Mirrors EventOps.mannKendallTrend: daily centi-mean series,
     * cross-multiplied sign pairs, per-day tie counts, 18·Var(S).
     */

@@ -215,6 +215,7 @@ object SparkEntry {
     "mannwhitney_drift" -> EventOps.mannWhitneyDrift,
     "cramers_v" -> EventOps.cramersV,
     "mann_kendall_trend" -> EventOps.mannKendallTrend,
+    "bootstrap_means" -> EventOps.bootstrapMeans,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -910,6 +911,7 @@ object SparkEntry {
     "mannwhitney_drift" -> Oracles6.mannWhitneyDrift,
     "cramers_v" -> Oracles6.cramersV,
     "mann_kendall_trend" -> Oracles6.mannKendallTrend,
+    "bootstrap_means" -> Oracles6.bootstrapMeans,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

@@ -2387,6 +2387,49 @@ object EventOps {
       )
   }
 
+  /** Deterministic Poisson bootstrap of the per-type mean value — the
+    * uncertainty-quantification step a metrics pipeline runs beside
+    * every point estimate. Replica r reweights each event by a
+    * Poisson(1)-distributed integer derived from
+    * md5(event_id:r) mod 10⁴ against the fixed cumulative table
+    * (3679/7358/9197/9810/9963/9994 → weights 0–6) — the standard
+    * Poisson bootstrap (resampling n-out-of-n without materializing
+    * copies), made reproducible on any engine by the hash coin. Every
+    * emitted count/sum is an exact integer; the replica mean is one
+    * IEEE division of two exact longs.
+    *
+    * Scale: the 16× replica expand is absorbed immediately by the
+    * map-side partial aggregation (rows never leave their task
+    * unexpanded) — this is WHY Poisson bootstrap exists: real
+    * resampling would copy the corpus 16 times, this streams it once.
+    */
+  val BootstrapReplicas = 16
+
+  def bootstrapMeans(spark: SparkSession, dir: String): DataFrame = {
+    val coin =
+      expr("CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', " +
+        "CAST(replica AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10000")
+    val weight = when(col("coin") < 3679, 0L)
+      .when(col("coin") < 7358, 1L)
+      .when(col("coin") < 9197, 2L)
+      .when(col("coin") < 9810, 3L)
+      .when(col("coin") < 9963, 4L)
+      .when(col("coin") < 9994, 5L)
+      .otherwise(6L)
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), centiValue.as("vc"))
+      .withColumn("replica", explode(sequence(lit(0), lit(BootstrapReplicas - 1))))
+      .withColumn("coin", coin)
+      .withColumn("w", weight)
+      .groupBy(col("event_type"), col("replica").cast("bigint").as("replica"))
+      .agg(sum(col("w")).as("w_count"), sum(col("w") * col("vc")).as("w_sum_c"))
+      .withColumn(
+        "mean_c",
+        col("w_sum_c").cast("double") / col("w_count").cast("double")
+      )
+  }
+
   /** Mann–Kendall trend test per event type — the nonparametric IS
     * THERE a monotone trend companion to theilsen_trend's HOW STEEP:
     * S = Σ_{i<j} sign(x_j − x_i) over the daily mean-value series,

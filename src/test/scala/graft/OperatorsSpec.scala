@@ -4408,6 +4408,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap means: exact hash-Poisson recompute; weights average ~1") {
+    def coin(id: Long, r: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$r".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000
+    }
+    def w(c: Long): Long =
+      if (c < 3679) 0 else if (c < 7358) 1 else if (c < 9197) 2
+      else if (c < 9810) 3 else if (c < 9963) 4 else if (c < 9994) 5 else 6
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val want = (for {
+      r <- 0L until EventOps.BootstrapReplicas.toLong
+      (id, t, vc) <- evs
+    } yield {
+      val wt = w(coin(id, r))
+      ((t, r), (wt, wt * vc))
+    }).groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+    }
+    val rows = EventOps.bootstrapMeans(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (wc, ws) = want((r.getString(0), r.getAs[Long]("replica")))
+      assert(r.getAs[Long]("w_count") === wc)
+      assert(r.getAs[Long]("w_sum_c") === ws)
+      assert(r.getAs[Double]("mean_c") === ws.toDouble / wc.toDouble)
+    }
+    // Poisson(1): total weight per replica concentrates near the
+    // event count (mean 1 per event) — a wrong ladder skews this
+    val perReplica = rows.groupBy(_.getAs[Long]("replica"))
+      .view.mapValues(_.map(_.getAs[Long]("w_count")).sum).toMap
+    val n = evs.length.toLong
+    perReplica.values.foreach(tw => assert(tw > n / 2 && tw < n * 2))
+  }
+
   test("mann-kendall: exact S and tie-corrected variance recompute") {
     val evs = Tables.events(spark, Sf0001)
       .select(col("event_type"), col("ts"), col("value")).collect()
