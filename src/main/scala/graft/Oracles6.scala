@@ -1385,6 +1385,34 @@ object Oracles6 {
       |   ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS auc_a
       |FROM r""".stripMargin
 
+  /** Mirrors TextOps.keynessTerms: (lang, token) counts, 2×2 margins,
+    * add-one smoothed odds ratio as exact floor-div ppm, top-5 per
+    * lang.
+    */
+  val keynessTerms: String =
+    """WITH c AS (
+      | SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '')) AS token
+      | FROM documents),
+      |cnt AS (SELECT lang, token, COUNT(*) AS a FROM c GROUP BY 1, 2),
+      |tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS tok_total FROM cnt GROUP BY 1),
+      |lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS lang_total FROM cnt GROUP BY 1),
+      |g AS (SELECT CAST(SUM(a) AS BIGINT) AS grand FROM cnt),
+      |m AS (
+      | SELECT lang, token, a, tok_total - a AS b, lang_total - a AS c,
+      |  grand - tok_total - lang_total + a AS d
+      | FROM cnt JOIN tt USING (token) JOIN lt USING (lang), g),
+      |o AS (
+      | SELECT lang, token, a, b, c, d,
+      |  CAST(((CAST(a AS HUGEINT) + 1) * (CAST(d AS HUGEINT) + 1) * 1000000)
+      |       // ((CAST(b AS HUGEINT) + 1) * (CAST(c AS HUGEINT) + 1)) AS BIGINT) AS or_ppm
+      | FROM m)
+      |SELECT lang, rnk, token, CAST(a AS BIGINT) AS a, b, c, d, or_ppm FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |   ORDER BY or_ppm DESC, token ASC) AS rnk
+      | FROM o)
+      |WHERE rnk <= 5""".stripMargin
+
   /** Mirrors EventOps.bootstrapMeans: md5(event_id:r) mod 10⁴ coin,
     * Poisson(1) cumulative ladder, exact integer weighted sums, one
     * IEEE division for the replica mean.

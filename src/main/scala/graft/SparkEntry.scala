@@ -216,6 +216,7 @@ object SparkEntry {
     "cramers_v" -> EventOps.cramersV,
     "mann_kendall_trend" -> EventOps.mannKendallTrend,
     "bootstrap_means" -> EventOps.bootstrapMeans,
+    "keyness_terms" -> TextOps.keynessTerms,
     // Similarity search
     "ann_topk_bruteforce" -> SimilarityOps.bruteForceTopK,
     "matryoshka_recall" -> SimilarityOps.matryoshkaRecall,
@@ -912,6 +913,7 @@ object SparkEntry {
     "cramers_v" -> Oracles6.cramersV,
     "mann_kendall_trend" -> Oracles6.mannKendallTrend,
     "bootstrap_means" -> Oracles6.bootstrapMeans,
+    "keyness_terms" -> Oracles6.keynessTerms,
     "pq_adc_topk" -> Oracles4.pqAdcTopK,
     "asof_join_native" -> Oracles4.asofJoinNative,
     "mm_audio_energy" -> Oracles4.audioEnergy,

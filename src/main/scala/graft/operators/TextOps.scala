@@ -2098,4 +2098,58 @@ object TextOps {
 
   private val coinSql =
     "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Keyness terms per language — which tokens are OVER-represented
+    * in one slice vs the rest of the corpus (the Fightin'-Words /
+    * log-odds corpus-comparison primitive; tfidf ranks within a
+    * document, this ranks a SLICE against its complement). With
+    * add-one smoothing, odds ratio = ((a+1)(d+1)) / ((b+1)(c+1)) for
+    * a = token count in the language, b = token count elsewhere,
+    * c/d = all other tokens in/out — emitted as floor-div ppm of
+    * exact DECIMAL products, so the gate is engine-exact with no log.
+    * Top 5 per language by (or_ppm desc, token asc).
+    *
+    * Scale: one map-side-combined (lang, token) count agg; the
+    * margins fold from that table and broadcast back; the top-k is a
+    * per-lang WindowGroupLimit over the vocabulary, never tokens.
+    */
+  val KeynessTopK = 5
+
+  def keynessTerms(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("a_raw"))
+    val tokTotals = counts.groupBy(col("token")).agg(sum(col("a_raw")).as("tok_total"))
+    val langTotals = counts.groupBy(col("lang")).agg(sum(col("a_raw")).as("lang_total"))
+    val grand = counts.agg(sum(col("a_raw")).as("grand"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("or_ppm").desc, col("token").asc)
+    counts
+      .join(broadcast(tokTotals), Seq("token"))
+      .join(broadcast(langTotals), Seq("lang"))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("lang"),
+        col("token"),
+        col("a_raw").as("a"),
+        (col("tok_total") - col("a_raw")).as("b"),
+        (col("lang_total") - col("a_raw")).as("c"),
+        (col("grand") - col("tok_total") - col("lang_total") + col("a_raw")).as("d")
+      )
+      .withColumn(
+        "or_ppm",
+        expr(
+          """CAST(((CAST(a AS DECIMAL(38,0)) + 1) * (CAST(d AS DECIMAL(38,0)) + 1) * 1000000)
+            |     div ((CAST(b AS DECIMAL(38,0)) + 1) * (CAST(c AS DECIMAL(38,0)) + 1))
+            |     AS BIGINT)""".stripMargin
+        )
+      )
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= KeynessTopK)
+      .select(col("lang"), col("rnk"), col("token"), col("a"), col("b"), col("c"),
+        col("d"), col("or_ppm"))
+  }
 }

@@ -4408,6 +4408,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyness terms: exact 2x2 odds recompute; margins sum to grand total") {
+    val docs = Tables.documents(spark, Sf0001).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cnt = docs.flatMap { case (l, t) =>
+      t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).map(w => (l, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tokTotal = cnt.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val langTotal = cnt.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val grand = cnt.values.sum
+    val want = cnt.toSeq.map { case ((l, t), a) =>
+      val b = tokTotal(t) - a
+      val c = langTotal(l) - a
+      val d = grand - tokTotal(t) - langTotal(l) + a
+      val or = (BigInt(a + 1) * (d + 1) * 1000000 / (BigInt(b + 1) * (c + 1))).toLong
+      (l, t, a, b, c, d, or)
+    }.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.sortBy(x => (-x._7, x._2)).take(TextOps.KeynessTopK)
+    }
+    val rows = TextOps.keynessTerms(spark, Sf0001).collect()
+    assert(rows.length === want.values.map(_.size).sum)
+    rows.foreach { r =>
+      val (l, t, a, b, c, d, or) = want(r.getString(0))(r.getAs[Long]("rnk").toInt - 1)
+      assert(r.getString(2) === t)
+      assert(r.getAs[Long]("a") === a)
+      assert(r.getAs[Long]("b") === b)
+      assert(r.getAs[Long]("c") === c)
+      assert(r.getAs[Long]("d") === d)
+      assert(r.getAs[Long]("or_ppm") === or)
+      // the 2x2 table partitions the corpus
+      assert(a + b + c + d === grand)
+    }
+  }
+
   test("bootstrap means: exact hash-Poisson recompute; weights average ~1") {
     def coin(id: Long, r: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
