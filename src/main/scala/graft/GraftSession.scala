@@ -40,8 +40,15 @@ object GraftSession {
     * ContextCleaner's GC-driven lag accumulates storage pressure across
     * many query runs and evicts later queries' blocks.
     */
+  /** Session-memoized ARTIFACTS (graft.operators.Artifacts — e.g. the
+    * near-dup pair graph shared by the whole cluster family) are
+    * exempt from the sweep: they are pair-bounded by contract, and a
+    * localCheckpointed RDD cannot recompute once its blocks drop.
+    */
   def dropAllBlocks(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => graft.operators.Artifacts.isPinned(r.id))
+      .foreach(_.unpersist(blocking = false))
   }
 }

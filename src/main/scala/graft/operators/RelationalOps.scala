@@ -1076,14 +1076,18 @@ object RelationalOps {
     * per-cell divisions don't share a denominator, so no exact form
     * exists.
     *
-    * Scale: lineitem ⋈ broadcast(part-brand), one (brand, flag)
-    * aggregate, marginals broadcast back — scan-bound.
+    * Scale: lineitem ⋈ part-brand on the part key (the part table
+    * GROWS with the corpus — billions of rows at 100 TB — so it must
+    * never carry a broadcast hint; the shuffle join on partkey is the
+    * honest plan, and AQE may still broadcast it when the measured
+    * size is small), one (brand, flag) aggregate, bounded marginals
+    * broadcast back — scan-bound.
     */
   def returnLift(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables
       .lineitem(spark, dir)
       .join(
-        broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey")
       )
       .groupBy(col("p_brand"), col("l_returnflag"))
@@ -1169,11 +1173,8 @@ object RelationalOps {
         sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("clv_c"),
         count(lit(1)).as("n_orders")
       )
-    val tiers = clv
-      .withColumn(
-        "decile",
-        ntile(10).over(Window.orderBy(col("clv_c").asc, col("o_custkey").asc))
-      )
+    val tiers = RankOps
+      .withGlobalNtile(clv, 10, "decile", Seq(col("clv_c").asc, col("o_custkey").asc))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_customers"),
@@ -1215,11 +1216,8 @@ object RelationalOps {
         col("o_orderkey"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_c")
       )
-    ord
-      .withColumn(
-        "bucket",
-        ntile(10).over(Window.orderBy(col("price_c").asc, col("o_orderkey").asc))
-      )
+    RankOps
+      .withGlobalNtile(ord, 10, "bucket", Seq(col("price_c").asc, col("o_orderkey").asc))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n"),
@@ -1302,12 +1300,9 @@ object RelationalOps {
         .filter(keep)
         .groupBy(col("o_custkey"))
         .agg(sum(col("price_c")).as("spend_c"))
-        .withColumn(
-          tierName,
-          ntile(5)
-            .over(Window.orderBy(col("spend_c").asc, col("o_custkey").asc))
-            .cast("long")
-        )
+        .transform(h =>
+          RankOps.withGlobalNtile(h, 5, tierName,
+            Seq(col("spend_c").asc, col("o_custkey").asc)))
         .select(col("o_custkey"), col(tierName))
     val h1 = tiers(halves, col("day") < col("mid_day"), "tier_h1")
     val h2 = tiers(halves, col("day") >= col("mid_day"), "tier_h2")
@@ -1477,14 +1472,9 @@ object RelationalOps {
           col("n_rows"),
           expr("n_rows_scanned * 1000000 DIV n_rows").as("scan_ppm")
         )
-    val byKey = o.withColumn(
-      "zone",
-      ntile(ZoneCount).over(Window.orderBy(col("o_orderkey").asc))
-    )
-    val byPrice = o.withColumn(
-      "zone",
-      ntile(ZoneCount).over(Window.orderBy(col("price_c").asc, col("o_orderkey").asc))
-    )
+    val byKey = RankOps.withGlobalNtile(o, ZoneCount, "zone", Seq(col("o_orderkey").asc))
+    val byPrice =
+      RankOps.withGlobalNtile(o, ZoneCount, "zone", Seq(col("price_c").asc, col("o_orderkey").asc))
     summarize(byKey, "key_order").unionAll(summarize(byPrice, "price_order"))
   }
 
@@ -1511,10 +1501,10 @@ object RelationalOps {
         count(lit(1)).as("freq"),
         sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("mon_c")
       )
-    per
-      .withColumn("r_tier", ntile(5).over(Window.orderBy(col("last_s").asc, col("o_custkey").asc)))
-      .withColumn("f_tier", ntile(5).over(Window.orderBy(col("freq").asc, col("o_custkey").asc)))
-      .withColumn("m_tier", ntile(5).over(Window.orderBy(col("mon_c").asc, col("o_custkey").asc)))
+    val r = RankOps.withGlobalNtile(per, 5, "r_tier", Seq(col("last_s").asc, col("o_custkey").asc))
+    val rf = RankOps.withGlobalNtile(r, 5, "f_tier", Seq(col("freq").asc, col("o_custkey").asc))
+    RankOps
+      .withGlobalNtile(rf, 5, "m_tier", Seq(col("mon_c").asc, col("o_custkey").asc))
       .groupBy(col("r_tier"), col("f_tier"), col("m_tier"))
       .agg(
         count(lit(1)).as("n_customers"),

@@ -514,25 +514,19 @@ object TextOps {
       .select(explode(tokens(lower(col("text")))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val order = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts
-      .withColumn(
-        "total",
-        sum(col("cnt")).over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
-      )
-      .withColumn(
-        "cum",
-        sum(col("cnt")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      )
-      .withColumn("rnk", row_number().over(order).cast("long"))
-      .filter((col("cum") - col("cnt")) * 10 < col("total") * 9)
+    // Range-partitioned rank+prefix-sum composition (RankOps): the
+    // global frequency order is exact but never a single-task sort;
+    // the grand total arrives with the partition ledger (no extra
+    // pass, no corpus-wide window).
+    val (ranked, total) = RankOps.withGlobalRankAndRunningSum(
+      counts, col("cnt"), "rnk", "cum", Seq(col("cnt").desc, col("token").asc))
+    ranked
+      .filter((col("cum") - col("cnt")) * 10 < lit(total) * 9)
       .select(
         col("token"),
         col("cnt"),
         col("rnk"),
-        (col("cum").cast("double") / col("total").cast("double")).as("cum_share")
+        (col("cum").cast("double") / lit(total).cast("double")).as("cum_share")
       )
   }
 
@@ -1650,9 +1644,8 @@ object TextOps {
       .agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc"))
       .agg(count(lit(1)).as("n_new"))
-    val bounds = perDoc
-      .select(col("doc_id"))
-      .withColumn("bucket", ntile(10).over(Window.orderBy(col("doc_id").asc)))
+    val bounds = RankOps
+      .withGlobalNtile(perDoc.select(col("doc_id")), 10, "bucket", Seq(col("doc_id").asc))
       .groupBy(col("bucket"))
       .agg(max(col("doc_id")).as("bound"), count(lit(1)).as("n_docs"))
     val cumDocs = perDoc
@@ -2127,8 +2120,16 @@ object TextOps {
     val w = Window
       .partitionBy(col("lang"))
       .orderBy(col("or_ppm").desc, col("token").asc)
+    // tokTotals is VOCABULARY-sized (one row per distinct token): at
+    // 100 TB a Heaps-law vocabulary is 10^8-10^9 rows, so it must
+    // NEVER carry a broadcast hint (driver/executor OOM) — it
+    // shuffle-joins on token (counts is already token-keyed, so the
+    // exchange is co-partition-friendly; AQE may still choose to
+    // broadcast when the measured size is tiny, which is fine — the
+    // point is not to FORCE it). langTotals (≤ #langs) and grand
+    // (1 row) stay hinted: provably bounded.
     counts
-      .join(broadcast(tokTotals), Seq("token"))
+      .join(tokTotals, Seq("token"))
       .join(broadcast(langTotals), Seq("lang"))
       .crossJoin(broadcast(grand))
       .select(

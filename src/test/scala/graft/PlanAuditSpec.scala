@@ -479,4 +479,98 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ka.contains("Exchange rangepartitioning"), ka)
     assert(!ka.contains("Join"), ka)
   }
+
+  /** Every WindowExec in the executed plan whose partitionSpec is
+    * empty — the single-task global sort signature. Unwraps AQE
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec) so stages
+    * materialized by adaptive execution are swept too.
+    */
+  private def globalWindowExecs(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.collect()
+    def sweep(p: SparkPlan): Seq[String] = {
+      val cur = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case s: QueryStageExec => s.plan
+        case other => other
+      }
+      val here = cur match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleString(120))
+        case _ => Nil
+      }
+      here ++ cur.children.flatMap(sweep)
+    }
+    sweep(df.queryExecution.executedPlan)
+  }
+
+  test("exact global NTILE/rank family: no partition-less WindowExec survives " +
+    "(range-partitioned rank composition everywhere)") {
+    // Each of these ranks a corpus-growing table (customers, orders,
+    // docs, vocabulary). A Window.orderBy with no partitionBy plans as
+    // ONE task sorting everything — the RankOps rewrite must keep every
+    // window partitioned (by the range-partition id).
+    val family: Seq[(String, DataFrame)] = Seq(
+      "clv_deciles" -> RelationalOps.clvDeciles(spark, Sf0001),
+      "equidepth_hist" -> RelationalOps.equidepthHist(spark, Sf0001),
+      "zone_pruning" -> RelationalOps.zonePruning(spark, Sf0001),
+      "rfm_segments" -> RelationalOps.rfmSegments(spark, Sf0001),
+      "tier_migration" -> RelationalOps.tierMigration(spark, Sf0001),
+      "vocab_growth" -> TextOps.vocabGrowth(spark, Sf0001),
+      "vocab_nucleus" -> TextOps.vocabNucleus(spark, Sf0001),
+      "sorted_neighborhood_pairs" -> DedupOps.sortedNeighborhood(spark, Sf0001)
+    )
+    val offenders = family.flatMap { case (name, df) =>
+      val gw = globalWindowExecs(df)
+      if (gw.nonEmpty) Some(s"$name: ${gw.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty, s"single-task global windows: $offenders")
+  }
+
+  test("keyness: exactly the two bounded margins are broadcast-hinted; " +
+    "the vocabulary-sized token-totals table is not") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val plan = org.apache.spark.sql.GraftSqlShim
+      .analyzedPlan(TextOps.keynessTerms(spark, Sf0001))
+    val hints = plan.collect { case h: ResolvedHint => h }
+    assert(hints.size == 2, s"expected langTotals + grand hints only, got ${hints.size}")
+    // Only the TOPMOST aggregate drives the hinted side's output
+    // cardinality (the vocabulary-sized (lang, token) aggregate sits
+    // under both margins' re-aggregations by design).
+    val tokenHinted = hints.exists(_.child.collectFirst { case a: Aggregate => a }.exists(
+      _.groupingExpressions.exists(_.toString.contains("token"))))
+    assert(!tokenHinted, "a vocabulary-keyed aggregate is broadcast-hinted")
+  }
+
+  test("board-wide sweep: no broadcast hint wraps an unaggregated corpus-scale scan") {
+    // The returnLift class of bug: broadcast(part) is fine at sf0.1
+    // and an executor OOM at 100 TB. A hint is legitimate only if the
+    // hinted subtree bounds its cardinality (an Aggregate on a bounded
+    // domain or a Limit) or scans only fixed-size dims (nation,
+    // region). Vocabulary-sized aggregates need per-site judgment (see
+    // the keyness test); this sweep catches the unbounded-RAW-scan
+    // class mechanically for every registered query.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, ResolvedHint}
+    val corpusTables =
+      Seq("lineitem", "orders", "events", "documents", "embeddings",
+        "part", "customer", "supplier")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = org.apache.spark.sql.GraftSqlShim.analyzedPlan(fn(spark, Sf0001))
+      plan.collect {
+        case h: ResolvedHint =>
+          val bounded = h.child.exists {
+            case _: Aggregate => true
+            case _: GlobalLimit => true
+            case _ => false
+          }
+          val corpusScan = h.child.collectLeaves().exists { leaf =>
+            val s = leaf.toString.toLowerCase
+            corpusTables.exists(t => s.contains(s"$t.parquet"))
+          }
+          if (corpusScan && !bounded) Some(name) else None
+      }.flatten
+    }.distinct
+    assert(offenders.isEmpty, s"raw corpus-scan broadcast hints: $offenders")
+  }
 }
