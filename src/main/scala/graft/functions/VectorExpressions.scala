@@ -55,6 +55,35 @@ object VectorExpressions {
     case _                         => false
   }
 
+  /** Null-ELEMENT contract for the codegen array expressions: inputs
+    * must be null-free arrays (getLong/getFloat/getUTF8String on a
+    * null slot silently reads garbage). When the input TYPE admits
+    * null elements (containsNull = true — e.g. the output type of a
+    * `transform` lambda), an O(n) guard scan errors loudly instead;
+    * when the type proves null-free the guard compiles away entirely,
+    * so the ANN / shingle hot paths pay nothing.
+    */
+  private def requireNoNullElems(a: ArrayData, fn: String): Unit = {
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null array element at index $i; null-free input required")
+      i += 1
+    }
+  }
+
+  private def nullElemGuardCode(idx: String, a: String, fn: String): String =
+    s"""for (int $idx = 0; $idx < $a.numElements(); $idx++) {
+       |  if ($a.isNullAt($idx)) throw new IllegalArgumentException(
+       |    "$fn: null array element at index " + $idx + "; null-free input required");
+       |}""".stripMargin
+
+  private def mayHaveNullElems(t: DataType): Boolean = t match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   /** dot(a, b) over two array<float> columns, double accumulator. */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -68,6 +97,8 @@ object VectorExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
+      if (mayHaveNullElems(left.dataType)) requireNoNullElems(a, prettyName)
+      if (mayHaveNullElems(right.dataType)) requireNoNullElems(b, prettyName)
       val n = math.min(a.numElements(), b.numElements())
       var acc = 0.0
       var i = 0
@@ -83,7 +114,13 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        val guardA = if (mayHaveNullElems(left.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), a, prettyName) else ""
+        val guardB = if (mayHaveNullElems(right.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), b, prettyName) else ""
         s"""
+           |$guardA
+           |$guardB
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
@@ -110,6 +147,7 @@ object VectorExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
+      if (mayHaveNullElems(child.dataType)) requireNoNullElems(a, prettyName)
       var acc = 0.0
       var i = 0
       while (i < a.numElements()) {
@@ -125,7 +163,10 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         val x = ctx.freshName("x")
+        val guard = if (mayHaveNullElems(child.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), a, prettyName) else ""
         s"""
+           |$guard
            |double $acc = 0.0;
            |for (int $i = 0; $i < $a.numElements(); $i++) {
            |  double $x = (double) $a.getFloat($i);
@@ -343,6 +384,7 @@ object VectorExpressions {
 
     override def nullSafeEval(arr: Any, wAny: Any): Any = {
       val a = arr.asInstanceOf[ArrayData]
+      if (mayHaveNullElems(left.dataType)) requireNoNullElems(a, prettyName)
       val w = wAny.asInstanceOf[Int]
       val n = a.numElements()
       val m = if (w < 1) 0 else n - w + 1
@@ -375,7 +417,10 @@ object VectorExpressions {
         val tail = ctx.freshName("tail")
         val i = ctx.freshName("i")
         val v = ctx.freshName("v")
+        val guard = if (mayHaveNullElems(left.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), a, prettyName) else ""
         s"""
+           |$guard
            |int $n = $a.numElements();
            |int $m = ($w < 1) ? 0 : $n - $w + 1;
            |if ($m < 0) $m = 0;
@@ -422,6 +467,7 @@ object VectorExpressions {
 
     override def nullSafeEval(toks: Any, nAny: Any): Any = {
       val a = toks.asInstanceOf[ArrayData]
+      if (mayHaveNullElems(left.dataType)) requireNoNullElems(a, prettyName)
       val n = nAny.asInstanceOf[Int]
       // n < 1 is meaningless (n=0 would emit numElements+1 empty
       // shingles, n < 0 a negative array size): empty result, same as
@@ -452,7 +498,10 @@ object VectorExpressions {
         val j = ctx.freshName("j")
         val sep = ctx.addReferenceObj("sep", UTF8String.fromString(" "),
           classOf[UTF8String].getName)
+        val guard = if (mayHaveNullElems(left.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), a, prettyName) else ""
         s"""
+           |$guard
            |int $m = ($n < 1) ? 0 : $a.numElements() - $n + 1;
            |if ($m < 0) $m = 0;
            |Object[] $out = new Object[$m];

@@ -785,7 +785,7 @@ object DedupOps {
             col("n_candidates"),
             col("n_verified"),
             when(col("n_candidates") === 0, 0L)
-              .otherwise(expr("n_verified * 1000000 DIV n_candidates"))
+              .otherwise(expr("CAST(CAST(n_verified AS DECIMAL(38,0)) * 1000000 DIV (n_candidates) AS BIGINT)"))
               .as("precision_ppm")
           )
       }
@@ -1060,8 +1060,8 @@ object DedupOps {
         col("n_chunks"),
         col("total_tokens"),
         col("max_chunk_tokens"),
-        expr("total_tokens * 1000000 div n_chunks").as("mean_len_ppm"),
-        expr("dup_chunks * 1000000 div n_chunks").as("dup_ppm")
+        expr("CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000 div (n_chunks) AS BIGINT)").as("mean_len_ppm"),
+        expr("CAST(CAST(dup_chunks AS DECIMAL(38,0)) * 1000000 div (n_chunks) AS BIGINT)").as("dup_ppm")
       )
   }
 
@@ -1113,7 +1113,7 @@ object DedupOps {
         col("total_grams"),
         col("distinct_grams"),
         col("singleton_grams"),
-        expr("(total_grams - distinct_grams) * 1000000 div total_grams").as("dup_ppm")
+        expr("CAST(CAST((total_grams - distinct_grams) AS DECIMAL(38,0)) * 1000000 div (total_grams) AS BIGINT)").as("dup_ppm")
       )
   }
 }

@@ -1068,7 +1068,7 @@ object EventOps {
       )
       .withColumn(
         "utilization_ppm",
-        expr("covered_s * 1000000 DIV (last_s - first_s)")
+        expr("CAST(CAST(covered_s AS DECIMAL(38,0)) * 1000000 DIV ((last_s - first_s)) AS BIGINT)")
       )
   }
 
@@ -1272,7 +1272,7 @@ object EventOps {
       .select(
         col("event_type"),
         col("n_users"),
-        expr("n_users * 1000000 DIV total").as("share_ppm")
+        expr("CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 DIV (total) AS BIGINT)").as("share_ppm")
       )
   }
 
@@ -1557,7 +1557,7 @@ object EventOps {
         col("weekday"),
         col("n"),
         col("sum_c"),
-        expr("n * 1000000 DIV type_n").as("share_ppm"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV (type_n) AS BIGINT)").as("share_ppm"),
         col("is_peak")
       )
   }
@@ -1589,7 +1589,7 @@ object EventOps {
     tri
       .join(broadcast(tri.agg(sum(col("cnt")).as("total"))))
       .select(col("t1"), col("t2"), col("t3"), col("cnt"),
-        expr("cnt * 1000000 DIV total").as("share_ppm"))
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV (total) AS BIGINT)").as("share_ppm"))
       .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc, col("t3").asc)
       .limit(20)
   }
@@ -1822,7 +1822,7 @@ object EventOps {
         col("offset"),
         col("n_active"),
         col("cohort_size"),
-        expr("n_active * 1000000 DIV cohort_size").as("ret_ppm")
+        expr("CAST(CAST(n_active AS DECIMAL(38,0)) * 1000000 DIV (cohort_size) AS BIGINT)").as("ret_ppm")
       )
   }
 
@@ -1950,7 +1950,7 @@ object EventOps {
         col("n_days"),
         col("wau"),
         col("sum_dau"),
-        expr("sum_dau * 1000000 DIV (n_days * wau)").as("stickiness_ppm")
+        expr("CAST(CAST(sum_dau AS DECIMAL(38,0)) * 1000000 DIV ((n_days * wau)) AS BIGINT)").as("stickiness_ppm")
       )
   }
 
@@ -2035,7 +2035,7 @@ object EventOps {
         col("entry_type"),
         col("n_sessions"),
         col("n_bounces"),
-        expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm")
+        expr("CAST(CAST(n_bounces AS DECIMAL(38,0)) * 1000000 DIV (n_sessions) AS BIGINT)").as("bounce_ppm")
       )
   }
 
@@ -2546,7 +2546,7 @@ object EventOps {
         col("min_k"),
         col("risky_classes"),
         col("risky_rows"),
-        expr("risky_rows * 1000000 div total_rows").as("suppress_ppm")
+        expr("CAST(CAST(risky_rows AS DECIMAL(38,0)) * 1000000 div (total_rows) AS BIGINT)").as("suppress_ppm")
       )
   }
 
@@ -2739,7 +2739,7 @@ object EventOps {
         col("min_l"),
         col("homogeneous_classes"),
         col("homogeneous_rows"),
-        expr("low_div_rows * 1000000 div total_rows").as("low_div_ppm")
+        expr("CAST(CAST(low_div_rows AS DECIMAL(38,0)) * 1000000 div (total_rows) AS BIGINT)").as("low_div_ppm")
       )
   }
 }

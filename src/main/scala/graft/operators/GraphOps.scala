@@ -363,7 +363,8 @@ object GraphOps {
         col("n_edges"),
         col("min_j"),
         col("max_j"),
-        expr("n_edges * 2 * 1000000 DIV (cluster_size * (cluster_size - 1))")
+        expr("""CAST(CAST(n_edges AS DECIMAL(38,0)) * 2 * 1000000
+               |     DIV (cluster_size * (cluster_size - 1)) AS BIGINT)""".stripMargin)
           .as("density_ppm")
       )
   }
@@ -426,7 +427,7 @@ object GraphOps {
         col("source"),
         col("n_docs"),
         col("n_dup"),
-        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm")
+        expr("CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000 DIV (n_docs) AS BIGINT)").as("dup_ppm")
       )
   }
 

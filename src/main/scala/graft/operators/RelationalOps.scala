@@ -1060,7 +1060,7 @@ object RelationalOps {
       .select(
         col("digit"),
         col("n"),
-        expr("n * 1000000 DIV total").as("observed_ppm"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV (total) AS BIGINT)").as("observed_ppm"),
         benford.as("benford_ppm")
       )
       .withColumn("delta_ppm", col("observed_ppm") - col("benford_ppm"))
@@ -1192,7 +1192,7 @@ object RelationalOps {
         col("lo_c"),
         col("hi_c"),
         col("mass_c"),
-        expr("mass_c * 1000000 DIV total_c").as("mass_ppm")
+        expr("CAST(CAST(mass_c AS DECIMAL(38,0)) * 1000000 DIV (total_c) AS BIGINT)").as("mass_ppm")
       )
   }
 
@@ -1423,7 +1423,7 @@ object RelationalOps {
         (col("n_total") - col("before")).as("n_risk"),
         col("d_events"),
         col("n_censored"),
-        expr("d_events * 1000000 DIV (n_total - before)").as("hazard_ppm")
+        expr("CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000 DIV ((n_total - before)) AS BIGINT)").as("hazard_ppm")
       )
   }
 
@@ -1470,7 +1470,7 @@ object RelationalOps {
           col("n_scanned_zones"),
           col("n_rows_scanned"),
           col("n_rows"),
-          expr("n_rows_scanned * 1000000 DIV n_rows").as("scan_ppm")
+          expr("CAST(CAST(n_rows_scanned AS DECIMAL(38,0)) * 1000000 DIV (n_rows) AS BIGINT)").as("scan_ppm")
         )
     val byKey = RankOps.withGlobalNtile(o, ZoneCount, "zone", Seq(col("o_orderkey").asc))
     val byPrice =

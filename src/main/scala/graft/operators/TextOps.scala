@@ -1430,9 +1430,9 @@ object TextOps {
         col("n_letters"),
         col("n_spaces"),
         col("n_other"),
-        expr("n_letters * 1000000 DIV n_chars").as("letter_ppm"),
-        expr("n_spaces * 1000000 DIV n_chars").as("space_ppm"),
-        expr("n_other * 1000000 DIV n_chars").as("other_ppm")
+        expr("CAST(CAST(n_letters AS DECIMAL(38,0)) * 1000000 DIV (n_chars) AS BIGINT)").as("letter_ppm"),
+        expr("CAST(CAST(n_spaces AS DECIMAL(38,0)) * 1000000 DIV (n_chars) AS BIGINT)").as("space_ppm"),
+        expr("CAST(CAST(n_other AS DECIMAL(38,0)) * 1000000 DIV (n_chars) AS BIGINT)").as("other_ppm")
       )
   }
 
@@ -1472,8 +1472,8 @@ object TextOps {
         col("n_tokens"),
         col("n_hapax"),
         col("n_dis"),
-        expr("n_hapax * 1000000 DIV vocab").as("hapax_vocab_ppm"),
-        expr("n_hapax * 1000000 DIV n_tokens").as("hapax_mass_ppm"),
+        expr("CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000 DIV (vocab) AS BIGINT)").as("hapax_vocab_ppm"),
+        expr("CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000 DIV (n_tokens) AS BIGINT)").as("hapax_mass_ppm"),
         col("simpson_num"),
         (col("simpson_num").cast("double") /
           (col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double")))
@@ -1706,7 +1706,7 @@ object TextOps {
         col("n_flagged"),
         col("max_run"),
         col("p50_run"),
-        expr("n_flagged * 1000000 DIV n_docs").as("flag_ppm")
+        expr("CAST(CAST(n_flagged AS DECIMAL(38,0)) * 1000000 DIV (n_docs) AS BIGINT)").as("flag_ppm")
       )
   }
 
@@ -1945,7 +1945,7 @@ object TextOps {
         sum(col("cnt") * length(col("word"))).as("n_letters"),
         sum(col("cnt") * col("n_syms")).as("n_bpe_tokens")
       )
-      .withColumn("compression_ppm", expr("n_bpe_tokens * 1000000 DIV n_letters"))
+      .withColumn("compression_ppm", expr("CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV (n_letters) AS BIGINT)"))
   }
 
   /** Term burstiness (the dispersion index var/mean over per-doc
@@ -2027,9 +2027,13 @@ object TextOps {
     def branch(strategy: String, order: Seq[Column]): DataFrame =
       base
         .withColumn(
-          "batch",
-          expr(s"(${rowNumberSql(order)} - 1) div $PadBatch")
+          "_rn",
+          row_number()
+            .over(Window.partitionBy(col("source")).orderBy(order: _*))
+            .cast("long")
         )
+        .withColumn("batch", expr(s"(_rn - 1) div $PadBatch"))
+        .drop("_rn")
         .groupBy(col("source"), col("batch"))
         .agg(count(lit(1)).as("bn"), max(col("n_tokens")).as("mx"), sum(col("n_tokens")).as("sm"))
         .groupBy(col("source"))
@@ -2044,25 +2048,26 @@ object TextOps {
           col("n_batches"),
           col("total_tokens"),
           col("padded_tokens"),
-          expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens").as("waste_ppm")
+          expr("CAST(CAST((padded_tokens - total_tokens) AS DECIMAL(38,0)) * 1000000 div (padded_tokens) AS BIGINT)").as("waste_ppm")
         )
 
     branch("naive", Seq(col("doc_id")))
       .unionAll(branch("sorted", Seq(col("n_tokens"), col("doc_id"))))
   }
 
-  private def rowNumberSql(order: Seq[Column]): String =
-    s"row_number() OVER (PARTITION BY source ORDER BY ${order.map(_.toString).mkString(", ")})"
-
   /** Deterministic weighted sampling without replacement — 5 docs per
-    * source, selection probability ∝ (n_chars + 1). The A-ES
-    * exponential-race key u^(1/w) is monotone-equivalent to ranking by
-    * h/w for a fixed-size uniform hash h, and h/w order is decided
-    * here entirely in int64 — priority = (coin32 · 10⁸) div (w), with
-    * coin32 = the first 8 md5 hex digits of the doc id — so no pow/log
-    * call and no float comparison can flip a rank between engines.
-    * The same doc set falls out of ANY engine, which is what makes a
-    * sampled training mix reproducible across pipeline reruns.
+    * source, heavier documents favored: a weight-biased PRIORITY RACE
+    * with key (coin32 · 10⁸) div (w), coin32 = the first 8 md5 hex
+    * digits of the doc id, smallest keys win. NOTE this is NOT
+    * A-ES/exponential-jump sampling (whose key is u^(1/w), i.e.
+    * (−ln u)/w races): ranking a uniform coin by h/w yields DIFFERENT
+    * inclusion probabilities (two items with w = 1 vs 2: the heavier
+    * wins with prob 3/4 here vs 2/3 under A-ES). The contract this
+    * operator sells is determinism and monotone weight bias, decided
+    * entirely in int64 — no pow/log call and no float comparison can
+    * flip a rank between engines — which is what makes a sampled
+    * training mix reproducible across pipeline reruns; a calibrated
+    * A-ES twin would swap the key for a fixed-point −ln(h)/w table.
     *
     * Scale: one scan, one per-source window over rank-5 survivors —
     * Spark plans the rank filter as WindowGroupLimit, so each

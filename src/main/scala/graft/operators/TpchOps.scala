@@ -341,7 +341,7 @@ object TpchOps {
         max(col("lag_s")).as("max_lag_s"),
         sum(when(col("lag_s") <= 2592000L, 1L).otherwise(0L)).as("n_within_30d")
       )
-      .withColumn("within_30d_ppm", expr("n_within_30d * 1000000 DIV n_lines"))
+      .withColumn("within_30d_ppm", expr("CAST(CAST(n_within_30d AS DECIMAL(38,0)) * 1000000 DIV (n_lines) AS BIGINT)"))
   }
 
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {

@@ -565,6 +565,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u.getSeq[Long](2) === Seq())
     assert(u.getSeq[Long](3) === Seq())
     assert(u.getSeq[Long](4) === Seq(6L))
+    // null ELEMENTS error loudly instead of silently reading garbage
+    // from the null slot (the slot would otherwise decode as 0)
+    // (intercept Exception: constant folding may raise the guard's
+    // IllegalArgumentException on the driver, pre-task-wrapper)
+    val nerr = intercept[Exception] {
+      spark.sql("SELECT sliding_min(array(5L, CAST(NULL AS BIGINT), 4L), 2)").collect()
+    }
+    assert(nerr.getMessage.contains("null array element"), nerr.getMessage)
+    val derr = intercept[Exception] {
+      spark.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").collect()
+    }
+    assert(derr.getMessage.contains("null array element"), derr.getMessage)
     // corpus parity against the interpreted HOF the winnow used to
     // build, over the real shingle-hash arrays
     val mism = Tables.documents(spark, Sf0001)
