@@ -1610,4 +1610,20 @@ object Oracles6 {
        |UNION ALL
        |${pairSql("weekday_x_hour", "weekday", "hour_of_day")}""".stripMargin
   }
+
+  /** Mirrors MultimodalOps.imagePixelStats: the Spark side ENCODES a
+    * grayscale PNG from the deterministic pixel formula and reads the
+    * emitted numbers back from the DECODED raster (javax.imageio);
+    * this oracle recomputes the same numbers relationally — the gate
+    * fails iff the real encode→decode round trip misreads a pixel.
+    */
+  val imagePixelStats: String =
+    """SELECT d.doc_id AS media_id,
+      | CAST(8 + d.doc_id % 8 AS BIGINT) AS width,
+      | CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+      | CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      | CAST(SUM((d.doc_id * 31 + 7 * t.x + 13 * u.y) % 256) AS BIGINT) AS pixel_sum
+      |FROM documents d, range(16) t(x), range(13) u(y)
+      |WHERE t.x < 8 + d.doc_id % 8 AND u.y < 8 + d.doc_id % 5
+      |GROUP BY d.doc_id""".stripMargin
 }

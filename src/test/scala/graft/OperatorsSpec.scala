@@ -396,6 +396,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exprPath === typedPath)
   }
 
+  test("multimodal REAL decode: image payloads route through javax.imageio; " +
+    "pixel stats survive the PNG round trip exactly") {
+    // an actual 5x3 grayscale PNG takes the real path with true dims
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 5; y <- 0 until 3) img.getRaster.setSample(x, y, 0, (x * 40 + y * 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val decoded = MultimodalOps.decodeImage(png)
+    assert(decoded.exists(d => d.getWidth == 5 && d.getHeight == 3))
+    for (x <- 0 until 5; y <- 0 until 3)
+      assert(decoded.get.getRaster.getSample(x, y, 0) === (x * 40 + y * 7) % 256,
+        s"pixel ($x,$y) corrupted by the round trip")
+    // a text payload is claimed by no reader -> stub fallback
+    assert(MultimodalOps.decodeImage("not an image".getBytes).isEmpty)
+    // the gate query's numbers equal an independent Scala recompute of
+    // the pixel formula (the DuckDB oracle is the cross-engine twin)
+    val got = MultimodalOps.imagePixelStats(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ids = Tables.documents(spark, Sf0001).select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val w = 8 + id % 8
+      val h = 8 + id % 5
+      var sum = 0L
+      for (x <- 0L until w; y <- 0L until h) sum += (id * 31 + 7 * x + 13 * y) % 256
+      assert(got(id) === ((w, h, w * h, sum)), s"media $id")
+    }
+  }
+
   test("sources/sinks: JSON, CSV, ORC, and XML roundtrip the documents table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf0001).orderBy("doc_id")

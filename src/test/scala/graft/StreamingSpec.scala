@@ -664,6 +664,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC chunker: arrival-time boundaries == batch chunk table") {
+    // the token append-log, pos-sliced into three batches (each doc's
+    // tokens arrive in pos order across batches — the log contract),
+    // plus a final end-marker batch (tok = "") that flushes trailing
+    // chunks and retires per-doc state
+    val tmp = java.nio.file.Files.createTempDirectory("chunk-stream").toString
+    val toks = graft.operators.DedupOps.cdcTokens(spark, Sf0001)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .localCheckpoint()
+    // JVM boundary predicate == the SQL boundary column, every token
+    val sqlB = graft.operators.DedupOps.cdcTokens(spark, Sf0001)
+      .select(col("tok"), col("b")).distinct().collect()
+    assert(sqlB.nonEmpty)
+    sqlB.foreach { r =>
+      assert(graft.operators.DedupOps.cdcBoundaryJvm(r.getString(0)) === (r.getLong(1) == 1L),
+        s"boundary mismatch for token '${r.getString(0)}'")
+    }
+    val cuts = Seq((0L, 5L), (5L, 11L), (11L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+      toks.filter(col("pos") >= lo && col("pos") < hi)
+        .coalesce(1).write.parquet(s"$tmp/c$k")
+      val src = new java.io.File(s"$tmp/c$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"c$k.parquet"))
+    }
+    toks.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(Long.MaxValue).as("pos"), lit("").as("tok"))
+      .coalesce(1).write.parquet(s"$tmp/c3")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$tmp/c3").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      java.nio.file.Paths.get(tmp, "c3.parquet"))
+    val q = graft.streaming.ChunkStream
+      .chunks(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          (r.getAs[Long]("n_toks"), r.getAs[String]("chash")))
+        .toMap
+      val batch = graft.operators.DedupOps.cdcChunkTable(spark, Sf0001).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          (r.getAs[Long]("n_toks"), r.getAs[String]("chash")))
+        .toMap
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: final Mann-Whitney state == batch query") {
     // three micro-batches of events; the monitor's state is the
     // (type, centi-bin) count table, and the U statistic derived from
