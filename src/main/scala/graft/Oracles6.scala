@@ -1626,4 +1626,68 @@ object Oracles6 {
       |FROM documents d, range(16) t(x), range(13) u(y)
       |WHERE t.x < 8 + d.doc_id % 8 AND u.y < 8 + d.doc_id % 5
       |GROUP BY d.doc_id""".stripMargin
+
+  /** Mirrors RelationalOps.giniInequality: ascending strict-order
+    * rank, G = (2·Σ i·x − (n+1)·Σx)/(n·Σx) in exact HUGEINT,
+    * floor-div ppm. Numerator non-negative (Chebyshev ordering), so
+    * floor == trunc in both engines. HUGEINT (not DECIMAL) for the
+    * division deliberately: DuckDB's `//` on DECIMAL operands ROUNDS
+    * the quotient (measured: 49033.9997 → 49034) where HUGEINT `//`
+    * and Spark's decimal DIV both floor — the one seam this query
+    * crosses.
+    */
+  val giniInequality: String =
+    """WITH spend AS (
+      | SELECT o_custkey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      | FROM orders GROUP BY 1),
+      |rs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rnk FROM spend),
+      |gs AS (SELECT COUNT(*) AS n, SUM(x) AS s0, SUM(CAST(x AS DECIMAL(38,0)) * rnk) AS s1
+      |       FROM rs),
+      |toks AS (
+      | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |   t -> t <> '')) AS token
+      | FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS x FROM toks GROUP BY token),
+      |rt AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, token) AS rnk FROM freq),
+      |gt AS (SELECT COUNT(*) AS n, SUM(x) AS s0, SUM(CAST(x AS DECIMAL(38,0)) * rnk) AS s1
+      |       FROM rt)
+      |SELECT 'customer_spend' AS subject, CAST(n AS BIGINT) AS n, CAST(s0 AS BIGINT) AS total,
+      | CAST((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT)) * 1000000
+      |      // (CAST(n AS HUGEINT) * CAST(s0 AS HUGEINT)) AS BIGINT) AS gini_ppm
+      |FROM gs
+      |UNION ALL
+      |SELECT 'token_freq', CAST(n AS BIGINT), CAST(s0 AS BIGINT),
+      | CAST((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT)) * 1000000
+      |      // (CAST(n AS HUGEINT) * CAST(s0 AS HUGEINT)) AS BIGINT)
+      |FROM gt""".stripMargin
+
+  /** Mirrors EventOps.columnProfile: per-column counts over the raw
+    * events table; ts distinct equals the ns-long distinct (the
+    * normalization is a bijection); props_k via DuckDB's JSON
+    * extraction (digit strings — engine-identical).
+    */
+  val columnProfile: String =
+    """SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+      | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+      |UNION ALL
+      |SELECT 'ts', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+      | CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'user_id', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'event_type', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+      | CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'value', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(value) AS BIGINT),
+      | CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'props', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(props) AS BIGINT),
+      | CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'props_k', CAST(COUNT(*) AS BIGINT),
+      | CAST(COUNT(*) - COUNT(json_extract_string(props, '$.k')) AS BIGINT),
+      | CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) FROM events""".stripMargin
 }

@@ -277,6 +277,8 @@ object SparkEntry {
     "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy,
     "mm_ahash_pairs" -> graft.sources.MultimodalOps.aHashPairs,
     "mm_image_pixels" -> graft.sources.MultimodalOps.imagePixelStats,
+    "gini_inequality" -> RelationalOps.giniInequality,
+    "column_profile" -> EventOps.columnProfile,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1032,6 +1034,8 @@ object SparkEntry {
     "zorder_layout" -> Oracles5.zorderLayout,
     "graph_triangles" -> Oracles5.triangleStats,
     "mm_ahash_pairs" -> Oracles5.aHashPairs,
-    "mm_image_pixels" -> Oracles6.imagePixelStats
+    "mm_image_pixels" -> Oracles6.imagePixelStats,
+    "gini_inequality" -> Oracles6.giniInequality,
+    "column_profile" -> Oracles6.columnProfile
   )
 }

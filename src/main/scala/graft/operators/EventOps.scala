@@ -2742,4 +2742,36 @@ object EventOps {
         expr("CAST(CAST(low_div_rows AS DECIMAL(38,0)) * 1000000 div (total_rows) AS BIGINT)").as("low_div_ppm")
       )
   }
+
+  /** Per-column data profile of the events table — the ingestion
+    * health report every pipeline runs before anything else: row
+    * count, null count, and exact distinct cardinality per column,
+    * plus the extracted `props.k` JSON field (schema-on-read
+    * profiled like a real column).
+    *
+    * Scale: one branch per column, UNIONed — deliberately NOT one
+    * aggregate with six COUNT(DISTINCT)s (that plans an Expand
+    * multiplying the scan; the approx_stats lesson). Each branch's
+    * parquet scan reads ONLY its column (columnar pruning — the
+    * plan-audited ReadSchema is one field), partial-aggregates
+    * map-side, and emits one bounded row.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def profile(name: String, c: Column): DataFrame =
+      ev.select(c.as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct")
+        )
+        .select(lit(name).as("col"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    profile("event_id", col("event_id"))
+      .unionAll(profile("ts", col("ts")))
+      .unionAll(profile("user_id", col("user_id")))
+      .unionAll(profile("event_type", col("event_type")))
+      .unionAll(profile("value", col("value")))
+      .unionAll(profile("props", col("props")))
+      .unionAll(profile("props_k", get_json_object(col("props"), "$.k")))
+  }
 }

@@ -1566,4 +1566,52 @@ object RelationalOps {
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     spark.sql(SqlInterfaceText)
   }
+
+  /** Exact Gini coefficient of two corpus-scale distributions —
+    * customer spend (who concentrates revenue) and token frequency
+    * (how skewed the training vocabulary is; a near-1 token Gini
+    * means a few types dominate the corpus and dedup/mix decisions
+    * move real mass). Formula: with x ranked ascending and rank i,
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — emitted as floor-div ppm
+    * of exact DECIMAL(38,0) products, one IEEE-free integer per
+    * subject.
+    *
+    * Scale: the rank is the point — a global sort of customers /
+    * vocabulary. Both rank through RankOps' range-partitioned rank
+    * composition (no single-task window), then ONE aggregate folds
+    * Σx and Σ i·x_i; the numerator is non-negative by the Chebyshev
+    * ordering (ranks aligned with values), so floor-div is
+    * engine-exact.
+    */
+  def giniInequality(spark: SparkSession, dir: String): DataFrame = {
+    def gini(dist: DataFrame, subject: String, value: Column, tie: Column): DataFrame =
+      RankOps
+        .withGlobalRank(dist, "rnk", Seq(value.asc, tie.asc))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(value).as("s0"),
+          sum(value.cast(DecimalType(38, 0)) * col("rnk")).as("s1")
+        )
+        .select(
+          lit(subject).as("subject"),
+          col("n"),
+          col("s0").as("total"),
+          expr(
+            """CAST((2 * CAST(s1 AS DECIMAL(38,0)) - (n + 1) * CAST(s0 AS DECIMAL(38,0)))
+              |     * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * CAST(s0 AS DECIMAL(38,0)))
+              |     AS BIGINT)""".stripMargin
+          ).as("gini_ppm")
+        )
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("x"))
+    val tokenFreq = Tables
+      .documents(spark, dir)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("x"))
+    gini(spend, "customer_spend", col("x"), col("o_custkey"))
+      .unionAll(gini(tokenFreq, "token_freq", col("x"), col("token")))
+  }
 }

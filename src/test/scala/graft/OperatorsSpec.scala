@@ -388,6 +388,52 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 0, "gap_us must be non-negative"))
   }
 
+  test("gini inequality: exact BigInt recompute of both subjects") {
+    val got = RelationalOps.giniInequality(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def expected(xs: Seq[Long]): (Long, Long, Long) = {
+      val sorted = xs.sorted
+      val n = BigInt(sorted.size)
+      val s0 = sorted.map(BigInt(_)).sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      val ppm = (2 * s1 - (n + 1) * s0) * 1000000 / (n * s0)
+      (n.toLong, s0.toLong, ppm.toLong)
+    }
+    val spend = Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+      .collect().map(_.getLong(1)).toSeq
+    // ties in x are resolved by the key tiebreak, but i·x summed over a
+    // tie group is invariant to order within the group (same x), so
+    // plain sorted-order recompute is exact
+    assert(got("customer_spend") === expected(spend))
+    val freq = Tables.documents(spark, Sf0001)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("x"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got("token_freq") === expected(freq))
+    // (no skew-ordering sanity here: the synthetic corpus draws from a
+    // ~40-word vocabulary, so token frequencies are nearly UNIFORM —
+    // token gini ≈ 0.05 — while spend gini ≈ 0.2)
+  }
+
+  test("column profile: per-column counts match direct recomputes") {
+    val got = EventOps.columnProfile(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set("event_id", "ts", "user_id", "event_type", "value",
+      "props", "props_k"))
+    val ev = Tables.events(spark, Sf0001)
+    val n = ev.count()
+    assert(got.values.forall(_._1 == n))
+    assert(got.values.forall(_._2 == 0L)) // synthetic table has no nulls
+    assert(got("event_id")._3 === n) // unique key
+    assert(got("user_id")._3 === ev.select(col("user_id")).distinct().count())
+    assert(got("event_type")._3 === ev.select(col("event_type")).distinct().count())
+    assert(got("props_k")._3 ===
+      ev.select(get_json_object(col("props"), "$.k")).distinct().count())
+  }
+
   test("multimodal decode stub: expression path == typed mapPartitions path") {
     val exprPath = MultimodalOps.decodeMeta(spark, Sf0001)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap

@@ -528,6 +528,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"single-task global windows: $offenders")
   }
 
+  test("column profile reads one column per scan and never plans an Expand") {
+    val plan = planOf(EventOps.columnProfile(spark, Sf0001))
+    assert(!plan.contains("Expand"), s"multi-distinct Expand crept in: $plan")
+    // every parquet scan prunes to a single struct field
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach(f => assert(!f.contains(","), s"unpruned scan: struct<$f>"))
+  }
+
+  test("gini: both global ranks are range-partitioned (no single-task window)") {
+    val gw = globalWindowExecs(RelationalOps.giniInequality(spark, Sf0001))
+    assert(gw.isEmpty, s"single-task global windows: $gw")
+  }
+
   test("keyness: exactly the two bounded margins are broadcast-hinted; " +
     "the vocabulary-sized token-totals table is not") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
