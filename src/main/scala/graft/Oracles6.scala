@@ -1690,4 +1690,31 @@ object Oracles6 {
       |SELECT 'props_k', CAST(COUNT(*) AS BIGINT),
       | CAST(COUNT(*) - COUNT(json_extract_string(props, '$.k')) AS BIGINT),
       | CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) FROM events""".stripMargin
+
+  /** Mirrors TextOps.massShards: the engine-stable pack tokenizer,
+    * global prefix sum in doc_id order, shard = floor(start·S/total).
+    * HUGEINT division (DECIMAL `//` rounds in DuckDB — the
+    * gini_inequality seam).
+    */
+  val massShards: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, n_toks,
+      |  SUM(n_toks) OVER (ORDER BY doc_id) AS cum,
+      |  SUM(n_toks) OVER () AS total
+      | FROM d)
+      |SELECT CAST(CAST(cum - n_toks AS HUGEINT) * 10 // GREATEST(total, 1) AS BIGINT)
+      |  AS shard,
+      | CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_toks) AS BIGINT) AS mass,
+      | MIN(doc_id) AS first_doc,
+      | MAX(doc_id) AS last_doc,
+      | CAST(CAST(SUM(n_toks) AS HUGEINT) * 1000000 // GREATEST(MAX(total), 1) AS BIGINT)
+      |  AS mass_ppm
+      |FROM c
+      |GROUP BY 1""".stripMargin
 }

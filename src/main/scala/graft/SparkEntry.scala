@@ -279,6 +279,7 @@ object SparkEntry {
     "mm_image_pixels" -> graft.sources.MultimodalOps.imagePixelStats,
     "gini_inequality" -> RelationalOps.giniInequality,
     "column_profile" -> EventOps.columnProfile,
+    "mass_shards" -> TextOps.massShards,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1036,6 +1037,7 @@ object SparkEntry {
     "mm_ahash_pairs" -> Oracles5.aHashPairs,
     "mm_image_pixels" -> Oracles6.imagePixelStats,
     "gini_inequality" -> Oracles6.giniInequality,
-    "column_profile" -> Oracles6.columnProfile
+    "column_profile" -> Oracles6.columnProfile,
+    "mass_shards" -> Oracles6.massShards
   )
 }

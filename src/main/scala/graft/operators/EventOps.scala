@@ -2515,7 +2515,7 @@ object EventOps {
     * (event_type, hour-of-day, 50-unit value band) plus the row's
     * user and its sensitive attribute (the `$.k` prop).
     */
-  private def qiClasses(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qiClasses(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .select(
@@ -2526,10 +2526,20 @@ object EventOps {
         get_json_object(col("props"), "$.k").cast("long").as("sensitive")
       )
 
-  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
-    val classes = qiClasses(spark, dir)
-      .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
-      .agg(countDistinct(col("user_id")).as("k"), count(lit(1)).as("n_rows"))
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityReport(
+      qiClasses(spark, dir)
+        .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
+        .agg(countDistinct(col("user_id")).as("k"), count(lit(1)).as("n_rows"))
+    )
+
+  /** The per-type report stage over an already-built QI class table
+    * (event_type, hour_of_day, value_band, k, n_rows) — shared by the
+    * batch query and the streaming monitor's final-state twin
+    * ([[graft.streaming.AnonStream]]), so both derive the report from
+    * ONE definition.
+    */
+  private[graft] def kAnonymityReport(classes: DataFrame): DataFrame = {
     classes
       .groupBy(col("event_type"))
       .agg(

@@ -2158,4 +2158,47 @@ object TextOps {
       .select(col("lang"), col("rnk"), col("token"), col("a"), col("b"), col("c"),
         col("d"), col("or_ppm"))
   }
+
+  /** Equal-token-MASS corpus sharding: split the corpus (in stable
+    * doc_id order) into 10 shards of equal token mass — the shard
+    * manifest a training run actually wants (equal WORK per shard,
+    * not equal doc count; a shard of long documents must hold fewer
+    * of them). Shard of a doc = floor(start_offset · S / total): a
+    * pure function of the exact prefix sum, so boundaries are
+    * deterministic and a re-run with more executors produces the
+    * identical manifest.
+    *
+    * Scale: the prefix sum is the point — computed with RankOps'
+    * range-partitioned running-sum composition (one range shuffle on
+    * doc_id + parallel per-partition cumsums + a ledger of partition
+    * subtotals), never a single-task window; the grand total arrives
+    * with the ledger, no second pass. Products route through
+    * DECIMAL(38,0) (10^13 tokens × 10^6 would wrap int64).
+    */
+  val MassShardCount = 10
+
+  def massShards(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), packTokenCount(col("text")).as("n_toks"))
+    val (ranked, total) = RankOps.withGlobalRankAndRunningSum(
+      base, col("n_toks"), "_rnk", "cum", Seq(col("doc_id").asc))
+    val t = math.max(total, 1L)
+    ranked
+      .withColumn(
+        "shard",
+        expr(s"CAST(CAST(cum - n_toks AS DECIMAL(38,0)) * $MassShardCount DIV $t AS BIGINT)")
+      )
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("mass"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+      .withColumn(
+        "mass_ppm",
+        expr(s"CAST(CAST(mass AS DECIMAL(38,0)) * 1000000 DIV $t AS BIGINT)")
+      )
+  }
 }

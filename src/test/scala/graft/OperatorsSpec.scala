@@ -434,6 +434,33 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("mass shards: exact prefix-sum recompute; every shard within one doc of even mass") {
+    val got = TextOps.massShards(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), TextOps.packTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val assigned = docs.map { case (id, n) =>
+      val shard = (BigInt(cum) * TextOps.MassShardCount / BigInt(math.max(total, 1L))).toLong
+      cum += n
+      (shard, id, n)
+    }
+    val expected = assigned.groupBy(_._1).map { case (sh, rows) =>
+      sh -> (rows.size.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max,
+        (BigInt(rows.map(_._3).sum) * 1000000 / BigInt(math.max(total, 1L))).toLong)
+    }
+    assert(got === expected)
+    // balance property: a shard overshoots the even split by at most
+    // one document (greedy boundary assignment)
+    val maxDoc = docs.map(_._2).max
+    got.values.foreach { case (_, mass, _, _, _) =>
+      assert(mass <= total / TextOps.MassShardCount + maxDoc)
+    }
+  }
+
   test("multimodal decode stub: expression path == typed mapPartitions path") {
     val exprPath = MultimodalOps.decodeMeta(spark, Sf0001)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap

@@ -664,6 +664,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming k-anonymity monitor: final class state derives the batch report") {
+    // three micro-batches of QI rows; each class's state is its exact
+    // distinct-user set, and the LATEST emission per class (k and
+    // n_rows are monotone) must reproduce the batch report through the
+    // shared kAnonymityReport stage
+    val tmp = java.nio.file.Files.createTempDirectory("anon-stream").toString
+    val qi = graft.operators.EventOps.qiClasses(spark, Sf0001)
+      .select(col("event_type"), col("hour_of_day"), col("value_band"), col("user_id"))
+      .localCheckpoint()
+    (0 to 2).foreach { k =>
+      qi.filter(col("user_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/a$k")
+      val src = new java.io.File(s"$tmp/a$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"a$k.parquet"))
+    }
+    val q = graft.streaming.AnonStream
+      .classStats(spark, tmp)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("anon_stream").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      val finalClasses = spark.table("anon_stream")
+        .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
+        .agg(max(col("k")).as("k"), max(col("n_rows")).as("n_rows"))
+      val streamedReport = graft.operators.EventOps.kAnonymityReport(finalClasses)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val batch = graft.operators.EventOps.kAnonymity(spark, Sf0001)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(streamedReport === batch)
+      assert(streamedReport.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CDC chunker: arrival-time boundaries == batch chunk table") {
     // the token append-log, pos-sliced into three batches (each doc's
     // tokens arrive in pos order across batches — the log contract),
