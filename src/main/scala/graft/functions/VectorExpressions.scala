@@ -663,6 +663,70 @@ object VectorExpressions {
   /** Arity guard for registry builders (otherwise a wrong-arity SQL
     * call dies with a bare IndexOutOfBounds).
     */
+  /** Upper-triangle outer-product values of an array<float> vector:
+    * result[pos] = (double) a[i] * (double) a[j] for i ≤ j in
+    * i-major lexicographic order, pos = i·n − i(i−1)/2 + (j − i).
+    * ONE codegen pass per row replaces the posexplode + vec_id
+    * self-join form of the Gram contribution, whose co-partitioning
+    * shuffled rows·dims exploded values twice; with this expression
+    * the products are born in the scan stage and map-side combine
+    * collapses them to dims² partial sums before any exchange.
+    * Same IEEE products, summed through the same decimal path —
+    * bit-identical Gram cells.
+    */
+  case class OuterProducts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "outer_products"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("outer_products", Seq(child.dataType), Seq((isFloatArray, "array<float>")))
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (mayHaveNullElems(child.dataType)) requireNoNullElems(a, prettyName)
+      val n = a.numElements()
+      val out = new Array[Double](n * (n + 1) / 2)
+      var pos = 0
+      var i = 0
+      while (i < n) {
+        val vi = a.getFloat(i).toDouble
+        var j = i
+        while (j < n) { out(pos) = vi * a.getFloat(j).toDouble; pos += 1; j += 1 }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val pos = ctx.freshName("pos")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val vi = ctx.freshName("vi")
+        val guard = if (mayHaveNullElems(child.dataType))
+          nullElemGuardCode(ctx.freshName("ni"), a, prettyName) else ""
+        s"""
+           |$guard
+           |int $n = $a.numElements();
+           |double[] $out = new double[$n * ($n + 1) / 2];
+           |int $pos = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $vi = (double) $a.getFloat($i);
+           |  for (int $j = $i; $j < $n; $j++) {
+           |    $out[$pos++] = $vi * (double) $a.getFloat($j);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def expect(n: Int, name: String)(
       exprs: Seq[Expression]
   ): Seq[Expression] = {
@@ -725,6 +789,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "zorder64")(exprs); ZOrder64(e(0), e(1)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "outer_products",
+      exprs => OuterProducts(expect(1, "outer_products")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -746,4 +815,6 @@ object VectorExpressions {
   def wordNgrams(toks: Column, n: Column): Column = call_function("word_ngrams", toks, n)
 
   def zorder64(x: Column, y: Column): Column = call_function("zorder64", x, y)
+
+  def outerProducts(a: Column): Column = call_function("outer_products", a)
 }

@@ -763,22 +763,34 @@ object SimilarityOps {
     * IEEE double (both engines identically) and SUMMED through
     * DECIMAL(38,10) — order-independent exact, the xsum discipline.
     *
-    * Scale: output is dims² (fixed), input explode is rows·dims² —
-    * at 100 TB swap the explode for a per-partition outer-product
-    * accumulator (a dims²-long TypedImperativeAggregate, the
-    * IntVecSumAgg pattern) — same result, one pass, no fan-out; the
-    * relational form here is the portable, oracle-checkable shape.
+    * Scale: output is dims² (fixed). The per-row upper-triangle
+    * products are born in the SCAN stage by the codegen
+    * `outer_products` expression (one pass, no vec_id self-join — the
+    * earlier relational form co-partition-shuffled rows·dims exploded
+    * values twice), so map-side combine collapses the corpus to
+    * dims·(dims+1)/2 partial decimal sums before the only (tiny)
+    * exchange; (pos → i, j) resolves against a broadcast dims²-row
+    * index table. Products are IEEE doubles summed through
+    * DECIMAL(38,10) — order-independent exact, so the cells are
+    * bit-identical to the join form and the oracle.
     */
   def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val flat = spread(e)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")))
-      .select(col("vec_id"), col("i"), col("vi").cast("double").as("vi"))
-    val right = flat.select(col("vec_id").as("vid2"), col("i").as("j"), col("vi").as("vj"))
-    flat
-      .join(right, col("vec_id") === col("vid2") && col("j") >= col("i"))
-      .groupBy(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"))
-      .agg(RelationalOps.xsum(col("vi") * col("vj")).as("gram"))
+    val spark2 = e.sparkSession
+    val pairs = spark2
+      .range(0, Dim)
+      .select(col("id").as("i"))
+      .crossJoin(spark2.range(0, Dim).select(col("id").as("j")))
+      .filter(col("j") >= col("i"))
+      .withColumn("pos", expr(s"CAST(i * $Dim - i * (i - 1) DIV 2 + (j - i) AS INT)"))
+    spread(e)
+      .select(
+        posexplode(graft.functions.VectorExpressions.outerProducts(col("embedding")))
+          .as(Seq("pos", "p"))
+      )
+      .join(broadcast(pairs), Seq("pos"))
+      .groupBy(col("i"), col("j"))
+      .agg(RelationalOps.xsum(col("p")).as("gram"))
   }
 
   val PcaRounds = 48
@@ -806,34 +818,46 @@ object SimilarityOps {
       .toDF("i", "loading", "lambda")
   }
 
-  /** The shared fit loop: returns (component, eigenvalue estimate). */
+  /** The shared fit loop: returns (component, eigenvalue estimate).
+    *
+    * The Gram matrix is Dim×Dim — bounded by the EMBEDDING WIDTH, not
+    * the corpus — so after the one distributed pass that builds it,
+    * the whole power iteration runs ON THE DRIVER: collect the 64
+    * j-sorted rows once, then 48 rounds of 64×64 matvec in plain
+    * Scala. The previous form ran each round as its own tiny Spark
+    * job (HOF matvec over a 1-partition frame + collect): 48 × ~50 ms
+    * of job-scheduling overhead = 2.4 s of pure coordination at
+    * sf0.1. Floating-point parity is preserved exactly: the matvec
+    * accumulates j-ascending (the zip_with/aggregate fold order), the
+    * norm folds i-ascending — the same IEEE operation sequence the
+    * SQL form and the DuckDB oracle execute, so the hashes are
+    * unchanged. (At very large Dim the collect is Dim² doubles —
+    * 128 MB at 4k — still a driver-bounded eigensolve, the shape real
+    * systems use; the corpus never moves either way.)
+    */
   private def pcaFit(spark: SparkSession, dir: String): (Array[Double], Double) = {
     val g = gramMatrix(spark, dir)
     val full = g.unionByName(
       g.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gram"))
     )
-    val rows = full
+    val grows: Array[Array[Double]] = full
       .groupBy(col("i"))
       .agg(expr("transform(array_sort(collect_list(struct(j, gram))), p -> p.gram)").as("grow"))
-      // 64 rows here: collapse to one task so each of the many tiny
-      // rounds is a single fast stage (at real width, stay partitioned)
-      .coalesce(1)
-      .localCheckpoint()
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     var x: Array[Double] = Array.fill(Dim)(0.125)
     var lambda = 0.0
     for (_ <- 1 to PcaRounds) {
-      val xLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(x.map(lit(_))): _*)
-      val yRows = rows
-        .withColumn("xs", xLit)
-        .select(col("i"),
-          expr("aggregate(zip_with(grow, xs, (a, b) -> a * b), 0D, (acc, v) -> acc + v)").as("y"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(_.getDouble(1))
-      // sequential i-ascending norm fold — mirrored by the oracle's list_sum
-      lambda = math.sqrt(yRows.foldLeft(0.0)((acc, v) => acc + v * v))
-      x = yRows.map(_ / lambda)
+      val y = grows.map { row =>
+        var acc = 0.0
+        var j = 0
+        while (j < Dim) { acc += row(j) * x(j); j += 1 } // j-ascending, as zip_with/aggregate
+        acc
+      }
+      lambda = math.sqrt(y.foldLeft(0.0)((acc, v) => acc + v * v))
+      x = y.map(_ / lambda)
     }
     (x, lambda)
   }

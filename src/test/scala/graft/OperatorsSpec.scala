@@ -434,6 +434,20 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("outer_products: values, ordering, and the null-element guard") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT outer_products(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))"
+    ).collect()(0).getSeq[Double](0)
+    // i-major upper triangle of [1,2,3]: (0,0)(0,1)(0,2)(1,1)(1,2)(2,2)
+    assert(r === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 9.0))
+    val nerr = intercept[Exception] {
+      spark.sql(
+        "SELECT outer_products(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))").collect()
+    }
+    assert(nerr.getMessage.contains("null array element"), nerr.getMessage)
+  }
+
   test("mass shards: exact prefix-sum recompute; every shard within one doc of even mass") {
     val got = TextOps.massShards(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

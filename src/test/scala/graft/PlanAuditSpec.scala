@@ -537,6 +537,20 @@ class PlanAuditSpec extends AnyFunSuite {
     schemas.foreach(f => assert(!f.contains(","), s"unpruned scan: struct<$f>"))
   }
 
+  test("gram matrix: products born in the scan stage, one tiny exchange, no self-join") {
+    val plan = planOf(SimilarityOps.gramMatrix(spark, Sf0001))
+    // the old form co-partition-shuffled the exploded corpus twice for
+    // a vec_id self-join; the outer_products expression leaves exactly
+    // one hash exchange (the dims² final aggregate) + the broadcast
+    // index table
+    assert(plan.contains("outer_products"), s"expression not in plan: $plan")
+    // AQE renders the plan twice (Final + Initial) — audit the final only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles in: $finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"), "a corpus self-join survived")
+  }
+
   test("gini: both global ranks are range-partitioned (no single-task window)") {
     val gw = globalWindowExecs(RelationalOps.giniInequality(spark, Sf0001))
     assert(gw.isEmpty, s"single-task global windows: $gw")
