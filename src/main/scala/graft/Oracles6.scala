@@ -1717,4 +1717,37 @@ object Oracles6 {
       |  AS mass_ppm
       |FROM c
       |GROUP BY 1""".stripMargin
+
+  /** Mirrors DedupOps.ensemblePairs by composing the three pair-set
+    * oracles verbatim as derived tables (each keeps its own WITH
+    * scope) — the audit's truth is exactly the gates' truth.
+    */
+  val ensemblePairs: String = {
+    def cmp(na: String, a: String, nb: String, b: String): String =
+      s"""SELECT '$na' AS method_a, '$nb' AS method_b,
+         | CAST((SELECT COUNT(*) FROM $a) AS BIGINT) AS n_a,
+         | CAST((SELECT COUNT(*) FROM $b) AS BIGINT) AS n_b,
+         | CAST((SELECT COUNT(*) FROM $a JOIN $b USING (doc_a, doc_b)) AS BIGINT) AS n_both""".stripMargin
+    s"""WITH m AS (SELECT doc_a, doc_b FROM (${Oracles2.minhashLsh}) mq),
+       |g AS (SELECT doc_a, doc_b FROM (${Oracles2.ngramJaccard}) gq),
+       |s AS (SELECT doc_a, doc_b FROM ($sortedNeighborhood) sq)
+       |${cmp("minhash", "m", "ngram", "g")}
+       |UNION ALL
+       |${cmp("minhash", "m", "snm", "s")}
+       |UNION ALL
+       |${cmp("ngram", "g", "snm", "s")}""".stripMargin
+  }
+
+  /** Mirrors MultimodalOps.wavStats: the PCM formula recomputed
+    * relationally; the Spark side must read identical integers back
+    * out of a real WAV encode→decode round trip.
+    */
+  val wavStats: String =
+    """SELECT d.doc_id AS media_id,
+      | CAST(64 + d.doc_id % 64 AS BIGINT) AS n_samples,
+      | CAST(8000 AS BIGINT) AS sample_rate,
+      | CAST(SUM(ABS((d.doc_id * 131 + 17 * t.x) % 65536 - 32768)) AS BIGINT) AS abs_sum
+      |FROM documents d, range(128) t(x)
+      |WHERE t.x < 64 + d.doc_id % 64
+      |GROUP BY d.doc_id""".stripMargin
 }

@@ -277,9 +277,11 @@ object SparkEntry {
     "mm_audio_energy" -> graft.sources.MultimodalOps.audioEnergy,
     "mm_ahash_pairs" -> graft.sources.MultimodalOps.aHashPairs,
     "mm_image_pixels" -> graft.sources.MultimodalOps.imagePixelStats,
+    "mm_wav_stats" -> graft.sources.MultimodalOps.wavStats,
     "gini_inequality" -> RelationalOps.giniInequality,
     "column_profile" -> EventOps.columnProfile,
     "mass_shards" -> TextOps.massShards,
+    "ensemble_pairs" -> DedupOps.ensemblePairs,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1038,6 +1040,8 @@ object SparkEntry {
     "mm_image_pixels" -> Oracles6.imagePixelStats,
     "gini_inequality" -> Oracles6.giniInequality,
     "column_profile" -> Oracles6.columnProfile,
-    "mass_shards" -> Oracles6.massShards
+    "mass_shards" -> Oracles6.massShards,
+    "ensemble_pairs" -> Oracles6.ensemblePairs,
+    "mm_wav_stats" -> Oracles6.wavStats
   )
 }

@@ -224,7 +224,13 @@ object DedupOps {
   val MaxDocFreqFloor = 50L
   val MaxDocFreqFrac = 0.001
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized like the MinHash pairs (two consumers: the gate query
+    * and the blocking-ensemble audit).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "ngram_pairs")(ngramJaccardBuild(spark, dir))
+
+  private[graft] def ngramJaccardBuild(spark: SparkSession, dir: String): DataFrame = {
     // Same single-materialization discipline as minhashLsh: the
     // posting has ~7 consumers here (df counts, pruned x3, verify x3).
     val posting = shinglePosting(spark, dir).localCheckpoint()
@@ -654,7 +660,10 @@ object DedupOps {
     * resolve through the join, no overlap plumbing). Verification
     * reuses the count-based posting join (no shingle arrays shuffle).
     */
-  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "snm_pairs")(sortedNeighborhoodBuild(spark, dir))
+
+  private[graft] def sortedNeighborhoodBuild(spark: SparkSession, dir: String): DataFrame = {
     val keyed = Tables
       .documents(spark, dir)
       .select(
@@ -1141,5 +1150,39 @@ object DedupOps {
         col("singleton_grams"),
         expr("CAST(CAST((total_grams - distinct_grams) AS DECIMAL(38,0)) * 1000000 div (total_grams) AS BIGINT)").as("dup_ppm")
       )
+  }
+
+  /** Blocking-ensemble audit: the pairwise overlap matrix of the
+    * board's three candidate-generation families — MinHash LSH
+    * (J ≥ 0.7 verified), exact n-gram Jaccard via inverted index
+    * (J ≥ 0.5, rare-shingle candidates), sorted-neighborhood
+    * (J ≥ 0.5, prefix-adjacency candidates). THE question a dedup
+    * operator asks before trusting one blocker: how much of what the
+    * exact method finds does the cheap method see, and what does each
+    * find alone. Methods verify at different thresholds by contract,
+    * so the report is the overlap matrix, not a winner.
+    *
+    * Scale: all three pair sets are session ARTIFACTS (pair-bounded,
+    * memoized — this query re-reads three pinned block sets, runs
+    * three pair-key joins on them, and never touches the corpus).
+    */
+  def ensemblePairs(spark: SparkSession, dir: String): DataFrame = {
+    val m = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val g = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val s = sortedNeighborhood(spark, dir).select(col("doc_a"), col("doc_b"))
+    def cmp(na: String, a: DataFrame, nb: String, b: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))))
+        .select(
+          lit(na).as("method_a"),
+          lit(nb).as("method_b"),
+          col("n_a"),
+          col("n_b"),
+          col("n_both")
+        )
+    cmp("minhash", m, "ngram", g)
+      .unionAll(cmp("minhash", m, "snm", s))
+      .unionAll(cmp("ngram", g, "snm", s))
   }
 }

@@ -152,19 +152,21 @@ object GraphOps {
     * not four.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.memo(spark, dir, "dedup_clusters") {
-      val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-      val comps = connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint()
-      val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      comps
-        .join(sizes, Seq("label"))
-        .select(
-          col("doc").as("doc_id"),
-          col("label").as("canonical_id"),
-          col("cluster_size"),
-          (col("doc") === col("label")).as("is_canonical")
-        )
-    }
+    Artifacts.memo(spark, dir, "dedup_clusters")(dedupClustersBuild(spark, dir))
+
+  private[graft] def dedupClustersBuild(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comps = connectedComponents(pairs, "doc_a", "doc_b").localCheckpoint()
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    comps
+      .join(sizes, Seq("label"))
+      .select(
+        col("doc").as("doc_id"),
+        col("label").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc") === col("label")).as("is_canonical")
+      )
+  }
 
   val PagerankIters = 3
   val PagerankUnit = 1000000L // micro-rank fixed point

@@ -413,4 +413,63 @@ object MultimodalOps {
       }
       .toDF("media_id", "width", "height", "n_pixels", "pixel_sum")
   }
+
+  /** Real-codec AUDIO gate query (`mm_wav_stats`) — the WAV twin of
+    * `imagePixelStats`: per document, synthesize a deterministic
+    * 16-bit PCM mono signal (sample(t) = (doc_id·131 + 17t) mod 2¹⁶
+    * − 2¹⁵ over 64 + id mod 64 samples), ENCODE it to a real RIFF/WAV
+    * container via `javax.sound.sampled`, decode it back through
+    * `AudioSystem` (header parse + frame read — the production audio
+    * seam), and emit frame count / sample rate / absolute-amplitude
+    * sum read from the DECODED frames. The DuckDB oracle recomputes
+    * the same integers from the formula, so the gate fails iff the
+    * encode→decode round trip misreads a sample.
+    *
+    * Scale: narrow mapPartitions, no shuffle, 4 integer columns out —
+    * the mm_image_pixels plan shape.
+    */
+  def wavStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 64).toInt
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val s = (((id * 131 + 17L * t) % 65536) - 32768).toInt
+            pcm(2 * t) = (s & 0xff).toByte // little-endian 16-bit
+            pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          // the production seam: container sniff + header parse + frames
+          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val f = back.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+            s"WAV round trip changed the format for media $id")
+          val frames = back.readAllBytes()
+          val m = frames.length / 2
+          var absSum = 0L
+          var i = 0
+          while (i < m) {
+            val lo = frames(2 * i) & 0xff
+            val hi = frames(2 * i + 1).toInt // sign-carrying high byte
+            absSum += math.abs((hi << 8) | lo)
+            i += 1
+          }
+          (id, m.toLong, f.getSampleRate.toLong, absSum)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate", "abs_sum")
+  }
 }

@@ -434,6 +434,38 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("wav stats: PCM formula survives the RIFF/WAV encode-decode round trip") {
+    val got = graft.sources.MultimodalOps.wavStats(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ids = Tables.documents(spark, Sf0001).select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val n = 64 + id % 64
+      var absSum = 0L
+      for (t <- 0L until n) absSum += math.abs((id * 131 + 17 * t) % 65536 - 32768)
+      assert(got(id) === ((n, 8000L, absSum)), s"media $id")
+    }
+  }
+
+  test("ensemble pairs: overlap matrix equals set recomputes of the three blockers") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = pairs(DedupOps.minhashLsh(spark, Sf0001))
+    val g = pairs(DedupOps.ngramJaccard(spark, Sf0001))
+    val sn = pairs(DedupOps.sortedNeighborhood(spark, Sf0001))
+    val got = DedupOps.ensemblePairs(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(("minhash", "ngram")) ===
+      ((m.size.toLong, g.size.toLong, (m intersect g).size.toLong)))
+    assert(got(("minhash", "snm")) ===
+      ((m.size.toLong, sn.size.toLong, (m intersect sn).size.toLong)))
+    assert(got(("ngram", "snm")) ===
+      ((g.size.toLong, sn.size.toLong, (g intersect sn).size.toLong)))
+    assert(m.nonEmpty && g.nonEmpty && sn.nonEmpty)
+  }
+
   test("outer_products: values, ordering, and the null-element guard") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
@@ -761,11 +793,16 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("dedup suite is partition-invariant: shuffle parallelism 2 vs 16 identical") {
     // guards the single-materialization rewrites: a localCheckpoint'd
-    // intermediate must not bake any partitioning artifact into results
+    // intermediate must not bake any partitioning artifact into results.
+    // The RAW builders, deliberately: the public accessors memoize per
+    // (session, dir), which would compare one cached artifact to itself
     def run(): (Set[(Long, Long)], Set[(Long, Long)], Map[Long, Long]) = (
-      DedupOps.minhashLsh(spark, Sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-      DedupOps.ngramJaccard(spark, Sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-      GraphOps.dedupClusters(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      DedupOps.minhashLshBuild(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      DedupOps.ngramJaccardBuild(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.dedupClustersBuild(spark, Sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     )
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
