@@ -66,9 +66,9 @@ object Apps {
       values.sorted.mkString(" ")
   }
 
-  /** Plugin registry — replaces the reference's dynamic `.so` loading
-    * (`mr_worker.go:26-43`) with a static map; Spark ships closures to
-    * executors, so no dynamic loading is needed.
+  /** Plugin registry — the primary replacement for the reference's
+    * dynamic `.so` loading (`mr_worker.go:26-43`): a static map, since
+    * Spark ships closures to executors and needs no dlopen.
     */
   val registry: Map[String, MrApp] = Map(
     "wc" -> WordCount,
@@ -76,4 +76,40 @@ object Apps {
     "early_exit" -> FileCount,
     "nocrash" -> CrashData
   )
+
+  /** The DYNAMIC load path, for apps compiled outside this registry —
+    * the JVM analogue of the reference's `plugin.Open(...).Lookup
+    * ("Map"/"Reduce")` (`mr_worker.go:26-43`): resolve a class or
+    * object by NAME at runtime and bind it to the `MrApp` contract.
+    * Accepts a Scala `object` (its `MODULE$` singleton) or a class
+    * with a no-arg constructor. A worker JVM can thus run an app that
+    * existed only as a jar on its classpath, exactly like a worker
+    * process dlopen-ing `wc.so` — with the same failure mode
+    * (a name that resolves to nothing is a startup error, not a task
+    * error).
+    */
+  def loadDynamic(className: String): MrApp = {
+    val cls = Class.forName(className)
+    val instance =
+      try {
+        val moduleField = cls.getField("MODULE$") // Scala object singleton
+        moduleField.get(null)
+      } catch {
+        case _: NoSuchFieldException =>
+          cls.getDeclaredConstructor().newInstance()
+      }
+    instance match {
+      case app: MrApp => app
+      case other =>
+        throw new IllegalArgumentException(
+          s"$className (${other.getClass.getName}) does not implement MrApp")
+    }
+  }
+
+  /** Registry lookup with the dynamic path as fallback: `lookup("wc")`
+    * hits the static map; `lookup("com.example.MyApp")` dlopens by
+    * name.
+    */
+  def lookup(name: String): MrApp =
+    registry.getOrElse(name, loadDynamic(name))
 }

@@ -339,4 +339,35 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(overlaps >= 1, "expected at least two concurrently-running reduce tasks")
   }
+
+  test("dynamic plugin loading: class-name resolution binds the MrApp contract " +
+    "(the plugin.Open/Lookup analogue)") {
+    // a Scala object resolved by its runtime class name == the static
+    // registry entry, end to end through the kernel
+    val dynWc = graft.engine.Apps.loadDynamic("graft.engine.Apps$WordCount$")
+    val files = Seq(("f1", "alpha beta alpha"), ("f2", "beta gamma"))
+    val viaDynamic = graft.engine.Engine.sequential(files, dynWc)
+    val viaRegistry = graft.engine.Engine.sequential(files, graft.engine.Apps.registry("wc"))
+    assert(viaDynamic === viaRegistry)
+    // a plain class with a no-arg constructor loads too
+    val dynCls = graft.engine.Apps.loadDynamic("graft.DynamicClassApp")
+    assert(dynCls.map("f", "x y").map(_.key) === Seq("f"))
+    // lookup: registry name wins; unknown dotted names dlopen; junk fails loudly
+    assert(graft.engine.Apps.lookup("wc") eq graft.engine.Apps.WordCount)
+    intercept[ClassNotFoundException] {
+      graft.engine.Apps.lookup("graft.engine.NoSuchPlugin")
+    }
+    intercept[IllegalArgumentException] {
+      graft.engine.Apps.loadDynamic("java.lang.StringBuilder") // not an MrApp
+    }
+  }
+}
+
+/** Test fixture for the dynamic-load path: a plugin CLASS (no-arg
+  * constructor) that exists outside `Apps.registry`.
+  */
+class DynamicClassApp extends graft.engine.MrApp {
+  def map(file: String, contents: String): Seq[graft.engine.KeyValue] =
+    Seq(graft.engine.KeyValue(file, contents.length.toString))
+  def reduce(key: String, values: Seq[String]): String = values.sorted.mkString(",")
 }
