@@ -1750,4 +1750,32 @@ object Oracles6 {
       |FROM documents d, range(128) t(x)
       |WHERE t.x < 64 + d.doc_id % 64
       |GROUP BY d.doc_id""".stripMargin
+
+  /** Mirrors TextOps.contentSplit: cluster labels via the recursive-CC
+    * oracle chain (the dedupClusters oracle verbatim), then both split
+    * assignments from the shared md5-bucket function.
+    */
+  val contentSplit: String = {
+    def splitCase(x: String): String =
+      s"""CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
+         |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE mh AS (${Oracles2.minhashLsh}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |d AS (SELECT doc_id, COALESCE(comp.label, doc_id) AS ckey
+       |      FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc),
+       |s AS (SELECT ${splitCase("doc_id")} AS id_split,
+       |             ${splitCase("ckey")} AS content_split
+       |      FROM d)
+       |SELECT id_split, content_split, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -282,6 +282,7 @@ object SparkEntry {
     "column_profile" -> EventOps.columnProfile,
     "mass_shards" -> TextOps.massShards,
     "ensemble_pairs" -> DedupOps.ensemblePairs,
+    "content_split" -> TextOps.contentSplit,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1042,6 +1043,7 @@ object SparkEntry {
     "column_profile" -> Oracles6.columnProfile,
     "mass_shards" -> Oracles6.massShards,
     "ensemble_pairs" -> Oracles6.ensemblePairs,
-    "mm_wav_stats" -> Oracles6.wavStats
+    "mm_wav_stats" -> Oracles6.wavStats,
+    "content_split" -> Oracles6.contentSplit
   )
 }

@@ -2201,4 +2201,35 @@ object TextOps {
         expr(s"CAST(CAST(mass AS DECIMAL(38,0)) * 1000000 DIV $t AS BIGINT)")
       )
   }
+
+  /** Leakage-safe CONTENT-keyed train/val/test split — the fix
+    * split_leakage quantifies the need for: assign each document by
+    * the md5 bucket of its near-dup cluster's CANONICAL id (singleton
+    * docs: their own id), so every member of a duplicate cluster
+    * lands in the SAME split and eval answers cannot leak into
+    * training through a near-copy. Emitted as the 3×3 migration grid
+    * (id-keyed split × content-keyed split, doc counts): the diagonal
+    * is unchanged mass, off-diagonal rows are exactly the documents
+    * the honest split moves.
+    *
+    * Scale: the cluster table is the session pair-graph ARTIFACT
+    * (pair-bounded); one left join against the doc directory, one
+    * 9-cell aggregate — no text moves.
+    */
+  def contentSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = GraphOps
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("canonical_id"), col("doc_id")))
+      .select(
+        splitExpr(col("doc_id")).as("id_split"),
+        splitExpr(col("ckey")).as("content_split")
+      )
+      .groupBy(col("id_split"), col("content_split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -434,6 +434,25 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("content split: cluster members share a split; grid partitions the corpus") {
+    val grid = TextOps.contentSplit(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = Tables.documents(spark, Sf001).count()
+    assert(grid.values.sum === total)
+    // the property the operator exists for: every doc of a cluster gets
+    // the CANONICAL id's split, so within a cluster assignments agree
+    val byCluster = GraphOps.dedupClusters(spark, Sf001)
+      .select(col("doc_id"), col("canonical_id"))
+      .join(
+        Tables.documents(spark, Sf001).select(col("doc_id")),
+        Seq("doc_id"))
+      .withColumn("s", TextOps.splitExpr(col("canonical_id")))
+      .collect().map(r => r.getLong(1) -> r.getString(2))
+    assert(byCluster.groupBy(_._1).forall { case (_, xs) => xs.map(_._2).distinct.size == 1 })
+    // and the grid is non-trivial at this SF: some mass moves
+    assert(grid.keys.exists { case (a, b) => a != b })
+  }
+
   test("wav stats: PCM formula survives the RIFF/WAV encode-decode round trip") {
     val got = graft.sources.MultimodalOps.wavStats(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
