@@ -1778,4 +1778,37 @@ object Oracles6 {
        |SELECT id_split, content_split, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM s GROUP BY 1, 2""".stripMargin
   }
+
+  /** Mirrors LayoutOps.hilbertLayout: the 10 quadrant-resolve levels
+    * of the xy→d Hilbert algorithm, each level one generated CTE
+    * stage (rx/ry from the CURRENT (hx, hy), then flip+swap) — the
+    * same integer sequence the codegen expression executes.
+    */
+  val hilbertLayout: String = {
+    val stages = (0 until 10).map { lvl =>
+      val s = 1L << (9 - lvl)
+      s"""h${lvl + 1} AS (
+         | SELECT x, y,
+         |  CASE WHEN (hy & $s) = 0
+         |       THEN CASE WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END
+         |       ELSE hx END AS hx,
+         |  CASE WHEN (hy & $s) = 0
+         |       THEN CASE WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END
+         |       ELSE hy END AS hy,
+         |  d + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |                     (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         | FROM h$lvl)""".stripMargin
+    }.mkString(",\n")
+    val shift = graft.operators.LayoutOps.ZBucketShift
+    s"""WITH dims AS (
+       | SELECT o_custkey % 1024 AS x,
+       |        (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 1024 AS y
+       | FROM orders),
+       |h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS d FROM dims),
+       |$stages
+       |SELECT d // ${1L << shift} AS h_bucket, COUNT(*) AS n_rows,
+       | MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       | MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+       |FROM h10 GROUP BY 1""".stripMargin
+  }
 }

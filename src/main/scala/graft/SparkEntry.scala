@@ -283,6 +283,7 @@ object SparkEntry {
     "mass_shards" -> TextOps.massShards,
     "ensemble_pairs" -> DedupOps.ensemblePairs,
     "content_split" -> TextOps.contentSplit,
+    "hilbert_layout" -> LayoutOps.hilbertLayout,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1044,6 +1045,7 @@ object SparkEntry {
     "mass_shards" -> Oracles6.massShards,
     "ensemble_pairs" -> Oracles6.ensemblePairs,
     "mm_wav_stats" -> Oracles6.wavStats,
-    "content_split" -> Oracles6.contentSplit
+    "content_split" -> Oracles6.contentSplit,
+    "hilbert_layout" -> Oracles6.hilbertLayout
   )
 }

@@ -608,6 +608,73 @@ object VectorExpressions {
     * [0, 2^32) are masked to their low 32 bits (documented contract —
     * callers bucket/offset real values into unsigned 32-bit space).
     */
+  /** Hilbert curve index of a (x, y) cell on the 1024×1024 grid — the
+    * locality-layout alternative to `zorder64`: consecutive Hilbert
+    * addresses are always GRID NEIGHBORS (|Δx|+|Δy| = 1; the spec
+    * proves it over the full 2²⁰-cell curve), where the Z curve jumps
+    * across the plane at every power-of-two boundary, so
+    * Hilbert-clustered files bound a range scan's x/y spread strictly
+    * tighter. Standard xy→d bit algorithm (10 levels of quadrant
+    * resolve + rotate), all integer — the DuckDB oracle executes the
+    * same 10 levels as generated chained CTEs.
+    */
+  case class Hilbert64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hilbert64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("hilbert64", Seq(left.dataType, right.dataType),
+        Seq((_ == LongType, "bigint"), (_ == LongType, "bigint")))
+
+    override def nullSafeEval(xa: Any, ya: Any): Any = {
+      var hx = xa.asInstanceOf[Long]
+      var hy = ya.asInstanceOf[Long]
+      var d = 0L
+      var s = 512L
+      while (s > 0) {
+        val rx = if ((hx & s) > 0) 1L else 0L
+        val ry = if ((hy & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { hx = s - 1 - hx; hy = s - 1 - hy }
+          val t = hx; hx = hy; hy = t
+        }
+        s >>= 1
+      }
+      d
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val hx = ctx.freshName("hx")
+        val hy = ctx.freshName("hy")
+        val d = ctx.freshName("d")
+        val st = ctx.freshName("s")
+        val rx = ctx.freshName("rx")
+        val ry = ctx.freshName("ry")
+        val t = ctx.freshName("t")
+        s"""
+           |long $hx = $x; long $hy = $y; long $d = 0L;
+           |for (long $st = 512L; $st > 0; $st >>= 1) {
+           |  long $rx = (($hx & $st) > 0) ? 1L : 0L;
+           |  long $ry = (($hy & $st) > 0) ? 1L : 0L;
+           |  $d += $st * $st * ((3L * $rx) ^ $ry);
+           |  if ($ry == 0) {
+           |    if ($rx == 1) { $hx = $st - 1 - $hx; $hy = $st - 1 - $hy; }
+           |    long $t = $hx; $hx = $hy; $hy = $t;
+           |  }
+           |}
+           |${ev.value} = $d;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
   case class ZOrder64(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -794,6 +861,11 @@ object VectorExpressions {
       exprs => OuterProducts(expect(1, "outer_products")(exprs).head),
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "hilbert64",
+      exprs => { val e = expect(2, "hilbert64")(exprs); Hilbert64(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -817,4 +889,6 @@ object VectorExpressions {
   def zorder64(x: Column, y: Column): Column = call_function("zorder64", x, y)
 
   def outerProducts(a: Column): Column = call_function("outer_products", a)
+
+  def hilbert64(x: Column, y: Column): Column = call_function("hilbert64", x, y)
 }

@@ -85,4 +85,34 @@ object LayoutOps {
       .sortWithinPartitions(col("z"))
       .withColumn("part_id", spark_partition_id())
   }
+
+  /** Hilbert-curve layout quality, same contract as [[zorderLayout]]
+    * (identical bucketing and span summary, so the two reports compare
+    * row-for-row): Hilbert addresses keep consecutive cells GRID-
+    * ADJACENT, so per-bucket x/y spans — the zone-map quality that
+    * bounds what a range scan must read — are strictly tighter than
+    * the Z curve's power-of-two jumps. Same scale shape: one codegen
+    * map (`hilbert64`) + one hash aggregate.
+    */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val dim = lit(1L << ZDimBits)
+    Tables
+      .orders(spark, dir)
+      .select(
+        (col("o_custkey") % dim).as("x"),
+        (expr("unix_timestamp(o_orderdate) DIV 86400") % dim).as("y")
+      )
+      .withColumn("h", VectorExpressions.hilbert64(col("x"), col("y")))
+      .groupBy(expr(s"h DIV ${1L << ZBucketShift}").as("h_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"),
+        max(col("y")).as("max_y")
+      )
+      .withColumn("x_span", col("max_x") - col("min_x"))
+      .withColumn("y_span", col("max_y") - col("min_y"))
+  }
 }

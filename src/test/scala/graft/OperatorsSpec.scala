@@ -434,6 +434,43 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("hilbert64: full-curve bijection, unit-step adjacency, tighter spans than Z") {
+    graft.functions.VectorExpressions.register(spark)
+    // the whole 1024x1024 domain: d must visit every cell exactly once
+    // (bijection) and consecutive d's must be GRID NEIGHBORS — the
+    // locality property Z-order lacks
+    val cells = spark.range(0, 1L << 20)
+      .selectExpr("id DIV 1024 AS x", "id % 1024 AS y")
+      .selectExpr("hilbert64(x, y) AS d", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._1).distinct.length === (1 << 20)) // bijective
+    val byD = cells.sortBy(_._1)
+    assert(byD.head._1 === 0L && byD.last._1 === (1L << 20) - 1)
+    byD.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumped: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the layout payoff is on UNALIGNED consecutive runs (arbitrary
+    // d-ranges a scan actually reads; power-of-two-ALIGNED Z buckets
+    // are perfect rectangles, so bucket summaries alone can't show
+    // it): any 4096-cell Hilbert segment stays inside an O(sqrt(m))
+    // box, while the Z curve's center crossing stretches some segment
+    // across more than half the plane
+    val zCells = spark.range(0, 1L << 20)
+      .selectExpr("id DIV 1024 AS x", "id % 1024 AS y")
+      .selectExpr("zorder64(x, y) AS d", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def maxSegmentSide(cells: Array[(Long, Long, Long)], m: Int): Long =
+      (0 until cells.length - m by m / 2).map { off =>
+        val w = cells.slice(off, off + m)
+        math.max(w.map(_._2).max - w.map(_._2).min, w.map(_._3).max - w.map(_._3).min)
+      }.max
+    val hSide = maxSegmentSide(byD, 4096)
+    val zSide = maxSegmentSide(zCells, 4096)
+    assert(hSide <= 3 * math.sqrt(4096).toLong, s"hilbert segment side $hSide")
+    assert(zSide > 2 * hSide, s"z $zSide should dwarf hilbert $hSide")
+  }
+
   test("content split: cluster members share a split; grid partitions the corpus") {
     val grid = TextOps.contentSplit(spark, Sf001).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
