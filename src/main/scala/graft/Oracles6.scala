@@ -1811,4 +1811,85 @@ object Oracles6 {
        | MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
        |FROM h10 GROUP BY 1""".stripMargin
   }
+
+  /** Mirrors DedupOps.dedupSavings: each method's removable mass
+    * re-derived from its own oracle chain (exact fingerprints,
+    * recursive-CC clusters, span block fingerprints, CDC chunk
+    * hashes) — CTEs renamed to avoid collisions across the four
+    * composed pipelines.
+    */
+  val dedupSavings: String =
+    s"""WITH RECURSIVE
+       |tc AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
+       |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
+       | FROM documents),
+       |fps AS (SELECT doc_id,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |        FROM documents),
+       |ex AS (SELECT doc_id FROM (
+       |        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS k FROM fps)
+       |       WHERE NOT k),
+       |mh AS (${Oracles2.minhashLsh}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
+       |reach(a, b) AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |nearx AS (SELECT doc AS doc_id FROM comp WHERE doc <> label),
+       |stoks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |sblocks AS (
+       | SELECT doc_id,
+       |  array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS block
+       | FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM stoks)),
+       |sfpb AS (SELECT doc_id, block,
+       |        CAST(CAST(concat('0x', substr(md5(block), 1, 15)) AS UBIGINT) AS BIGINT) AS fp
+       |       FROM sblocks),
+       |snd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sfpb GROUP BY 1),
+       |spansave AS (
+       | SELECT CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 8 ELSE 0 END), 0) AS BIGINT) AS t
+       | FROM sfpb JOIN snd USING (fp)),
+       |ctoks AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |cp AS (
+       | SELECT doc_id,
+       |  unnest(list_transform(range(len(toks)),
+       |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS s
+       | FROM ctoks),
+       |ct AS (
+       | SELECT doc_id, s.pos AS pos, s.tok AS tok,
+       |  CASE WHEN CAST(concat('0x', substr(md5(s.tok), 1, 15)) AS UBIGINT) % 8 = 0
+       |       THEN 1 ELSE 0 END AS b
+       | FROM cp),
+       |cc AS (
+       | SELECT doc_id, pos, tok,
+       |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       | FROM ct),
+       |cch AS (
+       | SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+       | FROM cc GROUP BY 1, 2),
+       |chunksave AS (
+       | SELECT CAST(COALESCE(SUM((nc - 1) * nt), 0) AS BIGINT) AS t
+       | FROM (SELECT chash, COUNT(*) AS nc, MIN(n_toks) AS nt FROM cch GROUP BY 1))
+       |SELECT 'exact' AS method,
+       | CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_docs_removed,
+       | CAST(COALESCE((SELECT SUM(n_toks) FROM ex JOIN tc USING (doc_id)), 0) AS BIGINT)
+       |  AS n_tokens_removed
+       |UNION ALL
+       |SELECT 'near',
+       | CAST((SELECT COUNT(*) FROM nearx) AS BIGINT),
+       | CAST(COALESCE((SELECT SUM(n_toks) FROM nearx JOIN tc USING (doc_id)), 0) AS BIGINT)
+       |UNION ALL
+       |SELECT 'span', CAST(0 AS BIGINT), (SELECT t FROM spansave)
+       |UNION ALL
+       |SELECT 'chunk', CAST(0 AS BIGINT), (SELECT t FROM chunksave)""".stripMargin
 }

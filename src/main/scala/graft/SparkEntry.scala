@@ -284,6 +284,7 @@ object SparkEntry {
     "ensemble_pairs" -> DedupOps.ensemblePairs,
     "content_split" -> TextOps.contentSplit,
     "hilbert_layout" -> LayoutOps.hilbertLayout,
+    "dedup_savings" -> DedupOps.dedupSavings,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1046,6 +1047,7 @@ object SparkEntry {
     "ensemble_pairs" -> Oracles6.ensemblePairs,
     "mm_wav_stats" -> Oracles6.wavStats,
     "content_split" -> Oracles6.contentSplit,
-    "hilbert_layout" -> Oracles6.hilbertLayout
+    "hilbert_layout" -> Oracles6.hilbertLayout,
+    "dedup_savings" -> Oracles6.dedupSavings
   )
 }

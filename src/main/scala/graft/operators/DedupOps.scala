@@ -1185,4 +1185,47 @@ object DedupOps {
       .unionAll(cmp("minhash", m, "snm", s))
       .unionAll(cmp("ngram", g, "snm", s))
   }
+
+  /** What each dedup level would SAVE — the budget sheet that decides
+    * which pass is worth running on the corpus: exact fingerprint
+    * collapse (whole non-keeper docs), near-dup cluster collapse
+    * (non-canonical members), cross-doc span scrub (every duplicated
+    * 8-token block, all copies — the span_rewrite semantic), and CDC
+    * chunk-store dedup (each duplicate chunk beyond its first copy).
+    * Units are each method's own: whole docs + their pack-tokenizer
+    * tokens for the doc-level methods, block/chunk tokens for the
+    * sub-document methods (doc columns 0 by contract there).
+    *
+    * Scale: pure composition — the doc-level rows fold the exact-dup
+    * window table and the cluster ARTIFACT; the span row is one
+    * aggregate over spanRewrite's per-doc drop counts; the chunk row
+    * folds the chunk table by content hash. Nothing here adds a
+    * corpus pass beyond what the underlying operators already bound.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), TextOps.packTokenCount(col("text")).as("n_toks"))
+    def row(method: String, docs: DataFrame): DataFrame =
+      docs
+        .join(tok, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs_removed"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens_removed"))
+        .select(lit(method).as("method"), col("n_docs_removed"), col("n_tokens_removed"))
+    val exact = row("exact",
+      exactDedup(spark, dir).filter(!col("is_keeper")).select(col("doc_id")))
+    val near = row("near",
+      GraphOps.dedupClusters(spark, dir).filter(!col("is_canonical")).select(col("doc_id")))
+    val span = spanRewrite(spark, dir)
+      .agg(coalesce(sum(col("n_dropped_blocks") * SpanTokens), lit(0L)).as("t"))
+      .select(lit("span").as("method"), lit(0L).as("n_docs_removed"),
+        col("t").as("n_tokens_removed"))
+    val chunk = cdcChunkTable(spark, dir)
+      .groupBy(col("chash"))
+      .agg(((count(lit(1)) - 1) * min(col("n_toks"))).as("saved"))
+      .agg(coalesce(sum(col("saved")), lit(0L)).as("t"))
+      .select(lit("chunk").as("method"), lit(0L).as("n_docs_removed"),
+        col("t").as("n_tokens_removed"))
+    exact.unionAll(near).unionAll(span).unionAll(chunk)
+  }
 }

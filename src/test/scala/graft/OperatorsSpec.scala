@@ -434,6 +434,28 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("dedup savings: each row folds its own method's table") {
+    val got = DedupOps.dedupSavings(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tok = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), TextOps.packTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = DedupOps.exactDedup(spark, Sf001).filter(!col("is_keeper"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got("exact") === ((ex.length.toLong, ex.map(tok).sum)))
+    val nc = GraphOps.dedupClusters(spark, Sf001).filter(!col("is_canonical"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got("near") === ((nc.length.toLong, nc.map(tok).sum)))
+    val spanT = DedupOps.spanRewrite(spark, Sf001)
+      .agg(sum(col("n_dropped_blocks"))).collect()(0).getLong(0) * DedupOps.SpanTokens
+    assert(got("span") === ((0L, spanT)))
+    val chunkT = DedupOps.cdcChunkTable(spark, Sf001)
+      .groupBy(col("chash")).agg(((count(lit(1)) - 1) * min(col("n_toks"))).as("s"))
+      .agg(sum(col("s"))).collect()(0).getLong(0)
+    assert(got("chunk") === ((0L, chunkT)))
+    assert(got("near")._1 > 0 && got("span")._2 > 0 && got("chunk")._2 > 0)
+  }
+
   test("hilbert64: full-curve bijection, unit-step adjacency, tighter spans than Z") {
     graft.functions.VectorExpressions.register(spark)
     // the whole 1024x1024 domain: d must visit every cell exactly once
