@@ -664,6 +664,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful restart: the CDC chunker recovers open-chunk state from the " +
+    "checkpoint and finishes exactly") {
+    // run 1 processes two pos-slices and is STOPPED with chunks still
+    // open; run 2 is a NEW query instance on the same checkpoint that
+    // must recover per-doc GroupState from the state store, consume
+    // the remaining slices, and close every chunk — emissions from
+    // the two runs together must equal the batch chunk table exactly
+    val tmp = java.nio.file.Files.createTempDirectory("chunk-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chunk-restart-ckpt").toString
+    val toks = graft.operators.DedupOps.cdcTokens(spark, Sf0001)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .localCheckpoint()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$tmp/$name")
+      val src = new java.io.File(s"$tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(tmp, s"$name.parquet"))
+    }
+    land(toks.filter(col("pos") < 5), "r0")
+    land(toks.filter(col("pos") >= 5 && col("pos") < 11), "r1")
+    // the FILE sink (not memory) — its manifest log is what makes a
+    // restarted query exactly-once across runs
+    val out = java.nio.file.Files.createTempDirectory("chunk-restart-out").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.ChunkStream.chunks(spark, tmp)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0, "run 1 must close some chunks before the stop")
+    land(toks.filter(col("pos") >= 11), "r2")
+    land(
+      toks.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(Long.MaxValue).as("pos"), lit("").as("tok")),
+      "r3")
+    runOnce() // NEW query instance, same checkpoint: state-store recovery
+    val streamedRows = spark.read.parquet(out).collect()
+    val streamed = streamedRows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[String]("chash"))).toMap
+    val batch = graft.operators.DedupOps.cdcChunkTable(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[String]("chash"))).toMap
+    assert(streamedRows.length === batch.size,
+      "a chunk was emitted twice or lost across the restart")
+    assert(streamed === batch)
+    assert(afterFirst < batch.size,
+      "run 2 must contribute (otherwise the restart proved nothing)")
+  }
+
   test("streaming k-anonymity monitor: final class state derives the batch report") {
     // three micro-batches of QI rows; each class's state is its exact
     // distinct-user set, and the LATEST emission per class (k and
