@@ -571,6 +571,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!tokenHinted, "a vocabulary-keyed aggregate is broadcast-hinted")
   }
 
+  test("board-wide sweep: NO query plans a partition-less window — single-task " +
+    "sorts are extinct") {
+    // The strongest form of the rank-family audit: across every
+    // registered query's executed plan (including WindowGroupLimit
+    // pre-pruning nodes), a Window with an empty partitionSpec — the
+    // one-task-sorts-everything signature — appears nowhere. Global
+    // rankings go through RankOps' range-partitioned composition;
+    // global top-k plans as TakeOrdered; bounded bin tables aggregate
+    // before any ordering.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def sweep(p: SparkPlan): Seq[String] = {
+      val cur = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case s: QueryStageExec => s.plan
+        case other => other
+      }
+      val here = cur match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.simpleString(80))
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.simpleString(80))
+        case _ => Nil
+      }
+      here ++ cur.children.flatMap(sweep)
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, Sf0001)
+      df.collect()
+      val hits = sweep(df.queryExecution.executedPlan)
+      if (hits.nonEmpty) Some(s"$name: ${hits.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty, s"single-task windows: $offenders")
+  }
+
   test("board-wide sweep: no broadcast hint wraps an unaggregated corpus-scale scan") {
     // The returnLift class of bug: broadcast(part) is fine at sf0.1
     // and an executor OOM at 100 TB. A hint is legitimate only if the
