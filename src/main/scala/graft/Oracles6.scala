@@ -1892,4 +1892,24 @@ object Oracles6 {
        |SELECT 'span', CAST(0 AS BIGINT), (SELECT t FROM spansave)
        |UNION ALL
        |SELECT 'chunk', CAST(0 AS BIGINT), (SELECT t FROM chunksave)""".stripMargin
+
+  /** Mirrors SimilarityOps.annRecall by composing the three top-k
+    * oracles verbatim; HUGEINT division (DECIMAL `//` rounds).
+    */
+  val annRecall: String = {
+    def row(m: String, t: String): String =
+      s"""SELECT '$m' AS method,
+         | CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth,
+         | CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS n_approx,
+         | CAST((SELECT COUNT(*) FROM tr JOIN $t USING (query_id, neighbor_id)) AS BIGINT)
+         |  AS n_hits,
+         | CAST(CAST((SELECT COUNT(*) FROM tr JOIN $t USING (query_id, neighbor_id))
+         |      AS HUGEINT) * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
+    s"""WITH tr AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq),
+       |iv AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkIvf}) iq),
+       |ls AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkLsh}) lq)
+       |${row("ivf", "iv")}
+       |UNION ALL
+       |${row("lsh", "ls")}""".stripMargin
+  }
 }

@@ -285,6 +285,7 @@ object SparkEntry {
     "content_split" -> TextOps.contentSplit,
     "hilbert_layout" -> LayoutOps.hilbertLayout,
     "dedup_savings" -> DedupOps.dedupSavings,
+    "ann_recall" -> SimilarityOps.annRecall,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1048,6 +1049,7 @@ object SparkEntry {
     "mm_wav_stats" -> Oracles6.wavStats,
     "content_split" -> Oracles6.contentSplit,
     "hilbert_layout" -> Oracles6.hilbertLayout,
-    "dedup_savings" -> Oracles6.dedupSavings
+    "dedup_savings" -> Oracles6.dedupSavings,
+    "ann_recall" -> Oracles6.annRecall
   )
 }

@@ -924,4 +924,38 @@ object SimilarityOps {
       .agg(count(col("fn")).as("n_overlap"))
       .withColumn("recall_ppm", expr("n_overlap * 100000")) // == *1e6 DIV 10, exact
   }
+
+  /** ANN recall audit: IVF-cell and sign-LSH top-k measured against
+    * the brute-force exact top-k as ground truth — THE number that
+    * decides whether an approximate index is shippable ("IVF keeps
+    * X% of true neighbors at 1/cells of the scan"). Hits are exact
+    * (query, neighbor) set intersections; recall as floor-div ppm.
+    *
+    * Scale: the truth and approx top-k tables are (queries × k)-
+    * bounded — tiny by construction — so the audit is three bounded
+    * joins; at 100 TB the same audit runs over an evaluation slice
+    * while the production index serves the full corpus.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // (queries × k) rows; consumed 2× per method
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val a = approx.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      truth
+        .agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("n_approx"))))
+        .crossJoin(broadcast(
+          truth.join(a, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))))
+        .select(
+          lit(method).as("method"),
+          col("n_truth"),
+          col("n_approx"),
+          col("n_hits"),
+          expr("CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+            .as("recall_ppm")
+        )
+    }
+    row("ivf", ivfLabelTopK(spark, dir)).unionAll(row("lsh", lshTopK(spark, dir)))
+  }
 }

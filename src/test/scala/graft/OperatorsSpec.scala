@@ -434,6 +434,25 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("ann recall: hits equal set intersections with the brute-force truth") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(SimilarityOps.bruteForceTopK(spark, Sf0001))
+    val got = SimilarityOps.annRecall(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    for ((m, approxDf) <- Seq(
+        "ivf" -> SimilarityOps.ivfLabelTopK(spark, Sf0001),
+        "lsh" -> SimilarityOps.lshTopK(spark, Sf0001))) {
+      val a = pairs(approxDf)
+      val hits = (truth intersect a).size.toLong
+      assert(got(m) === ((truth.size.toLong, a.size.toLong, hits,
+        (BigInt(hits) * 1000000 / truth.size).toLong)), m)
+    }
+    assert(got("lsh")._3 > 0)
+  }
+
   test("dedup savings: each row folds its own method's table") {
     val got = DedupOps.dedupSavings(spark, Sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
