@@ -1912,4 +1912,32 @@ object Oracles6 {
        |UNION ALL
        |${row("lsh", "ls")}""".stripMargin
   }
+
+  /** Mirrors DedupOps.simhashCalibration: the simhash-pair oracle
+    * composed with the shingle postings; per-hamming integer overlap
+    * sums (missing postings default 0 exactly as the Spark left
+    * joins do).
+    */
+  val simhashCalibration: String =
+    s"""WITH ${Oracles2.shinglesCte},
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM posting GROUP BY 1),
+       |prs AS (SELECT doc_a, doc_b, hamming FROM (${Oracles2.simhashPairs}) pq),
+       |shr AS (
+       | SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       | FROM prs p
+       | JOIN posting pa ON pa.doc_id = p.doc_a
+       | JOIN posting pb ON pb.doc_id = p.doc_b AND pb.shingle = pa.shingle
+       | GROUP BY 1, 2)
+       |SELECT hamming,
+       | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       | CAST(COUNT(n_shared) AS BIGINT) AS n_overlapping,
+       | CAST(COALESCE(SUM(COALESCE(n_shared, 0)), 0) AS BIGINT) AS sum_shared,
+       | CAST(COALESCE(SUM(COALESCE(ca.n_sh, 0) + COALESCE(cb.n_sh, 0)
+       |   - COALESCE(n_shared, 0)), 0) AS BIGINT) AS sum_union
+       |FROM prs
+       |LEFT JOIN shr USING (doc_a, doc_b)
+       |LEFT JOIN cnts ca ON ca.doc_id = prs.doc_a
+       |LEFT JOIN cnts cb ON cb.doc_id = prs.doc_b
+       |GROUP BY hamming""".stripMargin
 }

@@ -286,6 +286,7 @@ object SparkEntry {
     "hilbert_layout" -> LayoutOps.hilbertLayout,
     "dedup_savings" -> DedupOps.dedupSavings,
     "ann_recall" -> SimilarityOps.annRecall,
+    "simhash_calibration" -> DedupOps.simhashCalibration,
     // Layout: Z-order clustering report
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
@@ -1050,6 +1051,7 @@ object SparkEntry {
     "content_split" -> Oracles6.contentSplit,
     "hilbert_layout" -> Oracles6.hilbertLayout,
     "dedup_savings" -> Oracles6.dedupSavings,
-    "ann_recall" -> Oracles6.annRecall
+    "ann_recall" -> Oracles6.annRecall,
+    "simhash_calibration" -> Oracles6.simhashCalibration
   )
 }

@@ -1228,4 +1228,42 @@ object DedupOps {
         col("t").as("n_tokens_removed"))
     exact.unionAll(near).unionAll(span).unionAll(chunk)
   }
+
+  /** SimHash estimator calibration — the simhash twin of
+    * minhashCalibration: for every banded hamming-≤10 candidate pair,
+    * the per-hamming-distance profile of TRUE shingle overlap (pair
+    * count, pairs with any shared shingle, exact Σ|A∩B| and Σ|A∪B| —
+    * all integers, so the aggregate Jaccard per bin is readable as
+    * sum_shared/sum_union without a float crossing the gate). The
+    * readout that picks the hamming threshold: the bin where true
+    * overlap collapses is where the cut belongs.
+    *
+    * Scale: pairs are banded-candidate-bounded; the overlap join
+    * touches only candidate pairs' postings; output ≤ 11 bins.
+    */
+  def simhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val pairs = simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .localCheckpoint()
+    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"), "left")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"), "left")
+      .groupBy(col("hamming"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(col("n_shared")).as("n_overlapping"),
+        coalesce(sum(coalesce(col("n_shared"), lit(0L))), lit(0L)).as("sum_shared"),
+        coalesce(sum(
+          coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+            - coalesce(col("n_shared"), lit(0L))), lit(0L)).as("sum_union")
+      )
+  }
 }

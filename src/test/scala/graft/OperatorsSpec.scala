@@ -434,6 +434,32 @@ class OperatorsSpec extends AnyFunSuite {
       ev.select(get_json_object(col("props"), "$.k")).distinct().count())
   }
 
+  test("simhash calibration: per-bin overlap sums match a direct pair recompute") {
+    val posting = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .wordNgrams(TextOps.tokens(lower(col("text"))), lit(3))).as("sh"))
+      .distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = DedupOps.simhashPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pairs.groupBy(_._3).view.mapValues { ps =>
+      val stats = ps.map { case (a, b, _) =>
+        val sa = posting.getOrElse(a, Set.empty)
+        val sb = posting.getOrElse(b, Set.empty)
+        val sh = (sa intersect sb).size.toLong
+        (sh, sa.size.toLong + sb.size.toLong - sh)
+      }
+      (ps.length.toLong, stats.count(_._1 > 0).toLong, stats.map(_._1).sum, stats.map(_._2).sum)
+    }.toMap
+    val got = DedupOps.simhashCalibration(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("ann recall: hits equal set intersections with the brute-force truth") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
