@@ -680,7 +680,7 @@ class OperatorsSpec extends AnyFunSuite {
     docs.write.mode("overwrite").orc(s"$tmp/o")
     docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(s"$tmp/x")
     val fromJson = spark.read.json(s"$tmp/j")
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toSeq.map(col): _*)
     val fromCsv = spark.read.option("header", "true").schema(docs.schema).csv(s"$tmp/c")
     val fromOrc = spark.read.orc(s"$tmp/o")
     val fromXml = spark.read.option("rowTag", "doc").schema(docs.schema)
@@ -3156,11 +3156,11 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val t = r.getAs[String]("event_type")
       val xs = vals(t).map(_.toDouble)
-      val med = medCont(xs)
+      val med = medCont(xs.toSeq)
       assert(r.getAs[Long]("n") === xs.length.toLong)
       assert(r.getAs[Double]("med_c") === med, s"type $t")
       val devs = xs.map(v => math.abs(v - med))
-      val mad = medCont(devs)
+      val mad = medCont(devs.toSeq)
       assert(r.getAs[Double]("mad_c") === mad)
       val thr = 3.0 * 1.4826 * mad
       assert(r.getAs[Long]("n_out3") === devs.count(_ > thr).toLong)
@@ -4689,13 +4689,13 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (ta, tb) = (r.getString(0), r.getString(1))
       val (a, b) = (byType(ta), byType(tb))
-      val u2a = u2Of(a, b)
+      val u2a = u2Of(a.toSeq, b.toSeq)
       assert(r.getAs[Long]("n_a") === a.length.toLong)
       assert(r.getAs[Long]("n_b") === b.length.toLong)
       assert(r.getAs[Long]("u2_a") === u2a)
       // the midrank identity: 2U_a + 2U_b = 2 n_a n_b, so the mirrored
       // statistic is determined — a wrong tie treatment breaks this
-      assert(u2Of(b, a) === 2L * a.length * b.length - u2a)
+      assert(u2Of(b.toSeq, a.toSeq) === 2L * a.length * b.length - u2a)
       val auc = r.getAs[Double]("auc_a")
       assert(auc >= 0.0 && auc <= 1.0)
     }
@@ -4835,9 +4835,9 @@ class OperatorsSpec extends AnyFunSuite {
       (n, dof, chi2, v)
     }
     val want = Map(
-      "type_x_weekday" -> chi2Of(evs.map(_._1), evs.map(_._2.toString)),
-      "type_x_hour" -> chi2Of(evs.map(_._1), evs.map(_._3.toString)),
-      "weekday_x_hour" -> chi2Of(evs.map(_._2.toString), evs.map(_._3.toString))
+      "type_x_weekday" -> chi2Of(evs.toSeq.map(_._1), evs.toSeq.map(_._2.toString)),
+      "type_x_hour" -> chi2Of(evs.toSeq.map(_._1), evs.toSeq.map(_._3.toString)),
+      "weekday_x_hour" -> chi2Of(evs.toSeq.map(_._2.toString), evs.toSeq.map(_._3.toString))
     )
     val rows = EventOps.cramersV(spark, Sf0001).collect()
     assert(rows.length === 3)
