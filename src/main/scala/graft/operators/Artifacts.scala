@@ -49,8 +49,13 @@ object Artifacts {
 
   /** Memoize `build` under (session, dir, name); first call runs the
     * job eagerly (localCheckpoint), later calls return the
-    * materialized frame. Synchronized: concurrent first-callers of
-    * the same artifact would otherwise run the build twice.
+    * materialized frame. Synchronized on the registry: concurrent
+    * first-callers of the same artifact would otherwise run the build
+    * twice. That different artifacts' builders also serialize is a
+    * deliberate simplicity trade — Verify/Bench run queries
+    * sequentially, and a driver that DOES build artifacts
+    * concurrently wants exactly one expensive job in flight anyway
+    * (they contend for the same executors).
     */
   def memo(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
