@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, HintIn
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
+import graft.functions.MrMapGen
 import graft.functions.VectorExpressions._
 
 /** Catalog knowledge as a Rule[LogicalPlan]: nation (25 rows) and
@@ -164,6 +165,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.functions.Fnv1a.FnvHash].getName, "fnv1a"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.Fnv1a.FnvHash(expect(1, "fnv1a")(exprs).head)
+      )
+    )
+    // the kernel's user map as a SQL table function: plugin maps for
+    // SQL-only users (registry names and dynamic dotted class names)
+    e.injectFunction(
+      (
+        FunctionIdentifier("mr_map"),
+        new ExpressionInfo(classOf[MrMapGen].getName, "mr_map"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          val e0 = expect(3, "mr_map")(exprs); MrMapGen(e0(0), e0(1), e0(2))
+        }
       )
     )
   }

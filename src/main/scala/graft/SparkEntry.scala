@@ -82,6 +82,7 @@ object SparkEntry {
     // Reference queries (P1 wc, P2 indexer) on the documents corpus
     "wc_documents" -> TextOps.wordCount,
     "wc_kernel" -> TextOps.wordCountViaKernel,
+    "mr_map_sql" -> TextOps.wordCountViaSqlMap,
     "inverted_index" -> TextOps.invertedIndex,
     "indexer_kernel" -> TextOps.invertedIndexViaKernel,
     // Text analysis suite
@@ -535,6 +536,12 @@ object SparkEntry {
         | INTERSECT
         | SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000)""".stripMargin,
     "wc_kernel" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    // the SQL-visible mr_map Generator must reproduce the kernel's
+    // word count exactly — one oracle, two engine transports
+    "mr_map_sql" ->
       """SELECT word, COUNT(*) AS cnt FROM (
         | SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word""".stripMargin,

@@ -108,8 +108,21 @@ object Apps {
 
   /** Registry lookup with the dynamic path as fallback: `lookup("wc")`
     * hits the static map; `lookup("com.example.MyApp")` dlopens by
-    * name.
+    * name. The dynamic path is GATED on a dotted (fully-qualified)
+    * name: a plain name missing from the registry is a typo and must
+    * fail as a loud unknown-app error, not become a class-load attempt
+    * — and an externally supplied plain string can never reach
+    * reflection (`Class.forName` on attacker-chosen input is an
+    * instantiation seam; requiring the qualified-class shape keeps it
+    * an explicit caller opt-in, like handing the reference worker an
+    * actual `.so` path vs a name).
     */
   def lookup(name: String): MrApp =
-    registry.getOrElse(name, loadDynamic(name))
+    registry.getOrElse(
+      name,
+      if (name.contains('.')) loadDynamic(name)
+      else
+        throw new IllegalArgumentException(
+          s"unknown app '$name' (registry: ${registry.keys.toSeq.sorted.mkString(", ")}; " +
+            "dynamic load requires a fully-qualified class name)"))
 }

@@ -866,6 +866,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "hilbert64")(exprs); Hilbert64(e(0), e(1)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "mr_map",
+      exprs => { val e = expect(3, "mr_map")(exprs); MrMapGen(e(0), e(1), e(2)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

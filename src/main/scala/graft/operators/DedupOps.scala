@@ -392,8 +392,15 @@ object DedupOps {
   /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit chunks
     * (hamming <= 3 guarantees a shared band; we use <= 10 as the
     * verification threshold on verified candidates).
+    *
+    * Memoized like the MinHash pairs (two consumers: the pair gate
+    * query and the estimator calibration) — pair-bounded, so
+    * registry-eligible; one corpus fingerprint pass instead of two.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "simhash_pairs")(simhashPairsBuild(spark, dir))
+
+  private[graft] def simhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     // The banded self-join consumes fp twice; compute the fingerprints
     // once instead of re-running the whole simhash aggregation per side.
@@ -1243,9 +1250,11 @@ object DedupOps {
     */
   def simhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val posting = shinglePosting(spark, dir).localCheckpoint()
+    // The pair graph is the memoized simhash_pairs ARTIFACT — already
+    // materialized (its two consumers here reuse the same blocks), so
+    // no further checkpoint is needed.
     val pairs = simhashPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .localCheckpoint()
     val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = pairs
       .join(posting.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

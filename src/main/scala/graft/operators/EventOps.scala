@@ -2759,29 +2759,72 @@ object EventOps {
     * plus the extracted `props.k` JSON field (schema-on-read
     * profiled like a real column).
     *
-    * Scale: one branch per column, UNIONed — deliberately NOT one
-    * aggregate with six COUNT(DISTINCT)s (that plans an Expand
-    * multiplying the scan; the approx_stats lesson). Each branch's
-    * parquet scan reads ONLY its column (columnar pruning — the
-    * plan-audited ReadSchema is one field), partial-aggregates
-    * map-side, and emits one bounded row.
+    * Scale: exactly TWO corpus scans (down from one per column in the
+    * round-5 form — 7 footer+decode passes at 100 TB), neither with
+    * an Expand (the approx_stats lesson: one aggregate mixing six
+    * COUNT(DISTINCT)s would multiply the scan 7x):
+    *  1. counts pass — ONE full-width scan partial-aggregates
+    *     n_rows + per-column non-null counts into a single row (no
+    *     distinct aggregate, so no Expand), then `stack`s the 1-row
+    *     result into per-column rows driver-free.
+    *  2. distincts pass — `stack` unpivots the scan into (col, typed
+    *     value) rows and ONE single-distinct aggregate per column
+    *     group counts tuples. Values stay NATIVE-typed in a 3-slot
+    *     (long, double, string) struct — no lossy string cast — so
+    *     distinct semantics (float normalization, null exclusion via
+    *     the when-guard) are exactly the per-column form's. The
+    *     shuffle carries map-side-deduped (col, value) pairs — the
+    *     same aggregate volume the per-column variants shuffled, now
+    *     behind a single read.
     */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    def profile(name: String, c: Column): DataFrame =
-      ev.select(c.as("v"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col("v"))).as("n_nulls"),
-          countDistinct(col("v")).as("n_distinct")
-        )
-        .select(lit(name).as("col"), col("n_rows"), col("n_nulls"), col("n_distinct"))
-    profile("event_id", col("event_id"))
-      .unionAll(profile("ts", col("ts")))
-      .unionAll(profile("user_id", col("user_id")))
-      .unionAll(profile("event_type", col("event_type")))
-      .unionAll(profile("value", col("value")))
-      .unionAll(profile("props", col("props")))
-      .unionAll(profile("props_k", get_json_object(col("props"), "$.k")))
+    val propsK = get_json_object(col("props"), "$.k")
+    val cols: Seq[(String, Column, String)] = Seq( // (name, expr, type slot)
+      ("event_id", col("event_id"), "l"),
+      ("ts", col("ts"), "l"),
+      ("user_id", col("user_id"), "l"),
+      ("event_type", col("event_type"), "s"),
+      ("value", col("value"), "d"),
+      ("props", col("props"), "s"),
+      ("props_k", propsK, "s")
+    )
+    val counts = ev
+      .agg(
+        count(lit(1)).as("n_rows"),
+        cols.map { case (n, c, _) => count(c).as(s"c_$n") }: _*
+      )
+      .select(
+        col("n_rows"),
+        expr(
+          "stack(" + cols.size + ", " +
+            cols.map { case (n, _, _) => s"'$n', c_$n" }.mkString(", ") +
+            ") AS (col, n_nonnull)")
+      )
+      .select(col("col"), col("n_rows"), (col("n_rows") - col("n_nonnull")).as("n_nulls"))
+    // stack, not explode(array(structs)): InferFiltersFromGenerate
+    // synthesizes a size()>0 filter for explode that re-evaluates the
+    // whole array expression per row (measured 50x on another query);
+    // stack is not an ExplodeBase, so no filter is inferred.
+    def slotSql(n: String, t: String): String = {
+      val vl = if (t == "l") n else "CAST(NULL AS BIGINT)"
+      val vd = if (t == "d") n else "CAST(NULL AS DOUBLE)"
+      val vs = if (t == "s") n else "CAST(NULL AS STRING)"
+      s"'$n', $vl, $vd, $vs"
+    }
+    val distincts = ev
+      .withColumn("props_k", propsK)
+      .selectExpr(
+        "stack(" + cols.size + ", " +
+          cols.map { case (n, _, t) => slotSql(n, t) }.mkString(", ") +
+          ") AS (col, vl, vd, vs)")
+      .groupBy(col("col"))
+      .agg(
+        countDistinct(
+          when(col("vl").isNotNull || col("vd").isNotNull || col("vs").isNotNull,
+            struct(col("vl"), col("vd"), col("vs")))
+        ).as("n_distinct"))
+    counts.join(distincts, Seq("col"))
+      .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
 }

@@ -52,6 +52,35 @@ object TextOps {
       .select(col("key").as("word"), col("value").cast("bigint").as("cnt"))
   }
 
+  /** P1 word count through the SQL-VISIBLE kernel map: real SQL text
+    * runs the `mr_map('wc', file, contents)` Generator
+    * ([[graft.functions.MrMapGen]]) over the corpus and reduces with
+    * a plain GROUP BY — a SQL-only user running a plugin map with no
+    * Scala API in sight (the reference's map contract,
+    * `mr/types.go:56-58`, surfaced to SQL). Must hash-equal
+    * `wc_kernel` (same oracle): the Generator and the kernel engine
+    * are two transports of one plugin.
+    *
+    * Scale: the generate+aggregate pipeline partial-aggregates before
+    * the shuffle (the kernel path's opaque reduce closure cannot), so
+    * the SQL form shuffles (word, partial count) — strictly less than
+    * the kernel's (word, "1")-per-occurrence exchange.
+    */
+  def wordCountViaSqlMap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").cast("string").as("file"), col("text"))
+      .createOrReplaceTempView("graft_mr_input")
+    // analyzed eagerly by sql(): the view binding cannot drift if a
+    // later query re-registers the view for another data dir
+    spark.sql(
+      """SELECT key AS word, count(*) AS cnt
+        |FROM (SELECT mr_map('wc', file, text) AS (key, value) FROM graft_mr_input)
+        |GROUP BY key""".stripMargin)
+  }
+
   /** P2 indexer routed through the generic MapReduce kernel
     * (Apps.Indexer, `plugins/indexer.go:22-41`) — proves the kernel's
     * collect-and-sort reduce shape under the same hash gate as the

@@ -170,8 +170,15 @@ object MultimodalOps {
     * threshold), so the pair join is an equi join on (band_idx, bits)
     * — 64-char hash strings shuffle, payload bytes never do. This is
     * the image-dedup shape (pHash bucketing) with the decode stubbed.
+    *
+    * Memoized via [[graft.operators.Artifacts]] (two consumers: the
+    * pair gate query and `mm_clusters`) — pair-bounded, so the media
+    * corpus is fingerprinted once, not once per consumer.
     */
-  def aHashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def aHashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Artifacts.memo(spark, dir, "ahash_pairs")(aHashPairsBuild(spark, dir))
+
+  private[graft] def aHashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val fp = aHash(spark, dir).localCheckpoint()
     val banded = fp.select(

@@ -48,13 +48,27 @@ object AnonStream {
     StructField("user_id", LongType)
   ))
 
-  private def fold(
+  /** Hard cap on a class's exact distinct-user state. Exact k is the
+    * contract while the set is release-gate-sized; a class whose user
+    * universe outgrows the cap means the deployment needed the HLL
+    * swap-in — and that must surface as a LOUD failure at the class
+    * that crossed the line, not as silent state-store growth until an
+    * executor OOMs. Default 1M ids ≈ 8 MB/class of long state.
+    */
+  val DefaultMaxUsersPerClass = 1000000
+
+  private def fold(maxUsers: Int)(
       key: (String, Long, Long),
       rows: Iterator[QiRow],
       state: GroupState[AnonState]
   ): Iterator[ClassStat] = {
     var st = state.getOption.getOrElse(AnonState(Set.empty, 0L))
     for (r <- rows) st = AnonState(st.users + r.user_id, st.nRows + 1)
+    if (st.users.size > maxUsers)
+      throw new IllegalStateException(
+        s"k-anonymity class $key exceeded $maxUsers distinct users " +
+          s"(${st.users.size}): exact-set state is no longer release-gate-" +
+          "sized — switch this deployment to the HLL sketch fold")
     state.update(st)
     Iterator.single(
       ClassStat(key._1, key._2, key._3, st.users.size.toLong, st.nRows))
@@ -63,7 +77,10 @@ object AnonStream {
   /** Per-class running (k, n_rows) over a directory of QI-row parquet
     * files (each file = one micro-batch).
     */
-  def classStats(spark: SparkSession, dir: String): Dataset[ClassStat] = {
+  def classStats(
+      spark: SparkSession,
+      dir: String,
+      maxUsersPerClass: Int = DefaultMaxUsersPerClass): Dataset[ClassStat] = {
     import spark.implicits._
     spark.readStream
       .schema(qiSchema)
@@ -71,6 +88,7 @@ object AnonStream {
       .parquet(dir)
       .as[QiRow]
       .groupByKey(r => (r.event_type, r.hour_of_day, r.value_band))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        fold(maxUsersPerClass))
   }
 }

@@ -24,18 +24,26 @@ import graft.operators.DedupOps
   * (`tok = ""`, the commit record every CDC log has) flushes the open
   * trailing chunk and DROPS the document's state.
   *
-  * State bound: one (chunk counter, open-chunk text) pair per
-  * in-flight document; the open chunk's expected length is the
-  * boundary modulus (8 tokens), so state is O(docs in flight), not
-  * O(corpus) — and documents leave the store at their end marker.
-  * The only shuffle is the groupByKey on doc_id, the same exchange
-  * the batch window pays.
+  * State bound: one (chunk counter, incremental MD5) pair per
+  * in-flight document — CONSTANT size per document by construction
+  * ([[graft.functions.IncrementalMd5]] carries 4 registers + a <64-
+  * byte block tail, never the chunk's text), so state is O(docs in
+  * flight) regardless of content: a document whose tokens happen to
+  * never satisfy the boundary predicate costs the same 4 registers as
+  * one that boundaries every 8 tokens. (The earlier form accumulated
+  * the open chunk's raw text to hash at flush — O(chunk length) state
+  * with quadratic append on adversarial content.) Documents leave the
+  * store at their end marker. The only shuffle is the groupByKey on
+  * doc_id, the same exchange the batch window pays.
   */
 object ChunkStream {
 
+  import graft.functions.IncrementalMd5
+  import graft.functions.IncrementalMd5.Md5State
+
   final case class TokRow(doc_id: Long, pos: Long, tok: String)
 
-  final case class ChunkState(chunkId: Long, nToks: Long, text: String)
+  final case class ChunkState(chunkId: Long, nToks: Long, md5: Md5State)
 
   final case class Chunk(doc_id: Long, chunk_id: Long, n_toks: Long, chash: String)
 
@@ -45,28 +53,28 @@ object ChunkStream {
     StructField("tok", StringType)
   ))
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private def fold(
       docId: Long,
       rows: Iterator[TokRow],
       state: GroupState[ChunkState]
   ): Iterator[Chunk] = {
-    var st = state.getOption.getOrElse(ChunkState(0L, 0L, ""))
+    var st = state.getOption.getOrElse(ChunkState(0L, 0L, IncrementalMd5.empty))
     val out = Seq.newBuilder[Chunk]
     var ended = false
     for (r <- rows.toSeq.sortBy(_.pos)) {
       if (r.tok.isEmpty) { // end marker: flush the open trailing chunk
-        if (st.nToks > 0) out += Chunk(docId, st.chunkId, st.nToks, md5hex(st.text))
+        if (st.nToks > 0)
+          out += Chunk(docId, st.chunkId, st.nToks, IncrementalMd5.hex(st.md5))
         ended = true
       } else {
-        val text = if (st.nToks == 0) r.tok else st.text + " " + r.tok
-        st = ChunkState(st.chunkId, st.nToks + 1, text)
+        // the chunk content is its tokens space-joined; absorb the
+        // separator-prefixed token so the running digest equals
+        // md5(join(" ", toks)) without ever materializing the join
+        val piece = if (st.nToks == 0) r.tok else " " + r.tok
+        st = ChunkState(st.chunkId, st.nToks + 1, IncrementalMd5.updateUtf8(st.md5, piece))
         if (DedupOps.cdcBoundaryJvm(r.tok)) { // boundary token CLOSES its chunk
-          out += Chunk(docId, st.chunkId, st.nToks, md5hex(st.text))
-          st = ChunkState(st.chunkId + 1, 0L, "")
+          out += Chunk(docId, st.chunkId, st.nToks, IncrementalMd5.hex(st.md5))
+          st = ChunkState(st.chunkId + 1, 0L, IncrementalMd5.empty)
         }
       }
     }

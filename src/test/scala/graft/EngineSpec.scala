@@ -360,6 +360,45 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.engine.Apps.loadDynamic("java.lang.StringBuilder") // not an MrApp
     }
+    // a PLAIN name missing from the registry is an unknown-app error,
+    // never a reflection attempt (the dynamic path requires the
+    // fully-qualified dotted shape)
+    val typo = intercept[IllegalArgumentException] {
+      graft.engine.Apps.lookup("wcc")
+    }
+    assert(typo.getMessage.contains("unknown app"))
+  }
+
+  test("mr_map SQL generator: equals the kernel transport, dynamic dotted names " +
+    "load, junk and non-literal names fail at analysis") {
+    // the gate query (SQL text end to end) == the kernel engine run
+    val sqlForm = graft.operators.TextOps.wordCountViaSqlMap(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kernel = graft.operators.TextOps.wordCountViaKernel(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlForm === kernel)
+    assert(sqlForm.nonEmpty)
+    // the DYNAMIC path through SQL: a fully-qualified object name runs
+    // the same plugin (wordCountViaSqlMap registered the input view)
+    val viaDynamic = spark.sql(
+      "SELECT key, count(*) AS cnt FROM (SELECT " +
+        "mr_map('graft.engine.Apps$WordCount$', file, text) AS (key, value) " +
+        "FROM graft_mr_input) GROUP BY key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDynamic === kernel)
+    // an unknown app is an ANALYSIS error (bad .so at worker startup),
+    // not a per-task error
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mr_map('no_such_app', file, text) AS (key, value) " +
+        "FROM graft_mr_input")
+    }
+    assert(bad.getMessage.contains("unknown app"), bad.getMessage)
+    // the app name must be a literal: it binds at plan time
+    val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mr_map(file, file, text) AS (key, value) " +
+        "FROM graft_mr_input")
+    }
+    assert(nonLit.getMessage.contains("literal"), nonLit.getMessage)
   }
 }
 

@@ -919,13 +919,17 @@ class OperatorsSpec extends AnyFunSuite {
     // intermediate must not bake any partitioning artifact into results.
     // The RAW builders, deliberately: the public accessors memoize per
     // (session, dir), which would compare one cached artifact to itself
-    def run(): (Set[(Long, Long)], Set[(Long, Long)], Map[Long, Long]) = (
+    def run(): (Set[(Long, Long)], Set[(Long, Long)], Map[Long, Long], Set[(Long, Long, Long)], Set[(Long, Long, Long)]) = (
       DedupOps.minhashLshBuild(spark, Sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet,
       DedupOps.ngramJaccardBuild(spark, Sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet,
       GraphOps.dedupClustersBuild(spark, Sf0001).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      DedupOps.simhashPairsBuild(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      graft.sources.MultimodalOps.aHashPairsBuild(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     )
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {

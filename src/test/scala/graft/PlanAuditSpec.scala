@@ -437,7 +437,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ahash pairs and triangle census never plan a cartesian") {
-    val p1 = planOf(graft.sources.MultimodalOps.aHashPairs(spark, Sf0001))
+    // the RAW builder: the public accessor memoizes, whose LogicalRDD
+    // plan would make the no-cartesian assert vacuous
+    val p1 = planOf(graft.sources.MultimodalOps.aHashPairsBuild(spark, Sf0001))
     assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"))
     val p2 = planOf(GraphOps.triangleStats(spark, Sf0001)).split("== Initial Plan ==")(0)
     assert(!p2.contains("CartesianProduct"))
@@ -528,13 +530,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"single-task global windows: $offenders")
   }
 
-  test("column profile reads one column per scan and never plans an Expand") {
+  test("column profile is two corpus scans (counts + distincts) with no Expand") {
     val plan = planOf(EventOps.columnProfile(spark, Sf0001))
     assert(!plan.contains("Expand"), s"multi-distinct Expand crept in: $plan")
-    // every parquet scan prunes to a single struct field
-    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(schemas.nonEmpty)
-    schemas.foreach(f => assert(!f.contains(","), s"unpruned scan: struct<$f>"))
+    // the round-5 form paid one pruned scan per column (7 passes at
+    // 100 TB); the round-6 form is exactly two reads — the full-width
+    // counts pass and the stack-unpivoted distincts pass
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "ReadSchema: struct<".r.findAllIn(finalPlan).size
+    assert(scans == 2, s"expected 2 parquet scans, got $scans in: $finalPlan")
+    // and the unpivot must be a stack Generate, never explode(array(..))
+    // (InferFiltersFromGenerate would re-evaluate the array per row)
+    assert(!finalPlan.contains("Generate explode"), finalPlan)
   }
 
   test("gram matrix: products born in the scan stage, one tiny exchange, no self-join") {

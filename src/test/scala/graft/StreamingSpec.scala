@@ -847,4 +847,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === canonical)
     } finally q.stop()
   }
+
+  test("incremental MD5 == JDK MessageDigest over randomized chunked feeds") {
+    // the chunker's constant-size digest state must agree with the
+    // reference digest for every (content, chunking) pair: absorb the
+    // same bytes split at random points (including empty pieces and
+    // splits inside a UTF-8 sequence is impossible here — pieces are
+    // whole strings — so also feed raw byte splits) and compare hex
+    import graft.functions.IncrementalMd5
+    val rnd = new scala.util.Random(42)
+    def jdk(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(300) // crosses the 56/64-byte padding seams
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      var st = IncrementalMd5.empty
+      var off = 0
+      while (off < len) {
+        val take = math.min(len - off, rnd.nextInt(70)) // 0-piece feeds too
+        st = IncrementalMd5.update(st, java.util.Arrays.copyOfRange(bytes, off, off + take))
+        off += take
+      }
+      assert(IncrementalMd5.hex(st) === jdk(bytes), s"case $i len $len")
+      // hex() finalizes a COPY: the state stays absorbable
+      val more = "tail".getBytes("UTF-8")
+      assert(IncrementalMd5.hex(IncrementalMd5.update(st, more)) === jdk(bytes ++ more))
+    }
+    // multi-byte UTF-8 through the string feed
+    val s = "naïve — 日本語 emoji 🎛 mixed"
+    assert(IncrementalMd5.hex(IncrementalMd5.updateUtf8(IncrementalMd5.empty, s))
+      === jdk(s.getBytes("UTF-8")))
+  }
+
+  test("anon stream: the exact-state cardinality cap fails the query loudly") {
+    // a class whose user universe exceeds the cap must surface as a
+    // failed query naming the class — never silent state growth
+    val tmp = java.nio.file.Files.createTempDirectory("anon-cap").toString
+    import spark.implicits._
+    (0L until 10L).map(u => ("click", 1L, 0L, u)).toDF(
+      "event_type", "hour_of_day", "value_band", "user_id")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$tmp/b0").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      java.nio.file.Paths.get(tmp, "b0.parquet"))
+    val q = graft.streaming.AnonStream
+      .classStats(spark, tmp, maxUsersPerClass = 5)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("anon_cap_stream").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("exceeded 5 distinct users")),
+        s"wrong failure: $e")
+    } finally q.stop()
+  }
 }
