@@ -1,0 +1,62 @@
+package graft
+
+/** Round-6 DuckDB oracle twins (embedding-space QA family). Same
+  * contracts as Oracles2's ANN block: sequential-fold dot/norm (bit-
+  * identical to the Spark expressions' fold order), ROW_NUMBER ties
+  * broken by neighbor id, BIGINT-cast derived integers.
+  */
+object Oracles7 {
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private val normSql: String =
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Mirrors SimilarityOps.hardNegatives: brute-force cosine top-3
+    * per query slice, restricted to DIFFERENT-label neighbors.
+    */
+  val hardNegatives: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS query_label,
+       |                  embedding AS qe, $normSql AS nq
+       |           FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+       |             embedding AS ne, $normSql AS nn FROM embeddings),
+       |p AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |       ${dotSql("qe", "ne")} / (nq * nn) AS score
+       |      FROM q, n WHERE query_label <> neighbor_label)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, score, rnk FROM (
+       | SELECT query_id, query_label, neighbor_id, neighbor_label, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+       | FROM p)
+       |WHERE rnk <= 3""".stripMargin
+
+  /** Mirrors SimilarityOps.hubnessSkew: k-occurrence histogram of the
+    * knnJoin graph (shared CTE — one definition of the kNN truth),
+    * plus the k_occ = 0 anti-hub complement row.
+    */
+  val hubnessSkew: String =
+    s"""WITH kj AS (${Oracles2.knnJoin}),
+       |occ AS (SELECT neighbor_id, COUNT(*) AS k_occ FROM kj GROUP BY 1),
+       |hist AS (SELECT k_occ, COUNT(*) AS n_vecs FROM occ GROUP BY 1),
+       |zero AS (SELECT CAST(0 AS BIGINT) AS k_occ,
+       |  (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM occ) AS n_vecs)
+       |SELECT k_occ, n_vecs FROM hist
+       |UNION ALL SELECT k_occ, n_vecs FROM zero WHERE n_vecs > 0""".stripMargin
+
+  /** Mirrors SimilarityOps.semanticLeakage: the annNearDup pair CTE
+    * bucketed by the md5 80/10/10 split of both ends (same splitCase
+    * as Oracles2.splitLeakage).
+    */
+  val semanticLeakage: String = {
+    def splitCase(idCol: String): String =
+      s"""CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
+         |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH nd AS (${Oracles2.annNearDup})
+       |SELECT ${splitCase("vec_a")} AS split_a, ${splitCase("vec_b")} AS split_b,
+       | COUNT(*) AS n_pairs, MAX(score) AS max_score
+       |FROM nd GROUP BY 1, 2""".stripMargin
+  }
+}

@@ -235,6 +235,9 @@ object SparkEntry {
     "ann_topk_lsh" -> SimilarityOps.lshTopK,
     "ann_near_dup" -> SimilarityOps.embeddingNearDup,
     "knn_join" -> SimilarityOps.knnJoin,
+    "hard_negatives" -> SimilarityOps.hardNegatives,
+    "hubness_skew" -> SimilarityOps.hubnessSkew,
+    "semantic_leakage" -> SimilarityOps.semanticLeakage,
     "label_centroids" -> SimilarityOps.labelCentroids,
     "kmeans_assign" -> SimilarityOps.kmeansAssign,
     "kmeans_step" -> SimilarityOps.kmeansStep,
@@ -892,6 +895,9 @@ object SparkEntry {
     "simhash_fingerprint" -> Oracles2.simhashFingerprint,
     "simhash_pairs" -> Oracles2.simhashPairs,
     "ann_topk_bruteforce" -> Oracles2.annTopkBruteforce,
+    "hard_negatives" -> Oracles7.hardNegatives,
+    "hubness_skew" -> Oracles7.hubnessSkew,
+    "semantic_leakage" -> Oracles7.semanticLeakage,
     "ann_topk_ivf" -> Oracles2.annTopkIvf,
     "ann_topk_lsh" -> Oracles2.annTopkLsh,
     "ann_near_dup" -> Oracles2.annNearDup,

@@ -4855,4 +4855,77 @@ class OperatorsSpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 1.0)
     }
   }
+
+  /** Sequential ascending-index cosine — the VectorFunctions fold
+    * order, recomputed in plain Scala for the embedding-QA specs.
+    */
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("hard negatives: top-3 different-label, exact scores, no same-label row") {
+    val vecs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong, r.getSeq[Float](1))).toSeq
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val got = SimilarityOps.hardNegatives(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(got.size === SimilarityOps.NumQueries * SimilarityOps.HardNegK)
+    (0L until SimilarityOps.NumQueries.toLong).foreach { q =>
+      val (_, qLabel, qe) = byId(q)
+      val expected = vecs
+        .filter(_._2 != qLabel)
+        .map { case (id, lab, ne) => (id, lab, cosSeq(qe, ne)) }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(SimilarityOps.HardNegK)
+      expected.zipWithIndex.foreach { case ((id, lab, s), i) =>
+        val (gl, gnl, gs, grnk) = got((q, id))
+        assert(gl === qLabel); assert(gnl === lab)
+        assert(gs === s, s"score mismatch q=$q n=$id")
+        assert(grnk === i + 1L)
+        assert(gnl !== gl, "a same-label neighbor is not a negative")
+      }
+    }
+  }
+
+  test("hubness skew: histogram == knn-graph k-occurrences, masses sum to N") {
+    val occ = SimilarityOps.knnJoin(spark, Sf0001).collect()
+      .map(_.getLong(1)) // neighbor_id
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = Tables.embeddings(spark, Sf0001).count()
+    val expected = {
+      val hist = occ.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val zero = n - occ.size
+      if (zero > 0) hist + (0L -> zero) else hist
+    }
+    val got = SimilarityOps.hubnessSkew(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.sum === n, "every vector appears in exactly one k_occ bin")
+    assert(got.keys.exists(_ > 0))
+  }
+
+  test("semantic leakage: buckets == near-dup pairs x split assignment") {
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = (java.lang.Long.parseLong(h.substring(0, 15), 16) % 100).toInt
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val pairs = SimilarityOps.embeddingNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs
+      .groupBy { case (a, b, _) => (split(a), split(b)) }
+      .view.mapValues(ps => (ps.length.toLong, ps.map(_._3).max)).toMap
+    val got = SimilarityOps.semanticLeakage(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === pairs.length.toLong)
+    assert(got.nonEmpty)
+  }
 }

@@ -89,9 +89,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("LSH near-dup is equi-join only: no nested-loop pair scan survives") {
-    val plan = planOf(SimilarityOps.embeddingNearDup(spark, Sf0001))
+    // the RAW builder: the public accessor memoizes to a LogicalRDD
+    val plan = planOf(SimilarityOps.embeddingNearDupBuild(spark, Sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
+    val knn = planOf(SimilarityOps.knnJoinBuild(spark, Sf0001))
+    assert(!knn.contains("BroadcastNestedLoopJoin"))
+    assert(!knn.contains("CartesianProduct"))
   }
 
   test("binned range join is equi-join only") {
