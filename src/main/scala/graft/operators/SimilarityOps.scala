@@ -49,8 +49,14 @@ object SimilarityOps {
 
   /** Exact cosine top-k for each query vector (vec_id < NumQueries),
     * self-match excluded; ties broken by neighbor id.
+    *
+    * Memoized via [[Artifacts]] — (queries × k)-bounded, and shared by
+    * the gate query and `annRecall` (which uses it as ground truth).
     */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "ann_topk_brute")(bruteForceTopKBuild(spark, dir))
+
+  private[graft] def bruteForceTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     // norms are computed once per vector on each side; the pair stage
     // does only the dot product (3x fewer fused folds per pair)
@@ -72,7 +78,10 @@ object SimilarityOps {
   /** IVF-style cell probe: search only the query's own cell (label =
     * coarse assignment). Approximate overall, exact within the cell.
     */
-  def ivfLabelTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfLabelTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "ann_topk_ivf")(ivfLabelTopKBuild(spark, dir))
+
+  private[graft] def ivfLabelTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"),
         sqrt(normSq(col("embedding"))).as("nq"))
@@ -132,7 +141,10 @@ object SimilarityOps {
   /** LSH ANN: candidates collide in >= 1 table bucket; exact cosine
     * re-rank; top-k per query (may return fewer than k — approximate).
     */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "ann_topk_lsh")(lshTopKBuild(spark, dir))
+
+  private[graft] def lshTopKBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(emb(spark, dir)).withColumn("buckets", bucketExpr(col("embedding")))
     val exploded = e.select(
       col("vec_id"),
@@ -951,11 +963,12 @@ object SimilarityOps {
     * while the production index serves the full corpus.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // all three top-k paths are memoized artifacts now — already
+    // materialized, so no further checkpoints are needed here
     val truth = bruteForceTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint() // (queries × k) rows; consumed 2× per method
     def row(method: String, approx: DataFrame): DataFrame = {
-      val a = approx.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val a = approx.select(col("query_id"), col("neighbor_id"))
       truth
         .agg(count(lit(1)).as("n_truth"))
         .crossJoin(broadcast(a.agg(count(lit(1)).as("n_approx"))))

@@ -1889,10 +1889,29 @@ object TextOps {
     * M bounded jobs (localCheckpoint keeps lineage flat, the
     * GraphOps iteration discipline).
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeFitArtifacts(spark, dir)._1
+
+  /** The fit loop's two outputs as session ARTIFACTS — the learned
+    * merge table (BpeMerges rows) and the final per-word-type symbol
+    * sequences (vocab-bounded) — so `bpe_train` and `bpe_encode`
+    * share ONE training run instead of each re-running the M driver
+    * rounds (the simhash/aHash memoization pattern; at 100 TB the fit
+    * is the expensive pass and the tokenizer it learns is precisely
+    * the thing a pipeline trains once and applies everywhere). If one
+    * memo misses while the other hits (impossible within a session,
+    * possible after a targeted drop), the fit re-runs for the missing
+    * one only.
+    */
+  private def bpeFitArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    bpeFit(spark, dir)._1
-      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+    var fit: Option[(Seq[(Long, String, String, String, Long)], DataFrame)] = None
+    def fitOnce() = { if (fit.isEmpty) fit = Some(bpeFit(spark, dir)); fit.get }
+    val merges = Artifacts.memo(spark, dir, "bpe_fit_merges")(
+      fitOnce()._1.toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+        .repartition(1)) // BpeMerges rows — one tiny block, not 32
+    val types = Artifacts.memo(spark, dir, "bpe_fit_types")(fitOnce()._2)
+    (merges, types)
   }
 
   /** The shared fit loop: returns the learned merge table AND the
@@ -1958,7 +1977,7 @@ object TextOps {
     * 100 TB memoizes per distinct word.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val enc = bpeFit(spark, dir)._2
+    val enc = bpeFitArtifacts(spark, dir)._2
       .select(col("word"), size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
     val occ = Tables
       .documents(spark, dir)
