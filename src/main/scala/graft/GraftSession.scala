@@ -23,6 +23,12 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_DURABLE=1 flips the artifact registry to its
+      // staging-write mode for the WHOLE workload — the cluster-safe
+      // materialization; used to prove the board is mode-agnostic
+      // (same hashes either way)
+      .config("spark.graft.artifacts.durable",
+        if (sys.env.get("SPARK_GRAFT_DURABLE").exists(_ == "1")) "true" else "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")

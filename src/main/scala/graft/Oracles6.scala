@@ -929,7 +929,7 @@ object Oracles6 {
     * (pairs, argmax, apply) triple per merge round.
     */
   /** The shared r0..rM CTE chain (type collapse + M merge rounds). */
-  private def bpeChain: String = {
+  private[graft] def bpeChain: String = {
     val init =
       """r0 AS (
         | SELECT word, COUNT(*) AS freq,

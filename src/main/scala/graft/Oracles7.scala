@@ -44,6 +44,34 @@ object Oracles7 {
        |SELECT k_occ, n_vecs FROM hist
        |UNION ALL SELECT k_occ, n_vecs FROM zero WHERE n_vecs > 0""".stripMargin
 
+  /** Mirrors TextOps.tokenizerFertility: the shared bpeChain CTE
+    * (Oracles6 — ONE definition of the fit), occurrence-weighted per
+    * LANGUAGE, with the two floor-div ppm readouts in BIGINT.
+    */
+  val tokenizerFertility: String = {
+    val last = s"r${graft.operators.TextOps.BpeMerges}"
+    s"""WITH ${Oracles6.bpeChain},
+       |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
+       |        FROM $last),
+       |occ AS (
+       | SELECT lang, word, COUNT(*) AS cnt FROM (
+       |  SELECT lang,
+       |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1, 2)
+       |SELECT lang,
+       | CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       | COUNT(DISTINCT word) AS n_word_types,
+       | CAST(SUM(cnt * length(word)) AS BIGINT) AS n_letters,
+       | CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+       | CAST((CAST(SUM(cnt * n_syms) AS BIGINT) * 1000000)
+       |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS fertility_ppm,
+       | CAST((CAST(SUM(cnt * length(word)) AS BIGINT) * 1000000)
+       |      // CAST(SUM(cnt * n_syms) AS BIGINT) AS BIGINT) AS letters_per_token_ppm
+       |FROM occ JOIN enc USING (word)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors SimilarityOps.semanticLeakage: the annNearDup pair CTE
     * bucketed by the md5 80/10/10 split of both ends (same splitCase
     * as Oracles2.splitLeakage).

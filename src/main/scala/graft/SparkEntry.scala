@@ -224,6 +224,7 @@ object SparkEntry {
     "tvd_drift" -> EventOps.tvdDrift,
     "bpe_train" -> TextOps.bpeTrain,
     "bpe_encode" -> TextOps.bpeEncode,
+    "tokenizer_fertility" -> TextOps.tokenizerFertility,
     "sql_interface" -> RelationalOps.sqlInterface,
     "kcore_peel" -> GraphOps.kcorePeel,
     "linear_attribution" -> EventOps.linearAttribution,
@@ -1043,6 +1044,7 @@ object SparkEntry {
     "tvd_drift" -> Oracles6.tvdDrift,
     "bpe_train" -> Oracles6.bpeTrain,
     "bpe_encode" -> Oracles6.bpeEncode,
+    "tokenizer_fertility" -> Oracles7.tokenizerFertility,
     "sql_interface" -> RelationalOps.SqlInterfaceText,
     "kcore_peel" -> Oracles6.kcorePeel,
     "linear_attribution" -> Oracles6.linearAttribution,

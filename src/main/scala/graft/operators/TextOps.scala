@@ -1996,6 +1996,50 @@ object TextOps {
       .withColumn("compression_ppm", expr("CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV (n_letters) AS BIGINT)"))
   }
 
+  /** Tokenizer fertility per LANGUAGE — the multilingual-fairness
+    * readout of the learned BPE tokenizer (fertility = BPE tokens per
+    * word occurrence, in ppm; letters-per-token as the inverse
+    * granularity): a tokenizer trained on a mixed corpus shreds
+    * under-represented languages into more, shorter tokens, which
+    * taxes their effective context length and training compute — this
+    * table is how that tax is measured before training starts.
+    *
+    * Shares the `bpe_fit_types` ARTIFACT with `bpe_train`/
+    * `bpe_encode` (one training run, three readouts); the corpus
+    * contributes only the (lang, word) occurrence counts, so the join
+    * is vocab-sized. Both ppm columns are DECIMAL-widened floor
+    * divisions (the board-wide ppm discipline).
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeFitArtifacts(spark, dir)._2
+      .select(col("word"), size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    occ
+      .join(enc, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_word_occurrences"),
+        countDistinct(col("word")).as("n_word_types"),
+        sum(col("cnt") * length(col("word"))).as("n_letters"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens")
+      )
+      .select(
+        col("lang"),
+        col("n_word_occurrences"),
+        col("n_word_types"),
+        col("n_letters"),
+        col("n_bpe_tokens"),
+        expr("CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV n_word_occurrences AS BIGINT)")
+          .as("fertility_ppm"),
+        expr("CAST(CAST(n_letters AS DECIMAL(38,0)) * 1000000 DIV n_bpe_tokens AS BIGINT)")
+          .as("letters_per_token_ppm")
+      )
+  }
+
   /** Term burstiness (the dispersion index var/mean over per-doc
     * counts, zeros included) for the top-20 corpus tokens — Church &
     * Gale's "burstiness": function words spread evenly (ratio ≈ 1 −

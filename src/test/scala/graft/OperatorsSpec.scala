@@ -4908,6 +4908,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keys.exists(_ > 0))
   }
 
+  test("tokenizer fertility: driver re-encode with the learned merges, per lang") {
+    // independent recompute: take the learned merge table, re-encode
+    // every distinct word in plain Scala with the same 3-pass replace
+    // contract, aggregate per language with BigInt floor-div ppm
+    val merges = TextOps.bpeTrain(spark, Sf0001).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    def nSyms(word: String): Long = {
+      var seq = " " + word.toCharArray.mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        val from = s" $a $b "
+        val to = s" $a$b "
+        seq = seq.replace(from, to).replace(from, to).replace(from, to)
+      }
+      seq.trim.split(" ").length.toLong
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val occ = docs
+      .flatMap { case (lang, text) =>
+        text.split("[^\\p{L}]+").filter(_.nonEmpty).map(w => (lang, w))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((lang, w), cnt) => (lang, w, cnt) }
+    val expected = occ.groupBy(_._1).view.mapValues { ws =>
+      val nOcc = ws.map(_._3).sum
+      val nTypes = ws.map(_._2).distinct.size.toLong
+      val nLetters = ws.map(t => t._3 * t._2.length).sum
+      val nBpe = ws.map(t => t._3 * nSyms(t._2)).sum
+      (nOcc, nTypes, nLetters, nBpe,
+        (BigInt(nBpe) * 1000000 / nOcc).toLong,
+        (BigInt(nLetters) * 1000000 / nBpe).toLong)
+    }.toMap
+    val got = TextOps.tokenizerFertility(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got === expected)
+    assert(got.size >= 2, "fertility must compare at least two languages")
+  }
+
   test("semantic leakage: buckets == near-dup pairs x split assignment") {
     def split(id: Long): String = {
       val h = java.security.MessageDigest.getInstance("MD5")

@@ -452,6 +452,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p2)
   }
 
+  test("hard negatives: per-query heap pruning, bounded broadcast, artifact consumers stay join-free") {
+    val plan = planOf(SimilarityOps.hardNegatives(spark, Sf0001))
+    // rank <= K over the per-query window must plan the group-limit
+    // heap so map tasks keep K rows, not the scored corpus
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the one nested-loop is the deliberate 5-row query-slice broadcast
+    // (label-inequality condition) — same shape as bruteForceTopK.
+    // AQE renders Final + Initial plans; count the final only.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, finalPlan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // hubness + leakage consume memoized artifacts: no corpus scan at all
+    val hub = planOf(SimilarityOps.hubnessSkew(spark, Sf0001))
+    assert(!hub.contains("SortMergeJoin"), hub)
+  }
+
   test("weighted sample prunes to a 5-row heap per source (WindowGroupLimit)") {
     // rank <= K over a window must plan the group-limit pushdown: each
     // map task keeps a K-row heap per source and the shuffle carries
