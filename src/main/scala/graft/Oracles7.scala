@@ -44,6 +44,43 @@ object Oracles7 {
        |SELECT k_occ, n_vecs FROM hist
        |UNION ALL SELECT k_occ, n_vecs FROM zero WHERE n_vecs > 0""".stripMargin
 
+  /** Mirrors TextOps.qualityVsDup: the quality formula (same CTE
+    * chain as the quality_score oracle), dup membership = either end
+    * of a minhashLsh pair (pair-graph members ARE the cluster members
+    * — no recursion needed), HUGEINT floor-div ppm (DuckDB's DECIMAL
+    * `//` rounds; HUGEINT floors like Spark's DIV).
+    */
+  val qualityVsDup: String =
+    s"""WITH base AS (
+       | SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |counts AS (
+       | SELECT doc_id, text, len(toks) AS n_words,
+       |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |  len(list_filter(toks, t -> t IN
+       |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
+       | FROM base),
+       |qual AS (
+       | SELECT doc_id,
+       |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+       |   * (1.0 - CASE WHEN length(text) > 0
+       |            THEN CAST(n_punct AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+       |   * (0.5 + CASE WHEN n_words > 0
+       |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END)
+       |  AS quality
+       | FROM counts),
+       |mh AS (${Oracles2.minhashLsh}),
+       |dup AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM mh UNION ALL SELECT doc_b AS doc_id FROM mh)),
+       |binned AS (
+       | SELECT CAST(FLOOR(CAST(quality AS DECIMAL(18,2)) * 10) AS BIGINT) AS q_bin,
+       |  CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+       | FROM qual q LEFT JOIN dup d USING (doc_id))
+       |SELECT q_bin, COUNT(*) AS n_docs, CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       | CAST((CAST(SUM(is_dup) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+       |FROM binned GROUP BY 1""".stripMargin
+
   /** Mirrors TextOps.tokenizerFertility: the shared bpeChain CTE
     * (Oracles6 — ONE definition of the fit), occurrence-weighted per
     * LANGUAGE, with the two floor-div ppm readouts in BIGINT.

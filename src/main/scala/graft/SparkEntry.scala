@@ -88,6 +88,7 @@ object SparkEntry {
     // Text analysis suite
     "lang_id" -> TextOps.langId,
     "quality_score" -> TextOps.qualityScore,
+    "quality_vs_dup" -> TextOps.qualityVsDup,
     "quality_percentile" -> TextOps.qualityPercentile,
     "split_drift" -> TextOps.splitDrift,
     "token_count" -> TextOps.tokenCount,
@@ -897,6 +898,7 @@ object SparkEntry {
     "simhash_pairs" -> Oracles2.simhashPairs,
     "ann_topk_bruteforce" -> Oracles2.annTopkBruteforce,
     "hard_negatives" -> Oracles7.hardNegatives,
+    "quality_vs_dup" -> Oracles7.qualityVsDup,
     "hubness_skew" -> Oracles7.hubnessSkew,
     "semantic_leakage" -> Oracles7.semanticLeakage,
     "ann_topk_ivf" -> Oracles2.annTopkIvf,

@@ -233,6 +233,44 @@ object TextOps {
         col("stop_ratio"), col("punct_ratio"), col("quality"))
   }
 
+  /** Quality-filter ↔ duplication calibration: per quality bin
+    * (floor(decimal-quantized quality × 10) — the decimal-mediated
+    * binning that survives engine float seams), how many docs sit in
+    * the near-dup pair graph. THE question this answers: does the
+    * cheap quality score already separate duplicated boilerplate
+    * (low-quality bins with high dup ppm justify filtering BEFORE the
+    * expensive dedup pass at 100 TB; flat ppm across bins means the
+    * two passes are independent and both earn their keep).
+    *
+    * Scale: one corpus pass for quality (per-row arithmetic); dup
+    * membership is two bounded projections of the memoized
+    * `minhash_pairs` ARTIFACT (the pair-graph members are exactly the
+    * cluster members — no component resolution needed); ≤16-bin
+    * output, ppm DECIMAL-mediated.
+    */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val pairs = DedupOps.minhashLsh(spark, dir)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("dup_flag", lit(1L))
+    q.join(dup, Seq("doc_id"), "left")
+      .select(
+        expr("CAST(FLOOR(CAST(quality AS DECIMAL(18,2)) * 10) AS BIGINT)").as("q_bin"),
+        coalesce(col("dup_flag"), lit(0L)).as("is_dup")
+      )
+      .groupBy(col("q_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+      .select(
+        col("q_bin"),
+        col("n_docs"),
+        col("n_dup"),
+        expr("CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+          .as("dup_ppm")
+      )
+  }
+
   val TrainingPrepMinQuality = 0.55
 
   /** The end-to-end training-data prep report — quality filter →

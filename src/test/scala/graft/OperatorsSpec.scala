@@ -4949,6 +4949,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size >= 2, "fertility must compare at least two languages")
   }
 
+  test("quality vs dup: bins == quality score x pair-graph membership") {
+    val quality = TextOps.qualityScore(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val dup = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val expected = quality.toSeq
+      .map { case (id, q) =>
+        val bin = BigDecimal(q).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(10).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        (bin, if (dup(id)) 1L else 0L)
+      }
+      .groupBy(_._1).view.mapValues { xs =>
+        val n = xs.size.toLong
+        val d = xs.map(_._2).sum
+        (n, d, (BigInt(d) * 1000000 / n).toLong)
+      }.toMap
+    val got = TextOps.qualityVsDup(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === quality.size.toLong)
+    assert(got.values.map(_._2).sum === dup.size.toLong,
+      "every pair-graph member lands in exactly one bin")
+  }
+
   test("semantic leakage: buckets == near-dup pairs x split assignment") {
     def split(id: Long): String = {
       val h = java.security.MessageDigest.getInstance("MD5")

@@ -848,6 +848,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup discovery: sliced ingest == batch simhash pair artifact") {
+    // documents sliced into 3 micro-batches by doc_id residue (any
+    // slicing must yield the same pair SET — pairs emit when the
+    // SECOND member arrives, wherever the cut fell)
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      // drop the staging dir so the stream's glob sees only b*.parquet
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.NearDupStream
+      .pairs(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.DedupOps.simhashPairs(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("incremental MD5 == JDK MessageDigest over randomized chunked feeds") {
     // the chunker's constant-size digest state must agree with the
     // reference digest for every (content, chunking) pair: absorb the
