@@ -295,6 +295,36 @@ object VectorExpressions {
     * old form — measured ~4× this expression on the sf0.1 corpus).
     * win < 1 yields an empty array (mirrors word_ngrams' guard).
     */
+  /** SimHash-64 of a token array as ONE scalar map — replaces the
+    * explode → (doc, token) count shuffle → 64-wide aggregate shuffle
+    * pipeline with a zero-shuffle per-row kernel: at 100 TB the
+    * fingerprint pass becomes a pure scan stage (banding is then the
+    * first exchange). Heavy lifting lives in [[SimHashKernel.bits]]
+    * (one md5 per DISTINCT token, count-weighted — bit-identical to
+    * the old `IntVecSumAgg(Md5SignBits(md5(t), c))` aggregate, gates
+    * unchanged); codegen is a single static call, so the expression
+    * stays inside whole-stage codegen.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("simhash64", Seq(child.dataType),
+        Seq(({ case ArrayType(StringType, _) => true; case _ => false },
+          "array<string> (tokens)")))
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashKernel.bits(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.bits($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class AsciiWindowSums(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -871,6 +901,11 @@ object VectorExpressions {
       exprs => { val e = expect(3, "mr_map")(exprs); MrMapGen(e(0), e(1), e(2)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimHash64(expect(1, "simhash64")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -881,6 +916,8 @@ object VectorExpressions {
     call_function("md5_sign_bits", hex, weight)
 
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
+
+  def simhash64(toks: Column): Column = call_function("simhash64", toks)
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)

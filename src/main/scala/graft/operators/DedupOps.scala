@@ -362,30 +362,22 @@ object DedupOps {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val toks = TextOps.tokens(lower(col("text")))
-    // Weight by occurrence count so the ±1 bit vector (md5 + 64 bit
-    // extractions) is computed once per DISTINCT token, not once per
-    // occurrence — ~7x less hash work on natural text.
-    val tokCounts = Tables
+    // ZERO-shuffle fingerprint: the codegen `simhash64` kernel
+    // (SimHashKernel — one md5 per DISTINCT token, count-weighted,
+    // bit-identical to the former explode → (doc,token) shuffle →
+    // IntVecSumAgg pipeline, whose two exchanges this retires) runs
+    // as a pure map in the scan stage. The repartition spreads the
+    // single-file testdata scan; at real scale the scan is already
+    // split and even that exchange disappears. Token-less docs have
+    // no fingerprint (the aggregate form never saw them — same
+    // contract).
+    Tables
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(toks).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).cast("int").as("c"))
-    // Bit accumulation via the custom IntVecSumAgg aggregate: one
-    // 64-long buffer per doc, summed in place with partial aggregation
-    // before the shuffle — no 64x (doc, bit, v) row explode. Element
-    // order is positional, so the bit string falls straight out of the
-    // summed array (the earlier exploded/regrouped form needed a sort).
-    tokCounts
-      .groupBy(col("doc_id"))
-      .agg(
-        graft.functions.VectorExpressions
-          .intVecSum(graft.functions.VectorExpressions.md5SignBits(md5(col("t")), col("c")))
-          .as("s")
-      )
+      .filter(size(toks) > 0)
       .select(
         col("doc_id"),
-        array_join(transform(col("s"), x => when(x >= 0, "1").otherwise("0")), "").as("simhash")
+        graft.functions.VectorExpressions.simhash64(toks).as("simhash")
       )
   }
 

@@ -28,10 +28,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * promise transplanted to dedup) — proven against the batch artifact
   * in StreamingSpec.
   *
-  * The per-row fingerprint is a HOF fold (interpreted) rather than
-  * the batch path's codegen aggregate — the right trade at the ingest
-  * edge, where per-batch volume is small; the batch artifact remains
-  * the bulk path.
+  * The per-row fingerprint is the SAME codegen `simhash64` kernel the
+  * batch path maps over its scan — one definition of the fingerprint,
+  * two transports.
   */
 object NearDupStream {
 
@@ -82,14 +81,6 @@ object NearDupStream {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
     val toks = graft.operators.TextOps.tokens(lower(col("text")))
-    val zero = array((0 until 64).map(_ => lit(0)): _*)
-    val sumBits = aggregate(
-      toks,
-      zero,
-      (acc, t) =>
-        zip_with(acc, graft.functions.VectorExpressions.md5SignBits(md5(t), lit(1)),
-          (a, b) => a + b)
-    )
     spark.readStream
       .schema(DedupStream.docsSchema)
       .option("pathGlobFilter", "*.parquet")
@@ -98,8 +89,7 @@ object NearDupStream {
       .filter(size(toks) > 0) // token-less docs have no batch fingerprint
       .select(
         col("doc_id"),
-        array_join(transform(sumBits, x => when(x >= 0, "1").otherwise("0")), "")
-          .as("simhash")
+        graft.functions.VectorExpressions.simhash64(toks).as("simhash")
       )
       .select(
         col("doc_id"),

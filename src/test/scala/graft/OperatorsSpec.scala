@@ -589,6 +589,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.nonEmpty && g.nonEmpty && sn.nonEmpty)
   }
 
+  test("simhash64 kernel: equals the count-weighted aggregate formula, null guard") {
+    graft.functions.VectorExpressions.register(spark)
+    // the retired aggregate pipeline, recomputed as the reference:
+    // sum over DISTINCT tokens of count x (+-1 per md5 bit), sign at >= 0
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox the the",
+      "a b c a",
+      "one-token",
+      "répé répé unicode łódź"
+    ).toDF("text")
+    val got = docs
+      .selectExpr("simhash64(filter(split(lower(text), '[^\\\\p{L}]+'), t -> length(t) > 0)) AS s")
+      .collect().map(_.getString(0))
+    def ref(text: String): String = {
+      val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      toks.groupBy(identity).foreach { case (t, occ) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (0 until 64).foreach { j =>
+          val bit = (Character.digit(hex.charAt(j / 4), 16) >> (3 - j % 4)) & 1
+          acc(j) += (if (bit == 1) occ.length else -occ.length)
+        }
+      }
+      acc.map(v => if (v >= 0) '1' else '0').mkString
+    }
+    got.zip(Seq(
+      "the quick brown fox the the", "a b c a", "one-token", "répé répé unicode łódź"
+    ).map(ref)).foreach { case (g, r) => assert(g === r) }
+    // a null element is a loud error, never a silent fingerprint
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash64(array('a', CAST(NULL AS STRING)))").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("outer_products: values, ordering, and the null-element guard") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
