@@ -325,6 +325,41 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Per-row MinHash signature (12 longs) of a token array — the
+    * signature stage of the LSH family as a zero-shuffle scalar map
+    * ([[MinHashKernel.sigs]]; bit-identical to the retired posting
+    * `shingleHash`/`docSignatures` aggregation). Returns NULL for a
+    * document with fewer than n tokens (the posting form emitted no
+    * rows for it) — callers filter, keeping the two constructions
+    * row-for-row equal.
+    */
+  case class MinHashSigs(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true // < n tokens => no signature
+    override def prettyName: String = "minhash_sigs"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("minhash_sigs", Seq(left.dataType, right.dataType),
+        Seq(({ case ArrayType(StringType, _) => true; case _ => false },
+          "array<string> (tokens)"), (_ == IntegerType, "int")))
+
+    override def nullSafeEval(a: Any, n: Any): Any =
+      MinHashKernel.sigs(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, n) => {
+        s"""
+           |${ev.value} = graft.functions.MinHashKernel.sigs($a, $n);
+           |${ev.isNull} = (${ev.value} == null);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class AsciiWindowSums(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -906,6 +941,11 @@ object VectorExpressions {
       exprs => SimHash64(expect(1, "simhash64")(exprs).head),
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => { val e = expect(2, "minhash_sigs")(exprs); MinHashSigs(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -918,6 +958,8 @@ object VectorExpressions {
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
 
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
+
+  def minhashSigs(toks: Column, n: Column): Column = call_function("minhash_sigs", toks, n)
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)

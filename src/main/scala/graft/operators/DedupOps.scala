@@ -95,26 +95,33 @@ object DedupOps {
   val MinhashBands = 4 // 4 bands x 3 rows
   val MinhashPrime = 2147483647L // 2^31 - 1
 
-  /** 61-bit shingle hash folded into [0, p): one md5 per shingle, the
-    * 12 permutations are then integer arithmetic (not 12 more md5s).
+  /** Per-doc MinHash signatures as a ZERO-shuffle scalar map — the
+    * `minhash_sigs` codegen kernel ([[graft.functions.MinHashKernel]])
+    * computes the distinct-shingle 60-bit md5 hashes (the first 15
+    * hex digits mod p, p = 2³¹−1) and the 12 permutation mins per
+    * row, retiring the posting explode → hash → groupBy(doc)
+    * aggregation those signatures used to ride (one exchange per
+    * consumer pipeline at 100 TB). Permutation k: (k·1000003+1)·h +
+    * (k·999983+12345) mod p — mirrored verbatim in the SQL oracle.
+    * Docs with fewer than 3 tokens have no signature (kernel returns
+    * null; filtered), exactly as they had no posting rows.
     */
-  private def shingleHash(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashPrime
-
-  /** Per-doc MinHash signatures as a flat relational aggregation (12
-    * MIN aggregates over posting rows): the mins run inside codegen'd
-    * hash aggregation with primitive longs.
-    * Permutation k: (a_k*h + b_k) mod p, a_k = 1000003k+1,
-    * b_k = 999983k+12345 — mirrored verbatim in the SQL oracle.
-    */
-  private def docSignatures(posting: DataFrame): DataFrame = {
-    val perShingle = posting
-      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
-    val sigCols = (0 until MinhashPerms).map { k =>
-      min((lit(k.toLong * 1000003L + 1L) * col("h") + lit(k.toLong * 999983L + 12345L)) % MinhashPrime)
-        .as(s"sig$k")
-    }
-    perShingle.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  private def docSigsKernel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val toks = TextOps.tokens(lower(col("text")))
+    Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.VectorExpressions.minhashSigs(toks, lit(3)).as("s")
+      )
+      .filter(col("s").isNotNull)
+      .select(
+        (col("doc_id") +: col("source") +:
+          (0 until MinhashPerms).map(k => col("s").getItem(k).as(s"sig$k"))): _*
+      )
   }
 
   /** MinHash signatures are MERGEABLE summaries: the signature of a
@@ -133,11 +140,10 @@ object DedupOps {
     * (`verifyJaccard`) stays the precision path.
     */
   def minhashSources(spark: SparkSession, dir: String): DataFrame = {
-    val posting = shinglePosting(spark, dir)
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // kernel signatures carry source already: the whole query is scan →
+    // rollup — no posting, no join
     val sigCols = (0 until MinhashPerms).map(k => min(col(s"sig$k")).as(s"sig$k"))
-    docSignatures(posting)
-      .join(src, Seq("doc_id"))
+    docSigsKernel(spark, dir)
       .rollup(col("source"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(
@@ -182,7 +188,9 @@ object DedupOps {
     // equivalents are reliable checkpoint(), persist(DISK_ONLY_2), or
     // an explicit staging write.
     val posting = shinglePosting(spark, dir).localCheckpoint()
-    val withSigs = docSignatures(posting)
+    // signatures come from the zero-shuffle kernel map; the posting is
+    // only needed for the exact-Jaccard candidate verification
+    val withSigs = docSigsKernel(spark, dir)
     val buckets = withSigs
       .select(
         col("doc_id"),
@@ -717,7 +725,7 @@ object DedupOps {
     */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val posting = shinglePosting(spark, dir).localCheckpoint()
-    val sigs = docSignatures(posting).localCheckpoint()
+    val sigs = docSigsKernel(spark, dir).localCheckpoint()
     val buckets = sigs.select(
       col("doc_id"),
       posexplode(
@@ -760,7 +768,7 @@ object DedupOps {
 
   def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
     val posting = shinglePosting(spark, dir).localCheckpoint()
-    val sigs = docSignatures(posting).localCheckpoint()
+    val sigs = docSigsKernel(spark, dir).localCheckpoint()
     val configs = Seq((2, 6), (4, 3), (6, 2))
     configs
       .map { case (nb, rpb) =>
