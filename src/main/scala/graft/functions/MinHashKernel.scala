@@ -29,6 +29,40 @@ object MinHashKernel {
 
   private val Sep = UTF8String.fromString(" ")
 
+  /** Positional 60-bit window hashes: every n-token space-joined
+    * window's md5 first-15-hex-digit value, IN WINDOW ORDER (no
+    * distinct, no mod — the winnowing chain's raw hash stream,
+    * bit-identical to `conv(substring(md5(g),1,15),16,10)` over
+    * `word_ngrams`, which previously ran as an interpreted
+    * `transform` lambda).
+    */
+  def windowHashes(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val m = if (n < 1) 0 else total - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Long](0))
+    val md = mdLocal.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        if (t == null)
+          throw new IllegalArgumentException("shingle_hashes: null token in input array")
+        parts(j) = t
+        j += 1
+      }
+      val d = md.digest(UTF8String.concatWs(Sep, parts: _*).getBytes)
+      var be = 0L
+      var b = 0
+      while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = be >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sigs(toks: ArrayData, n: Int): ArrayData = {
     val total = toks.numElements()
     val m = if (n < 1) 0 else total - n + 1

@@ -360,6 +360,31 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Positional 60-bit md5 window hashes of a token array
+    * ([[MinHashKernel.windowHashes]]) — the winnowing chain's hash
+    * stream as codegen instead of an interpreted `transform` lambda.
+    */
+  case class ShingleHashes(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "shingle_hashes"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("shingle_hashes", Seq(left.dataType, right.dataType),
+        Seq(({ case ArrayType(StringType, _) => true; case _ => false },
+          "array<string> (tokens)"), (_ == IntegerType, "int")))
+
+    override def nullSafeEval(a: Any, n: Any): Any =
+      MinHashKernel.windowHashes(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, n) => s"graft.functions.MinHashKernel.windowHashes($a, $n)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class AsciiWindowSums(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -946,6 +971,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "minhash_sigs")(exprs); MinHashSigs(e(0), e(1)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => { val e = expect(2, "shingle_hashes")(exprs); ShingleHashes(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -960,6 +990,8 @@ object VectorExpressions {
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
 
   def minhashSigs(toks: Column, n: Column): Column = call_function("minhash_sigs", toks, n)
+
+  def shingleHashes(toks: Column, n: Column): Column = call_function("shingle_hashes", toks, n)
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)

@@ -827,11 +827,10 @@ object DedupOps {
     */
   private def winnowed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val hs = transform(
-      graft.functions.VectorExpressions
-        .wordNgrams(TextOps.tokens(lower(col("text"))), lit(WinnowK)),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-    )
+    // codegen shingle_hashes kernel — the old transform() lambda ran
+    // interpreted (one boxed md5 expression eval per shingle)
+    val hs = graft.functions.VectorExpressions
+      .shingleHashes(TextOps.tokens(lower(col("text"))), lit(WinnowK))
     Tables
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
