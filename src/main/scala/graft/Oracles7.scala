@@ -44,6 +44,37 @@ object Oracles7 {
        |SELECT k_occ, n_vecs FROM hist
        |UNION ALL SELECT k_occ, n_vecs FROM zero WHERE n_vecs > 0""".stripMargin
 
+  /** Mirrors TextOps.sourceDivergence: per-term HUGEINT-floored χ²
+    * ppm over observed (source, token) cells + the closed-form zero
+    * part (HUGEINT `//` floors like Spark's DECIMAL DIV; DECIMAL `//`
+    * would round).
+    */
+  val sourceDivergence: String =
+    """WITH tok AS (
+      | SELECT source,
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS t
+      | FROM documents),
+      |st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+      |terms AS (
+      | SELECT source, c_t, n_s, n,
+      |  CAST((CAST(c_st AS HUGEINT) * n - CAST(n_s AS HUGEINT) * c_t)
+      |     * (CAST(c_st AS HUGEINT) * n - CAST(n_s AS HUGEINT) * c_t) * 1000000
+      |     // (CAST(n_s AS HUGEINT) * c_t * n) AS BIGINT) AS term_ppm
+      | FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN nn)
+      |SELECT source,
+      | CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      | COUNT(*) AS n_token_types,
+      | CAST(SUM(term_ppm) AS BIGINT) AS chi2_obs_ppm,
+      | CAST(CAST(MAX(n_s) AS HUGEINT) * (MAX(n) - SUM(c_t)) * 1000000
+      |      // MAX(n) AS BIGINT) AS chi2_zero_ppm,
+      | CAST(SUM(term_ppm) AS BIGINT)
+      |  + CAST(CAST(MAX(n_s) AS HUGEINT) * (MAX(n) - SUM(c_t)) * 1000000
+      |         // MAX(n) AS BIGINT) AS chi2_total_ppm
+      |FROM terms GROUP BY 1""".stripMargin
+
   /** Mirrors TextOps.qualityVsDup: the quality formula (same CTE
     * chain as the quality_score oracle), dup membership = either end
     * of a minhashLsh pair (pair-graph members ARE the cluster members

@@ -89,6 +89,7 @@ object SparkEntry {
     "lang_id" -> TextOps.langId,
     "quality_score" -> TextOps.qualityScore,
     "quality_vs_dup" -> TextOps.qualityVsDup,
+    "source_divergence" -> TextOps.sourceDivergence,
     "quality_percentile" -> TextOps.qualityPercentile,
     "split_drift" -> TextOps.splitDrift,
     "token_count" -> TextOps.tokenCount,
@@ -899,6 +900,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> Oracles2.annTopkBruteforce,
     "hard_negatives" -> Oracles7.hardNegatives,
     "quality_vs_dup" -> Oracles7.qualityVsDup,
+    "source_divergence" -> Oracles7.sourceDivergence,
     "hubness_skew" -> Oracles7.hubnessSkew,
     "semantic_leakage" -> Oracles7.semanticLeakage,
     "ann_topk_ivf" -> Oracles2.annTopkIvf,

@@ -233,6 +233,82 @@ object TextOps {
         col("stop_ratio"), col("punct_ratio"), col("quality"))
   }
 
+  /** Per-source χ² divergence from the corpus unigram distribution —
+    * the single-number "how unlike the corpus is this source" signal
+    * that drives mixing weights / domain upsampling (the rational
+    * cousin of KL: no logs, so every term is exact integer
+    * arithmetic). For source s with N_s tokens in a corpus of N:
+    *
+    *   χ² = Σ_t (c_st·N − N_s·c_t)² / (N_s·c_t·N)
+    *
+    * split into the OBSERVED part (tokens s contains, one per-term
+    * DECIMAL-mediated floor-div ppm, summed) and the ZERO part
+    * (tokens s lacks, whose terms collapse algebraically to
+    * N_s·(N − S_s)/N with S_s = the corpus count mass of s's
+    * distinct tokens — ONE closed-form term, so the (source × vocab)
+    * zero grid is never materialized). Both parts are defined
+    * quantities with per-term flooring, mirrored verbatim in the
+    * oracle.
+    *
+    * Scale: one map-side-combined (source, token) count shuffle, a
+    * vocab-sized join on token (uniform keys), a ≤|sources| output.
+    * The zero-grid shortcut is what makes this feasible at 100 TB —
+    * the naive form is |sources|×|vocab| rows.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("t"))
+    val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // feeds corpus counts AND the per-source join
+    val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = st.agg(sum(col("c_st")).as("n"))
+    st
+      .join(ct, Seq("t"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("source"),
+        col("n_s"),
+        col("n"),
+        col("c_t"),
+        expr(
+          """CAST((CAST(c_st AS DECIMAL(38,0)) * n - CAST(n_s AS DECIMAL(38,0)) * c_t) *
+            |     (CAST(c_st AS DECIMAL(38,0)) * n - CAST(n_s AS DECIMAL(38,0)) * c_t) * 1000000
+            |     DIV (CAST(n_s AS DECIMAL(38,0)) * c_t * n) AS BIGINT)""".stripMargin
+        ).as("term_ppm")
+      )
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_token_types"),
+        sum(col("term_ppm")).as("chi2_obs_ppm"),
+        // S_s = corpus mass of the source's distinct tokens
+        sum(col("c_t")).as("s_mass"),
+        max(col("n")).as("n_total")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_token_types"),
+        col("chi2_obs_ppm"),
+        expr(
+          """CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_total - s_mass) * 1000000
+            |     DIV n_total AS BIGINT)""".stripMargin
+        ).as("chi2_zero_ppm")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_token_types"),
+        col("chi2_obs_ppm"),
+        col("chi2_zero_ppm"),
+        (col("chi2_obs_ppm") + col("chi2_zero_ppm")).as("chi2_total_ppm")
+      )
+  }
+
   /** Quality-filter ↔ duplication calibration: per quality bin
     * (floor(decimal-quantized quality × 10) — the decimal-mediated
     * binning that survives engine float seams), how many docs sit in

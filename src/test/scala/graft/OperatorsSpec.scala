@@ -4986,6 +4986,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size >= 2, "fertility must compare at least two languages")
   }
 
+  test("source divergence: exact BigInt chi-square recompute, zero-part algebra") {
+    val toks = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+          .map(t => (r.getString(0), t))
+      }
+    val cst = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctv = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nsv = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    val expected = cst.keys.toSeq.map(_._1).distinct.map { s =>
+      val mine = cst.collect { case ((`s`, t), c) => (t, c) }.toSeq
+      val obs = mine.map { case (t, c) =>
+        val d = BigInt(c) * n - BigInt(nsv(s)) * ctv(t)
+        (d * d * 1000000 / (BigInt(nsv(s)) * ctv(t) * n)).toLong
+      }.sum
+      val sMass = mine.map { case (t, _) => ctv(t) }.sum
+      val zero = (BigInt(nsv(s)) * (n - sMass) * 1000000 / n).toLong
+      s -> (nsv(s), mine.size.toLong, obs, zero, obs + zero)
+    }.toMap
+    val got = TextOps.sourceDivergence(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === expected)
+    assert(got.size >= 2)
+    // a source identical to the corpus would score 0; distinct sources
+    // must diverge
+    assert(got.values.exists(_._5 > 0))
+  }
+
   test("quality vs dup: bins == quality score x pair-graph membership") {
     val quality = TextOps.qualityScore(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getDouble(6)).toMap
