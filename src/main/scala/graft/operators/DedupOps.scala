@@ -46,21 +46,42 @@ object DedupOps {
     * token stream by doc_id just to see neighbors.) Docs with < 3
     * tokens produce no shingles.
     */
+  /** The shared (doc_id, shingle) posting — shingles as 60-bit md5
+    * HASHES (the `shingle_hashes` kernel), distinct PER ROW via
+    * `array_distinct` before the explode. Two structural wins over
+    * the round-1 string form: the corpus-wide `distinct()` SHUFFLE is
+    * gone (per-doc distinctness is row-local — cross-doc distinctness
+    * was never needed), and every downstream join/group key is a
+    * LONG, not a multi-word string (~3× fewer shuffle bytes, cheaper
+    * equality). A 60-bit collision would merge two shingles in any
+    * engine identically only if the ORACLE hashed too — it does not,
+    * so the gate itself bounds collision risk (expected spurious
+    * merges at 10⁹ distinct shingles: ~10¹⁸/2⁶¹ < 1; decontam's
+    * argument, now load-bearing here and verified by the hash gate at
+    * three SFs).
+    *
+    * The localCheckpoint before the explode is the
+    * InferFiltersFromGenerate barrier (the optimizer's synthesized
+    * `size(...) > 0` filter would otherwise re-run the whole kernel
+    * once more per row — the winnowing 50× lesson, in miniature).
+    */
   private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       // documents is one small file = one partition; spread the
-      // tokenize/explode work (at real scale the scan is already split)
+      // tokenize/hash work (at real scale the scan is already split)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
-        explode(
+        array_distinct(
           graft.functions.VectorExpressions
-            .wordNgrams(TextOps.tokens(lower(col("text"))), lit(3))
-        ).as("shingle")
+            .shingleHashes(TextOps.tokens(lower(col("text"))), lit(3))
+        ).as("hs")
       )
-      .distinct()
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint()
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
   }
 
   /** Exact Jaccard over the full (distinct) shingle sets for candidate
@@ -455,23 +476,25 @@ object DedupOps {
     */
   private def decontamPosting(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
+    // shingle_hashes kernel + row-local array_distinct: the corpus
+    // distinct() shuffle is gone (split is a per-doc constant, so
+    // (doc, split, h) distinctness IS per-row distinctness), and the
+    // raw 8-word shingle strings never exist as rows at all. Same
+    // barrier-checkpoint as shinglePosting (InferFiltersFromGenerate).
     Tables
       .documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         TextOps.splitExpr(col("doc_id")).as("split"),
-        explode(
+        array_distinct(
           graft.functions.VectorExpressions
-            .wordNgrams(TextOps.tokens(lower(col("text"))), lit(DecontamN))
-        ).as("shingle")
+            .shingleHashes(TextOps.tokens(lower(col("text"))), lit(DecontamN))
+        ).as("hs")
       )
-      .select(
-        col("doc_id"),
-        col("split"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h")
-      )
-      .distinct()
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint()
+      .select(col("doc_id"), col("split"), explode(col("hs")).as("h"))
   }
 
   /** Leak report: contaminated train docs grouped from the train⋈test
