@@ -44,6 +44,43 @@ object Oracles7 {
        |SELECT k_occ, n_vecs FROM hist
        |UNION ALL SELECT k_occ, n_vecs FROM zero WHERE n_vecs > 0""".stripMargin
 
+  /** Mirrors DedupOps.decontamNgramSweep: one shared token CTE, per
+    * width the same md5 window-hash construction as the decontaminate
+    * oracle, leak stats as scalar subqueries, HUGEINT-floored ppm.
+    */
+  val decontamNgramSweep: String = {
+    val perN = graft.operators.DedupOps.DecontamSweepNs.map { n =>
+      s"""sh$n AS (
+         | SELECT doc_id, b,
+         |  list_distinct(list_transform(range(len(toks)-${n - 1}),
+         |   i -> CAST(CAST(concat('0x', substr(md5(
+         |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+$n AS INT)], ' ')), 1, 15))
+         |        AS UBIGINT) AS BIGINT))) AS hs
+         | FROM toks WHERE len(toks) >= $n),
+         |p$n AS (SELECT doc_id, b, unnest(hs) AS h FROM sh$n),
+         |lk$n AS (
+         | SELECT DISTINCT tr.doc_id AS train_doc, tr.h
+         | FROM (SELECT doc_id, h FROM p$n WHERE b < 80) tr
+         | JOIN (SELECT DISTINCT h FROM p$n WHERE b >= 90) te USING (h))""".stripMargin
+    }
+    val rows = graft.operators.DedupOps.DecontamSweepNs.map { n =>
+      s"""SELECT n, n_train_docs, n_contaminated_docs, n_leaked_ngrams,
+         | CAST((CAST(n_contaminated_docs AS HUGEINT) * 1000000)
+         |      // n_train_docs AS BIGINT) AS contaminated_ppm
+         |FROM (SELECT CAST($n AS BIGINT) AS n,
+         | (SELECT COUNT(DISTINCT doc_id) FROM p$n WHERE b < 80) AS n_train_docs,
+         | (SELECT COUNT(DISTINCT train_doc) FROM lk$n) AS n_contaminated_docs,
+         | (SELECT COUNT(DISTINCT h) FROM lk$n) AS n_leaked_ngrams)""".stripMargin
+    }
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |${perN.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirrors TextOps.sourceDivergence: per-term HUGEINT-floored χ²
     * ppm over observed (source, token) cells + the closed-form zero
     * part (HUGEINT `//` floors like Spark's DECIMAL DIV; DECIMAL `//`

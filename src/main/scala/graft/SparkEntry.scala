@@ -200,6 +200,7 @@ object SparkEntry {
     "dedup_clusters" -> GraphOps.dedupClusters,
     "cluster_keepers" -> GraphOps.clusterKeepers,
     "decontaminate" -> DedupOps.decontaminate,
+    "decontam_ngram_sweep" -> DedupOps.decontamNgramSweep,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -678,6 +679,7 @@ object SparkEntry {
     "funnel_stages" -> Oracles2.funnelStages,
     "scd2_history" -> Oracles2.scd2History,
     "decontaminate" -> Oracles2.decontaminate,
+    "decontam_ngram_sweep" -> Oracles7.decontamNgramSweep,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

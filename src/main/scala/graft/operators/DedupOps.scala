@@ -474,12 +474,15 @@ object DedupOps {
     * hashes with its train/val/test assignment — the shared input of
     * both decontamination variants.
     */
-  private def decontamPosting(spark: SparkSession, dir: String): DataFrame = {
+  private def decontamPosting(spark: SparkSession, dir: String): DataFrame =
+    decontamPostingN(spark, dir, DecontamN)
+
+  private def decontamPostingN(spark: SparkSession, dir: String, n: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     // shingle_hashes kernel + row-local array_distinct: the corpus
     // distinct() shuffle is gone (split is a per-doc constant, so
     // (doc, split, h) distinctness IS per-row distinctness), and the
-    // raw 8-word shingle strings never exist as rows at all. Same
+    // raw n-word shingle strings never exist as rows at all. Same
     // barrier-checkpoint as shinglePosting (InferFiltersFromGenerate).
     Tables
       .documents(spark, dir)
@@ -489,12 +492,63 @@ object DedupOps {
         TextOps.splitExpr(col("doc_id")).as("split"),
         array_distinct(
           graft.functions.VectorExpressions
-            .shingleHashes(TextOps.tokens(lower(col("text"))), lit(DecontamN))
+            .shingleHashes(TextOps.tokens(lower(col("text"))), lit(n))
         ).as("hs")
       )
       .filter(size(col("hs")) > 0)
       .localCheckpoint()
       .select(col("doc_id"), col("split"), explode(col("hs")).as("h"))
+  }
+
+  /** Contamination-threshold sensitivity sweep: the decontamination
+    * leak rate at n-gram widths 4 / 8 / 13 (Gopher used 8, GPT-3's
+    * eval filter 13; 4 is the noise floor) — the curve that picks the
+    * width before committing a 100 TB decontamination pass: too short
+    * over-flags common phrases, too long misses paraphrased leaks.
+    * Per width: train docs carrying any test-split n-gram, distinct
+    * leaked n-grams, contamination ppm of the train split (docs with
+    * ≥ 1 n-gram — shorter docs have nothing to leak, mirrored in the
+    * oracle's len filter).
+    *
+    * Scale: three kernel-hashed postings (no distinct shuffles, long
+    * keys); each leak join is train ⋈ distinct-test-hash — the bloom
+    * variant's exact core; the lsh_band_sweep pattern applied to
+    * decontamination.
+    */
+  val DecontamSweepNs = Seq(4, 8, 13)
+
+  def decontamNgramSweep(spark: SparkSession, dir: String): DataFrame = {
+    DecontamSweepNs
+      .map { n =>
+        val posting = decontamPostingN(spark, dir, n).localCheckpoint()
+        val train = posting
+          .filter(col("split") === "train")
+          .select(col("doc_id").as("train_doc"), col("h"))
+        val leaks = train
+          .join(
+            posting.filter(col("split") === "test").select(col("h")).distinct(),
+            Seq("h"))
+          .localCheckpoint() // bounded by contamination; consumed twice
+        val nTrain = train.select(col("train_doc")).distinct()
+          .agg(count(lit(1)).as("n_train_docs"))
+        val cDocs = leaks.select(col("train_doc")).distinct()
+          .agg(count(lit(1)).as("n_contaminated_docs"))
+        val cGrams = leaks.select(col("h")).distinct()
+          .agg(count(lit(1)).as("n_leaked_ngrams"))
+        nTrain
+          .crossJoin(broadcast(cDocs))
+          .crossJoin(broadcast(cGrams))
+          .select(
+            lit(n.toLong).as("n"),
+            col("n_train_docs"),
+            col("n_contaminated_docs"),
+            col("n_leaked_ngrams"),
+            expr(
+              "CAST(CAST(n_contaminated_docs AS DECIMAL(38,0)) * 1000000 " +
+                "DIV n_train_docs AS BIGINT)").as("contaminated_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
   }
 
   /** Leak report: contaminated train docs grouped from the train⋈test

@@ -4986,6 +4986,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size >= 2, "fertility must compare at least two languages")
   }
 
+  test("decontam ngram sweep: leak rate monotone non-increasing in n, " +
+    "n=8 row consistent with the decontaminate report") {
+    val rows = DedupOps.decontamNgramSweep(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet === DedupOps.DecontamSweepNs.map(_.toLong).toSet)
+    // longer shared runs are strictly rarer: contaminated docs and
+    // leaked n-grams cannot grow with n
+    val byN = DedupOps.DecontamSweepNs.map(n => rows(n.toLong))
+    byN.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2, s"contaminated docs grew with n: $rows")
+      assert(b._3 <= a._3, s"leaked ngrams grew with n: $rows")
+    }
+    // n=8 must agree with the standalone decontaminate report
+    val report = DedupOps.decontaminate(spark, Sf001).collect()
+    assert(rows(8L)._2 === report.length.toLong,
+      "sweep's contaminated-doc count != decontaminate's row count")
+    // 4-grams on a 40-word vocabulary corpus must flag plenty
+    assert(rows(4L)._2 > 0 && rows(4L)._4 > 0)
+  }
+
   test("source divergence: exact BigInt chi-square recompute, zero-part algebra") {
     val toks = Tables.documents(spark, Sf0001)
       .select(col("source"), col("text")).collect()
