@@ -518,9 +518,30 @@ object DedupOps {
   val DecontamSweepNs = Seq(4, 8, 13)
 
   def decontamNgramSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    // ONE corpus scan feeds all three widths: each row carries its
+    // 4/8/13-gram hash arrays side by side (three kernel calls over
+    // one scan's rows), checkpointed once — at 100 TB this is one
+    // corpus read instead of three, and the usual pre-explode
+    // InferFiltersFromGenerate barrier.
+    val toks = TextOps.tokens(lower(col("text")))
+    val base = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        (col("doc_id") +: TextOps.splitExpr(col("doc_id")).as("split") +:
+          DecontamSweepNs.map { n =>
+            array_distinct(
+              graft.functions.VectorExpressions.shingleHashes(toks, lit(n))
+            ).as(s"hs$n")
+          }): _*
+      )
+      .localCheckpoint()
     DecontamSweepNs
       .map { n =>
-        val posting = decontamPostingN(spark, dir, n).localCheckpoint()
+        val posting = base
+          .filter(size(col(s"hs$n")) > 0)
+          .select(col("doc_id"), col("split"), explode(col(s"hs$n")).as("h"))
         val train = posting
           .filter(col("split") === "train")
           .select(col("doc_id").as("train_doc"), col("h"))
