@@ -177,6 +177,81 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors TextOps.heapsLaw: decile of a doc/type is a pure integer
+    * floor-div of (first) doc_id against the span scalar; the
+    * cumulative frame is the same decile→[decile..10] unnest prefix
+    * sum (BIGINT `//` floors like Spark's integer DIV).
+    */
+  val heapsLaw: String = {
+    val dec = graft.operators.TextOps.HeapsDeciles
+    s"""WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+       |tokd AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |mass AS (
+       | SELECT CAST(doc_id * $dec // s AS BIGINT) + 1 AS dec,
+       |  COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_toks
+       | FROM tokd CROSS JOIN span GROUP BY 1),
+       |firsts AS (SELECT t, MIN(doc_id) AS fd
+       | FROM (SELECT doc_id, unnest(toks) AS t FROM tokd) GROUP BY 1),
+       |ntypes AS (
+       | SELECT CAST(fd * $dec // s AS BIGINT) + 1 AS dec, COUNT(*) AS new_types
+       | FROM firsts CROSS JOIN span GROUP BY 1),
+       |per AS (
+       | SELECT mass.dec AS dec, n_docs, n_toks, COALESCE(new_types, 0) AS new_types
+       | FROM mass LEFT JOIN ntypes ON mass.dec = ntypes.dec),
+       |grid AS (
+       | SELECT unnest(generate_series(dec, $dec)) AS decile, n_docs, n_toks, new_types
+       | FROM per)
+       |SELECT decile, CAST(SUM(n_docs) AS BIGINT) AS cum_docs,
+       | CAST(SUM(n_toks) AS BIGINT) AS cum_tokens,
+       | CAST(SUM(new_types) AS BIGINT) AS cum_types
+       |FROM grid GROUP BY 1""".stripMargin
+  }
+
+  /** Mirrors TextOps.zipfFit: ROW_NUMBER over the full vocab (the
+    * oracle may single-task what Spark range-partitions), HUGEINT-
+    * floored ratio ppm against the rank-1 frequency.
+    */
+  val zipfFit: String =
+    s"""WITH wc AS (SELECT t, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+       |                x -> x <> '')) AS t
+       |  FROM documents) GROUP BY 1),
+       |r AS (SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rnk FROM wc),
+       |f AS (SELECT MAX(cnt) AS f1 FROM wc)
+       |SELECT rnk, t AS term, CAST(cnt AS BIGINT) AS freq,
+       | CAST(CAST(cnt AS HUGEINT) * rnk * 1000000 // f1 AS BIGINT) AS zipf_ratio_ppm
+       |FROM r CROSS JOIN f WHERE rnk <= ${graft.operators.TextOps.ZipfTopK}""".stripMargin
+
+  /** Mirrors DedupOps.dupGrowthCurve: the same md5 doc-id buckets and
+    * per-fingerprint conditional counts, one UNION ALL branch per
+    * sample size, HUGEINT-floored dup ppm.
+    */
+  val dupGrowthCurve: String = {
+    val branches = graft.operators.DedupOps.GrowthPcts.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS pct, CAST(SUM(c$p) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN c$p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_texts,
+         | CAST(SUM(CASE WHEN c$p > 1 THEN c$p - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |FROM g""".stripMargin
+    }
+    val condCols = graft.operators.DedupOps.GrowthPcts
+      .map(p => s"SUM(CASE WHEN b < $p THEN 1 ELSE 0 END) AS c$p")
+      .mkString(",\n  ")
+    s"""WITH d AS (SELECT md5(text) AS fp,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |       AS UBIGINT) % 100 AS INT) AS b
+       | FROM documents),
+       |g AS (SELECT fp,
+       |  $condCols
+       | FROM d GROUP BY 1)
+       |SELECT pct, n_docs, n_texts, n_dup_docs,
+       | CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(CAST(n_dup_docs AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       | END AS dup_ppm
+       |FROM (${branches.mkString("\nUNION ALL\n")})""".stripMargin
+  }
+
   /** Mirrors SimilarityOps.semanticLeakage: the annNearDup pair CTE
     * bucketed by the md5 80/10/10 split of both ends (same splitCase
     * as Oracles2.splitLeakage).

@@ -201,6 +201,9 @@ object SparkEntry {
     "cluster_keepers" -> GraphOps.clusterKeepers,
     "decontaminate" -> DedupOps.decontaminate,
     "decontam_ngram_sweep" -> DedupOps.decontamNgramSweep,
+    "dup_growth_curve" -> DedupOps.dupGrowthCurve,
+    "heaps_law" -> TextOps.heapsLaw,
+    "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -680,6 +683,9 @@ object SparkEntry {
     "scd2_history" -> Oracles2.scd2History,
     "decontaminate" -> Oracles2.decontaminate,
     "decontam_ngram_sweep" -> Oracles7.decontamNgramSweep,
+    "dup_growth_curve" -> Oracles7.dupGrowthCurve,
+    "heaps_law" -> Oracles7.heapsLaw,
+    "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

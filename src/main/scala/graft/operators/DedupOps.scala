@@ -515,6 +515,55 @@ object DedupOps {
     * variant's exact core; the lsh_band_sweep pattern applied to
     * decontamination.
     */
+  /** Duplicate-rate growth curve: exact-dup statistics at nested
+    * 25/50/75/100% corpus samples (md5 doc-id buckets — the same
+    * deterministic sampler as the train/val/test split, so samples
+    * are unbiased and NESTED: the 25% corpus is a subset of the 50%).
+    * THE scaling readout dedup planning needs: duplicate mass grows
+    * superlinearly with corpus size (every new doc can collide with
+    * everything before it), so the dup ppm measured on a small sample
+    * UNDERSTATES the 100 TB rate — this curve measures the exponent
+    * instead of assuming it.
+    *
+    * Scale: ONE scan, ONE shuffle on the text fingerprint (the same
+    * shuffle exact dedup pays); the four sample sizes ride the same
+    * aggregate as conditional counts, then a 4-slot `stack` unpivot
+    * (never `explode(array(...))` — InferFiltersFromGenerate would
+    * re-inline the aggregate). ppm is DECIMAL(38,0)-mediated
+    * (docs×10⁶ wraps int64 past 9·10¹² docs), DIV floors like the
+    * oracle's HUGEINT `//`.
+    */
+  val GrowthPcts = Seq(25, 50, 75, 100)
+
+  def dupGrowthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(md5(col("text")).as("fp"), TextOps.splitBucket(col("doc_id")).as("b"))
+    val condCounts = GrowthPcts.map(p =>
+      sum(when(col("b") < p, 1L).otherwise(0L)).as(s"c$p"))
+    val grouped = d.groupBy(col("fp")).agg(condCounts.head, condCounts.tail: _*)
+    val slots = GrowthPcts.flatMap(p =>
+      Seq(
+        sum(col(s"c$p")).as(s"docs$p"),
+        sum(when(col(s"c$p") > 0, 1L).otherwise(0L)).as(s"texts$p"),
+        sum(when(col(s"c$p") > 1, col(s"c$p") - 1L).otherwise(0L)).as(s"dups$p")
+      ))
+    val one = grouped.agg(slots.head, slots.tail: _*)
+    val stackArgs = GrowthPcts
+      .map(p => s"CAST($p AS BIGINT), coalesce(docs$p, CAST(0 AS BIGINT)), " +
+        s"coalesce(texts$p, CAST(0 AS BIGINT)), coalesce(dups$p, CAST(0 AS BIGINT))")
+      .mkString(", ")
+    one
+      .select(expr(
+        s"stack(${GrowthPcts.size}, $stackArgs) AS (pct, n_docs, n_texts, n_dup_docs)"))
+      .withColumn(
+        "dup_ppm",
+        expr("""CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)
+               |END""".stripMargin)
+      )
+  }
+
   val DecontamSweepNs = Seq(4, 8, 13)
 
   def decontamNgramSweep(spark: SparkSession, dir: String): DataFrame = {

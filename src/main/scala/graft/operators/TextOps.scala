@@ -2408,6 +2408,102 @@ object TextOps {
       )
   }
 
+  /** Heaps'-law vocabulary growth curve: cumulative corpus tokens vs
+    * cumulative DISTINCT token types at ten doc-id-ordered
+    * checkpoints. THE capacity-planning readout for vocabulary-keyed
+    * state (BPE fit, TF-IDF dictionaries, embedding tables): if types
+    * still grow near-linearly at the last decile, every
+    * vocabulary-bounded structure must be sized for open growth; a
+    * flattening curve licenses fixed-size vocab budgets at 100 TB.
+    *
+    * Exactness without a global sort: a type's decile is the decile
+    * of its FIRST doc (min doc_id per type — one aggregate), and the
+    * cumulative frame is a prefix sum over a ≤10-row per-decile
+    * table, computed by exploding each decile row to every decile ≥
+    * it (a 10→55-row `sequence` explode — no partition-less window,
+    * no non-equi join). The doc-id span is one bounded driver scalar
+    * (same discipline as RankOps' partition ledger).
+    *
+    * Scale: two scan-bound passes (per-doc token counts; the
+    * type-first-occurrence aggregate on the token shuffle every vocab
+    * query pays) — nothing corpus-sized is materialized. All
+    * arithmetic integer (doc_id×10 fits int64 to 9·10¹⁷ docs).
+    */
+  val HeapsDeciles = 10
+
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    def decileOf(idCol: String): Column =
+      expr(s"CAST($idCol * $HeapsDeciles DIV $span AS BIGINT) + 1")
+    val mass = docs
+      .select(
+        decileOf("doc_id").as("dec"),
+        size(tokens(lower(col("text")))).cast("long").as("n_toks")
+      )
+      .groupBy(col("dec"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val types = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("t"))
+      .groupBy(col("t"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .select(decileOf("first_doc").as("dec"))
+      .groupBy(col("dec"))
+      .agg(count(lit(1)).as("new_types"))
+    mass
+      .join(types, Seq("dec"), "left")
+      .select(
+        explode(sequence(col("dec"), lit(HeapsDeciles.toLong))).as("decile"),
+        col("n_docs"),
+        col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types")
+      )
+      .groupBy(col("decile"))
+      .agg(
+        sum(col("n_docs")).as("cum_docs"),
+        sum(col("n_toks")).as("cum_tokens"),
+        sum(col("new_types")).as("cum_types")
+      )
+  }
+
+  /** Zipf rank-frequency fit table: the top-[[ZipfTopK]] token types
+    * with their exact global rank and the integer-ppm Zipf ratio
+    * (freq·rank·10⁶ DIV freq₁ — exactly 10⁶ everywhere iff the corpus
+    * follows f_r = f_1/r). A heavy right tail of ratios far below 10⁶
+    * means frequency mass is flatter than Zipf (boilerplate-dominated
+    * corpora); the readout pairs with [[heapsLaw]] as the corpus
+    * statistics panel.
+    *
+    * Scale: the word count is the standard token shuffle; the global
+    * rank is RankOps' range-partitioned exact rank (NO partition-less
+    * window, NO sort-limit on the driver); everything after the
+    * rank ≤ K filter is K rows. The ratio is DECIMAL(38,0)-mediated
+    * (freq·rank·10⁶ wraps int64 at 10 TB token counts) and DIV floors
+    * identically to the oracle's HUGEINT `//`.
+    */
+  val ZipfTopK = 50
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = RankOps
+      .withGlobalRank(wc, "rnk", Seq(col("cnt").desc, col("t").asc))
+      .filter(col("rnk") <= ZipfTopK)
+    val f1 = ranked.agg(max(col("cnt")).as("f1"))
+    ranked
+      .crossJoin(broadcast(f1))
+      .select(
+        col("rnk"),
+        col("t").as("term"),
+        col("cnt").as("freq"),
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * rnk * 1000000 DIV f1 AS BIGINT)")
+          .as("zipf_ratio_ppm")
+      )
+  }
+
   /** Leakage-safe CONTENT-keyed train/val/test split — the fix
     * split_leakage quantifies the need for: assign each document by
     * the md5 bucket of its near-dup cluster's CANONICAL id (singleton

@@ -5083,4 +5083,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === pairs.length.toLong)
     assert(got.nonEmpty)
   }
+
+  test("heaps law: decile curve == first-occurrence reference; endpoints exact") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq)
+    val span = docs.map(_._1).max + 1
+    def dec(id: Long): Long = id * TextOps.HeapsDeciles / span + 1
+    val nDocs = docs.groupBy { case (id, _) => dec(id) }
+      .view.mapValues(_.length.toLong).toMap
+    val nToks = docs.groupBy { case (id, _) => dec(id) }
+      .view.mapValues(_.map(_._2.length.toLong).sum).toMap
+    val firsts = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val newTypes = firsts.values.toSeq.groupBy(dec).view.mapValues(_.length.toLong).toMap
+    val expected = (1L to TextOps.HeapsDeciles.toLong)
+      .filter(d => (1L to d).exists(nDocs.contains))
+      .map { d =>
+        d -> (
+          (1L to d).toSeq.flatMap(nDocs.get).sum,
+          (1L to d).toSeq.flatMap(nToks.get).sum,
+          (1L to d).toSeq.flatMap(newTypes.get).sum)
+      }
+      .toMap
+    val got = TextOps.heapsLaw(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // curve endpoint = whole corpus; cumulative columns monotone
+    assert(got(TextOps.HeapsDeciles.toLong)._1 === docs.length.toLong)
+    assert(got(TextOps.HeapsDeciles.toLong)._3 === firsts.size.toLong)
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.map(_._1) === ordered.map(_._1).sorted)
+    assert(ordered.map(_._3) === ordered.map(_._3).sorted)
+  }
+
+  test("zipf fit: top-K ranks and integer ratio match brute reference") {
+    val toks = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(r => r.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty))
+    val cnt = toks.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sorted = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextOps.ZipfTopK)
+    val f1 = sorted.head._2
+    val expected = sorted.zipWithIndex.map { case ((t, c), i) =>
+      (i + 1L, t, c, (BigInt(c) * (i + 1) * 1000000 / f1).toLong)
+    }.toSet
+    val got = TextOps.zipfFit(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the rank-1 term IS the Zipf anchor: ratio exactly 10^6
+    assert(got.find(_._1 == 1L).get._4 === 1000000L)
+  }
+
+  test("dup growth curve: nested md5 samples == per-fingerprint reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Int =
+      (java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16) % 100).toInt
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = DedupOps.GrowthPcts.map { p =>
+      val sub = docs.filter { case (id, _) => bucket(id) < p }
+      val groups = sub.groupBy { case (_, t) => md5hex(t) }
+      val dups = groups.values.toSeq.map(g => (g.length - 1).toLong).sum
+      (p.toLong, sub.length.toLong, groups.size.toLong, dups,
+        if (sub.isEmpty) 0L else (BigInt(dups) * 1000000 / sub.length).toLong)
+    }.toSet
+    val got = DedupOps.dupGrowthCurve(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    // nesting: every count is monotone in the sample size
+    val byP = got.toSeq.sortBy(_._1)
+    assert(byP.map(_._2) === byP.map(_._2).sorted)
+    assert(byP.map(_._3) === byP.map(_._3).sorted)
+    assert(byP.map(_._4) === byP.map(_._4).sorted)
+  }
 }
