@@ -177,6 +177,50 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors SimilarityOps.lshPlaneSweep: per config the annTopkLsh
+    * CTE chain with plane index l·P+i, counts as scalar subqueries,
+    * the brute CTE (Oracles2.annTopkBruteforce — ONE definition of
+    * the truth) intersected for hits, HUGEINT-floored recall ppm.
+    */
+  val lshPlaneSweep: String = {
+    def cfg(nt: Int, np: Int): String = {
+      def bit(i: Int): String =
+        s"""CASE WHEN list_sum(list_transform(list_zip(embedding,
+           |  list_transform(range(64), j -> CASE WHEN substr(md5(CAST(l*$np+$i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+           |                                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+           |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0.0 THEN '1' ELSE '0' END""".stripMargin
+      s"""SELECT '${nt}x$np' AS config, CAST($nt AS BIGINT) AS n_tables,
+         | CAST($np AS BIGINT) AS n_planes, n_candidates, n_topk, n_hits,
+         | CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_truth AS BIGINT) AS recall_ppm
+         |FROM (
+         | WITH buck AS (
+         |  SELECT vec_id, embedding, l AS table_idx,
+         |   concat(${(0 until np).map(bit).mkString(",\n")}) AS bucket
+         |  FROM embeddings, (SELECT unnest(range($nt)) AS l)),
+         | q AS (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
+         | n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
+         | cand AS (SELECT DISTINCT query_id, neighbor_id
+         |          FROM q JOIN n USING (table_idx, bucket) WHERE query_id <> neighbor_id),
+         | qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+         | p AS (SELECT query_id, neighbor_id,
+         |        ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
+         |       FROM cand JOIN qn qe ON qe.vec_id = query_id
+         |                 JOIN qn ne ON ne.vec_id = neighbor_id),
+         | tk AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |   FROM p) WHERE rnk <= 5),
+         | bf AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}))
+         | SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |        (SELECT COUNT(*) FROM tk) AS n_topk,
+         |        (SELECT COUNT(*) FROM tk JOIN bf USING (query_id, neighbor_id)) AS n_hits,
+         |        (SELECT COUNT(*) FROM bf) AS n_truth)""".stripMargin
+    }
+    graft.operators.SimilarityOps.PlaneSweepConfigs
+      .map { case (nt, np) => cfg(nt, np) }
+      .mkString("\nUNION ALL\n")
+  }
+
   /** Mirrors TextOps.heapsLaw: decile of a doc/type is a pure integer
     * floor-div of (first) doc_id against the span scalar; the
     * cumulative frame is the same decile→[decile..10] unnest prefix

@@ -202,6 +202,7 @@ object SparkEntry {
     "decontaminate" -> DedupOps.decontaminate,
     "decontam_ngram_sweep" -> DedupOps.decontamNgramSweep,
     "dup_growth_curve" -> DedupOps.dupGrowthCurve,
+    "lsh_plane_sweep" -> SimilarityOps.lshPlaneSweep,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -684,6 +685,7 @@ object SparkEntry {
     "decontaminate" -> Oracles2.decontaminate,
     "decontam_ngram_sweep" -> Oracles7.decontamNgramSweep,
     "dup_growth_curve" -> Oracles7.dupGrowthCurve,
+    "lsh_plane_sweep" -> Oracles7.lshPlaneSweep,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

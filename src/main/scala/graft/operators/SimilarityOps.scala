@@ -125,15 +125,24 @@ object SimilarityOps {
     * Each bit = sign of the projection onto one hyperplane (sequential
     * double fold, like all vector reductions here).
     */
-  private def bucketExpr(v: Column): Column = {
+  private def bucketExpr(v: Column): Column =
+    bucketExprCfg(v, LshTables, LshPlanes)
+
+  /** Parameterized (tables × planes) variant for the config sweep —
+    * plane (l, i) of a (T, P) config uses global plane index l·P+i,
+    * so every config draws from the same 32-plane deterministic pool
+    * (the SQL twin reconstructs the identical plane from the index).
+    */
+  private def bucketExprCfg(v: Column, nTables: Int, nPlanes: Int): Column = {
+    require(nTables * nPlanes <= LshTables * LshPlanes, "plane pool exhausted")
     val signs = planeSigns
     // ±1 is exact in float, so the (double)x * (double)sign products —
     // and therefore the fold — are identical to the SQL oracle's
     // double-literal form.
     def proj(p: Int): Column = dot(v, typedLit(signs(p).toSeq))
-    array((0 until LshTables).map { l =>
-      concat((0 until LshPlanes).map { i =>
-        when(proj(l * LshPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
+    array((0 until nTables).map { l =>
+      concat((0 until nPlanes).map { i =>
+        when(proj(l * nPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
       }: _*)
     }: _*)
   }
@@ -168,6 +177,76 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  /** LSH configuration sweep: candidate volume and recall@k vs the
+    * brute-force truth for three (tables × planes) configs — the
+    * ANN-tuning twin of `lsh_band_sweep`. (8×4) is the production
+    * config, (4×4) halves the tables (cheaper index, looser recall
+    * bound), (4×6) tightens buckets 4× (fewer candidates, sharply
+    * lower recall on near-orthogonal corpora). THE curve that picks
+    * the config at 100 TB: recall_ppm per candidate pair is the
+    * price sheet, and buckets (2^planes × tables keys) are the skew
+    * lever the scaladoc on [[embeddingNearDup]] describes.
+    *
+    * Scale: per config one bucket equi-join against the broadcast
+    * query slice — never all-pairs; candidates are checkpointed once
+    * and feed the count, the re-rank, and the truth intersection
+    * ((queries×k)-bounded). The brute truth is the shared
+    * `ann_topk_brute` ARTIFACT — no extra corpus pass. Recall ppm is
+    * DECIMAL-mediated integer floor-div.
+    */
+  val PlaneSweepConfigs = Seq((8, 4), (4, 4), (4, 6))
+
+  def lshPlaneSweep(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val truth = brute.agg(count(lit(1)).as("n_truth"))
+    PlaneSweepConfigs
+      .map { case (nt, np) =>
+        val ex = spread(emb(spark, dir))
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            posexplode(bucketExprCfg(col("embedding"), nt, np)).as(Seq("table_idx", "bucket"))
+          )
+        val q = ex
+          .filter(col("vec_id") < NumQueries)
+          .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"),
+            col("embedding").as("qe"), sqrt(normSq(col("embedding"))).as("nq"))
+        val n = ex.select(col("table_idx"), col("bucket"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), sqrt(normSq(col("embedding"))).as("nn"))
+        val cands = broadcast(q)
+          .join(n, Seq("table_idx", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            col("qe"), col("ne"), col("nq"), col("nn"))
+          .dropDuplicates("query_id", "neighbor_id")
+          .localCheckpoint()
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        val topk = cands
+          .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        cands
+          .agg(count(lit(1)).as("n_candidates"))
+          .join(topk.agg(count(lit(1)).as("n_topk")))
+          .join(topk.join(brute, Seq("query_id", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hits")))
+          .join(broadcast(truth))
+          .select(
+            lit(s"${nt}x$np").as("config"),
+            lit(nt.toLong).as("n_tables"),
+            lit(np.toLong).as("n_planes"),
+            col("n_candidates"),
+            col("n_topk"),
+            col("n_hits"),
+            expr("CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+              .as("recall_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
   }
 
   val KnnJoinK = 3

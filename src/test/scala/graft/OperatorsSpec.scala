@@ -5084,6 +5084,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lsh plane sweep: production row == lshTopK-derived counts; bounds hold") {
+    val brute = SimilarityOps.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityOps.lshPlaneSweep(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet ===
+      SimilarityOps.PlaneSweepConfigs.map { case (t, p) => s"${t}x$p" }.toSet)
+    // the 8x4 row IS the production path: its top-k and hit counts must
+    // equal what the ann_topk_lsh artifact + brute truth derive
+    val (_, nTopk, nHits, recall) = rows("8x4")
+    assert(nTopk === lsh.size.toLong)
+    assert(nHits === (lsh & brute).size.toLong)
+    assert(recall === (BigInt((lsh & brute).size) * 1000000 / brute.size).toLong)
+    val maxTopk = (SimilarityOps.NumQueries * SimilarityOps.TopK).toLong
+    rows.values.foreach { case (nc, nt, nh, rp) =>
+      assert(nh <= nt && nt <= math.min(nc, maxTopk) && rp <= 1000000L)
+    }
+  }
+
   test("heaps law: decile curve == first-occurrence reference; endpoints exact") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
