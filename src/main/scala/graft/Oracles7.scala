@@ -177,6 +177,23 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors DedupOps.dupSourceMatrix: the minhashLsh pair CTE joined
+    * twice to the doc directory, unordered source pair via
+    * least/greatest, HUGEINT-floored share ppm.
+    */
+  val dupSourceMatrix: String =
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |s AS (SELECT doc_id, source FROM documents),
+       |j AS (SELECT least(sa.source, sb.source) AS src_lo,
+       |             greatest(sa.source, sb.source) AS src_hi
+       |      FROM mh JOIN s sa ON sa.doc_id = doc_a
+       |              JOIN s sb ON sb.doc_id = doc_b),
+       |t AS (SELECT COUNT(*) AS n_total FROM mh)
+       |SELECT src_lo, src_hi, src_lo = src_hi AS intra_source,
+       | COUNT(*) AS n_pairs,
+       | CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // n_total AS BIGINT) AS pair_ppm
+       |FROM j CROSS JOIN t GROUP BY src_lo, src_hi, n_total""".stripMargin
+
   /** Mirrors SimilarityOps.lshPlaneSweep: per config the annTopkLsh
     * CTE chain with plane index l·P+i, counts as scalar subqueries,
     * the brute CTE (Oracles2.annTopkBruteforce — ONE definition of

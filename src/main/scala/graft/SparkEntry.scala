@@ -203,6 +203,7 @@ object SparkEntry {
     "decontam_ngram_sweep" -> DedupOps.decontamNgramSweep,
     "dup_growth_curve" -> DedupOps.dupGrowthCurve,
     "lsh_plane_sweep" -> SimilarityOps.lshPlaneSweep,
+    "dup_source_matrix" -> DedupOps.dupSourceMatrix,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -686,6 +687,7 @@ object SparkEntry {
     "decontam_ngram_sweep" -> Oracles7.decontamNgramSweep,
     "dup_growth_curve" -> Oracles7.dupGrowthCurve,
     "lsh_plane_sweep" -> Oracles7.lshPlaneSweep,
+    "dup_source_matrix" -> Oracles7.dupSourceMatrix,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

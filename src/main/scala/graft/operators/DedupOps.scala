@@ -515,6 +515,45 @@ object DedupOps {
     * variant's exact core; the lsh_band_sweep pattern applied to
     * decontamination.
     */
+  /** Cross-source duplication provenance matrix: every near-dup pair
+    * of the shared `minhash_pairs` ARTIFACT bucketed by the
+    * (unordered) source pair of its two ends, with the share of all
+    * pairs in ppm. THE partitioning decision this answers at 100 TB:
+    * a matrix dominated by the intra-source diagonal licenses
+    * PER-SOURCE dedup (each source dedups inside its own partition —
+    * no corpus-wide shuffle); heavy off-diagonal mass (syndication,
+    * mirrors) forces the global pass. It also names which source
+    * pairs actually share content — the mixing-weight double-count
+    * warning for sampling.
+    *
+    * Scale: pair-bounded artifact consumer — two equi-joins against
+    * the (doc_id, source) directory projection (the standard dim
+    * join), a ≤|sources|² aggregate, DECIMAL-mediated ppm.
+    */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi")
+      )
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("src_lo"),
+        col("src_hi"),
+        (col("src_lo") === col("src_hi")).as("intra_source"),
+        col("n_pairs"),
+        expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 DIV n_total AS BIGINT)")
+          .as("pair_ppm")
+      )
+  }
+
   /** Duplicate-rate growth curve: exact-dup statistics at nested
     * 25/50/75/100% corpus samples (md5 doc-id buckets — the same
     * deterministic sampler as the train/val/test split, so samples

@@ -5084,6 +5084,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dup source matrix: cells == pair-source reference; pair mass conserved") {
+    val srcs = Tables.documents(spark, Sf0001).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (x, y) = (srcs(a), srcs(b)); if (x <= y) (x, y) else (y, x)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (k, n) => k -> (n, (BigInt(n) * 1000000 / pairs.length).toLong) }
+    val got = DedupOps.dupSourceMatrix(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(2))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expected)
+    got.foreach { case ((lo, hi), (_, _, intra)) =>
+      assert(intra === (lo == hi)); assert(lo <= hi)
+    }
+    // every artifact pair lands in exactly one cell
+    assert(got.values.map(_._1).sum === pairs.length.toLong)
+  }
+
   test("lsh plane sweep: production row == lshTopK-derived counts; bounds hold") {
     val brute = SimilarityOps.bruteForceTopK(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
