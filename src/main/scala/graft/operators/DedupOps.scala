@@ -474,7 +474,7 @@ object DedupOps {
     * hashes with its train/val/test assignment — the shared input of
     * both decontamination variants.
     */
-  private def decontamPosting(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def decontamPosting(spark: SparkSession, dir: String): DataFrame =
     decontamPostingN(spark, dir, DecontamN)
 
   private def decontamPostingN(spark: SparkSession, dir: String, n: Int): DataFrame = {

@@ -879,6 +879,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: sliced ingest == batch leak report") {
+    // same 3-way doc_id-residue slicing as the near-dup stream test:
+    // the per-doc report is stateless, so ANY slicing must reproduce
+    // the batch decontaminate rows exactly
+    val tmp = java.nio.file.Files.createTempDirectory("decontam-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    // benchmark index comes from the canonical table, the stream reads
+    // the sliced copies — so contaminated docs must match batch exactly
+    val q = graft.streaming.DecontamStream
+      .flags(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.DedupOps.decontaminate(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "sf0.001 corpus should contain contamination")
+    } finally q.stop()
+  }
+
   test("incremental MD5 == JDK MessageDigest over randomized chunked feeds") {
     // the chunker's constant-size digest state must agree with the
     // reference digest for every (content, chunking) pair: absorb the
