@@ -33,7 +33,7 @@ object Oracles2 {
     * object vals initialize in declaration order, and a forward
     * reference interpolates null into the SQL.
     */
-  private val qualityExprSql: String =
+  private[graft] val qualityExprSql: String =
     """(CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END)
       |   * (1.0 - CASE WHEN length(text) > 0
       |            THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))

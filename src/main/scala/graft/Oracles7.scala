@@ -177,6 +177,59 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors TextOps.filterFunnel: the quality formula + exact-dedup
+    * keeper window over quality survivors, the clusterKeepers and
+    * decontaminate oracles as nested subqueries (ONE definition of
+    * each policy), cumulative conditional sums, HUGEINT-floored ppm.
+    */
+  val filterFunnel: String = {
+    val minQ = graft.operators.TextOps.TrainingPrepMinQuality
+    val names = Seq("raw", "quality", "exact_dedup", "near_dup", "decontam")
+    val branches = names.zipWithIndex.map { case (nm, i) =>
+      val (s, t) = (s"s${i + 1}", s"t${i + 1}")
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$nm' AS stage,
+         | $s AS n_docs, $t AS n_tokens,
+         | CAST(CAST($s AS HUGEINT) * 1000000 // s1 AS BIGINT) AS doc_yield_ppm,
+         | CASE WHEN t1 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(CAST($t AS HUGEINT) * 1000000 // t1 AS BIGINT)
+         | END AS token_yield_ppm
+         |FROM a""".stripMargin
+    }
+    s"""WITH base AS (
+       | SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       | FROM documents),
+       |q AS (SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n_toks,
+       |       (${Oracles2.qualityExprSql}) >= $minQ AS pass_q
+       |      FROM base),
+       |k AS (SELECT doc_id, fp, n_toks, pass_q,
+       |       doc_id = MIN(CASE WHEN pass_q THEN doc_id END)
+       |                OVER (PARTITION BY fp) AS is_keeper
+       |      FROM q),
+       |ck AS (SELECT doc_id, keep FROM (${Oracles2.clusterKeepers})),
+       |dc AS (SELECT train_doc FROM (${Oracles2.decontaminate})),
+       |f AS (SELECT k.n_toks, k.pass_q,
+       |       (k.pass_q AND k.is_keeper) AS c3,
+       |       (k.pass_q AND k.is_keeper AND COALESCE(ck.keep, TRUE)) AS c4,
+       |       (k.pass_q AND k.is_keeper AND COALESCE(ck.keep, TRUE)
+       |        AND dc.train_doc IS NULL) AS c5
+       |      FROM k LEFT JOIN ck ON ck.doc_id = k.doc_id
+       |             LEFT JOIN dc ON dc.train_doc = k.doc_id),
+       |a AS (SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS s1, CAST(SUM(n_toks) AS BIGINT) AS t1,
+       |  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |  CAST(SUM(CASE WHEN pass_q THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+       |  CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |  CAST(SUM(CASE WHEN c3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+       |  CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+       |  CAST(SUM(CASE WHEN c4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4,
+       |  CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+       |  CAST(SUM(CASE WHEN c5 THEN n_toks ELSE 0 END) AS BIGINT) AS t5
+       | FROM f)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirrors DedupOps.dupSourceMatrix: the minhashLsh pair CTE joined
     * twice to the doc directory, unordered source pair via
     * least/greatest, HUGEINT-floored share ppm.

@@ -204,6 +204,7 @@ object SparkEntry {
     "dup_growth_curve" -> DedupOps.dupGrowthCurve,
     "lsh_plane_sweep" -> SimilarityOps.lshPlaneSweep,
     "dup_source_matrix" -> DedupOps.dupSourceMatrix,
+    "filter_funnel" -> TextOps.filterFunnel,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -688,6 +689,7 @@ object SparkEntry {
     "dup_growth_curve" -> Oracles7.dupGrowthCurve,
     "lsh_plane_sweep" -> Oracles7.lshPlaneSweep,
     "dup_source_matrix" -> Oracles7.dupSourceMatrix,
+    "filter_funnel" -> Oracles7.filterFunnel,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

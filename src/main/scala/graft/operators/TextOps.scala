@@ -381,6 +381,83 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** The pipeline-yield FUNNEL: documents and tokens surviving each
+    * cumulative prep stage — raw → quality cut → exact-dedup keeper →
+    * near-dup cluster keeper → decontaminated — with doc/token yields
+    * in ppm of raw. [[trainingPrep]] reports the final table; this is
+    * the per-stage attrition sheet that tells a 100 TB pipeline owner
+    * WHERE the mass goes (is the corpus shrinking at the cheap quality
+    * cut or the expensive near-dup pass?) and therefore which stage to
+    * re-order or re-tune — filters are cheapest first only if their
+    * selectivities justify the ordering this sheet measures.
+    *
+    * Stage semantics (all deterministic, all composable from gated
+    * operators): quality ≥ [[TrainingPrepMinQuality]]; exact keeper =
+    * min doc_id per fingerprint AMONG quality survivors (one window
+    * over the fingerprint partition — no join); near-dup keeper =
+    * the cluster_keepers policy (best-quality member; docs outside
+    * any cluster pass); decontaminated = not in the benchmark leak
+    * report. Cluster labels and near-dup pairs are the session
+    * ARTIFACTS — no extra corpus pass.
+    *
+    * Scale: one corpus scan computes quality + fingerprint + token
+    * count per row; the fp window shuffles once on the fingerprint
+    * (exact dedup's own shuffle); two pair-bounded left joins attach
+    * keeper/contamination flags; the funnel itself is ONE aggregate
+    * with 5×2 conditional slots + a `stack` unpivot (the
+    * dup_growth_curve pattern). ppm DECIMAL-mediated.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toksC = tokens(lower(col("text")))
+    val base = withQualityCols(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("text"), toksC.as("toks"))
+    ).select(
+      col("doc_id"),
+      size(col("toks")).cast("bigint").as("n_toks"),
+      (col("quality") >= TrainingPrepMinQuality).as("pass_q"),
+      fingerprintExpr(col("text")).as("fp")
+    )
+    val w = Window.partitionBy(col("fp"))
+    val k = base.withColumn(
+      "is_keeper",
+      col("doc_id") === min(when(col("pass_q"), col("doc_id"))).over(w)
+    )
+    val ck = GraphOps.clusterKeepers(spark, dir).select(col("doc_id"), col("keep"))
+    val dc = DedupOps
+      .decontaminate(spark, dir)
+      .select(col("train_doc").as("doc_id"), lit(true).as("dirty"))
+    val conds = {
+      val c2 = col("pass_q")
+      val c3 = c2 && col("is_keeper")
+      val c4 = c3 && coalesce(col("keep"), lit(true))
+      val c5 = c4 && col("dirty").isNull
+      Seq(lit(true), c2, c3, c4, c5)
+    }
+    val slots = conds.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(c, 1L).otherwise(0L)).as(s"s${i + 1}"),
+        sum(when(c, col("n_toks")).otherwise(0L)).as(s"t${i + 1}")
+      )
+    }
+    val one = k
+      .join(ck, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .agg(slots.head, slots.tail: _*)
+    val names = Seq("raw", "quality", "exact_dedup", "near_dup", "decontam")
+    val stackArgs = names.zipWithIndex.map { case (nm, i) =>
+      val (s, t) = (s"s${i + 1}", s"t${i + 1}")
+      s"CAST(${i + 1} AS BIGINT), '$nm', $s, $t, " +
+        s"CAST(CAST($s AS DECIMAL(38,0)) * 1000000 DIV s1 AS BIGINT), " +
+        s"CASE WHEN t1 = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(CAST($t AS DECIMAL(38,0)) * 1000000 DIV t1 AS BIGINT) END"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${names.size}, $stackArgs) " +
+        "AS (stage_idx, stage, n_docs, n_tokens, doc_yield_ppm, token_yield_ppm)"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
     * runs / digits / single other glyphs), and the chars/4 estimate.
     */

@@ -5084,6 +5084,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("filter funnel: stages reconcile with their source operators; monotone") {
+    val rows = TextOps.filterFunnel(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet === (1L to 5L).toSet)
+    assert(rows(1L)._1 === "raw" && rows(5L)._1 === "decontam")
+    // raw row is the corpus; quality row is the quality operator's cut
+    val docs = Tables.documents(spark, Sf0001)
+      .select(size(TextOps.tokens(lower(col("text")))).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    assert(rows(1L)._2 === docs.length.toLong)
+    assert(rows(1L)._3 === docs.sum)
+    assert(rows(1L)._4 === 1000000L && rows(1L)._5 === 1000000L)
+    val nQuality = TextOps.qualityScore(spark, Sf0001)
+      .filter(col("quality") >= TextOps.TrainingPrepMinQuality).count()
+    assert(rows(2L)._2 === nQuality)
+    // cumulative: every stage can only lose mass
+    (1L to 4L).foreach { i =>
+      assert(rows(i)._2 >= rows(i + 1)._2, s"docs stage $i")
+      assert(rows(i)._3 >= rows(i + 1)._3, s"tokens stage $i")
+    }
+    // the funnel bites: at least one stage removes documents
+    assert(rows(5L)._2 < rows(1L)._2)
+  }
+
   test("dup source matrix: cells == pair-source reference; pair mass conserved") {
     val srcs = Tables.documents(spark, Sf0001).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
