@@ -177,6 +177,30 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors LayoutOps.shardStability: the same md5 rendezvous argmax
+    * (list_position of the list_max — FIRST maximum, like Spark's
+    * array_position) and modulo comparison, HUGEINT-floored ppm.
+    */
+  val shardStability: String = {
+    val (kf, kt) = (graft.operators.LayoutOps.ShardFrom, graft.operators.LayoutOps.ShardTo)
+    def hrwList(k: Int): String =
+      s"list_transform(range($k), s -> md5(CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)))"
+    s"""WITH h AS (
+       | SELECT doc_id % $kf AS m_from, doc_id % $kt AS m_to,
+       |  list_position(lf, list_max(lf)) - 1 AS r_from,
+       |  list_position(lt, list_max(lt)) - 1 AS r_to
+       | FROM (SELECT doc_id, ${hrwList(kf)} AS lf, ${hrwList(kt)} AS lt FROM documents)),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN m_from <> m_to THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+       |  CAST(SUM(CASE WHEN r_from <> r_to THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved
+       | FROM h)
+       |SELECT 'mod' AS scheme, n AS n_docs, mod_moved AS n_moved,
+       | CAST(CAST(mod_moved AS HUGEINT) * 1000000 // n AS BIGINT) AS moved_ppm FROM a
+       |UNION ALL
+       |SELECT 'rendezvous', n, hrw_moved,
+       | CAST(CAST(hrw_moved AS HUGEINT) * 1000000 // n AS BIGINT) FROM a""".stripMargin
+  }
+
   /** Mirrors TextOps.filterFunnel: the quality formula + exact-dedup
     * keeper window over quality survivors, the clusterKeepers and
     * decontaminate oracles as nested subqueries (ONE definition of

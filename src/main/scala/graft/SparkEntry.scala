@@ -205,6 +205,7 @@ object SparkEntry {
     "lsh_plane_sweep" -> SimilarityOps.lshPlaneSweep,
     "dup_source_matrix" -> DedupOps.dupSourceMatrix,
     "filter_funnel" -> TextOps.filterFunnel,
+    "shard_stability" -> LayoutOps.shardStability,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -690,6 +691,7 @@ object SparkEntry {
     "lsh_plane_sweep" -> Oracles7.lshPlaneSweep,
     "dup_source_matrix" -> Oracles7.dupSourceMatrix,
     "filter_funnel" -> Oracles7.filterFunnel,
+    "shard_stability" -> Oracles7.shardStability,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

@@ -115,4 +115,51 @@ object LayoutOps {
       .withColumn("x_span", col("max_x") - col("min_x"))
       .withColumn("y_span", col("max_y") - col("min_y"))
   }
+
+  /** Resharding-cost readout: when the shard count grows
+    * [[ShardFrom]] → [[ShardTo]], what fraction of documents MOVE
+    * under (a) modulo placement and (b) rendezvous (highest-random-
+    * weight) hashing. Modulo remaps ~K/(K+1) of all keys (a 100 TB
+    * re-bucket is a full-corpus rewrite); rendezvous moves only the
+    * ~1/(K+1) that the new shard wins — THE argument for consistent
+    * placement in any layout that ever grows: this query prices the
+    * difference in ppm instead of citing it.
+    *
+    * Rendezvous here is the md5 form both engines evaluate
+    * identically: shard = argmax over s of md5("<doc_id>_<s>"), ties
+    * impossible in practice and first-index-deterministic anyway
+    * (array_position/list_position both return the FIRST maximum).
+    * The hash arrays are built from LITERAL shard indexes (a static
+    * unrolled `array(...)`, not a higher-order `transform` — HOFs
+    * drop off whole-stage codegen), so the whole readout is one
+    * codegen scan + one 3-slot aggregate + a 2-row stack.
+    */
+  val ShardFrom = 10
+  val ShardTo = 11
+
+  def shardStability(spark: SparkSession, dir: String): DataFrame = {
+    def hrw(k: Int) = {
+      val hs = array((0 until k).map(s =>
+        md5(concat(col("doc_id").cast("string"), lit(s"_$s")))): _*)
+      array_position(hs, array_max(hs)) - 1L
+    }
+    val one = Tables
+      .documents(spark, dir)
+      .select(
+        (col("doc_id") % ShardFrom =!= col("doc_id") % ShardTo).as("mod_moved"),
+        (hrw(ShardFrom) =!= hrw(ShardTo)).as("hrw_moved")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_moved"),
+        sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("hrw_moved")
+      )
+    one.select(expr(
+      """stack(2,
+        | 'mod', n, mod_moved,
+        |  CAST(CAST(mod_moved AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT),
+        | 'rendezvous', n, hrw_moved,
+        |  CAST(CAST(hrw_moved AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)
+        |) AS (scheme, n_docs, n_moved, moved_ppm)""".stripMargin))
+  }
 }

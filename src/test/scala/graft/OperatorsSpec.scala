@@ -5084,6 +5084,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("shard stability: rendezvous/mod movement == digest reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hrw(id: Long, k: Int): Int = {
+      val hs = (0 until k).map(s => md5hex(s"${id}_$s"))
+      hs.indexOf(hs.max)
+    }
+    val ids = Tables.documents(spark, Sf0001).select("doc_id").collect().map(_.getLong(0))
+    val modMoved = ids.count(id => id % LayoutOps.ShardFrom != id % LayoutOps.ShardTo).toLong
+    val hrwMoved = ids.count(id =>
+      hrw(id, LayoutOps.ShardFrom) != hrw(id, LayoutOps.ShardTo)).toLong
+    val got = LayoutOps.shardStability(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("mod") ===
+      ((ids.length.toLong, modMoved, (BigInt(modMoved) * 1000000 / ids.length).toLong)))
+    assert(got("rendezvous") ===
+      ((ids.length.toLong, hrwMoved, (BigInt(hrwMoved) * 1000000 / ids.length).toLong)))
+    // the whole point: consistent placement moves an order of
+    // magnitude less data than modulo re-bucketing
+    assert(got("rendezvous")._3 * 5 < got("mod")._3)
+  }
+
   test("filter funnel: stages reconcile with their source operators; monotone") {
     val rows = TextOps.filterFunnel(spark, Sf0001).collect()
       .map(r => r.getLong(0) ->
