@@ -51,20 +51,26 @@ object Oracles2 {
       |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |      FROM documents)""".stripMargin
 
+  /** The hs → sigs → bands chain shared by minhashLsh and the
+    * candidate-volume audit (one definition of the banding policy).
+    */
+  private[graft] val minhashBandsCte: String =
+    """hs AS (
+      | SELECT doc_id, list_transform(shingles,
+      |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
+      | FROM sh),
+      |sigs AS (
+      | SELECT doc_id, list_transform(range(12),
+      |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
+      | FROM hs),
+      |bands AS (
+      | SELECT doc_id, b.band_idx,
+      |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
+      | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b)""".stripMargin
+
   val minhashLsh: String =
     s"""WITH $shinglesCte,
-       |hs AS (
-       | SELECT doc_id, list_transform(shingles,
-       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
-       | FROM sh),
-       |sigs AS (
-       | SELECT doc_id, list_transform(range(12),
-       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
-       | FROM hs),
-       |bands AS (
-       | SELECT doc_id, b.band_idx,
-       |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
-       | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
+       |$minhashBandsCte,
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
@@ -95,7 +101,7 @@ object Oracles2 {
        |WHERE jaccard >= 0.5""".stripMargin
 
   /** 64-bit simhash CTE ending in fp(doc_id, simhash). */
-  private val simhashCte =
+  private[graft] val simhashCte =
     """toks AS (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks

@@ -177,6 +177,47 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors DedupOps.candidateVolume: per scheme the SAME banding
+    * CTEs as the pair oracles (minhashBandsCte / simhashCte / the
+    * 8×4 plane construction), occupancy census, HUGEINT-mediated
+    * pair arithmetic.
+    */
+  val candidateVolume: String = {
+    def census(scheme: String, keysSubquery: String): String =
+      s"""SELECT '$scheme' AS scheme,
+         | CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         | CAST(SUM(occ) AS BIGINT) AS n_rows,
+         | CAST(MAX(occ) AS BIGINT) AS max_occ,
+         | CAST(SUM(CAST(CAST(occ AS HUGEINT) * (occ - 1) // 2 AS BIGINT)) AS BIGINT)
+         |  AS candidate_pairs
+         |FROM (SELECT COUNT(*) AS occ FROM ($keysSubquery) x GROUP BY k1, k2) o""".stripMargin
+    def lshBit(i: Int): String =
+      s"""CASE WHEN list_sum(list_transform(list_zip(embedding,
+         |  list_transform(range(64), j -> CASE WHEN substr(md5(CAST(l*4+$i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+         |                                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+         |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0.0 THEN '1' ELSE '0' END""".stripMargin
+    val mh = census(
+      "minhash_band",
+      s"""WITH ${Oracles2.shinglesCte},
+         |${Oracles2.minhashBandsCte}
+         |SELECT band_idx AS k1, band_hash AS k2 FROM bands""".stripMargin
+    )
+    val sh = census(
+      "simhash_band",
+      s"""WITH ${Oracles2.simhashCte}
+         |SELECT b.band_idx AS k1,
+         |  substr(simhash, CAST(b.band_idx*16+1 AS INT), 16) AS k2
+         |FROM fp, (SELECT unnest(range(4)) AS band_idx) b""".stripMargin
+    )
+    val lsh = census(
+      "lsh_table",
+      s"""SELECT l AS k1,
+         | concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS k2
+         |FROM embeddings, (SELECT unnest(range(8)) AS l)""".stripMargin
+    )
+    Seq(mh, sh, lsh).mkString("\nUNION ALL\n")
+  }
+
   /** Mirrors LayoutOps.shardStability: the same md5 rendezvous argmax
     * (list_position of the list_max — FIRST maximum, like Spark's
     * array_position) and modulo comparison, HUGEINT-floored ppm.

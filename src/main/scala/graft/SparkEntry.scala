@@ -206,6 +206,7 @@ object SparkEntry {
     "dup_source_matrix" -> DedupOps.dupSourceMatrix,
     "filter_funnel" -> TextOps.filterFunnel,
     "shard_stability" -> LayoutOps.shardStability,
+    "candidate_volume" -> DedupOps.candidateVolume,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -692,6 +693,7 @@ object SparkEntry {
     "dup_source_matrix" -> Oracles7.dupSourceMatrix,
     "filter_funnel" -> Oracles7.filterFunnel,
     "shard_stability" -> Oracles7.shardStability,
+    "candidate_volume" -> Oracles7.candidateVolume,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

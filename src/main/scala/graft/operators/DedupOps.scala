@@ -515,6 +515,58 @@ object DedupOps {
     * variant's exact core; the lsh_band_sweep pattern applied to
     * decontamination.
     */
+  /** Cross-scheme CANDIDATE-VOLUME audit: for each blocking scheme
+    * the engine runs (minhash signature bands, simhash bit bands, the
+    * embedding sign-LSH tables), the bucket census that prices its
+    * pair join BEFORE running it — Σ occ·(occ−1)/2 over buckets IS
+    * the exact number of candidate pairs the equi-join will emit, and
+    * max_occ is the straggler bucket AQE's skew split must break up.
+    * At 100 TB this is the planning query: run the census (one
+    * scan + one aggregate per scheme, no pair work), and only launch
+    * the join whose volume the cluster can afford — the band/plane
+    * knobs move mass between n_buckets and candidate_pairs, and
+    * [[lshBandSweep]] / `lsh_plane_sweep` price the recall side of
+    * the same trade.
+    *
+    * Scale: per scheme a scan-stage key map (the zero-shuffle kernel
+    * fingerprints/signatures), ONE shuffle on the bucket key, and a
+    * one-row rollup; the schemes union to a 3-row sheet. Pair math is
+    * DECIMAL-mediated (occ² wraps int64 past ~3·10⁹ rows per bucket).
+    */
+  def candidateVolume(spark: SparkSession, dir: String): DataFrame = {
+    def volume(scheme: String, keys: DataFrame): DataFrame =
+      keys
+        .groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("occ"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("occ")).as("n_rows"),
+          max(col("occ")).as("max_occ"),
+          sum(expr("CAST(CAST(occ AS DECIMAL(38,0)) * (occ - 1) DIV 2 AS BIGINT)"))
+            .as("candidate_pairs")
+        )
+        .select(
+          lit(scheme).as("scheme"),
+          col("n_buckets"),
+          col("n_rows"),
+          col("max_occ"),
+          col("candidate_pairs").cast("bigint").as("candidate_pairs")
+        )
+    val mhKeys = docSigsKernel(spark, dir)
+      .select(posexplode(array((0 until MinhashBands).map { b =>
+        concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
+      }: _*)).as(Seq("k1", "k2")))
+      .select(col("k1").cast("long").as("k1"), col("k2"))
+    val shKeys = simhash(spark, dir)
+      .select(posexplode(
+        transform(sequence(lit(0), lit(3)), b => col("simhash").substr(b * 16 + 1, lit(16)))
+      ).as(Seq("k1", "k2")))
+      .select(col("k1").cast("long").as("k1"), col("k2"))
+    volume("minhash_band", mhKeys)
+      .unionAll(volume("simhash_band", shKeys))
+      .unionAll(volume("lsh_table", SimilarityOps.lshBuckets(spark, dir)))
+  }
+
   /** Cross-source duplication provenance matrix: every near-dup pair
     * of the shared `minhash_pairs` ARTIFACT bucketed by the
     * (unordered) source pair of its two ends, with the share of all

@@ -249,6 +249,14 @@ object SimilarityOps {
       .reduce(_ unionAll _)
   }
 
+  /** The production (8×4) LSH bucket keys — (table_idx, bucket) per
+    * vector — exposed for the cross-scheme candidate-volume audit.
+    */
+  private[graft] def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    spread(emb(spark, dir))
+      .select(posexplode(bucketExpr(col("embedding"))).as(Seq("k1", "k2")))
+      .select(col("k1").cast("long").as("k1"), col("k2"))
+
   val KnnJoinK = 3
 
   /** Corpus-wide k-NN join: top-k approximate neighbors for EVERY

@@ -5084,6 +5084,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("candidate volume: universes reconcile; volumes bound the pair tables") {
+    val rows = DedupOps.candidateVolume(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("minhash_band", "simhash_band", "lsh_table"))
+    val docs = Tables.documents(spark, Sf0001)
+      .select(size(TextOps.tokens(lower(col("text")))).as("n")).collect().map(_.getInt(0))
+    // every scheme's n_rows is (bands|tables) x its eligible universe
+    assert(rows("minhash_band")._2 === 4L * docs.count(_ >= 3))
+    assert(rows("simhash_band")._2 === 4L * docs.count(_ >= 1))
+    val nVecs = Tables.embeddings(spark, Sf0001).count()
+    assert(rows("lsh_table")._2 === 8L * nVecs)
+    rows.values.foreach { case (nb, nr, mx, cp) =>
+      assert(nb <= nr && mx <= nr && cp >= 0L)
+    }
+    // the census UPPER-bounds the verified pair tables it prices
+    assert(rows("simhash_band")._4 >= DedupOps.simhashPairs(spark, Sf0001).count())
+    assert(rows("minhash_band")._4 >= DedupOps.minhashLsh(spark, Sf0001).count())
+  }
+
   test("shard stability: rendezvous/mod movement == digest reference") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
