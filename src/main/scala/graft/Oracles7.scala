@@ -177,6 +177,52 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors DedupOps.bloomFppSweep: the decontaminate posting CTEs
+    * (same 8-gram 60-bit hashes), md5-derived bit positions, count==k
+    * membership, HUGEINT-floored fpp among true negatives.
+    */
+  val bloomFppSweep: String = {
+    val k = graft.operators.DedupOps.BloomHashes
+    def posSql(src: String, m: Int): String =
+      s"""SELECT h, CAST(CAST(concat('0x', substr(md5(CAST(h AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))
+         |     AS UBIGINT) % $m AS BIGINT) AS bit
+         |FROM $src, (SELECT unnest(range($k)) AS i)""".stripMargin
+    val perM = graft.operators.DedupOps.BloomSweepBits.map { m =>
+      s"""bits$m AS (SELECT DISTINCT bit FROM (${posSql("te", m)})),
+         |pass$m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pass FROM (
+         |  SELECT h FROM (${posSql("tr", m)}) x
+         |  JOIN bits$m USING (bit)
+         |  GROUP BY h HAVING COUNT(*) = $k))""".stripMargin
+    }
+    val rows = graft.operators.DedupOps.BloomSweepBits.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m_bits, n_train AS n_train_hashes,
+         | n_true AS n_true_hits, n_pass,
+         | CASE WHEN n_train - n_true = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(CAST(n_pass - n_true AS HUGEINT) * 1000000
+         |                // (n_train - n_true) AS BIGINT) END AS false_pos_ppm
+         |FROM stat CROSS JOIN pass$m""".stripMargin
+    }
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, b,
+       |  list_distinct(list_transform(range(len(toks)-7),
+       |   i -> CAST(CAST(concat('0x', substr(md5(
+       |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
+       |        AS UBIGINT) AS BIGINT))) AS hs
+       | FROM toks WHERE len(toks) >= 8),
+       |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh),
+       |tr AS (SELECT DISTINCT h FROM p WHERE b < 80),
+       |te AS (SELECT DISTINCT h FROM p WHERE b >= 90),
+       |stat AS (SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
+       |                CAST((SELECT COUNT(*) FROM tr JOIN te USING (h)) AS BIGINT) AS n_true),
+       |${perM.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirrors DedupOps.candidateVolume: per scheme the SAME banding
     * CTEs as the pair oracles (minhashBandsCte / simhashCte / the
     * 8×4 plane construction), occupancy census, HUGEINT-mediated

@@ -207,6 +207,7 @@ object SparkEntry {
     "filter_funnel" -> TextOps.filterFunnel,
     "shard_stability" -> LayoutOps.shardStability,
     "candidate_volume" -> DedupOps.candidateVolume,
+    "bloom_fpp_sweep" -> DedupOps.bloomFppSweep,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -694,6 +695,7 @@ object SparkEntry {
     "filter_funnel" -> Oracles7.filterFunnel,
     "shard_stability" -> Oracles7.shardStability,
     "candidate_volume" -> Oracles7.candidateVolume,
+    "bloom_fpp_sweep" -> Oracles7.bloomFppSweep,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

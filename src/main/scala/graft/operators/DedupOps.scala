@@ -655,6 +655,70 @@ object DedupOps {
       )
   }
 
+  /** Bloom-prefilter SIZING curve for the decontamination pass: a
+    * deterministic bloom (k=[[BloomHashes]] md5-derived bit positions
+    * — the oracle-able twin of `decontaminateBloom`'s production
+    * `bloomFilter`) built over the benchmark's distinct shingle
+    * hashes at three bit-array sizes, measured by how many TRAIN
+    * shingle hashes survive it. n_pass − n_true_hits is the false-
+    * positive mass the exact join must still discard; its ppm among
+    * true negatives is the empirical fpp. THE sizing decision at
+    * 100 TB: the bloom rides EVERY map task of the corpus scan, so
+    * bits-per-benchmark-shingle buys shuffle reduction at broadcast
+    * cost — this curve prices both sides instead of quoting the
+    * 1/2^k asymptote.
+    *
+    * Scale: train/test distinct-hash sets are computed once from the
+    * shared posting (checkpointed); per size, bit membership is an
+    * equi-semi-join on the bit position (3 rows per hash, statically
+    * unrolled positions — no HOF) and a per-hash count==k filter.
+    * Bloom guarantee asserted in the spec: n_pass ≥ n_true_hits
+    * (no false negatives), false ppm monotone non-increasing in m.
+    */
+  val BloomSweepBits = Seq(4096, 16384, 65536)
+  val BloomHashes = 3
+
+  def bloomFppSweep(spark: SparkSession, dir: String): DataFrame = {
+    val posting = decontamPosting(spark, dir).localCheckpoint()
+    val trainH = posting.filter(col("split") === "train")
+      .select(col("h")).distinct().localCheckpoint()
+    val testH = posting.filter(col("split") === "test")
+      .select(col("h")).distinct().localCheckpoint()
+    def posArr(m: Int)(c: Column): Column =
+      array((0 until BloomHashes).map(i =>
+        conv(substring(md5(concat(c.cast("string"), lit(s"_$i"))), 1, 15), 16, 10)
+          .cast("long") % m): _*)
+    BloomSweepBits
+      .map { m =>
+        val bits = testH.select(explode(posArr(m)(col("h"))).as("bit")).distinct()
+        val passAgg = trainH
+          .select(col("h"), explode(posArr(m)(col("h"))).as("bit"))
+          .join(bits, Seq("bit"), "leftsemi")
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("nmatch"))
+          .filter(col("nmatch") === BloomHashes)
+          .agg(count(lit(1)).as("n_pass"))
+        val trueAgg = trainH.join(testH, Seq("h"), "leftsemi")
+          .agg(count(lit(1)).as("n_true"))
+        trainH
+          .agg(count(lit(1)).as("n_train"))
+          .join(trueAgg)
+          .join(passAgg)
+          .select(
+            lit(m.toLong).as("m_bits"),
+            col("n_train").as("n_train_hashes"),
+            col("n_true").as("n_true_hits"),
+            col("n_pass"),
+            expr(
+              """CASE WHEN n_train - n_true = 0 THEN CAST(0 AS BIGINT)
+                |ELSE CAST(CAST(n_pass - n_true AS DECIMAL(38,0)) * 1000000
+                |          DIV (n_train - n_true) AS BIGINT) END""".stripMargin
+            ).as("false_pos_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
+  }
+
   val DecontamSweepNs = Seq(4, 8, 13)
 
   def decontamNgramSweep(spark: SparkSession, dir: String): DataFrame = {

@@ -5084,6 +5084,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bloom fpp sweep: no false negatives, monotone fpp, digest reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val posting = DedupOps.decontamPosting(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val tr = posting.collect { case ("train", h) => h }.toSet
+    val te = posting.collect { case ("test", h) => h }.toSet
+    val nTrue = (tr & te).size.toLong
+    def pos(h: Long, i: Int, m: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"${h}_$i").substring(0, 15), 16) % m
+    val m0 = DedupOps.BloomSweepBits.head
+    val bits = te.flatMap(h => (0 until DedupOps.BloomHashes).map(i => pos(h, i, m0)))
+    val refPass = tr.count(h =>
+      (0 until DedupOps.BloomHashes).forall(i => bits(pos(h, i, m0)))).toLong
+    val got = DedupOps.bloomFppSweep(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1) === DedupOps.BloomSweepBits.map(_.toLong))
+    got.foreach { case (_, (nTrain, t, pass, _)) =>
+      assert(nTrain === tr.size.toLong)
+      assert(t === nTrue)
+      assert(pass >= t, "a bloom has NO false negatives")
+    }
+    assert(got.head._2._3 === refPass)
+    // more bits can only tighten the filter
+    val ppms = got.map(_._2._4)
+    assert(ppms === ppms.sorted.reverse)
+  }
+
   test("candidate volume: universes reconcile; volumes bound the pair tables") {
     val rows = DedupOps.candidateVolume(spark, Sf0001).collect()
       .map(r => r.getString(0) ->
