@@ -201,27 +201,48 @@ object SimilarityOps {
   def lshPlaneSweep(spark: SparkSession, dir: String): DataFrame = {
     val brute = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
     val truth = brute.agg(count(lit(1)).as("n_truth"))
+    // Every config slices the SAME 32-plane pool, so project each
+    // vector against all 32 planes ONCE (a 32-char sign string,
+    // checkpointed) and derive each config's bucket for table l as
+    // substring(l·P+1, P) — identical bits to bucketExprCfg (the
+    // pool-index contract), 32 dot products per vector total instead
+    // of 144 (each config × both join sides re-deriving its own).
+    val signs = planeSigns
+    val s32 = concat((0 until LshTables * LshPlanes).map { p =>
+      when(dot(col("embedding"), typedLit(signs(p).toSeq)) >= 0.0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+    val signed = spread(emb(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(normSq(col("embedding"))).as("nv"), s32.as("s32"))
+      .localCheckpoint()
     PlaneSweepConfigs
       .map { case (nt, np) =>
-        val ex = spread(emb(spark, dir))
+        val ex = signed
           .select(
             col("vec_id"),
             col("embedding"),
-            posexplode(bucketExprCfg(col("embedding"), nt, np)).as(Seq("table_idx", "bucket"))
+            col("nv"),
+            posexplode(array((0 until nt).map(l =>
+              substring(col("s32"), l * np + 1, np)): _*)).as(Seq("table_idx", "bucket"))
           )
         val q = ex
           .filter(col("vec_id") < NumQueries)
           .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"),
-            col("embedding").as("qe"), sqrt(normSq(col("embedding"))).as("nq"))
+            col("embedding").as("qe"), col("nv").as("nq"))
         val n = ex.select(col("table_idx"), col("bucket"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), sqrt(normSq(col("embedding"))).as("nn"))
+          col("embedding").as("ne"), col("nv").as("nn"))
+        // no per-config checkpoint: the three consumers (count, top-k,
+        // truth hits) re-derive candidates from the SIGNED checkpoint
+        // with one cheap broadcast join each, and all of them fold
+        // into the single final action — three synchronous checkpoint
+        // jobs per config measured slower than the recompute here
         val cands = broadcast(q)
           .join(n, Seq("table_idx", "bucket"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
             col("qe"), col("ne"), col("nq"), col("nn"))
           .dropDuplicates("query_id", "neighbor_id")
-          .localCheckpoint()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)
         val topk = cands
