@@ -177,6 +177,60 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors DedupOps.minhashPermSweep: the shared shingle + bands
+    * CTEs (sigs list reused for every width), the minhashLsh verify
+    * filter, integer |m·u − i·p| ppm per pair, HUGEINT arithmetic.
+    */
+  val minhashPermSweep: String = {
+    val ps = graft.operators.DedupOps.PermSweepPs
+    val matchCols = ps.map { p =>
+      s"""CAST(len(list_filter(range($p),
+         |  k -> sga.sigs[CAST(k+1 AS INT)] = sgb.sigs[CAST(k+1 AS INT)])) AS BIGINT) AS m$p"""
+        .stripMargin
+    }.mkString(",\n ")
+    val errCols = ps.map { p =>
+      s"""CAST(SUM(CAST(ABS(CAST(m$p AS HUGEINT) * uni - CAST(inter AS HUGEINT) * $p)
+         |     * 1000000 // (CAST($p AS HUGEINT) * uni) AS BIGINT)) AS BIGINT) AS e$p"""
+        .stripMargin
+    }.mkString(",\n ")
+    val rows = ps.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_perms, n_pairs, e$p AS sum_err_ppm,
+         | CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(CAST(e$p AS HUGEINT) // n_pairs AS BIGINT) END AS mean_err_ppm
+         |FROM a""".stripMargin
+    }
+    s"""WITH ${Oracles2.shinglesCte},
+       |${Oracles2.minhashBandsCte},
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |ver AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+       |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS uni
+       | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       | WHERE ${Oracles2.jaccardExpr} >= 0.7),
+       |m AS (
+       | SELECT inter, uni,
+       | $matchCols
+       | FROM ver JOIN sigs sga ON sga.doc_id = doc_a JOIN sigs sgb ON sgb.doc_id = doc_b),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       | $errCols
+       | FROM m)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Mirrors EventOps.saltingPlan: integer ceil via (n + T−1) // T. */
+  val saltingPlan: String = {
+    val t = graft.operators.EventOps.SaltTargetRows
+    s"""SELECT event_type, n_rows,
+       | CAST((n_rows + ${t - 1}) // $t AS BIGINT) AS salt_factor,
+       | CAST((n_rows + (n_rows + ${t - 1}) // $t - 1)
+       |      // ((n_rows + ${t - 1}) // $t) AS BIGINT) AS rows_per_task
+       |FROM (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1)""".stripMargin
+  }
+
   /** Mirrors DedupOps.bloomFppSweep: the decontaminate posting CTEs
     * (same 8-gram 60-bit hashes), md5-derived bit positions, count==k
     * membership, HUGEINT-floored fpp among true negatives.

@@ -208,6 +208,8 @@ object SparkEntry {
     "shard_stability" -> LayoutOps.shardStability,
     "candidate_volume" -> DedupOps.candidateVolume,
     "bloom_fpp_sweep" -> DedupOps.bloomFppSweep,
+    "salting_plan" -> EventOps.saltingPlan,
+    "minhash_perm_sweep" -> DedupOps.minhashPermSweep,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -696,6 +698,8 @@ object SparkEntry {
     "shard_stability" -> Oracles7.shardStability,
     "candidate_volume" -> Oracles7.candidateVolume,
     "bloom_fpp_sweep" -> Oracles7.bloomFppSweep,
+    "salting_plan" -> Oracles7.saltingPlan,
+    "minhash_perm_sweep" -> Oracles7.minhashPermSweep,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

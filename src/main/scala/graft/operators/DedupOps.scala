@@ -655,6 +655,72 @@ object DedupOps {
       )
   }
 
+  /** MinHash PERMUTATION-count sweep: the Jaccard-estimator error at
+    * 4 / 8 / 12 permutations over the verified near-dup pairs — the
+    * signature-width half of the design space whose band half
+    * `lsh_band_sweep` prices (bands×rows factorizations consume the
+    * permutation budget this sweep sizes). Error per pair is EXACT
+    * integer arithmetic: |est − J| = |m·u − i·p| / (p·u) floored to
+    * ppm (never floor(double·10⁶) — the 1-ulp boundary seam), so the
+    * aggregate is order-free and engine-identical. At 100 TB the
+    * permutation count is bytes-per-document in the signature store
+    * AND cells-per-row in every band join — this curve says what the
+    * marginal permutation actually buys in estimator precision
+    * (theory: stderr ~ 1/√p, so 12→24 perms buys only √2).
+    *
+    * Scale: pair-bounded throughout — the pair list is the session
+    * ARTIFACT, inter/union ride the posting join the verifier already
+    * pays, signatures attach by two doc-key joins, and ALL sweep
+    * widths are conditional sums over ONE pair frame (no re-joins
+    * per width) + a stack unpivot.
+    */
+  val PermSweepPs = Seq(4, 8, 12)
+
+  def minhashPermSweep(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePosting(spark, dir).localCheckpoint()
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val counts = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(posting.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sigs = docSigsKernel(spark, dir)
+    val sa = sigs.select(
+      (col("doc_id").as("doc_a") +: (0 until MinhashPerms).map(k => col(s"sig$k").as(s"a$k"))): _*)
+    val sb = sigs.select(
+      (col("doc_id").as("doc_b") +: (0 until MinhashPerms).map(k => col(s"sig$k").as(s"b$k"))): _*)
+    val perPair = pairs
+      .join(shared, Seq("doc_a", "doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .select(
+        (col("inter") +: col("uni") +: PermSweepPs.map { p =>
+          (0 until p)
+            .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+            .reduce(_ + _).as(s"m$p")
+        }): _*
+      )
+    val slots = count(lit(1)).as("n_pairs") +: PermSweepPs.map { p =>
+      sum(expr(
+        s"""CAST(ABS(CAST(m$p AS DECIMAL(38,0)) * uni - CAST(inter AS DECIMAL(38,0)) * $p)
+           |     * 1000000 DIV (CAST($p AS DECIMAL(38,0)) * uni) AS BIGINT)""".stripMargin
+      )).as(s"e$p")
+    }
+    val one = perPair.agg(slots.head, slots.tail: _*)
+    val stackArgs = PermSweepPs.map { p =>
+      s"CAST($p AS BIGINT), n_pairs, CAST(e$p AS BIGINT), " +
+        s"CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(CAST(e$p AS DECIMAL(38,0)) DIV n_pairs AS BIGINT) END"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${PermSweepPs.size}, $stackArgs) " +
+        "AS (n_perms, n_pairs, sum_err_ppm, mean_err_ppm)"))
+  }
+
   /** Bloom-prefilter SIZING curve for the decontamination pass: a
     * deterministic bloom (k=[[BloomHashes]] md5-derived bit positions
     * — the oracle-able twin of `decontaminateBloom`'s production

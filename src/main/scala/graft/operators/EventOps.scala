@@ -2827,4 +2827,36 @@ object EventOps {
     counts.join(distincts, Seq("col"))
       .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
+
+  /** Skew SALTING plan for the hot grouping dimension: per event_type
+    * (the few-dominating-values key that defeats hash partitioning),
+    * the salt factor that caps any single reduce task at
+    * [[SaltTargetRows]] rows and the resulting per-task row bound —
+    * the exact parameters [[Skew.saltedSumByKey]] /
+    * [[Skew.saltedEquiJoin]] consume. At 100 TB this is the
+    * run-before-the-job planning query: a key histogram costs one
+    * partial-agg shuffle (combiner-collapsed: |key domain| rows move,
+    * not the corpus), and choosing factors from it turns a
+    * one-straggler reduce into factor-way parallelism with bounded
+    * task memory — the aggregation twin of AQE's join-side skew
+    * split, which does NOT cover hash aggregates on hot keys.
+    *
+    * All integer: factor = ceil via (n + T−1) DIV T, per-task bound
+    * = ceil(n / factor) — both engine-identical floor arithmetic.
+    */
+  val SaltTargetRows = 256
+
+  def saltingPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn(
+        "salt_factor",
+        expr(s"CAST((n_rows + ${SaltTargetRows - 1}) DIV $SaltTargetRows AS BIGINT)")
+      )
+      .withColumn(
+        "rows_per_task",
+        expr("CAST((n_rows + salt_factor - 1) DIV salt_factor AS BIGINT)")
+      )
 }

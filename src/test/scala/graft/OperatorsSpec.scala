@@ -5084,6 +5084,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("minhash perm sweep: integer error sums == kernel reference; error shrinks") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.MinHashKernel
+    def toks(text: String): Array[String] =
+      text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    def arr(ts: Array[String]) =
+      new GenericArrayData(ts.map(t => UTF8String.fromString(t): AnyRef))
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    def shingleSet(id: Long): Set[Long] =
+      MinHashKernel.windowHashes(arr(docs(id)), 3).toLongArray.toSet
+    def sig(id: Long): Array[Long] = MinHashKernel.sigs(arr(docs(id)), 3).toLongArray
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = DedupOps.PermSweepPs.map { p =>
+      val errs = pairs.map { case (a, b) =>
+        val (sa, sb) = (shingleSet(a), shingleSet(b))
+        val (inter, uni) = ((sa & sb).size.toLong, (sa | sb).size.toLong)
+        val m = sig(a).take(p).zip(sig(b).take(p)).count { case (x, y) => x == y }.toLong
+        ((BigInt(m) * uni - BigInt(inter) * p).abs * 1000000 / (BigInt(p) * uni)).toLong
+      }
+      (p.toLong, pairs.length.toLong, errs.sum,
+        if (pairs.isEmpty) 0L else errs.sum / pairs.length)
+    }.toSet
+    val got = DedupOps.minhashPermSweep(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // more permutations can only sharpen the estimator on average
+    val byP = got.toSeq.sortBy(_._1).map(_._4)
+    assert(byP === byP.sorted.reverse)
+  }
+
+  test("salting plan: factors cap every task at the target; salted agg unchanged") {
+    val rows = EventOps.saltingPlan(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val counts = Tables.events(spark, Sf0001).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.view.mapValues(_._1).toMap === counts)
+    rows.values.foreach { case (n, f, per) =>
+      assert(f === (n + EventOps.SaltTargetRows - 1) / EventOps.SaltTargetRows)
+      assert(per <= EventOps.SaltTargetRows, "the whole point: bounded task rows")
+      assert(f * per >= n && (f - 1) * per < n.max(1), "factor is minimal-ish")
+    }
+    // executing the plan with Skew.saltedSumByKey reproduces the plain agg
+    val decimals = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value").cast("decimal(38,10)").as("value"))
+    val plain = decimals.groupBy("event_type")
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    val maxFactor = rows.values.map(_._2).max.toInt
+    val salted = Skew.saltedSumByKey(decimals, "event_type", "value", maxFactor)
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
   test("bloom fpp sweep: no false negatives, monotone fpp, digest reference") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
