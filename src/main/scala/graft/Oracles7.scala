@@ -177,6 +177,24 @@ object Oracles7 {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors SimilarityOps.lexicalVsSemantic: the two pair oracles
+    * (ONE definition each) full-outer-joined, HUGEINT-floored share.
+    */
+  val lexicalVsSemantic: String =
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |nd AS (${Oracles2.annNearDup}),
+       |cats AS (
+       | SELECT CASE WHEN mh.doc_a IS NOT NULL AND nd.vec_a IS NOT NULL THEN 'both'
+       |             WHEN mh.doc_a IS NOT NULL THEN 'lexical_only'
+       |             ELSE 'semantic_only' END AS category
+       | FROM mh FULL OUTER JOIN nd
+       |   ON mh.doc_a = nd.vec_a AND mh.doc_b = nd.vec_b),
+       |c AS (SELECT category, COUNT(*) AS n_pairs FROM cats GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_union FROM c)
+       |SELECT category, n_pairs,
+       | CAST(CAST(n_pairs AS HUGEINT) * 1000000 // n_union AS BIGINT) AS share_ppm
+       |FROM c CROSS JOIN t""".stripMargin
+
   /** Mirrors DedupOps.minhashPermSweep: the shared shingle + bands
     * CTEs (sigs list reused for every width), the minhashLsh verify
     * filter, integer |m·u − i·p| ppm per pair, HUGEINT arithmetic.

@@ -210,6 +210,7 @@ object SparkEntry {
     "bloom_fpp_sweep" -> DedupOps.bloomFppSweep,
     "salting_plan" -> EventOps.saltingPlan,
     "minhash_perm_sweep" -> DedupOps.minhashPermSweep,
+    "lexical_vs_semantic" -> SimilarityOps.lexicalVsSemantic,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
     // bloom semi-join reduction; exact result -> shares the oracle
@@ -700,6 +701,7 @@ object SparkEntry {
     "bloom_fpp_sweep" -> Oracles7.bloomFppSweep,
     "salting_plan" -> Oracles7.saltingPlan,
     "minhash_perm_sweep" -> Oracles7.minhashPermSweep,
+    "lexical_vs_semantic" -> Oracles7.lexicalVsSemantic,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
     "seq_packing" -> Oracles2.seqPacking,

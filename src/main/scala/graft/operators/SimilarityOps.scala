@@ -270,6 +270,47 @@ object SimilarityOps {
       .reduce(_ unionAll _)
   }
 
+  /** Lexical-vs-semantic near-dup AGREEMENT audit: the minhash pair
+    * graph (token-level near-copies) full-outer-joined with the
+    * embedding-cosine pair graph (semantic near-copies) over the
+    * shared doc/vec id universe, bucketed both/lexical_only/
+    * semantic_only with each category's share of the union in ppm.
+    * THE ensemble question for a dedup budget: `semantic_only` mass
+    * is what SemDeDup catches that shingling cannot (paraphrase,
+    * translation, re-render), `lexical_only` is what embeddings blur
+    * past — if either is ~0, the other pass can be dropped at 100 TB
+    * and this sheet is the evidence.
+    *
+    * Scale: BOTH inputs are session pair-graph ARTIFACTS (zero corpus
+    * passes here); one pair-keyed full outer join + a 3-row
+    * aggregate. Both graphs emit canonical a<b orientation, so the
+    * join key needs no normalization.
+    */
+  def lexicalVsSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val lex = DedupOps.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("lex"))
+    val sem = embeddingNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), lit(true).as("sem"))
+    val cats = lex
+      .join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(coalesce(col("lex"), lit(false)) && coalesce(col("sem"), lit(false)), "both")
+          .when(coalesce(col("lex"), lit(false)), "lexical_only")
+          .otherwise("semantic_only").as("category")
+      )
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = cats.agg(sum(col("n_pairs")).as("n_union"))
+    cats
+      .crossJoin(broadcast(total))
+      .select(
+        col("category"),
+        col("n_pairs"),
+        expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 DIV n_union AS BIGINT)")
+          .as("share_ppm")
+      )
+  }
+
   /** The production (8×4) LSH bucket keys — (table_idx, bucket) per
     * vector — exposed for the cross-scheme candidate-volume audit.
     */

@@ -5084,6 +5084,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lexical vs semantic: categories == artifact set algebra") {
+    val lex = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = SimilarityOps.embeddingNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val union = (lex | sem).size.toLong
+    val expected = Seq(
+      "both" -> (lex & sem).size.toLong,
+      "lexical_only" -> (lex -- sem).size.toLong,
+      "semantic_only" -> (sem -- lex).size.toLong
+    ).filter(_._2 > 0)
+      .map { case (c, n) => c -> (n, (BigInt(n) * 1000000 / union).toLong) }
+      .toMap
+    val got = SimilarityOps.lexicalVsSemantic(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === union)
+  }
+
   test("minhash perm sweep: integer error sums == kernel reference; error shrinks") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
