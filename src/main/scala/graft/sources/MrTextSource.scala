@@ -77,6 +77,12 @@ object MrTextSource {
       .toSeq
   }
 
+  /** Test-only observability: the most recent runtime-filter prune as
+    * (files before, files kept) — EngineSpec asserts DPP actually
+    * dropped files, not just rows.
+    */
+  @volatile private[graft] var lastRuntimePrune: Option[(Int, Int)] = None
+
   /** Convenience writer: KeyValue dataset → reference sink layout via
     * the declarative write path (bucket computed with the same FNV-1a
     * codegen expression the engine uses everywhere).
@@ -110,12 +116,12 @@ private[sources] class MrTextTable(path: String) extends Table with SupportsRead
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MrTextScanBuilder(path)
+    new MrTextScanBuilder(path, Option(options.get("nreduce")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MrTextWriteBuilder(path, info)
 }
 
-private[sources] class MrTextScanBuilder(path: String)
+private[sources] class MrTextScanBuilder(path: String, nReduce: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -186,7 +192,7 @@ private[sources] class MrTextScanBuilder(path: String)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new MrTextAggScan(path, buckets, funcs)
-    case None => new MrTextScan(path, buckets, required)
+    case None => new MrTextScan(path, buckets, required, nReduce)
   }
 }
 
@@ -275,18 +281,79 @@ private[sources] class MrTextAggReaderFactory(funcs: Seq[String])
     }
   }
 
-private[sources] class MrTextScan(path: String, buckets: Option[Set[Int]], required: StructType)
+/** The row scan, with DSv2 RUNTIME filtering — the dynamic-partition-
+  * pruning analog for the reference's bucket layout: when this scan
+  * sits on the probe side of an equi-join, Spark hands it the build
+  * side's join-key values at execution time (`SupportsRuntimeFiltering
+  * .filter`), and whole bucket FILES whose FNV bucket cannot contain
+  * any of those keys are dropped before a byte is read. `bucket` is
+  * prunable directly (bucket == file index); `key` is prunable iff the
+  * reader declared the writer's bucket count via `.option("nreduce",
+  * N)` — the same trust contract as Spark's own bucketed tables,
+  * where lying metadata is a correctness bug. A declared N smaller
+  * than an observed file index is rejected at plan time (the layout
+  * contradicts the declaration), never silently mis-pruned. At 100 TB
+  * this is the difference between a star-join reading one bucket file
+  * per dim key and reading the whole fact sink.
+  */
+private[sources] class MrTextScan(
+    path: String,
+    buckets: Option[Set[Int]],
+    required: StructType,
+    nReduce: Option[Int] = None)
     extends Scan
-    with Batch {
+    with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"MrTextScan(path=$path, buckets=${buckets.map(_.toSeq.sorted.mkString(",")).getOrElse("*")})"
 
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    // only columns that SURVIVED pruning: Spark resolves these against
+    // the scan's output, so advertising a pruned-away column is an
+    // analysis error, not a no-op
+    val out = required.fieldNames.toSet
+    (Seq("bucket").filter(out) ++ Seq("key").filter(k => out(k) && nReduce.isDefined))
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def keyBuckets(keys: Iterable[Any]): Option[Set[Int]] = nReduce.map { n =>
+      keys.collect { case s: String => graft.functions.Fnv1a.hash(s) % n }.toSet
+    }
+    val sets = filters.flatMap {
+      case In("bucket", vs) => Some(vs.collect { case i: Int => i }.toSet)
+      case EqualTo("bucket", v: Int) => Some(Set(v))
+      case In("key", vs) => keyBuckets(vs.toSeq)
+      case EqualTo("key", v: String) => keyBuckets(Seq(v))
+      case _ => None // unrecognized runtime filter: pruning is optional
+    }
+    if (sets.nonEmpty) {
+      val merged = sets.reduce(_ intersect _)
+      runtimeBuckets = Some(runtimeBuckets.fold(merged)(_ intersect merged))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    MrTextSource
+    val all = MrTextSource
       .listBucketFiles(path)
       .filter { case (_, b) => buckets.forall(_.contains(b)) }
+    // a declared bucket count the layout contradicts would mis-route
+    // keys: refuse loudly instead of silently pruning wrong files
+    nReduce.foreach { n =>
+      val bad = all.filter(_._2 >= n)
+      require(bad.isEmpty,
+        s"nreduce=$n contradicts bucket files ${bad.map(_._2).sorted.mkString(",")} in $path")
+    }
+    val kept = all.filter { case (_, b) => runtimeBuckets.forall(_.contains(b)) }
+    if (runtimeBuckets.isDefined) {
+      MrTextSource.lastRuntimePrune = Some((all.size, kept.size))
+    }
+    kept
       .map { case (f, b) => MrTextPartition(f, b): InputPartition }
       .toArray
       .sortBy(_.asInstanceOf[MrTextPartition].bucket)

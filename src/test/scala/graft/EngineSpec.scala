@@ -151,6 +151,43 @@ class EngineSpec extends AnyFunSuite {
       "intersecting contradictory pushed filters must prune every file")
   }
 
+  test("MrTextSource: runtime filtering (DSv2 DPP) prunes bucket FILES from join keys") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dpp").toString
+    val data = (1 to 60).map(i => KeyValue(s"key$i", i.toString))
+    val nReduce = 4
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = nReduce)
+    val fact = spark.read.format("graft.sources.MrTextSource")
+      .option("path", tmp).option("nreduce", nReduce.toString).load()
+    // dim keys landing in a strict subset of the buckets
+    val dimKeys = Seq("key7", "key13")
+    val wantBuckets = dimKeys.map(k => Fnv1a.hash(k) % nReduce).toSet
+    assert(wantBuckets.size < nReduce, "test needs keys covering a strict bucket subset")
+    // the filter marks the build side selective (the DPP precondition);
+    // parquet-backed so ConvertToLocalRelation cannot fold it away, and
+    // a COMPARISON (not an equality, even negated — Spark's
+    // CleanupDynamicPruningFilters collects nested EqualTo(attr,
+    // literal) and drops DPP as "statically pruned")
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    dimKeys.toDF("key").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"key" > "")
+    graft.sources.MrTextSource.lastRuntimePrune = None
+    val joined = fact.join(dim, Seq("key"))
+    val got = joined.select($"key", $"value").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === dimKeys.map(k => (k, k.stripPrefix("key"))).toSet)
+    val prune = graft.sources.MrTextSource.lastRuntimePrune
+    assert(prune.exists { case (tot, kept) => tot == nReduce && kept == wantBuckets.size },
+      s"runtime filter did not prune files (got $prune):\n${joined.queryExecution.executedPlan}")
+    // a declared bucket count the layout contradicts fails loudly at
+    // plan time — never a silent mis-prune
+    val bad = spark.read.format("graft.sources.MrTextSource")
+      .option("path", tmp).option("nreduce", "2").load()
+    val e = intercept[Throwable] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nreduce=2 contradicts")), s"unexpected: $e")
+  }
+
   test("MrTextSource: MIN/MAX(key) push down to first/last-line reads via the sort invariant") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-agg").toString
