@@ -979,6 +979,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("round-6 planning queries are partition-invariant: parallelism 2 vs 16") {
+    // the late-addition board members with real shuffle structure —
+    // RankOps ledgers (zipf), fp windows (funnel, growth), bucket
+    // censuses, posting joins (bloom, perm sweep) — must not bake the
+    // partition count into any value. Artifact consumers still
+    // exercise their own joins/aggregates even when the artifact is
+    // session-cached.
+    val names = Seq("heaps_law", "zipf_fit", "dup_growth_curve", "dup_source_matrix",
+      "filter_funnel", "shard_stability", "candidate_volume", "bloom_fpp_sweep",
+      "salting_plan", "minhash_perm_sweep", "lexical_vs_semantic", "lsh_plane_sweep")
+    def run(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+    }.toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("data split: every doc assigned, ratios near 80/10/10, assignment is id-stable") {
     import org.apache.spark.sql.functions.col
     val counts = TextOps.dataSplit(spark, Sf001).collect()
