@@ -303,7 +303,8 @@ private[sources] class MrTextScan(
     nReduce: Option[Int] = None)
     extends Scan
     with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -360,6 +361,30 @@ private[sources] class MrTextScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new MrTextReaderFactory(required)
+
+  /** Real size statistics from the surviving bucket files, so
+    * Catalyst's join planning sees the actual bytes instead of the
+    * defaultSizeInBytes "assume huge" fallback — a small mr-out sink
+    * on the build side of a join now broadcasts like any parquet
+    * table would. Composes with pushed bucket filters: a
+    * bucket-pruned scan reports only the surviving files' bytes
+    * (the same contract as parquet partition pruning feeding stats).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val conf = new Configuration()
+    val sizes = MrTextSource
+      .listBucketFiles(path)
+      .filter { case (_, b) => buckets.forall(_.contains(b)) }
+      .map { case (f, _) =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }
+    val total = sizes.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 }
 
 private[sources] case class MrTextPartition(file: String, bucket: Int) extends InputPartition

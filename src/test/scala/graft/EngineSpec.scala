@@ -188,6 +188,36 @@ class EngineSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("nreduce=2 contradicts")), s"unexpected: $e")
   }
 
+  test("MrTextSource: reported statistics are real file bytes; small sink auto-broadcasts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stats").toString
+    val data = (1 to 60).map(i => KeyValue(s"key$i", i.toString))
+    Engine.writeText(spark.createDataset(data), tmp, nReduce = 4)
+    val df = spark.read.format("graft.sources.MrTextSource").option("path", tmp).load()
+    val want = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("mr-out-"))
+      .map(_.length()).sum
+    val full = df.queryExecution.optimizedPlan.collectLeaves().head.stats.sizeInBytes
+    assert(full === BigInt(want), "stats must be the sink's actual bytes, not a default")
+    // stats compose with pushed bucket pruning
+    val pruned = df.filter($"bucket" === 2).queryExecution.optimizedPlan
+      .collectLeaves().head.stats.sizeInBytes
+    assert(pruned < full && pruned > 0)
+    // real stats drive the broadcast decision WITHOUT a hint: the mr
+    // sink is small, the parquet side big — planner must broadcast us
+    val bigDir = Files.createTempDirectory("graft-stats-big").toString
+    (1 to 20000).map(i => (s"key${i % 60 + 1}", "x" * 50)).toDF("key", "pad")
+      .write.mode("overwrite").parquet(bigDir)
+    val big = spark.read.parquet(bigDir)
+    val joined = big.join(df.select($"key", $"value"), Seq("key"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints the plan twice
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    val broadcastSide = plan.split("BroadcastExchange")(1)
+    assert(broadcastSide.contains("MrTextScan"),
+      s"the small mr sink must be the broadcast side:\n$plan")
+  }
+
   test("MrTextSource: MIN/MAX(key) push down to first/last-line reads via the sort invariant") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-agg").toString
