@@ -62,16 +62,22 @@ object MrTextSource {
     * streaming-epoch layout (`part-00003-00007`, bucket-task) all
     * parse by the leading digit run after the prefix.
     */
-  private[sources] def listBucketFiles(dir: String): Seq[(String, Int)] = {
+  private[sources] def listBucketFiles(dir: String): Seq[(String, Int)] =
+    listBucketFilesWithSize(dir).map { case (f, b, _) => (f, b) }
+
+  /** Same listing with each file's length carried from the ONE
+    * `listStatus` call — the statistics path must not pay a
+    * getFileStatus round-trip per file per planning pass.
+    */
+  private[sources] def listBucketFilesWithSize(dir: String): Seq[(String, Int, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
     val BucketName = "(?:part|mr-out)-(\\d+).*".r
     fs.listStatus(p)
       .iterator
-      .map(_.getPath)
-      .flatMap(f =>
-        f.getName match {
-          case BucketName(b) => Some((f.toString, b.toInt))
+      .flatMap(st =>
+        st.getPath.getName match {
+          case BucketName(b) => Some((st.getPath.toString, b.toInt, st.getLen))
           case _ => None
         })
       .toSeq
@@ -323,15 +329,23 @@ private[sources] class MrTextScan(
   }
 
   override def filter(filters: Array[Filter]): Unit = {
-    def keyBuckets(keys: Iterable[Any]): Option[Set[Int]] = nReduce.map { n =>
-      keys.collect { case s: String => graft.functions.Fnv1a.hash(s) % n }.toSet
+    // Pruning is OPTIONAL but must never drop data: a filter whose
+    // values don't all match the expected JVM type is skipped whole
+    // (the same refusal pushFilters makes with its forall guard) —
+    // a partial collect would shrink the bucket set, possibly to
+    // empty, and silently return no rows.
+    def keyBuckets(keys: Array[Any]): Option[Set[Int]] = nReduce.flatMap { n =>
+      if (keys.forall(_.isInstanceOf[String]))
+        Some(keys.map(k => graft.functions.Fnv1a.hash(k.asInstanceOf[String]) % n).toSet)
+      else None
     }
     val sets = filters.flatMap {
-      case In("bucket", vs) => Some(vs.collect { case i: Int => i }.toSet)
+      case In("bucket", vs) if vs.forall(_.isInstanceOf[Int]) =>
+        Some(vs.map(_.asInstanceOf[Int]).toSet)
       case EqualTo("bucket", v: Int) => Some(Set(v))
-      case In("key", vs) => keyBuckets(vs.toSeq)
-      case EqualTo("key", v: String) => keyBuckets(Seq(v))
-      case _ => None // unrecognized runtime filter: pruning is optional
+      case In("key", vs) => keyBuckets(vs)
+      case EqualTo("key", v: String) => keyBuckets(Array(v))
+      case _ => None // unrecognized runtime filter: ignore, don't prune
     }
     if (sets.nonEmpty) {
       val merged = sets.reduce(_ intersect _)
@@ -339,23 +353,30 @@ private[sources] class MrTextScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val all = MrTextSource
-      .listBucketFiles(path)
-      .filter { case (_, b) => buckets.forall(_.contains(b)) }
-    // a declared bucket count the layout contradicts would mis-route
-    // keys: refuse loudly instead of silently pruning wrong files
+  /** The FULL layout listing, validated against the declared bucket
+    * count BEFORE any static bucket filter narrows it — a too-small
+    * `nreduce` must fail even when the contradicting file happens to
+    * be outside the statically pruned subset, because runtime KEY
+    * pruning maps keys with the declared modulus over the whole sink.
+    */
+  private def validatedFiles(): Seq[(String, Int, Long)] = {
+    val all = MrTextSource.listBucketFilesWithSize(path)
     nReduce.foreach { n =>
       val bad = all.filter(_._2 >= n)
       require(bad.isEmpty,
         s"nreduce=$n contradicts bucket files ${bad.map(_._2).sorted.mkString(",")} in $path")
     }
-    val kept = all.filter { case (_, b) => runtimeBuckets.forall(_.contains(b)) }
+    all.filter { case (_, b, _) => buckets.forall(_.contains(b)) }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = validatedFiles()
+    val kept = all.filter { case (_, b, _) => runtimeBuckets.forall(_.contains(b)) }
     if (runtimeBuckets.isDefined) {
       MrTextSource.lastRuntimePrune = Some((all.size, kept.size))
     }
     kept
-      .map { case (f, b) => MrTextPartition(f, b): InputPartition }
+      .map { case (f, b, _) => MrTextPartition(f, b): InputPartition }
       .toArray
       .sortBy(_.asInstanceOf[MrTextPartition].bucket)
   }
@@ -369,17 +390,15 @@ private[sources] class MrTextScan(
     * table would. Composes with pushed bucket filters: a
     * bucket-pruned scan reports only the surviving files' bytes
     * (the same contract as parquet partition pruning feeding stats).
+    * Sizes come from the directory listing itself — no per-file
+    * getFileStatus round-trips on the planning path.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val conf = new Configuration()
-    val sizes = MrTextSource
-      .listBucketFiles(path)
-      .filter { case (_, b) => buckets.forall(_.contains(b)) }
-      .map { case (f, _) =>
-        val p = new Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }
-    val total = sizes.sum
+    val total = MrTextSource
+      .listBucketFilesWithSize(path)
+      .filter { case (_, b, _) => buckets.forall(_.contains(b)) }
+      .map(_._3)
+      .sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()

@@ -154,7 +154,10 @@ class EngineSpec extends AnyFunSuite {
   test("MrTextSource: runtime filtering (DSv2 DPP) prunes bucket FILES from join keys") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-dpp").toString
-    val data = (1 to 60).map(i => KeyValue(s"key$i", i.toString))
+    // pad values so the sink's REPORTED stats (real bytes, see the
+    // statistics test) keep the fact side bigger than the dim — else
+    // the planner broadcasts the fact itself and DPP has no probe side
+    val data = (1 to 60).map(i => KeyValue(s"key$i", i.toString + ("v" * 4000)))
     val nReduce = 4
     Engine.writeText(spark.createDataset(data), tmp, nReduce = nReduce)
     val fact = spark.read.format("graft.sources.MrTextSource")
@@ -174,7 +177,7 @@ class EngineSpec extends AnyFunSuite {
     graft.sources.MrTextSource.lastRuntimePrune = None
     val joined = fact.join(dim, Seq("key"))
     val got = joined.select($"key", $"value").collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got === dimKeys.map(k => (k, k.stripPrefix("key"))).toSet)
+    assert(got === dimKeys.map(k => (k, k.stripPrefix("key") + ("v" * 4000))).toSet)
     val prune = graft.sources.MrTextSource.lastRuntimePrune
     assert(prune.exists { case (tot, kept) => tot == nReduce && kept == wantBuckets.size },
       s"runtime filter did not prune files (got $prune):\n${joined.queryExecution.executedPlan}")
@@ -182,10 +185,16 @@ class EngineSpec extends AnyFunSuite {
     // plan time — never a silent mis-prune
     val bad = spark.read.format("graft.sources.MrTextSource")
       .option("path", tmp).option("nreduce", "2").load()
-    val e = intercept[Throwable] { bad.collect() }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Throwable] { bad.collect() }
     assert(msgs(e).exists(_.contains("nreduce=2 contradicts")), s"unexpected: $e")
+    // ... and the guard must validate the FULL layout: a static bucket
+    // filter that happens to keep only files below the declared count
+    // must NOT smuggle the lying modulus past the check (runtime key
+    // pruning would map keys with it over the whole sink)
+    val e2 = intercept[Throwable] { bad.filter($"bucket" === 1).collect() }
+    assert(msgs(e2).exists(_.contains("nreduce=2 contradicts")), s"unexpected: $e2")
   }
 
   test("MrTextSource: reported statistics are real file bytes; small sink auto-broadcasts") {
