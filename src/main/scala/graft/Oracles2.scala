@@ -43,13 +43,20 @@ object Oracles2 {
       |                 ('the','a','an','and','or','of','to','in','is','it','on','for')))
       |                 AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END)""".stripMargin
 
+  /** The exact-dedup fingerprint formula (TextOps.fingerprintExpr's
+    * twin) — ONE definition, interpolated by every oracle that
+    * re-derives it (dedupExact, the filter funnel).
+    */
+  private[graft] val fingerprintSql: String =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
   val dedupExact: String =
-    """SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size,
-      | MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
-      | doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper
-      |FROM (SELECT doc_id,
-      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      |      FROM documents)""".stripMargin
+    s"""SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size,
+       | MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+       | doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper
+       |FROM (SELECT doc_id,
+       |       $fingerprintSql AS fp
+       |      FROM documents)""".stripMargin
 
   /** The hs → sigs → bands chain shared by minhashLsh and the
     * candidate-volume audit (one definition of the banding policy).
@@ -439,8 +446,12 @@ object Oracles2 {
     * 8-gram construction, same 60-bit shingle hash — both engines
     * join the identical candidate space.
     */
-  val decontaminate: String =
-    """WITH toks AS (
+  /** The decontamination posting chain (toks → 8-gram 60-bit hashes →
+    * per-(doc, hash) rows with the md5 split bucket) — ONE definition
+    * shared by decontaminate and the bloom-sizing sweep.
+    */
+  private[graft] val decontamPostingCte: String =
+    """toks AS (
       | SELECT doc_id,
       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
@@ -452,13 +463,16 @@ object Oracles2 {
       |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
       |        AS UBIGINT) AS BIGINT))) AS hs
       | FROM toks WHERE len(toks) >= 8),
-      |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh),
-      |tr AS (SELECT doc_id AS train_doc, h FROM p WHERE b < 80),
-      |te AS (SELECT doc_id AS test_doc, h FROM p WHERE b >= 90)
-      |SELECT train_doc, COUNT(DISTINCT h) AS n_leaked_ngrams,
-      | COUNT(DISTINCT test_doc) AS n_test_docs, MIN(test_doc) AS first_test_doc
-      |FROM tr JOIN te USING (h)
-      |GROUP BY train_doc""".stripMargin
+      |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh)""".stripMargin
+
+  val decontaminate: String =
+    s"""WITH $decontamPostingCte,
+       |tr AS (SELECT doc_id AS train_doc, h FROM p WHERE b < 80),
+       |te AS (SELECT doc_id AS test_doc, h FROM p WHERE b >= 90)
+       |SELECT train_doc, COUNT(DISTINCT h) AS n_leaked_ngrams,
+       | COUNT(DISTINCT test_doc) AS n_test_docs, MIN(test_doc) AS first_test_doc
+       |FROM tr JOIN te USING (h)
+       |GROUP BY train_doc""".stripMargin
 
   /** Mirrors TextOps.seqPacking: BPE-ish token counts, per-source
     * doc_id-ordered cumsum, integer-division bin ids. The tokenizer

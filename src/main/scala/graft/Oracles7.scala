@@ -274,19 +274,7 @@ object Oracles7 {
          |                // (n_train - n_true) AS BIGINT) END AS false_pos_ppm
          |FROM stat CROSS JOIN pass$m""".stripMargin
     }
-    s"""WITH toks AS (
-       | SELECT doc_id,
-       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
-       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
-       | FROM documents),
-       |sh AS (
-       | SELECT doc_id, b,
-       |  list_distinct(list_transform(range(len(toks)-7),
-       |   i -> CAST(CAST(concat('0x', substr(md5(
-       |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
-       |        AS UBIGINT) AS BIGINT))) AS hs
-       | FROM toks WHERE len(toks) >= 8),
-       |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh),
+    s"""WITH ${Oracles2.decontamPostingCte},
        |tr AS (SELECT DISTINCT h FROM p WHERE b < 80),
        |te AS (SELECT DISTINCT h FROM p WHERE b >= 90),
        |stat AS (SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
@@ -381,7 +369,7 @@ object Oracles7 {
     s"""WITH base AS (
        | SELECT doc_id, text,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks,
-       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  ${Oracles2.fingerprintSql} AS fp
        | FROM documents),
        |q AS (SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n_toks,
        |       (${Oracles2.qualityExprSql}) >= $minQ AS pass_q

@@ -197,6 +197,25 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Artifacts.memo(spark, dir, "minhash_pairs")(minhashLshBuild(spark, dir))
 
+  /** ONE definition of the signature banding (band b = comma-joined
+    * sig triple), shared by the LSH pair build, the estimator
+    * calibration, and the candidate-volume census — the census must
+    * price exactly the join the production path runs, so the band
+    * key may not drift between them.
+    */
+  private def minhashBandArray: Column =
+    array((0 until MinhashBands).map { b =>
+      concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
+    }: _*)
+
+  /** ONE definition of the SimHash banding (4 × 16-bit substrings),
+    * statically unrolled — a higher-order `transform` is interpreted
+    * (CodegenFallback) and eligible for InferFiltersFromGenerate's
+    * synthesized filter; a literal CreateArray is neither.
+    */
+  private def simhashBandArray(simhash: Column): Column =
+    array((0 until 4).map(b => simhash.substr(b * 16 + 1, 16)): _*)
+
   private[graft] def minhashLshBuild(spark: SparkSession, dir: String): DataFrame = {
     // The posting feeds 4 consumers (signatures, pair verification x2,
     // per-doc counts); materialize it ONCE. Without this the whole
@@ -213,14 +232,7 @@ object DedupOps {
     // only needed for the exact-Jaccard candidate verification
     val withSigs = docSigsKernel(spark, dir)
     val buckets = withSigs
-      .select(
-        col("doc_id"),
-        posexplode(
-          array((0 until MinhashBands).map { b =>
-            concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
-          }: _*)
-        ).as(Seq("band_idx", "band_hash"))
-      )
+      .select(col("doc_id"), posexplode(minhashBandArray).as(Seq("band_idx", "band_hash")))
     val pairs = buckets
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(
@@ -429,9 +441,7 @@ object DedupOps {
     val banded = fp.select(
       col("doc_id"),
       col("simhash"),
-      posexplode(
-        transform(sequence(lit(0), lit(3)), b => col("simhash").substr(b * 16 + 1, lit(16)))
-      ).as(Seq("band_idx", "band_bits"))
+      posexplode(simhashBandArray(col("simhash"))).as(Seq("band_idx", "band_bits"))
     )
     val a = banded.select(col("band_idx"), col("band_bits"), col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"))
@@ -553,14 +563,10 @@ object DedupOps {
           col("candidate_pairs").cast("bigint").as("candidate_pairs")
         )
     val mhKeys = docSigsKernel(spark, dir)
-      .select(posexplode(array((0 until MinhashBands).map { b =>
-        concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
-      }: _*)).as(Seq("k1", "k2")))
+      .select(posexplode(minhashBandArray).as(Seq("k1", "k2")))
       .select(col("k1").cast("long").as("k1"), col("k2"))
     val shKeys = simhash(spark, dir)
-      .select(posexplode(
-        transform(sequence(lit(0), lit(3)), b => col("simhash").substr(b * 16 + 1, lit(16)))
-      ).as(Seq("k1", "k2")))
+      .select(posexplode(simhashBandArray(col("simhash"))).as(Seq("k1", "k2")))
       .select(col("k1").cast("long").as("k1"), col("k2"))
     volume("minhash_band", mhKeys)
       .unionAll(volume("simhash_band", shKeys))
@@ -1096,11 +1102,7 @@ object DedupOps {
     val sigs = docSigsKernel(spark, dir).localCheckpoint()
     val buckets = sigs.select(
       col("doc_id"),
-      posexplode(
-        array((0 until MinhashBands).map { b =>
-          concat_ws(",", col(s"sig${b * 3}"), col(s"sig${b * 3 + 1}"), col(s"sig${b * 3 + 2}"))
-        }: _*)
-      ).as(Seq("band_idx", "band_hash"))
+      posexplode(minhashBandArray).as(Seq("band_idx", "band_hash"))
     )
     val pairs = buckets
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))

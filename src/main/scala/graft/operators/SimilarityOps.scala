@@ -125,24 +125,15 @@ object SimilarityOps {
     * Each bit = sign of the projection onto one hyperplane (sequential
     * double fold, like all vector reductions here).
     */
-  private def bucketExpr(v: Column): Column =
-    bucketExprCfg(v, LshTables, LshPlanes)
-
-  /** Parameterized (tables × planes) variant for the config sweep —
-    * plane (l, i) of a (T, P) config uses global plane index l·P+i,
-    * so every config draws from the same 32-plane deterministic pool
-    * (the SQL twin reconstructs the identical plane from the index).
-    */
-  private def bucketExprCfg(v: Column, nTables: Int, nPlanes: Int): Column = {
-    require(nTables * nPlanes <= LshTables * LshPlanes, "plane pool exhausted")
+  private def bucketExpr(v: Column): Column = {
     val signs = planeSigns
     // ±1 is exact in float, so the (double)x * (double)sign products —
     // and therefore the fold — are identical to the SQL oracle's
     // double-literal form.
     def proj(p: Int): Column = dot(v, typedLit(signs(p).toSeq))
-    array((0 until nTables).map { l =>
-      concat((0 until nPlanes).map { i =>
-        when(proj(l * nPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
+    array((0 until LshTables).map { l =>
+      concat((0 until LshPlanes).map { i =>
+        when(proj(l * LshPlanes + i) >= 0.0, lit("1")).otherwise(lit("0"))
       }: _*)
     }: _*)
   }
@@ -201,12 +192,14 @@ object SimilarityOps {
   def lshPlaneSweep(spark: SparkSession, dir: String): DataFrame = {
     val brute = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
     val truth = brute.agg(count(lit(1)).as("n_truth"))
-    // Every config slices the SAME 32-plane pool, so project each
-    // vector against all 32 planes ONCE (a 32-char sign string,
-    // checkpointed) and derive each config's bucket for table l as
-    // substring(l·P+1, P) — identical bits to bucketExprCfg (the
-    // pool-index contract), 32 dot products per vector total instead
-    // of 144 (each config × both join sides re-deriving its own).
+    // Every config slices the SAME 32-plane pool: project each vector
+    // against all 32 planes ONCE (a 32-char sign string, checkpointed)
+    // and derive config (T, P)'s bucket for table l as
+    // substring(l·P+1, P) — bit (l, i) is pool plane l·P+i, the SAME
+    // index contract the SQL oracle reconstructs per config. 32 dot
+    // products per vector instead of 144 (each config × both join
+    // sides re-deriving its own). The production (8, 4) slicing of
+    // this string is exactly bucketExpr's output.
     val signs = planeSigns
     val s32 = concat((0 until LshTables * LshPlanes).map { p =>
       when(dot(col("embedding"), typedLit(signs(p).toSeq)) >= 0.0, lit("1"))
