@@ -863,7 +863,17 @@ object DedupOps {
         min(col("test_doc")).as("first_test_doc")
       )
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized like the pair graphs ([[minhashLsh]]): the leak report
+    * is EVAL-bounded (one row per contaminated train doc), and two
+    * consumers read it — the gate query and the filter funnel's final
+    * stage — so the corpus-sized posting build runs once per
+    * (session, dir), not once per consumer. The posting itself stays
+    * un-memoized by the registry contract (corpus-sized).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "decontam_report")(decontaminateBuild(spark, dir))
+
+  private[graft] def decontaminateBuild(spark: SparkSession, dir: String): DataFrame = {
     val posting = decontamPosting(spark, dir)
     val train = posting
       .filter(col("split") === "train")
