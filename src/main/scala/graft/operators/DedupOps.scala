@@ -1287,13 +1287,11 @@ object DedupOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
-      .withColumn(
-        "rnk",
-        row_number().over(
-          Window.orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
-        )
-      )
-      .filter(col("rnk") <= WinnowTopPairs)
+      // pair-report cap as orderBy+limit: TakeOrderedAndProject
+      // (per-partition heaps), never a pair-graph-sized single-task
+      // window (the pre-fixpoint sweep missed this one)
+      .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(WinnowTopPairs)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
 

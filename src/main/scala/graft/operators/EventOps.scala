@@ -2216,18 +2216,18 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
     val bins = perUser.groupBy(col("np")).agg(count(lit(1)).as("cnt"))
-    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
     // lower-median cutoff: smallest np whose running user count
-    // reaches ceil(n/2) — integer rank arithmetic over distinct bins
-    val cutoff = bins
-      .withColumn(
-        "cum",
-        sum(col("cnt")).over(
-          Window.orderBy(col("np").asc).rowsBetween(Window.unboundedPreceding, 0)
-        )
-      )
-      .join(broadcast(nUsers))
-      .filter(col("cum") * 2 >= col("n_users"))
+    // reaches ceil(n/2) — integer rank arithmetic over distinct bins.
+    // The running count rides RankOps' range-partitioned running sum:
+    // the bin table is bounded (distinct purchase counts), but a
+    // partition-less window is still a single-task sort and was the
+    // ONE query the pre-fixpoint plan sweep missed (it hid inside a
+    // broadcast build-side stage). The ledger's grand total replaces
+    // the former n_users broadcast join for free.
+    val (binsCum, totalUsers) = RankOps.withGlobalRankAndRunningSum(
+      bins, col("cnt"), "_rnk", "cum", Seq(col("np").asc))
+    val cutoff = binsCum
+      .filter(col("cum") * 2 >= totalUsers)
       .agg(min(col("np")).as("cutoff"))
     val flagged = perUser
       .join(broadcast(cutoff))

@@ -2263,12 +2263,12 @@ object TextOps {
         count(lit(1)).as("doc_freq")
       )
     stats
+      // global top-20 as orderBy+limit: plans TakeOrderedAndProject
+      // (per-partition heaps + driver merge of 20-row tops), never the
+      // vocab-sized single-task window the pre-fixpoint sweep missed
+      .orderBy(col("total_cnt").desc, col("token").asc)
+      .limit(20)
       .crossJoin(broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))))
-      .withColumn(
-        "rnk",
-        row_number().over(Window.orderBy(col("total_cnt").desc, col("token").asc))
-      )
-      .filter(col("rnk") <= 20)
       .select(
         col("token"),
         col("total_cnt"),
