@@ -127,6 +127,21 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    // The full JSON above is ~20 KB on a 266-query board; a driver that
+    // captures only the tail of stdout truncates its FRONT and can't
+    // parse it (BENCH_r05/r06 were both parsed:null). Emit a compact
+    // summary as the LAST line — small enough to always survive a tail
+    // capture — with the slowest queries inlined so the summary alone
+    // supports a first-order read. load_warn flags runs taken under
+    // external host load (measured: loadavg 7+ inflates queries 3-30x).
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowestJson = slowest
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val elided = results.size - slowest.size
+    val loadWarn = loadStart > 2.0
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"artifacts":${artifactLines.size},"failed":$failedJson,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"queries":$slowestJson,"queries_elided":$elided,"detail":"bench_out.json"}"""
+    println(summary)
     System.out.flush()
     try spark.stop()
     catch { case _: Throwable => () }

@@ -552,4 +552,66 @@ object Oracles7 {
        | COUNT(*) AS n_pairs, MAX(score) AS max_score
        |FROM nd GROUP BY 1, 2""".stripMargin
   }
+
+  /** ONE definition of the PII-injected corpus (mirrors
+    * TextOps.piiDocs): the raw documents text is letters-only, so the
+    * oracle re-derives the injected email/phone/IP strings from doc_id
+    * with the same integer arithmetic — the regexes are then verified
+    * against text DuckDB built, not text Spark handed it.
+    */
+  private val piiCte: String =
+    """pii AS (
+      | SELECT doc_id, source,
+      |  text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call ' || CAST(200 + doc_id % 800 AS VARCHAR) ||
+      |    '-' || CAST(100 + doc_id % 900 AS VARCHAR) ||
+      |    '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |    '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ||
+      |    '.' || CAST(doc_id * 13 % 256 AS VARCHAR) ELSE '' END
+      |  AS text
+      | FROM documents)""".stripMargin
+
+  /** Mirrors TextOps.piiProfile: per-source match counts over the
+    * shared PII regexes (common Java/RE2 dialect), HUGEINT-floored
+    * affected-doc ppm, every SUM BIGINT-cast.
+    */
+  val piiProfile: String = {
+    import graft.operators.TextOps.{EmailRe, PhoneRe, Ipv4Re}
+    s"""WITH $piiCte,
+       |c AS (SELECT source,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS ne,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS np,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS ni
+       | FROM pii)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_pii_docs,
+       | CAST(SUM(ne) AS BIGINT) AS n_emails,
+       | CAST(SUM(np) AS BIGINT) AS n_phones,
+       | CAST(SUM(ni) AS BIGINT) AS n_ips,
+       | CAST(CAST(SUM(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS pii_doc_ppm
+       |FROM c GROUP BY source""".stripMargin
+  }
+
+  /** Mirrors TextOps.piiRewrite: same replacement chain (email →
+    * phone → IP, 'g' flag — DuckDB replaces only the first match
+    * without it), per-doc counts BIGINT-cast.
+    */
+  val piiRewrite: String = {
+    import graft.operators.TextOps.{EmailRe, PhoneRe, Ipv4Re}
+    s"""WITH $piiCte
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       | regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '<EMAIL>', 'g'),
+       |   '$PhoneRe', '<PHONE>', 'g'),
+       |   '$Ipv4Re', '<IP>', 'g') AS clean_text
+       |FROM pii""".stripMargin
+  }
 }

@@ -213,6 +213,8 @@ object SparkEntry {
     "lexical_vs_semantic" -> SimilarityOps.lexicalVsSemantic,
     "heaps_law" -> TextOps.heapsLaw,
     "zipf_fit" -> TextOps.zipfFit,
+    "pii_profile" -> TextOps.piiProfile,
+    "pii_rewrite" -> TextOps.piiRewrite,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -704,6 +706,8 @@ object SparkEntry {
     "lexical_vs_semantic" -> Oracles7.lexicalVsSemantic,
     "heaps_law" -> Oracles7.heapsLaw,
     "zipf_fit" -> Oracles7.zipfFit,
+    "pii_profile" -> Oracles7.piiProfile,
+    "pii_rewrite" -> Oracles7.piiRewrite,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -128,8 +128,16 @@ object Artifacts {
         val entry =
           if (wantDurable) {
             val path = stagingPath(spark, dir, name)
-            val success = new java.io.File(path, "_SUCCESS")
-            if (!success.isFile) { // miss: stage it (timed — the real build cost)
+            // Probe through the Hadoop FS API, not java.io.File: the
+            // staging dir may be hdfs:///s3a:// on a real cluster, where
+            // a local-File probe is always false — every memo call would
+            // silently rebuild and the recovery guarantee is lost.
+            val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+            val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+            val staged =
+              try fs.getFileStatus(success).isFile
+              catch { case _: java.io.FileNotFoundException => false }
+            if (!staged) { // miss: stage it (timed — the real build cost)
               val t0 = System.nanoTime()
               build.write.mode("overwrite").parquet(path)
               buildSecs((dir, name)) = (System.nanoTime() - t0) / 1e9
@@ -188,15 +196,15 @@ object Artifacts {
     * corpus.
     */
   def dropStaging(spark: SparkSession, dir: String, name: Option[String] = None): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    val root = name match {
-      case Some(n) => new java.io.File(stagingPath(spark, dir, n))
+    // Same FS-API discipline as the _SUCCESS probe: a java.io recursive
+    // delete is a silent no-op on hdfs:///s3a:// staging roots (and its
+    // listFiles() returns null on I/O errors mid-walk).
+    val root = new org.apache.hadoop.fs.Path(name match {
+      case Some(n) => stagingPath(spark, dir, n)
       case None =>
-        new java.io.File(s"${stagingRoot(spark)}/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    }
-    if (root.exists()) rm(root)
+        s"${stagingRoot(spark)}/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    })
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true): Unit
   }
 }

@@ -2824,8 +2824,16 @@ object EventOps {
           when(col("vl").isNotNull || col("vd").isNotNull || col("vs").isNotNull,
             struct(col("vl"), col("vd"), col("vs")))
         ).as("n_distinct"))
-    counts.join(distincts, Seq("col"))
-      .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    // LEFT join + coalesce: on an empty events table the distincts
+    // pass yields no groups (groupBy over an empty unpivot), and an
+    // inner join would silently drop the 7-row per-column contract
+    // that the pre-rewrite per-column form guaranteed.
+    counts.join(distincts, Seq("col"), "left")
+      .select(
+        col("col"),
+        col("n_rows"),
+        col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   /** Skew SALTING plan for the hot grouping dimension: per event_type

@@ -2510,7 +2510,15 @@ object TextOps {
 
   def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // max() is NULL on an empty corpus — short-circuit to an empty
+    // frame instead of throwing an opaque NPE from getLong.
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0))
+      return spark
+        .range(0)
+        .selectExpr(
+          "id AS decile", "id AS cum_docs", "id AS cum_tokens", "id AS cum_types")
+    val span = maxRow.getLong(0) + 1L
     def decileOf(idCol: String): Column =
       expr(s"CAST($idCol * $HeapsDeciles DIV $span AS BIGINT) + 1")
     val mass = docs
@@ -2610,5 +2618,125 @@ object TextOps {
       )
       .groupBy(col("id_split"), col("content_split"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------- PII
+
+  /** PII pattern classes — explicit ASCII character classes only (the
+    * regex-seam discipline: `\s`/`\p{L}` shorthand tables differ by
+    * engine Unicode vintage; these don't). The three shapes every
+    * public corpus-prep pipeline (C4, Dolma, RefinedWeb) scans for:
+    * email, NANP-style dashed phone, dotted-quad IPv4. Kept in the
+    * Java/RE2 COMMON dialect (character classes, bounded/greedy
+    * quantifiers, no backreferences/lookaround) so Spark and the
+    * DuckDB oracle match byte-for-byte.
+    */
+  private[graft] val EmailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val Ipv4Re =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The documents corpus with DETERMINISTIC PII-shaped strings
+    * appended — the text twin of mm_image_pixels' synthetic PNGs: the
+    * raw corpus is letters-only (no digit or '@' anywhere), so a PII
+    * gate over it would be vacuously green at every SF. Each doc
+    * gains an email iff doc_id % 3 = 0, a dashed phone iff % 5 = 0,
+    * a dotted-quad IP iff % 4 = 0, all derived from doc_id by pure
+    * integer arithmetic — the DuckDB oracle re-derives the SAME text
+    * relationally, so the scan/redaction regexes are verified against
+    * an independent engine, not against themselves.
+    */
+  private[graft] def piiDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(
+          """concat(text,
+            | CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+            |   CAST(doc_id AS STRING), '@mail',
+            |   CAST(doc_id % 7 AS STRING), '.example.com') ELSE '' END,
+            | CASE WHEN doc_id % 5 = 0 THEN concat(' call ',
+            |   CAST(200 + doc_id % 800 AS STRING), '-',
+            |   CAST(100 + doc_id % 900 AS STRING), '-',
+            |   CAST(1000 + doc_id % 9000 AS STRING)) ELSE '' END,
+            | CASE WHEN doc_id % 4 = 0 THEN concat(' host 10.',
+            |   CAST(doc_id % 256 AS STRING), '.',
+            |   CAST(doc_id * 7 % 256 AS STRING), '.',
+            |   CAST(doc_id * 13 % 256 AS STRING)) ELSE '' END)""".stripMargin
+        ).as("text")
+      )
+
+  /** PII disclosure profile per source: docs scanned, docs with ANY
+    * match, exact occurrence counts per class, and the floor-div ppm
+    * of affected docs — the run-before-release audit every training
+    * corpus ships (the governance family's k-anonymity/l-diversity
+    * measure disclosure risk; this measures raw identifier leakage).
+    *
+    * Scale: per-row regex counting inside the scan stage (no UDF —
+    * `regexp_extract_all` is codegen'd), then ONE map-side-combined
+    * aggregate of #sources groups. Scan-bound at 100 TB, like
+    * charClassProfile.
+    */
+  def piiProfile(spark: SparkSession, dir: String): DataFrame = {
+    def n(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    piiDocs(spark, dir)
+      .select(
+        col("source"),
+        n(EmailRe).as("ne"),
+        n(PhoneRe).as("np"),
+        n(Ipv4Re).as("ni")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0 || col("np") > 0 || col("ni") > 0, 1L)
+          .otherwise(0L)).as("n_pii_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(col("ni")).as("n_ips")
+      )
+      .withColumn(
+        "pii_doc_ppm",
+        expr("CAST(CAST(n_pii_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+  }
+
+  /** PII REDACTION rewrite — the action piiProfile only reports: emit
+    * the corpus with every match replaced by a typed sentinel
+    * (`<EMAIL>`/`<PHONE>`/`<IP>`), plus per-doc match counts. Each
+    * injected PII string is a whole whitespace-delimited token, so
+    * redaction conserves the whitespace-token count exactly (one
+    * sentinel per match) — the token-conservation contract the spec
+    * asserts, span_rewrite's clean_tokens discipline applied to
+    * in-place substitution. Replacement order (email → phone → IP)
+    * is fixed and identical in the oracle; the three patterns cannot
+    * overlap on this corpus (emails carry no dashes between digit
+    * groups, phones no dots, IPs no '@') and the sentinels contain no
+    * digits, so the chain is order-stable anyway.
+    *
+    * Scale: pure per-row column work in the scan stage, no shuffle at
+    * all — at 100 TB this is the map-only pass it should be.
+    */
+  def piiRewrite(spark: SparkSession, dir: String): DataFrame = {
+    def n(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    piiDocs(spark, dir)
+      .select(
+        col("doc_id"),
+        n(EmailRe).as("n_emails"),
+        n(PhoneRe).as("n_phones"),
+        n(Ipv4Re).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe,
+            "<PHONE>"),
+          Ipv4Re,
+          "<IP>"
+        ).as("clean_text")
+      )
   }
 }

@@ -85,7 +85,11 @@ object MrTextSource {
 
   /** Test-only observability: the most recent runtime-filter prune as
     * (files before, files kept) — EngineSpec asserts DPP actually
-    * dropped files, not just rows.
+    * dropped files, not just rows. Deliberately a single global slot:
+    * it is sound only while pruned queries run SEQUENTIALLY (the spec
+    * resets it, runs one query, reads it); concurrent queries over
+    * different sinks would race on it. Production code never reads
+    * this — per-scan scoping would buy nothing but plumbing.
     */
   @volatile private[graft] var lastRuntimePrune: Option[(Int, Int)] = None
 

@@ -5400,4 +5400,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byP.map(_._3) === byP.map(_._3).sorted)
     assert(byP.map(_._4) === byP.map(_._4).sorted)
   }
+
+  test("pii: injected identifiers are found, fully redacted, and token-conserved") {
+    // NON-VACUITY by construction: the raw corpus is letters-only, so
+    // every match comes from the deterministic doc_id-derived
+    // injection — exactly one email per id%3==0, phone per %5==0,
+    // IP per %4==0 doc. The profile's class totals must equal those
+    // arithmetic counts, not merely be positive.
+    val ids = Tables.documents(spark, Sf0001).select("doc_id").collect().map(_.getLong(0))
+    val prof = TextOps.piiProfile(spark, Sf0001).collect()
+    assert(prof.map(_.getAs[Long]("n_emails")).sum === ids.count(_ % 3 == 0).toLong)
+    assert(prof.map(_.getAs[Long]("n_phones")).sum === ids.count(_ % 5 == 0).toLong)
+    assert(prof.map(_.getAs[Long]("n_ips")).sum === ids.count(_ % 4 == 0).toLong)
+    assert(prof.map(_.getAs[Long]("n_emails")).sum > 0L)
+    val piiText = TextOps.piiDocs(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rw = TextOps.piiRewrite(spark, Sf0001).collect()
+    assert(rw.length === ids.length)
+    rw.foreach { r =>
+      val id = r.getLong(0)
+      val clean = r.getAs[String]("clean_text")
+      // full redaction: no PII shape survives the rewrite
+      assert(!clean.contains("@"))
+      assert(!clean.matches("(?s).*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"))
+      assert(!clean.matches("(?s).*[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}.*"))
+      // per-doc counts equal the injection arithmetic
+      assert(r.getAs[Long]("n_emails") === (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") === (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") === (if (id % 4 == 0) 1L else 0L))
+      // token conservation: every injected identifier is one
+      // whitespace token and becomes exactly one typed sentinel
+      val before = piiText(id).split(" ").count(_.nonEmpty)
+      val after = clean.split(" ").count(_.nonEmpty)
+      assert(after === before)
+      assert(clean.split(" ").count(_ == "<EMAIL>").toLong === r.getAs[Long]("n_emails"))
+      assert(clean.split(" ").count(_ == "<PHONE>").toLong === r.getAs[Long]("n_phones"))
+      assert(clean.split(" ").count(_ == "<IP>").toLong === r.getAs[Long]("n_ips"))
+    }
+  }
 }
