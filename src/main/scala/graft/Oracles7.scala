@@ -553,6 +553,50 @@ object Oracles7 {
        |FROM nd GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mirrors DedupOps.spanRewriteAnyAlign: positional 8-token window
+    * hashes (same md5-first-15-hex construction as the grid oracle),
+    * dup = window content in ≥ 2 docs, a token is dropped iff covered
+    * by any dup window, kept tokens re-joined in position order.
+    */
+  val spanRewriteAnyAlign: String =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, i AS pos,
+      |  CAST(CAST(concat('0x', substr(md5(
+      |    array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
+      |   AS UBIGINT) AS BIGINT) AS h
+      | FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+      |       FROM toks WHERE len(toks) >= 8)),
+      |nd AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY 1)
+      |       WHERE c >= 2),
+      |dup AS (SELECT DISTINCT doc_id, pos FROM sh JOIN nd USING (h)),
+      |cover AS (SELECT DISTINCT doc_id, pos + j AS i FROM dup, range(8) t(j)),
+      |flat AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(range(len(toks)),
+      |    i -> struct_pack(i := i, t := toks[CAST(i + 1 AS INT)]))) AS s
+      | FROM toks),
+      |kept AS (
+      | SELECT f.doc_id, f.s.i AS i, f.s.t AS t FROM flat f
+      | WHERE NOT EXISTS (SELECT 1 FROM cover c
+      |                   WHERE c.doc_id = f.doc_id AND c.i = f.s.i)),
+      |agg AS (
+      | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_tokens,
+      |  string_agg(t, ' ' ORDER BY i) AS clean_text
+      | FROM kept GROUP BY doc_id),
+      |starts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      |           FROM dup GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+      | COALESCE(n_dup_windows, 0) AS n_dup_windows,
+      | COALESCE(clean_tokens, 0) AS clean_tokens,
+      | COALESCE(clean_text, '') AS clean_text
+      |FROM toks b
+      |LEFT JOIN agg USING (doc_id)
+      |LEFT JOIN starts USING (doc_id)""".stripMargin
+
   /** ONE definition of the PII-injected corpus (mirrors
     * TextOps.piiDocs): the raw documents text is letters-only, so the
     * oracle re-derives the injected email/phone/IP strings from doc_id

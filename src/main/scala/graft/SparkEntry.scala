@@ -215,6 +215,7 @@ object SparkEntry {
     "zipf_fit" -> TextOps.zipfFit,
     "pii_profile" -> TextOps.piiProfile,
     "pii_rewrite" -> TextOps.piiRewrite,
+    "span_rewrite_anyalign" -> DedupOps.spanRewriteAnyAlign,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -708,6 +709,7 @@ object SparkEntry {
     "zipf_fit" -> Oracles7.zipfFit,
     "pii_profile" -> Oracles7.piiProfile,
     "pii_rewrite" -> Oracles7.piiRewrite,
+    "span_rewrite_anyalign" -> Oracles7.spanRewriteAnyAlign,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

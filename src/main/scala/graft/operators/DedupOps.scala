@@ -1385,6 +1385,79 @@ object DedupOps {
       )
   }
 
+  /** Exact-substring dedup at ARBITRARY alignment — the rewrite the
+    * fixed 8-token grid ([[spanRewrite]]) cannot express: a token is
+    * dropped iff it is covered by ANY [[SpanTokens]]-token window
+    * whose content appears in ≥ 2 documents. Detection bound: every
+    * duplicated run of ≥ SpanTokens tokens is caught and removed IN
+    * FULL at any offset (a shared run of length L ≥ K contains
+    * L−K+1 shared K-windows whose union covers all L tokens) —
+    * strictly stronger than the winnowing family's K+W−1 guarantee,
+    * and the semantics of suffix-array substring dedup at K-token
+    * granularity. The grid, by contrast, only sees runs that happen
+    * to align with its 8-token block boundaries: a copy shifted by
+    * one token is invisible to it (the planted-copy spec proves the
+    * separation).
+    *
+    * Scale: posting volume is n_tokens 60-bit HASHES (the
+    * `shingle_hashes` codegen kernel; 8× the grid's volume, the same
+    * stream the winnowing chain hashes before selection) — shingle
+    * STRINGS never shuffle. The doc-frequency aggregate is map-side
+    * combined; dup window starts come back as one pair-bounded join;
+    * the rebuild is a row-local lambda over each doc's own (bounded)
+    * token array — no window over the corpus, no second text scan.
+    */
+  def spanRewriteAnyAlign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("toks")
+      )
+      .withColumn(
+        "hs",
+        graft.functions.VectorExpressions
+          .shingleHashes(col("toks"), lit(SpanTokens))
+      )
+      // materialize BEFORE exploding: InferFiltersFromGenerate would
+      // otherwise inline the kernel under its synthesized size()>0
+      // filter (the measured-50x trap) — and the frame feeds both the
+      // posting explode and the rebuild
+      .localCheckpoint()
+    val posts = docs.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val dupStarts = posts
+      .join(
+        posts
+          .groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2),
+        Seq("h")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("dup_starts"))
+    docs
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn(
+        "kept",
+        expr(
+          s"""filter(transform(toks, (t, i) -> struct(t AS t, i AS i)),
+             |  s -> dup_starts IS NULL OR
+             |       NOT exists(dup_starts,
+             |                  p -> p <= s.i AND s.i <= p + ${SpanTokens - 1}))""".stripMargin
+        )
+      )
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("dup_starts").isNull, 0L)
+          .otherwise(size(col("dup_starts")).cast("long")).as("n_dup_windows"),
+        size(col("kept")).cast("long").as("clean_tokens"),
+        expr("array_join(transform(kept, s -> s.t), ' ')").as("clean_text")
+      )
+  }
+
   /** Content-defined chunking (token-level FastCDC/gear shape) and
     * the duplicate-chunk rate — the STORAGE-dedup primitive: a chunk
     * boundary falls after every token whose 60-bit hash ≡ 0 (mod

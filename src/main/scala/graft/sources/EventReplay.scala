@@ -84,7 +84,14 @@ object EventReplay {
   private[sources] case class ReplayIndex(total: Long, step: Long, bounds: Array[(Long, Long)])
 
   /** One driver-side boundary-index build per (path, step) per JVM —
-    * N/step keys, not N rows.
+    * N/step keys, not N rows. Ranks come from RankOps' range-partition
+    * ledger (the repo's one definition of exact global rank: collect
+    * bounded by partition count, no single-task sort, no zipWithIndex
+    * over a fully-sorted lineage); the boundary collect that follows
+    * is the INDEX ITSELF — O(N/step) driver entries by contract, with
+    * `maxRowsPerBatch` the knob: a replay of 10¹² rows at a 10⁷-row
+    * batch is a 10⁵-entry index (~3 MB). A corpus too large for that
+    * wants a coarser stride, not a different structure.
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), ReplayIndex]()
@@ -93,19 +100,21 @@ object EventReplay {
     cache.computeIfAbsent(
       (dir, step),
       { case (d, st) =>
-        val keyed = graft.operators.Tables
+        val ev = graft.operators.Tables
           .events(SparkSession.active, d)
           .selectExpr("ts", "event_id")
-          .orderBy("ts", "event_id")
-          .rdd
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .zipWithIndex()
-        val bounds = keyed
-          .filter(_._2 % st == 0L)
+        val ranked = graft.operators.RankOps
+          .withGlobalRank(ev, "_rank", Seq(col("ts"), col("event_id")))
+          .localCheckpoint() // feeds the boundary filter AND the total
+        // _rank is 1-based; the boundary of segment i is the key at
+        // 0-based rank i·step
+        val bounds = ranked
+          .filter((col("_rank") - 1) % st === 0)
+          .select(col("_rank"), col("ts"), col("event_id"))
           .collect()
-          .sortBy(_._2)
-          .map(_._1)
-        ReplayIndex(keyed.count(), st, bounds)
+          .sortBy(_.getLong(0))
+          .map(r => (r.getLong(1), r.getLong(2)))
+        ReplayIndex(ranked.count(), st, bounds)
       }
     )
 

@@ -5401,6 +5401,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byP.map(_._4) === byP.map(_._4).sorted)
   }
 
+  test("span rewrite any-align: catches the shifted copy the 8-grid provably misses") {
+    import spark.implicits._
+    // Planted separation corpus: an 8-token run shared by two docs at
+    // offsets 1 (doc 0) and 0 (doc 1). The grid pass blocks doc 0 as
+    // [pa sa..sg][sh qa..qf] and doc 1 as [sa..sh][ra..rh] — no block
+    // content repeats, so the grid drops NOTHING. The any-align pass
+    // sees the window "sa..sh" in both docs and must remove it from
+    // both.
+    val run = Seq("sa", "sb", "sc", "sd", "se", "sf", "sg", "sh")
+    val doc0 = ("pa" +: run) ++ Seq("qa", "qb", "qc", "qd", "qe", "qf", "qg")
+    val doc1 = run ++ Seq("ra", "rb", "rc", "rd", "re", "rf", "rg", "rh")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anyalign").toString
+    Seq((0L, doc0.mkString(" ")), (1L, doc1.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grid = DedupOps.spanRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(grid(0L).getAs[Long]("n_dropped_blocks") === 0L)
+    assert(grid(1L).getAs[Long]("n_dropped_blocks") === 0L)
+    val aa = DedupOps.spanRewriteAnyAlign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(aa(0L).getAs[Long]("n_dup_windows") === 1L)
+    assert(aa(1L).getAs[Long]("n_dup_windows") === 1L)
+    assert(aa(0L).getAs[String]("clean_text") === "pa qa qb qc qd qe qf qg")
+    assert(aa(1L).getAs[String]("clean_text") === "ra rb rc rd re rf rg rh")
+    assert(aa(0L).getAs[Long]("clean_tokens") === 8L)
+    assert(aa(1L).getAs[Long]("clean_tokens") === 8L)
+    // On the real corpus: any-align coverage is a superset of the
+    // grid's (a duplicated grid block is itself a duplicated window),
+    // and token accounting is internally consistent.
+    val gridReal = DedupOps.spanRewrite(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dropped_blocks")).toMap
+    val aaReal = DedupOps.spanRewriteAnyAlign(spark, Sf0001).collect()
+    aaReal.foreach { r =>
+      val dropped = r.getAs[Long]("n_tokens") - r.getAs[Long]("clean_tokens")
+      assert(dropped >= gridReal(r.getLong(0)) * DedupOps.SpanTokens)
+      assert(dropped >= 0L)
+      if (r.getAs[Long]("n_dup_windows") === 0L) assert(dropped === 0L)
+    }
+    // non-vacuous: the corpus has at least one any-align duplicate
+    assert(aaReal.map(_.getAs[Long]("n_dup_windows")).sum > 0L)
+  }
+
   test("pii: injected identifiers are found, fully redacted, and token-conserved") {
     // NON-VACUITY by construction: the raw corpus is letters-only, so
     // every match comes from the deterministic doc_id-derived

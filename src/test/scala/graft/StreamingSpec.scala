@@ -879,6 +879,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: sliced ingest == batch LSH pair artifact") {
+    // banded-MinHash twin of the simhash near-dup stream: same 3-way
+    // doc_id-residue slicing; the streamed verified pair set (distinct
+    // over bands) must equal the batch minhashLsh artifact exactly,
+    // jaccard values included (same long-ratio IEEE division).
+    val tmp = java.nio.file.Files.createTempDirectory("minhashdup-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.MinHashDupStream
+      .pairs(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhashdup_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("minhashdup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.DedupOps.minhashLsh(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "sf0.001 corpus should contain minhash near-dups")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: sliced ingest == batch leak report") {
     // same 3-way doc_id-residue slicing as the near-dup stream test:
     // the per-doc report is stateless, so ANY slicing must reproduce
