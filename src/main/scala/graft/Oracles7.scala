@@ -597,6 +597,27 @@ object Oracles7 {
       |LEFT JOIN agg USING (doc_id)
       |LEFT JOIN starts USING (doc_id)""".stripMargin
 
+  /** Mirrors DedupOps.spanFamilyAudit: both rewrite oracles as
+    * WITH-bearing subqueries, doc-joined to source, HUGEINT-floored
+    * ppm rates.
+    */
+  val spanFamilyAudit: String =
+    s"""WITH g AS (SELECT doc_id, n_tokens, n_dropped_blocks * 8 AS grid_dropped
+       |           FROM (${Oracles6.spanRewrite})),
+       |a AS (SELECT doc_id, n_tokens - clean_tokens AS any_dropped
+       |      FROM ($spanRewriteAnyAlign)),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(SUM(grid_dropped) AS BIGINT) AS grid_dropped,
+       | CAST(SUM(any_dropped) AS BIGINT) AS any_dropped,
+       | CAST(CAST(SUM(grid_dropped) AS HUGEINT) * 1000000 // SUM(n_tokens) AS BIGINT)
+       |   AS grid_ppm,
+       | CAST(CAST(SUM(any_dropped) AS HUGEINT) * 1000000 // SUM(n_tokens) AS BIGINT)
+       |   AS any_ppm
+       |FROM s JOIN g USING (doc_id) JOIN a USING (doc_id)
+       |GROUP BY source""".stripMargin
+
   /** ONE definition of the PII-injected corpus (mirrors
     * TextOps.piiDocs): the raw documents text is letters-only, so the
     * oracle re-derives the injected email/phone/IP strings from doc_id

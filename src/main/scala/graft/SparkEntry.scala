@@ -216,6 +216,7 @@ object SparkEntry {
     "pii_profile" -> TextOps.piiProfile,
     "pii_rewrite" -> TextOps.piiRewrite,
     "span_rewrite_anyalign" -> DedupOps.spanRewriteAnyAlign,
+    "span_family_audit" -> DedupOps.spanFamilyAudit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -710,6 +711,7 @@ object SparkEntry {
     "pii_profile" -> Oracles7.piiProfile,
     "pii_rewrite" -> Oracles7.piiRewrite,
     "span_rewrite_anyalign" -> Oracles7.spanRewriteAnyAlign,
+    "span_family_audit" -> Oracles7.spanFamilyAudit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

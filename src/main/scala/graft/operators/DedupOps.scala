@@ -1458,6 +1458,53 @@ object DedupOps {
       )
   }
 
+  /** Grid-vs-any-alignment substring-dedup AUDIT per source: token
+    * mass each rewrite removes and the floor-div ppm rates — the
+    * price sheet for the grid's blind spot. The grid pass costs 1/8
+    * the posting volume but only sees block-aligned copies; this
+    * query measures what that discount forfeits ON THIS CORPUS
+    * (any_ppm − grid_ppm = the duplicated mass a grid-only pipeline
+    * ships into training). Per-doc coverage is a superset by
+    * construction (spec-asserted), so any_dropped ≥ grid_dropped
+    * holds row-wise, and the per-source rates order the decision:
+    * a near-zero gap licenses the cheap grid at 100 TB; a fat gap
+    * pays for the full posting stream.
+    *
+    * Scale: the two rewrites' own bounded machinery plus two
+    * doc-keyed joins and a #sources aggregate — nothing new moves.
+    */
+  def spanFamilyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val grid = spanRewrite(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_dropped_blocks") * SpanTokens).as("grid_dropped"))
+    val any = spanRewriteAnyAlign(spark, dir)
+      .select(col("doc_id"), (col("n_tokens") - col("clean_tokens")).as("any_dropped"))
+    src
+      .join(grid, Seq("doc_id"))
+      .join(any, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("grid_dropped")).as("grid_dropped"),
+        sum(col("any_dropped")).as("any_dropped")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("grid_dropped"),
+        col("any_dropped"),
+        expr("CAST(CAST(grid_dropped AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+          .as("grid_ppm"),
+        expr("CAST(CAST(any_dropped AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+          .as("any_ppm")
+      )
+  }
+
   /** Content-defined chunking (token-level FastCDC/gear shape) and
     * the duplicate-chunk rate — the STORAGE-dedup primitive: a chunk
     * boundary falls after every token whose 60-bit hash ≡ 0 (mod

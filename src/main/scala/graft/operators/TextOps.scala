@@ -2646,26 +2646,58 @@ object TextOps {
     * relationally, so the scan/redaction regexes are verified against
     * an independent engine, not against themselves.
     */
+  /** ONE definition of the injection expression (over columns
+    * `doc_id`, `text`) — shared by [[piiDocs]] and the ingest stream
+    * ([[graft.streaming.PiiStream]]) so the two transports cannot
+    * drift from each other or from the oracle's CTE.
+    */
+  private[graft] def piiInjectExpr: Column =
+    expr(
+      """concat(text,
+        | CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+        |   CAST(doc_id AS STRING), '@mail',
+        |   CAST(doc_id % 7 AS STRING), '.example.com') ELSE '' END,
+        | CASE WHEN doc_id % 5 = 0 THEN concat(' call ',
+        |   CAST(200 + doc_id % 800 AS STRING), '-',
+        |   CAST(100 + doc_id % 900 AS STRING), '-',
+        |   CAST(1000 + doc_id % 9000 AS STRING)) ELSE '' END,
+        | CASE WHEN doc_id % 4 = 0 THEN concat(' host 10.',
+        |   CAST(doc_id % 256 AS STRING), '.',
+        |   CAST(doc_id * 7 % 256 AS STRING), '.',
+        |   CAST(doc_id * 13 % 256 AS STRING)) ELSE '' END)""".stripMargin
+    )
+
+  /** ONE definition of the redaction projection (over columns
+    * `doc_id`, `text`): per-class match counts + the sentinel
+    * rewrite — [[piiRewrite]] and the ingest stream share it.
+    */
+  private[graft] def piiRedactProjection(docs: DataFrame): DataFrame = {
+    def n(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs
+      .select(
+        col("doc_id"),
+        n(EmailRe).as("n_emails"),
+        n(PhoneRe).as("n_phones"),
+        n(Ipv4Re).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe,
+            "<PHONE>"),
+          Ipv4Re,
+          "<IP>"
+        ).as("clean_text")
+      )
+  }
+
   private[graft] def piiDocs(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
         col("source"),
-        expr(
-          """concat(text,
-            | CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
-            |   CAST(doc_id AS STRING), '@mail',
-            |   CAST(doc_id % 7 AS STRING), '.example.com') ELSE '' END,
-            | CASE WHEN doc_id % 5 = 0 THEN concat(' call ',
-            |   CAST(200 + doc_id % 800 AS STRING), '-',
-            |   CAST(100 + doc_id % 900 AS STRING), '-',
-            |   CAST(1000 + doc_id % 9000 AS STRING)) ELSE '' END,
-            | CASE WHEN doc_id % 4 = 0 THEN concat(' host 10.',
-            |   CAST(doc_id % 256 AS STRING), '.',
-            |   CAST(doc_id * 7 % 256 AS STRING), '.',
-            |   CAST(doc_id * 13 % 256 AS STRING)) ELSE '' END)""".stripMargin
-        ).as("text")
+        piiInjectExpr.as("text")
       )
 
   /** PII disclosure profile per source: docs scanned, docs with ANY
@@ -2720,23 +2752,6 @@ object TextOps {
     * Scale: pure per-row column work in the scan stage, no shuffle at
     * all — at 100 TB this is the map-only pass it should be.
     */
-  def piiRewrite(spark: SparkSession, dir: String): DataFrame = {
-    def n(re: String): Column =
-      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
-    piiDocs(spark, dir)
-      .select(
-        col("doc_id"),
-        n(EmailRe).as("n_emails"),
-        n(PhoneRe).as("n_phones"),
-        n(Ipv4Re).as("n_ips"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            PhoneRe,
-            "<PHONE>"),
-          Ipv4Re,
-          "<IP>"
-        ).as("clean_text")
-      )
-  }
+  def piiRewrite(spark: SparkSession, dir: String): DataFrame =
+    piiRedactProjection(piiDocs(spark, dir))
 }
