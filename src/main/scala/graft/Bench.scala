@@ -25,6 +25,12 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // Sample external load FIRST — before the session and the deep
+    // warm-up pass contribute their own threads to the 1-min average.
+    // (Measured: sampling after warm-up reads the warm-up itself as
+    // loadavg ~3 on an otherwise-empty host, mislabeling every healthy
+    // run as load-contaminated.)
+    val loadStart = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
@@ -63,7 +69,6 @@ object Bench {
         finally GraftSession.dropAllBlocks(spark)
       }
     }
-    val loadStart = load1()
     val runLoads = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val results = board
       .map { case (name, fn) =>
