@@ -639,6 +639,32 @@ object Oracles7 {
       |  AS text
       | FROM documents)""".stripMargin
 
+  /** Mirrors TextOps.piiLuhnAudit: the card-injected corpus rebuilt
+    * from the SAME templates (base/sum fragments shared from TextOps,
+    * `//` as the integer-division spelling), tokens re-extracted and
+    * re-verified with the SAME unrolled positional Luhn sum.
+    */
+  val piiLuhnAudit: String = {
+    import graft.operators.TextOps.{cardBaseSql, cardSumSql, luhnSumSql, CardRe}
+    val sum = cardSumSql("//")
+    s"""WITH pc AS (
+       | SELECT doc_id, source,
+       |  text ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' card ' || $cardBaseSql ||
+       |    CAST((10 - $sum % 10) % 10 AS STRING) ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ' card ' || $cardBaseSql ||
+       |    CAST(((10 - $sum % 10) % 10 + 5) % 10 AS STRING) ELSE '' END
+       |  AS text
+       | FROM documents),
+       |tok AS (SELECT source, unnest(regexp_extract_all(text, '$CardRe')) AS tok FROM pc)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cards,
+       | CAST(SUM(CASE WHEN (${luhnSumSql("tok")}) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_valid,
+       | CAST(SUM(CASE WHEN (${luhnSumSql("tok")}) % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |   AS n_invalid
+       |FROM tok GROUP BY source""".stripMargin
+  }
+
   /** Mirrors TextOps.piiProfile: per-source match counts over the
     * shared PII regexes (common Java/RE2 dialect), HUGEINT-floored
     * affected-doc ppm, every SUM BIGINT-cast.

@@ -217,6 +217,7 @@ object SparkEntry {
     "pii_rewrite" -> TextOps.piiRewrite,
     "span_rewrite_anyalign" -> DedupOps.spanRewriteAnyAlign,
     "span_family_audit" -> DedupOps.spanFamilyAudit,
+    "pii_luhn_audit" -> TextOps.piiLuhnAudit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -712,6 +713,7 @@ object SparkEntry {
     "pii_rewrite" -> Oracles7.piiRewrite,
     "span_rewrite_anyalign" -> Oracles7.spanRewriteAnyAlign,
     "span_family_audit" -> Oracles7.spanFamilyAudit,
+    "pii_luhn_audit" -> Oracles7.piiLuhnAudit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -2754,4 +2754,104 @@ object TextOps {
     */
   def piiRewrite(spark: SparkSession, dir: String): DataFrame =
     piiRedactProjection(piiDocs(spark, dir))
+
+  /** Card-shaped token: 16 digits starting with 4 (the test-range
+    * IIN). Shape alone is NOT identification — [[piiLuhnAudit]] pairs
+    * it with the checksum.
+    */
+  private[graft] val CardRe = "4[0-9]{15}"
+
+  /** SQL for the Luhn sum of a 16-digit string expression — UNROLLED
+    * (16 substr/CAST terms, no HOF: higher-order functions are
+    * interpreted in Spark and this must stay codegen), and built ONCE
+    * here so the Spark plan and the DuckDB oracle evaluate the SAME
+    * text (substr/CASE/integer arithmetic — the engines' common
+    * dialect). Left position i of 16 sits at even distance from the
+    * right iff i is odd, so odd-i digits double (with the −9
+    * fold-down); a valid number sums ≡ 0 (mod 10).
+    */
+  private[graft] def luhnSumSql(tok: String): String =
+    (1 to 16).map { i =>
+      val d = s"CAST(substr($tok, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN $d > 4 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString(" + ")
+
+  /** The card-injected corpus (mirrored in the oracle CTE): a VALID
+    * Luhn card on doc_id % 7 = 0 docs and an INVALID one (check digit
+    * +5 mod 10 — never valid) on % 11 = 0 docs, both derived from
+    * doc_id by the same fixed-template arithmetic. The check digit of
+    * `4929 00000 dddddd c` is a LINEAR function of doc_id's low six
+    * digits (fixed digits contribute 8+9+4+9 = 30 to the Luhn sum),
+    * so both engines derive it in pure integer SQL — the injection
+    * and the verifying checksum are INDEPENDENT formulations that
+    * must agree, which is what makes the gate a real Luhn test.
+    */
+  /** The card-injection SQL fragments, parameterized ONLY by the
+    * integer-division operator (`DIV` in Spark SQL, `//` in DuckDB)
+    * so both engines build from one template. `cardBaseSql` is the
+    * 15-digit payload; `cardSumSql(div)` its Luhn sum (fixed digits
+    * 4+9+2+9 at alternating positions contribute 30; doc_id's low six
+    * digits fill the rest, odd-from-right ones doubled).
+    */
+  private[graft] val cardBaseSql: String =
+    // STRING, not VARCHAR: Spark needs the alias (VARCHAR requires a
+    // length there) and DuckDB accepts both
+    "concat('4929', '00000', lpad(CAST(doc_id % 1000000 AS STRING), 6, '0'))"
+
+  private[graft] def cardSumSql(div: String): String = {
+    def digit(pow: Long): String =
+      if (pow == 1L) "(doc_id % 10)" else s"(doc_id $div $pow % 10)"
+    def dd(pow: Long): String = {
+      val d = digit(pow)
+      s"(CASE WHEN $d > 4 THEN 2 * $d - 9 ELSE 2 * $d END)"
+    }
+    s"(30 + ${digit(100000L)} + ${dd(10000L)} + ${digit(1000L)} + ${dd(100L)} + ${digit(10L)} + ${dd(1L)})"
+  }
+
+  private[graft] def piiCardDocs(spark: SparkSession, dir: String): DataFrame = {
+    val sumExpr = cardSumSql("DIV")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(
+          s"""concat(text,
+             | CASE WHEN doc_id % 7 = 0 THEN concat(' card ', $cardBaseSql,
+             |   CAST((10 - $sumExpr % 10) % 10 AS STRING)) ELSE '' END,
+             | CASE WHEN doc_id % 11 = 0 THEN concat(' card ', $cardBaseSql,
+             |   CAST(((10 - $sumExpr % 10) % 10 + 5) % 10 AS STRING)) ELSE '' END)""".stripMargin
+        ).as("text")
+      )
+  }
+
+  /** Checksum-validated card audit per source — detection BEYOND the
+    * regex shape: card-shaped tokens are extracted, then each is
+    * Luhn-verified digit-by-digit ([[luhnSumSql]], the industry
+    * checksum every card number carries), splitting shape hits into
+    * validated identifiers vs false positives. The injected corpus
+    * plants both kinds, so the gate fails if either the checksum
+    * arithmetic or the extraction drifts — and because the injection
+    * derives the check digit by a DIFFERENT formulation (linear in
+    * doc_id's digits) than the verifier (positional over the string),
+    * agreement is a real end-to-end Luhn proof on both engines.
+    *
+    * Scale: per-row extract + 16-term integer sum inside the scan
+    * stage (one posexplode of the per-doc match array, bounded by
+    * matches-per-doc), then a #sources aggregate. Scan-bound.
+    */
+  def piiLuhnAudit(spark: SparkSession, dir: String): DataFrame =
+    piiCardDocs(spark, dir)
+      .select(
+        col("source"),
+        explode(regexp_extract_all(col("text"), lit(CardRe), lit(0))).as("tok")
+      )
+      .withColumn("luhn_ok", expr(s"(${luhnSumSql("tok")}) % 10 = 0"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_cards"),
+        sum(when(col("luhn_ok"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("luhn_ok"), 0L).otherwise(1L)).as("n_invalid")
+      )
 }

@@ -5444,6 +5444,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(aaReal.map(_.getAs[Long]("n_dup_windows")).sum > 0L)
   }
 
+  test("pii luhn audit: planted valid/invalid cards split exactly by an independent checksum") {
+    // Third formulation of the checksum (textbook right-to-left walk in
+    // Scala) against the two SQL formulations (injection: linear in
+    // doc_id's digits; verification: positional over the string) — all
+    // three must agree or the audit's arithmetic drifted.
+    def luhnOk(s: String): Boolean = {
+      var sum = 0
+      var i = s.length - 1
+      var second = false
+      while (i >= 0) {
+        var d = s.charAt(i) - '0'
+        if (second) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        second = !second
+        i -= 1
+      }
+      sum % 10 == 0
+    }
+    val ids = Tables.documents(spark, Sf0001).select("doc_id").collect().map(_.getLong(0))
+    val toks = TextOps.piiCardDocs(spark, Sf0001).collect().flatMap { r =>
+      "4[0-9]{15}".r.findAllIn(r.getString(2)).map(t => (r.getLong(0), t))
+    }
+    // one card-shaped token per planted slot, none from the raw corpus
+    assert(toks.length === ids.count(_ % 7 == 0) + ids.count(_ % 11 == 0))
+    val (valid, invalid) = toks.partition(t => luhnOk(t._2))
+    assert(valid.map(_._1).toSet === ids.filter(_ % 7 == 0).toSet)
+    assert(invalid.map(_._1).toSet === ids.filter(_ % 11 == 0).toSet)
+    val rows = TextOps.piiLuhnAudit(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_valid")).sum === valid.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_invalid")).sum === invalid.length.toLong)
+    assert(valid.nonEmpty && invalid.nonEmpty)
+  }
+
   test("pii: injected identifiers are found, fully redacted, and token-conserved") {
     // NON-VACUITY by construction: the raw corpus is letters-only, so
     // every match comes from the deterministic doc_id-derived
