@@ -705,4 +705,176 @@ object Oracles7 {
        |   '$Ipv4Re', '<IP>', 'g') AS clean_text
        |FROM pii""".stripMargin
   }
+
+  /** ONE definition of the boilerplate-injected corpus (mirrors
+    * TextOps.boilerplateDocs): the same nav/footer/newsletter template
+    * lines re-derived from doc_id, chr(10)-separated. The oracle
+    * computes line doc-frequency on the line STRINGS, so a 60-bit
+    * line-hash collision on the Spark side would hash-mismatch the
+    * gate (the hashed-postings collision discipline).
+    */
+  private val boilerCte: String =
+    """bp AS (
+      | SELECT doc_id, source,
+      |  text ||
+      |  CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+      |    'nav home products pricing about contact' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+      |    'copyright footer all rights reserved edition ' ||
+      |    CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+      |    'subscribe to the newsletter for updates issue ' ||
+      |    CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+      |  AS text
+      | FROM documents)""".stripMargin
+
+  /** Mirrors TextOps.boilerplateProfile: per-source line volume and
+    * boilerplate-line occurrence counts at the shared df threshold,
+    * HUGEINT-floored ppm, every SUM BIGINT-cast.
+    */
+  val boilerplateProfile: String = {
+    val k = graft.operators.TextOps.BoilerDf
+    s"""WITH $boilerCte,
+       |lines AS (SELECT doc_id, source,
+       |  unnest(string_split(text, chr(10))) AS line FROM bp),
+       |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+       |j AS (SELECT l.source, CASE WHEN df.nd >= $k THEN 1 ELSE 0 END AS b
+       |      FROM lines l JOIN df USING (line)),
+       |pl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |        CAST(SUM(b) AS BIGINT) AS n_boiler_lines FROM j GROUP BY source),
+       |pd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM bp GROUP BY source)
+       |SELECT pd.source, pd.n_docs, pl.n_lines, pl.n_boiler_lines,
+       | CAST(CAST(pl.n_boiler_lines AS HUGEINT) * 1000000 // pl.n_lines AS BIGINT)
+       |   AS boiler_line_ppm
+       |FROM pd JOIN pl USING (source)""".stripMargin
+  }
+
+  /** Mirrors TextOps.boilerplateRewrite: drop every line with corpus
+    * doc-frequency ≥ the shared threshold, rebuild the doc from the
+    * survivors in position order (string_agg skips the NULLed dropped
+    * lines; COALESCE covers an all-dropped doc, matching Spark's
+    * empty array_join).
+    */
+  val boilerplateRewrite: String = {
+    val k = graft.operators.TextOps.BoilerDf
+    s"""WITH $boilerCte,
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
+       |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+       |  unnest(ls) AS line FROM ls),
+       |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+       |j AS (SELECT l.doc_id, l.pos, l.line, df.nd
+       |      FROM lines l JOIN df USING (line))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       | CAST(SUM(CASE WHEN nd >= $k THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       | COALESCE(string_agg(CASE WHEN nd < $k THEN line END, chr(10) ORDER BY pos), '')
+       |   AS clean_text
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirrors TextOps.secretScan: the secret-injected corpus rebuilt
+    * from the shared token template (24 distinct-residue alphabet
+    * positions) + repeated-char decoy, candidates re-extracted with
+    * the shared shape regex and re-classified by the same
+    * distinct-char diversity threshold.
+    */
+  val secretScan: String = {
+    import graft.operators.TextOps.{SecretAlphabet, SecretShapeRe, SecretDiversityMin, secretTokenSql}
+    // the Spark-side template uses concat(...)/substr/CAST — all valid
+    // DuckDB; only STRING→VARCHAR is a dialect seam and the template
+    // has no casts to STRING
+    s"""WITH sd AS (
+       | SELECT doc_id, source,
+       |  text ||
+       |  CASE WHEN doc_id % 6 = 0 THEN ' key ' || $secretTokenSql ELSE '' END ||
+       |  CASE WHEN doc_id % 9 = 0 THEN ' key ' ||
+       |    repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24)
+       |    ELSE '' END
+       |  AS text
+       | FROM documents),
+       |c AS (SELECT source, regexp_extract_all(text, '$SecretShapeRe') AS cands FROM sd),
+       |s AS (SELECT source, len(cands) AS nc,
+       |  len(list_filter(cands,
+       |    t -> len(list_distinct(string_split(t, ''))) >= $SecretDiversityMin)) AS ns
+       | FROM c)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(nc) AS BIGINT) AS n_candidates,
+       | CAST(SUM(ns) AS BIGINT) AS n_secrets,
+       | CAST(SUM(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_docs,
+       | CAST(CAST(SUM(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |   // COUNT(*) AS BIGINT) AS secret_doc_ppm
+       |FROM s GROUP BY source""".stripMargin
+  }
+
+  /** The URL-injected corpus CTE (mirrors TextOps.urlDocs). */
+  private val urlCte: String = {
+    import graft.operators.TextOps.urlHostSql
+    s"""ud AS (
+       | SELECT doc_id, source,
+       |  text ||
+       |  CASE WHEN doc_id % 2 = 0 THEN ' see http://' ||
+       |    ${urlHostSql("(doc_id // 2) % 4")} || '/page' ||
+       |    CAST(doc_id AS VARCHAR) ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' ref https://' ||
+       |    ${urlHostSql("(doc_id // 5) % 4")} || '/q' ||
+       |    CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+       |  AS text
+       | FROM documents)""".stripMargin
+  }
+
+  /** Mirrors TextOps.urlProfile: per-(source, host) link census over
+    * the shared URL regex and host-extraction group.
+    */
+  val urlProfile: String = {
+    import graft.operators.TextOps.{UrlRe, UrlHostRe}
+    s"""WITH $urlCte,
+       |u AS (SELECT source, unnest(regexp_extract_all(text, '$UrlRe')) AS url FROM ud)
+       |SELECT source, regexp_extract(url, '$UrlHostRe', 1) AS host,
+       | CAST(COUNT(*) AS BIGINT) AS n_urls
+       |FROM u GROUP BY source, regexp_extract(url, '$UrlHostRe', 1)""".stripMargin
+  }
+
+  /** Mirrors TextOps.urlBlocklistAudit: same blocklist literals, same
+    * any-match semantics via a list lambda.
+    */
+  val urlBlocklistAudit: String = {
+    import graft.operators.TextOps.{UrlRe, UrlHostRe, UrlBlocklist}
+    val blocked = UrlBlocklist.map(h => s"'$h'").mkString("(", ", ", ")")
+    s"""WITH $urlCte,
+       |f AS (SELECT source,
+       |  regexp_extract_all(text, '$UrlRe') AS urls FROM ud),
+       |g AS (SELECT source, len(urls) > 0 AS has_url,
+       |  len(list_filter(urls,
+       |    u -> regexp_extract(u, '$UrlHostRe', 1) IN $blocked)) > 0 AS is_blocked
+       | FROM f)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(CASE WHEN has_url THEN 1 ELSE 0 END) AS BIGINT) AS n_url_docs,
+       | CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_docs,
+       | CAST(CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |   // COUNT(*) AS BIGINT) AS blocked_ppm
+       |FROM g GROUP BY source""".stripMargin
+  }
+
+  /** Mirrors TextOps.hashgramScore: the same 60-bit md5 weight table
+    * ((hash % 2001) − 1000) summed over the token bag per doc, then
+    * the per-source keep sheet.
+    */
+  val hashgramScore: String =
+    """WITH toks AS (
+      | SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(toks) AS t FROM toks),
+      |ds AS (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
+      | FROM (SELECT doc_id, source FROM toks) s
+      | LEFT JOIN (
+      |   SELECT doc_id,
+      |    SUM(CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+      |        % 2001 - 1000) AS score
+      |   FROM tok GROUP BY doc_id) w USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      | CAST(SUM(score) AS BIGINT) AS sum_score,
+      | CAST(CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+      |   // COUNT(*) AS BIGINT) AS keep_ppm
+      |FROM ds GROUP BY source""".stripMargin
 }

@@ -218,6 +218,12 @@ object SparkEntry {
     "span_rewrite_anyalign" -> DedupOps.spanRewriteAnyAlign,
     "span_family_audit" -> DedupOps.spanFamilyAudit,
     "pii_luhn_audit" -> TextOps.piiLuhnAudit,
+    "boilerplate_profile" -> TextOps.boilerplateProfile,
+    "boilerplate_rewrite" -> TextOps.boilerplateRewrite,
+    "secret_scan" -> TextOps.secretScan,
+    "url_profile" -> TextOps.urlProfile,
+    "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
+    "hashgram_score" -> TextOps.hashgramScore,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -714,6 +720,12 @@ object SparkEntry {
     "span_rewrite_anyalign" -> Oracles7.spanRewriteAnyAlign,
     "span_family_audit" -> Oracles7.spanFamilyAudit,
     "pii_luhn_audit" -> Oracles7.piiLuhnAudit,
+    "boilerplate_profile" -> Oracles7.boilerplateProfile,
+    "boilerplate_rewrite" -> Oracles7.boilerplateRewrite,
+    "secret_scan" -> Oracles7.secretScan,
+    "url_profile" -> Oracles7.urlProfile,
+    "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,
+    "hashgram_score" -> Oracles7.hashgramScore,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

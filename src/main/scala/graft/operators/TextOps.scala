@@ -2854,4 +2854,383 @@ object TextOps {
         sum(when(col("luhn_ok"), 1L).otherwise(0L)).as("n_valid"),
         sum(when(col("luhn_ok"), 0L).otherwise(1L)).as("n_invalid")
       )
+
+  // ------------------------------------------------ boilerplate lines
+
+  /** Corpus-wide doc-frequency threshold above which an exact LINE is
+    * boilerplate (CCNet/RefinedWeb line-level dedup: a line repeated
+    * verbatim across many documents is template chrome — nav bars,
+    * footers, cookie banners — not content). Injected template lines
+    * have df that scales with the corpus (n/2 down to ~n/21 per
+    * variant), so the threshold bites at every SF, while organic
+    * lines (each raw doc is one newline-free line) stay below it
+    * except inside large exact-dup clusters — which is exactly the
+    * intended semantics.
+    */
+  private[graft] val BoilerDf = 10
+
+  /** ONE definition of the boilerplate-injected corpus (the
+    * [[piiInjectExpr]] pattern — the raw corpus is newline-free, so a
+    * line-dedup gate over it would be vacuous): deterministic
+    * template lines — a nav bar on even doc_ids, 4 footer variants on
+    * % 3 = 0, 3 newsletter variants on % 7 = 0 — appended with
+    * chr(10) separators, derived from doc_id by integer arithmetic
+    * the DuckDB oracle re-derives relationally.
+    */
+  private[graft] def boilerplateInjectExpr: Column =
+    expr(
+      """concat(text,
+        | CASE WHEN doc_id % 2 = 0 THEN concat(chr(10),
+        |   'nav home products pricing about contact') ELSE '' END,
+        | CASE WHEN doc_id % 3 = 0 THEN concat(chr(10),
+        |   'copyright footer all rights reserved edition ',
+        |   CAST(doc_id % 4 AS STRING)) ELSE '' END,
+        | CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
+        |   'subscribe to the newsletter for updates issue ',
+        |   CAST(doc_id % 3 AS STRING)) ELSE '' END)""".stripMargin
+    )
+
+  private[graft] def boilerplateDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), boilerplateInjectExpr.as("text"))
+
+  /** Per-(doc, position, line-HASH) rows: the line strings exist only
+    * inside the scan stage (Generate → project to a 60-bit md5 long)
+    * and are pruned before any exchange — the hashed-postings
+    * discipline at line granularity. Collision risk is gate-bounded:
+    * the oracle computes doc frequency on the line STRINGS.
+    */
+  private def boilerLines(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("pos"),
+        conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long").as("h")
+      )
+
+  /** Line hashes with corpus doc-frequency ≥ [[BoilerDf]] — the
+    * boilerplate set. Size is bounded by n_lines / BoilerDf in the
+    * worst case and in practice by the number of distinct TEMPLATES,
+    * which is what makes the rewrite's join-back pair-bounded.
+    */
+  private def boilerFreq(lines: DataFrame): DataFrame =
+    lines
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerDf)
+
+  /** Line-level boilerplate PROFILE per source: line volume, how many
+    * line occurrences are corpus-boilerplate (exact line shared by
+    * ≥ [[BoilerDf]] docs), and the floor-div ppm — the audit that
+    * prices a line-dedup pass before running it (CCNet reports ~70%
+    * of common-crawl lines boilerplate; this is that number for this
+    * corpus).
+    *
+    * Scale: one Generate inside the scan (strings never shuffle: only
+    * 60-bit line hashes + positions move), a map-side-combined
+    * doc-frequency aggregate, one long-keyed join, and a #sources
+    * rollup. The doc directory count comes from its own tiny
+    * aggregate, not a mixed countDistinct (no Expand over the line
+    * stream).
+    */
+  def boilerplateProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = boilerplateDocs(spark, dir)
+    val lines = boilerLines(docs)
+    val perSrcDocs =
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    lines
+      .join(boilerFreq(lines.select(col("doc_id"), col("h"))), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_boiler_lines")
+      )
+      .join(perSrcDocs, Seq("source"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_lines"),
+        col("n_boiler_lines"),
+        expr(
+          "CAST(CAST(n_boiler_lines AS DECIMAL(38,0)) * 1000000 DIV n_lines AS BIGINT)"
+        ).as("boiler_line_ppm")
+      )
+  }
+
+  /** Line-level boilerplate REWRITE — the action the profile prices:
+    * every line whose exact content appears in ≥ [[BoilerDf]] docs is
+    * dropped; the doc is rebuilt from its surviving lines in order.
+    * Per-doc counts make the conservation contract checkable:
+    * n_lines − n_dropped = lines in clean_text (the spec asserts it).
+    *
+    * Scale: the boilerplate SET (df ≥ threshold) is template-bounded;
+    * per-doc drop positions come back as ONE pair-bounded join
+    * (doc_id → int array), and the rebuild is a row-local lambda over
+    * the doc's own lines in the directory scan — corpus text never
+    * shuffles, the spanRewriteAnyAlign rebuild shape at line
+    * granularity.
+    */
+  def boilerplateRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = boilerplateDocs(spark, dir)
+    val lines = boilerLines(docs).select(col("doc_id"), col("pos"), col("h"))
+    val dropPos = lines
+      .join(boilerFreq(lines), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("drop_pos"))
+    docs
+      .join(dropPos, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        expr("CAST(size(split(text, chr(10))) AS BIGINT)").as("n_lines"),
+        when(col("drop_pos").isNull, 0L)
+          .otherwise(size(col("drop_pos")).cast("long")).as("n_dropped"),
+        expr(
+          """array_join(
+            |  transform(
+            |    filter(transform(split(text, chr(10)), (l, i) -> struct(l AS l, i AS i)),
+            |           s -> drop_pos IS NULL OR NOT array_contains(drop_pos, s.i)),
+            |    s -> s.l),
+            |  chr(10))""".stripMargin
+        ).as("clean_text")
+      )
+  }
+
+  // ----------------------------------------------------- secret scan
+
+  /** Secret-shaped token: a 24-char lowercase-alphanumeric run — the
+    * length/charset prefilter every credential scanner starts from.
+    * Shape alone is NOT detection ([[secretScan]] pairs it with the
+    * character-diversity test, the integer-exact stand-in for the
+    * Shannon-entropy threshold scanners use: logs are transcendental
+    * and would not hash-match across engines, distinct-char counts
+    * do).
+    */
+  private[graft] val SecretShapeRe = "[a-z0-9]{24}"
+  private[graft] val SecretAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private[graft] val SecretDiversityMin = 13
+
+  /** The injected secret token: 24 alphabet positions
+    * (doc_id * 5 + i) % 36 for i = 0..23 — the offsets i are 24
+    * DISTINCT residues mod 36, so the token has 24 distinct chars for
+    * EVERY doc_id (always above the diversity threshold), while the
+    * decoy (one char repeated 24×) always sits at 1. Unrolled concat,
+    * no HOF; one template string shared with the oracle.
+    */
+  private[graft] val secretTokenSql: String =
+    (0 until 24)
+      .map(i =>
+        s"substr('$SecretAlphabet', CAST(1 + (doc_id * 5 + $i) % 36 AS INT), 1)")
+      .mkString("concat(", ", ", ")")
+
+  /** The secret-injected corpus (the [[piiInjectExpr]] pattern): a
+    * HIGH-diversity key-shaped token on doc_id % 6 = 0 docs and a
+    * LOW-diversity decoy (same shape regex, one repeated char) on
+    * % 9 = 0 docs — the false-positive class a naive shape-only
+    * scanner cannot reject.
+    */
+  private[graft] def secretDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(
+          s"""concat(text,
+             | CASE WHEN doc_id % 6 = 0 THEN concat(' key ', $secretTokenSql)
+             |   ELSE '' END,
+             | CASE WHEN doc_id % 9 = 0 THEN concat(' key ',
+             |   repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24))
+             |   ELSE '' END)""".stripMargin
+        ).as("text")
+      )
+
+  /** Credential/secret scan per source: shape-regex candidates split
+    * by the character-diversity classifier into likely secrets vs
+    * low-entropy false positives, plus the floor-div ppm of affected
+    * docs — the leak audit (API keys, tokens) every corpus release
+    * runs alongside the PII pass.
+    *
+    * Scale: per-row regex extract + a row-local diversity lambda over
+    * the (bounded) per-doc candidate list, then ONE #sources
+    * aggregate. Scan-bound like piiProfile.
+    */
+  def secretScan(spark: SparkSession, dir: String): DataFrame =
+    secretDocs(spark, dir)
+      .select(
+        col("source"),
+        expr(s"regexp_extract_all(text, '$SecretShapeRe', 0)").as("cands")
+      )
+      .select(
+        col("source"),
+        size(col("cands")).cast("long").as("nc"),
+        expr(
+          s"""CAST(size(filter(cands,
+             |  t -> size(array_distinct(split(t, ''))) >= $SecretDiversityMin))
+             | AS BIGINT)""".stripMargin
+        ).as("ns")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_candidates"),
+        sum(col("ns")).as("n_secrets"),
+        sum(when(col("ns") > 0, 1L).otherwise(0L)).as("n_secret_docs")
+      )
+      .withColumn(
+        "secret_doc_ppm",
+        expr("CAST(CAST(n_secret_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+
+  // ------------------------------------------------------ URL audits
+
+  private[graft] val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9]*"
+  private[graft] val UrlHostRe = "https?://([a-z0-9.-]+)/"
+
+  /** The four injected hosts; index derived from doc_id so every host
+    * appears at every SF. Two of them are the blocklist
+    * ([[UrlBlocklist]]) — the C4-style domain filter's input.
+    */
+  private[graft] val UrlHosts =
+    Seq("ads.example.com", "blog.example.org", "spam.example.net", "docs.example.io")
+  private[graft] val UrlBlocklist = Seq("ads.example.com", "spam.example.net")
+
+  private[graft] def urlHostSql(idx: String): String =
+    UrlHosts.zipWithIndex
+      .map { case (h, i) => s"WHEN $idx = $i THEN '$h'" }
+      .mkString("CASE ", " ", " END")
+
+  /** The URL-injected corpus: an http link on even doc_ids (host
+    * cycles over all four via (doc_id / 2) % 4) and an https link on
+    * % 5 = 0 docs (host via (doc_id / 5) % 4) — both paths derived
+    * from doc_id, both engines re-derive the text.
+    */
+  private[graft] def urlDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(
+          s"""concat(text,
+             | CASE WHEN doc_id % 2 = 0 THEN concat(' see http://',
+             |   ${urlHostSql("(doc_id DIV 2) % 4")}, '/page',
+             |   CAST(doc_id AS STRING)) ELSE '' END,
+             | CASE WHEN doc_id % 5 = 0 THEN concat(' ref https://',
+             |   ${urlHostSql("(doc_id DIV 5) % 4")}, '/q',
+             |   CAST(doc_id % 97 AS STRING)) ELSE '' END)""".stripMargin
+        ).as("text")
+      )
+
+  /** URL census per (source, host): extract every link, parse the
+    * host, count — the first half of the C4-style domain filter
+    * (profile, then block). Scale: Generate inside the scan (bounded
+    * matches per doc), host parsed per row, ONE
+    * (#sources × #hosts)-group aggregate.
+    */
+  def urlProfile(spark: SparkSession, dir: String): DataFrame =
+    urlDocs(spark, dir)
+      .select(
+        col("source"),
+        explode(expr(s"regexp_extract_all(text, '$UrlRe', 0)")).as("url")
+      )
+      .select(
+        col("source"),
+        regexp_extract(col("url"), UrlHostRe, 1).as("host")
+      )
+      .groupBy(col("source"), col("host"))
+      .agg(count(lit(1)).as("n_urls"))
+
+  /** Domain-blocklist audit per source: docs carrying any URL, docs
+    * carrying a BLOCKED host, and the floor-div ppm the block would
+    * remove — the action urlProfile prices. The blocklist is two
+    * literals here; at 100 TB it is a broadcast side, never a
+    * shuffle key.
+    *
+    * Scale: row-local extract + exists lambda over the per-doc match
+    * list, one #sources aggregate; map-only before the rollup.
+    */
+  def urlBlocklistAudit(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = UrlBlocklist.map(h => s"'$h'").mkString("(", ", ", ")")
+    urlDocs(spark, dir)
+      .select(
+        col("source"),
+        expr(s"regexp_extract_all(text, '$UrlRe', 0)").as("urls")
+      )
+      .select(
+        col("source"),
+        (size(col("urls")) > 0).as("has_url"),
+        expr(
+          s"""exists(urls,
+             | u -> regexp_extract(u, '$UrlHostRe', 1) IN $blocked)""".stripMargin
+        ).as("is_blocked")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("has_url"), 1L).otherwise(0L)).as("n_url_docs"),
+        sum(when(col("is_blocked"), 1L).otherwise(0L)).as("n_blocked_docs")
+      )
+      .withColumn(
+        "blocked_ppm",
+        expr("CAST(CAST(n_blocked_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+  }
+
+  // ------------------------------------------- hashed linear scoring
+
+  /** Hashed-bag-of-words linear classifier INFERENCE — the
+    * fastText-style quality-model pass pipelines run over every doc
+    * (CCNet's LM filter, Dolma's quality classifier) with a
+    * deterministic weight table: w(token) = (60-bit md5 of the token)
+    * % 2001 − 1000, score(doc) = Σ over the token BAG. The weights
+    * are a fixed pseudo-random projection, so the operator exercises
+    * the exact execution shape of a real hashed linear model (hash →
+    * weight lookup → per-doc sum) with an integer-exact oracle.
+    *
+    * Output per source: docs, docs the score keeps (> 0), the total
+    * score mass, and the floor-div keep ppm — the decision sheet a
+    * score threshold feeds.
+    *
+    * Scale: ONE scan; tokenize + hash + sum is a row-local lambda
+    * (no token explode, no shuffle before the #sources rollup) — at
+    * 100 TB this is scan-bound, exactly how classifier inference
+    * should run.
+    */
+  def hashgramScore(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        // ONE tokenizer definition (tokens — the SQL-literal escaping
+        // seam for \p{L} is dodged by building the split in the Scala
+        // API), then the hash→weight→sum fold as a row-local lambda
+        tokens(col("text")).as("toks")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(
+          """aggregate(toks, 0L,
+            |  (acc, t) -> acc +
+            |    (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000))""".stripMargin
+        ).as("score")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score")).as("sum_score")
+      )
+      .withColumn(
+        "keep_ppm",
+        expr("CAST(CAST(n_keep AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
 }

@@ -5514,4 +5514,130 @@ class OperatorsSpec extends AnyFunSuite {
       assert(clean.split(" ").count(_ == "<IP>").toLong === r.getAs[Long]("n_ips"))
     }
   }
+
+  test("boilerplate: df-threshold line dedup matches a brute recompute and conserves lines") {
+    // Brute-force twin computed in plain Scala over the SAME injected
+    // corpus: line doc-frequency on exact strings, boilerplate at the
+    // shared threshold, per-doc drop + rebuild.
+    val docs = TextOps.boilerplateDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val df = docs.valuesIterator
+      .flatMap(_.split("\n").distinct)
+      .toSeq.groupBy(identity).map { case (l, g) => l -> g.size }
+    val k = 10
+    // NON-VACUITY by construction: the nav line rides every even
+    // doc_id, so its df is ~n/2 >> threshold; organic lines exist too.
+    val nav = "nav home products pricing about contact"
+    assert(df(nav) >= k)
+    assert(df.valuesIterator.count(_ < k) > 0)
+
+    val prof = TextOps.boilerplateProfile(spark, Sf0001).collect()
+    val expLines = docs.valuesIterator.map(_.split("\n").length.toLong).sum
+    assert(prof.map(_.getAs[Long]("n_lines")).sum === expLines)
+    val expBoiler = docs.valuesIterator
+      .flatMap(_.split("\n")).count(l => df(l) >= k).toLong
+    assert(prof.map(_.getAs[Long]("n_boiler_lines")).sum === expBoiler)
+    assert(expBoiler > 0L)
+
+    val rw = TextOps.boilerplateRewrite(spark, Sf0001).collect()
+    assert(rw.length === docs.size)
+    rw.foreach { r =>
+      val id = r.getLong(0)
+      val ls = docs(id).split("\n")
+      val kept = ls.filter(l => df(l) < k)
+      assert(r.getAs[Long]("n_lines") === ls.length.toLong)
+      assert(r.getAs[Long]("n_dropped") === (ls.length - kept.length).toLong)
+      val clean = r.getAs[String]("clean_text")
+      assert(clean === kept.mkString("\n"))
+      // conservation: surviving line count is exactly n_lines - n_dropped
+      val cleanLines = if (clean.isEmpty) 0 else clean.split("\n").length
+      assert(cleanLines.toLong === r.getAs[Long]("n_lines") - r.getAs[Long]("n_dropped"))
+      // the planted template never survives
+      assert(!clean.contains(nav))
+    }
+  }
+
+  test("secret scan: diversity classifier separates planted keys from repeated-char decoys") {
+    val docs = TextOps.secretDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val shape = "[a-z0-9]{24}".r
+    // brute twin: same regex, same distinct-char threshold
+    val brute = docs.map { case (_, src, text) =>
+      val cands = shape.findAllIn(text).toSeq
+      (src, cands.size.toLong, cands.count(_.distinct.length >= 13).toLong)
+    }
+    // NON-VACUITY by construction: every %6==0 doc carries a token
+    // with 24 distinct chars (distinct residues mod 36), every %9==0
+    // doc a 1-distinct-char decoy
+    docs.foreach { case (id, _, text) =>
+      val cands = shape.findAllIn(text).toSeq
+      if (id % 6 == 0) assert(cands.exists(_.distinct.length == 24))
+      if (id % 9 == 0) assert(cands.exists(_.distinct.length == 1))
+    }
+    assert(brute.map(_._2).sum > brute.map(_._3).sum) // decoys exist
+    assert(brute.map(_._3).sum > 0L)                  // secrets exist
+    val rows = TextOps.secretScan(spark, Sf0001).collect()
+    val bySrc = brute.groupBy(_._1)
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      assert(r.getAs[Long]("n_candidates") === g.map(_._2).sum)
+      assert(r.getAs[Long]("n_secrets") === g.map(_._3).sum)
+    }
+  }
+
+  test("url audit: host census and blocklist match a brute regex recompute") {
+    val docs = TextOps.urlDocs(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val urlRe = "https?://[a-z0-9.-]+/[a-z0-9]*".r
+    val hostRe = "https?://([a-z0-9.-]+)/".r
+    def host(u: String): String = hostRe.findFirstMatchIn(u).get.group(1)
+    val census = docs
+      .flatMap { case (src, text) => urlRe.findAllIn(text).map(u => (src, host(u))) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(census.keys.map(_._2).toSet === TextOps.UrlHosts.toSet) // all 4 hosts appear
+    val prof = TextOps.urlProfile(spark, Sf0001).collect()
+    assert(prof.length === census.size)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_urls") === census((r.getString(0), r.getString(1))))
+    }
+    val blocked = TextOps.UrlBlocklist.toSet
+    val bruteBlocked = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.count { case (_, t) => urlRe.findAllIn(t).exists(u => blocked(host(u))) }.toLong
+    }
+    val audit = TextOps.urlBlocklistAudit(spark, Sf0001).collect()
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_blocked_docs") === bruteBlocked(r.getString(0)))
+    }
+    // non-vacuity corpus-wide (a small source can have all or none of
+    // its docs on blocked host-index residues): the block removes
+    // some docs but not the whole corpus
+    assert(audit.map(_.getAs[Long]("n_blocked_docs")).sum > 0L)
+    assert(audit.map(_.getAs[Long]("n_blocked_docs")).sum <
+      audit.map(_.getAs[Long]("n_docs")).sum)
+  }
+
+  test("hashgram score: hashed linear inference matches a JVM-side md5 recompute") {
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 2001L - 1000L
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val brute = docs.map { case (src, text) =>
+      val toks = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+      (src, toks.map(w).sum)
+    }
+    val bySrc = brute.groupBy(_._1)
+    val rows = TextOps.hashgramScore(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      assert(r.getAs[Long]("sum_score") === g.map(_._2).sum)
+      assert(r.getAs[Long]("n_keep") === g.count(_._2 > 0L).toLong)
+      // the score actually discriminates: keeps some, drops some
+      assert(r.getAs[Long]("n_keep") > 0L)
+      assert(r.getAs[Long]("n_keep") < r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -940,6 +940,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate removal: sliced ingest == batch rewrite") {
+    // stream-static with a template-bounded broadcast line set; the
+    // static side matches on STRINGS while the batch path uses 60-bit
+    // line hashes, so equality also proves the batch side collision-free
+    val tmp = java.nio.file.Files.createTempDirectory("boiler-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.BoilerplateStream
+      .cleaned(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("boiler_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      }.toSet
+      val streamed = key(spark.table("boiler_stream").collect())
+      val batch = key(graft.operators.TextOps.boilerplateRewrite(spark, Sf0001).collect())
+      assert(streamed === batch)
+      assert(streamed.exists(_._3 > 0), "dropped boilerplate lines expected")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: sliced ingest == batch leak report") {
     // same 3-way doc_id-residue slicing as the near-dup stream test:
     // the per-doc report is stateless, so ANY slicing must reproduce
