@@ -777,12 +777,14 @@ object Oracles7 {
     * the shared shape regex and re-classified by the same
     * distinct-char diversity threshold.
     */
-  val secretScan: String = {
-    import graft.operators.TextOps.{SecretAlphabet, SecretShapeRe, SecretDiversityMin, secretTokenSql}
-    // the Spark-side template uses concat(...)/substr/CAST — all valid
-    // DuckDB; only STRING→VARCHAR is a dialect seam and the template
-    // has no casts to STRING
-    s"""WITH sd AS (
+  /** ONE definition of the secret-injected corpus (mirrors
+    * TextOps.secretDocs). The Spark-side template uses
+    * concat(...)/substr/CAST — all valid DuckDB; only STRING→VARCHAR
+    * is a dialect seam and the template has no casts to STRING.
+    */
+  private val secretCte: String = {
+    import graft.operators.TextOps.{SecretAlphabet, secretTokenSql}
+    s"""sd AS (
        | SELECT doc_id, source,
        |  text ||
        |  CASE WHEN doc_id % 6 = 0 THEN ' key ' || $secretTokenSql ELSE '' END ||
@@ -790,7 +792,12 @@ object Oracles7 {
        |    repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24)
        |    ELSE '' END
        |  AS text
-       | FROM documents),
+       | FROM documents)""".stripMargin
+  }
+
+  val secretScan: String = {
+    import graft.operators.TextOps.{SecretShapeRe, SecretDiversityMin}
+    s"""WITH $secretCte,
        |c AS (SELECT source, regexp_extract_all(text, '$SecretShapeRe') AS cands FROM sd),
        |s AS (SELECT source, len(cands) AS nc,
        |  len(list_filter(cands,
@@ -804,6 +811,52 @@ object Oracles7 {
        |   // COUNT(*) AS BIGINT) AS secret_doc_ppm
        |FROM s GROUP BY source""".stripMargin
   }
+
+  /** Mirrors TextOps.secretRewrite: the same anchored full-token
+    * shape + diversity predicate over the space-split, secrets to the
+    * sentinel, decoys left, space-rejoin byte-for-byte.
+    */
+  val secretRewrite: String = {
+    import graft.operators.TextOps.{SecretShapeRe, SecretDiversityMin}
+    val isSecret =
+      s"regexp_matches(t, '^$SecretShapeRe$$') AND " +
+        s"len(list_distinct(string_split(t, ''))) >= $SecretDiversityMin"
+    s"""WITH $secretCte,
+       |ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM sd)
+       |SELECT doc_id,
+       | CAST(len(list_filter(ts, t -> $isSecret)) AS BIGINT) AS n_redacted,
+       | array_to_string(list_transform(ts,
+       |   t -> CASE WHEN $isSecret THEN '<SECRET>' ELSE t END), ' ') AS clean_text
+       |FROM ts""".stripMargin
+  }
+
+  /** Mirrors TextOps.perceptronEpoch: the same label rule, 64-bucket
+    * 60-bit-md5 features, round-1 full-batch update and round-2
+    * misclassified-only update, all-integer.
+    */
+  val perceptronEpoch: String =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
+      | FROM documents),
+      |lab AS (SELECT doc_id,
+      |  CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE -1 END AS y, toks
+      | FROM toks),
+      |tok AS (SELECT doc_id, y, unnest(toks) AS t FROM lab),
+      |cells AS (SELECT doc_id, y,
+      |  CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) % 64 AS b,
+      |  COUNT(*) AS x
+      | FROM tok GROUP BY doc_id, y,
+      |  CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) % 64),
+      |w1 AS (SELECT b, SUM(y * x) AS w1 FROM cells GROUP BY b),
+      |sc AS (SELECT c.doc_id, c.y, SUM(c.x * w1.w1) AS s
+      | FROM cells c JOIN w1 USING (b) GROUP BY c.doc_id, c.y),
+      |upd AS (SELECT c.b, SUM(c.y * c.x) AS delta
+      | FROM cells c JOIN (SELECT doc_id FROM sc WHERE y * s <= 0) m USING (doc_id)
+      | GROUP BY c.b)
+      |SELECT w1.b AS bucket, CAST(w1.w1 AS BIGINT) AS w1,
+      | CAST(w1.w1 + COALESCE(upd.delta, 0) AS BIGINT) AS w2
+      |FROM w1 LEFT JOIN upd ON w1.b = upd.b""".stripMargin
 
   /** The URL-injected corpus CTE (mirrors TextOps.urlDocs). */
   private val urlCte: String = {

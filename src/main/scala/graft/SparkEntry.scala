@@ -221,6 +221,8 @@ object SparkEntry {
     "boilerplate_profile" -> TextOps.boilerplateProfile,
     "boilerplate_rewrite" -> TextOps.boilerplateRewrite,
     "secret_scan" -> TextOps.secretScan,
+    "secret_rewrite" -> TextOps.secretRewrite,
+    "perceptron_epoch" -> TextOps.perceptronEpoch,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
     "hashgram_score" -> TextOps.hashgramScore,
@@ -723,6 +725,8 @@ object SparkEntry {
     "boilerplate_profile" -> Oracles7.boilerplateProfile,
     "boilerplate_rewrite" -> Oracles7.boilerplateRewrite,
     "secret_scan" -> Oracles7.secretScan,
+    "secret_rewrite" -> Oracles7.secretRewrite,
+    "perceptron_epoch" -> Oracles7.perceptronEpoch,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,
     "hashgram_score" -> Oracles7.hashgramScore,

@@ -3088,6 +3088,33 @@ object TextOps {
         expr("CAST(CAST(n_secret_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
       )
 
+  /** Secret REDACTION rewrite — the action [[secretScan]] only
+    * reports, and the classifier's real point: candidates that PASS
+    * the diversity test become `<SECRET>`, low-entropy decoys are
+    * LEFT IN PLACE (they are content, not credentials — a shape-only
+    * redactor would destroy them). Token-wise rewrite over the
+    * space-split so the anchored full-token match cannot clip a
+    * partial hit; consecutive-space structure survives the rejoin
+    * byte-for-byte.
+    *
+    * Scale: pure per-row lambda in the scan stage, no shuffle at all
+    * — the pii_rewrite map-only shape.
+    */
+  def secretRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val isSecret =
+      s"t RLIKE '^$SecretShapeRe$$' AND size(array_distinct(split(t, ''))) >= $SecretDiversityMin"
+    secretDocs(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"CAST(size(filter(split(text, ' '), t -> $isSecret)) AS BIGINT)")
+          .as("n_redacted"),
+        expr(
+          s"""array_join(transform(split(text, ' '),
+             |  t -> CASE WHEN $isSecret THEN '<SECRET>' ELSE t END), ' ')""".stripMargin
+        ).as("clean_text")
+      )
+  }
+
   // ------------------------------------------------------ URL audits
 
   private[graft] val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9]*"
@@ -3233,4 +3260,61 @@ object TextOps {
         "keep_ppm",
         expr("CAST(CAST(n_keep AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
       )
+
+  /** Hashed-feature classifier TRAINING — one synchronous batch
+    * perceptron epoch (two update rounds), the data-parallel shape
+    * every distributed trainer runs: per-doc features are token
+    * counts over 64 hash buckets, the gradient all-reduce is a
+    * groupBy(bucket) aggregate, and the refreshed weight vector goes
+    * back to the workers as a BROADCAST — a parameter-server round
+    * expressed relationally, integer-exact end to end.
+    *
+    * Label: +1 iff the doc contains the token 'spark' (a corpus word
+    * both engines test with an exact list-membership), −1 otherwise —
+    * so round 2's misclassified set is a real function of round 1's
+    * learned weights. Round 1 starts at w = 0 (sign(0) matches no
+    * label, so every doc updates: w1[b] = Σ y·x[b]); round 2 updates
+    * only docs with y·score1 ≤ 0.
+    *
+    * Scale: the cell table (doc, label, bucket, count) is built once
+    * inside the scan and localCheckpointed for its three consumers
+    * (the shared-posting contract); weights are 64 rows — broadcast,
+    * never a shuffle side; the misclassified-doc join is doc-keyed.
+    * At 100 TB this is exactly scan + all-reduce + broadcast per
+    * round, the right plan for synchronous SGD.
+    */
+  def perceptronEpoch(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        when(array_contains(col("toks"), "spark"), 1L).otherwise(-1L).as("y"),
+        explode(col("toks")).as("t")
+      )
+      .select(
+        col("doc_id"),
+        col("y"),
+        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % 64).as("b")
+      )
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val w1 = cells.groupBy(col("b")).agg(sum(col("y") * col("x")).as("w1"))
+    val sc = cells
+      .join(broadcast(w1), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * col("w1")).as("s"))
+    val upd = cells
+      .join(sc.filter(col("y") * col("s") <= 0).select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("b"))
+      .agg(sum(col("y") * col("x")).as("delta"))
+    w1
+      .join(upd, Seq("b"), "left")
+      .select(
+        col("b").as("bucket"),
+        col("w1"),
+        (col("w1") + coalesce(col("delta"), lit(0L))).as("w2")
+      )
+  }
 }

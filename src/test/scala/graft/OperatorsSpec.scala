@@ -5616,6 +5616,65 @@ class OperatorsSpec extends AnyFunSuite {
       audit.map(_.getAs[Long]("n_docs")).sum)
   }
 
+  test("secret rewrite: sentinels replace diverse keys, decoys survive in place") {
+    val docs = TextOps.secretDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val shape = "^[a-z0-9]{24}$".r
+    def isSecret(t: String) =
+      shape.findFirstIn(t).isDefined && t.distinct.length >= 13
+    val rw = TextOps.secretRewrite(spark, Sf0001).collect()
+    assert(rw.length === docs.size)
+    rw.foreach { r =>
+      val id = r.getLong(0)
+      val ts = docs(id).split(" ", -1)
+      val expClean = ts.map(t => if (isSecret(t)) "<SECRET>" else t).mkString(" ")
+      assert(r.getAs[String]("clean_text") === expClean)
+      assert(r.getAs[Long]("n_redacted") === ts.count(isSecret).toLong)
+      // every %6 doc lost its key, every %9 doc KEPT its decoy
+      if (id % 6 == 0) assert(r.getAs[Long]("n_redacted") >= 1L)
+      if (id % 9 == 0)
+        assert(r.getAs[String]("clean_text").split(" ").exists(t =>
+          t.length == 24 && t.distinct.length == 1))
+      // no high-diversity key shape survives
+      assert(!r.getAs[String]("clean_text").split(" ").exists(isSecret))
+    }
+  }
+
+  test("perceptron epoch: two synchronous update rounds match a JVM recompute") {
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 64L
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)
+        val y = if (toks.contains("spark")) 1L else -1L
+        val x = toks.groupBy(bucket).map { case (b, g) => b -> g.length.toLong }
+        (y, x)
+      }
+    // both label classes must exist or the epoch is degenerate
+    assert(docs.exists(_._1 == 1L) && docs.exists(_._1 == -1L))
+    val w1 = docs.foldLeft(Map.empty[Long, Long]) { case (w, (y, x)) =>
+      x.foldLeft(w) { case (w2, (b, c)) => w2 + (b -> (w2.getOrElse(b, 0L) + y * c)) }
+    }
+    val mis = docs.filter { case (y, x) =>
+      y * x.map { case (b, c) => c * w1.getOrElse(b, 0L) }.sum <= 0L
+    }
+    assert(mis.nonEmpty, "round 2 should have misclassified docs")
+    val w2 = mis.foldLeft(w1) { case (w, (y, x)) =>
+      x.foldLeft(w) { case (wacc, (b, c)) => wacc + (b -> (wacc.getOrElse(b, 0L) + y * c)) }
+    }
+    val rows = TextOps.perceptronEpoch(spark, Sf0001).collect()
+    assert(rows.length === w1.size)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("w1") === w1(b))
+      assert(r.getAs[Long]("w2") === w2(b))
+    }
+    assert(rows.exists(r => r.getAs[Long]("w1") != r.getAs[Long]("w2")))
+  }
+
   test("hashgram score: hashed linear inference matches a JVM-side md5 recompute") {
     def w(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
