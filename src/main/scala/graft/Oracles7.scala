@@ -624,20 +624,22 @@ object Oracles7 {
     * with the same integer arithmetic — the regexes are then verified
     * against text DuckDB built, not text Spark handed it.
     */
-  private val piiCte: String =
-    """pii AS (
-      | SELECT doc_id, source,
-      |  text ||
-      |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
-      |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END ||
-      |  CASE WHEN doc_id % 5 = 0 THEN ' call ' || CAST(200 + doc_id % 800 AS VARCHAR) ||
-      |    '-' || CAST(100 + doc_id % 900 AS VARCHAR) ||
-      |    '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
-      |  CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
-      |    '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ||
-      |    '.' || CAST(doc_id * 13 % 256 AS VARCHAR) ELSE '' END
-      |  AS text
-      | FROM documents)""".stripMargin
+  private def piiCteFrom(from: String): String =
+    s"""pii AS (
+       | SELECT doc_id, source,
+       |  text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call ' || CAST(200 + doc_id % 800 AS VARCHAR) ||
+       |    '-' || CAST(100 + doc_id % 900 AS VARCHAR) ||
+       |    '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |    '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ||
+       |    '.' || CAST(doc_id * 13 % 256 AS VARCHAR) ELSE '' END
+       |  AS text
+       | FROM $from)""".stripMargin
+
+  private val piiCte: String = piiCteFrom("documents")
 
   /** Mirrors TextOps.piiLuhnAudit: the card-injected corpus rebuilt
     * from the SAME templates (base/sum fragments shared from TextOps,
@@ -713,20 +715,22 @@ object Oracles7 {
     * line-hash collision on the Spark side would hash-mismatch the
     * gate (the hashed-postings collision discipline).
     */
-  private val boilerCte: String =
-    """bp AS (
-      | SELECT doc_id, source,
-      |  text ||
-      |  CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
-      |    'nav home products pricing about contact' ELSE '' END ||
-      |  CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
-      |    'copyright footer all rights reserved edition ' ||
-      |    CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
-      |  CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
-      |    'subscribe to the newsletter for updates issue ' ||
-      |    CAST(doc_id % 3 AS VARCHAR) ELSE '' END
-      |  AS text
-      | FROM documents)""".stripMargin
+  private def boilerCteFrom(from: String): String =
+    s"""bp AS (
+       | SELECT doc_id, source,
+       |  text ||
+       |  CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+       |    'nav home products pricing about contact' ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+       |    'copyright footer all rights reserved edition ' ||
+       |    CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+       |    'subscribe to the newsletter for updates issue ' ||
+       |    CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+       |  AS text
+       | FROM $from)""".stripMargin
+
+  private val boilerCte: String = boilerCteFrom("documents")
 
   /** Mirrors TextOps.boilerplateProfile: per-source line volume and
     * boilerplate-line occurrence counts at the shared df threshold,
@@ -782,7 +786,7 @@ object Oracles7 {
     * concat(...)/substr/CAST — all valid DuckDB; only STRING→VARCHAR
     * is a dialect seam and the template has no casts to STRING.
     */
-  private val secretCte: String = {
+  private def secretCteFrom(from: String): String = {
     import graft.operators.TextOps.{SecretAlphabet, secretTokenSql}
     s"""sd AS (
        | SELECT doc_id, source,
@@ -792,8 +796,10 @@ object Oracles7 {
        |    repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24)
        |    ELSE '' END
        |  AS text
-       | FROM documents)""".stripMargin
+       | FROM $from)""".stripMargin
   }
+
+  private val secretCte: String = secretCteFrom("documents")
 
   val secretScan: String = {
     import graft.operators.TextOps.{SecretShapeRe, SecretDiversityMin}
@@ -930,4 +936,85 @@ object Oracles7 {
       | CAST(CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
       |   // COUNT(*) AS BIGINT) AS keep_ppm
       |FROM ds GROUP BY source""".stripMargin
+
+  /** Mirrors TextOps.cleanPipeline: the same injection composition
+    * (pii → secret → boilerplate, each CTE the per-family gate's own
+    * template re-FROM'd), then the same three cleaning stages in the
+    * same order: boilerplate line drop at the shared df threshold,
+    * PII sentinel chain, token-wise secret redaction.
+    */
+  val cleanPipeline: String = {
+    import graft.operators.TextOps.{EmailRe, PhoneRe, Ipv4Re, SecretShapeRe, SecretDiversityMin, BoilerDf}
+    val isSecret =
+      s"regexp_matches(t, '^$SecretShapeRe$$') AND " +
+        s"len(list_distinct(string_split(t, ''))) >= $SecretDiversityMin"
+    s"""WITH ${piiCteFrom("documents")},
+       |${secretCteFrom("pii")},
+       |${boilerCteFrom("sd")},
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
+       |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+       |  unnest(ls) AS line FROM ls),
+       |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+       |j AS (SELECT l.doc_id, l.pos, l.line, df.nd
+       |      FROM lines l JOIN df USING (line)),
+       |dropped AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN nd >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler_dropped,
+       |  COALESCE(string_agg(CASE WHEN nd < $BoilerDf THEN line END,
+       |    chr(10) ORDER BY pos), '') AS text
+       | FROM j GROUP BY doc_id),
+       |pr AS (SELECT doc_id, n_boiler_dropped,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) +
+       |       len(regexp_extract_all(text, '$PhoneRe')) +
+       |       len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_pii_redacted,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g') AS text
+       | FROM dropped),
+       |ts AS (SELECT doc_id, n_boiler_dropped, n_pii_redacted,
+       |  string_split(text, ' ') AS ts FROM pr)
+       |SELECT doc_id, n_boiler_dropped, n_pii_redacted,
+       | CAST(len(list_filter(ts, t -> $isSecret)) AS BIGINT) AS n_secrets_redacted,
+       | array_to_string(list_transform(ts,
+       |   t -> CASE WHEN $isSecret THEN '<SECRET>' ELSE t END), ' ') AS clean_text
+       |FROM ts""".stripMargin
+  }
+
+  /** Mirrors TextOps.hashCollisionAudit: distinct key strings vs
+    * distinct 60-bit md5 values at three granularities; the shingle
+    * level rebuilds production's space-joined lower-token windows
+    * with a per-row range unnest + list slice.
+    */
+  val hashCollisionAudit: String = {
+    val k = graft.operators.DedupOps.SpanTokens
+    def h(c: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
+    s"""WITH $boilerCte,
+       |tok AS (SELECT unnest(list_filter(
+       |  regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS x
+       | FROM documents),
+       |lin AS (SELECT unnest(string_split(text, chr(10))) AS x FROM bp),
+       |tl AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |sh AS (SELECT array_to_string(
+       |   toks[CAST(i + 1 AS INT):CAST(i + $k AS INT)], ' ') AS x
+       | FROM (SELECT toks, unnest(range(len(toks) - ${k - 1})) AS i
+       |       FROM tl WHERE len(toks) >= $k))
+       |SELECT 'token' AS level, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct_keys,
+       | CAST(COUNT(DISTINCT ${h("x")}) AS BIGINT) AS n_distinct_hashes,
+       | CAST(COUNT(DISTINCT x) - COUNT(DISTINCT ${h("x")}) AS BIGINT) AS n_collisions
+       |FROM tok
+       |UNION ALL
+       |SELECT 'line', CAST(COUNT(DISTINCT x) AS BIGINT),
+       | CAST(COUNT(DISTINCT ${h("x")}) AS BIGINT),
+       | CAST(COUNT(DISTINCT x) - COUNT(DISTINCT ${h("x")}) AS BIGINT)
+       |FROM lin
+       |UNION ALL
+       |SELECT 'shingle', CAST(COUNT(DISTINCT x) AS BIGINT),
+       | CAST(COUNT(DISTINCT ${h("x")}) AS BIGINT),
+       | CAST(COUNT(DISTINCT x) - COUNT(DISTINCT ${h("x")}) AS BIGINT)
+       |FROM sh""".stripMargin
+  }
 }

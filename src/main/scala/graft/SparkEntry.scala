@@ -223,6 +223,8 @@ object SparkEntry {
     "secret_scan" -> TextOps.secretScan,
     "secret_rewrite" -> TextOps.secretRewrite,
     "perceptron_epoch" -> TextOps.perceptronEpoch,
+    "clean_pipeline" -> TextOps.cleanPipeline,
+    "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
     "hashgram_score" -> TextOps.hashgramScore,
@@ -727,6 +729,8 @@ object SparkEntry {
     "secret_scan" -> Oracles7.secretScan,
     "secret_rewrite" -> Oracles7.secretRewrite,
     "perceptron_epoch" -> Oracles7.perceptronEpoch,
+    "clean_pipeline" -> Oracles7.cleanPipeline,
+    "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,
     "hashgram_score" -> Oracles7.hashgramScore,

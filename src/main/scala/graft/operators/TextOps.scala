@@ -3035,21 +3035,24 @@ object TextOps {
     * % 9 = 0 docs — the false-positive class a naive shape-only
     * scanner cannot reject.
     */
+  /** ONE definition of the secret-injection expression (over columns
+    * `doc_id`, `text`) — shared by [[secretDocs]] and the composite
+    * [[cleanPipeline]] corpus.
+    */
+  private[graft] def secretInjectExpr: Column =
+    expr(
+      s"""concat(text,
+         | CASE WHEN doc_id % 6 = 0 THEN concat(' key ', $secretTokenSql)
+         |   ELSE '' END,
+         | CASE WHEN doc_id % 9 = 0 THEN concat(' key ',
+         |   repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24))
+         |   ELSE '' END)""".stripMargin
+    )
+
   private[graft] def secretDocs(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        expr(
-          s"""concat(text,
-             | CASE WHEN doc_id % 6 = 0 THEN concat(' key ', $secretTokenSql)
-             |   ELSE '' END,
-             | CASE WHEN doc_id % 9 = 0 THEN concat(' key ',
-             |   repeat(substr('$SecretAlphabet', CAST(1 + doc_id % 26 AS INT), 1), 24))
-             |   ELSE '' END)""".stripMargin
-        ).as("text")
-      )
+      .select(col("doc_id"), col("source"), secretInjectExpr.as("text"))
 
   /** Credential/secret scan per source: shape-regex candidates split
     * by the character-diversity classifier into likely secrets vs
@@ -3100,9 +3103,14 @@ object TextOps {
     * Scale: pure per-row lambda in the scan stage, no shuffle at all
     * — the pii_rewrite map-only shape.
     */
+  /** The secret predicate over a token named `t` — shared by
+    * [[secretRewrite]] and [[cleanPipeline]].
+    */
+  private[graft] val secretPredSql: String =
+    s"t RLIKE '^$SecretShapeRe$$' AND size(array_distinct(split(t, ''))) >= $SecretDiversityMin"
+
   def secretRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val isSecret =
-      s"t RLIKE '^$SecretShapeRe$$' AND size(array_distinct(split(t, ''))) >= $SecretDiversityMin"
+    val isSecret = secretPredSql
     secretDocs(spark, dir)
       .select(
         col("doc_id"),
@@ -3316,5 +3324,143 @@ object TextOps {
         col("w1"),
         (col("w1") + coalesce(col("delta"), lit(0L))).as("w2")
       )
+  }
+
+  // ------------------------------------------- composite clean pass
+
+  /** The fully-dirty corpus: ALL injection families composed — PII
+    * tails, then secret tails (both extend line 1), then boilerplate
+    * template LINES — each the same shared expression its own gate
+    * uses, so the composite cannot drift from the per-family passes.
+    */
+  private[graft] def dirtyDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), piiInjectExpr.as("text"))
+      .select(col("doc_id"), col("source"), secretInjectExpr.as("text"))
+      .select(col("doc_id"), col("source"), boilerplateInjectExpr.as("text"))
+
+  /** The END-TO-END cleaning pipeline AS ONE QUERY — the composition
+    * a real corpus release runs, proving the passes compose: (1) drop
+    * corpus-boilerplate lines (df ≥ [[BoilerDf]] over the composite
+    * corpus — line 1 now carries doc-unique PII/secret tails, so only
+    * true templates and large exact-dup clusters cross the
+    * threshold), (2) redact PII to typed sentinels, (3) redact
+    * diversity-passing secrets token-wise. Per-doc stage counts make
+    * each stage's contribution auditable; ordering is fixed and
+    * mirrored in the oracle (sentinels contain no digits and no
+    * 24-char alnum runs, so later stages cannot re-match earlier
+    * output).
+    *
+    * Scale: stage 1 is the boilerplate rewrite's machinery (hashes
+    * shuffle, text does not; one pair-bounded drop-position join);
+    * stages 2–3 are map-only column work fused into the same rebuild
+    * projection. One corpus materialization (localCheckpoint) feeds
+    * the line-df build and the rebuild — at 100 TB the whole pipeline
+    * is scan + one bounded aggregate/join, then pure map.
+    */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = dirtyDocs(spark, dir).localCheckpoint()
+    val lines = boilerLines(dirty).select(col("doc_id"), col("pos"), col("h"))
+    val dropPos = lines
+      .join(boilerFreq(lines), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("drop_pos"))
+    def nPii(c: Column): Column =
+      size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(c, lit(PhoneRe), lit(0))) +
+        size(regexp_extract_all(c, lit(Ipv4Re), lit(0)))
+    val dropped = dirty
+      .join(dropPos, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("drop_pos").isNull, 0L)
+          .otherwise(size(col("drop_pos")).cast("long")).as("n_boiler_dropped"),
+        expr(
+          """array_join(
+            |  transform(
+            |    filter(transform(split(text, chr(10)), (l, i) -> struct(l AS l, i AS i)),
+            |           s -> drop_pos IS NULL OR NOT array_contains(drop_pos, s.i)),
+            |    s -> s.l),
+            |  chr(10))""".stripMargin
+        ).as("text")
+      )
+    val pii = dropped.select(
+      col("doc_id"),
+      col("n_boiler_dropped"),
+      nPii(col("text")).cast("long").as("n_pii_redacted"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe,
+          "<PHONE>"),
+        Ipv4Re,
+        "<IP>"
+      ).as("text")
+    )
+    pii.select(
+      col("doc_id"),
+      col("n_boiler_dropped"),
+      col("n_pii_redacted"),
+      expr(s"CAST(size(filter(split(text, ' '), t -> $secretPredSql)) AS BIGINT)")
+        .as("n_secrets_redacted"),
+      expr(
+        s"""array_join(transform(split(text, ' '),
+           |  t -> CASE WHEN $secretPredSql THEN '<SECRET>' ELSE t END), ' ')""".stripMargin
+      ).as("clean_text")
+    )
+  }
+
+  // --------------------------------------------- hash self-auditing
+
+  /** Collision audit for the 60-bit md5 hash discipline — the board's
+    * standing argument is "strings never shuffle, 60-bit hashes do,
+    * and a collision would hash-mismatch the oracle"; this query
+    * measures the premise directly at three granularities (tokens,
+    * boilerplate-corpus lines, 8-token shingles): distinct KEY
+    * strings vs distinct hashes, collisions = difference (expected 0
+    * at any realistic corpus: 2^60 space).
+    *
+    * Scale: this is the AUDIT-RATE exception that shuffles strings on
+    * purpose (three corpus-wide distinct aggregates over the very
+    * streams the production passes never materialize) — run per
+    * release, not per query; the scaladoc IS the contract.
+    */
+  def hashCollisionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val h = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def level(name: String, keys: DataFrame): DataFrame =
+      keys
+        .agg(
+          countDistinct(col("k")).as("n_distinct_keys"),
+          countDistinct(h(col("k"))).as("n_distinct_hashes")
+        )
+        .select(
+          lit(name).as("level"),
+          col("n_distinct_keys"),
+          col("n_distinct_hashes"),
+          (col("n_distinct_keys") - col("n_distinct_hashes")).as("n_collisions")
+        )
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(tokens(col("text"))).as("k"))
+    val lines = boilerplateDocs(spark, dir)
+      .select(explode(split(col("text"), "\n")).as("k"))
+    // production's shingle stream: lower-cased tokens, space-joined —
+    // h(key) below IS the shingle_hashes kernel's value (top-60 md5
+    // bits; elementwise identity is KernelPropertySpec-proven)
+    val shingles = docs
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= DedupOps.SpanTokens)
+      .select(
+        explode(
+          expr(
+            s"""transform(sequence(0, size(toks) - ${DedupOps.SpanTokens}),
+               |  i -> array_join(slice(toks, i + 1, ${DedupOps.SpanTokens}), ' '))""".stripMargin
+          )
+        ).as("k")
+      )
+    level("token", toks)
+      .unionByName(level("line", lines))
+      .unionByName(level("shingle", shingles))
   }
 }

@@ -5675,6 +5675,84 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("w1") != r.getAs[Long]("w2")))
   }
 
+  test("clean pipeline: boiler drop -> pii redact -> secret redact composes exactly") {
+    val dirty = TextOps.dirtyDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val df = dirty.valuesIterator
+      .flatMap(_.split("\n").distinct)
+      .toSeq.groupBy(identity).map { case (l, g) => l -> g.size }
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val shape = "^[a-z0-9]{24}$".r
+    def isSecret(t: String) = shape.findFirstIn(t).isDefined && t.distinct.length >= 13
+    val rows = TextOps.cleanPipeline(spark, Sf0001).collect()
+    assert(rows.length === dirty.size)
+    var sawBoiler, sawPii, sawSecret, sawAllThree = false
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ls = dirty(id).split("\n", -1)
+      val kept = ls.filter(l => df(l) < 10)
+      assert(r.getAs[Long]("n_boiler_dropped") === (ls.length - kept.length).toLong)
+      val afterDrop = kept.mkString("\n")
+      val nPii = (emailRe.r.findAllIn(afterDrop).size +
+        phoneRe.r.findAllIn(afterDrop).size + ipRe.r.findAllIn(afterDrop).size).toLong
+      assert(r.getAs[Long]("n_pii_redacted") === nPii)
+      val afterPii = afterDrop
+        .replaceAll(emailRe, "<EMAIL>")
+        .replaceAll(phoneRe, "<PHONE>")
+        .replaceAll(ipRe, "<IP>")
+      val ts = afterPii.split(" ", -1)
+      assert(r.getAs[Long]("n_secrets_redacted") === ts.count(isSecret).toLong)
+      val expClean = ts.map(t => if (isSecret(t)) "<SECRET>" else t).mkString(" ")
+      assert(r.getAs[String]("clean_text") === expClean)
+      if (r.getAs[Long]("n_boiler_dropped") > 0) sawBoiler = true
+      if (r.getAs[Long]("n_pii_redacted") > 0) sawPii = true
+      if (r.getAs[Long]("n_secrets_redacted") > 0) sawSecret = true
+      if (r.getAs[Long]("n_boiler_dropped") > 0 && r.getAs[Long]("n_pii_redacted") > 0 &&
+        r.getAs[Long]("n_secrets_redacted") > 0) sawAllThree = true
+    }
+    // every stage fires, and at least one doc exercises the full chain
+    assert(sawBoiler && sawPii && sawSecret && sawAllThree)
+  }
+
+  test("hash collision audit: 60-bit space is collision-free at all three granularities") {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("text").collect().map(_.getString(0))
+    val toks = docs.flatMap(_.split("[^\\p{L}]+").filter(_.nonEmpty))
+    val lines = TextOps.boilerplateDocs(spark, Sf0001).collect()
+      .flatMap(_.getString(2).split("\n", -1))
+    val shingles = docs.flatMap { t =>
+      val ts = t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      ts.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+    }
+    val exp = Map(
+      "token" -> toks.distinct.length.toLong,
+      "line" -> lines.distinct.length.toLong,
+      "shingle" -> shingles.distinct.length.toLong
+    )
+    val expH = Map(
+      "token" -> toks.map(h).distinct.length.toLong,
+      "line" -> lines.map(h).distinct.length.toLong,
+      "shingle" -> shingles.map(h).distinct.length.toLong
+    )
+    val rows = TextOps.hashCollisionAudit(spark, Sf0001).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val lvl = r.getString(0)
+      assert(r.getAs[Long]("n_distinct_keys") === exp(lvl))
+      assert(r.getAs[Long]("n_distinct_hashes") === expH(lvl))
+      assert(r.getAs[Long]("n_collisions") === exp(lvl) - expH(lvl))
+      assert(r.getAs[Long]("n_collisions") === 0L,
+        s"60-bit collision found at level $lvl")
+      assert(r.getAs[Long]("n_distinct_keys") > 0L)
+    }
+  }
+
   test("hashgram score: hashed linear inference matches a JVM-side md5 recompute") {
     def w(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
