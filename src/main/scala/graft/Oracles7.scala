@@ -775,6 +775,30 @@ object Oracles7 {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextOps.boilerplateDfSweep: one line-frequency aggregate
+    * on the STRING lines, three conditional threshold rows.
+    */
+  val boilerplateDfSweep: String = {
+    val rows = Seq(5, 10, 20).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS df_min,
+         | CAST(nl_$k AS BIGINT) AS n_boiler_lines,
+         | CAST(no_$k AS BIGINT) AS n_boiler_occurrences,
+         | CAST(CAST(no_$k AS HUGEINT) * 1000000 // total_occ AS BIGINT)
+         |   AS boiler_occ_ppm
+         |FROM t""".stripMargin
+    }
+    val sums = Seq(5, 10, 20).map { k =>
+      s"""SUM(CASE WHEN nd >= $k THEN 1 ELSE 0 END) AS nl_$k,
+         | SUM(CASE WHEN nd >= $k THEN occ ELSE 0 END) AS no_$k""".stripMargin
+    }
+    s"""WITH $boilerCte,
+       |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM bp),
+       |pl AS (SELECT line, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS occ
+       |       FROM lines GROUP BY line),
+       |t AS (SELECT SUM(occ) AS total_occ, ${sums.mkString(",\n ")} FROM pl)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirrors TextOps.secretScan: the secret-injected corpus rebuilt
     * from the shared token template (24 distinct-residue alphabet
     * positions) + repeated-char decoy, candidates re-extracted with

@@ -224,6 +224,7 @@ object SparkEntry {
     "secret_rewrite" -> TextOps.secretRewrite,
     "perceptron_epoch" -> TextOps.perceptronEpoch,
     "clean_pipeline" -> TextOps.cleanPipeline,
+    "boilerplate_df_sweep" -> TextOps.boilerplateDfSweep,
     "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
@@ -730,6 +731,7 @@ object SparkEntry {
     "secret_rewrite" -> Oracles7.secretRewrite,
     "perceptron_epoch" -> Oracles7.perceptronEpoch,
     "clean_pipeline" -> Oracles7.cleanPipeline,
+    "boilerplate_df_sweep" -> Oracles7.boilerplateDfSweep,
     "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,

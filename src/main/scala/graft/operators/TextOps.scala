@@ -2964,6 +2964,51 @@ object TextOps {
       )
   }
 
+  /** Boilerplate df-threshold PRICE SHEET: the removed line mass at
+    * candidate thresholds {5, 10, 20}, all from ONE line-frequency
+    * aggregate (the sweep-as-conditional-counts discipline — no
+    * per-threshold rescan). A 100 TB pipeline picks its threshold
+    * from this sheet: too low eats content inside dup clusters, too
+    * high ships template chrome into training; the occurrence ppm
+    * column is the token-mass price of each choice.
+    *
+    * Scale: one Generate + one map-side-combined (hash → df, occ)
+    * aggregate, then a 1-row rollup unpivoted to 3 threshold rows.
+    */
+  def boilerplateDfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val lines = boilerLines(boilerplateDocs(spark, dir))
+    val perLine = lines
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+    val tot = perLine
+      .agg(
+        sum(col("occ")).as("total_occ"),
+        Seq(5, 10, 20).flatMap { k =>
+          Seq(
+            sum(when(col("nd") >= k, 1L).otherwise(0L)).as(s"nl_$k"),
+            sum(when(col("nd") >= k, col("occ")).otherwise(0L)).as(s"no_$k")
+          )
+        }: _*
+      )
+    tot
+      .select(
+        expr(
+          Seq(5, 10, 20)
+            .map(k => s"${k}L, nl_$k, no_$k")
+            .mkString("stack(3, ", ", ", ")")
+        ).as(Seq("df_min", "n_boiler_lines", "n_boiler_occurrences")),
+        col("total_occ")
+      )
+      .select(
+        col("df_min").cast("long").as("df_min"),
+        col("n_boiler_lines"),
+        col("n_boiler_occurrences"),
+        expr(
+          "CAST(CAST(n_boiler_occurrences AS DECIMAL(38,0)) * 1000000 DIV total_occ AS BIGINT)"
+        ).as("boiler_occ_ppm")
+      )
+  }
+
   /** Line-level boilerplate REWRITE — the action the profile prices:
     * every line whose exact content appears in ≥ [[BoilerDf]] docs is
     * dropped; the doc is rebuilt from its surviving lines in order.

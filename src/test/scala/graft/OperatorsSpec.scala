@@ -5557,6 +5557,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate df sweep: threshold rows match brute counts and shrink monotonically") {
+    val docs = TextOps.boilerplateDocs(spark, Sf0001).collect().map(_.getString(2))
+    val df = docs.flatMap(_.split("\n").distinct)
+      .groupBy(identity).map { case (l, g) => l -> g.size }
+    val occ = docs.flatMap(_.split("\n"))
+      .groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val rows = TextOps.boilerplateDfSweep(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("df_min") ->
+        (r.getAs[Long]("n_boiler_lines"), r.getAs[Long]("n_boiler_occurrences")))
+      .toMap
+    assert(rows.keySet === Set(5L, 10L, 20L))
+    Seq(5, 10, 20).foreach { k =>
+      val lines = df.filter(_._2 >= k).keys.toSeq
+      assert(rows(k.toLong)._1 === lines.size.toLong)
+      assert(rows(k.toLong)._2 === lines.map(occ).sum)
+    }
+    // tightening the threshold can only shrink the removed mass
+    assert(rows(5L)._2 >= rows(10L)._2 && rows(10L)._2 >= rows(20L)._2)
+    assert(rows(20L)._2 > 0L, "the nav template rides n/2 docs, df >= 20 at sf0.001")
+  }
+
   test("secret scan: diversity classifier separates planted keys from repeated-char decoys") {
     val docs = TextOps.secretDocs(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

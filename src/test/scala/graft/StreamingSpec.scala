@@ -971,6 +971,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming clean pipeline: sliced ingest == batch three-stage rewrite") {
+    // the composed edge: boiler drop (broadcast set) + pii + secret
+    // redaction in one stateless pass; any slicing must reproduce the
+    // batch clean_pipeline rows exactly
+    val tmp = java.nio.file.Files.createTempDirectory("clean-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.CleanPipelineStream
+      .cleaned(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clean_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      }.toSet
+      val streamed = key(spark.table("clean_stream").collect())
+      val batch = key(graft.operators.TextOps.cleanPipeline(spark, Sf0001).collect())
+      assert(streamed === batch)
+      assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0) &&
+        streamed.exists(_._4 > 0), "all three stages should fire")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: sliced ingest == batch leak report") {
     // same 3-way doc_id-residue slicing as the near-dup stream test:
     // the per-doc report is stateless, so ANY slicing must reproduce
