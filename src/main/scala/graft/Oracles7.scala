@@ -967,12 +967,17 @@ object Oracles7 {
     * same order: boilerplate line drop at the shared df threshold,
     * PII sentinel chain, token-wise secret redaction.
     */
-  val cleanPipeline: String = {
+  /** The full cleaning-chain CTE list ending in `fin` (per-doc stage
+    * counts + clean_text) — shared by cleanPipeline,
+    * redactDedupGain, and cleanTokenBudget; `bp` inside it is the
+    * composite dirty corpus.
+    */
+  private def cleanChainCtes: String = {
     import graft.operators.TextOps.{EmailRe, PhoneRe, Ipv4Re, SecretShapeRe, SecretDiversityMin, BoilerDf}
     val isSecret =
       s"regexp_matches(t, '^$SecretShapeRe$$') AND " +
         s"len(list_distinct(string_split(t, ''))) >= $SecretDiversityMin"
-    s"""WITH ${piiCteFrom("documents")},
+    s"""${piiCteFrom("documents")},
        |${secretCteFrom("pii")},
        |${boilerCteFrom("sd")},
        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
@@ -997,13 +1002,60 @@ object Oracles7 {
        |    '$Ipv4Re', '<IP>', 'g') AS text
        | FROM dropped),
        |ts AS (SELECT doc_id, n_boiler_dropped, n_pii_redacted,
-       |  string_split(text, ' ') AS ts FROM pr)
-       |SELECT doc_id, n_boiler_dropped, n_pii_redacted,
+       |  string_split(text, ' ') AS ts FROM pr),
+       |fin AS (SELECT doc_id, n_boiler_dropped, n_pii_redacted,
        | CAST(len(list_filter(ts, t -> $isSecret)) AS BIGINT) AS n_secrets_redacted,
        | array_to_string(list_transform(ts,
        |   t -> CASE WHEN $isSecret THEN '<SECRET>' ELSE t END), ' ') AS clean_text
-       |FROM ts""".stripMargin
+       | FROM ts)""".stripMargin
   }
+
+  val cleanPipeline: String =
+    s"""WITH $cleanChainCtes
+       |SELECT doc_id, n_boiler_dropped, n_pii_redacted, n_secrets_redacted,
+       | clean_text
+       |FROM fin""".stripMargin
+
+  /** Mirrors TextOps.redactDedupGain: exact-dedup stats on the dirty
+    * composite corpus vs the cleaned corpus; DISTINCT on the text
+    * itself (Spark counts 60-bit fingerprints — the collision
+    * discipline again).
+    */
+  val redactDedupGain: String =
+    s"""WITH $cleanChainCtes
+       |SELECT 'dirty' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       | CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs,
+       | CAST(CAST(COUNT(*) - COUNT(DISTINCT text) AS HUGEINT) * 1000000
+       |   // COUNT(*) AS BIGINT) AS dup_ppm
+       |FROM bp
+       |UNION ALL
+       |SELECT 'cleaned', CAST(COUNT(*) AS BIGINT),
+       | CAST(COUNT(DISTINCT clean_text) AS BIGINT),
+       | CAST(COUNT(*) - COUNT(DISTINCT clean_text) AS BIGINT),
+       | CAST(CAST(COUNT(*) - COUNT(DISTINCT clean_text) AS HUGEINT) * 1000000
+       |   // COUNT(*) AS BIGINT)
+       |FROM fin""".stripMargin
+
+  /** Mirrors TextOps.cleanTokenBudget: letter-token mass per source
+    * before vs after the chain.
+    */
+  val cleanTokenBudget: String =
+    s"""WITH $cleanChainCtes,
+       |d AS (SELECT doc_id, source,
+       |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> ''))
+       |    AS nt
+       | FROM bp),
+       |c AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(clean_text, '[^\\p{L}]+'), t -> t <> ''))
+       |    AS ct
+       | FROM fin)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(d.nt) AS BIGINT) AS dirty_tokens,
+       | CAST(SUM(c.ct) AS BIGINT) AS clean_tokens,
+       | CAST(CAST(SUM(d.nt) - SUM(c.ct) AS HUGEINT) * 1000000
+       |   // SUM(d.nt) AS BIGINT) AS removed_ppm
+       |FROM d JOIN c USING (doc_id) GROUP BY d.source""".stripMargin
 
   /** Mirrors TextOps.hashCollisionAudit: distinct key strings vs
     * distinct 60-bit md5 values at three granularities; the shingle

@@ -225,6 +225,8 @@ object SparkEntry {
     "perceptron_epoch" -> TextOps.perceptronEpoch,
     "clean_pipeline" -> TextOps.cleanPipeline,
     "boilerplate_df_sweep" -> TextOps.boilerplateDfSweep,
+    "redact_dedup_gain" -> TextOps.redactDedupGain,
+    "clean_token_budget" -> TextOps.cleanTokenBudget,
     "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
@@ -732,6 +734,8 @@ object SparkEntry {
     "perceptron_epoch" -> Oracles7.perceptronEpoch,
     "clean_pipeline" -> Oracles7.cleanPipeline,
     "boilerplate_df_sweep" -> Oracles7.boilerplateDfSweep,
+    "redact_dedup_gain" -> Oracles7.redactDedupGain,
+    "clean_token_budget" -> Oracles7.cleanTokenBudget,
     "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,

@@ -3456,6 +3456,73 @@ object TextOps {
     )
   }
 
+  /** Does cleaning UNLOCK dedup? Redaction is a pure function of the
+    * (dirty) text — typed sentinels erase doc-unique identifiers — so
+    * two documents that differed only in their emails/phones/IPs/keys
+    * collapse to one fingerprint after the pipeline. This query
+    * measures that: exact-fingerprint dedup stats on the dirty corpus
+    * vs on the cleaned corpus. distinct(cleaned) ≤ distinct(dirty)
+    * holds unconditionally (the cleaned text is F(dirty text), one
+    * corpus-wide df table included, so distinct counts can only
+    * merge); the GAP is the dup mass a dedup-before-clean pipeline
+    * ordering would miss — the pass-ordering price sheet.
+    *
+    * Scale: two md5-fingerprint aggregates (the dedup_exact shape) on
+    * frames the pipeline already produces; fingerprints shuffle, text
+    * does not.
+    */
+  def redactDedupGain(spark: SparkSession, dir: String): DataFrame = {
+    def stage(name: String, docs: DataFrame): DataFrame =
+      docs
+        .select(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct")
+        )
+        .select(
+          lit(name).as("stage"),
+          col("n_docs"),
+          col("n_distinct"),
+          (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+          expr(
+            "CAST(CAST(n_docs - n_distinct AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"
+          ).as("dup_ppm")
+        )
+    stage("dirty", dirtyDocs(spark, dir))
+      .unionByName(
+        stage("cleaned", cleanPipeline(spark, dir).select(col("clean_text").as("text"))))
+  }
+
+  /** Token BUDGET of the cleaning pipeline per source: letter-token
+    * mass before vs after the three-stage clean, and the floor-div
+    * removal ppm — the capacity-planning sheet ("how many training
+    * tokens does the cleaning pass cost/save at 100 TB").
+    *
+    * Scale: two row-local token counts (one on the dirty scan, one on
+    * the pipeline's output joined back to the doc directory for its
+    * source) and a #sources rollup.
+    */
+  def cleanTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = dirtyDocs(spark, dir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+    val clean = cleanPipeline(spark, dir)
+      .select(col("doc_id"), size(tokens(col("clean_text"))).cast("long").as("ct"))
+    dirty
+      .join(clean, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("dirty_tokens"),
+        sum(col("ct")).as("clean_tokens")
+      )
+      .withColumn(
+        "removed_ppm",
+        expr(
+          "CAST(CAST(dirty_tokens - clean_tokens AS DECIMAL(38,0)) * 1000000 DIV dirty_tokens AS BIGINT)"
+        )
+      )
+  }
+
   // --------------------------------------------- hash self-auditing
 
   /** Collision audit for the 60-bit md5 hash discipline — the board's

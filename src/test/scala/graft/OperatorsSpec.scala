@@ -5737,6 +5737,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sawBoiler && sawPii && sawSecret && sawAllThree)
   }
 
+  test("redact dedup gain: cleaning can only merge fingerprints, never split") {
+    val dirty = TextOps.dirtyDocs(spark, Sf0001).collect().map(_.getString(2))
+    val cleaned = TextOps.cleanPipeline(spark, Sf0001).collect()
+      .map(_.getAs[String]("clean_text"))
+    val exp = Map(
+      "dirty" -> (dirty.length.toLong, dirty.distinct.length.toLong),
+      "cleaned" -> (cleaned.length.toLong, cleaned.distinct.length.toLong)
+    )
+    val rows = TextOps.redactDedupGain(spark, Sf0001).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val (nd, dist) = exp(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_distinct") === dist)
+      assert(r.getAs[Long]("n_dup_docs") === nd - dist)
+    }
+    // the image of a pure function has at most as many distinct values
+    assert(exp("cleaned")._2 <= exp("dirty")._2)
+  }
+
+  test("clean token budget: per-source before/after token mass matches brute") {
+    val dirty = TextOps.dirtyDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val clean = TextOps.cleanPipeline(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    def nt(s: String): Long = s.split("[^\\p{L}]+").count(_.nonEmpty).toLong
+    val bySrc = dirty.groupBy(_._2).map { case (src, g) =>
+      src -> (g.size.toLong, g.map(d => nt(d._3)).sum, g.map(d => nt(clean(d._1))).sum)
+    }
+    val rows = TextOps.cleanTokenBudget(spark, Sf0001).collect()
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val (n, dt, ct) = bySrc(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("dirty_tokens") === dt)
+      assert(r.getAs[Long]("clean_tokens") === ct)
+    }
+    // cleaning strictly removes token mass on this corpus (boiler
+    // lines dropped; multi-token identifiers collapse to sentinels)
+    assert(rows.map(_.getAs[Long]("dirty_tokens")).sum >
+      rows.map(_.getAs[Long]("clean_tokens")).sum)
+  }
+
   test("hash collision audit: 60-bit space is collision-free at all three granularities") {
     def h(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
