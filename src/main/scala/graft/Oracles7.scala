@@ -775,6 +775,89 @@ object Oracles7 {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextOps.tokenWaterfill — but derives the cap with the
+    * FULL relational window form (rank + prefix sums over the source
+    * masses), so the Spark side's driver-side scalar arithmetic is
+    * verified by an independent derivation, not replayed.
+    */
+  val tokenWaterfill: String =
+    """WITH m AS (
+      | SELECT source,
+      |  CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |    t -> t <> ''))) AS BIGINT) AS mass
+      | FROM documents GROUP BY source),
+      |o AS (SELECT source, mass,
+      |  ROW_NUMBER() OVER (ORDER BY mass, source) AS r,
+      |  SUM(mass) OVER (ORDER BY mass, source ROWS UNBOUNDED PRECEDING) AS p,
+      |  COUNT(*) OVER () AS k,
+      |  (SUM(mass) OVER ()) // 2 AS b
+      | FROM m),
+      |js AS (SELECT MAX(CASE WHEN p + (k - r) * mass <= b THEN r ELSE 0 END) AS j
+      |       FROM o),
+      |pj AS (SELECT COALESCE((SELECT o.p FROM o, js WHERE o.r = js.j), 0) AS pj),
+      |capc AS (SELECT (t.b - pj.pj) // (t.k - js.j) AS cap
+      |         FROM (SELECT MAX(b) AS b, MAX(k) AS k FROM o) t, pj, js)
+      |SELECT m.source, m.mass,
+      | CAST(LEAST(m.mass, c.cap) AS BIGINT) AS alloc,
+      | CAST(c.cap AS BIGINT) AS cap,
+      | CAST(CAST(LEAST(m.mass, c.cap) AS HUGEINT) * 1000000 // m.mass AS BIGINT)
+      |   AS fill_ppm
+      |FROM m CROSS JOIN capc c""".stripMargin
+
+  /** Mirrors TextOps.cleanManifest: stage bitmask + 60-bit
+    * fingerprints before/after the chain.
+    */
+  val cleanManifest: String = {
+    def fp(c: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
+    s"""WITH $cleanChainCtes,
+       |dd AS (SELECT doc_id, ${fp("text")} AS dirty_fp FROM bp)
+       |SELECT f.doc_id,
+       | CAST(CASE WHEN f.n_boiler_dropped > 0 THEN 1 ELSE 0 END +
+       |      CASE WHEN f.n_pii_redacted > 0 THEN 2 ELSE 0 END +
+       |      CASE WHEN f.n_secrets_redacted > 0 THEN 4 ELSE 0 END AS BIGINT)
+       |   AS touched_mask,
+       | dd.dirty_fp,
+       | ${fp("f.clean_text")} AS clean_fp
+       |FROM fin f JOIN dd USING (doc_id)""".stripMargin
+  }
+
+  /** Mirrors RelationalOps.broadcastThresholdPlan — generated from
+    * the SAME DimTableSpecs, so schema drift breaks the build, not
+    * the gate.
+    */
+  val broadcastThresholdPlan: String = {
+    import graft.operators.RelationalOps.{DimTableSpecs, BroadcastThresholdBytes}
+    DimTableSpecs
+      .map { case (t, fixed, strCols) =>
+        val sb = strCols.map(c => s"SUM(len($c))").mkString(" + ")
+        s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST($sb + COUNT(*) * $fixed AS BIGINT) AS est_bytes,
+           | CAST(CASE WHEN $sb + COUNT(*) * $fixed < $BroadcastThresholdBytes
+           |   THEN 1 ELSE 0 END AS BIGINT) AS broadcastable
+           |FROM $t""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** Mirrors RelationalOps.joinCardinalityCensus — the same
+    * histogram-product computation per shared FK edge.
+    */
+  val joinCardinalityCensus: String = {
+    import graft.operators.RelationalOps.JoinEdges
+    JoinEdges
+      .map { case (e, lt, lk, rt, rk) =>
+        s"""SELECT '$e' AS edge,
+           | CAST(SUM(COALESCE(cl, 0)) AS BIGINT) AS n_left,
+           | CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS n_right,
+           | CAST(SUM(COALESCE(cl, 0) * COALESCE(cr, 0)) AS BIGINT) AS n_out
+           |FROM (SELECT $lk AS k, COUNT(*) AS cl FROM $lt GROUP BY $lk) l
+           | FULL JOIN (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY $rk) r
+           |  USING (k)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+  }
+
   /** Mirrors TextOps.boilerplateDfSweep: one line-frequency aggregate
     * on the STRING lines, three conditional threshold rows.
     */

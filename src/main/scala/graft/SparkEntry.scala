@@ -227,6 +227,10 @@ object SparkEntry {
     "boilerplate_df_sweep" -> TextOps.boilerplateDfSweep,
     "redact_dedup_gain" -> TextOps.redactDedupGain,
     "clean_token_budget" -> TextOps.cleanTokenBudget,
+    "broadcast_threshold_plan" -> RelationalOps.broadcastThresholdPlan,
+    "join_cardinality_census" -> RelationalOps.joinCardinalityCensus,
+    "token_waterfill" -> TextOps.tokenWaterfill,
+    "clean_manifest" -> TextOps.cleanManifest,
     "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
@@ -736,6 +740,10 @@ object SparkEntry {
     "boilerplate_df_sweep" -> Oracles7.boilerplateDfSweep,
     "redact_dedup_gain" -> Oracles7.redactDedupGain,
     "clean_token_budget" -> Oracles7.cleanTokenBudget,
+    "broadcast_threshold_plan" -> Oracles7.broadcastThresholdPlan,
+    "join_cardinality_census" -> Oracles7.joinCardinalityCensus,
+    "token_waterfill" -> Oracles7.tokenWaterfill,
+    "clean_manifest" -> Oracles7.cleanManifest,
     "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,

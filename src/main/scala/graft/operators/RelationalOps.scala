@@ -1614,4 +1614,97 @@ object RelationalOps {
     gini(spend, "customer_spend", col("x"), col("o_custkey"))
       .unionAll(gini(tokenFreq, "token_freq", col("x"), col("token")))
   }
+
+  // -------------------------------------------- planner input sheets
+
+  /** (table, fixed bytes per row from the non-string schema, string
+    * columns) — ONE definition shared with the oracle SQL generator
+    * so the two sides cannot drift from the test schema.
+    */
+  private[graft] val DimTableSpecs: Seq[(String, Int, Seq[String])] = Seq(
+    ("region", 4, Seq("r_name")),
+    ("nation", 8, Seq("n_name")),
+    ("customer", 20, Seq("c_name", "c_mktsegment")),
+    ("supplier", 20, Seq("s_name")),
+    ("part", 20, Seq("p_name", "p_brand", "p_type"))
+  )
+
+  /** Spark's default `spark.sql.autoBroadcastJoinThreshold`. */
+  private[graft] val BroadcastThresholdBytes = 10L * 1024 * 1024
+
+  /** Broadcast PLANNING sheet: estimated in-memory bytes per
+    * dimension table (fixed-width schema bytes + exact string mass)
+    * against the auto-broadcast threshold — the input the planner's
+    * broadcast-vs-shuffle decision consumes, and the sheet an
+    * operator reads before pinning `broadcast()` hints at 100 TB
+    * (where a dim that fits today may not after the next backfill).
+    *
+    * Scale: one tiny aggregate per dimension table; never touches a
+    * fact table.
+    */
+  def broadcastThresholdPlan(spark: SparkSession, dir: String): DataFrame =
+    DimTableSpecs
+      .map { case (t, fixed, strCols) =>
+        val strBytes =
+          strCols.map(c => sum(length(col(c)).cast("long"))).reduce(_ + _)
+        Tables
+          .table(spark, dir, t)
+          .agg(count(lit(1)).as("n_rows"), strBytes.as("sb"))
+          .select(
+            lit(t).as("table_name"),
+            col("n_rows"),
+            (col("sb") + col("n_rows") * fixed).as("est_bytes")
+          )
+      }
+      .reduce(_ unionByName _)
+      .withColumn(
+        "broadcastable",
+        when(col("est_bytes") < BroadcastThresholdBytes, 1L).otherwise(0L)
+      )
+
+  /** (edge, left table, left key, right table, right key) — the FK
+    * spine of the star schema; shared with the oracle generator.
+    */
+  private[graft] val JoinEdges: Seq[(String, String, String, String, String)] =
+    Seq(
+      ("region_nation", "region", "r_regionkey", "nation", "n_regionkey"),
+      ("nation_customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+      ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+      ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey")
+    )
+
+  /** EXACT join-size census for every FK edge — the planner's
+    * frequency-vector estimator run to completion: |L ⋈ R| =
+    * Σ_k cnt_L(k)·cnt_R(k), computed from the two key HISTOGRAMS and
+    * never by materializing the join (at 100 TB you size a join
+    * without running it; this is how). The sheet calibrates join-order
+    * and skew decisions: a fat n_out over small inputs flags a
+    * many-to-many edge before it burns a stage.
+    *
+    * Scale: per edge, two map-side-combined groupBys + one histogram
+    * join (key-cardinality-sized, not row-sized) + a 1-row rollup.
+    */
+  def joinCardinalityCensus(spark: SparkSession, dir: String): DataFrame =
+    JoinEdges
+      .map { case (e, lt, lk, rt, rk) =>
+        val l = Tables
+          .table(spark, dir, lt)
+          .groupBy(col(lk).as("k"))
+          .agg(count(lit(1)).as("cl"))
+        val r = Tables
+          .table(spark, dir, rt)
+          .groupBy(col(rk).as("k"))
+          .agg(count(lit(1)).as("cr"))
+        l.join(r, Seq("k"), "full")
+          .agg(
+            sum(coalesce(col("cl"), lit(0L))).as("n_left"),
+            sum(coalesce(col("cr"), lit(0L))).as("n_right"),
+            sum(coalesce(col("cl"), lit(0L)) * coalesce(col("cr"), lit(0L)))
+              .as("n_out")
+          )
+          .select(lit(e).as("edge"), col("n_left"), col("n_right"), col("n_out"))
+      }
+      .reduce(_ unionByName _)
 }

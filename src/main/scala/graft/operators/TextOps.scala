@@ -3523,6 +3523,78 @@ object TextOps {
       )
   }
 
+  /** Integer WATERFILLING mixture allocator — the "cap the big
+    * sources" scheduler every mixture recipe needs (LLaMA/DoReMi-style
+    * capping): given a token budget B = ⌊total/2⌋, find the largest
+    * integer cap C with Σ min(mass_s, C) ≤ B and allocate
+    * min(mass_s, C) to each source. Small sources keep everything,
+    * large ones are capped — fill_ppm is each source's kept fraction.
+    *
+    * Scale: mass comes from one scan-bound rollup; the cap is a
+    * SCALAR plan parameter derived from the #sources-bounded mass
+    * vector on the driver (the RankOps/BPE bounded-collect contract —
+    * sources are a low-cardinality dimension; no partition-less
+    * window enters any plan). The oracle re-derives the cap with the
+    * full relational window form, so the driver-side arithmetic is
+    * still cross-engine-verified.
+    */
+  def tokenWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val masses = Tables
+      .documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("mass"))
+      .localCheckpoint()
+    val ms = masses.collect().map(_.getAs[Long]("mass")).sorted
+    val k = ms.length
+    val total = ms.sum
+    val budget = total / 2
+    val prefix = ms.scanLeft(0L)(_ + _) // prefix(j) = sum of j smallest
+    // j* = max j in [0, k-1] with P_j + (k-j)·m_j ≤ B  (m_0 := 0);
+    // cap = (B - P_j*) div (k - j*) then lies in [m_j*, m_j*+1)
+    val jStar = (0 until k)
+      .filter(j => prefix(j) + (k - j) * (if (j == 0) 0L else ms(j - 1)) <= budget)
+      .max
+    val cap = (budget - prefix(jStar)) / (k - jStar)
+    masses.select(
+      col("source"),
+      col("mass"),
+      least(col("mass"), lit(cap)).as("alloc"),
+      lit(cap).as("cap"),
+      expr(
+        s"CAST(CAST(LEAST(mass, ${cap}L) AS DECIMAL(38,0)) * 1000000 DIV mass AS BIGINT)"
+      ).as("fill_ppm")
+    )
+  }
+
+  /** Per-doc cleaning MANIFEST — the provenance record a governed
+    * corpus release ships beside the data: which stages touched each
+    * doc (a bitmask: 1 = boilerplate drop, 2 = PII redaction,
+    * 4 = secret redaction) and the 60-bit fingerprints before and
+    * after, so any doc's transformation is auditable and the clean
+    * corpus can be diffed against its dirty ancestor without storing
+    * either twice.
+    *
+    * Scale: a pure projection over frames the pipeline already
+    * produces; fingerprints are row-local.
+    */
+  def cleanManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val dirty = dirtyDocs(spark, dir)
+      .select(col("doc_id"), fp(col("text")).as("dirty_fp"))
+    cleanPipeline(spark, dir)
+      .join(dirty, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (when(col("n_boiler_dropped") > 0, 1L).otherwise(0L) +
+          when(col("n_pii_redacted") > 0, 2L).otherwise(0L) +
+          when(col("n_secrets_redacted") > 0, 4L).otherwise(0L)).as("touched_mask"),
+        col("dirty_fp"),
+        fp(col("clean_text")).as("clean_fp")
+      )
+  }
+
   // --------------------------------------------- hash self-auditing
 
   /** Collision audit for the 60-bit md5 hash discipline — the board's

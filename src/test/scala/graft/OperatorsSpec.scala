@@ -5737,6 +5737,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sawBoiler && sawPii && sawSecret && sawAllThree)
   }
 
+  test("token waterfill: allocation is budget-feasible and the cap is maximal") {
+    val rows = TextOps.tokenWaterfill(spark, Sf0001).collect()
+    val masses = rows.map(_.getAs[Long]("mass"))
+    val allocs = rows.map(_.getAs[Long]("alloc"))
+    val cap = rows.head.getAs[Long]("cap")
+    assert(rows.forall(_.getAs[Long]("cap") == cap))
+    val budget = masses.sum / 2
+    // alloc = min(mass, cap) row-wise
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") === math.min(r.getAs[Long]("mass"), cap))
+    }
+    // feasible under the budget, and cap+1 would overflow it: the
+    // maximality certificate, independent of the derivation
+    assert(allocs.sum <= budget)
+    assert(masses.map(m => math.min(m, cap + 1)).sum > budget)
+    // at least one source is capped (budget < total) and, unless the
+    // cap clears every source, at least one is fully kept
+    assert(rows.exists(r => r.getAs[Long]("alloc") < r.getAs[Long]("mass")))
+  }
+
+  test("clean manifest: stage bitmask and before/after fingerprints match brute") {
+    def fp(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val dirty = TextOps.dirtyDocs(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pipe = TextOps.cleanPipeline(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_boiler_dropped"), r.getAs[Long]("n_pii_redacted"),
+          r.getAs[Long]("n_secrets_redacted"), r.getAs[String]("clean_text"))).toMap
+    val rows = TextOps.cleanManifest(spark, Sf0001).collect()
+    assert(rows.length === dirty.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (b, p, s, clean) = pipe(id)
+      val mask = (if (b > 0) 1L else 0L) + (if (p > 0) 2L else 0L) + (if (s > 0) 4L else 0L)
+      assert(r.getAs[Long]("touched_mask") === mask)
+      assert(r.getAs[Long]("dirty_fp") === fp(dirty(id)))
+      assert(r.getAs[Long]("clean_fp") === fp(clean))
+    }
+    // every mask value including the full chain appears
+    assert(rows.map(_.getAs[Long]("touched_mask")).toSet.contains(7L))
+  }
+
+  test("planner sheets: broadcast sizing and histogram-product join census match brute") {
+    // broadcast plan: exact string mass + fixed schema bytes
+    val plan = RelationalOps.broadcastThresholdPlan(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(plan.keySet === Set("region", "nation", "customer", "supplier", "part"))
+    val cust = Tables.table(spark, Sf0001, "customer").collect()
+    val expCustBytes = cust.map(r =>
+      20L + r.getAs[String]("c_name").length + r.getAs[String]("c_mktsegment").length).sum
+    assert(plan("customer")._1 === cust.length.toLong)
+    assert(plan("customer")._2 === expCustBytes)
+    // every test dim fits comfortably under 10 MB at sf0.001
+    assert(plan.values.forall(_._3 == 1L))
+
+    // join census: |L join R| from key histograms, checked against a
+    // real join count for the fattest edge
+    val census = RelationalOps.joinCardinalityCensus(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(census.keySet.size === 6)
+    val orders = Tables.table(spark, Sf0001, "orders")
+    val lineitem = Tables.table(spark, Sf0001, "lineitem")
+    val realJoin = orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count()
+    assert(census("orders_lineitem")._3 === realJoin)
+    assert(census("orders_lineitem")._1 === orders.count())
+    assert(census("orders_lineitem")._2 === lineitem.count())
+    // FK integrity: every lineitem matches an order, so n_out == n_right
+    assert(census("orders_lineitem")._3 === census("orders_lineitem")._2)
+  }
+
   test("redact dedup gain: cleaning can only merge fingerprints, never split") {
     val dirty = TextOps.dirtyDocs(spark, Sf0001).collect().map(_.getString(2))
     val cleaned = TextOps.cleanPipeline(spark, Sf0001).collect()
