@@ -775,6 +775,64 @@ object Oracles7 {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors SimilarityOps.ivfNprobeSweep: the same 1e-6-quantized
+    * exact centroids as ORDERED lists (list(... ORDER BY pos) — the
+    * Spark side's array_sort(collect_list)), sequential-fold centroid
+    * cosines, per-query label ranks, one widest-probe candidate pool
+    * filtered per nprobe, recall vs the brute-force truth.
+    */
+  val ivfNprobeSweep: String = {
+    val rows = (1 to 3).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM sc WHERE label_rank <= $np)
+         |   AS n_candidates,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_truth,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM tr JOIN (
+         |    SELECT query_id, neighbor_id FROM (
+         |     SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |     FROM sc WHERE label_rank <= $np)
+         |    WHERE rnk <= 5) tk USING (query_id, neighbor_id)) AS n_hits,
+         | CAST(CAST((SELECT COUNT(*) FROM tr JOIN (
+         |    SELECT query_id, neighbor_id FROM (
+         |     SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |     FROM sc WHERE label_rank <= $np)
+         |    WHERE rnk <= 5) tk USING (query_id, neighbor_id)) AS HUGEINT)
+         |   * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
+    }
+    s"""WITH dims AS (SELECT label, unnest(range(len(embedding))) AS pos,
+       |  unnest(embedding) AS x FROM embeddings),
+       |sq AS (SELECT label, pos,
+       |  SUM(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_q
+       | FROM dims GROUP BY label, pos),
+       |nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label),
+       |cent AS (SELECT s.label,
+       |  list_transform(list(s.sum_q ORDER BY s.pos),
+       |    v -> CAST(v AS DOUBLE) / 1000000.0 / nv.n_vecs) AS cvec
+       | FROM sq s JOIN nv USING (label) GROUP BY s.label, nv.n_vecs),
+       |cn AS (SELECT label, cvec,
+       |  sqrt(list_sum(list_transform(cvec, c -> c * c))) AS cnorm FROM cent),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
+       |      FROM embeddings WHERE vec_id < 5),
+       |pr AS (SELECT query_id, qe, nq, cn.label,
+       |  ${dotSql("qe", "cvec")} / (nq * cnorm) AS csim
+       | FROM q, cn),
+       |rk AS (SELECT query_id, qe, nq, label,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY csim DESC, label ASC) AS label_rank FROM pr),
+       |pk AS (SELECT * FROM rk WHERE label_rank <= 3),
+       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn
+       |      FROM embeddings),
+       |sc AS (SELECT p.query_id, n.neighbor_id, p.label_rank,
+       |  ${dotSql("p.qe", "n.ne")} / (p.nq * n.nn) AS score
+       | FROM pk p JOIN n USING (label) WHERE p.query_id <> n.neighbor_id),
+       |tr AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirrors TextOps.tokenWaterfill — but derives the cap with the
     * FULL relational window form (rank + prefix sums over the source
     * masses), so the Spark side's driver-side scalar arithmetic is

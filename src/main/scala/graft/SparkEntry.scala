@@ -231,6 +231,7 @@ object SparkEntry {
     "join_cardinality_census" -> RelationalOps.joinCardinalityCensus,
     "token_waterfill" -> TextOps.tokenWaterfill,
     "clean_manifest" -> TextOps.cleanManifest,
+    "ivf_nprobe_sweep" -> SimilarityOps.ivfNprobeSweep,
     "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
@@ -744,6 +745,7 @@ object SparkEntry {
     "join_cardinality_census" -> Oracles7.joinCardinalityCensus,
     "token_waterfill" -> Oracles7.tokenWaterfill,
     "clean_manifest" -> Oracles7.cleanManifest,
+    "ivf_nprobe_sweep" -> Oracles7.ivfNprobeSweep,
     "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,

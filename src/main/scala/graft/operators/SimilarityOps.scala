@@ -1210,4 +1210,103 @@ object SimilarityOps {
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"), max(col("score")).as("max_score"))
   }
+
+  /** Widest probe width the sweep prices. */
+  val NprobeMax = 3
+
+  /** IVF nprobe SWEEP — the missing tuning sheet beside the LSH
+    * plane/band sweeps: recall and candidate volume when each query
+    * probes its 1, 2, or 3 NEAREST cells by centroid cosine (real IVF
+    * probing — `ivfLabelTopK` probes only the query's own label;
+    * probing by centroid distance is what an IVF index actually
+    * does, and nprobe is its recall/cost dial at 100 TB).
+    *
+    * Scale discipline: ONE scoring join at the widest nprobe feeds
+    * all three configs as conditional filters (the lsh_plane_sweep
+    * pattern); centroids are the 1e-6-quantized exact integer sums of
+    * labelCentroids (deterministic doubles from exact integers) built
+    * as ordered arrays so every per-query centroid similarity is a
+    * sequential fold; the query × #cells ranking frame is
+    * (queries × labels)-bounded and broadcast; recall is judged
+    * against the memoized brute-force truth artifact.
+    */
+  def ivfNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dims = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("label"),
+        col("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q")
+      )
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"))
+    val nvec = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val cent = dims
+      .groupBy(col("label"))
+      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q)))").as("ds"))
+      .join(nvec, Seq("label"))
+      .select(
+        col("label"),
+        expr("transform(ds, s -> CAST(s.sum_q AS DOUBLE) / 1000000.0 / n_vecs)").as("cvec")
+      )
+      .withColumn(
+        "cnorm",
+        sqrt(expr("aggregate(transform(cvec, c -> c * c), 0.0D, (a, v) -> a + v)"))
+      )
+    val q = e
+      .filter(col("vec_id") < NumQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        sqrt(normSq(col("embedding"))).as("nq")
+      )
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("label").asc)
+    val probed = q
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "csim",
+        expr("aggregate(zip_with(qe, cvec, (x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (a, v) -> a + v)") /
+          (col("nq") * col("cnorm"))
+      )
+      .withColumn("label_rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("label_rank") <= NprobeMax)
+      .select(col("query_id"), col("qe"), col("nq"), col("label"), col("label_rank"))
+    val n = spread(e).select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"),
+      col("label"),
+      sqrt(normSq(col("embedding"))).as("nn")
+    )
+    val scored = broadcast(probed)
+      .join(n, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
+      .select(col("query_id"), col("neighbor_id"), col("label_rank"), col("score"))
+      .localCheckpoint()
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    (1 to NprobeMax)
+      .map { np =>
+        val cand = scored.filter(col("label_rank") <= np)
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+        val topk = cand
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        cand
+          .agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(
+            truth.join(topk, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))))
+          .select(
+            lit(np.toLong).as("nprobe"),
+            col("n_candidates"),
+            col("n_truth"),
+            col("n_hits"),
+            expr("CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+              .as("recall_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
+  }
 }

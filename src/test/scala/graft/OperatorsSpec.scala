@@ -5737,6 +5737,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sawBoiler && sawPii && sawSecret && sawAllThree)
   }
 
+  test("ivf nprobe sweep: widening the probe is monotone in candidates and recall") {
+    val rows = SimilarityOps.ivfNprobeSweep(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_truth"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    // widening the probe can only add candidates and hits
+    assert(rows(1L)._1 <= rows(2L)._1 && rows(2L)._1 <= rows(3L)._1)
+    assert(rows(1L)._2 <= rows(2L)._2 && rows(2L)._2 <= rows(3L)._2)
+    rows.values.foreach { case (_, hits, truth, ppm) =>
+      assert(truth === 25L) // NumQueries * TopK
+      assert(ppm === hits * 1000000L / truth)
+    }
+    // the probe actually prices something: np=3 finds more than np=1
+    // pays for, or at minimum never less
+    assert(rows(3L)._2 >= rows(1L)._2)
+    assert(rows(3L)._1 > rows(1L)._1)
+  }
+
   test("token waterfill: allocation is budget-feasible and the cap is maximal") {
     val rows = TextOps.tokenWaterfill(spark, Sf0001).collect()
     val masses = rows.map(_.getAs[Long]("mass"))
