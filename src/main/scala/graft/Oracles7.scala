@@ -775,6 +775,52 @@ object Oracles7 {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors EventOps.tCloseness: same QI classes as the
+    * k-anonymity/l-diversity oracles, ordered-EMD via the
+    * cross-multiplied cumulative comparison over the classes × m
+    * grid, HUGEINT-floored ppm at the shared threshold.
+    */
+  val tCloseness: String = {
+    val thr = graft.operators.EventOps.TClosePpm
+    s"""WITH q AS (
+       | SELECT event_type,
+       |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS sensitive
+       | FROM events),
+       |r AS (SELECT * FROM q WHERE sensitive IS NOT NULL),
+       |cc AS (SELECT event_type, hour_of_day, value_band, sensitive,
+       |  COUNT(*) AS c FROM r GROUP BY 1, 2, 3, 4),
+       |ct AS (SELECT event_type, hour_of_day, value_band, SUM(c) AS n_c
+       |       FROM cc GROUP BY 1, 2, 3),
+       |gc AS (SELECT sensitive, COUNT(*) AS g FROM r GROUP BY 1),
+       |gt AS (SELECT SUM(g) AS big_g, COUNT(*) AS m FROM gc),
+       |grid AS (SELECT ct.event_type, ct.hour_of_day, ct.value_band, ct.n_c,
+       |  gc.sensitive, gc.g, COALESCE(cc.c, 0) AS c
+       | FROM ct CROSS JOIN gc
+       | LEFT JOIN cc USING (event_type, hour_of_day, value_band, sensitive)),
+       |cum AS (SELECT *,
+       |  SUM(c) OVER (PARTITION BY event_type, hour_of_day, value_band
+       |    ORDER BY sensitive ROWS UNBOUNDED PRECEDING) AS cum_c,
+       |  SUM(g) OVER (PARTITION BY event_type, hour_of_day, value_band
+       |    ORDER BY sensitive ROWS UNBOUNDED PRECEDING) AS cum_g
+       | FROM grid),
+       |emd AS (SELECT event_type, hour_of_day, value_band, n_c,
+       |  SUM(ABS(cum_c * gt.big_g - cum_g * n_c)) AS num,
+       |  MAX(gt.big_g) AS big_g, MAX(gt.m) AS m
+       | FROM cum CROSS JOIN gt GROUP BY 1, 2, 3, 4),
+       |t AS (SELECT event_type, n_c,
+       |  CAST(CAST(num AS HUGEINT) * 1000000 // (n_c * big_g * (m - 1)) AS BIGINT)
+       |    AS t_ppm
+       | FROM emd)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       | CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+       | CAST(SUM(CASE WHEN t_ppm > $thr THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+       | CAST(CAST(SUM(CASE WHEN t_ppm > $thr THEN n_c ELSE 0 END) AS HUGEINT)
+       |   * 1000000 // SUM(n_c) AS BIGINT) AS risky_rows_ppm
+       |FROM t GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors SimilarityOps.ivfNprobeSweep: the same 1e-6-quantized
     * exact centroids as ORDERED lists (list(... ORDER BY pos) — the
     * Spark side's array_sort(collect_list)), sequential-fold centroid

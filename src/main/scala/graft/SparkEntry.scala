@@ -232,6 +232,7 @@ object SparkEntry {
     "token_waterfill" -> TextOps.tokenWaterfill,
     "clean_manifest" -> TextOps.cleanManifest,
     "ivf_nprobe_sweep" -> SimilarityOps.ivfNprobeSweep,
+    "t_closeness" -> EventOps.tCloseness,
     "hash_collision_audit" -> TextOps.hashCollisionAudit,
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
@@ -746,6 +747,7 @@ object SparkEntry {
     "token_waterfill" -> Oracles7.tokenWaterfill,
     "clean_manifest" -> Oracles7.cleanManifest,
     "ivf_nprobe_sweep" -> Oracles7.ivfNprobeSweep,
+    "t_closeness" -> Oracles7.tCloseness,
     "hash_collision_audit" -> Oracles7.hashCollisionAudit,
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,

@@ -2867,4 +2867,77 @@ object EventOps {
         "rows_per_task",
         expr("CAST((n_rows + salt_factor - 1) DIV salt_factor AS BIGINT)")
       )
+
+  /** t-closeness threshold (ppm of the [0,1] ordered-EMD scale). */
+  private[graft] val TClosePpm = 250000L
+
+  /** t-CLOSENESS — the third leg of the privacy triad beside
+    * [[kAnonymity]] and [[lDiversity]]: per QI class, the ORDERED
+    * earth-mover distance between the class's sensitive-value
+    * distribution and the corpus-global one,
+    * t = (1/(m−1))·Σ_i |CumF_class(v_i) − CumF_global(v_i)| over the
+    * sorted global domain. k hides WHO, l guarantees variety; t caps
+    * what the class's distribution itself discloses (a class can be
+    * k-anonymous and l-diverse yet still skew hard toward one
+    * sensitive range — that skew is the leak t measures).
+    *
+    * Integer-exact: the cumulative comparison is cross-multiplied
+    * (|CumC·G − CumG·N_c|, all BIGINT — the Mann–Whitney/Cramér's V
+    * arithmetic discipline), one DECIMAL-mediated floor division at
+    * the end.
+    *
+    * Scale: the corpus collapses to (class, sensitive) counts first
+    * (bounded bins: the sensitive domain is m = |props.k| ≤ 100 by
+    * construction); the grid is classes × m via a broadcast of the m
+    * global rows; the cumulative window is per-class (partitioned, m
+    * rows each — never corpus-wide).
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val qi = Seq(col("event_type"), col("hour_of_day"), col("value_band"))
+    val rows = qiClasses(spark, dir)
+      .filter(col("sensitive").isNotNull)
+      .select(qi :+ col("sensitive"): _*)
+    val cc = rows
+      .groupBy(qi :+ col("sensitive"): _*)
+      .agg(count(lit(1)).as("c"))
+    val ct = cc.groupBy(qi: _*).agg(sum(col("c")).as("n_c"))
+    val gc = rows.groupBy(col("sensitive")).agg(count(lit(1)).as("g"))
+    val gt = gc.agg(sum(col("g")).as("big_g"), count(lit(1)).as("m"))
+    val grid = ct
+      .crossJoin(broadcast(gc))
+      .join(cc, Seq("event_type", "hour_of_day", "value_band", "sensitive"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window
+      .partitionBy(qi: _*)
+      .orderBy(col("sensitive").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = grid
+      .withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("cum_g", sum(col("g")).over(w))
+      .crossJoin(broadcast(gt))
+      .groupBy(qi ++ Seq(col("n_c"), col("big_g"), col("m")): _*)
+      .agg(sum(abs(col("cum_c") * col("big_g") - col("cum_g") * col("n_c"))).as("num"))
+      .withColumn(
+        "t_ppm",
+        expr(
+          "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV (n_c * big_g * (m - 1)) AS BIGINT)"
+        )
+      )
+    t.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        max(col("t_ppm")).as("max_t_ppm"),
+        sum(when(col("t_ppm") > TClosePpm, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("t_ppm") > TClosePpm, col("n_c")).otherwise(lit(0L))).as("rr"),
+        sum(col("n_c")).as("tot")
+      )
+      .select(
+        col("event_type"),
+        col("n_classes"),
+        col("max_t_ppm"),
+        col("risky_classes"),
+        expr("CAST(CAST(rr AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("risky_rows_ppm")
+      )
+  }
 }

@@ -5737,6 +5737,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sawBoiler && sawPii && sawSecret && sawAllThree)
   }
 
+  test("t-closeness: per-type rollup matches a JVM ordered-EMD recompute") {
+    val rows = EventOps.qiClasses(spark, Sf0001)
+      .filter(col("sensitive").isNotNull)
+      .select("event_type", "hour_of_day", "value_band", "sensitive").collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    val globalVals = rows.map(_._2).distinct.sorted
+    val g = rows.groupBy(_._2).map { case (v, xs) => v -> xs.length.toLong }
+    val bigG = rows.length.toLong
+    val m = globalVals.length
+    val byClass = rows.groupBy(_._1)
+    val tPpm = byClass.map { case (cls, xs) =>
+      val c = xs.groupBy(_._2).map { case (v, ys) => v -> ys.length.toLong }
+      val nC = xs.length.toLong
+      var cumC, cumG, num = 0L
+      globalVals.foreach { v =>
+        cumC += c.getOrElse(v, 0L); cumG += g(v)
+        num += math.abs(cumC * bigG - cumG * nC)
+      }
+      cls -> (nC, (BigInt(num) * 1000000 / (BigInt(nC) * bigG * (m - 1))).toLong)
+    }
+    val exp = tPpm.groupBy(_._1._1).map { case (et, cs) =>
+      val ts = cs.values.toSeq
+      val risky = ts.filter(_._2 > 250000L)
+      et -> (cs.size.toLong, ts.map(_._2).max, risky.size.toLong,
+        (BigInt(risky.map(_._1).sum) * 1000000 / ts.map(_._1).sum).toLong)
+    }
+    val out = EventOps.tCloseness(spark, Sf0001).collect()
+    assert(out.length === exp.size)
+    out.foreach { r =>
+      val (nc, mx, rc, rp) = exp(r.getString(0))
+      assert(r.getAs[Long]("n_classes") === nc)
+      assert(r.getAs[Long]("max_t_ppm") === mx)
+      assert(r.getAs[Long]("risky_classes") === rc)
+      assert(r.getAs[Long]("risky_rows_ppm") === rp)
+    }
+    // the measure discriminates: some classes are t-risky, not all
+    assert(out.map(_.getAs[Long]("risky_classes")).sum > 0L)
+    assert(out.exists(r => r.getAs[Long]("risky_classes") < r.getAs[Long]("n_classes")))
+  }
+
   test("ivf nprobe sweep: widening the probe is monotone in candidates and recall") {
     val rows = SimilarityOps.ivfNprobeSweep(spark, Sf0001).collect()
       .map(r => r.getAs[Long]("nprobe") ->
