@@ -1280,4 +1280,160 @@ object Oracles7 {
        | CAST(COUNT(DISTINCT x) - COUNT(DISTINCT ${h("x")}) AS BIGINT)
        |FROM sh""".stripMargin
   }
+
+  /** The classifier-evaluation family's shared doc-score CTEs:
+    * tokenize (TextOps.tokens convention, unlowered), label =
+    * contains 'spark' (the perceptron convention), score = the
+    * hashgram 60-bit md5 weight fold, then the clamped floor-div-256
+    * score bins (positive-mod form — both engines' `%` follows the
+    * dividend). Ends in `bins(source, sb, p_v, n_v)`.
+    */
+  private val scoreBinsCte: String =
+    """t AS (
+      | SELECT source,
+      |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks
+      | FROM documents),
+      |s AS (
+      | SELECT source,
+      |  CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS y,
+      |  CAST(COALESCE(list_sum(list_transform(toks,
+      |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
+      |          % 2001 - 1000)), 0) AS BIGINT) AS sc
+      | FROM t),
+      |b AS (
+      | SELECT source, y,
+      |  GREATEST(-128, LEAST(128, (sc - ((sc % 256 + 256) % 256)) // 256)) AS sb
+      | FROM s),
+      |bins AS (SELECT source, sb, SUM(y) AS p_v, SUM(1 - y) AS n_v FROM b GROUP BY 1, 2)""".stripMargin
+
+  /** Mirrors TextOps.classifierAuc: Mann–Whitney midrank accumulation
+    * over the per-source score bins, u2 = 2·U₊ integer-exact, one
+    * IEEE division for the AUC.
+    */
+  val classifierAuc: String =
+    s"""WITH $scoreBinsCte,
+       |w AS (
+       | SELECT *, p_v + n_v AS m_v,
+       |  COALESCE(SUM(p_v + n_v) OVER (PARTITION BY source ORDER BY sb
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+       | FROM bins),
+       |r AS (
+       | SELECT source, CAST(SUM(p_v) AS BIGINT) AS n_pos, CAST(SUM(n_v) AS BIGINT) AS n_neg,
+       |  SUM(p_v * (2 * c_before + m_v + 1)) AS r2
+       | FROM w GROUP BY 1)
+       |SELECT source, n_pos, n_neg,
+       | CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+       | CASE WHEN n_pos > 0 AND n_neg > 0
+       |  THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+       |       (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       | END AS auc
+       |FROM r""".stripMargin
+
+  /** Mirrors TextOps.classifierPrSweep: conditional sums over the one
+    * bin frame at five bin-aligned thresholds; floor-div ppm ratios,
+    * precision defined 0 at zero predicted positives.
+    */
+  val classifierPrSweep: String =
+    s"""WITH $scoreBinsCte,
+       |spine AS (SELECT unnest([-8192, -4096, 0, 4096, 8192]) AS thr),
+       |agg AS (
+       | SELECT thr,
+       |  SUM(CASE WHEN sb >= thr // 256 THEN p_v ELSE 0 END) AS tp,
+       |  SUM(CASE WHEN sb >= thr // 256 THEN n_v ELSE 0 END) AS fp,
+       |  SUM(p_v) AS pos_tot, SUM(n_v) AS neg_tot
+       | FROM bins, spine GROUP BY 1)
+       |SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+       | CAST(fp AS BIGINT) AS fp,
+       | CAST(pos_tot - tp AS BIGINT) AS fn, CAST(neg_tot - fp AS BIGINT) AS tn,
+       | CASE WHEN tp + fp > 0
+       |  THEN CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp) AS BIGINT)
+       |  ELSE 0 END AS precision_ppm,
+       | CAST(CAST(tp AS HUGEINT) * 1000000 // pos_tot AS BIGINT) AS recall_ppm,
+       | CASE WHEN 2 * tp + fp + (pos_tot - tp) > 0
+       |  THEN CAST(CAST(tp AS HUGEINT) * 2000000 // (2 * tp + fp + (pos_tot - tp)) AS BIGINT)
+       |  ELSE 0 END AS f1_ppm
+       |FROM agg""".stripMargin
+
+  /** Mirrors TextOps.classifierKappa: hashgram keep vs the quality
+    * gate in its exact cross-multiplied integer form, 2×2 cells per
+    * source, ppm floor-div agreement, one IEEE division for kappa.
+    */
+  val classifierKappa: String =
+    """WITH t AS (
+      | SELECT source, text,
+      |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks,
+      |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS qtoks
+      | FROM documents),
+      |r AS (
+      | SELECT source,
+      |  CAST(COALESCE(list_sum(list_transform(toks,
+      |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
+      |          % 2001 - 1000)), 0) AS BIGINT) > 0 AS ka,
+      |  (len(qtoks) >= 5 AND
+      |   CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+      |     * (CAST(len(qtoks) AS BIGINT)
+      |        + 2 * CAST(len(list_filter(qtoks, x -> list_contains(
+      |            ['the','a','an','and','or','of','to','in','is','it','on','for'], x)))
+      |            AS BIGINT)) * 10
+      |   >= CAST(length(text) AS BIGINT) * CAST(len(qtoks) AS BIGINT) * 11) AS kb
+      | FROM t),
+      |cells AS (
+      | SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |  CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |  CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS d
+      | FROM r GROUP BY 1),
+      |pp AS (
+      | SELECT source, n, a, b, c, d,
+      |  CAST(CAST(a + d AS HUGEINT) * 1000000 // n AS BIGINT) AS po_ppm,
+      |  CAST(CAST((a + b) * (a + c) + (c + d) * (b + d) AS HUGEINT) * 1000000
+      |       // (n * n) AS BIGINT) AS pe_ppm
+      | FROM cells)
+      |SELECT source, n, a, b, c, d, po_ppm, pe_ppm,
+      | CASE WHEN pe_ppm < 1000000
+      |  THEN CAST(po_ppm - pe_ppm AS DOUBLE) / CAST(1000000 - pe_ppm AS DOUBLE)
+      | END AS kappa
+      |FROM pp""".stripMargin
+
+  /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
+    * injection (upper twin on doc_id%5=0, whitespace-mangled twin on
+    * doc_id%7=3), then distinct-60-bit-fingerprint counts raw /
+    * case-folded / fully normalized.
+    */
+  val normalizeDedupGain: String = {
+    def fp(c: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
+    val norm = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
+    s"""WITH nd AS (
+       | SELECT text FROM documents
+       | UNION ALL
+       | SELECT upper(text) FROM documents WHERE doc_id % 5 = 0
+       | UNION ALL
+       | SELECT '  ' || regexp_replace(text, ' ', '  ', 'g') || ' '
+       | FROM documents WHERE doc_id % 7 = 3),
+       |f AS (
+       | SELECT ${fp("text")} AS fr, ${fp("lower(text)")} AS fc, ${fp(norm)} AS fz
+       | FROM nd)
+       |SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(COUNT(DISTINCT fr) AS BIGINT) AS n_distinct,
+       | CAST(COUNT(*) - COUNT(DISTINCT fr) AS BIGINT) AS n_dup_docs,
+       | CAST(CAST(COUNT(*) - COUNT(DISTINCT fr) AS HUGEINT) * 1000000
+       |      // COUNT(*) AS BIGINT) AS dup_ppm
+       |FROM f
+       |UNION ALL
+       |SELECT 'case_folded', CAST(COUNT(*) AS BIGINT),
+       | CAST(COUNT(DISTINCT fc) AS BIGINT),
+       | CAST(COUNT(*) - COUNT(DISTINCT fc) AS BIGINT),
+       | CAST(CAST(COUNT(*) - COUNT(DISTINCT fc) AS HUGEINT) * 1000000
+       |      // COUNT(*) AS BIGINT)
+       |FROM f
+       |UNION ALL
+       |SELECT 'normalized', CAST(COUNT(*) AS BIGINT),
+       | CAST(COUNT(DISTINCT fz) AS BIGINT),
+       | CAST(COUNT(*) - COUNT(DISTINCT fz) AS BIGINT),
+       | CAST(CAST(COUNT(*) - COUNT(DISTINCT fz) AS HUGEINT) * 1000000
+       |      // COUNT(*) AS BIGINT)
+       |FROM f""".stripMargin
+  }
 }

@@ -237,6 +237,10 @@ object SparkEntry {
     "url_profile" -> TextOps.urlProfile,
     "url_blocklist_audit" -> TextOps.urlBlocklistAudit,
     "hashgram_score" -> TextOps.hashgramScore,
+    "classifier_auc" -> TextOps.classifierAuc,
+    "classifier_pr_sweep" -> TextOps.classifierPrSweep,
+    "classifier_kappa" -> TextOps.classifierKappa,
+    "normalize_dedup_gain" -> TextOps.normalizeDedupGain,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -752,6 +756,10 @@ object SparkEntry {
     "url_profile" -> Oracles7.urlProfile,
     "url_blocklist_audit" -> Oracles7.urlBlocklistAudit,
     "hashgram_score" -> Oracles7.hashgramScore,
+    "classifier_auc" -> Oracles7.classifierAuc,
+    "classifier_pr_sweep" -> Oracles7.classifierPrSweep,
+    "classifier_kappa" -> Oracles7.classifierKappa,
+    "normalize_dedup_gain" -> Oracles7.normalizeDedupGain,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -3297,11 +3297,7 @@ object TextOps {
       .select(
         col("doc_id"),
         col("source"),
-        expr(
-          """aggregate(toks, 0L,
-            |  (acc, t) -> acc +
-            |    (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000))""".stripMargin
-        ).as("score")
+        hashgramScoreCol.as("score")
       )
       .groupBy(col("source"))
       .agg(
@@ -3646,5 +3642,302 @@ object TextOps {
     level("token", toks)
       .unionByName(level("line", lines))
       .unionByName(level("shingle", shingles))
+  }
+
+  // --------------------------------------- classifier evaluation
+
+  /** The hashgram classifier's per-doc score as a reusable Column
+    * over a `toks` array column — ONE definition for the batch sheet
+    * (`hashgramScore`), the evaluation family below, and the ingest
+    * stream twin (`streaming.ScoreGateStream`), so the weight table
+    * cannot drift between transports. w(token) = top-60-bit
+    * md5 % 2001 − 1000; the fold is row-local (no explode, no
+    * shuffle) — quality-classifier inference stays scan-bound at
+    * 100 TB.
+    */
+  private[graft] def hashgramScoreCol: Column =
+    expr(
+      """aggregate(toks, 0L,
+        |  (acc, t) -> acc +
+        |    (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000))""".stripMargin
+    )
+
+  /** Per-doc classifier-gate projection — (doc_id, source, score,
+    * keep) with keep = score > 0, the `hashgramScore` keep rule at
+    * row granularity. ONE definition, two transports: the batch side
+    * and `streaming.ScoreGateStream` both plan exactly this
+    * projection, so the ingest-edge gate cannot drift from the batch
+    * sheet the oracle verifies.
+    */
+  private[graft] def hashgramGateProjection(df: DataFrame): DataFrame =
+    df
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), hashgramScoreCol.as("score"))
+      .withColumn("keep", col("score") > 0L)
+
+  /** Score-bin width and clamp for the evaluation family: bins are
+    * exact FLOOR division by 256 (the positive-mod form — Spark `DIV`
+    * truncates toward zero, so `(sc - pmod(sc, 256)) DIV 256` is the
+    * engine-agnostic floor), clamped to ±128 — ≤ 257 bins covering
+    * scores to ±32768 (observed corpus range ±~18k), hard-BOUNDED by
+    * construction so the per-source rank window's frame never grows
+    * with the corpus.
+    */
+  val ScoreBin = 256L
+  val ScoreClamp = 128L
+
+  /** Per-doc (source, label, clamped score bin) → (positives,
+    * negatives) counts — the bounded sufficient statistic the whole
+    * evaluation family (AUC, PR sweep) reads; ONE corpus scan,
+    * row-local score fold, one (source, bin) partial-agg shuffle.
+    * Label: the perceptron family's contains-'spark' convention
+    * (`perceptronEpoch`).
+    */
+  private[graft] def hashgramBins(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(
+        col("source"),
+        when(array_contains(col("toks"), "spark"), 1L).otherwise(0L).as("y"),
+        hashgramScoreCol.as("sc")
+      )
+      .select(
+        col("source"),
+        col("y"),
+        greatest(
+          lit(-ScoreClamp),
+          least(
+            lit(ScoreClamp),
+            expr(s"(sc - pmod(sc, $ScoreBin)) DIV $ScoreBin")
+          )
+        ).as("sb")
+      )
+      .groupBy(col("source"), col("sb"))
+      .agg(sum(col("y")).as("p_v"), sum(lit(1L) - col("y")).as("n_v"))
+
+  /** Exact ROC AUC of the hashgram classifier per source — the
+    * standard evaluation number every quality-classifier pipeline
+    * reports before gating a corpus on the score. Computed at
+    * score-bin granularity by the Mann–Whitney midrank identity
+    * (the `mannWhitneyDrift` arithmetic applied to the pos/neg label
+    * split): 2·R₊ accumulates per bin from the cumulative count of
+    * lower bins, u2 = 2·U₊ stays integer-exact end to end, and the
+    * single IEEE division at the end is AUC = U₊ / (n₊·n₋).
+    *
+    * Scale: the corpus collapses to ≤ 257 bins per source before any
+    * window; the cumulative window is per-source over those bins —
+    * O(1) frame, never corpus-sized.
+    */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window
+      .partitionBy(col("source"))
+      .orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hashgramBins(spark, dir)
+      .withColumn("m_v", col("p_v") + col("n_v"))
+      .withColumn("c_before", coalesce(sum(col("m_v")).over(bySrc), lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("p_v")).as("n_pos"),
+        sum(col("n_v")).as("n_neg"),
+        sum(
+          col("p_v").cast(DecimalType(38, 0)) *
+            (col("c_before").cast(DecimalType(38, 0)) * 2 + col("m_v") + 1)
+        ).cast(DecimalType(38, 0)).as("r2_pos")
+      )
+      .select(
+        col("source"),
+        col("n_pos"),
+        col("n_neg"),
+        (col("r2_pos") - col("n_pos").cast(DecimalType(38, 0)) * (col("n_pos") + 1))
+          .cast("long")
+          .as("u2_pos")
+      )
+      .withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2_pos").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+        )
+      )
+  }
+
+  /** Operating-point thresholds for the PR sweep — multiples of
+    * `ScoreBin` inside the clamp range, so `score ≥ T ⟺ bin ≥ T/256`
+    * holds EXACTLY on the binned statistic (floor division preserves
+    * order at bin-aligned cuts).
+    */
+  val PrThresholds: Seq[Long] = Seq(-8192L, -4096L, 0L, 4096L, 8192L)
+
+  /** Precision / recall / F1 of the hashgram classifier at five
+    * bin-aligned thresholds — the operating-point PRICE SHEET a
+    * pipeline reads to pick its keep cut (the `boilerplate_df_sweep`
+    * pattern applied to classifier gating). All five rows are
+    * conditional sums over the ONE bounded bin frame — no
+    * per-threshold rescan; ratios are floor-div ppm (precision
+    * defined 0 when nothing is predicted positive).
+    */
+  def classifierPrSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spine = PrThresholds
+      .map(t => spark.range(1).select(lit(t).as("thr")))
+      .reduce(_.unionAll(_))
+    hashgramBins(spark, dir)
+      .crossJoin(broadcast(spine))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(expr(s"sb >= thr DIV $ScoreBin"), col("p_v")).otherwise(0L)).as("tp"),
+        sum(when(expr(s"sb >= thr DIV $ScoreBin"), col("n_v")).otherwise(0L)).as("fp"),
+        sum(col("p_v")).as("pos_tot"),
+        sum(col("n_v")).as("neg_tot")
+      )
+      .select(
+        col("thr"),
+        col("tp"),
+        col("fp"),
+        (col("pos_tot") - col("tp")).as("fn"),
+        (col("neg_tot") - col("fp")).as("tn"),
+        expr(
+          """CASE WHEN tp + fp > 0
+            | THEN CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT)
+            | ELSE 0L END""".stripMargin
+        ).as("precision_ppm"),
+        expr(
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV pos_tot AS BIGINT)"
+        ).as("recall_ppm"),
+        expr(
+          """CASE WHEN 2 * tp + fp + (pos_tot - tp) > 0
+            | THEN CAST(CAST(tp AS DECIMAL(38,0)) * 2000000
+            |        DIV (2 * tp + fp + (pos_tot - tp)) AS BIGINT)
+            | ELSE 0L END""".stripMargin
+        ).as("f1_ppm")
+      )
+  }
+
+  /** Cohen's kappa between the board's two independent keep signals —
+    * the hashgram classifier (score > 0, `hashgramScore`'s keep rule)
+    * and the heuristic quality gate (quality ≥ 0.55, `trainingPrep`'s
+    * cut) — per source: the chance-corrected agreement sheet that
+    * tells a pipeline whether a learned classifier and a rule gate
+    * are redundant or complementary before it stacks them.
+    *
+    * The quality cut is evaluated in its EXACT integer form:
+    * quality = [n_words ≥ 5] · (1 − punct/len) · (0.5 + stop/words)
+    * ≥ 0.55  ⟺  n_words ≥ 5 ∧ 10·(len−punct)·(words+2·stop) ≥
+    * 11·len·words — cross-multiplied so no float comparison seams the
+    * oracle. Observed/expected agreement are exact ppm floor-divs;
+    * kappa itself is the one IEEE division at the end (its numerator
+    * can be negative, where floor-div dialects diverge).
+    *
+    * Scale: one corpus scan with row-local raters, a 2×2 cell
+    * aggregate per source, then pure arithmetic on #sources rows.
+    */
+  def classifierKappa(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("text"), tokens(col("text")).as("toks"))
+      .withColumn("ka", hashgramScoreCol > 0)
+      .select(col("source"), col("ka"), col("text"),
+        tokens(lower(col("text"))).as("qtoks"))
+      .withColumn("len", length(col("text")).cast("bigint"))
+      .withColumn("lp", length(regexp_replace(col("text"), "[.,;:!?]", "")).cast("bigint"))
+      .withColumn("w", size(col("qtoks")).cast("bigint"))
+      .withColumn(
+        "s",
+        size(filter(col("qtoks"), t => t.isin(stopwords.map(lit(_)): _*))).cast("bigint")
+      )
+      .select(
+        col("source"),
+        col("ka"),
+        (col("w") >= 5L &&
+          col("lp") * (col("w") + lit(2L) * col("s")) * lit(10L) >=
+            col("len") * col("w") * lit(11L)).as("kb")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("d")
+      )
+      .select(
+        col("source"), col("n"), col("a"), col("b"), col("c"), col("d"),
+        expr("CAST(CAST(a + d AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)").as("po_ppm"),
+        expr(
+          """CAST(CAST((a + b) * (a + c) + (c + d) * (b + d) AS DECIMAL(38,0)) * 1000000
+            | DIV (n * n) AS BIGINT)""".stripMargin
+        ).as("pe_ppm")
+      )
+      .withColumn(
+        "kappa",
+        when(
+          col("pe_ppm") < 1000000L,
+          (col("po_ppm") - col("pe_ppm")).cast("double") /
+            (lit(1000000L) - col("pe_ppm")).cast("double")
+        )
+      )
+
+  // --------------------------------------------- text normalization
+
+  /** The corpus with deterministic FORMATTING VARIANTS injected — the
+    * synthesis pattern (piiDocs / boilerplateDocs) for the
+    * normalization family, since the raw synthetic corpus is already
+    * case-folded and single-spaced: docs with doc_id % 5 == 0 gain an
+    * UPPER-CASED twin (id + 10⁹), docs with doc_id % 7 == 3 gain a
+    * whitespace-mangled twin (id + 2·10⁹: doubled internal spaces +
+    * lead/trail padding). Each twin is byte-distinct from its
+    * original but normalizes back to it, so the gain sheet is
+    * non-vacuous at every SF.
+    */
+  private[graft] def formattingNoisyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val upperTwins = docs
+      .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+        upper(col("text")).as("text"))
+    val wsTwins = docs
+      .filter(pmod(col("doc_id"), lit(7L)) === 3L)
+      .select((col("doc_id") + 2000000000L).as("doc_id"), col("source"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text"))
+    docs.unionByName(upperTwins).unionByName(wsTwins)
+  }
+
+  /** Text-normalization pass (ASCII case fold + whitespace collapse +
+    * trim — the CCNet/C4 canonicalization applied before any exact
+    * dedup) priced as a three-stage GAIN SHEET over the
+    * formatting-noisy corpus: distinct-fingerprint counts raw, after
+    * case folding alone, and after full normalization. The marginal
+    * dup_ppm per stage is the duplicated mass an UN-normalized exact
+    * dedup ships into training at 100 TB — the `redact_dedup_gain`
+    * argument applied to formatting instead of identifiers
+    * (normalization is a pure text function, so distinct counts are
+    * monotone non-increasing down the sheet).
+    *
+    * Scale: three fingerprint-distinct aggregates (60-bit hashes
+    * shuffle, text never does); normalization itself is a row-local
+    * map fused into the scan.
+    */
+  def normalizeDedupGain(spark: SparkSession, dir: String): DataFrame = {
+    val fp = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def stage(name: String, t: Column): DataFrame =
+      formattingNoisyDocs(spark, dir)
+        .select(fp(t).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+        .select(
+          lit(name).as("stage"),
+          col("n_docs"),
+          col("n_distinct"),
+          (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+          expr(
+            "CAST(CAST(n_docs - n_distinct AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"
+          ).as("dup_ppm")
+        )
+    val folded = lower(col("text"))
+    val normalized = trim(regexp_replace(lower(col("text")), "[ \\t\\r\\n]+", " "))
+    stage("raw", col("text"))
+      .unionByName(stage("case_folded", folded))
+      .unionByName(stage("normalized", normalized))
   }
 }

@@ -5974,4 +5974,156 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_keep") < r.getAs[Long]("n_docs"))
     }
   }
+
+  /** Shared brute-force side of the classifier-evaluation specs:
+    * per-doc (source, label, clamped floor-div-256 score bin) from a
+    * JVM md5 recompute — the sufficient statistic classifier_auc and
+    * classifier_pr_sweep are checked against.
+    */
+  private def bruteScoreBins(): Seq[(String, Long, Long)] = {
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 2001L - 1000L
+    }
+    Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)
+        val y = if (toks.contains("spark")) 1L else 0L
+        val sc = toks.map(w).sum
+        val sb = math.max(-128L, math.min(128L, Math.floorDiv(sc, 256L)))
+        (r.getString(0), y, sb)
+      }.toSeq
+  }
+
+  test("classifier AUC: per-source Mann-Whitney midrank AUC matches a brute pairwise count") {
+    val docs = bruteScoreBins()
+    val rows = TextOps.classifierAuc(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val pos = docs.filter(d => d._1 == src && d._2 == 1L).map(_._3)
+      val neg = docs.filter(d => d._1 == src && d._2 == 0L).map(_._3)
+      assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+      assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+      // brute 2·U: every (pos, neg) bin pair scores 2/1/0 for >/=/<
+      val u2 = (for { p <- pos; n <- neg } yield {
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }).sum
+      assert(r.getAs[Long]("u2_pos") === u2, s"u2 mismatch for $src")
+      val auc = r.getAs[Double]("auc")
+      assert(auc === u2.toDouble / (2.0 * pos.length * neg.length))
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+    // the hashgram score really discriminates the contains-'spark'
+    // label somewhere (w('spark') shifts every positive doc's score)
+    assert(rows.exists(r => math.abs(r.getAs[Double]("auc") - 0.5) > 0.05))
+  }
+
+  test("classifier PR sweep: conditional sums over bins match brute counts at every threshold") {
+    val docs = bruteScoreBins()
+    val rows = TextOps.classifierPrSweep(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("thr")).sorted ===
+      Array(-8192L, -4096L, 0L, 4096L, 8192L))
+    rows.foreach { r =>
+      val thr = r.getAs[Long]("thr")
+      val tb = thr / 256L
+      val tp = docs.count(d => d._2 == 1L && d._3 >= tb).toLong
+      val fp = docs.count(d => d._2 == 0L && d._3 >= tb).toLong
+      val posTot = docs.count(_._2 == 1L).toLong
+      val negTot = docs.count(_._2 == 0L).toLong
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("fp") === fp)
+      assert(r.getAs[Long]("fn") === posTot - tp)
+      assert(r.getAs[Long]("tn") === negTot - fp)
+      val prec = if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L
+      assert(r.getAs[Long]("precision_ppm") === prec)
+      assert(r.getAs[Long]("recall_ppm") === tp * 1000000L / posTot)
+      val f1den = 2 * tp + fp + (posTot - tp)
+      assert(r.getAs[Long]("f1_ppm") === (if (f1den > 0) tp * 2000000L / f1den else 0L))
+    }
+    // recall is monotone non-increasing in the threshold, and the
+    // sweep actually moves (not all rows identical)
+    val byThr = rows.sortBy(_.getAs[Long]("thr")).map(_.getAs[Long]("recall_ppm"))
+    assert(byThr.zip(byThr.tail).forall { case (a, b) => a >= b })
+    assert(byThr.distinct.length > 1)
+  }
+
+  test("classifier kappa: 2x2 agreement vs the integer-exact quality gate, brute recompute") {
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 2001L - 1000L
+    }
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+    val docs = Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        val atoks = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+        val qtoks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+        val ka = atoks.map(w).sum > 0L
+        val len = text.length.toLong
+        val lp = text.count(c => !".,;:!?".contains(c)).toLong
+        val ww = qtoks.length.toLong
+        val s = qtoks.count(stop.contains).toLong
+        val kb = ww >= 5L && lp * (ww + 2 * s) * 10L >= len * ww * 11L
+        (r.getString(0), ka, kb)
+      }
+    val rows = TextOps.classifierKappa(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val g = docs.filter(_._1 == src)
+      val a = g.count(d => d._2 && d._3).toLong
+      val b = g.count(d => d._2 && !d._3).toLong
+      val c = g.count(d => !d._2 && d._3).toLong
+      val dd = g.count(d => !d._2 && !d._3).toLong
+      val n = g.length.toLong
+      assert(r.getAs[Long]("a") === a)
+      assert(r.getAs[Long]("b") === b)
+      assert(r.getAs[Long]("c") === c)
+      assert(r.getAs[Long]("d") === dd)
+      val po = (a + dd) * 1000000L / n
+      val pe = ((a + b) * (a + c) + (c + dd) * (b + dd)) * 1000000L / (n * n)
+      assert(r.getAs[Long]("po_ppm") === po)
+      assert(r.getAs[Long]("pe_ppm") === pe)
+      if (pe < 1000000L)
+        assert(r.getAs[Double]("kappa") ===
+          (po - pe).toDouble / (1000000L - pe).toDouble)
+    }
+    // both raters fire both ways somewhere — the 2x2 table is full
+    assert(docs.exists(d => d._2 && d._3))
+    assert(docs.exists(d => !d._2 && !d._3))
+    assert(docs.exists(d => d._2 != d._3))
+  }
+
+  test("normalize dedup gain: stage sheet matches a brute JVM recompute; gain is real and monotone") {
+    val raw = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val noisy = raw.map(_._2) ++
+      raw.filter(_._1 % 5 == 0).map(d => d._2.toUpperCase) ++
+      raw.filter(_._1 % 7 == 3).map(d => "  " + d._2.replace(" ", "  ") + " ")
+    def norm(s: String) = s.toLowerCase.replaceAll("[ \\t\\r\\n]+", " ").trim
+    val exp = Map(
+      "raw" -> noisy.distinct.length.toLong,
+      "case_folded" -> noisy.map(_.toLowerCase).distinct.length.toLong,
+      "normalized" -> noisy.map(norm).distinct.length.toLong
+    )
+    val rows = TextOps.normalizeDedupGain(spark, Sf0001).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val stage = r.getString(0)
+      assert(r.getAs[Long]("n_docs") === noisy.length.toLong)
+      assert(r.getAs[Long]("n_distinct") === exp(stage), s"stage $stage")
+      assert(r.getAs[Long]("n_dup_docs") === noisy.length - exp(stage))
+      assert(r.getAs[Long]("dup_ppm") ===
+        (noisy.length - exp(stage)) * 1000000L / noisy.length)
+    }
+    // non-vacuous at every stage boundary: twins exist, case folding
+    // alone recovers some but not all, full normalization recovers more
+    assert(exp("raw") > exp("case_folded"))
+    assert(exp("case_folded") > exp("normalized"))
+  }
 }

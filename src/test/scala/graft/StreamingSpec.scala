@@ -1094,4 +1094,48 @@ class StreamingSpec extends AnyFunSuite {
         s"wrong failure: $e")
     } finally q.stop()
   }
+
+  test("streaming score gate: sliced ingest == batch projection, keep counts == gate sheet") {
+    // stateless map-only classifier gate: ANY slicing must reproduce
+    // the batch hashgram projection exactly (shared scoring Columns),
+    // and the streamed keep counts must reconcile with the
+    // hashgram_score gate's per-source sheet
+    val tmp = java.nio.file.Files.createTempDirectory("scoregate-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.ScoreGateStream
+      .scored(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scoregate_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))
+      }.toSet
+      val streamed = key(spark.table("scoregate_stream").collect())
+      val batch = key(
+        graft.operators.TextOps
+          .hashgramGateProjection(
+            graft.operators.Tables.documents(spark, Sf0001))
+          .collect())
+      assert(streamed === batch)
+      // the edge gate reconciles with the batch per-source sheet
+      val streamKeeps = streamed.groupBy(_._2).map { case (s, g) =>
+        (s, g.count(_._4).toLong)
+      }
+      val sheet = graft.operators.TextOps.hashgramScore(spark, Sf0001).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_keep"))).toMap
+      assert(streamKeeps === sheet)
+      assert(streamed.exists(_._4) && streamed.exists(!_._4),
+        "the gate should keep some docs and drop some")
+    } finally q.stop()
+  }
 }
