@@ -1396,6 +1396,78 @@ object Oracles7 {
       | END AS kappa
       |FROM pp""".stripMargin
 
+  /** Mirrors TextOps.classifierCalibration: 8 hard-bounded bands of
+    * 32 score bins over the shared bin frame, empirical positive rate
+    * as ppm floor-div.
+    */
+  val classifierCalibration: String =
+    s"""WITH $scoreBinsCte,
+       |bd AS (
+       | SELECT GREATEST(-4, LEAST(3, (sb - ((sb % 32 + 32) % 32)) // 32)) AS band,
+       |  p_v, n_v
+       | FROM bins)
+       |SELECT band, CAST(SUM(p_v + n_v) AS BIGINT) AS n_docs,
+       | CAST(SUM(p_v) AS BIGINT) AS n_pos,
+       | CAST(CAST(SUM(p_v) AS HUGEINT) * 1000000 // SUM(p_v + n_v) AS BIGINT) AS pos_ppm
+       |FROM bd GROUP BY 1""".stripMargin
+
+  /** Mirrors TextOps.temperatureMix: wᵢ = ⌊√massᵢ⌋ (correctly-rounded
+    * IEEE sqrt, exact below 2⁵²), budget = Σmass div 2, integer
+    * floor-div shares/allocations, upsample vs the proportional
+    * allocator.
+    */
+  val temperatureMix: String =
+    """WITH m AS (
+      | SELECT source,
+      |  CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |    x -> x <> ''))) AS BIGINT) AS mass
+      | FROM documents GROUP BY 1),
+      |w AS (SELECT source, mass,
+      |       CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m),
+      |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot_mass,
+      |             CAST(SUM(w) AS BIGINT) AS tot_w FROM w),
+      |a AS (
+      | SELECT source, mass, w,
+      |  CAST(CAST(w AS HUGEINT) * 1000000 // tot_w AS BIGINT) AS share_ppm,
+      |  CAST(CAST(tot_mass // 2 AS HUGEINT) * w // tot_w AS BIGINT) AS alloc,
+      |  CAST(CAST(tot_mass // 2 AS HUGEINT) * mass // tot_mass AS BIGINT) AS prop_alloc
+      | FROM w, t)
+      |SELECT source, mass, w, share_ppm, alloc, prop_alloc,
+      | CAST(CAST(alloc AS HUGEINT) * 1000000 // GREATEST(prop_alloc, 1) AS BIGINT)
+      |  AS upsample_ppm
+      |FROM a""".stripMargin
+
+  /** Mirrors TextOps.fimSplit: the same doc_id-salted 60-bit md5
+    * draws for the coin and both cut points, PSM reorder fingerprint,
+    * passthrough rows with lo = hi = len.
+    */
+  val fimSplit: String = {
+    def h(salt: String): String =
+      s"""CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15))
+         |     AS UBIGINT) AS BIGINT)""".stripMargin
+    s"""WITH d AS (
+       | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+       |hh AS (
+       | SELECT doc_id, text, len,
+       |  (len >= 32 AND ${h("c")} % 100 < 50) AS fim_applied,
+       |  1 + ${h("a")} % GREATEST(len - 1, 1) AS c1,
+       |  1 + ${h("b")} % GREATEST(len - 1, 1) AS c2
+       | FROM d),
+       |s AS (
+       | SELECT doc_id, fim_applied, len, text,
+       |  CASE WHEN fim_applied THEN LEAST(c1, c2) ELSE len END AS lo,
+       |  CASE WHEN fim_applied THEN GREATEST(c1, c2) ELSE len END AS hi
+       | FROM hh)
+       |SELECT doc_id, fim_applied, len, lo AS p_len, hi - lo AS m_len,
+       | len - hi AS s_len,
+       | CAST(CAST(concat('0x', substr(md5(
+       |   '<PRE>' || substr(text, 1, CAST(lo AS INT)) ||
+       |   '<SUF>' || substr(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT)) ||
+       |   '<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))), 1, 15))
+       |  AS UBIGINT) AS BIGINT) AS psm_fp
+       |FROM s""".stripMargin
+  }
+
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
     * injection (upper twin on doc_id%5=0, whitespace-mangled twin on
     * doc_id%7=3), then distinct-60-bit-fingerprint counts raw /

@@ -241,6 +241,9 @@ object SparkEntry {
     "classifier_pr_sweep" -> TextOps.classifierPrSweep,
     "classifier_kappa" -> TextOps.classifierKappa,
     "normalize_dedup_gain" -> TextOps.normalizeDedupGain,
+    "classifier_calibration" -> TextOps.classifierCalibration,
+    "temperature_mix" -> TextOps.temperatureMix,
+    "fim_split" -> TextOps.fimSplit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -760,6 +763,9 @@ object SparkEntry {
     "classifier_pr_sweep" -> Oracles7.classifierPrSweep,
     "classifier_kappa" -> Oracles7.classifierKappa,
     "normalize_dedup_gain" -> Oracles7.normalizeDedupGain,
+    "classifier_calibration" -> Oracles7.classifierCalibration,
+    "temperature_mix" -> Oracles7.temperatureMix,
+    "fim_split" -> Oracles7.fimSplit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -3879,6 +3879,147 @@ object TextOps {
         )
       )
 
+  /** Calibration (reliability) sheet for the hashgram classifier:
+    * empirical positive rate per score BAND — 8 hard-bounded bands of
+    * 32 score bins (8192 score units) each, the diagram a pipeline
+    * reads to decide whether the raw score can be thresholded as if
+    * it were a probability. All integer: band = floor-div of the
+    * clamped bin, rate = ppm floor-div.
+    *
+    * Scale: a conditional rollup over the SAME bounded bin frame as
+    * `classifier_auc` — no extra corpus pass beyond the shared scan.
+    */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    hashgramBins(spark, dir)
+      .withColumn(
+        "band",
+        greatest(lit(-4L), least(lit(3L), expr("(sb - pmod(sb, 32)) DIV 32")))
+      )
+      .groupBy(col("band"))
+      .agg(
+        sum(col("p_v") + col("n_v")).as("n_docs"),
+        sum(col("p_v")).as("n_pos")
+      )
+      .withColumn(
+        "pos_ppm",
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+
+  /** Temperature-scaled mixture allocation at α = 1/2 — the
+    * multilingual/multi-source upsampling rule (mT5 / LLaMA style:
+    * sample source i ∝ massᵢ^α, α < 1 upsamples the tail) in an
+    * INTEGER-EXACT form: wᵢ = ⌊√massᵢ⌋ (floor of the correctly-
+    * rounded IEEE sqrt — exact for any mass < 2⁵², so both engines
+    * agree bit-for-bit), allocᵢ = B·wᵢ div Σw against the SAME
+    * budget B = Σmass div 2 as `token_waterfill`, so the two
+    * allocator sheets are directly comparable. upsample_ppm prices
+    * each source's gain vs the proportional allocator — THE number
+    * that says what α = 1/2 does to the tail at 100 TB.
+    *
+    * Scale: one corpus scan to #sources masses; totals are a 1-row
+    * broadcast back; everything after is arithmetic on #sources rows.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val masses = Tables
+      .documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("mass"))
+      .withColumn("w", floor(sqrt(col("mass").cast("double"))).cast("long"))
+    val totals = masses.agg(
+      sum(col("mass")).as("tot_mass"),
+      sum(col("w")).as("tot_w")
+    )
+    masses
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("mass"),
+        col("w"),
+        expr("CAST(CAST(w AS DECIMAL(38,0)) * 1000000 DIV tot_w AS BIGINT)").as("share_ppm"),
+        expr(
+          """CAST(CAST(tot_mass DIV 2 AS DECIMAL(38,0)) * w DIV tot_w AS BIGINT)"""
+        ).as("alloc"),
+        expr(
+          """CAST(CAST(tot_mass DIV 2 AS DECIMAL(38,0)) * mass DIV tot_mass AS BIGINT)"""
+        ).as("prop_alloc")
+      )
+      .withColumn(
+        "upsample_ppm",
+        expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 DIV GREATEST(prop_alloc, 1) AS BIGINT)")
+      )
+  }
+
+  // ------------------------------------------ FIM training transform
+
+  /** Minimum document length (chars) and application rate (%) for the
+    * fill-in-the-middle transform; mirrored in the oracle.
+    */
+  val FimMinChars = 32L
+  val FimRatePct = 50L
+
+  /** Fill-in-the-middle (FIM) training-data transform — the
+    * prefix/middle/suffix split every code/infilling model's pipeline
+    * applies to a deterministic fraction of documents (Bavarian et
+    * al. 2022: sample two cut points, reorder to PSM). Cut points are
+    * doc_id-derived 60-bit md5 draws over [1, len−1] (prefix and
+    * suffix always non-empty; the middle MAY be empty — the paper's
+    * degenerate case, kept), the coin is a hash-mod-100 at
+    * `FimRatePct`, and the emitted record carries the three span
+    * lengths plus a 60-bit fingerprint of the PSM-reordered string
+    * (sentinel-delimited), so token conservation (p+m+s = len) and
+    * the exact reordering are both oracle-checkable.
+    *
+    * Scale: a pure row-local projection — no shuffle, no state; at
+    * 100 TB this fuses into the ingest scan like the PII/secret
+    * rewrites.
+    */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = (salt: String) =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .withColumn(
+        "fim_applied",
+        col("len") >= FimMinChars && pmod(h("c"), lit(100L)) < FimRatePct
+      )
+      // greatest(len-1, 1): mod-zero guard for len <= 1 docs (the
+      // branch is dead there — fim_applied needs len >= 32 — but both
+      // branches evaluate)
+      .withColumn("c1", lit(1L) + pmod(h("a"), greatest(col("len") - 1L, lit(1L))))
+      .withColumn("c2", lit(1L) + pmod(h("b"), greatest(col("len") - 1L, lit(1L))))
+      .withColumn("lo", when(col("fim_applied"), least(col("c1"), col("c2"))).otherwise(col("len")))
+      .withColumn("hi", when(col("fim_applied"), greatest(col("c1"), col("c2"))).otherwise(col("len")))
+      .select(
+        col("doc_id"),
+        col("fim_applied"),
+        col("len"),
+        col("lo").as("p_len"),
+        (col("hi") - col("lo")).as("m_len"),
+        (col("len") - col("hi")).as("s_len"),
+        conv(
+          substring(
+            md5(
+              concat(
+                lit("<PRE>"),
+                expr("substr(text, 1, CAST(lo AS INT))"),
+                lit("<SUF>"),
+                expr("substr(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT))"),
+                lit("<MID>"),
+                expr("substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))")
+              )
+            ),
+            1,
+            15
+          ),
+          16,
+          10
+        ).cast("long").as("psm_fp")
+      )
+  }
+
   // --------------------------------------------- text normalization
 
   /** The corpus with deterministic FORMATTING VARIANTS injected — the

@@ -6126,4 +6126,98 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exp("raw") > exp("case_folded"))
     assert(exp("case_folded") > exp("normalized"))
   }
+
+  test("classifier calibration: per-band positive rates match brute counts") {
+    val docs = bruteScoreBins()
+    val bands = docs.map { case (_, y, sb) =>
+      (math.max(-4L, math.min(3L, Math.floorDiv(sb, 32L))), y)
+    }
+    val rows = TextOps.classifierCalibration(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      val g = bands.filter(_._1 == band)
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("n_pos") === g.count(_._2 == 1L).toLong)
+      assert(r.getAs[Long]("pos_ppm") ===
+        g.count(_._2 == 1L).toLong * 1000000L / g.length)
+    }
+    assert(rows.map(_.getAs[Long]("band")).toSet === bands.map(_._1).toSet)
+    // a real reliability diagram: several bands populated, rate varies
+    assert(rows.length >= 3)
+    assert(rows.map(_.getAs[Long]("pos_ppm")).distinct.length > 1)
+  }
+
+  test("temperature mix: isqrt allocator matches brute; alpha<1 upsamples the tail") {
+    val masses = Tables.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("[^\\p{L}]+").count(_.nonEmpty).toLong))
+      .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }
+    val totMass = masses.values.sum
+    val totW = masses.values.map(m => math.sqrt(m.toDouble).toLong).sum
+    val budget = totMass / 2
+    val rows = TextOps.temperatureMix(spark, Sf0001).collect()
+    assert(rows.length === masses.size)
+    rows.foreach { r =>
+      val m = masses(r.getString(0))
+      val w = math.sqrt(m.toDouble).toLong
+      assert(r.getAs[Long]("mass") === m)
+      assert(r.getAs[Long]("w") === w)
+      assert(r.getAs[Long]("share_ppm") === w * 1000000L / totW)
+      assert(r.getAs[Long]("alloc") === budget * w / totW)
+      assert(r.getAs[Long]("prop_alloc") === budget * m / totMass)
+      assert(r.getAs[Long]("upsample_ppm") ===
+        (budget * w / totW) * 1000000L / math.max(budget * m / totMass, 1L))
+    }
+    // alloc/prop ∝ 1/sqrt(mass): the smallest source gains at least
+    // as much as the largest loses (strict when masses differ)
+    val byMass = rows.sortBy(_.getAs[Long]("mass"))
+    assert(byMass.head.getAs[Long]("upsample_ppm") >=
+      byMass.last.getAs[Long]("upsample_ppm"))
+    assert(byMass.head.getAs[Long]("mass") < byMass.last.getAs[Long]("mass"),
+      "corpus should have unequal source masses for a non-vacuous check")
+  }
+
+  test("fim split: cut points, span conservation, and PSM fingerprint match a JVM recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = TextOps.fimSplit(spark, Sf0001).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val text = docs(id)
+      val len = text.length.toLong
+      val fim = len >= 32 && h60(s"${id}c") % 100 < 50
+      assert(r.getAs[Boolean]("fim_applied") === fim)
+      val (lo, hi) =
+        if (fim) {
+          val c1 = 1 + h60(s"${id}a") % math.max(len - 1, 1)
+          val c2 = 1 + h60(s"${id}b") % math.max(len - 1, 1)
+          (math.min(c1, c2), math.max(c1, c2))
+        } else (len, len)
+      assert(r.getAs[Long]("p_len") === lo)
+      assert(r.getAs[Long]("m_len") === hi - lo)
+      assert(r.getAs[Long]("s_len") === len - hi)
+      // span conservation: the three pieces tile the doc exactly
+      assert(r.getAs[Long]("p_len") + r.getAs[Long]("m_len") +
+        r.getAs[Long]("s_len") === len)
+      if (fim) {
+        assert(r.getAs[Long]("p_len") >= 1L && r.getAs[Long]("s_len") >= 1L,
+          "prefix and suffix must be non-empty on FIM'd docs")
+      }
+      val psm = "<PRE>" + text.substring(0, lo.toInt) +
+        "<SUF>" + text.substring(hi.toInt) +
+        "<MID>" + text.substring(lo.toInt, hi.toInt)
+      assert(r.getAs[Long]("psm_fp") === h60(psm))
+    }
+    // the coin really splits the corpus
+    assert(rows.exists(_.getAs[Boolean]("fim_applied")))
+    assert(rows.exists(!_.getAs[Boolean]("fim_applied")))
+  }
 }
