@@ -1468,6 +1468,28 @@ object Oracles7 {
        |FROM s""".stripMargin
   }
 
+  /** Mirrors DedupOps.shardDedupLocality: the minhash pair list
+    * re-derived (Oracles2.minhashLsh verbatim), each side classified
+    * under the shuffle_shards md5 layout, intra/cross rollup.
+    */
+  val shardDedupLocality: String = {
+    def shard(c: String): String =
+      s"""CAST(CAST(concat('0x', substr(md5(concat(
+         |  '${graft.operators.TextOps.ShuffleSeed}', CAST($c AS VARCHAR))), 1, 2))
+         |  AS UBIGINT) % ${graft.operators.TextOps.NShards} AS BIGINT)""".stripMargin
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |cls AS (
+       | SELECT CASE WHEN ${shard("doc_a")} = ${shard("doc_b")} THEN 1 ELSE 0 END AS intra
+       | FROM mh)
+       |SELECT CAST(${graft.operators.TextOps.NShards} AS BIGINT) AS n_shards,
+       | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       | CAST(SUM(intra) AS BIGINT) AS n_intra,
+       | CAST(COUNT(*) - SUM(intra) AS BIGINT) AS n_cross,
+       | CAST(CAST(COUNT(*) - SUM(intra) AS HUGEINT) * 1000000
+       |      // GREATEST(COUNT(*), 1) AS BIGINT) AS cross_ppm
+       |FROM cls""".stripMargin
+  }
+
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
     * injection (upper twin on doc_id%5=0, whitespace-mangled twin on
     * doc_id%7=3), then distinct-60-bit-fingerprint counts raw /

@@ -244,6 +244,7 @@ object SparkEntry {
     "classifier_calibration" -> TextOps.classifierCalibration,
     "temperature_mix" -> TextOps.temperatureMix,
     "fim_split" -> TextOps.fimSplit,
+    "shard_dedup_locality" -> DedupOps.shardDedupLocality,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -766,6 +767,7 @@ object SparkEntry {
     "classifier_calibration" -> Oracles7.classifierCalibration,
     "temperature_mix" -> Oracles7.temperatureMix,
     "fim_split" -> Oracles7.fimSplit,
+    "shard_dedup_locality" -> Oracles7.shardDedupLocality,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -1772,4 +1772,42 @@ object DedupOps {
             - coalesce(col("n_shared"), lit(0L))), lit(0L)).as("sum_union")
       )
   }
+
+  /** Dedup LOCALITY under the corpus's shard layout — the sheet that
+    * answers "can the 100 TB near-dup pass run PER SHARD?" Per-shard
+    * dedup is embarrassingly parallel (no cross-shard shuffle at
+    * all), but it misses every pair whose members hash to different
+    * shards; this query prices that miss exactly: near-dup pairs
+    * (the memoized `minhash_pairs` artifact) classified intra- vs
+    * cross-shard under the SAME seeded md5 layout as
+    * `shuffle_shards` (`TextOps.ShuffleSeed` / `NShards` — one
+    * definition of the shard policy). Under a content-independent
+    * hash layout the expected cross fraction is 1 − 1/S (87.5% at
+    * 8 shards) — per-shard dedup is a non-starter — and the measured
+    * cross_ppm is the certificate.
+    *
+    * Scale: a row-local shard key on each side of the PAIR-BOUNDED
+    * artifact, one 1-row aggregate; no corpus pass at all.
+    */
+  def shardDedupLocality(spark: SparkSession, dir: String): DataFrame = {
+    val shard = (c: Column) =>
+      conv(substring(md5(concat(lit(TextOps.ShuffleSeed), c.cast("string"))), 1, 2), 16, 10)
+        .cast("long") % TextOps.NShards
+    minhashLsh(spark, dir)
+      .select((shard(col("doc_a")) === shard(col("doc_b"))).as("intra"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("intra"), 1L).otherwise(0L)).as("n_intra")
+      )
+      .select(
+        lit(TextOps.NShards.toLong).as("n_shards"),
+        col("n_pairs"),
+        col("n_intra"),
+        (col("n_pairs") - col("n_intra")).as("n_cross"),
+        expr(
+          """CAST(CAST(n_pairs - n_intra AS DECIMAL(38,0)) * 1000000
+            | DIV GREATEST(n_pairs, 1) AS BIGINT)""".stripMargin
+        ).as("cross_ppm")
+      )
+  }
 }

@@ -3974,12 +3974,18 @@ object TextOps {
     * 100 TB this fuses into the ingest scan like the PII/secret
     * rewrites.
     */
-  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+  def fimSplit(spark: SparkSession, dir: String): DataFrame =
+    fimProjection(Tables.documents(spark, dir))
+
+  /** The FIM transform as a reusable projection over (doc_id, text) —
+    * ONE definition, two transports: the batch gate above and
+    * `streaming.FimStream` plan exactly these Columns.
+    */
+  private[graft] def fimProjection(docs: DataFrame): DataFrame = {
     val h = (salt: String) =>
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 15), 16, 10)
         .cast("long")
-    Tables
-      .documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
       .withColumn(
         "fim_applied",

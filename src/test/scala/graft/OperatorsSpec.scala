@@ -6220,4 +6220,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Boolean]("fim_applied")))
     assert(rows.exists(!_.getAs[Boolean]("fim_applied")))
   }
+
+  test("shard dedup locality: intra/cross split of the pair artifact matches brute shard keys") {
+    def shard(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((TextOps.ShuffleSeed + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(2), 16) % TextOps.NShards
+    }
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val intra = pairs.count { case (a, b) => shard(a) == shard(b) }.toLong
+    val row = DedupOps.shardDedupLocality(spark, Sf0001).collect().head
+    assert(row.getAs[Long]("n_shards") === TextOps.NShards.toLong)
+    assert(row.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(row.getAs[Long]("n_intra") === intra)
+    assert(row.getAs[Long]("n_cross") === pairs.length - intra)
+    assert(row.getAs[Long]("cross_ppm") ===
+      (pairs.length - intra) * 1000000L / math.max(pairs.length, 1))
+    // content-independent layout: most near-dup pairs cross shards
+    // (expected 1 - 1/S = 87.5%), so per-shard dedup provably misses
+    assert(pairs.nonEmpty && row.getAs[Long]("n_cross") > 0L)
+  }
 }

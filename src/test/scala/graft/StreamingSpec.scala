@@ -1138,4 +1138,35 @@ class StreamingSpec extends AnyFunSuite {
         "the gate should keep some docs and drop some")
     } finally q.stop()
   }
+
+  test("streaming fim transform: sliced ingest == batch fim_split row-for-row") {
+    // stateless map-only transform: ANY slicing must reproduce the
+    // batch PSM records exactly (shared projection Columns)
+    val tmp = java.nio.file.Files.createTempDirectory("fim-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.FimStream
+      .records(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fim_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      }.toSet
+      val streamed = key(spark.table("fim_stream").collect())
+      val batch = key(graft.operators.TextOps.fimSplit(spark, Sf0001).collect())
+      assert(streamed === batch)
+      assert(streamed.exists(_._2), "some docs should be FIM'd")
+    } finally q.stop()
+  }
 }
