@@ -325,6 +325,34 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** The hashed-bag-of-words classifier score of a token array — the
+    * whole quality-classifier inference pass as ONE codegen'd scalar
+    * ([[HashgramKernel.score]]; bit-identical to the retired
+    * higher-order `aggregate` fold, which as a CodegenFallback lambda
+    * broke whole-stage codegen in every consumer's scan stage). At
+    * 100 TB classifier gating is a pure scan: this keeps it inside
+    * the generated loop.
+    */
+  case class HashgramScoreExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hashgram_score"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("hashgram_score", Seq(child.dataType),
+        Seq(({ case ArrayType(StringType, _) => true; case _ => false },
+          "array<string> (tokens)")))
+
+    override def nullSafeEval(a: Any): Any =
+      HashgramKernel.score(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashgramKernel.score($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Per-row MinHash signature (12 longs) of a token array — the
     * signature stage of the LSH family as a zero-shuffle scalar map
     * ([[MinHashKernel.sigs]]; bit-identical to the retired posting
@@ -976,6 +1004,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "shingle_hashes")(exprs); ShingleHashes(e(0), e(1)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "hashgram_score",
+      exprs => HashgramScoreExpr(expect(1, "hashgram_score")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -992,6 +1025,8 @@ object VectorExpressions {
   def minhashSigs(toks: Column, n: Column): Column = call_function("minhash_sigs", toks, n)
 
   def shingleHashes(toks: Column, n: Column): Column = call_function("shingle_hashes", toks, n)
+
+  def hashgramScore(toks: Column): Column = call_function("hashgram_score", toks)
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)

@@ -3283,7 +3283,8 @@ object TextOps {
     * 100 TB this is scan-bound, exactly how classifier inference
     * should run.
     */
-  def hashgramScore(spark: SparkSession, dir: String): DataFrame =
+  def hashgramScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       .select(
@@ -3309,6 +3310,7 @@ object TextOps {
         "keep_ppm",
         expr("CAST(CAST(n_keep AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
       )
+  }
 
   /** Hashed-feature classifier TRAINING — one synchronous batch
     * perceptron epoch (two update rounds), the data-parallel shape
@@ -3654,13 +3656,16 @@ object TextOps {
     * md5 % 2001 − 1000; the fold is row-local (no explode, no
     * shuffle) — quality-classifier inference stays scan-bound at
     * 100 TB.
+    *
+    * Runs as the `hashgram_score` codegen kernel
+    * ([[graft.functions.HashgramKernel]] — one md5 per DISTINCT
+    * token, count-weighted); the previous higher-order `aggregate`
+    * lambda was a CodegenFallback that broke whole-stage codegen in
+    * every consumer's scan stage. Bit-identical (KernelPropertySpec),
+    * oracles unchanged.
     */
   private[graft] def hashgramScoreCol: Column =
-    expr(
-      """aggregate(toks, 0L,
-        |  (acc, t) -> acc +
-        |    (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000))""".stripMargin
-    )
+    graft.functions.VectorExpressions.hashgramScore(col("toks"))
 
   /** Per-doc classifier-gate projection — (doc_id, source, score,
     * keep) with keep = score > 0, the `hashgramScore` keep rule at
@@ -3669,11 +3674,13 @@ object TextOps {
     * projection, so the ingest-edge gate cannot drift from the batch
     * sheet the oracle verifies.
     */
-  private[graft] def hashgramGateProjection(df: DataFrame): DataFrame =
+  private[graft] def hashgramGateProjection(df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), hashgramScoreCol.as("score"))
       .withColumn("keep", col("score") > 0L)
+  }
 
   /** Score-bin width and clamp for the evaluation family: bins are
     * exact FLOOR division by 256 (the positive-mod form — Spark `DIV`
@@ -3693,7 +3700,8 @@ object TextOps {
     * Label: the perceptron family's contains-'spark' convention
     * (`perceptronEpoch`).
     */
-  private[graft] def hashgramBins(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def hashgramBins(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
@@ -3715,6 +3723,7 @@ object TextOps {
       )
       .groupBy(col("source"), col("sb"))
       .agg(sum(col("y")).as("p_v"), sum(lit(1L) - col("y")).as("n_v"))
+  }
 
   /** Exact ROC AUC of the hashgram classifier per source — the
     * standard evaluation number every quality-classifier pipeline
@@ -3833,7 +3842,8 @@ object TextOps {
     * Scale: one corpus scan with row-local raters, a 2×2 cell
     * aggregate per source, then pure arithmetic on #sources rows.
     */
-  def classifierKappa(spark: SparkSession, dir: String): DataFrame =
+  def classifierKappa(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       .select(col("source"), col("text"), tokens(col("text")).as("toks"))
@@ -3878,6 +3888,7 @@ object TextOps {
             (lit(1000000L) - col("pe_ppm")).cast("double")
         )
       )
+  }
 
   /** Calibration (reliability) sheet for the hashgram classifier:
     * empirical positive rate per score BAND — 8 hard-bounded bands of

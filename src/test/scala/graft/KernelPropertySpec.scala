@@ -98,4 +98,21 @@ class KernelPropertySpec extends AnyFunSuite {
     val rep = Array("a", "b", "a", "b", "a")
     assert(MinHashKernel.windowHashes(arr(rep), 2).numElements() === 4)
   }
+
+  test("hashgram_score == HOF-fold reference over random multisets; order-free; empty = 0") {
+    def ref(toks: Array[String]): Long =
+      toks.map { t =>
+        java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16) % 2001L - 1000L
+      }.sum
+    (0 until 300).foreach { _ =>
+      val toks = randToks(rnd.nextInt(40))
+      val got = graft.functions.HashgramKernel.score(arr(toks))
+      assert(got === ref(toks))
+      // bag property: any permutation scores identically (the retired
+      // aggregate lambda folded in order; the sum is order-free)
+      val shuffled = rnd.shuffle(toks.toSeq).toArray
+      assert(graft.functions.HashgramKernel.score(arr(shuffled)) === got)
+    }
+    assert(graft.functions.HashgramKernel.score(arr(Array.empty[String])) === 0L)
+  }
 }
