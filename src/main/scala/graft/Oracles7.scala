@@ -1354,6 +1354,40 @@ object Oracles7 {
        |  ELSE 0 END AS f1_ppm
        |FROM agg""".stripMargin
 
+  /** Mirrors TextOps.classifierYieldSweep: (bin → docs, token mass)
+    * frame, conditional sums at the five bin-aligned thresholds,
+    * floor-div ppm yields.
+    */
+  val classifierYieldSweep: String =
+    """WITH t AS (
+      | SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks
+      | FROM documents),
+      |s AS (
+      | SELECT CAST(len(toks) AS BIGINT) AS nt,
+      |  CAST(COALESCE(list_sum(list_transform(toks,
+      |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
+      |          % 2001 - 1000)), 0) AS BIGINT) AS sc
+      | FROM t),
+      |b AS (
+      | SELECT nt,
+      |  GREATEST(-128, LEAST(128, (sc - ((sc % 256 + 256) % 256)) // 256)) AS sb
+      | FROM s),
+      |bins AS (SELECT sb, COUNT(*) AS n_docs, SUM(nt) AS n_toks FROM b GROUP BY 1),
+      |spine AS (SELECT unnest([-8192, -4096, 0, 4096, 8192]) AS thr),
+      |agg AS (
+      | SELECT thr,
+      |  SUM(CASE WHEN sb >= thr // 256 THEN n_docs ELSE 0 END) AS docs_kept,
+      |  SUM(CASE WHEN sb >= thr // 256 THEN n_toks ELSE 0 END) AS toks_kept,
+      |  SUM(n_docs) AS docs_tot, SUM(n_toks) AS toks_tot
+      | FROM bins, spine GROUP BY 1)
+      |SELECT CAST(thr AS BIGINT) AS thr, CAST(docs_kept AS BIGINT) AS docs_kept,
+      | CAST(toks_kept AS BIGINT) AS toks_kept,
+      | CAST(CAST(docs_kept AS HUGEINT) * 1000000 // GREATEST(docs_tot, 1) AS BIGINT)
+      |  AS doc_keep_ppm,
+      | CAST(CAST(toks_kept AS HUGEINT) * 1000000 // GREATEST(toks_tot, 1) AS BIGINT)
+      |  AS token_keep_ppm
+      |FROM agg""".stripMargin
+
   /** Mirrors TextOps.classifierKappa: hashgram keep vs the quality
     * gate in its exact cross-multiplied integer form, 2×2 cells per
     * source, ppm floor-div agreement, one IEEE division for kappa.
@@ -1489,6 +1523,31 @@ object Oracles7 {
        |      // GREATEST(COUNT(*), 1) AS BIGINT) AS cross_ppm
        |FROM cls""".stripMargin
   }
+
+  /** Mirrors DedupOps.dupModularity: pair list re-derived, endpoints
+    * joined to sources, exact integer q_num = 4m·Σe − Σd², one IEEE
+    * division for Q.
+    */
+  val dupModularity: String =
+    s"""WITH mh AS (${Oracles2.minhashLsh}),
+       |ds AS (SELECT doc_id, source FROM documents),
+       |p AS (
+       | SELECT a.source AS sa, b.source AS sb
+       | FROM mh JOIN ds a ON a.doc_id = mh.doc_a JOIN ds b ON b.doc_id = mh.doc_b),
+       |deg AS (
+       | SELECT s, CAST(COUNT(*) AS BIGINT) AS d
+       | FROM (SELECT sa AS s FROM p UNION ALL SELECT sb FROM p) GROUP BY 1),
+       |intra AS (SELECT sa AS s, CAST(COUNT(*) AS BIGINT) AS e FROM p WHERE sa = sb GROUP BY 1),
+       |tot AS (
+       | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS m,
+       |  (SELECT CAST(COALESCE(SUM(e), 0) AS BIGINT) FROM intra) AS se,
+       |  (SELECT CAST(COALESCE(SUM(d * d), 0) AS BIGINT) FROM deg) AS sd)
+       |SELECT m AS n_pairs, se AS sum_intra, sd AS sum_deg_sq,
+       | CAST(4 * m * se - sd AS BIGINT) AS q_num,
+       | CASE WHEN m > 0
+       |  THEN CAST(4 * m * se - sd AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+       | END AS q
+       |FROM tot""".stripMargin
 
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
     * injection (upper twin on doc_id%5=0, whitespace-mangled twin on

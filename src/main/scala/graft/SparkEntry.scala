@@ -245,6 +245,8 @@ object SparkEntry {
     "temperature_mix" -> TextOps.temperatureMix,
     "fim_split" -> TextOps.fimSplit,
     "shard_dedup_locality" -> DedupOps.shardDedupLocality,
+    "classifier_yield_sweep" -> TextOps.classifierYieldSweep,
+    "dup_modularity" -> DedupOps.dupModularity,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -768,6 +770,8 @@ object SparkEntry {
     "temperature_mix" -> Oracles7.temperatureMix,
     "fim_split" -> Oracles7.fimSplit,
     "shard_dedup_locality" -> Oracles7.shardDedupLocality,
+    "classifier_yield_sweep" -> Oracles7.classifierYieldSweep,
+    "dup_modularity" -> Oracles7.dupModularity,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

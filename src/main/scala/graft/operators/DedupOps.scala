@@ -1789,6 +1789,60 @@ object DedupOps {
     * Scale: a row-local shard key on each side of the PAIR-BOUNDED
     * artifact, one 1-row aggregate; no corpus pass at all.
     */
+  /** Newman modularity of the near-dup graph under the SOURCE
+    * partition — ONE number for "is duplication an intra-source or a
+    * cross-source phenomenon" (the assortativity summary of
+    * `dup_source_matrix`): Q = Σ_s [e_s/m − (d_s/2m)²] over the
+    * memoized pair artifact, with e_s = intra-source pairs, d_s =
+    * endpoint degree mass of source s. Q ≈ 0 means the shard/source
+    * boundaries say nothing about where dups live (dedup must be
+    * global); Q → 1 licenses per-source passes. Emitted as the exact
+    * integer numerator q_num = 4m·Σe_s − Σd_s² (it can be NEGATIVE —
+    * disassortative — where floor-div dialects diverge, so the single
+    * IEEE division q = q_num / 4m² is the one float, the
+    * Mann–Whitney discipline).
+    *
+    * Scale: two bounded rollups (#sources rows) over the pair-bounded
+    * artifact joined to the doc directory for its source column; no
+    * corpus pass.
+    */
+  def dupModularity(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = minhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(col("sa"), col("sb"))
+    val deg = pairs
+      .select(col("sa").as("s"))
+      .unionAll(pairs.select(col("sb").as("s")))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("d"))
+    val intra = pairs
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("s"))
+      .agg(count(lit(1)).as("e"))
+    val sums = deg
+      .join(intra, Seq("s"), "left")
+      .agg(
+        sum(coalesce(col("e"), lit(0L))).as("sum_intra"),
+        sum(col("d") * col("d")).as("sum_deg_sq")
+      )
+    pairs
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(sums)
+      .select(
+        col("n_pairs"),
+        col("sum_intra"),
+        col("sum_deg_sq"),
+        (lit(4L) * col("n_pairs") * col("sum_intra") - col("sum_deg_sq")).as("q_num"),
+        when(
+          col("n_pairs") > 0,
+          (lit(4L) * col("n_pairs") * col("sum_intra") - col("sum_deg_sq")).cast("double") /
+            (lit(4.0) * col("n_pairs").cast("double") * col("n_pairs").cast("double"))
+        ).as("q")
+      )
+  }
+
   def shardDedupLocality(spark: SparkSession, dir: String): DataFrame = {
     val shard = (c: Column) =>
       conv(substring(md5(concat(lit(TextOps.ShuffleSeed), c.cast("string"))), 1, 2), 16, 10)

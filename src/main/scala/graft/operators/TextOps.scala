@@ -3824,6 +3824,58 @@ object TextOps {
       )
   }
 
+  /** Corpus YIELD at each classifier threshold — the capacity sheet
+    * behind the PR sweep: how many documents AND how much token mass
+    * survive the keep cut at every operating point (what
+    * FineWeb-Edu-style filtering publishes as "keeping score ≥ s
+    * leaves X% of tokens"). Same bin-aligned thresholds as
+    * `classifier_pr_sweep`, so precision/recall and yield read as one
+    * sheet; token mass rides the SAME bounded bin frame (bins carry a
+    * sum instead of a second corpus pass).
+    *
+    * Scale: one scan collapses to ≤ 257 (bin → docs, tokens) rows;
+    * five conditional sums over that frame.
+    */
+  def classifierYieldSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val bins = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(size(col("toks")).cast("long").as("nt"), hashgramScoreCol.as("sc"))
+      .select(
+        col("nt"),
+        greatest(
+          lit(-ScoreClamp),
+          least(lit(ScoreClamp), expr(s"(sc - pmod(sc, $ScoreBin)) DIV $ScoreBin"))
+        ).as("sb")
+      )
+      .groupBy(col("sb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
+    val spine = PrThresholds
+      .map(t => spark.range(1).select(lit(t).as("thr")))
+      .reduce(_.unionAll(_))
+    bins
+      .crossJoin(broadcast(spine))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(expr(s"sb >= thr DIV $ScoreBin"), col("n_docs")).otherwise(0L)).as("docs_kept"),
+        sum(when(expr(s"sb >= thr DIV $ScoreBin"), col("n_toks")).otherwise(0L)).as("toks_kept"),
+        sum(col("n_docs")).as("docs_tot"),
+        sum(col("n_toks")).as("toks_tot")
+      )
+      .select(
+        col("thr"),
+        col("docs_kept"),
+        col("toks_kept"),
+        expr(
+          "CAST(CAST(docs_kept AS DECIMAL(38,0)) * 1000000 DIV GREATEST(docs_tot, 1) AS BIGINT)"
+        ).as("doc_keep_ppm"),
+        expr(
+          "CAST(CAST(toks_kept AS DECIMAL(38,0)) * 1000000 DIV GREATEST(toks_tot, 1) AS BIGINT)"
+        ).as("token_keep_ppm")
+      )
+  }
+
   /** Cohen's kappa between the board's two independent keep signals —
     * the hashgram classifier (score > 0, `hashgramScore`'s keep rule)
     * and the heuristic quality gate (quality ≥ 0.55, `trainingPrep`'s

@@ -6242,4 +6242,56 @@ class OperatorsSpec extends AnyFunSuite {
     // (expected 1 - 1/S = 87.5%), so per-shard dedup provably misses
     assert(pairs.nonEmpty && row.getAs[Long]("n_cross") > 0L)
   }
+
+  test("classifier yield sweep: doc and token yields match brute counts; monotone in threshold") {
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 2001L - 1000L
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("text").collect()
+      .map { r =>
+        val toks = r.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty)
+        val sb = math.max(-128L, math.min(128L, Math.floorDiv(toks.map(w).sum, 256L)))
+        (sb, toks.length.toLong)
+      }
+    val docsTot = docs.length.toLong
+    val toksTot = docs.map(_._2).sum
+    val rows = TextOps.classifierYieldSweep(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val tb = r.getAs[Long]("thr") / 256L
+      val kept = docs.filter(_._1 >= tb)
+      assert(r.getAs[Long]("docs_kept") === kept.length.toLong)
+      assert(r.getAs[Long]("toks_kept") === kept.map(_._2).sum)
+      assert(r.getAs[Long]("doc_keep_ppm") === kept.length * 1000000L / docsTot)
+      assert(r.getAs[Long]("token_keep_ppm") === kept.map(_._2).sum * 1000000L / toksTot)
+    }
+    // yield shrinks as the cut rises, and the sweep actually moves
+    val byThr = rows.sortBy(_.getAs[Long]("thr")).map(_.getAs[Long]("token_keep_ppm"))
+    assert(byThr.zip(byThr.tail).forall { case (a, b) => a >= b })
+    assert(byThr.distinct.length > 1)
+  }
+
+  test("dup modularity: integer numerator and Q match a brute graph recompute") {
+    val srcOf = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+    val m = pairs.length.toLong
+    val se = pairs.count(p => p._1 == p._2).toLong
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (_, g) => g.length.toLong }
+    val sd = deg.map(d => d * d).sum
+    val row = DedupOps.dupModularity(spark, Sf0001).collect().head
+    assert(row.getAs[Long]("n_pairs") === m)
+    assert(row.getAs[Long]("sum_intra") === se)
+    assert(row.getAs[Long]("sum_deg_sq") === sd)
+    assert(row.getAs[Long]("q_num") === 4 * m * se - sd)
+    assert(row.getAs[Double]("q") === (4 * m * se - sd).toDouble / (4.0 * m * m))
+    // non-vacuous: the graph exists and source structure is visible
+    assert(m > 0L)
+    assert(row.getAs[Double]("q") !== 0.0)
+  }
 }
