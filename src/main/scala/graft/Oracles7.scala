@@ -1549,6 +1549,59 @@ object Oracles7 {
        | END AS q
        |FROM tot""".stripMargin
 
+  /** Mirrors TextOps.spanCorruption: same salted draws for span
+    * starts/lengths, same merge-and-collapse to `<X>` sentinels, same
+    * masked/target fingerprints.
+    */
+  val spanCorruption: String = {
+    def h(salt: String, j: String): String =
+      s"""CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$salt' ||
+         |  CAST($j AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)""".stripMargin
+    def fp(c: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
+    // COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+    // array_join([]) is '' — the all-kept / all-dropped docs must
+    // fingerprint the empty string in both engines
+    val masked =
+      """COALESCE(array_to_string(list_filter(list_transform(range(len(toks)), i ->
+        |  CASE WHEN NOT corr[CAST(i + 1 AS INT)] THEN toks[CAST(i + 1 AS INT)]
+        |       WHEN i = 0 OR NOT corr[CAST(i AS INT)] THEN '<X>'
+        |       ELSE NULL END), x -> x IS NOT NULL), ' '), '')""".stripMargin
+    val target =
+      """COALESCE(array_to_string(list_filter(list_transform(range(len(toks)), i ->
+        |  CASE WHEN corr[CAST(i + 1 AS INT)]
+        |       THEN CASE WHEN i = 0 OR NOT corr[CAST(i AS INT)]
+        |                 THEN '<X> ' || toks[CAST(i + 1 AS INT)]
+        |                 ELSE toks[CAST(i + 1 AS INT)] END
+        |       ELSE NULL END), x -> x IS NOT NULL), ' '), '')""".stripMargin
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS toks
+       | FROM documents),
+       |a AS (
+       | SELECT doc_id, toks,
+       |  list_transform(range(len(toks)), j -> ${h(":", "j")} % 14 = 0) AS starts,
+       |  list_transform(range(len(toks)), j -> 1 + ${h(";", "j")} % 3) AS lens
+       | FROM t),
+       |c AS (
+       | SELECT doc_id, toks,
+       |  list_transform(range(len(toks)), i ->
+       |    starts[CAST(i + 1 AS INT)]
+       |    OR (i >= 1 AND starts[CAST(i AS INT)] AND lens[CAST(i AS INT)] >= 2)
+       |    OR (i >= 2 AND starts[CAST(i - 1 AS INT)] AND lens[CAST(i - 1 AS INT)] >= 3)) AS corr
+       | FROM a)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter(corr, x -> x)) AS BIGINT) AS n_corrupted,
+       | CAST(len(list_filter(list_transform(range(len(toks)), i ->
+       |   corr[CAST(i + 1 AS INT)] AND (i = 0 OR NOT corr[CAST(i AS INT)])), x -> x))
+       |  AS BIGINT) AS n_spans,
+       | ${fp(masked)} AS masked_fp,
+       | ${fp(target)} AS target_fp,
+       | CAST(CAST(len(list_filter(corr, x -> x)) AS HUGEINT) * 1000000
+       |      // GREATEST(len(toks), 1) AS BIGINT) AS corrupt_ppm
+       |FROM c""".stripMargin
+  }
+
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
     * injection (upper twin on doc_id%5=0, whitespace-mangled twin on
     * doc_id%7=3), then distinct-60-bit-fingerprint counts raw /

@@ -247,6 +247,7 @@ object SparkEntry {
     "shard_dedup_locality" -> DedupOps.shardDedupLocality,
     "classifier_yield_sweep" -> TextOps.classifierYieldSweep,
     "dup_modularity" -> DedupOps.dupModularity,
+    "span_corruption" -> TextOps.spanCorruption,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -772,6 +773,7 @@ object SparkEntry {
     "shard_dedup_locality" -> Oracles7.shardDedupLocality,
     "classifier_yield_sweep" -> Oracles7.classifierYieldSweep,
     "dup_modularity" -> Oracles7.dupModularity,
+    "span_corruption" -> Oracles7.spanCorruption,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -4089,6 +4089,72 @@ object TextOps {
       )
   }
 
+  /** T5-style span corruption (Raffel et al. 2020) as a DETERMINISTIC
+    * training-data transform — the masked-objective sibling of
+    * `fim_split`: a span starts at token position j iff a doc_id- and
+    * position-salted 60-bit md5 draw lands on residue 0 of 14 (≈ 7%
+    * of positions), with span length 1 + h % 3 (1–3 tokens, mean 2 —
+    * ≈ 14% of tokens corrupted, T5's 15% dialed to integer residues).
+    * Overlapping spans merge; each merged run collapses to ONE `<X>`
+    * sentinel in the masked sequence (the T5 encoding), and the
+    * target sequence carries `<X>` + the dropped tokens per span.
+    * Emits per doc: token counts, span count (= sentinels after
+    * collapsing), corrupted-token count, corruption ppm, and 60-bit
+    * fingerprints of the masked and target strings, so the exact
+    * reordering/collapsing is oracle-checked.
+    *
+    * Scale: a pure row-local projection (start/length arrays are
+    * computed ONCE per doc, the mask/target builders index into
+    * them); the lambdas are interpreted HOFs, so a production
+    * pipeline would fuse this into a codegen kernel like
+    * `hashgram_score` — at gate scale the per-token cost is two md5s.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val h = (salt: String, j: String) =>
+      s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '$salt',
+         |  CAST($j AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin
+    // corr(i): covered by a span starting at i, i-1 (len >= 2), or i-2 (len >= 3)
+    val corr = (i: String) =>
+      s"""(element_at(starts, $i + 1)
+         | OR ($i >= 1 AND element_at(starts, $i) AND element_at(lens, $i) >= 2)
+         | OR ($i >= 2 AND element_at(starts, $i - 1) AND element_at(lens, $i - 1) >= 3))""".stripMargin
+    val fp = (c: String) => s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("starts", expr(s"transform(toks, (t, i) -> ${h(":", "i")} % 14 = 0)"))
+      .withColumn("lens", expr(s"transform(toks, (t, i) -> 1 + ${h(";", "i")} % 3)"))
+      .withColumn("corr", expr(s"transform(toks, (t, i) -> ${corr("i")})"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(
+          """CAST(size(filter(corr, c -> c)) AS BIGINT)"""
+        ).as("n_corrupted"),
+        expr(
+          """CAST(size(filter(transform(corr, (c, i) ->
+            |  c AND (i = 0 OR NOT element_at(corr, i))), x -> x)) AS BIGINT)""".stripMargin
+        ).as("n_spans"),
+        expr(
+          fp("""array_join(filter(transform(toks, (t, i) ->
+            |  CASE WHEN NOT element_at(corr, i + 1) THEN t
+            |       WHEN i = 0 OR NOT element_at(corr, i) THEN '<X>'
+            |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin)
+        ).as("masked_fp"),
+        expr(
+          fp("""array_join(filter(transform(toks, (t, i) ->
+            |  CASE WHEN element_at(corr, i + 1)
+            |       THEN CASE WHEN i = 0 OR NOT element_at(corr, i)
+            |                 THEN concat('<X> ', t) ELSE t END
+            |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin)
+        ).as("target_fp")
+      )
+      .withColumn(
+        "corrupt_ppm",
+        expr("CAST(CAST(n_corrupted AS DECIMAL(38,0)) * 1000000 DIV GREATEST(n_tokens, 1) AS BIGINT)")
+      )
+  }
+
   // --------------------------------------------- text normalization
 
   /** The corpus with deterministic FORMATTING VARIANTS injected — the

@@ -6273,6 +6273,84 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byThr.distinct.length > 1)
   }
 
+  test("round-7 additions are partition-invariant: parallelism 2 vs 16") {
+    // the classifier family's bounded bin frames + rank windows, the
+    // allocator totals broadcast, the modularity/locality rollups over
+    // the pair artifact, and the pure-map transforms must not bake the
+    // partition count into any value
+    val names = Seq("classifier_auc", "classifier_pr_sweep", "classifier_kappa",
+      "classifier_calibration", "classifier_yield_sweep", "normalize_dedup_gain",
+      "temperature_mix", "fim_split", "shard_dedup_locality", "dup_modularity",
+      "span_corruption")
+    def run(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+    }.toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("span corruption: merged spans, sentinel collapsing, and fingerprints match a JVM recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)))
+      .toMap
+    val rows = TextOps.spanCorruption(spark, Sf0001).collect()
+    assert(rows.length === docs.size)
+    var anySpan = false
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = docs(id)
+      val n = toks.length
+      val starts = (0 until n).map(j => h60(s"$id:$j") % 14 == 0)
+      val lens = (0 until n).map(j => 1 + h60(s"$id;$j") % 3)
+      val corr = (0 until n).map { i =>
+        starts(i) ||
+          (i >= 1 && starts(i - 1) && lens(i - 1) >= 2) ||
+          (i >= 2 && starts(i - 2) && lens(i - 2) >= 3)
+      }
+      val nCorr = corr.count(identity).toLong
+      val nSpans = (0 until n).count(i => corr(i) && (i == 0 || !corr(i - 1))).toLong
+      val masked = (0 until n).flatMap { i =>
+        if (!corr(i)) Some(toks(i))
+        else if (i == 0 || !corr(i - 1)) Some("<X>")
+        else None
+      }.mkString(" ")
+      val target = (0 until n).flatMap { i =>
+        if (!corr(i)) None
+        else if (i == 0 || !corr(i - 1)) Some("<X> " + toks(i))
+        else Some(toks(i))
+      }.mkString(" ")
+      assert(r.getAs[Long]("n_tokens") === n.toLong)
+      assert(r.getAs[Long]("n_corrupted") === nCorr)
+      assert(r.getAs[Long]("n_spans") === nSpans)
+      assert(r.getAs[Long]("masked_fp") === h60(masked), s"masked mismatch doc $id")
+      assert(r.getAs[Long]("target_fp") === h60(target), s"target mismatch doc $id")
+      assert(r.getAs[Long]("corrupt_ppm") === nCorr * 1000000L / math.max(n, 1))
+      if (nSpans > 0) anySpan = true
+      // sentinel accounting: every span contributes exactly one <X>
+      // to each side, so masked+target token mass tiles the doc
+      assert((n - nCorr) + nSpans === masked.split(" ").filter(_.nonEmpty).length.toLong)
+    }
+    assert(anySpan, "the draw should corrupt some docs at this SF")
+    // corruption rate lands near the designed ~14% corpus-wide
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val corrTot = rows.map(_.getAs[Long]("n_corrupted")).sum
+    val rate = corrTot.toDouble / tot
+    assert(rate > 0.08 && rate < 0.22, s"corruption rate $rate off design")
+  }
+
   test("dup modularity: integer numerator and Q match a brute graph recompute") {
     val srcOf = Tables.documents(spark, Sf0001)
       .select("doc_id", "source").collect()
