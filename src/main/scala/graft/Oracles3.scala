@@ -140,7 +140,7 @@ object Oracles3 {
   private val normSqSql: String =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-  private val kmeansAssignCte: String =
+  private[graft] val kmeansAssignCte: String =
     s"""seeds AS (SELECT vec_id AS seed_id, embedding AS se, $normSqSql AS sn2
        |          FROM embeddings WHERE vec_id < 8),
        |v AS (SELECT vec_id, embedding, $normSqSql AS vn2 FROM embeddings),

@@ -1642,4 +1642,187 @@ object Oracles7 {
        |      // COUNT(*) AS BIGINT)
        |FROM f""".stripMargin
   }
+
+  /** ONE definition of the Gopher-rule-injected corpus (mirrors
+    * TextOps.gopherDocs): bullet lines, ellipsis lines, '#' words and
+    * one-char words re-derived from doc_id, so every rule's failure
+    * class is planted in text DuckDB built itself.
+    */
+  private val gopherCte: String =
+    """gd AS (
+      | SELECT doc_id, source,
+      |  text ||
+      |  CASE WHEN doc_id % 17 = 0
+      |    THEN repeat(chr(10) || '- item entry', 10) ELSE '' END ||
+      |  CASE WHEN doc_id % 19 = 0
+      |    THEN chr(10) || 'read more...' || chr(10) || 'loading...' ELSE '' END ||
+      |  CASE WHEN doc_id % 23 = 0 THEN repeat(' #', 30) ELSE '' END ||
+      |  CASE WHEN doc_id % 31 = 0 THEN repeat(' a', 120) ELSE '' END
+      |  AS text
+      | FROM documents)""".stripMargin
+
+  /** Mirrors TextOps.gopherRules: the same seven cross-multiplied
+    * integer rule comparisons over the shared injected corpus, every
+    * SUM BIGINT-cast, HUGEINT-floored pass ppm.
+    */
+  val gopherRules: String = {
+    val fails = Seq("fail_words", "fail_mwl", "fail_symbol", "fail_bullet",
+      "fail_ellipsis", "fail_alpha", "fail_stop")
+    val failCols = fails
+      .map(f => s"CAST(SUM(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS $f")
+      .mkString(",\n ")
+    val passPred = fails.map(f => s"NOT $f").mkString(" AND ")
+    s"""WITH $gopherCte,
+       |m AS (
+       | SELECT doc_id, source,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS n_words,
+       |  length(regexp_replace(text, '\\s', '', 'g')) AS n_wchars,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      w -> regexp_matches(w, '^[a-z]+$$'))) AS n_alpha,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      w -> w = '#' OR contains(w, '...'))) AS n_symbol,
+       |  len(string_split(text, chr(10))) AS n_lines,
+       |  len(list_filter(string_split(text, chr(10)), l -> starts_with(l, '- '))) AS n_bullet,
+       |  len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS n_ellipsis,
+       |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |      t -> t = 'the' OR t = 'a')) AS n_stop
+       | FROM gd),
+       |r AS (
+       | SELECT source,
+       |  (n_words < 50 OR n_words > 100000) AS fail_words,
+       |  (n_wchars < n_words * 3 OR n_wchars > n_words * 10) AS fail_mwl,
+       |  (n_symbol * 10 > n_words) AS fail_symbol,
+       |  (n_bullet * 10 > n_lines * 9) AS fail_bullet,
+       |  (n_ellipsis * 10 > n_lines * 3) AS fail_ellipsis,
+       |  (n_alpha * 5 < n_words * 4) AS fail_alpha,
+       |  (n_stop < 2) AS fail_stop
+       | FROM m)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | $failCols,
+       | CAST(SUM(CASE WHEN $passPred THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       | CAST(CAST(SUM(CASE WHEN $passPred THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |      // COUNT(*) AS BIGINT) AS pass_ppm
+       |FROM r GROUP BY source""".stripMargin
+  }
+
+  /** Mirrors TextOps.topNgramMass: the repeated-phrase corpus rebuilt
+    * from doc_id, space-joined n-grams at n ∈ {2,3,4}, per-doc top
+    * multiplicity vs total, the same cross-multiplied thresholds, and
+    * the doc spine restoring gram-less docs.
+    */
+  val topNgramMass: String =
+    """WITH rep AS (
+      | SELECT doc_id, source,
+      |  text || CASE WHEN doc_id % 37 = 0 THEN repeat(' spark', 30) ELSE '' END AS text
+      | FROM documents),
+      |t AS (SELECT doc_id, source,
+      |       list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
+      |      FROM rep),
+      |lv AS (SELECT unnest([2, 3, 4]) AS n),
+      |g AS (SELECT doc_id, n,
+      |       unnest(list_transform(range(len(toks) - (n - 1)),
+      |         i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + n AS INT)], ' '))) AS g
+      |      FROM t CROSS JOIN lv),
+      |pc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g),
+      |pd AS (SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS n_grams FROM pc GROUP BY doc_id, n),
+      |spine AS (SELECT doc_id, source, n FROM rep CROSS JOIN lv),
+      |j AS (SELECT source, CAST(n AS BIGINT) AS n,
+      |       COALESCE(top_c, 0) AS top_c, COALESCE(n_grams, 0) AS n_grams,
+      |       CASE WHEN n = 2 THEN 200000 WHEN n = 3 THEN 180000 ELSE 160000 END AS thr
+      |      FROM spine LEFT JOIN pd USING (doc_id, n))
+      |SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(CASE WHEN top_c * 1000000 > thr * n_grams THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_over,
+      | CAST(SUM(top_c) AS BIGINT) AS sum_top,
+      | CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+      | CAST(CAST(SUM(CASE WHEN top_c * 1000000 > thr * n_grams THEN 1 ELSE 0 END) AS HUGEINT)
+      |      * 1000000 // COUNT(*) AS BIGINT) AS over_ppm
+      |FROM j GROUP BY source, n""".stripMargin
+
+  /** Mirrors SimilarityOps.protoPrune: the shared k-means assignment
+    * CTE, quantized-integer centroids as ordered lists, sequential-fold
+    * cosines (list_sum — the ivfNprobeSweep discipline), per-cluster
+    * prototypicality rank, and the all-integer pruned/kept id sums.
+    */
+  val protoPrune: String =
+    s"""WITH ${Oracles3.kmeansAssignCte},
+       |flat AS (
+       | SELECT cluster, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+       |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       | FROM embeddings JOIN asg USING (vec_id)),
+       |dims AS (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q
+       |         FROM flat GROUP BY cluster, pos),
+       |nv AS (SELECT cluster, COUNT(*) AS n_vecs FROM asg GROUP BY cluster),
+       |cent AS (
+       | SELECT cluster, n_vecs,
+       |  list(CAST(sum_q AS DOUBLE) / 1000000.0 / n_vecs ORDER BY pos) AS cvec
+       | FROM dims JOIN nv USING (cluster) GROUP BY cluster, n_vecs),
+       |cn AS (SELECT cluster, n_vecs, cvec,
+       |        sqrt(list_sum(list_transform(cvec, c -> c * c))) AS cnorm FROM cent),
+       |s AS (
+       | SELECT e.vec_id, a.cluster, cn.n_vecs, cn.n_vecs // 5 AS n_prune,
+       |  list_sum(list_transform(list_zip(e.embedding, cn.cvec),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(e.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * cn.cnorm) AS csim
+       | FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN cn ON a.cluster = cn.cluster),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |                                   ORDER BY csim DESC, vec_id ASC) AS rnk FROM s)
+       |SELECT cluster, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+       | CAST(MAX(n_prune) AS BIGINT) AS n_pruned,
+       | CAST(MAX(n_vecs) - MAX(n_prune) AS BIGINT) AS n_kept,
+       | CAST(COALESCE(SUM(CASE WHEN rnk <= n_prune THEN vec_id END), 0) AS BIGINT)
+       |   AS pruned_id_sum,
+       | CAST(COALESCE(SUM(CASE WHEN rnk > n_prune THEN vec_id END), 0) AS BIGINT)
+       |   AS kept_id_sum
+       |FROM r GROUP BY cluster""".stripMargin
+
+  /** Mirrors SimilarityOps.silhouetteSheet: same assignment CTE, own
+    * vs nearest-other seed distances, (b−a)/max(a,b), per-row 1e-6
+    * quantization, exact integer sums, one IEEE division for the mean.
+    */
+  val silhouetteSheet: String =
+    s"""WITH ${Oracles3.kmeansAssignCte},
+       |b AS (SELECT d.vec_id, MIN(d.dist_sq) AS b2
+       |      FROM d JOIN asg USING (vec_id)
+       |      WHERE d.seed_id <> asg.cluster GROUP BY d.vec_id),
+       |s AS (SELECT asg.cluster,
+       |       CASE WHEN greatest(sqrt(asg.dist_sq), sqrt(b2)) = 0 THEN 0.0
+       |            ELSE (sqrt(b2) - sqrt(asg.dist_sq))
+       |                 / greatest(sqrt(asg.dist_sq), sqrt(b2)) END AS sil
+       |      FROM asg JOIN b USING (vec_id)),
+       |q AS (SELECT cluster, CAST(round(sil * 1000000.0) AS BIGINT) AS s_q FROM s)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       | CAST(SUM(s_q) AS BIGINT) AS sum_sil_q,
+       | CAST(SUM(CASE WHEN s_q < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       | CAST(SUM(s_q) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_sil
+       |FROM q GROUP BY cluster""".stripMargin
+
+  /** Mirrors SimilarityOps.clusterRandIndex: pair counting over the
+    * (cluster × label) contingency table, all-integer RI numerator,
+    * ARI as the one IEEE division of exact integers.
+    */
+  val clusterRandIndex: String =
+    s"""WITH ${Oracles3.kmeansAssignCte},
+       |ct AS (SELECT a.cluster, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_ij
+       |       FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |cells AS (SELECT SUM(n_ij * (n_ij - 1) // 2) AS idx_pairs, SUM(n_ij) AS n,
+       |           COUNT(DISTINCT cluster) AS n_clusters,
+       |           COUNT(DISTINCT label) AS n_labels FROM ct),
+       |ma AS (SELECT SUM(a_i * (a_i - 1) // 2) AS sum_a
+       |       FROM (SELECT SUM(n_ij) AS a_i FROM ct GROUP BY cluster)),
+       |mb AS (SELECT SUM(b_j * (b_j - 1) // 2) AS sum_b
+       |       FROM (SELECT SUM(n_ij) AS b_j FROM ct GROUP BY label))
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_clusters AS BIGINT) AS n_clusters,
+       | CAST(n_labels AS BIGINT) AS n_labels, CAST(idx_pairs AS BIGINT) AS idx_pairs,
+       | CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b,
+       | CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+       | CAST(CAST(n * (n - 1) // 2 + 2 * idx_pairs - sum_a - sum_b AS HUGEINT)
+       |      * 1000000 // (n * (n - 1) // 2) AS BIGINT) AS ri_ppm,
+       | CASE WHEN (n * (n - 1) // 2) * (sum_a + sum_b) = 2 * sum_a * sum_b THEN 0.0
+       |      ELSE 2.0 * CAST(idx_pairs * (n * (n - 1) // 2) - sum_a * sum_b AS DOUBLE)
+       |           / CAST((n * (n - 1) // 2) * (sum_a + sum_b)
+       |                  - 2 * sum_a * sum_b AS DOUBLE) END AS ari
+       |FROM cells, ma, mb""".stripMargin
 }

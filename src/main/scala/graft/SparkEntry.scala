@@ -248,6 +248,11 @@ object SparkEntry {
     "classifier_yield_sweep" -> TextOps.classifierYieldSweep,
     "dup_modularity" -> DedupOps.dupModularity,
     "span_corruption" -> TextOps.spanCorruption,
+    "gopher_rules" -> TextOps.gopherRules,
+    "top_ngram_mass" -> TextOps.topNgramMass,
+    "proto_prune" -> SimilarityOps.protoPrune,
+    "silhouette_sheet" -> SimilarityOps.silhouetteSheet,
+    "cluster_rand_index" -> SimilarityOps.clusterRandIndex,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -774,6 +779,11 @@ object SparkEntry {
     "classifier_yield_sweep" -> Oracles7.classifierYieldSweep,
     "dup_modularity" -> Oracles7.dupModularity,
     "span_corruption" -> Oracles7.spanCorruption,
+    "gopher_rules" -> Oracles7.gopherRules,
+    "top_ngram_mass" -> Oracles7.topNgramMass,
+    "proto_prune" -> Oracles7.protoPrune,
+    "silhouette_sheet" -> Oracles7.silhouetteSheet,
+    "cluster_rand_index" -> Oracles7.clusterRandIndex,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -1309,4 +1309,232 @@ object SimilarityOps {
       }
       .reduce(_ unionAll _)
   }
+
+  /** D4-style prototypicality pruning (Sorscher et al., NeurIPS 2022;
+    * Tirumala et al. 2023 compose SemDeDup + this pass as "D4"): within
+    * each k-means cluster, rank members by cosine to their own cluster
+    * centroid and DROP the most prototypical 20% — when data is
+    * abundant, the easy/redundant examples nearest the prototype teach
+    * the least, so pruning them beats random sampling. This completes
+    * the board's embedding-curation family: [[semanticDedup]] removes
+    * near-copies, this removes over-represented "typical" mass.
+    *
+    * Exactness design: the output is ALL-INTEGER — per cluster the
+    * member count, the prune count ⌊n/5⌋, and the vec_id SUMS of the
+    * pruned and kept sets, which pin the exact membership of both
+    * sides without emitting a corpus-sized frame. The ranking cosine
+    * follows the ivfNprobeSweep discipline: centroids are the
+    * 1e-6-quantized exact integer per-dim sums (order-independent)
+    * divided per row, and the dot/norm folds are sequential ascending
+    * so both engines compute bit-identical doubles; ties (none in
+    * practice) break on vec_id.
+    *
+    * Scale: one assignment pass (reused via localCheckpoint for the
+    * centroid aggregate AND the scoring join), a K×64 centroid
+    * broadcast, a row-local score, and a PER-CLUSTER window — cell
+    * size is bounded by the K knob (raise K as the corpus grows),
+    * exactly the semanticDedup partition argument.
+    */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    val v = emb(spark, dir).select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(normSq(col("embedding"))).as("nv")
+    )
+    val members = asg.join(v, Seq("vec_id"))
+    val dims = members
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("cluster"),
+        col("pos").cast("bigint").as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)").as("q")
+      )
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"))
+    val nvec = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val cent = dims
+      .groupBy(col("cluster"))
+      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 'sum_q', sum_q)))").as("ds"))
+      .join(nvec, Seq("cluster"))
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        expr("transform(ds, s -> CAST(s.sum_q AS DOUBLE) / 1000000.0 / n_vecs)").as("cvec")
+      )
+      .withColumn(
+        "cnorm",
+        sqrt(expr("aggregate(transform(cvec, c -> c * c), 0.0D, (a, v) -> a + v)"))
+      )
+    val w = Window.partitionBy(col("cluster")).orderBy(col("csim").desc, col("vec_id").asc)
+    members
+      .join(broadcast(cent), Seq("cluster"))
+      .withColumn(
+        "csim",
+        expr("aggregate(zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) * c)," +
+          " 0.0D, (a, v) -> a + v)") / (col("nv") * col("cnorm"))
+      )
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("n_prune", expr("n_vecs DIV 5"))
+      .groupBy(col("cluster"))
+      .agg(
+        max(col("n_vecs")).as("n_vecs"),
+        max(col("n_prune")).as("n_pruned"),
+        coalesce(sum(when(col("rnk") <= col("n_prune"), col("vec_id"))), lit(0L))
+          .as("pruned_id_sum"),
+        coalesce(sum(when(col("rnk") > col("n_prune"), col("vec_id"))), lit(0L))
+          .as("kept_id_sum")
+      )
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        col("n_pruned"),
+        (col("n_vecs") - col("n_pruned")).as("n_kept"),
+        col("pruned_id_sum"),
+        col("kept_id_sum")
+      )
+  }
+
+  /** Simplified-silhouette sheet per cluster (Hruschka et al. 2004 —
+    * the centroid-based silhouette every clustering library reports):
+    * for each vector, a = distance to its OWN seed, b = distance to
+    * the nearest OTHER seed, s = (b − a)/max(a, b) ∈ [−1, 1]; the
+    * sheet reports per cluster the exact 1e-6-quantized silhouette
+    * SUM, the count of NEGATIVE silhouettes (vectors closer to a
+    * foreign seed than their own — the misassignment census), and the
+    * mean as ONE IEEE division of exact integers (a quantized-sum
+    * floor-div would hit the negative-floor dialect seam — the
+    * dup_modularity discipline). Against the k-means family this is
+    * the quality dial: assign/step give the fit, this says whether K
+    * fits the data.
+    *
+    * Exactness: distances reuse the kmeansAssign fold (vn2 + sn2 −
+    * 2·dot, bit-identical in both engines); own/other selection is the
+    * same (dist, seed) struct order as the assignment; s is quantized
+    * round(s·10⁶) per ROW (both engines round half away from zero), so
+    * the cluster sums are exact integer adds.
+    *
+    * Scale: one K-row seed broadcast against the streamed corpus, a
+    * per-vector K-bounded sorted list, one #K-group aggregate — the
+    * exact kmeansAssign shape plus a bounded array step.
+    */
+  def silhouetteSheet(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e
+      .filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        normSq(col("embedding")).as("sn2"))
+    val v = spread(e).select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("vn2"))
+    val sil = v
+      .crossJoin(broadcast(seeds))
+      .select(
+        col("vec_id"),
+        struct(
+          (col("vn2") + col("sn2") - lit(2.0) * dot(col("embedding"), col("se"))).as("dist_sq"),
+          col("seed_id").as("cluster")
+        ).as("ds")
+      )
+      .groupBy(col("vec_id"))
+      .agg(expr("array_sort(collect_list(ds))").as("da"))
+      .select(
+        col("vec_id"),
+        expr("da[0].cluster").as("cluster"),
+        expr("sqrt(da[0].dist_sq)").as("a"),
+        expr("sqrt(filter(da, x -> x.cluster != da[0].cluster)[0].dist_sq)").as("b")
+      )
+      .select(
+        col("cluster"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil")
+      )
+      .select(
+        col("cluster"),
+        expr("CAST(round(sil * 1000000.0) AS BIGINT)").as("s_q")
+      )
+    sil
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("s_q")).as("sum_sil_q"),
+        sum(when(col("s_q") < 0L, 1L).otherwise(0L)).as("n_negative")
+      )
+      .withColumn(
+        "mean_sil",
+        col("sum_sil_q").cast("double") / lit(1000000.0) / col("n_vecs")
+      )
+  }
+
+  /** Exact Rand index + adjusted Rand index between the k-means
+    * clustering and the `label` partition — the standard external
+    * clustering evaluation, computed ENTIRELY by pair counting over
+    * the (cluster × label) contingency table so every intermediate is
+    * an exact integer: index = Σᵢⱼ C(nᵢⱼ,2), marginal pair sums
+    * sum_a/sum_b, total = C(n,2), RI·10⁶ as a non-negative floor-div,
+    * and ARI = 2·(index·total − sum_a·sum_b) /
+    * (total·(sum_a + sum_b) − 2·sum_a·sum_b) as the ONE IEEE division
+    * (its numerator can be negative — the floor-div dialect seam).
+    *
+    * Scale: the corpus collapses to the (K × #labels)-bounded
+    * contingency table in one map-side-combined aggregate; everything
+    * after is arithmetic over ≤ K·L rows, joined as one-row
+    * broadcasts. Pair counts approach n²/2 ≈ 2⁶³ only past ~4e9 rows
+    * per side; past that the counts would move to DECIMAL(38,0) — the
+    * BIGINT form is documented for the 10⁹-doc regime.
+    */
+  def clusterRandIndex(spark: SparkSession, dir: String): DataFrame = {
+    // C(x,2) = x(x−1)/2: the product is even, so a right shift is the
+    // exact integer halving (Column./ would plan a DOUBLE division)
+    def c2(c: Column): Column = shiftright(c * (c - lit(1L)), 1)
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val lab = emb(spark, dir).select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val ct = asg
+      .join(lab, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint() // feeds the cell sum and both marginals
+    val cells = ct.agg(
+      sum(c2(col("n_ij"))).as("idx_pairs"),
+      sum(col("n_ij")).as("n"),
+      countDistinct(col("cluster")).as("n_clusters"),
+      countDistinct(col("label")).as("n_labels")
+    )
+    val ma = ct.groupBy(col("cluster")).agg(sum(col("n_ij")).as("a_i"))
+      .agg(sum(c2(col("a_i"))).as("sum_a"))
+    val mb = ct.groupBy(col("label")).agg(sum(col("n_ij")).as("b_j"))
+      .agg(sum(c2(col("b_j"))).as("sum_b"))
+    cells
+      .crossJoin(broadcast(ma))
+      .crossJoin(broadcast(mb))
+      .select(
+        col("n"),
+        col("n_clusters"),
+        col("n_labels"),
+        col("idx_pairs"),
+        col("sum_a"),
+        col("sum_b"),
+        c2(col("n")).as("total_pairs")
+      )
+      .withColumn(
+        "ri_ppm",
+        expr(
+          """CAST(CAST(total_pairs + 2 * idx_pairs - sum_a - sum_b AS DECIMAL(38,0))
+            |     * 1000000 DIV total_pairs AS BIGINT)""".stripMargin
+        )
+      )
+      .withColumn(
+        "ari",
+        when(
+          col("total_pairs") * (col("sum_a") + col("sum_b"))
+            === lit(2L) * col("sum_a") * col("sum_b"),
+          lit(0.0)
+        ).otherwise(
+          (lit(2.0) * (col("idx_pairs") * col("total_pairs")
+            - col("sum_a") * col("sum_b")).cast("double")) /
+            (col("total_pairs") * (col("sum_a") + col("sum_b"))
+              - lit(2L) * col("sum_a") * col("sum_b")).cast("double")
+        )
+      )
+  }
 }

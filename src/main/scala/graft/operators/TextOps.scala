@@ -4216,4 +4216,198 @@ object TextOps {
       .unionByName(stage("case_folded", folded))
       .unionByName(stage("normalized", normalized))
   }
+
+  // ------------------------------------------ Gopher quality heuristics
+
+  /** Stopword stand-ins for the Gopher "contains ≥ 2 stop words" rule,
+    * adapted to the synthetic corpus vocabulary (the published list is
+    * {the, be, to, of, and, that, have, with}; this corpus's only
+    * function words are `the` and `a`). ~22% of docs fail naturally at
+    * every SF, so the rule is non-vacuous without injection.
+    */
+  private[graft] val GopherStops = Seq("the", "a")
+
+  /** The rule-failing injections for the Gopher corpus (mirrored in
+    * the oracle CTE — the piiDocs synthesis pattern): the raw corpus
+    * is one line of letter-only words, so the line-shape and
+    * symbol/alpha rules would be vacuously green. Each residue class
+    * plants a guaranteed failure of one rule family at every SF:
+    * %17 → 10 bullet lines (bullet fraction 10/11 > 90%), %19 → 2 of
+    * 3 lines end in '...' (> 30%), %23 → 30 '#' words (symbol ratio
+    * > 0.1 AND alpha fraction < 80%), %31 → 120 one-char words (mean
+    * word length < 3). Word-count (< 50) and stopword (< 2) failures
+    * occur naturally (~45% / ~22% of docs).
+    */
+  private[graft] def gopherInjectExpr: Column =
+    expr(
+      """concat(text,
+        | CASE WHEN doc_id % 17 = 0
+        |   THEN repeat(concat(chr(10), '- item entry'), 10) ELSE '' END,
+        | CASE WHEN doc_id % 19 = 0
+        |   THEN concat(chr(10), 'read more...', chr(10), 'loading...') ELSE '' END,
+        | CASE WHEN doc_id % 23 = 0 THEN repeat(' #', 30) ELSE '' END,
+        | CASE WHEN doc_id % 31 = 0 THEN repeat(' a', 120) ELSE '' END)""".stripMargin
+    )
+
+  private[graft] def gopherDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), gopherInjectExpr.as("text"))
+
+  /** ONE definition of the per-doc Gopher rule projection (over
+    * columns `doc_id`, `source`, `text`) — shared by [[gopherRules]]
+    * and the ingest-edge stream so the two transports cannot drift.
+    * Every rule is a cross-multiplied INTEGER comparison (no ratio is
+    * ever materialized as a float), the Mann–Whitney arithmetic
+    * discipline applied to the MassiveText filter thresholds
+    * (Rae et al. 2021, App. A): word count in [50, 100000]; mean word
+    * length in [3, 10]; symbol-to-word ratio ≤ 0.1 ('#' words and
+    * '...'-bearing words); bullet lines ≤ 90%; ellipsis-ending lines
+    * ≤ 30%; alphabetic-word fraction ≥ 80%; ≥ 2 stop words.
+    *
+    * Scale: pure row-local column work fused into the scan (the
+    * split/filter lambdas are interpreted, not codegen — the
+    * secretRewrite trade: per-row work is bounded by doc length and
+    * there is NO shuffle before the #sources rollup).
+    */
+  private[graft] def gopherRuleProjection(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val lines = split(col("text"), "\n")
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(words).cast("bigint").as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("bigint").as("n_wchars"),
+        size(filter(words, w => w.rlike("^[a-z]+$"))).cast("bigint").as("n_alpha"),
+        size(filter(words, w => w === "#" || w.contains("..."))).cast("bigint").as("n_symbol"),
+        size(lines).cast("bigint").as("n_lines"),
+        size(filter(lines, l => l.startsWith("- "))).cast("bigint").as("n_bullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast("bigint").as("n_ellipsis"),
+        size(filter(tokens(col("text")), t => t.isin(GopherStops: _*)))
+          .cast("bigint").as("n_stop")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("n_words") < 50L || col("n_words") > 100000L).as("fail_words"),
+        (col("n_wchars") < col("n_words") * 3L ||
+          col("n_wchars") > col("n_words") * 10L).as("fail_mwl"),
+        (col("n_symbol") * 10L > col("n_words")).as("fail_symbol"),
+        (col("n_bullet") * 10L > col("n_lines") * 9L).as("fail_bullet"),
+        (col("n_ellipsis") * 10L > col("n_lines") * 3L).as("fail_ellipsis"),
+        (col("n_alpha") * 5L < col("n_words") * 4L).as("fail_alpha"),
+        (col("n_stop") < 2L).as("fail_stop")
+      )
+  }
+
+  /** The Gopher/MassiveText quality-rule sheet per source: how many
+    * docs fail each of the seven published heuristics and the ppm that
+    * survive all of them — the standard first-pass web filter
+    * (MassiveText, FineWeb, Dolma all run a variant) evaluated as one
+    * scan-bound pass. Per-rule counts (not just the conjunction) are
+    * what lets a pipeline owner see WHICH rule does the cutting before
+    * committing a 100 TB filter run.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    def f(c: String): Column = sum(when(col(c), 1L).otherwise(0L)).as(c)
+    gopherRuleProjection(gopherDocs(spark, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        f("fail_words"), f("fail_mwl"), f("fail_symbol"), f("fail_bullet"),
+        f("fail_ellipsis"), f("fail_alpha"), f("fail_stop"),
+        sum(
+          when(!col("fail_words") && !col("fail_mwl") && !col("fail_symbol") &&
+            !col("fail_bullet") && !col("fail_ellipsis") && !col("fail_alpha") &&
+            !col("fail_stop"), 1L).otherwise(0L)
+        ).as("n_pass")
+      )
+      .withColumn(
+        "pass_ppm",
+        expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+  }
+
+  /** The repeated-phrase corpus for the Gopher REPETITION rules
+    * (mirrored in the oracle CTE): a run of 30 `spark` tokens on
+    * %37 docs — those docs top out at ≤ 98 natural words at every SF,
+    * so the planted run's top bigram share (≥ 29/127 = 22.8%) exceeds
+    * the 20% threshold unconditionally, and likewise at n = 3, 4.
+    */
+  private[graft] def repeatInjectExpr: Column =
+    expr("concat(text, CASE WHEN doc_id % 37 = 0 THEN repeat(' spark', 30) ELSE '' END)")
+
+  private[graft] def repDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), repeatInjectExpr.as("text"))
+
+  /** Gopher top-n-gram repetition rules (Rae et al. 2021, App. A):
+    * per source and n ∈ {2,3,4}, how many docs put more than
+    * {20%, 18%, 16%} of their n-gram occurrences into the single most
+    * frequent n-gram — the repeated-phrase spam signal the word-level
+    * [[repetitionStats]] max-run rule cannot see (a phrase loop never
+    * repeats the SAME token twice in a row). Occurrence share stands
+    * in for the paper's character share (the tokens are near-constant
+    * width here); the cross-multiplied compare `top_c·10⁶ > thr·grams`
+    * keeps the decision integer-exact.
+    *
+    * Scale: the n-gram explode stays pipelined in the scan; the only
+    * shuffle is the (doc, n, gram) count (map-side combined), then a
+    * (doc, n) max — both key-bounded. The doc spine left-join restores
+    * docs shorter than n tokens as passing rows, so the sheet's n_docs
+    * is the corpus count, not the gram-bearing count.
+    */
+  def topNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val base = repDocs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("toks"))
+    val grams = base
+      .select(
+        col("doc_id"),
+        explode(
+          array((2 to 4).map { n =>
+            struct(
+              lit(n.toLong).as("n"),
+              graft.functions.VectorExpressions.wordNgrams(col("toks"), lit(n)).as("gs")
+            )
+          }: _*)
+        ).as("lv")
+      )
+      .select(col("doc_id"), col("lv.n").as("n"), explode(col("lv.gs")).as("g"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+    val spine = base
+      .select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(spark.range(2, 5).select(col("id").as("n"))))
+    val thr = when(col("n") === 2L, 200000L)
+      .when(col("n") === 3L, 180000L)
+      .otherwise(160000L)
+    spine
+      .join(perDoc, Seq("doc_id", "n"), "left")
+      .select(
+        col("source"),
+        col("n"),
+        coalesce(col("top_c"), lit(0L)).as("top_c"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        thr.as("thr")
+      )
+      .groupBy(col("source"), col("n"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_c") * 1000000L > col("thr") * col("n_grams"), 1L)
+          .otherwise(0L)).as("n_over"),
+        sum(col("top_c")).as("sum_top"),
+        sum(col("n_grams")).as("sum_grams")
+      )
+      .withColumn(
+        "over_ppm",
+        expr("CAST(CAST(n_over AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+      )
+  }
 }

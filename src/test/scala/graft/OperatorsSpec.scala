@@ -6372,4 +6372,213 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m > 0L)
     assert(row.getAs[Double]("q") !== 0.0)
   }
+
+  test("gopher rules: per-rule failure counts match a brute recompute and every rule fires") {
+    val docs = TextOps.gopherDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def fails(text: String): Seq[Boolean] = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val nWords = words.length.toLong
+      val nWchars = text.replaceAll("\\s", "").length.toLong
+      val nAlpha = words.count(_.matches("[a-z]+")).toLong
+      val nSymbol = words.count(w => w == "#" || w.contains("...")).toLong
+      val lines = text.split("\n", -1)
+      val nLines = lines.length.toLong
+      val nBullet = lines.count(_.startsWith("- ")).toLong
+      val nEll = lines.count(_.endsWith("...")).toLong
+      val nStop = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+        .count(t => t == "the" || t == "a").toLong
+      Seq(
+        nWords < 50 || nWords > 100000,
+        nWchars < nWords * 3 || nWchars > nWords * 10,
+        nSymbol * 10 > nWords,
+        nBullet * 10 > nLines * 9,
+        nEll * 10 > nLines * 3,
+        nAlpha * 5 < nWords * 4,
+        nStop < 2
+      )
+    }
+    val ruleCols = Seq("fail_words", "fail_mwl", "fail_symbol", "fail_bullet",
+      "fail_ellipsis", "fail_alpha", "fail_stop")
+    val brute = docs.groupBy(_._2).map { case (src, g) =>
+      val fs = g.map(d => fails(d._3))
+      val perRule = ruleCols.indices.map(i => fs.count(_(i)).toLong)
+      val nPass = fs.count(f => !f.exists(identity)).toLong
+      src -> (g.length.toLong, perRule, nPass)
+    }
+    val got = TextOps.gopherRules(spark, Sf0001).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val (nDocs, perRule, nPass) = brute(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      ruleCols.zipWithIndex.foreach { case (c, i) =>
+        assert(r.getAs[Long](c) === perRule(i), s"rule $c source ${r.getString(0)}")
+      }
+      assert(r.getAs[Long]("n_pass") === nPass)
+      assert(r.getAs[Long]("pass_ppm") === nPass * 1000000L / nDocs)
+    }
+    // NON-VACUITY: every rule fails somewhere AND passes somewhere —
+    // the injections plant bullet/ellipsis/symbol/alpha/mwl failures,
+    // short docs and low-stop docs occur naturally at every SF
+    ruleCols.indices.foreach { i =>
+      val tot = brute.valuesIterator.map(_._2(i)).sum
+      val n = brute.valuesIterator.map(_._1).sum
+      assert(tot > 0L, s"rule ${ruleCols(i)} never fails")
+      assert(tot < n, s"rule ${ruleCols(i)} always fails")
+    }
+    assert(brute.valuesIterator.map(_._3).sum > 0L, "no doc survives the full gate")
+  }
+
+  test("top ngram mass: brute per-doc top shares agree; planted runs trip all three levels") {
+    val docs = TextOps.repDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    val thr = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L)
+    case class Cell(var nDocs: Long = 0, var nOver: Long = 0,
+                    var sumTop: Long = 0, var sumGrams: Long = 0)
+    val brute = collection.mutable.Map[(String, Long), Cell]()
+    val plantedOver = collection.mutable.ArrayBuffer[Boolean]()
+    docs.foreach { case (id, src, text) =>
+      val ts = toks(text)
+      (2 to 4).foreach { n =>
+        val grams = ts.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val topC = if (grams.isEmpty) 0L
+          else grams.groupBy(identity).valuesIterator.map(_.length.toLong).max
+        val over = topC * 1000000L > thr(n) * grams.length
+        val c = brute.getOrElseUpdate((src, n.toLong), Cell())
+        c.nDocs += 1; if (over) c.nOver += 1
+        c.sumTop += topC; c.sumGrams += grams.length
+        if (id % 37 == 0) plantedOver += over
+      }
+    }
+    val got = TextOps.topNgramMass(spark, Sf0001).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val c = brute((r.getAs[String]("source"), r.getAs[Long]("n")))
+      assert(r.getAs[Long]("n_docs") === c.nDocs)
+      assert(r.getAs[Long]("n_over") === c.nOver)
+      assert(r.getAs[Long]("sum_top") === c.sumTop)
+      assert(r.getAs[Long]("sum_grams") === c.sumGrams)
+      assert(r.getAs[Long]("over_ppm") === c.nOver * 1000000L / c.nDocs)
+    }
+    // the planted 30-token run exceeds every threshold unconditionally
+    // (≤ 98 natural words → top share ≥ 29/127 = 22.8% > 20/18/16%)
+    assert(plantedOver.nonEmpty && plantedOver.forall(identity))
+    // and the rule discriminates: clean docs exist at every level
+    (2 to 4).foreach { n =>
+      val over = brute.collect { case ((_, m), c) if m == n => c.nOver }.sum
+      val all = brute.collect { case ((_, m), c) if m == n => c.nDocs }.sum
+      assert(over > 0L && over < all)
+    }
+  }
+
+  test("proto prune: all-integer prune sheet matches a brute centroid-cosine recompute") {
+    val asg = SimilarityOps.kmeansAssign(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val embs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = SimilarityOps.protoPrune(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    val byCluster = asg.groupBy(_._2)
+    assert(got.keySet === byCluster.keySet)
+    var anyPruned = false
+    byCluster.foreach { case (c, ms) =>
+      val ids = ms.map(_._1).sorted
+      val n = ids.length
+      val dim = embs(ids.head).length
+      val sums = Array.fill(dim)(0L)
+      ids.foreach { id =>
+        val e = embs(id)
+        (0 until dim).foreach(j => sums(j) += math.round(e(j).toDouble * 1000000.0))
+      }
+      val cvec = sums.map(s => s.toDouble / 1000000.0 / n)
+      val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+      def csim(id: Long): Double = {
+        val e = embs(id)
+        val dot = (0 until dim).foldLeft(0.0)((a, j) => a + e(j).toDouble * cvec(j))
+        val nv = math.sqrt((0 until dim).foldLeft(0.0)((a, j) =>
+          a + e(j).toDouble * e(j).toDouble))
+        dot / (nv * cnorm)
+      }
+      val ranked = ids.sortBy(id => (-csim(id), id))
+      val nPrune = n / 5
+      val (pruned, kept) = ranked.splitAt(nPrune)
+      val r = got(c)
+      assert(r.getAs[Long]("n_vecs") === n.toLong)
+      assert(r.getAs[Long]("n_pruned") === nPrune.toLong)
+      assert(r.getAs[Long]("n_kept") === (n - nPrune).toLong)
+      assert(r.getAs[Long]("pruned_id_sum") === pruned.sum, s"pruned set cluster $c")
+      assert(r.getAs[Long]("kept_id_sum") === kept.sum, s"kept set cluster $c")
+      if (nPrune > 0) anyPruned = true
+    }
+    assert(anyPruned, "some cluster must be large enough to prune")
+  }
+
+  test("silhouette sheet: quantized sums match a brute own-vs-other seed recompute") {
+    val embs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def nsq(e: Array[Float]): Double =
+      e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+    def dt(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((a, i) => a + x(i).toDouble * y(i).toDouble)
+    val seeds = embs.filter(_._1 < 8).map { case (id, e) => (id, e, nsq(e)) }
+    case class Cell(var n: Long = 0, var sum: Long = 0, var neg: Long = 0)
+    val brute = collection.mutable.Map[Long, Cell]()
+    var anyPos = false
+    embs.foreach { case (_, e) =>
+      val vn2 = nsq(e)
+      val ds = seeds.map { case (sid, se, sn2) => (vn2 + sn2 - 2.0 * dt(e, se), sid) }
+      val (a2, own) = ds.minBy(identity)
+      val b2 = ds.filter(_._2 != own).map(_._1).min
+      val (a, b) = (math.sqrt(a2), math.sqrt(b2))
+      val sil = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      val sq = math.round(sil * 1000000.0)
+      val c = brute.getOrElseUpdate(own, Cell())
+      c.n += 1; c.sum += sq; if (sq < 0) c.neg += 1
+      if (sq > 0) anyPos = true
+    }
+    val got = SimilarityOps.silhouetteSheet(spark, Sf0001).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val c = brute(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_vecs") === c.n)
+      assert(r.getAs[Long]("sum_sil_q") === c.sum, s"cluster ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_negative") === c.neg)
+      assert(r.getAs[Double]("mean_sil") === c.sum.toDouble / 1000000.0 / c.n)
+    }
+    assert(got.map(_.getAs[Long]("n_vecs")).sum === embs.length.toLong)
+    // seeds sit at distance 0 from themselves -> s = 1 rows exist
+    assert(anyPos)
+  }
+
+  test("cluster rand index: pair-counting RI/ARI match a brute contingency recompute") {
+    val asg = SimilarityOps.kmeansAssign(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labels = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    def c2(x: Long): Long = x * (x - 1) / 2
+    val ct = asg.toSeq.groupBy { case (id, cl) => (cl, labels(id)) }
+      .map { case (k, g) => (k, g.size.toLong) }
+    val idx = ct.valuesIterator.map(c2).sum
+    val n = asg.size.toLong
+    val sumA = ct.groupBy(_._1._1).values.map(g => c2(g.map(_._2).sum)).sum
+    val sumB = ct.groupBy(_._1._2).values.map(g => c2(g.map(_._2).sum)).sum
+    val total = c2(n)
+    val r = SimilarityOps.clusterRandIndex(spark, Sf0001).collect().head
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_clusters") === ct.keySet.map(_._1).size.toLong)
+    assert(r.getAs[Long]("n_labels") === ct.keySet.map(_._2).size.toLong)
+    assert(r.getAs[Long]("idx_pairs") === idx)
+    assert(r.getAs[Long]("sum_a") === sumA)
+    assert(r.getAs[Long]("sum_b") === sumB)
+    assert(r.getAs[Long]("total_pairs") === total)
+    assert(r.getAs[Long]("ri_ppm") === (total + 2 * idx - sumA - sumB) * 1000000L / total)
+    val ariDen = total * (sumA + sumB) - 2 * sumA * sumB
+    assert(ariDen !== 0L)
+    assert(r.getAs[Double]("ari") ===
+      2.0 * (idx * total - sumA * sumB).toDouble / ariDen.toDouble)
+    // the two partitions are real: multiple clusters AND labels
+    assert(r.getAs[Long]("n_clusters") > 1L && r.getAs[Long]("n_labels") > 1L)
+  }
 }

@@ -1169,4 +1169,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exists(_._2), "some docs should be FIM'd")
     } finally q.stop()
   }
+
+  test("streaming gopher gate: sliced ingest == batch projection, pass counts == rule sheet") {
+    // stateless map-only rule gate: ANY slicing must reproduce the
+    // batch Gopher rule projection exactly (shared injection + rule
+    // Columns), and streamed pass counts must reconcile with the
+    // gopher_rules per-source sheet
+    val tmp = java.nio.file.Files.createTempDirectory("gopher-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.GopherGateStream
+      .flagged(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getString(1),
+          (2 to 8).map(r.getBoolean).mkString(","))
+      }.toSet
+      val streamed = key(spark.table("gopher_stream").collect())
+      val batch = key(
+        graft.operators.TextOps
+          .gopherRuleProjection(graft.operators.TextOps.gopherDocs(spark, Sf0001))
+          .collect())
+      assert(streamed === batch)
+      // the edge gate reconciles with the batch per-source sheet
+      val streamPass = spark.table("gopher_stream").collect().groupBy(_.getString(1))
+        .map { case (s, g) =>
+          (s, g.count(r => !(2 to 8).exists(r.getBoolean)).toLong)
+        }
+      val sheet = graft.operators.TextOps.gopherRules(spark, Sf0001).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_pass"))).toMap
+      assert(streamPass === sheet)
+      val flags = spark.table("gopher_stream").collect()
+        .flatMap(r => (2 to 8).map(r.getBoolean))
+      assert(flags.exists(identity) && flags.exists(!_),
+        "rules should fire on some docs and spare others")
+    } finally q.stop()
+  }
 }
