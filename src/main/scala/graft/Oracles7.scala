@@ -1553,10 +1553,33 @@ object Oracles7 {
     * starts/lengths, same merge-and-collapse to `<X>` sentinels, same
     * masked/target fingerprints.
     */
-  val spanCorruption: String = {
+  /** ONE definition of the span-corruption draw CTE chain (t → a → c,
+    * ending in (doc_id, toks, corr)) — shared by [[spanCorruption]]
+    * and [[ul2Mix]], mirroring TextOps.spanCorrFrame.
+    */
+  private def spanCorrChain: String = {
     def h(salt: String, j: String): String =
       s"""CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$salt' ||
          |  CAST($j AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)""".stripMargin
+    s"""t AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS toks
+       | FROM documents),
+       |a AS (
+       | SELECT doc_id, toks,
+       |  list_transform(range(len(toks)), j -> ${h(":", "j")} % 14 = 0) AS starts,
+       |  list_transform(range(len(toks)), j -> 1 + ${h(";", "j")} % 3) AS lens
+       | FROM t),
+       |c AS (
+       | SELECT doc_id, toks,
+       |  list_transform(range(len(toks)), i ->
+       |    starts[CAST(i + 1 AS INT)]
+       |    OR (i >= 1 AND starts[CAST(i AS INT)] AND lens[CAST(i AS INT)] >= 2)
+       |    OR (i >= 2 AND starts[CAST(i - 1 AS INT)] AND lens[CAST(i - 1 AS INT)] >= 3)) AS corr
+       | FROM a)""".stripMargin
+  }
+
+  val spanCorruption: String = {
     def fp(c: String): String =
       s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
     // COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
@@ -1574,22 +1597,7 @@ object Oracles7 {
         |                 THEN '<X> ' || toks[CAST(i + 1 AS INT)]
         |                 ELSE toks[CAST(i + 1 AS INT)] END
         |       ELSE NULL END), x -> x IS NOT NULL), ' '), '')""".stripMargin
-    s"""WITH t AS (
-       | SELECT doc_id,
-       |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS toks
-       | FROM documents),
-       |a AS (
-       | SELECT doc_id, toks,
-       |  list_transform(range(len(toks)), j -> ${h(":", "j")} % 14 = 0) AS starts,
-       |  list_transform(range(len(toks)), j -> 1 + ${h(";", "j")} % 3) AS lens
-       | FROM t),
-       |c AS (
-       | SELECT doc_id, toks,
-       |  list_transform(range(len(toks)), i ->
-       |    starts[CAST(i + 1 AS INT)]
-       |    OR (i >= 1 AND starts[CAST(i AS INT)] AND lens[CAST(i AS INT)] >= 2)
-       |    OR (i >= 2 AND starts[CAST(i - 1 AS INT)] AND lens[CAST(i - 1 AS INT)] >= 3)) AS corr
-       | FROM a)
+    s"""WITH $spanCorrChain
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        | CAST(len(list_filter(corr, x -> x)) AS BIGINT) AS n_corrupted,
        | CAST(len(list_filter(list_transform(range(len(toks)), i ->
@@ -1600,6 +1608,36 @@ object Oracles7 {
        | CAST(CAST(len(list_filter(corr, x -> x)) AS HUGEINT) * 1000000
        |      // GREATEST(len(toks), 1) AS BIGINT) AS corrupt_ppm
        |FROM c""".stripMargin
+  }
+
+  /** Mirrors TextOps.ul2Mix: the shared span-draw chain, the same
+    * hash-mod-4 denoiser assignment (R/R/S/X), R's loss = the
+    * measured corrupted count, S = ⌊n/4⌋, X = ⌊n/2⌋, floor-div ppm.
+    */
+  val ul2Mix: String = {
+    val h =
+      """CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 15))
+        |     AS UBIGINT) AS BIGINT)""".stripMargin
+    s"""WITH $spanCorrChain,
+       |per AS (
+       | SELECT c.doc_id, d.source,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(corr, x -> x)) AS BIGINT) AS n_corrupted,
+       |  CASE WHEN $h % 4 < 2 THEN 'R'
+       |       WHEN $h % 4 = 2 THEN 'S' ELSE 'X' END AS denoiser
+       | FROM c JOIN documents d USING (doc_id)),
+       |l AS (
+       | SELECT source, denoiser, n_tokens,
+       |  CASE WHEN denoiser = 'R' THEN n_corrupted
+       |       WHEN denoiser = 'S' THEN n_tokens // 4
+       |       ELSE n_tokens // 2 END AS loss_tokens
+       | FROM per)
+       |SELECT source, denoiser, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
+       | CAST(CAST(SUM(loss_tokens) AS HUGEINT) * 1000000
+       |      // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS BIGINT) AS loss_ppm
+       |FROM l GROUP BY source, denoiser""".stripMargin
   }
 
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
@@ -1825,4 +1863,34 @@ object Oracles7 {
        |           / CAST((n * (n - 1) // 2) * (sum_a + sum_b)
        |                  - 2 * sum_a * sum_b AS DOUBLE) END AS ari
        |FROM cells, ma, mb""".stripMargin
+
+  /** Mirrors TextOps.bpeVocabSweep: the shared unrolled fit chain
+    * (Oracles6.bpeChain) already materializes every merge round, so
+    * the k-merge encodings are read straight from r2/r4/r6 — the
+    * nesting property the Spark side exploits by replaying merge
+    * prefixes.
+    */
+  val bpeVocabSweep: String = {
+    val sel = graft.operators.TextOps.BpeSweepKs
+      .map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges,
+           | (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+           |  FROM (SELECT unnest(string_split(trim(seq), ' ')) AS s FROM r$k))
+           |   AS n_vocab_symbols,
+           | CAST(SUM(cnt * length(word)) AS BIGINT) AS n_letters,
+           | CAST(SUM(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+           | CAST((CAST(SUM(cnt * n_syms) AS BIGINT) * 1000000)
+           |      // CAST(SUM(cnt * length(word)) AS BIGINT) AS BIGINT) AS compression_ppm
+           |FROM occ JOIN (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
+           |               AS n_syms FROM r$k) e USING (word)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${Oracles6.bpeChain},
+       |occ AS (
+       | SELECT word, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1)
+       |$sel""".stripMargin
+  }
 }

@@ -253,6 +253,8 @@ object SparkEntry {
     "proto_prune" -> SimilarityOps.protoPrune,
     "silhouette_sheet" -> SimilarityOps.silhouetteSheet,
     "cluster_rand_index" -> SimilarityOps.clusterRandIndex,
+    "bpe_vocab_sweep" -> TextOps.bpeVocabSweep,
+    "ul2_mix" -> TextOps.ul2Mix,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -784,6 +786,8 @@ object SparkEntry {
     "proto_prune" -> Oracles7.protoPrune,
     "silhouette_sheet" -> Oracles7.silhouetteSheet,
     "cluster_rand_index" -> Oracles7.clusterRandIndex,
+    "bpe_vocab_sweep" -> Oracles7.bpeVocabSweep,
+    "ul2_mix" -> Oracles7.ul2Mix,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -2187,6 +2187,83 @@ object TextOps {
       .withColumn("compression_ppm", expr("CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV (n_letters) AS BIGINT)"))
   }
 
+  /** Merge-count checkpoints for the tokenizer-sizing sweep:
+    * prefixes of the ONE learned merge sequence (BPE merges are
+    * nested — the k-merge tokenizer IS the first k rows of the
+    * BpeMerges-merge fit). Mirrored in the oracle, which reads the
+    * same rounds straight from its unrolled r2/r4/r6 CTEs.
+    */
+  val BpeSweepKs = Seq(2, 4, 6)
+
+  /** Tokenizer VOCAB-SIZE sweep — the sizing curve a pipeline reads
+    * before committing to a vocabulary: corpus compression (BPE
+    * tokens per letter) and the realized symbol-vocabulary size at
+    * k ∈ [[BpeSweepKs]] merges, all from ONE training run. Because
+    * BPE merge lists are prefix-nested, the k-merge encoding is
+    * replayed by applying the first k learned merges (rank order,
+    * same 3-pass replace contract as the fit) to the base character
+    * sequences — no re-training per point, the sweep discipline of
+    * `boilerplate_df_sweep` applied to the tokenizer.
+    *
+    * Scale: the merge table is a ≤ BpeMerges-row driver collect (the
+    * documented BPE bounded-collect contract); the replay operates on
+    * the vocab-bounded TYPE table, and the corpus contributes only
+    * (word, cnt) occurrence counts — at 100 TB the corpus pass is the
+    * one aggregate, shared across all k.
+    */
+  def bpeVocabSweep(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFitArtifacts(spark, dir)._1
+      .select(col("rank"), col("left_sym"), col("right_sym"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val types = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+      .localCheckpoint()
+    val occ = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ONE corpus pass shared by every k
+    BpeSweepKs
+      .map { k =>
+        val seqK = merges.take(k).foldLeft(types) { case (cur, (_, a, b)) =>
+          val from = lit(s" $a $b ")
+          val to = lit(s" $a$b ")
+          cur.withColumn("seq", replace(replace(replace(col("seq"), from, to), from, to), from, to))
+        }
+        val enc = seqK.select(
+          col("word"),
+          size(split(trim(col("seq")), " ")).cast("long").as("n_syms")
+        )
+        val vocab = seqK
+          .select(explode(split(trim(col("seq")), " ")).as("s"))
+          .agg(countDistinct(col("s")).as("n_vocab_symbols"))
+        occ
+          .join(enc, Seq("word"))
+          .agg(
+            sum(col("cnt") * length(col("word"))).as("n_letters"),
+            sum(col("cnt") * col("n_syms")).as("n_bpe_tokens")
+          )
+          .crossJoin(broadcast(vocab))
+          .select(
+            lit(k.toLong).as("n_merges"),
+            col("n_vocab_symbols"),
+            col("n_letters"),
+            col("n_bpe_tokens"),
+            expr(
+              "CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV n_letters AS BIGINT)"
+            ).as("compression_ppm")
+          )
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** Tokenizer fertility per LANGUAGE — the multilingual-fairness
     * readout of the learned BPE tokenizer (fertility = BPE tokens per
     * word occurrence, in ppm; letters-per-token as the inverse
@@ -4110,21 +4187,8 @@ object TextOps {
     * `hashgram_score` — at gate scale the per-token cost is two md5s.
     */
   def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
-    val h = (salt: String, j: String) =>
-      s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '$salt',
-         |  CAST($j AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin
-    // corr(i): covered by a span starting at i, i-1 (len >= 2), or i-2 (len >= 3)
-    val corr = (i: String) =>
-      s"""(element_at(starts, $i + 1)
-         | OR ($i >= 1 AND element_at(starts, $i) AND element_at(lens, $i) >= 2)
-         | OR ($i >= 2 AND element_at(starts, $i - 1) AND element_at(lens, $i - 1) >= 3))""".stripMargin
     val fp = (c: String) => s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("starts", expr(s"transform(toks, (t, i) -> ${h(":", "i")} % 14 = 0)"))
-      .withColumn("lens", expr(s"transform(toks, (t, i) -> 1 + ${h(";", "i")} % 3)"))
-      .withColumn("corr", expr(s"transform(toks, (t, i) -> ${corr("i")})"))
+    spanCorrFrame(spark, dir)
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -4152,6 +4216,77 @@ object TextOps {
       .withColumn(
         "corrupt_ppm",
         expr("CAST(CAST(n_corrupted AS DECIMAL(38,0)) * 1000000 DIV GREATEST(n_tokens, 1) AS BIGINT)")
+      )
+  }
+
+  /** ONE definition of the span-corruption draw (doc_id, source,
+    * toks, corr) — shared by [[spanCorruption]] and [[ul2Mix]] so the
+    * R-denoiser's corrupted-token accounting cannot drift from the
+    * gate that proves the draw.
+    */
+  private[graft] def spanCorrFrame(spark: SparkSession, dir: String): DataFrame = {
+    val h = (salt: String, j: String) =>
+      s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '$salt',
+         |  CAST($j AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin
+    // corr(i): covered by a span starting at i, i-1 (len >= 2), or i-2 (len >= 3)
+    val corr = (i: String) =>
+      s"""(element_at(starts, $i + 1)
+         | OR ($i >= 1 AND element_at(starts, $i) AND element_at(lens, $i) >= 2)
+         | OR ($i >= 2 AND element_at(starts, $i - 1) AND element_at(lens, $i - 1) >= 3))""".stripMargin
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("starts", expr(s"transform(toks, (t, i) -> ${h(":", "i")} % 14 = 0)"))
+      .withColumn("lens", expr(s"transform(toks, (t, i) -> 1 + ${h(";", "i")} % 3)"))
+      .withColumn("corr", expr(s"transform(toks, (t, i) -> ${corr("i")})"))
+  }
+
+  /** UL2 mixture-of-denoisers ALLOCATION sheet (Tay et al. 2022):
+    * every doc draws a denoiser by doc_id hash — R (regular span
+    * corruption, 50%), S (sequential/PrefixLM, 25%), X (extreme,
+    * 25%) — and the sheet reports per (source, denoiser) the doc and
+    * token mass plus the LOSS-BEARING token mass each objective
+    * trains on: R's is the measured corrupted count from the SAME
+    * span draw `span_corruption` gates; S's is the suffix quarter
+    * (mean 75% prefix context → loss on ⌊n/4⌋); X's is the extreme
+    * half (⌊n/2⌋). Together with `fim_split` and `span_corruption`
+    * this completes the training-objectives family: the transforms
+    * exist, this is the mixture's capacity plan — how many
+    * loss-tokens per epoch each objective contributes at 100 TB.
+    *
+    * Scale: pure row-local draw + counts fused into the scan, then
+    * ONE (#sources × 3)-group aggregate; floor-div ppm.
+    */
+  def ul2Mix(spark: SparkSession, dir: String): DataFrame = {
+    val den = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("u"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(4L)
+    )
+    spanCorrFrame(spark, dir)
+      .select(
+        col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(corr, c -> c)) AS BIGINT)").as("n_corrupted"),
+        when(den < 2L, "R").when(den === 2L, "S").otherwise("X").as("denoiser")
+      )
+      .withColumn(
+        "loss_tokens",
+        when(col("denoiser") === "R", col("n_corrupted"))
+          .when(col("denoiser") === "S", expr("n_tokens DIV 4"))
+          .otherwise(expr("n_tokens DIV 2"))
+      )
+      .groupBy(col("source"), col("denoiser"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("loss_tokens")).as("loss_tokens")
+      )
+      .withColumn(
+        "loss_ppm",
+        expr(
+          "CAST(CAST(loss_tokens AS DECIMAL(38,0)) * 1000000 DIV GREATEST(n_tokens, 1) AS BIGINT)"
+        )
       )
   }
 

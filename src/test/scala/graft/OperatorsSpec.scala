@@ -6581,4 +6581,103 @@ class OperatorsSpec extends AnyFunSuite {
     // the two partitions are real: multiple clusters AND labels
     assert(r.getAs[Long]("n_clusters") > 1L && r.getAs[Long]("n_labels") > 1L)
   }
+
+  test("bpe vocab sweep: prefix replay matches a brute recompute and nests into bpe_encode") {
+    val merges = TextOps.bpeTrain(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val words = Tables.documents(spark, Sf0001).collect()
+      .flatMap(_.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val counts = words.groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    def baseSeq(w: String): String = " " + w.map(c => s"$c ").mkString.trim + " "
+    val got = TextOps.bpeVocabSweep(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("n_merges") -> r).toMap
+    assert(got.keySet === TextOps.BpeSweepKs.map(_.toLong).toSet)
+    var prevTokens = Long.MaxValue
+    TextOps.BpeSweepKs.foreach { k =>
+      val seqs = counts.keysIterator.map { w =>
+        val s = merges.take(k).foldLeft(baseSeq(w)) { case (cur, (_, a, b)) =>
+          val from = s" $a $b "
+          val to = s" $a$b "
+          cur.replace(from, to).replace(from, to).replace(from, to)
+        }
+        w -> s
+      }.toMap
+      val nLetters = counts.map { case (w, c) => c * w.length }.sum
+      val nTokens = counts.map { case (w, c) =>
+        c * seqs(w).trim.split(" ").count(_.nonEmpty)
+      }.sum
+      val nVocab = seqs.values.flatMap(_.trim.split(" ").filter(_.nonEmpty)).toSet.size.toLong
+      val r = got(k.toLong)
+      assert(r.getAs[Long]("n_letters") === nLetters, s"letters at k=$k")
+      assert(r.getAs[Long]("n_bpe_tokens") === nTokens, s"tokens at k=$k")
+      assert(r.getAs[Long]("n_vocab_symbols") === nVocab, s"vocab at k=$k")
+      assert(r.getAs[Long]("compression_ppm") === nTokens * 1000000L / nLetters)
+      // more merges can only merge: token mass is monotone non-increasing
+      assert(nTokens <= prevTokens)
+      prevTokens = nTokens
+    }
+    // the full-merge point nests into the bpe_encode per-source sheet
+    val enc = TextOps.bpeEncode(spark, Sf0001).collect()
+    val full = got(TextOps.BpeMerges.toLong)
+    assert(enc.map(_.getAs[Long]("n_letters")).sum === full.getAs[Long]("n_letters"))
+    assert(enc.map(_.getAs[Long]("n_bpe_tokens")).sum === full.getAs[Long]("n_bpe_tokens"))
+    // the sweep is non-degenerate: merges actually shrink the corpus
+    assert(got(TextOps.BpeSweepKs.head.toLong).getAs[Long]("n_bpe_tokens") >
+      full.getAs[Long]("n_bpe_tokens"))
+  }
+
+  test("ul2 mix: denoiser allocation and loss-token masses match a JVM recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("[^\\p{L}]+").filter(_.nonEmpty)))
+    case class Cell(var docs: Long = 0, var toks: Long = 0, var loss: Long = 0)
+    val brute = collection.mutable.Map[(String, String), Cell]()
+    docs.foreach { case (id, src, toks) =>
+      val n = toks.length
+      val starts = (0 until n).map(j => h60(s"$id:$j") % 14 == 0)
+      val lens = (0 until n).map(j => 1 + h60(s"$id;$j") % 3)
+      val nCorr = (0 until n).count { i =>
+        starts(i) ||
+          (i >= 1 && starts(i - 1) && lens(i - 1) >= 2) ||
+          (i >= 2 && starts(i - 2) && lens(i - 2) >= 3)
+      }.toLong
+      val den = h60(s"${id}u") % 4 match {
+        case 0 | 1 => "R"; case 2 => "S"; case _ => "X"
+      }
+      val loss = den match {
+        case "R" => nCorr; case "S" => n.toLong / 4; case _ => n.toLong / 2
+      }
+      val c = brute.getOrElseUpdate((src, den), Cell())
+      c.docs += 1; c.toks += n; c.loss += loss
+    }
+    val got = TextOps.ul2Mix(spark, Sf0001).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val c = brute((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_docs") === c.docs)
+      assert(r.getAs[Long]("n_tokens") === c.toks)
+      assert(r.getAs[Long]("loss_tokens") === c.loss,
+        s"loss ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getAs[Long]("loss_ppm") === c.loss * 1000000L / math.max(c.toks, 1L))
+    }
+    // the mixture is real: every denoiser class draws docs
+    Seq("R", "S", "X").foreach { d =>
+      assert(brute.keysIterator.exists(_._2 == d), s"denoiser $d never drawn")
+    }
+    // R's loss accounting is the SAME draw span_corruption gates
+    val spanByDoc = TextOps.spanCorruption(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_corrupted"))).toMap
+    val rLossExp = docs.collect {
+      case (id, _, _) if h60(s"${id}u") % 4 < 2 => spanByDoc(id)
+    }.sum
+    val rLossGot = got.filter(_.getString(1) == "R").map(_.getAs[Long]("loss_tokens")).sum
+    assert(rLossGot === rLossExp)
+  }
 }
