@@ -1640,6 +1640,57 @@ object Oracles7 {
        |FROM l GROUP BY source, denoiser""".stripMargin
   }
 
+  /** Mirrors MultimodalOps.mmAudioVad: the audioEnergy window frame,
+    * the self-normalizing activity cut (energy·n > total), island
+    * grouping for the longest active run, floor-div ppm.
+    */
+  val mmAudioVad: String =
+    s"""WITH fr AS (${Oracles4.audioEnergy}),
+       |t AS (SELECT media_id, COUNT(*) AS n_windows, SUM(energy) AS total
+       |      FROM fr GROUP BY media_id),
+       |a AS (SELECT fr.media_id, fr.win_idx,
+       |       (fr.energy * t.n_windows > t.total) AS act, t.n_windows
+       |      FROM fr JOIN t USING (media_id)),
+       |agg AS (SELECT media_id, MAX(n_windows) AS n_windows,
+       |         SUM(CASE WHEN act THEN 1 ELSE 0 END) AS n_active
+       |        FROM a GROUP BY media_id),
+       |runs AS (SELECT media_id, COUNT(*) AS rl FROM (
+       |  SELECT media_id, win_idx,
+       |   win_idx - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY win_idx) AS grp
+       |  FROM a WHERE act) GROUP BY media_id, grp),
+       |lr AS (SELECT media_id, MAX(rl) AS longest_run FROM runs GROUP BY media_id)
+       |SELECT agg.media_id, CAST(n_windows AS BIGINT) AS n_windows,
+       | CAST(n_active AS BIGINT) AS n_active,
+       | CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run,
+       | CAST(CAST(n_active AS HUGEINT) * 1000000 // n_windows AS BIGINT) AS active_ppm
+       |FROM agg LEFT JOIN lr USING (media_id)""".stripMargin
+
+  /** Mirrors LayoutOps.epochShuffleAudit: the same seeded-hash global
+    * order, LEAD adjacency, exact permutation expectation, one IEEE
+    * ratio.
+    */
+  val epochShuffleAudit: String =
+    """WITH h AS (SELECT doc_id, source,
+      |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'ep'), 1, 15))
+      |       AS UBIGINT) AS BIGINT) AS h
+      | FROM documents),
+      |r AS (SELECT source, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk FROM h),
+      |adj AS (SELECT COUNT(*) AS n_slots,
+      |        SUM(CASE WHEN source = next_source THEN 1 ELSE 0 END) AS observed_same
+      | FROM (SELECT source, LEAD(source) OVER (ORDER BY rnk) AS next_source FROM r)
+      | WHERE next_source IS NOT NULL),
+      |marg AS (SELECT SUM(n_s) AS n_docs, SUM(n_s * (n_s - 1)) AS sum_ns2
+      | FROM (SELECT COUNT(*) AS n_s FROM documents GROUP BY source))
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_slots AS BIGINT) AS n_slots,
+      | CAST(observed_same AS BIGINT) AS observed_same,
+      | CAST(sum_ns2 AS BIGINT) AS sum_ns2,
+      | CAST(CAST(observed_same AS HUGEINT) * 1000000 // n_slots AS BIGINT) AS observed_ppm,
+      | CAST(CAST(sum_ns2 AS HUGEINT) * 1000000
+      |      // (CAST(n_docs AS HUGEINT) * n_slots) AS BIGINT) AS expected_ppm,
+      | CAST(observed_same AS DOUBLE) * CAST(n_docs AS DOUBLE)
+      |   / CAST(sum_ns2 AS DOUBLE) AS clump_ratio
+      |FROM adj, marg""".stripMargin
+
   /** Mirrors TextOps.normalizeDedupGain: the same formatting-variant
     * injection (upper twin on doc_id%5=0, whitespace-mangled twin on
     * doc_id%7=3), then distinct-60-bit-fingerprint counts raw /

@@ -255,6 +255,8 @@ object SparkEntry {
     "cluster_rand_index" -> SimilarityOps.clusterRandIndex,
     "bpe_vocab_sweep" -> TextOps.bpeVocabSweep,
     "ul2_mix" -> TextOps.ul2Mix,
+    "mm_audio_vad" -> graft.sources.MultimodalOps.mmAudioVad,
+    "epoch_shuffle_audit" -> LayoutOps.epochShuffleAudit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -788,6 +790,8 @@ object SparkEntry {
     "cluster_rand_index" -> Oracles7.clusterRandIndex,
     "bpe_vocab_sweep" -> Oracles7.bpeVocabSweep,
     "ul2_mix" -> Oracles7.ul2Mix,
+    "mm_audio_vad" -> Oracles7.mmAudioVad,
+    "epoch_shuffle_audit" -> Oracles7.epochShuffleAudit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -162,4 +162,63 @@ object LayoutOps {
         |  CAST(CAST(hrw_moved AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)
         |) AS (scheme, n_docs, n_moved, moved_ppm)""".stripMargin))
   }
+
+  /** Epoch-shuffle QUALITY audit: order the corpus by a seeded 60-bit
+    * doc hash (the deterministic global shuffle a training run feeds
+    * its data loader) and measure source CLUMPING — the count of
+    * adjacent same-source pairs vs the exact expectation under a
+    * uniform random permutation, E = Σ_s n_s(n_s−1) / n over n−1
+    * slots. Consecutive same-source batches correlate gradients; this
+    * sheet is the certificate that the cheap hash shuffle actually
+    * mixes (clump_ratio ≈ 1), or the alarm that it doesn't, BEFORE a
+    * 100 TB epoch is laid out. All counts integer-exact; observed and
+    * expected ppm are floor-divs; the ratio is the one IEEE division.
+    *
+    * Scale: the global order comes from the RankOps range-partition
+    * ledger (exact global row_number with a partition-count-bounded
+    * driver collect — no single-task window), adjacency is a self
+    * equi-join on rank, and the marginals are one #sources aggregate.
+    */
+  def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("ep"))), 1, 15), 16, 10)
+      .cast("long")
+    val ranked = RankOps
+      .withGlobalRank(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), h.as("h")),
+        "rnk",
+        Seq(col("h"), col("doc_id"))
+      )
+      .select(col("rnk"), col("source"))
+      .localCheckpoint() // both sides of the adjacency join
+    val adj = ranked
+      .join(
+        ranked.select((col("rnk") - 1L).as("rnk"), col("source").as("next_source")),
+        Seq("rnk")
+      )
+      .agg(
+        count(lit(1)).as("n_slots"),
+        sum(when(col("source") === col("next_source"), 1L).otherwise(0L)).as("observed_same")
+      )
+    val marg = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .agg(sum(col("n_s")).as("n_docs"), sum(col("n_s") * (col("n_s") - 1L)).as("sum_ns2"))
+    adj
+      .crossJoin(broadcast(marg))
+      .select(
+        col("n_docs"),
+        col("n_slots"),
+        col("observed_same"),
+        col("sum_ns2"),
+        expr("CAST(CAST(observed_same AS DECIMAL(38,0)) * 1000000 DIV n_slots AS BIGINT)")
+          .as("observed_ppm"),
+        expr(
+          """CAST(CAST(sum_ns2 AS DECIMAL(38,0)) * 1000000
+            |     DIV (CAST(n_docs AS DECIMAL(38,0)) * n_slots) AS BIGINT)""".stripMargin
+        ).as("expected_ppm"),
+        (col("observed_same").cast("double") * col("n_docs").cast("double") /
+          col("sum_ns2").cast("double")).as("clump_ratio")
+      )
+  }
 }

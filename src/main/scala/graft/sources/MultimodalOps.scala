@@ -479,4 +479,52 @@ object MultimodalOps {
       }
       .toDF("media_id", "n_samples", "sample_rate", "abs_sum")
   }
+
+  /** Voice-activity-style gating over the audio window energies — the
+    * silence-trimming pass an audio curation pipeline runs before
+    * anything expensive touches a clip (keep speech-dense segments,
+    * drop dead air). A window is ACTIVE iff its energy exceeds its own
+    * media's mean, cross-multiplied (energy·n_windows > total) so the
+    * decision is integer-exact and self-normalizing — no corpus-level
+    * threshold to tune, and any media with two distinct window
+    * energies has both classes (structural non-vacuity). Reports per
+    * media the window count, active count, the LONGEST active run
+    * (the retained "speech segment" length), and active ppm.
+    *
+    * Scale: pure row-local column work — the window sums come from the
+    * codegen `ascii_window_sums` pass ([[audioEnergy]]'s kernel), the
+    * run-length fold walks the bounded per-media array; no shuffle at
+    * all. Media shorter than one window are skipped (no grid), like
+    * [[aHash]].
+    */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        graft.functions.VectorExpressions
+          .asciiWindowSums(col("text"), lit(AudioWinBytes)).as("es")
+      )
+      .filter(size(col("es")) >= 1)
+      .withColumn("n_windows", size(col("es")).cast("bigint"))
+      .withColumn("total", expr("aggregate(es, 0L, (a, x) -> a + x)"))
+      .withColumn("act", expr("transform(es, e -> e * n_windows > total)"))
+      .select(
+        col("media_id"),
+        col("n_windows"),
+        expr("CAST(size(filter(act, x -> x)) AS BIGINT)").as("n_active"),
+        expr(
+          """aggregate(act, named_struct('cur', 0L, 'best', 0L),
+            | (s, x) -> CASE WHEN x
+            |   THEN named_struct('cur', s.cur + 1L,
+            |                     'best', GREATEST(s.best, s.cur + 1L))
+            |   ELSE named_struct('cur', 0L, 'best', s.best) END).best""".stripMargin
+        ).as("longest_run")
+      )
+      .withColumn(
+        "active_ppm",
+        expr("CAST(CAST(n_active AS DECIMAL(38,0)) * 1000000 DIV n_windows AS BIGINT)")
+      )
+  }
 }

@@ -6680,4 +6680,59 @@ class OperatorsSpec extends AnyFunSuite {
     val rLossGot = got.filter(_.getString(1) == "R").map(_.getAs[Long]("loss_tokens")).sum
     assert(rLossGot === rLossExp)
   }
+
+  test("audio vad: self-normalized activity and longest runs match a brute byte recompute") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = graft.sources.MultimodalOps.mmAudioVad(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    var anyMixed = false
+    docs.foreach { case (id, text) =>
+      val nw = text.length / 64
+      if (nw >= 1) {
+        val es = (0 until nw).map(i =>
+          (0 until 64).map(j => text.charAt(i * 64 + j).toLong).sum)
+        val total = es.sum
+        val act = es.map(e => e * nw > total)
+        var cur = 0L; var best = 0L
+        act.foreach { a => if (a) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+        val r = got(id)
+        assert(r.getAs[Long]("n_windows") === nw.toLong)
+        assert(r.getAs[Long]("n_active") === act.count(identity).toLong, s"media $id")
+        assert(r.getAs[Long]("longest_run") === best, s"run media $id")
+        assert(r.getAs[Long]("active_ppm") === act.count(identity).toLong * 1000000L / nw)
+        if (act.exists(identity) && act.exists(!_)) anyMixed = true
+      } else assert(!got.contains(id), s"sub-window media $id must be skipped")
+    }
+    assert(got.size === docs.count(_._2.length >= 64))
+    // the self-normalizing cut separates: some media has BOTH classes
+    assert(anyMixed)
+  }
+
+  test("epoch shuffle audit: adjacency census matches a brute seeded-permutation recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.sortBy { case (id, _) => (h60(s"${id}ep"), id) }.map(_._2)
+    val n = ordered.length.toLong
+    val observed = ordered.sliding(2).count(p => p.length == 2 && p(0) == p(1)).toLong
+    val sumNs2 = docs.groupBy(_._2).values
+      .map(g => g.length.toLong * (g.length - 1)).sum
+    val r = LayoutOps.epochShuffleAudit(spark, Sf0001).collect().head
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("n_slots") === n - 1)
+    assert(r.getAs[Long]("observed_same") === observed)
+    assert(r.getAs[Long]("sum_ns2") === sumNs2)
+    assert(r.getAs[Long]("observed_ppm") === observed * 1000000L / (n - 1))
+    assert(r.getAs[Long]("expected_ppm") ===
+      BigInt(sumNs2) * 1000000 / (BigInt(n) * (n - 1)))
+    assert(r.getAs[Double]("clump_ratio") ===
+      observed.toDouble * n.toDouble / sumNs2.toDouble)
+    // the hash shuffle mixes: clumping exists but is not total
+    assert(observed > 0L && observed < n - 1)
+  }
 }
