@@ -499,8 +499,16 @@ object MultimodalOps {
     */
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    Tables
-      .documents(spark, dir)
+    vadProjection(Tables.documents(spark, dir))
+  }
+
+  /** The VAD gate as a reusable projection over (doc_id, text) — ONE
+    * definition, two transports: [[mmAudioVad]] and the ingest stream
+    * (`streaming.VadStream`) plan exactly these Columns. Caller must
+    * have registered the graft SQL functions (`ascii_window_sums`).
+    */
+  private[graft] def vadProjection(docs: DataFrame): DataFrame = {
+    docs
       .select(
         col("doc_id").as("media_id"),
         graft.functions.VectorExpressions

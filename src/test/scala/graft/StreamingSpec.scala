@@ -1216,4 +1216,37 @@ class StreamingSpec extends AnyFunSuite {
         "rules should fire on some docs and spare others")
     } finally q.stop()
   }
+
+  test("streaming vad gate: sliced ingest == batch mm_audio_vad row-for-row") {
+    // stateless map-only media gate: ANY slicing must reproduce the
+    // batch VAD projection exactly (shared windowing + cut Columns)
+    val tmp = java.nio.file.Files.createTempDirectory("vad-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.VadStream
+      .gated(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vad_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toSet
+      val streamed = key(spark.table("vad_stream").collect())
+      val batch = key(
+        graft.sources.MultimodalOps.mmAudioVad(spark, Sf0001).collect())
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // the gate discriminates at the edge: activity varies per media
+      assert(streamed.map(_._5).size > 1 || streamed.map(t => t._3).toSeq.distinct.size > 1)
+    } finally q.stop()
+  }
 }
