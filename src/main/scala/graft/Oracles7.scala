@@ -1640,6 +1640,64 @@ object Oracles7 {
        |FROM l GROUP BY source, denoiser""".stripMargin
   }
 
+  /** Mirrors TextOps.detectorBakeoff with the RELATIONAL formulation
+    * of all three detectors (GROUP BYs and gaps-and-islands instead
+    * of the Spark side's row-local sort/run folds) — two independent
+    * mechanisms, one hash compare.
+    */
+  val detectorBakeoff: String = {
+    def sel(name: String, flag: String): String =
+      s"""SELECT '$name' AS detector,
+         | CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+         | CAST(SUM(CASE WHEN planted THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+         | CAST(SUM(CASE WHEN planted AND $flag THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS detected_planted,
+         | CAST(SUM(CASE WHEN NOT planted AND $flag THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS flagged_clean,
+         | CAST(CAST(SUM(CASE WHEN planted AND $flag THEN 1 ELSE 0 END) AS HUGEINT)
+         |      * 1000000 // GREATEST(SUM(CASE WHEN planted THEN 1 ELSE 0 END), 1)
+         |      AS BIGINT) AS recall_ppm,
+         | CAST(CAST(SUM(CASE WHEN NOT planted AND $flag THEN 1 ELSE 0 END) AS HUGEINT)
+         |      * 1000000 // GREATEST(SUM(CASE WHEN planted THEN 0 ELSE 1 END), 1)
+         |      AS BIGINT) AS fp_ppm
+         |FROM f""".stripMargin
+    s"""WITH rep AS (
+       | SELECT doc_id,
+       |  text || CASE WHEN doc_id % 37 = 0 THEN repeat(' spark', 30) ELSE '' END AS text
+       | FROM documents),
+       |t AS (SELECT doc_id, doc_id % 37 = 0 AS planted,
+       |       list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+       |                   x -> x <> '') AS toks
+       |      FROM rep),
+       |g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+       |       i -> toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)])) AS g
+       |      FROM t),
+       |pd AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM
+       |       (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+       |       GROUP BY doc_id),
+       |pos AS (SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok FROM
+       |        (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)),
+       |runs AS (SELECT doc_id, MAX(cnt) AS maxrun FROM (
+       |  SELECT doc_id, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, tok, i,
+       |     i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+       |    FROM pos) GROUP BY doc_id, tok, grp) GROUP BY doc_id),
+       |dis AS (SELECT doc_id, COUNT(DISTINCT tok) AS nd, COUNT(*) AS nw
+       |        FROM pos GROUP BY doc_id),
+       |f AS (SELECT t.doc_id, t.planted,
+       |       COALESCE(pd.top_c, 0) * 5 > COALESCE(pd.n_grams, 0) AS f_top2gram,
+       |       COALESCE(runs.maxrun, 0) > 2 AS f_maxrun,
+       |       dis.nd * 5 < dis.nw AS f_distinct_ratio
+       |      FROM t LEFT JOIN pd USING (doc_id)
+       |       LEFT JOIN runs USING (doc_id)
+       |       JOIN dis USING (doc_id))
+       |${sel("top2gram", "f_top2gram")}
+       |UNION ALL
+       |${sel("maxrun", "f_maxrun")}
+       |UNION ALL
+       |${sel("distinct_ratio", "f_distinct_ratio")}""".stripMargin
+  }
+
   /** Mirrors MultimodalOps.mmAudioVad: the audioEnergy window frame,
     * the self-normalizing activity cut (energy·n > total), island
     * grouping for the longest active run, floor-div ppm.

@@ -257,6 +257,7 @@ object SparkEntry {
     "ul2_mix" -> TextOps.ul2Mix,
     "mm_audio_vad" -> graft.sources.MultimodalOps.mmAudioVad,
     "epoch_shuffle_audit" -> LayoutOps.epochShuffleAudit,
+    "detector_bakeoff" -> TextOps.detectorBakeoff,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -792,6 +793,7 @@ object SparkEntry {
     "ul2_mix" -> Oracles7.ul2Mix,
     "mm_audio_vad" -> Oracles7.mmAudioVad,
     "epoch_shuffle_audit" -> Oracles7.epochShuffleAudit,
+    "detector_bakeoff" -> Oracles7.detectorBakeoff,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

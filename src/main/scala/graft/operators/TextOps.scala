@@ -2264,6 +2264,89 @@ object TextOps {
       .reduce(_ unionAll _)
   }
 
+  /** Spam-detector BAKE-OFF over the repeated-phrase corpus
+    * ([[repDocs]]; planted spam = the %37 30-token runs): recall on
+    * the planted class and false-positive rate on the clean class for
+    * three published repetition detectors — the top-bigram share rule
+    * (Gopher, > 20%), the adjacent-token max-run rule
+    * (`repetition_stats`' max_run > 2), and the distinct-token ratio
+    * rule (distinct < 20% of tokens). The sheet quantifies the claim
+    * the n-gram family makes qualitatively: a PHRASE loop never
+    * repeats the same token twice in a row only when the phrase is
+    * multi-token, and barely dents the distinct ratio — so the cheap
+    * rules miss what the gram rule catches. This is how a pipeline
+    * owner picks (and prices) a detector before a 100 TB filter run.
+    *
+    * All three detectors are ROW-LOCAL here (the bigram max
+    * multiplicity via sort + run fold over the doc's own grams) —
+    * deliberately a different mechanism than the oracle's relational
+    * GROUP BYs, so the gate cross-verifies two independent
+    * formulations. One scan, one #detectors×2 aggregate, no
+    * corpus-sized shuffle.
+    */
+  def detectorBakeoff(spark: SparkSession, dir: String): DataFrame = {
+    val runBest = (arr: String) =>
+      s"""aggregate($arr,
+         | named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, 'best', 0L),
+         | (s, g) -> CASE WHEN s.prev IS NOT NULL AND g = s.prev
+         |   THEN named_struct('prev', g, 'cur', s.cur + 1L,
+         |                     'best', GREATEST(s.best, s.cur + 1L))
+         |   ELSE named_struct('prev', g, 'cur', 1L,
+         |                     'best', GREATEST(s.best, 1L)) END).best""".stripMargin
+    repDocs(spark, dir)
+      .select(
+        pmod(col("doc_id"), lit(37L)).equalTo(0L).as("planted"),
+        tokens(lower(col("text"))).as("toks")
+      )
+      .withColumn(
+        "grams",
+        expr(
+          """CASE WHEN size(toks) >= 2
+            | THEN transform(sequence(0, size(toks) - 2),
+            |   i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+            | ELSE array() END""".stripMargin
+        )
+      )
+      .withColumn("top2", expr(runBest("array_sort(grams)")))
+      .withColumn("maxrun", expr(runBest("toks")))
+      .select(
+        col("planted"),
+        (col("top2") * 5L > size(col("grams")).cast("bigint")).as("f_top2gram"),
+        (col("maxrun") > 2L).as("f_maxrun"),
+        (size(array_distinct(col("toks"))).cast("bigint") * 5L <
+          size(col("toks")).cast("bigint")).as("f_distinct_ratio")
+      )
+      .selectExpr(
+        "planted",
+        """stack(3,
+          | 'top2gram', f_top2gram,
+          | 'maxrun', f_maxrun,
+          | 'distinct_ratio', f_distinct_ratio) AS (detector, flagged)""".stripMargin
+      )
+      .groupBy(col("detector"))
+      .agg(
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(!col("planted"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("planted") && col("flagged"), 1L).otherwise(0L)).as("detected_planted"),
+        sum(when(!col("planted") && col("flagged"), 1L).otherwise(0L)).as("flagged_clean")
+      )
+      .select(
+        col("detector"),
+        col("n_planted"),
+        col("n_clean"),
+        col("detected_planted"),
+        col("flagged_clean"),
+        expr(
+          """CAST(CAST(detected_planted AS DECIMAL(38,0)) * 1000000
+            |     DIV GREATEST(n_planted, 1) AS BIGINT)""".stripMargin
+        ).as("recall_ppm"),
+        expr(
+          """CAST(CAST(flagged_clean AS DECIMAL(38,0)) * 1000000
+            |     DIV GREATEST(n_clean, 1) AS BIGINT)""".stripMargin
+        ).as("fp_ppm")
+      )
+  }
+
   /** Tokenizer fertility per LANGUAGE — the multilingual-fairness
     * readout of the learned BPE tokenizer (fertility = BPE tokens per
     * word occurrence, in ppm; letters-per-token as the inverse

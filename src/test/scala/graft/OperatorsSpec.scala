@@ -6735,4 +6735,53 @@ class OperatorsSpec extends AnyFunSuite {
     // the hash shuffle mixes: clumping exists but is not total
     assert(observed > 0L && observed < n - 1)
   }
+
+  test("detector bakeoff: recall/fp match a brute recompute; the gram rule catches what the cheap rules claim") {
+    val docs = TextOps.repDocs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    case class Cell(var np: Long = 0, var nc: Long = 0, var dp: Long = 0, var fc: Long = 0)
+    val brute = Map("top2gram" -> Cell(), "maxrun" -> Cell(), "distinct_ratio" -> Cell())
+    docs.foreach { case (id, text) =>
+      val ts = toks(text)
+      val planted = id % 37 == 0
+      val grams = if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      val topC = if (grams.isEmpty) 0L
+        else grams.groupBy(identity).valuesIterator.map(_.length.toLong).max
+      var cur = 0L; var maxrun = 0L; var prev: String = null
+      ts.foreach { t =>
+        if (t == prev) cur += 1 else cur = 1
+        prev = t; maxrun = math.max(maxrun, cur)
+      }
+      val flags = Map(
+        "top2gram" -> (topC * 5 > grams.length),
+        "maxrun" -> (maxrun > 2),
+        "distinct_ratio" -> (ts.distinct.length.toLong * 5 < ts.length)
+      )
+      flags.foreach { case (d, f) =>
+        val c = brute(d)
+        if (planted) { c.np += 1; if (f) c.dp += 1 }
+        else { c.nc += 1; if (f) c.fc += 1 }
+      }
+    }
+    val got = TextOps.detectorBakeoff(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (d, c) =>
+      val r = got(d)
+      assert(r.getAs[Long]("n_planted") === c.np)
+      assert(r.getAs[Long]("n_clean") === c.nc)
+      assert(r.getAs[Long]("detected_planted") === c.dp, s"recall of $d")
+      assert(r.getAs[Long]("flagged_clean") === c.fc, s"fp of $d")
+      assert(r.getAs[Long]("recall_ppm") === c.dp * 1000000L / math.max(c.np, 1L))
+      assert(r.getAs[Long]("fp_ppm") === c.fc * 1000000L / math.max(c.nc, 1L))
+    }
+    // the planted 30-token run is caught unconditionally by the gram
+    // and max-run rules; the distinct-ratio rule provably misses some
+    assert(brute("top2gram").dp === brute("top2gram").np)
+    assert(brute("maxrun").dp === brute("maxrun").np)
+    assert(brute("distinct_ratio").dp < brute("distinct_ratio").np)
+    assert(brute("top2gram").np > 0L)
+  }
 }
