@@ -1853,9 +1853,11 @@ object Oracles7 {
   }
 
   /** Mirrors TextOps.topNgramMass: the repeated-phrase corpus rebuilt
-    * from doc_id, space-joined n-grams at n ∈ {2,3,4}, per-doc top
-    * multiplicity vs total, the same cross-multiplied thresholds, and
-    * the doc spine restoring gram-less docs.
+    * from doc_id, 60-bit md5 hashes of the space-joined n-grams at
+    * n ∈ {2,3,4} (the `shingle_hashes` kernel identity — top 15 hex
+    * chars of md5, the KernelPropertySpec-proven equivalence), per-doc
+    * top multiplicity vs total, the same cross-multiplied thresholds,
+    * and the doc spine restoring gram-less docs.
     */
   val topNgramMass: String =
     """WITH rep AS (
@@ -1868,7 +1870,9 @@ object Oracles7 {
       |lv AS (SELECT unnest([2, 3, 4]) AS n),
       |g AS (SELECT doc_id, n,
       |       unnest(list_transform(range(len(toks) - (n - 1)),
-      |         i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + n AS INT)], ' '))) AS g
+      |         i -> CAST(CAST(concat('0x', substr(md5(
+      |                array_to_string(toks[CAST(i + 1 AS INT):CAST(i + n AS INT)], ' ')),
+      |                1, 15)) AS UBIGINT) AS BIGINT))) AS g
       |      FROM t CROSS JOIN lv),
       |pc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g),
       |pd AS (SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS n_grams FROM pc GROUP BY doc_id, n),

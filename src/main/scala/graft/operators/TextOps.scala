@@ -4571,11 +4571,16 @@ object TextOps {
     * width here); the cross-multiplied compare `top_c·10⁶ > thr·grams`
     * keeps the decision integer-exact.
     *
-    * Scale: the n-gram explode stays pipelined in the scan; the only
-    * shuffle is the (doc, n, gram) count (map-side combined), then a
-    * (doc, n) max — both key-bounded. The doc spine left-join restores
-    * docs shorter than n tokens as passing rows, so the sheet's n_docs
-    * is the corpus count, not the gram-bearing count.
+    * Scale: the n-gram explode stays pipelined in the scan and emits
+    * the codegen `shingle_hashes` kernel's 60-bit window hashes, NOT
+    * gram strings — the hashed-postings discipline: the only shuffle
+    * is a (doc, n, hash) count over LONG keys (map-side combined),
+    * then a (doc, n) max, both key-bounded. A 60-bit collision within
+    * one doc's ≤10⁶ grams is ~10⁻¹⁸ and gate-consistent anyway (the
+    * oracle counts the SAME md5 hashes; `hash_collision_audit` is the
+    * standing corpus-level check). The doc spine left-join restores
+    * docs shorter than n tokens as passing rows, so the sheet's
+    * n_docs is the corpus count, not the gram-bearing count.
     */
   def topNgramMass(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -4589,7 +4594,7 @@ object TextOps {
           array((2 to 4).map { n =>
             struct(
               lit(n.toLong).as("n"),
-              graft.functions.VectorExpressions.wordNgrams(col("toks"), lit(n)).as("gs")
+              graft.functions.VectorExpressions.shingleHashes(col("toks"), lit(n)).as("gs")
             )
           }: _*)
         ).as("lv")

@@ -6430,6 +6430,11 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("top ngram mass: brute per-doc top shares agree; planted runs trip all three levels") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
     val docs = TextOps.repDocs(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     def toks(t: String): Seq[String] =
@@ -6442,7 +6447,10 @@ class OperatorsSpec extends AnyFunSuite {
     docs.foreach { case (id, src, text) =>
       val ts = toks(text)
       (2 to 4).foreach { n =>
-        val grams = ts.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        // the production side counts the 60-bit kernel hashes of the
+        // space-joined windows — count the same hashes here
+        val grams = ts.sliding(n).filter(_.length == n)
+          .map(w => h60(w.mkString(" "))).toSeq
         val topC = if (grams.isEmpty) 0L
           else grams.groupBy(identity).valuesIterator.map(_.length.toLong).max
         val over = topC * 1000000L > thr(n) * grams.length
