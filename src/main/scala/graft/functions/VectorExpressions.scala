@@ -413,6 +413,41 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Per-row T5 span-corruption statistics + fingerprints
+    * ([[SpanCorruptKernel.stats]]; bit-identical to the retired
+    * three-pass higher-order `transform` construction, which as
+    * CodegenFallback lambdas broke whole-stage codegen in both
+    * consumers' scan stages). At 100 TB the masked-objective
+    * transform is a pure scan: this keeps it inside the generated
+    * loop for `span_corruption` AND `ul2_mix`.
+    */
+  case class SpanCorruptExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_corrupted", LongType, nullable = false),
+      StructField("n_spans", LongType, nullable = false),
+      StructField("masked_fp", LongType, nullable = false),
+      StructField("target_fp", LongType, nullable = false)
+    ))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "span_corrupt"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("span_corrupt", Seq(left.dataType, right.dataType),
+        Seq((_ == LongType, "bigint (doc_id)"),
+          ({ case ArrayType(StringType, _) => true; case _ => false },
+            "array<string> (tokens)")))
+
+    override def nullSafeEval(id: Any, a: Any): Any =
+      SpanCorruptKernel.stats(id.asInstanceOf[Long], a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (id, a) => s"graft.functions.SpanCorruptKernel.stats($id, $a)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class AsciiWindowSums(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -1009,6 +1044,11 @@ object VectorExpressions {
       exprs => HashgramScoreExpr(expect(1, "hashgram_score")(exprs).head),
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "span_corrupt",
+      exprs => { val e = expect(2, "span_corrupt")(exprs); SpanCorruptExpr(e(0), e(1)) },
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -1027,6 +1067,9 @@ object VectorExpressions {
   def shingleHashes(toks: Column, n: Column): Column = call_function("shingle_hashes", toks, n)
 
   def hashgramScore(toks: Column): Column = call_function("hashgram_score", toks)
+
+  def spanCorrupt(docId: Column, toks: Column): Column =
+    call_function("span_corrupt", docId, toks)
 
   def asciiWindowSums(s: Column, win: Column): Column =
     call_function("ascii_window_sums", s, win)

@@ -4263,65 +4263,52 @@ object TextOps {
     * fingerprints of the masked and target strings, so the exact
     * reordering/collapsing is oracle-checked.
     *
-    * Scale: a pure row-local projection (start/length arrays are
-    * computed ONCE per doc, the mask/target builders index into
-    * them); the lambdas are interpreted HOFs, so a production
-    * pipeline would fuse this into a codegen kernel like
-    * `hashgram_score` — at gate scale the per-token cost is two md5s.
+    * Scale: a pure row-local projection — the whole transform (draw,
+    * merge, counts, both fingerprints) is ONE generated-loop pass of
+    * the `span_corrupt` codegen kernel (the hashgram_score upgrade
+    * path, taken in round 7 once `ul2_mix` became a second consumer);
+    * the per-token cost is two md5s.
     */
-  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
-    val fp = (c: String) => s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
-    spanCorrFrame(spark, dir)
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorrStats(spark, dir)
       .select(
         col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        expr(
-          """CAST(size(filter(corr, c -> c)) AS BIGINT)"""
-        ).as("n_corrupted"),
-        expr(
-          """CAST(size(filter(transform(corr, (c, i) ->
-            |  c AND (i = 0 OR NOT element_at(corr, i))), x -> x)) AS BIGINT)""".stripMargin
-        ).as("n_spans"),
-        expr(
-          fp("""array_join(filter(transform(toks, (t, i) ->
-            |  CASE WHEN NOT element_at(corr, i + 1) THEN t
-            |       WHEN i = 0 OR NOT element_at(corr, i) THEN '<X>'
-            |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin)
-        ).as("masked_fp"),
-        expr(
-          fp("""array_join(filter(transform(toks, (t, i) ->
-            |  CASE WHEN element_at(corr, i + 1)
-            |       THEN CASE WHEN i = 0 OR NOT element_at(corr, i)
-            |                 THEN concat('<X> ', t) ELSE t END
-            |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ')""".stripMargin)
-        ).as("target_fp")
+        col("n_tokens"),
+        col("n_corrupted"),
+        col("k.n_spans").as("n_spans"),
+        col("k.masked_fp").as("masked_fp"),
+        col("k.target_fp").as("target_fp")
       )
       .withColumn(
         "corrupt_ppm",
         expr("CAST(CAST(n_corrupted AS DECIMAL(38,0)) * 1000000 DIV GREATEST(n_tokens, 1) AS BIGINT)")
       )
-  }
 
-  /** ONE definition of the span-corruption draw (doc_id, source,
-    * toks, corr) — shared by [[spanCorruption]] and [[ul2Mix]] so the
-    * R-denoiser's corrupted-token accounting cannot drift from the
-    * gate that proves the draw.
+  /** ONE definition of the span-corruption draw — the codegen
+    * `span_corrupt` kernel ([[graft.functions.SpanCorruptKernel]]:
+    * one generated-loop pass computes the position draws, the span
+    * merge, both fingerprints, and the counts; the previous three
+    * interpreted `transform` passes broke whole-stage codegen in both
+    * consumers' scans). Shared by [[spanCorruption]] and [[ul2Mix]]
+    * so the R-denoiser's corrupted-token accounting cannot drift from
+    * the gate that proves the draw.
     */
-  private[graft] def spanCorrFrame(spark: SparkSession, dir: String): DataFrame = {
-    val h = (salt: String, j: String) =>
-      s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '$salt',
-         |  CAST($j AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin
-    // corr(i): covered by a span starting at i, i-1 (len >= 2), or i-2 (len >= 3)
-    val corr = (i: String) =>
-      s"""(element_at(starts, $i + 1)
-         | OR ($i >= 1 AND element_at(starts, $i) AND element_at(lens, $i) >= 2)
-         | OR ($i >= 2 AND element_at(starts, $i - 1) AND element_at(lens, $i - 1) >= 3))""".stripMargin
+  private[graft] def spanCorrStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .withColumn("starts", expr(s"transform(toks, (t, i) -> ${h(":", "i")} % 14 = 0)"))
-      .withColumn("lens", expr(s"transform(toks, (t, i) -> 1 + ${h(";", "i")} % 3)"))
-      .withColumn("corr", expr(s"transform(toks, (t, i) -> ${corr("i")})"))
+      .withColumn(
+        "k",
+        graft.functions.VectorExpressions.spanCorrupt(col("doc_id"), col("toks"))
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("k.n_corrupted").as("n_corrupted"),
+        col("k")
+      )
   }
 
   /** UL2 mixture-of-denoisers ALLOCATION sheet (Tay et al. 2022):
@@ -4346,11 +4333,11 @@ object TextOps {
         .cast("long"),
       lit(4L)
     )
-    spanCorrFrame(spark, dir)
+    spanCorrStats(spark, dir)
       .select(
         col("source"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        expr("CAST(size(filter(corr, c -> c)) AS BIGINT)").as("n_corrupted"),
+        col("n_tokens"),
+        col("n_corrupted"),
         when(den < 2L, "R").when(den === 2L, "S").otherwise("X").as("denoiser")
       )
       .withColumn(

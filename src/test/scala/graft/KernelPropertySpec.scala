@@ -115,4 +115,48 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(graft.functions.HashgramKernel.score(arr(Array.empty[String])) === 0L)
   }
+
+  test("span_corrupt == three-pass HOF reference over random docs; empty doc fingerprints ''") {
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def ref(id: Long, toks: Array[String]): (Long, Long, Long, Long) = {
+      val n = toks.length
+      val starts = (0 until n).map(j => h60(s"$id:$j") % 14 == 0)
+      val lens = (0 until n).map(j => 1 + h60(s"$id;$j") % 3)
+      val corr = (0 until n).map { i =>
+        starts(i) ||
+          (i >= 1 && starts(i - 1) && lens(i - 1) >= 2) ||
+          (i >= 2 && starts(i - 2) && lens(i - 2) >= 3)
+      }
+      val nCorr = corr.count(identity).toLong
+      val nSpans = (0 until n).count(i => corr(i) && (i == 0 || !corr(i - 1))).toLong
+      val masked = (0 until n).flatMap { i =>
+        if (!corr(i)) Some(toks(i))
+        else if (i == 0 || !corr(i - 1)) Some("<X>")
+        else None
+      }.mkString(" ")
+      val target = (0 until n).flatMap { i =>
+        if (!corr(i)) None
+        else if (i == 0 || !corr(i - 1)) Some("<X> " + toks(i))
+        else Some(toks(i))
+      }.mkString(" ")
+      (nCorr, nSpans, h60(masked), h60(target))
+    }
+    (0 until 200).foreach { k =>
+      val id = rnd.nextLong() & Long.MaxValue
+      val toks = randToks(rnd.nextInt(40))
+      val row = graft.functions.SpanCorruptKernel
+        .stats(id, arr(toks))
+      val exp = ref(id, toks)
+      assert(row.getLong(0) === exp._1, s"n_corrupted id=$id k=$k")
+      assert(row.getLong(1) === exp._2, s"n_spans id=$id")
+      assert(row.getLong(2) === exp._3, s"masked_fp id=$id")
+      assert(row.getLong(3) === exp._4, s"target_fp id=$id")
+    }
+    val empty = graft.functions.SpanCorruptKernel.stats(7L, arr(Array.empty[String]))
+    assert(empty.getLong(0) === 0L)
+    assert(empty.getLong(1) === 0L)
+    assert(empty.getLong(2) === h60(""))
+    assert(empty.getLong(3) === h60(""))
+  }
 }
