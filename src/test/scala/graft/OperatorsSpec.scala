@@ -6296,6 +6296,29 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("round-7 continuation additions are partition-invariant: parallelism 2 vs 16") {
+    // the rule/gram sheets' per-source rollups, the clustering
+    // evaluation's quantized sums + per-cluster windows, the rank
+    // ledger behind the shuffle audit, the BPE prefix replay, and the
+    // kernel transforms must not bake the partition count into any
+    // value
+    val names = Seq("gopher_rules", "top_ngram_mass", "proto_prune",
+      "silhouette_sheet", "cluster_rand_index", "bpe_vocab_sweep", "ul2_mix",
+      "mm_audio_vad", "epoch_shuffle_audit", "detector_bakeoff")
+    def run(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+    }.toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("span corruption: merged spans, sentinel collapsing, and fingerprints match a JVM recompute") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
