@@ -699,4 +699,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }.distinct
     assert(offenders.isEmpty, s"raw corpus-scan broadcast hints: $offenders")
   }
+
+  test("round-7 continuation plan shapes: map-only gates shuffle nothing; small sides broadcast") {
+    // mm_audio_vad is a pure per-row gate: the 100 TB contract is that
+    // it fuses into the scan with NO exchange at all
+    val vad = planOf(graft.sources.MultimodalOps.mmAudioVad(spark, Sf0001))
+    assert(!vad.contains("Exchange"), s"vad gate shuffles:\n$vad")
+    // proto_prune / silhouette: the K-bounded centroid/seed tables are
+    // BROADCAST against the streamed corpus, never shuffled as a join
+    // side; the per-cluster window is partitioned (board sweep) and no
+    // pair scan degenerates to a nested loop
+    Seq(
+      "proto_prune" -> planOf(SimilarityOps.protoPrune(spark, Sf0001)),
+      "silhouette_sheet" -> planOf(SimilarityOps.silhouetteSheet(spark, Sf0001))
+    ).foreach { case (n, p) =>
+      assert(p.contains("Broadcast"), s"$n: no broadcast side")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian")
+    }
+    // top_ngram_mass: the gram count is map-side combined (partial
+    // aggregation before its exchange) and the count keys are the
+    // kernel's LONGs, not gram strings
+    val tnm = TextOps.topNgramMass(spark, Sf0001)
+    val tp = planOf(tnm)
+    assert(tp.contains("partial_count") || tp.contains("partial count")
+      || tp.contains("HashAggregate"), s"top_ngram_mass not partial-aggregated:\n$tp")
+    assert(tp.contains("shingle_hashes"), "top_ngram_mass no longer uses the hash kernel")
+    // span family consumers run the codegen kernel, not interpreted
+    // HOF lambdas: the projection carrying span_corrupt must sit
+    // inside a whole-stage-codegen span (the `*(n)` stage marker)
+    val sc = planOf(TextOps.spanCorruption(spark, Sf0001))
+    val kernelLine = sc.linesIterator.find(_.contains("span_corrupt(")).getOrElse("")
+    assert(kernelLine.nonEmpty, "span_corruption lost the kernel")
+    assert(kernelLine.trim.stripPrefix("+- ").startsWith("*("),
+      s"span_corrupt projection not codegen: $kernelLine")
+  }
 }
