@@ -1698,6 +1698,33 @@ object Oracles7 {
        |${sel("distinct_ratio", "f_distinct_ratio")}""".stripMargin
   }
 
+  /** Mirrors TextOps.crawlRevisitAudit: the same crawl-fetch union
+    * (base + changed + identical refetches), 60-bit url/text
+    * fingerprints, per-URL (fetches, distinct digests), source rollup.
+    */
+  val crawlRevisitAudit: String = {
+    def h(c: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
+    val url =
+      "'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || CAST(doc_id AS VARCHAR)"
+    s"""WITH cd AS (
+       | SELECT source, $url AS url, text FROM documents
+       | UNION ALL
+       | SELECT source, $url, text || ' updated' FROM documents WHERE doc_id % 11 = 0
+       | UNION ALL
+       | SELECT source, $url, text FROM documents WHERE doc_id % 13 = 0),
+       |g AS (SELECT source, ${h("url")} AS u, COUNT(*) AS f,
+       |       COUNT(DISTINCT ${h("text")}) AS d
+       |      FROM cd GROUP BY source, u)
+       |SELECT source, CAST(SUM(f) AS BIGINT) AS n_fetches,
+       | CAST(COUNT(*) AS BIGINT) AS n_urls,
+       | CAST(SUM(f - d) AS BIGINT) AS n_identical_revisits,
+       | CAST(SUM(d - 1) AS BIGINT) AS n_changed_revisits,
+       | CAST(CAST(SUM(f) - COUNT(*) AS HUGEINT) * 1000000 // SUM(f) AS BIGINT)
+       |   AS revisit_ppm
+       |FROM g GROUP BY source""".stripMargin
+  }
+
   /** Mirrors MultimodalOps.mmAudioVad: the audioEnergy window frame,
     * the self-normalizing activity cut (energy·n > total), island
     * grouping for the longest active run, floor-div ppm.

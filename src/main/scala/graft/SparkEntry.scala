@@ -258,6 +258,7 @@ object SparkEntry {
     "mm_audio_vad" -> graft.sources.MultimodalOps.mmAudioVad,
     "epoch_shuffle_audit" -> LayoutOps.epochShuffleAudit,
     "detector_bakeoff" -> TextOps.detectorBakeoff,
+    "crawl_revisit_audit" -> TextOps.crawlRevisitAudit,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -794,6 +795,7 @@ object SparkEntry {
     "mm_audio_vad" -> Oracles7.mmAudioVad,
     "epoch_shuffle_audit" -> Oracles7.epochShuffleAudit,
     "detector_bakeoff" -> Oracles7.detectorBakeoff,
+    "crawl_revisit_audit" -> Oracles7.crawlRevisitAudit,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -3328,6 +3328,76 @@ object TextOps {
       )
   }
 
+  /** The crawl-fetch corpus for the revisit audit (mirrored in the
+    * oracle CTE): every base doc is one fetch of its own URL
+    * (`http://site{id%7}.example.com/p{id}` — unique per doc), and two
+    * deterministic REVISIT classes are unioned in: docs with
+    * doc_id % 11 = 0 gain a changed-content refetch (id + 3·10⁹, same
+    * URL, text || ' updated') and docs with doc_id % 13 = 0 gain a
+    * byte-identical refetch (id + 4·10⁹) — the formattingNoisyDocs
+    * twin pattern applied to the crawl layer, so both revisit classes
+    * exist at every SF.
+    */
+  private[graft] def crawlDocs(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("http://site"),
+      pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".example.com/p"),
+      col("doc_id").cast("string")
+    )
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), url.as("url"), col("text"))
+    val changed = base
+      .filter(pmod(col("doc_id"), lit(11L)) === 0L)
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("source"), col("url"),
+        concat(col("text"), lit(" updated")).as("text"))
+    val identical = base
+      .filter(pmod(col("doc_id"), lit(13L)) === 0L)
+      .select((col("doc_id") + 4000000000L).as("doc_id"), col("source"), col("url"),
+        col("text"))
+    base.unionByName(changed).unionByName(identical)
+  }
+
+  /** Crawl-layer revisit audit — the URL-keyed dedup statistic a
+    * crawler computes BEFORE any content-level pass (CommonCrawl's
+    * digest dedup): per source, fetches vs distinct URLs, and the
+    * revisit mass split into byte-IDENTICAL refetches (pure waste —
+    * dropped by URL+digest alone) vs CHANGED content (the freshness
+    * signal; only a content-level near-dup pass can price how much of
+    * it is still redundant). The split is what decides whether the
+    * cheap crawl-layer dedup suffices or the expensive content passes
+    * must run — upstream of everything else on this board.
+    *
+    * Scale: fingerprints are 60-bit md5 longs (URL strings and text
+    * never shuffle past the first aggregate); two map-side-combined
+    * aggregates — (url_fp → fetch count, distinct content count) then
+    * the #sources rollup. Identical-revisit counting is exact: a URL
+    * with f fetches and d distinct digests has f − d identical
+    * refetches and d − 1 changed ones.
+    */
+  def crawlRevisitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fp = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    crawlDocs(spark, dir)
+      .select(col("source"), fp(col("url")).as("u"), fp(col("text")).as("t"))
+      .groupBy(col("source"), col("u"))
+      .agg(count(lit(1)).as("f"), countDistinct(col("t")).as("d"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("f")).as("n_fetches"),
+        count(lit(1)).as("n_urls"),
+        sum(col("f") - col("d")).as("n_identical_revisits"),
+        sum(col("d") - lit(1L)).as("n_changed_revisits")
+      )
+      .withColumn(
+        "revisit_ppm",
+        expr(
+          """CAST(CAST(n_fetches - n_urls AS DECIMAL(38,0)) * 1000000
+            |     DIV n_fetches AS BIGINT)""".stripMargin
+        )
+      )
+  }
+
   // ------------------------------------------------------ URL audits
 
   private[graft] val UrlRe = "https?://[a-z0-9.-]+/[a-z0-9]*"

@@ -6815,4 +6815,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute("distinct_ratio").dp < brute("distinct_ratio").np)
     assert(brute("top2gram").np > 0L)
   }
+
+  test("crawl revisit audit: fetch/digest split matches a brute recompute and the planted classes") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute: per (source, url) the fetch list with its content digests
+    case class Cell(var fetches: Long = 0, var urls: Long = 0,
+                    var ident: Long = 0, var changed: Long = 0)
+    val brute = collection.mutable.Map[String, Cell]()
+    docs.foreach { case (id, src, text) =>
+      val contents = Seq(text) ++
+        (if (id % 11 == 0) Seq(text + " updated") else Nil) ++
+        (if (id % 13 == 0) Seq(text) else Nil)
+      val f = contents.length.toLong
+      val d = contents.distinct.length.toLong
+      val c = brute.getOrElseUpdate(src, Cell())
+      c.fetches += f; c.urls += 1; c.ident += f - d; c.changed += d - 1
+    }
+    val got = TextOps.crawlRevisitAudit(spark, Sf0001).collect()
+    assert(got.length === brute.size)
+    got.foreach { r =>
+      val c = brute(r.getString(0))
+      assert(r.getAs[Long]("n_fetches") === c.fetches)
+      assert(r.getAs[Long]("n_urls") === c.urls)
+      assert(r.getAs[Long]("n_identical_revisits") === c.ident, s"${r.getString(0)}")
+      assert(r.getAs[Long]("n_changed_revisits") === c.changed)
+      assert(r.getAs[Long]("revisit_ppm") ===
+        (c.fetches - c.urls) * 1000000L / c.fetches)
+    }
+    // the planted classes account exactly: one identical refetch per
+    // %13 doc, one changed refetch per %11 doc
+    val ids = docs.map(_._1)
+    assert(got.map(_.getAs[Long]("n_identical_revisits")).sum ===
+      ids.count(_ % 13 == 0).toLong)
+    assert(got.map(_.getAs[Long]("n_changed_revisits")).sum ===
+      ids.count(_ % 11 == 0).toLong)
+    assert(ids.exists(_ % 13 == 0) && ids.exists(_ % 11 == 0))
+  }
 }
