@@ -6304,7 +6304,8 @@ class OperatorsSpec extends AnyFunSuite {
     // value
     val names = Seq("gopher_rules", "top_ngram_mass", "proto_prune",
       "silhouette_sheet", "cluster_rand_index", "bpe_vocab_sweep", "ul2_mix",
-      "mm_audio_vad", "epoch_shuffle_audit", "detector_bakeoff")
+      "mm_audio_vad", "epoch_shuffle_audit", "detector_bakeoff",
+      "crawl_revisit_audit")
     def run(): Map[String, Set[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
     }.toMap
