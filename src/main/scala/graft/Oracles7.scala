@@ -1698,6 +1698,46 @@ object Oracles7 {
        |${sel("distinct_ratio", "f_distinct_ratio")}""".stripMargin
   }
 
+  /** Mirrors TextOps.sftRenderMask: the same quarter-boundary 4-turn
+    * derivation, the same template markers, list slicing clamped the
+    * same way, array_to_string([]) = NULL coalesced to '' (the
+    * span_corruption seam), 60-bit render fingerprint.
+    */
+  val sftRenderMask: String = {
+    def joinS(sl: String): String =
+      s"COALESCE(array_to_string($sl, ' '), '')"
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks
+       | FROM documents),
+       |s AS (
+       | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST((len(toks) + 3) // 4 AS INT) AS q, toks
+       | FROM t),
+       |sl AS (
+       | SELECT doc_id, n_tokens,
+       |  toks[1 : q] AS u1,
+       |  toks[q + 1 : 2 * q] AS a1,
+       |  toks[2 * q + 1 : 3 * q] AS u2,
+       |  toks[3 * q + 1 : CAST(n_tokens AS INT)] AS a2
+       | FROM s)
+       |SELECT doc_id, n_tokens,
+       | CAST((CASE WHEN len(u1) > 0 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN len(a1) > 0 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN len(u2) > 0 THEN 1 ELSE 0 END) +
+       |      (CASE WHEN len(a2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
+       | CAST(len(a1) + len(a2) AS BIGINT) AS n_loss_tokens,
+       | CAST(CAST(concat('0x', substr(md5(
+       |   '<|user|> ' || ${joinS("u1")} ||
+       |   ' <|assistant|> ' || ${joinS("a1")} ||
+       |   ' <|user|> ' || ${joinS("u2")} ||
+       |   ' <|assistant|> ' || ${joinS("a2")}), 1, 15)) AS UBIGINT) AS BIGINT)
+       |   AS render_fp,
+       | CAST(CAST(len(a1) + len(a2) AS HUGEINT) * 1000000
+       |      // GREATEST(n_tokens, 1) AS BIGINT) AS loss_ppm
+       |FROM sl""".stripMargin
+  }
+
   /** Mirrors TextOps.crawlRevisitAudit: the same crawl-fetch union
     * (base + changed + identical refetches), 60-bit url/text
     * fingerprints, per-URL (fetches, distinct digests), source rollup.

@@ -259,6 +259,7 @@ object SparkEntry {
     "epoch_shuffle_audit" -> LayoutOps.epochShuffleAudit,
     "detector_bakeoff" -> TextOps.detectorBakeoff,
     "crawl_revisit_audit" -> TextOps.crawlRevisitAudit,
+    "sft_render_mask" -> TextOps.sftRenderMask,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -796,6 +797,7 @@ object SparkEntry {
     "epoch_shuffle_audit" -> Oracles7.epochShuffleAudit,
     "detector_bakeoff" -> Oracles7.detectorBakeoff,
     "crawl_revisit_audit" -> Oracles7.crawlRevisitAudit,
+    "sft_render_mask" -> Oracles7.sftRenderMask,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

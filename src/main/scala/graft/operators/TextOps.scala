@@ -3328,6 +3328,67 @@ object TextOps {
       )
   }
 
+  /** SFT chat-template rendering with role-masked LOSS accounting —
+    * the post-training data-prep transform every chat fine-tune runs
+    * (Ouyang et al. 2022 style: the rendered conversation trains with
+    * loss on ASSISTANT tokens only; user turns are context). Each doc
+    * derives a deterministic 4-turn dialog (user/assistant/user/
+    * assistant at quarter boundaries q = ⌈n/4⌉ — the synthesis
+    * pattern: no chat corpus exists, the discipline under test is the
+    * render + mask arithmetic), emits the rendered-string 60-bit
+    * fingerprint (so the oracle proves the EXACT template layout,
+    * marker placement and all), the loss-bearing token count (the two
+    * assistant slices), and the floor-div loss ppm — the capacity
+    * number an SFT run plans against, since context tokens cost
+    * compute but not gradient signal.
+    *
+    * Scale: pure row-local slicing + join — fuses into the ingest
+    * scan like fim_split; no shuffle at all.
+    */
+  def sftRenderMask(spark: SparkSession, dir: String): DataFrame =
+    sftRenderProjection(Tables.documents(spark, dir))
+
+  /** The SFT transform as a reusable projection over (doc_id, text) —
+    * ONE definition, two transports: the batch gate above and
+    * `streaming.SftStream` plan exactly these Columns.
+    */
+  private[graft] def sftRenderProjection(docs: DataFrame): DataFrame = {
+    val fp = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("q", expr("CAST((n_tokens + 3) DIV 4 AS INT)"))
+      .withColumn("u1", expr("slice(toks, 1, q)"))
+      .withColumn("a1", expr("slice(toks, q + 1, q)"))
+      .withColumn("u2", expr("slice(toks, 2 * q + 1, q)"))
+      .withColumn("a2",
+        expr("slice(toks, 3 * q + 1, CAST(GREATEST(n_tokens - 3 * q, 0L) AS INT))"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (size(col("u1")) > 0).cast("long")
+          .plus((size(col("a1")) > 0).cast("long"))
+          .plus((size(col("u2")) > 0).cast("long"))
+          .plus((size(col("a2")) > 0).cast("long")).as("n_turns"),
+        (size(col("a1")) + size(col("a2"))).cast("bigint").as("n_loss_tokens"),
+        fp(
+          concat(
+            lit("<|user|> "), array_join(col("u1"), " "),
+            lit(" <|assistant|> "), array_join(col("a1"), " "),
+            lit(" <|user|> "), array_join(col("u2"), " "),
+            lit(" <|assistant|> "), array_join(col("a2"), " ")
+          )
+        ).as("render_fp")
+      )
+      .withColumn(
+        "loss_ppm",
+        expr(
+          """CAST(CAST(n_loss_tokens AS DECIMAL(38,0)) * 1000000
+            |     DIV GREATEST(n_tokens, 1) AS BIGINT)""".stripMargin
+        )
+      )
+  }
+
   /** The crawl-fetch corpus for the revisit audit (mirrored in the
     * oracle CTE): every base doc is one fetch of its own URL
     * (`http://site{id%7}.example.com/p{id}` — unique per doc), and two

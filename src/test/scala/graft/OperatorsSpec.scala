@@ -6305,7 +6305,7 @@ class OperatorsSpec extends AnyFunSuite {
     val names = Seq("gopher_rules", "top_ngram_mass", "proto_prune",
       "silhouette_sheet", "cluster_rand_index", "bpe_vocab_sweep", "ul2_mix",
       "mm_audio_vad", "epoch_shuffle_audit", "detector_bakeoff",
-      "crawl_revisit_audit")
+      "crawl_revisit_audit", "sft_render_mask")
     def run(): Map[String, Set[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
     }.toMap
@@ -6852,5 +6852,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_changed_revisits")).sum ===
       ids.count(_ % 11 == 0).toLong)
     assert(ids.exists(_ % 13 == 0) && ids.exists(_ % 11 == 0))
+  }
+
+  test("sft render mask: template fingerprint and role-masked loss match a brute recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = TextOps.sftRenderMask(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+      val n = toks.length
+      val q = (n + 3) / 4
+      val u1 = toks.slice(0, q)
+      val a1 = toks.slice(q, 2 * q)
+      val u2 = toks.slice(2 * q, 3 * q)
+      val a2 = toks.slice(3 * q, n)
+      val render = "<|user|> " + u1.mkString(" ") +
+        " <|assistant|> " + a1.mkString(" ") +
+        " <|user|> " + u2.mkString(" ") +
+        " <|assistant|> " + a2.mkString(" ")
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") === n.toLong)
+      assert(r.getAs[Long]("n_turns") ===
+        Seq(u1, a1, u2, a2).count(_.nonEmpty).toLong)
+      assert(r.getAs[Long]("n_loss_tokens") === (a1.length + a2.length).toLong)
+      assert(r.getAs[Long]("render_fp") === h60(render), s"render mismatch doc $id")
+      assert(r.getAs[Long]("loss_ppm") ===
+        (a1.length + a2.length).toLong * 1000000L / math.max(n, 1))
+      // the mask is a real split: loss tokens exist and never exceed half
+      if (n >= 4) {
+        assert(a1.nonEmpty)
+        assert(2 * (a1.length + a2.length) <= n + 1)
+      }
+    }
   }
 }

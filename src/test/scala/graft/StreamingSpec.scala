@@ -1249,4 +1249,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.map(_._5).size > 1 || streamed.map(t => t._3).toSeq.distinct.size > 1)
     } finally q.stop()
   }
+
+  test("streaming sft render: sliced ingest == batch sft_render_mask row-for-row") {
+    // stateless map-only transform: ANY slicing must reproduce the
+    // batch rendered/masked records exactly (shared projection Columns)
+    val tmp = java.nio.file.Files.createTempDirectory("sft-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.SftStream
+      .rendered(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sft_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      }.toSet
+      val streamed = key(spark.table("sft_stream").collect())
+      val batch = key(
+        graft.operators.TextOps.sftRenderMask(spark, Sf0001).collect())
+      assert(streamed === batch)
+      // loss masks are live at the edge: some docs carry loss tokens
+      assert(streamed.exists(_._4 > 0L))
+    } finally q.stop()
+  }
 }
