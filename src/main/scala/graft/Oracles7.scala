@@ -1684,13 +1684,17 @@ object Oracles7 {
        |    FROM pos) GROUP BY doc_id, tok, grp) GROUP BY doc_id),
        |dis AS (SELECT doc_id, COUNT(DISTINCT tok) AS nd, COUNT(*) AS nw
        |        FROM pos GROUP BY doc_id),
+       |-- dis is LEFT-joined like pd/runs: a doc whose text tokenizes
+       |-- to ZERO tokens has no pos rows, and an inner join would drop
+       |-- it from n_planted/n_clean while the Spark side keeps it as an
+       |-- unflagged row (0*5 < 0 = false on both transports).
        |f AS (SELECT t.doc_id, t.planted,
        |       COALESCE(pd.top_c, 0) * 5 > COALESCE(pd.n_grams, 0) AS f_top2gram,
        |       COALESCE(runs.maxrun, 0) > 2 AS f_maxrun,
-       |       dis.nd * 5 < dis.nw AS f_distinct_ratio
+       |       COALESCE(dis.nd, 0) * 5 < COALESCE(dis.nw, 0) AS f_distinct_ratio
        |      FROM t LEFT JOIN pd USING (doc_id)
        |       LEFT JOIN runs USING (doc_id)
-       |       JOIN dis USING (doc_id))
+       |       LEFT JOIN dis USING (doc_id))
        |${sel("top2gram", "f_top2gram")}
        |UNION ALL
        |${sel("maxrun", "f_maxrun")}
@@ -2005,10 +2009,13 @@ object Oracles7 {
        |b AS (SELECT d.vec_id, MIN(d.dist_sq) AS b2
        |      FROM d JOIN asg USING (vec_id)
        |      WHERE d.seed_id <> asg.cluster GROUP BY d.vec_id),
+       |-- greatest(·,0) before sqrt mirrors the Spark clamp: dist_sq
+       |-- can round FP-negative for a vector ≈ its seed, and DuckDB's
+       |-- sqrt(<0) ABORTS where Spark would silently NaN.
        |s AS (SELECT asg.cluster,
-       |       CASE WHEN greatest(sqrt(asg.dist_sq), sqrt(b2)) = 0 THEN 0.0
-       |            ELSE (sqrt(b2) - sqrt(asg.dist_sq))
-       |                 / greatest(sqrt(asg.dist_sq), sqrt(b2)) END AS sil
+       |       CASE WHEN greatest(sqrt(greatest(asg.dist_sq, 0)), sqrt(greatest(b2, 0))) = 0 THEN 0.0
+       |            ELSE (sqrt(greatest(b2, 0)) - sqrt(greatest(asg.dist_sq, 0)))
+       |                 / greatest(sqrt(greatest(asg.dist_sq, 0)), sqrt(greatest(b2, 0))) END AS sil
        |      FROM asg JOIN b USING (vec_id)),
        |q AS (SELECT cluster, CAST(round(sil * 1000000.0) AS BIGINT) AS s_q FROM s)
        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,

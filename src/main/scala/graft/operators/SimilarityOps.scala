@@ -1441,8 +1441,13 @@ object SimilarityOps {
       .select(
         col("vec_id"),
         expr("da[0].cluster").as("cluster"),
-        expr("sqrt(da[0].dist_sq)").as("a"),
-        expr("sqrt(filter(da, x -> x.cluster != da[0].cluster)[0].dist_sq)").as("b")
+        // greatest(·, 0) before sqrt: dist_sq = vn2 + sn2 − 2·dot can
+        // round FP-negative for a vector ≈ its seed; unclamped, Spark
+        // yields NaN→null silently while DuckDB's sqrt(<0) ABORTS —
+        // the clamp (mirrored in the oracle) keeps both transports on
+        // the same, correct value (true distance 0).
+        expr("sqrt(greatest(da[0].dist_sq, 0d))").as("a"),
+        expr("sqrt(greatest(filter(da, x -> x.cluster != da[0].cluster)[0].dist_sq, 0d))").as("b")
       )
       .select(
         col("cluster"),
@@ -1475,13 +1480,20 @@ object SimilarityOps {
     * and ARI = 2·(index·total − sum_a·sum_b) /
     * (total·(sum_a + sum_b) − 2·sum_a·sum_b) as the ONE IEEE division
     * (its numerator can be negative — the floor-div dialect seam).
+    * ARI's factors are each cast to double BEFORE multiplying: the
+    * n⁴-scale BIGINT products (idx_pairs·total_pairs etc.) exceed
+    * 2⁶³ at only ~10⁵-10⁶ vectors, so integer products would wrap
+    * while the oracle's HUGEINT stays exact. In double the ARI
+    * degrades gracefully (53-bit mantissa on an O(1)-magnitude
+    * ratio) instead of wrapping.
     *
     * Scale: the corpus collapses to the (K × #labels)-bounded
     * contingency table in one map-side-combined aggregate; everything
     * after is arithmetic over ≤ K·L rows, joined as one-row
-    * broadcasts. Pair counts approach n²/2 ≈ 2⁶³ only past ~4e9 rows
-    * per side; past that the counts would move to DECIMAL(38,0) — the
-    * BIGINT form is documented for the 10⁹-doc regime.
+    * broadcasts. The exact-integer columns (idx_pairs/sum_a/sum_b/
+    * total_pairs, n²-scale) and the ri_ppm DECIMAL(38,0) floor-div
+    * stay exact to ~4e9 rows; ARI is IEEE past 2⁵³ pair counts by
+    * construction.
     */
   def clusterRandIndex(spark: SparkSession, dir: String): DataFrame = {
     // C(x,2) = x(x−1)/2: the product is even, so a right shift is the
@@ -1525,16 +1537,18 @@ object SimilarityOps {
       )
       .withColumn(
         "ari",
-        when(
-          col("total_pairs") * (col("sum_a") + col("sum_b"))
-            === lit(2L) * col("sum_a") * col("sum_b"),
-          lit(0.0)
-        ).otherwise(
-          (lit(2.0) * (col("idx_pairs") * col("total_pairs")
-            - col("sum_a") * col("sum_b")).cast("double")) /
-            (col("total_pairs") * (col("sum_a") + col("sum_b"))
-              - lit(2L) * col("sum_a") * col("sum_b")).cast("double")
-        )
+        {
+          // Each factor is cast to double BEFORE multiplying: the raw
+          // BIGINT products are n⁴-scale and would wrap past ~10⁵-10⁶
+          // vectors even though every factor itself fits comfortably.
+          val idx = col("idx_pairs").cast("double")
+          val tot = col("total_pairs").cast("double")
+          val sa = col("sum_a").cast("double")
+          val sb = col("sum_b").cast("double")
+          val den = tot * (sa + sb) - lit(2.0) * sa * sb
+          when(den === lit(0.0), lit(0.0))
+            .otherwise(lit(2.0) * (idx * tot - sa * sb) / den)
+        }
       )
   }
 }

@@ -2223,13 +2223,10 @@ object TextOps {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("seq", concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
-      .localCheckpoint()
-    val occ = Tables
-      .documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("word"))
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // ONE corpus pass shared by every k
+    // The occurrence counts ARE the type frequencies — reuse the
+    // checkpointed type table instead of re-aggregating the corpus.
+    val occ = types.select(col("word"), col("freq").as("cnt"))
     BpeSweepKs
       .map { k =>
         val seqK = merges.take(k).foldLeft(types) { case (cur, (_, a, b)) =>
