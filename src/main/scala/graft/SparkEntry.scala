@@ -260,6 +260,9 @@ object SparkEntry {
     "detector_bakeoff" -> TextOps.detectorBakeoff,
     "crawl_revisit_audit" -> TextOps.crawlRevisitAudit,
     "sft_render_mask" -> TextOps.sftRenderMask,
+    // round 8
+    "hybrid_rrf_topk" -> SimilarityOps.hybridRrfTopK,
+    "hybrid_recall" -> SimilarityOps.hybridRecall,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -798,6 +801,9 @@ object SparkEntry {
     "detector_bakeoff" -> Oracles7.detectorBakeoff,
     "crawl_revisit_audit" -> Oracles7.crawlRevisitAudit,
     "sft_render_mask" -> Oracles7.sftRenderMask,
+    // round 8
+    "hybrid_rrf_topk" -> Oracles8.hybridRrfTopK,
+    "hybrid_recall" -> Oracles8.hybridRecall,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

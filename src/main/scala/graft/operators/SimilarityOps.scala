@@ -1551,4 +1551,169 @@ object SimilarityOps {
         }
       )
   }
+
+  // ── Hybrid retrieval fusion (RRF) ──────────────────────────────────
+
+  /** Standard RRF damping constant (Cormack/Clarke/Buettcher 2009). */
+  val HybridRrfK0 = 60L
+
+  /** Lexical arm depth: retrieve 2×TopK candidates so fusion has
+    * lexical evidence below the semantic cut.
+    */
+  val HybridLexK = 10
+
+  /** Lexical retrieval arm for the hybrid fusion: per-query
+    * "more-like-this" BM25 — each query document's OWN distinct tokens
+    * are the query terms, every other document is scored by the same
+    * saturated-tf BM25 formulation as [[TextOps.bm25TopK]] (k1=1.2,
+    * b=0.75, log-free idf), and the per-query top-[[HybridLexK]] list
+    * is kept. Per-term scores are quantized to 1e-6 BEFORE the
+    * per-document sum (integer SUM is order-independent, so dynamic
+    * per-query term sets need no fixed-column pivot; the double s
+    * itself is bit-identical to the oracle's, as the bm25_topk gate
+    * established).
+    *
+    * Scale: the query slice is bounded ([[NumQueries]]) and BROADCAST;
+    * postings are screened by the broadcast term set map-side, so only
+    * matching-term postings shuffle, and df is aggregated over that
+    * screened subset (df is per-term, so the restriction loses
+    * nothing). With a production query load the screen gains a
+    * df cap — drop terms whose posting list exceeds a stopword
+    * threshold, exactly the rare-shingle discipline of
+    * `containmentPairs` — which bounds candidate volume by
+    * Σ_t min(df(t), cap). Memoized: the arm feeds both the fused list
+    * and the recall sheet.
+    */
+  private[graft] def hybridLexArm(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "hybrid_lex_arm")(hybridLexArmBuild(spark, dir))
+
+  private[graft] def hybridLexArmBuild(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.{Bm25B, Bm25K1}
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+      .localCheckpoint() // ONE corpus tokenization: postings + globals + query slice
+    val global = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val posting = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df AND the score join
+    val qterms = docs
+      .filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      .distinct()
+    val df = posting
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = posting
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id")) // self-match excluded, like ANN
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(global))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn(
+        "idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+      )
+      .withColumn(
+        "s",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl")))
+      )
+      .withColumn("s_q", expr("CAST(round(s * 1000000.0) AS BIGINT)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("lex_sq").desc, col("doc_id").asc)
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_q")).as("lex_sq"))
+      .withColumn("lex_rank", row_number().over(w).cast("bigint"))
+      .filter(col("lex_rank") <= HybridLexK)
+      .select(col("query_id"), col("doc_id"), col("lex_sq"), col("lex_rank"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 arm
+    * ([[hybridLexArm]]) and the semantic brute-force cosine arm (the
+    * shared `ann_topk_brute` ARTIFACT) over the shared doc/vec id
+    * universe (the `lexical_vs_semantic` bridge). Each arm contributes
+    * ⌊10⁶/(k₀+rank)⌋ with k₀=[[HybridRrfK0]] — integer floor-div per
+    * arm then integer sum, so the fused score is exact on both
+    * transports; a doc absent from an arm contributes 0 (rank columns
+    * report 0 for the absent arm). Top-[[TopK]] per query by
+    * (rrf_q desc, doc_id asc).
+    *
+    * Scale: PURE COMPOSITION over two memoized k-bounded artifacts —
+    * a (queries×k)-row full outer join plus one window; no corpus
+    * pass happens here at any SF.
+    */
+  def hybridRrfTopK(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "hybrid_rrf_topk")(hybridRrfTopKBuild(spark, dir))
+
+  private[graft] def hybridRrfTopKBuild(spark: SparkSession, dir: String): DataFrame = {
+    val lex = hybridLexArm(spark, dir).select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val sem = bruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("sem_rank"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_q").desc, col("doc_id").asc)
+    lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("lex_rank"),
+        col("sem_rank"),
+        // rrf from the RAW (nullable) ranks: an absent arm is a 0
+        // contribution, NOT rank 0
+        (coalesce(expr(s"1000000 DIV ($HybridRrfK0 + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($HybridRrfK0 + sem_rank)"), lit(0L))).as("rrf_q")
+      )
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        col("rrf_q")
+      )
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** Recall@[[TopK]] of the hybrid fused list and of the lexical arm
+    * alone, against the brute-force cosine truth — the eval row that
+    * prices what fusion buys over pure lexical retrieval (the
+    * semantic arm IS the truth here, so its own row would read 10⁶
+    * by construction and is omitted). Same sheet shape as
+    * [[annRecall]]; all inputs are memoized artifacts, zero corpus
+    * passes.
+    */
+  def hybridRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val a = approx.select(col("query_id"), col("neighbor_id"))
+      truth
+        .agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("n_approx"))))
+        .crossJoin(broadcast(
+          truth.join(a, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))))
+        .select(
+          lit(method).as("method"),
+          col("n_truth"),
+          col("n_approx"),
+          col("n_hits"),
+          expr("CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+            .as("recall_ppm")
+        )
+    }
+    row(
+      "lexical_arm",
+      hybridLexArm(spark, dir)
+        .filter(col("lex_rank") <= TopK)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+    ).unionAll(row(
+      "hybrid_rrf",
+      hybridRrfTopK(spark, dir).select(col("query_id"), col("doc_id").as("neighbor_id"))
+    ))
+  }
 }

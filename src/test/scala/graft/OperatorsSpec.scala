@@ -6892,4 +6892,72 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hybrid RRF: fused top-k matches a full JVM recompute of both arms") {
+    // independent recompute of BOTH retrieval arms (BM25 more-like-this
+    // with quantized per-term scores; brute cosine) and the integer RRF
+    // fusion — nothing is read back from the operator's intermediates
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)
+        .toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val nDocs = docs.length
+    val dl = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf: Map[Long, Map[String, Long]] =
+      docs.map { case (id, t) => id -> t.groupBy(identity).map { case (w, o) => w -> o.length.toLong } }.toMap
+    val dfAll: Map[String, Long] = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, o) => w -> o.length.toLong }
+    def lexList(qid: Long): Seq[(Long, Long)] = { // (doc_id, lex_sq) ranked, top 10
+      val terms = docs.find(_._1 == qid).get._2.distinct
+      docs.filter(_._1 != qid).flatMap { case (d, _) =>
+        val sq = terms.flatMap { t =>
+          tf(d).get(t).map { f =>
+            val df = dfAll(t).toDouble
+            val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+            val s = idf * (f.toDouble * (1.2 + 1.0)) /
+              (f.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl(d).toDouble / avgdl))
+            math.round(s * 1000000.0)
+          }
+        }.sum
+        if (sq == 0L && terms.forall(t => !tf(d).contains(t))) None else Some((d, sq))
+      }.sortBy { case (d, sq) => (-sq, d) }.take(10)
+    }
+    val emb = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def norm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    def semList(qid: Long): Seq[Long] = {
+      val q = emb.find(_._1 == qid).get._2
+      emb.filter(_._1 != qid).map { case (n, v) =>
+        val dot = q.zip(v).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble)
+        (n, dot / (norm(q) * norm(v)))
+      }.sortBy { case (n, s) => (-s, n) }.take(5).map(_._1).toSeq
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      val lex = lexList(qid).zipWithIndex.map { case ((d, _), i) => d -> (i + 1).toLong }.toMap
+      val sem = semList(qid).zipWithIndex.map { case (d, i) => d -> (i + 1).toLong }.toMap
+      (lex.keySet ++ sem.keySet).toSeq.map { d =>
+        val rrf = lex.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          sem.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (d, lex.getOrElse(d, 0L), sem.getOrElse(d, 0L), rrf)
+      }.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(5).zipWithIndex
+        .map { case ((d, lr, sr, rrf), i) => (qid, d, lr, sr, rrf, (i + 1).toLong) }
+    }.toSet
+    val got = SimilarityOps.hybridRrfTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.size === 25)
+    // recall sheet consistency against the same recompute
+    val truth = (0L until 5L).flatMap(q => semList(q).map(q -> _)).toSet
+    val lexTop = (0L until 5L).flatMap(q =>
+      lexList(q).take(5).map { case (d, _) => q -> d }).toSet
+    val fusedTop = expected.map { case (q, d, _, _, _, _) => q -> d }
+    val rec = SimilarityOps.hybridRecall(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rec("lexical_arm") === ((truth.size.toLong, lexTop.size.toLong,
+      (truth & lexTop).size.toLong, (truth & lexTop).size.toLong * 1000000L / truth.size)))
+    assert(rec("hybrid_rrf") === ((truth.size.toLong, fusedTop.size.toLong,
+      (truth & fusedTop).size.toLong, (truth & fusedTop).size.toLong * 1000000L / truth.size)))
+  }
 }
