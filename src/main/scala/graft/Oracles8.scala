@@ -111,4 +111,182 @@ object Oracles8 {
        | CAST((SELECT COUNT(*) FROM tr JOIN hy USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
        | CAST(CAST((SELECT COUNT(*) FROM tr JOIN hy USING (query_id, neighbor_id)) AS HUGEINT)
        |      * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
+
+  // ── Unigram-LM tokenizer twins ──────────────────────────────────
+
+  private val UInf = "4611686018427387904" // 2^62 — never a real cost
+
+  /** Pure-integer ⌊log₂ v⌋ via an unrolled binary search (no float
+    * log2 — floor(log2(2^k − 1)) rounds UP in IEEE near powers of
+    * two).
+    */
+  private def bitlenSql: String = {
+    var e = "(CASE WHEN v >= (CAST(1 AS BIGINT) << 32) THEN 32 ELSE 0 END)"
+    var acc = s"(v >> $e)"
+    for (s <- Seq(16, 8, 4, 2, 1)) {
+      val t = s"(CASE WHEN $acc >= (CAST(1 AS BIGINT) << $s) THEN $s ELSE 0 END)"
+      e = s"($e + $t)"
+      acc = s"($acc >> $t)"
+    }
+    e
+  }
+
+  /** TextOps.c64 as an unrolled CTE chain over `src`(piece, v):
+    * normalize to [2³⁰, 2³¹), then 6 square-and-shift steps — exact
+    * BIGINT, bit-identical to the driver-side Scala fold.
+    */
+  private def c64Chain(src: String, tag: String): String = {
+    val steps = (1 to 6)
+      .map { i =>
+        s"""s${i}_$tag AS (SELECT piece, b,
+           | f*2 + CASE WHEN y*y >= (CAST(1 AS BIGINT) << 61) THEN 1 ELSE 0 END AS f,
+           | CASE WHEN y*y >= (CAST(1 AS BIGINT) << 61) THEN (y*y) >> 31 ELSE (y*y) >> 30 END AS y
+           |FROM s${i - 1}_$tag)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""n_$tag AS (SELECT piece, v, $bitlenSql AS b FROM $src),
+       |s0_$tag AS (SELECT piece, b, CAST(0 AS BIGINT) AS f,
+       |  CASE WHEN b <= 30 THEN v << (30 - b) ELSE v >> (b - 30) END AS y FROM n_$tag),
+       |$steps,
+       |c64_$tag AS (SELECT piece, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
+  }
+
+  /** One Viterbi-EM round r: costs from uvocab$r (C64(total) −
+    * C64(cnt)), the Viterbi DP as a RECURSIVE CTE carrying a 3-state
+    * window (c0/p0 = best at pos, c1x/c2x = pos−1/pos−2) —
+    * deliberately a different mechanism than the Spark side's
+    * row-local array fold — then the freq-weighted M-step with
+    * unused-multi pruning and the single-char count floor.
+    * Tie-break matches the Spark CASE exactly: shortest piece wins.
+    */
+  private def emRound(r: Int): String =
+    s"""uvals$r AS (SELECT piece, cnt AS v FROM uvocab$r
+       |            UNION ALL SELECT '', CAST(SUM(cnt) AS BIGINT) FROM uvocab$r),
+       |${c64Chain(s"uvals$r", s"r$r")},
+       |ucost$r AS (SELECT a.piece, t.c64 - a.c64 AS c
+       |            FROM c64_r$r a, (SELECT c64 FROM c64_r$r WHERE piece = '') t
+       |            WHERE a.piece <> ''),
+       |um$r AS (SELECT map(list(piece), list(c)) AS mp FROM ucost$r),
+       |udp$r AS (
+       | SELECT word, freq, 0 AS pos,
+       |  CAST(0 AS BIGINT) AS c0, CAST([] AS VARCHAR[]) AS p0,
+       |  CAST($UInf AS BIGINT) AS c1x, CAST([] AS VARCHAR[]) AS p1x,
+       |  CAST($UInf AS BIGINT) AS c2x, CAST([] AS VARCHAR[]) AS p2x
+       | FROM ut
+       | UNION ALL
+       | SELECT word, freq, pos + 1,
+       |  CASE WHEN q1 <= least(q2, q3) THEN q1 WHEN q2 <= q3 THEN q2 ELSE q3 END,
+       |  CASE WHEN q1 <= least(q2, q3) THEN p0 || [s1]
+       |       WHEN q2 <= q3 THEN p1x || [s2] ELSE p2x || [s3] END,
+       |  c0, p0, c1x, p1x
+       | FROM (
+       |  SELECT word, freq, pos, c0, p0, c1x, p1x, c2x, p2x, s1, s2, s3,
+       |   c0 + COALESCE(mp[s1][1], $UInf) AS q1,
+       |   CASE WHEN pos >= 1 THEN c1x + COALESCE(mp[s2][1], $UInf) ELSE $UInf END AS q2,
+       |   CASE WHEN pos >= 2 THEN c2x + COALESCE(mp[s3][1], $UInf) ELSE $UInf END AS q3
+       |  FROM (
+       |   SELECT udp$r.*, mp,
+       |    substr(word, pos + 1, 1) AS s1,
+       |    CASE WHEN pos >= 1 THEN substr(word, pos, 2) ELSE '' END AS s2,
+       |    CASE WHEN pos >= 2 THEN substr(word, pos - 1, 3) ELSE '' END AS s3
+       |   FROM udp$r, um$r
+       |   WHERE pos < length(word)))),
+       |ufin$r AS (SELECT word, freq, c0 AS cost, p0 AS pieces FROM udp$r
+       |           WHERE pos = length(word)),
+       |umc$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |          FROM (SELECT freq, unnest(pieces) AS piece FROM ufin$r) GROUP BY piece),
+       |uvocab${r + 1} AS (
+       | SELECT c.piece, GREATEST(COALESCE(m.cnt, 0), 1) AS cnt
+       | FROM uchars c LEFT JOIN umc$r m USING (piece)
+       | UNION ALL
+       | SELECT piece, cnt FROM umc$r WHERE length(piece) >= 2)""".stripMargin
+
+  /** Mirrors TextOps.unigramFit end-to-end: type collapse, substring
+    * seeding with the (cnt DESC, piece ASC) top cut, and
+    * TextOps.UnigramRounds EM rounds. The DP windows hardcode piece
+    * length 3 — asserted against the Spark constant.
+    */
+  private def unigramChain: String = {
+    require(graft.operators.TextOps.UnigramMaxPieceLen == 3,
+      "oracle DP window is unrolled for MaxPieceLen=3")
+    require(graft.operators.TextOps.UnigramRounds == 2,
+      "oracle chain is unrolled for 2 EM rounds")
+    val L = graft.operators.TextOps.UnigramMaxPieceLen
+    val M = graft.operators.TextOps.UnigramSeedMulti
+    s"""ut AS (
+       | SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) AS word
+       |  FROM documents)
+       | GROUP BY word),
+       |usx AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM ut),
+       |usy AS (SELECT word, freq, i,
+       |        unnest(range(1, least($L, length(word) - i + 1) + 1)) AS l FROM usx),
+       |useed AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |          CAST(SUM(freq) AS BIGINT) AS cnt FROM usy GROUP BY piece),
+       |umulti AS (SELECT piece, cnt FROM useed WHERE length(piece) >= 2
+       |           ORDER BY cnt DESC, piece ASC LIMIT $M),
+       |uchars AS (SELECT piece, cnt FROM useed WHERE length(piece) = 1),
+       |uvocab1 AS (SELECT * FROM umulti UNION ALL SELECT * FROM uchars),
+       |${emRound(1)},
+       |${emRound(2)},
+       |uvals3 AS (SELECT piece, cnt AS v FROM uvocab3
+       |           UNION ALL SELECT '', CAST(SUM(cnt) AS BIGINT) FROM uvocab3),
+       |${c64Chain("uvals3", "r3")},
+       |ucost3 AS (SELECT a.piece, t.c64 - a.c64 AS c FROM c64_r3 a,
+       |           (SELECT c64 FROM c64_r3 WHERE piece = '') t WHERE a.piece <> '')""".stripMargin
+  }
+
+  /** Mirrors TextOps.unigramFitTable. */
+  val unigramFit: String =
+    s"""WITH RECURSIVE $unigramChain
+       |SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS piece_len,
+       | CAST(v.cnt AS BIGINT) AS cnt, CAST(c.c AS BIGINT) AS cost_c64
+       |FROM uvocab3 v JOIN ucost3 c USING (piece)""".stripMargin
+
+  /** Mirrors TextOps.unigramEncode: final-round segmentation,
+    * occurrence-weighted per source.
+    */
+  val unigramEncode: String =
+    s"""WITH RECURSIVE $unigramChain,
+       |uocc AS (
+       | SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  SELECT source,
+       |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1, 2),
+       |uenc AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_syms FROM ufin2)
+       |SELECT source,
+       | CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       | CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types,
+       | CAST(SUM(cnt * length(word)) AS BIGINT) AS n_letters,
+       | CAST(SUM(cnt * n_syms) AS BIGINT) AS n_unigram_tokens,
+       | CAST(CAST(SUM(cnt * n_syms) AS HUGEINT) * 1000000
+       |      // CAST(SUM(cnt * length(word)) AS BIGINT) AS BIGINT) AS compression_ppm
+       |FROM uocc JOIN uenc USING (word)
+       |GROUP BY source""".stripMargin
+
+  /** Mirrors TextOps.unigramVsBpe: both trained tokenizers' totals
+    * off their final type segmentations (BPE from the shared
+    * Oracles6.bpeChain r-last; unigram from ufin2/uvocab3).
+    */
+  val unigramVsBpe: String = {
+    val last = s"r${graft.operators.TextOps.BpeMerges}"
+    s"""WITH RECURSIVE ${Oracles6.bpeChain},
+       |$unigramChain,
+       |bstat AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n_letters,
+       |          CAST(SUM(freq * len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens
+       |          FROM $last),
+       |bvoc AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_vocab FROM
+       |         (SELECT unnest(string_split(trim(seq), ' ')) AS s FROM $last)),
+       |ustat AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n_letters,
+       |          CAST(SUM(freq * len(pieces)) AS BIGINT) AS n_tokens FROM ufin2),
+       |uvoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM uvocab3)
+       |SELECT 'bpe' AS family, n_vocab, n_letters, n_tokens,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
+       |FROM bstat, bvoc
+       |UNION ALL
+       |SELECT 'unigram' AS family, n_vocab, n_letters, n_tokens,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
+       |FROM ustat, uvoc""".stripMargin
+  }
 }

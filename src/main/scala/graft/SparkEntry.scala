@@ -263,6 +263,9 @@ object SparkEntry {
     // round 8
     "hybrid_rrf_topk" -> SimilarityOps.hybridRrfTopK,
     "hybrid_recall" -> SimilarityOps.hybridRecall,
+    "unigram_fit" -> TextOps.unigramFitTable,
+    "unigram_encode" -> TextOps.unigramEncode,
+    "unigram_vs_bpe" -> TextOps.unigramVsBpe,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -804,6 +807,9 @@ object SparkEntry {
     // round 8
     "hybrid_rrf_topk" -> Oracles8.hybridRrfTopK,
     "hybrid_recall" -> Oracles8.hybridRecall,
+    "unigram_fit" -> Oracles8.unigramFit,
+    "unigram_encode" -> Oracles8.unigramEncode,
+    "unigram_vs_bpe" -> Oracles8.unigramVsBpe,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -2388,6 +2388,259 @@ object TextOps {
       )
   }
 
+  // ── Unigram-LM tokenizer (SentencePiece-style Viterbi-EM) ─────────
+
+  val UnigramMaxPieceLen = 3
+  val UnigramSeedMulti = 48
+  val UnigramRounds = 2
+
+  /** Exact 1/64-bit fixed-point log₂ — C64(v) = 64·⌊log₂ v⌋ + 6
+    * fractional bits by shift-and-square (normalize v to [2³⁰, 2³¹),
+    * then 6 rounds of square-and-shift, each emitting one bit). Pure
+    * BIGINT arithmetic, so the driver here and the DuckDB oracle's
+    * unrolled CTE chain agree BIT-FOR-BIT with no transcendental
+    * anywhere in the gate — the unigram analogue of the board-wide
+    * "integer cross-multiplication instead of float ratios" rule
+    * (ln()/log2() differ across libm implementations in the last ulp,
+    * which a round() can amplify into a hash mismatch).
+    */
+  private[graft] def c64(v: Long): Long = {
+    require(v >= 1, s"c64 domain: $v")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var y = if (b <= 30) v << (30 - b) else v >> (b - 30)
+    var f = 0L
+    var i = 0
+    while (i < 6) {
+      val z = y * y
+      if (z >= (1L << 61)) { f = f * 2 + 1; y = z >> 31 }
+      else { f = f * 2; y = z >> 30 }
+      i += 1
+    }
+    64L * b + f
+  }
+
+  /** Quantized-Viterbi segmentation cost of `piece` under counts
+    * (cnt, total): C64(total) − C64(cnt) ≈ 64·log₂(total/cnt) — the
+    * negative log-probability in 1/64-bit units. Monotone and exact.
+    */
+  private def unigramCost(total: Long)(cnt: Long): Long = c64(total) - c64(cnt)
+
+  private val UnigramInf = 1L << 62
+
+  /** The per-word Viterbi DP as ONE row-local fold: state = array of
+    * (cost, pieces) structs for positions 0..j−1; step j appends the
+    * argmin over piece lengths 1..[[UnigramMaxPieceLen]] ending at j,
+    * ties preferring the SHORTEST piece (the l=1 branch tests first
+    * with <=). Runs over the TYPE table only — Heaps-bounded, never
+    * the corpus — with the vocab cost map as a broadcast literal
+    * (`cm`), so at 100 TB this is exactly tokenizer inference:
+    * memoized per distinct word, zero shuffles. The DuckDB twin is a
+    * deliberately DIFFERENT mechanism (a recursive CTE carrying a
+    * 3-state window) — two independent formulations, one hash compare.
+    */
+  private def unigramDpExpr: String = {
+    def q(l: Int): String = {
+      val core = s"element_at(st, j - ${l - 1}).cost + " +
+        s"coalesce(try_element_at(cm, substring(word, j - ${l - 1}, $l)), ${UnigramInf}L)"
+      if (l == 1) core else s"CASE WHEN j >= $l THEN $core ELSE ${UnigramInf}L END"
+    }
+    def pick(l: Int): String =
+      s"named_struct('cost', ${q(l)}, 'pieces', " +
+        s"element_at(st, j - ${l - 1}).pieces || array(substring(word, j - ${l - 1}, $l)))"
+    s"""element_at(
+       |  aggregate(
+       |    sequence(1, length(word)),
+       |    array(named_struct('cost', CAST(0 AS BIGINT), 'pieces', CAST(array() AS array<string>))),
+       |    (st, j) -> st || array(
+       |      CASE WHEN ${q(1)} <= least(${q(2)}, ${q(3)}) THEN ${pick(1)}
+       |           WHEN ${q(2)} <= ${q(3)} THEN ${pick(2)}
+       |           ELSE ${pick(3)} END)),
+       |  length(word) + 1)""".stripMargin
+  }
+
+  /** Unigram-LM tokenizer training, the second production tokenizer
+    * family beside [[bpeTrain]] — SentencePiece's algorithm with the
+    * same bounded-collect contract as the BPE fit:
+    *
+    *   1. the corpus collapses ONCE to the (word, freq) TYPE table;
+    *   2. SEED vocabulary = every substring of length ≤
+    *      [[UnigramMaxPieceLen]] counted with type frequency (the
+    *      frequent-substring seeding step), keeping the top
+    *      [[UnigramSeedMulti]] multi-char pieces by (cnt DESC, piece
+    *      ASC) plus ALL single characters (coverage guarantee);
+    *   3. [[UnigramRounds]] EM rounds as a driver loop: E-step =
+    *      quantized-Viterbi best segmentation of every word type under
+    *      the current piece costs ([[unigramDpExpr]]); M-step = piece
+    *      counts under those segmentations (one freq-weighted hash
+    *      agg), pruning multi-char pieces that went unused and flooring
+    *      single-char counts at 1 (coverage; SentencePiece's smoothing
+    *      plays this role). The piece table is the ONLY driver traffic
+    *      — vocab-bounded, the bpeFit merge-rule contract.
+    *
+    * Hard-EM (Viterbi) rather than full lattice forward-backward: the
+    * E-step posterior is collapsed to the argmax path — the standard
+    * scalable approximation, and the one whose arithmetic stays exact
+    * integer end-to-end (see [[c64]]).
+    */
+  private def unigramFit(
+      spark: SparkSession,
+      dir: String
+  ): (Seq[(String, Long)], DataFrame) = {
+    val types = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // ONE corpus pass; every round rides types
+
+    val seed = types
+      .select(col("word"), col("freq"), explode(expr("sequence(1, length(word))")).as("i"))
+      .select(
+        col("word"),
+        col("freq"),
+        col("i"),
+        explode(expr(s"sequence(1, least($UnigramMaxPieceLen, length(word) - i + 1))")).as("l")
+      )
+      .select(expr("substring(word, i, l)").as("piece"), col("freq"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint() // two consumers: multi top-k + the char slice
+    val multi = seed
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(UnigramSeedMulti)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val chars = seed
+      .filter(length(col("piece")) === 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val charSet = chars.map(_._1)
+
+    var vocab: Seq[(String, Long)] = multi ++ chars
+    var seg: DataFrame = null
+    for (_ <- 1 to UnigramRounds) {
+      val total = vocab.map(_._2).sum
+      val costMap = vocab.map { case (p, c) => p -> unigramCost(total)(c) }.toMap
+      seg = types
+        .withColumn("cm", typedLit(costMap))
+        .withColumn("fin", expr(unigramDpExpr))
+        .select(col("word"), col("freq"), col("fin.cost").as("cost"),
+          col("fin.pieces").as("pieces"))
+        .localCheckpoint() // feeds the M-step collect AND the readouts
+      val counts = seg
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece"))
+        .agg(sum(col("freq")).as("cnt"))
+        .collect() // vocab-bounded: only vocab pieces can appear
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toMap
+      vocab = charSet.map(c => (c, math.max(counts.getOrElse(c, 0L), 1L))) ++
+        counts.filter(_._1.length >= 2).toSeq
+    }
+    (vocab, seg)
+  }
+
+  /** The fit's two outputs as session ARTIFACTS (the bpeFitArtifacts
+    * pattern): the final piece table with counts and costs
+    * (vocab-bounded, one block) and the final per-word-type Viterbi
+    * segmentation — so `unigram_fit`, `unigram_encode` and
+    * `unigram_vs_bpe` share ONE training run.
+    */
+  private[graft] def unigramArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var fit: Option[(Seq[(String, Long)], DataFrame)] = None
+    def fitOnce() = { if (fit.isEmpty) fit = Some(unigramFit(spark, dir)); fit.get }
+    val pieces = Artifacts.memo(spark, dir, "unigram_pieces") {
+      val vocab = fitOnce()._1
+      val total = vocab.map(_._2).sum
+      vocab
+        .map { case (p, c) => (p, p.length.toLong, c, unigramCost(total)(c)) }
+        .toDF("piece", "piece_len", "cnt", "cost_c64")
+        .repartition(1) // vocab-bounded — one tiny block, not 32
+    }
+    val seg = Artifacts.memo(spark, dir, "unigram_seg")(fitOnce()._2)
+    (pieces, seg)
+  }
+
+  /** Gate readout: the learned unigram piece table — final M-step
+    * counts and the 1/64-bit costs the next round would use.
+    */
+  def unigramFitTable(spark: SparkSession, dir: String): DataFrame =
+    unigramArtifacts(spark, dir)._1
+
+  /** Unigram encoding of the corpus — per source, tokens-per-letter
+    * compression under the final Viterbi segmentation; rides the TYPE
+    * table exactly like [[bpeEncode]] (each distinct word segmented
+    * once; the corpus contributes only (source, word) counts).
+    */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = unigramArtifacts(spark, dir)._2
+      .select(col("word"), size(col("pieces")).cast("long").as("n_syms"))
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    occ
+      .join(enc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_word_occurrences"),
+        countDistinct(col("word")).as("n_word_types"),
+        sum(col("cnt") * length(col("word"))).as("n_letters"),
+        sum(col("cnt") * col("n_syms")).as("n_unigram_tokens")
+      )
+      .withColumn(
+        "compression_ppm",
+        expr("CAST(CAST(n_unigram_tokens AS DECIMAL(38,0)) * 1000000 DIV n_letters AS BIGINT)")
+      )
+  }
+
+  /** BPE vs unigram-LM on one sheet — realized vocabulary size, total
+    * corpus tokens and compression ppm for both trained tokenizers,
+    * each read from its session fit artifact (ZERO training re-runs
+    * here). THE table a pipeline owner reads before committing a
+    * tokenizer family; both fits see the identical type table, so the
+    * comparison is apples-to-apples.
+    */
+  def unigramVsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val bpeTypes = bpeFitArtifacts(spark, dir)._2
+      .select(
+        col("freq"),
+        length(col("word")).cast("long").as("wlen"),
+        split(trim(col("seq")), " ").as("syms")
+      )
+      .localCheckpoint() // feeds the totals AND the vocab count
+    val bAgg = bpeTypes.agg(
+      sum(col("freq") * col("wlen")).as("n_letters"),
+      sum(col("freq") * size(col("syms")).cast("long")).as("n_tokens")
+    )
+    val bVocab = bpeTypes
+      .select(explode(col("syms")).as("s"))
+      .agg(countDistinct(col("s")).as("n_vocab"))
+    val (pieces, seg) = unigramArtifacts(spark, dir)
+    val uAgg = seg.agg(
+      sum(col("freq") * length(col("word")).cast("long")).as("n_letters"),
+      sum(col("freq") * size(col("pieces")).cast("long")).as("n_tokens")
+    )
+    val uVocab = pieces.agg(count(lit(1)).as("n_vocab"))
+    def rowOf(fam: String, agg: DataFrame, voc: DataFrame): DataFrame =
+      agg
+        .crossJoin(broadcast(voc))
+        .select(
+          lit(fam).as("family"),
+          col("n_vocab"),
+          col("n_letters"),
+          col("n_tokens"),
+          expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_letters AS BIGINT)")
+            .as("compression_ppm")
+        )
+    rowOf("bpe", bAgg, bVocab).unionAll(rowOf("unigram", uAgg, uVocab))
+  }
+
   /** Term burstiness (the dispersion index var/mean over per-doc
     * counts, zeros included) for the top-20 corpus tokens — Church &
     * Gale's "burstiness": function words spread evenly (ratio ≈ 1 −

@@ -6960,4 +6960,85 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rec("hybrid_rrf") === ((truth.size.toLong, fusedTop.size.toLong,
       (truth & fusedTop).size.toLong, (truth & fusedTop).size.toLong * 1000000L / truth.size)))
   }
+
+  test("unigram-LM fit matches a full plain-Scala Viterbi-EM recompute") {
+    // c64 sanity first: within 2/64 bit of true log2 below the
+    // normalization cutoff, 3/64 above (one truncated shift), and
+    // monotone over a boundary-heavy sample
+    val sample = (Seq(1L, 2L, 3L, 7L, (1L << 30) - 1, 1L << 30, (1L << 30) + 1,
+      (1L << 45) - 1, 1L << 45, (1L << 52) + 12345) ++
+      (1 to 200).map(i => 1L + i.toLong * i * i * 31)).sorted
+    sample.foreach { v =>
+      val err = math.abs(TextOps.c64(v) - 64.0 * math.log(v.toDouble) / math.log(2.0))
+      assert(err <= (if (v < (1L << 31)) 2.0 else 3.0), s"c64($v) off by $err")
+    }
+    sample.zip(sample.tail).foreach { case (a, b) =>
+      assert(TextOps.c64(a) <= TextOps.c64(b))
+    }
+
+    // full fit recompute from raw documents with plain collections
+    val words = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val types: Map[String, Long] =
+      words.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    types.foreach { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(3, w.length - i))
+        seed.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    }
+    val multi = seed.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(TextOps.UnigramSeedMulti)
+    val chars = seed.filter(_._1.length == 1).toSeq
+    val charSet = chars.map(_._1)
+    def viterbi(word: String, cost: Map[String, Long]): List[String] = {
+      val INF = 1L << 62
+      val best = new Array[(Long, List[String])](word.length + 1)
+      best(0) = (0L, Nil)
+      for (j <- 1 to word.length) {
+        var sel: (Long, List[String]) = null
+        for (l <- 1 to math.min(3, j)) {
+          val piece = word.substring(j - l, j)
+          val q = cost.get(piece).map(_ + best(j - l)._1).getOrElse(INF)
+          if (sel == null || q < sel._1) sel = (q, best(j - l)._2 :+ piece)
+        }
+        best(j) = sel
+      }
+      best(word.length)._2
+    }
+    var vocab: Seq[(String, Long)] = multi ++ chars
+    var segs: Map[String, List[String]] = Map.empty
+    for (_ <- 1 to TextOps.UnigramRounds) {
+      val total = vocab.map(_._2).sum
+      val cost = vocab.map { case (p, c) => p -> (TextOps.c64(total) - TextOps.c64(c)) }.toMap
+      segs = types.keys.map(w => w -> viterbi(w, cost)).toMap
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      segs.foreach { case (w, ps) =>
+        ps.foreach(p => counts.updateWith(p)(c => Some(c.getOrElse(0L) + types(w))))
+      }
+      vocab = charSet.map(c => (c, math.max(counts.getOrElse(c, 0L), 1L))) ++
+        counts.filter(_._1.length >= 2).toSeq
+    }
+    val totalF = vocab.map(_._2).sum
+    val expected = vocab.map { case (p, c) =>
+      (p, p.length.toLong, c, TextOps.c64(totalF) - TextOps.c64(c))
+    }.toSet
+    val got = TextOps.unigramFitTable(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.exists(_._2 >= 2), "no multi-char piece survived EM")
+
+    // the segmentation artifact: pieces rebuild every word exactly,
+    // and match the recomputed Viterbi paths
+    val seg = TextOps.unigramArtifacts(spark, Sf0001)._2.collect()
+      .map(r => (r.getString(0), r.getSeq[String](3).toList)).toMap
+    assert(seg.keySet === types.keySet)
+    seg.foreach { case (w, ps) =>
+      assert(ps.mkString("") === w, s"pieces do not rebuild $w")
+      assert(ps === segs(w), s"segmentation mismatch for $w")
+    }
+    // unigram genuinely compresses: fewer pieces than characters overall
+    val nChars = types.map { case (w, f) => w.length * f }.sum
+    val nPieces = types.map { case (w, f) => segs(w).length * f }.sum
+    assert(nPieces < nChars)
+  }
 }
