@@ -112,6 +112,74 @@ object Oracles8 {
        | CAST(CAST((SELECT COUNT(*) FROM tr JOIN hy USING (query_id, neighbor_id)) AS HUGEINT)
        |      * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
 
+  // ── Preference-pair (DPO) twins ─────────────────────────────────
+
+  private def fp60(s: String): String =
+    s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  private def joinS(sl: String): String =
+    s"COALESCE(array_to_string($sl, ' '), '')"
+
+  /** Mirrors TextOps.dpoCorpus + dpoPairProjection: the %17 planted
+    * shared-prompt clones, half-split pair assembly, dual-branch SFT
+    * renders, and the degenerate flag.
+    */
+  private val dpoCtes: String =
+    s"""dcorp AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 5000000000 AS doc_id,
+       |  array_to_string(list_concat(toks[1:p],
+       |    list_transform(toks[p+1:CAST(n AS INT)], t -> t || 'x')), ' ') AS text
+       | FROM (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |   CAST((len(toks) + 1) // 2 AS INT) AS p
+       |  FROM (SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id % 17 = 0))),
+       |dtk AS (SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks
+       |        FROM dcorp),
+       |dpr AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, p,
+       |         toks[1:p] AS prompt,
+       |         toks[p+1:CAST(len(toks) AS INT)] AS resp
+       |        FROM (SELECT doc_id, toks, CAST((len(toks) + 1) // 2 AS INT) AS p FROM dtk)),
+       |dpairs AS (SELECT doc_id, n_tokens,
+       | CAST(p AS BIGINT) AS n_prompt_tokens,
+       | CAST(len(resp) AS BIGINT) AS n_response_tokens,
+       | ${fp60(joinS("prompt"))} AS prompt_fp,
+       | ${fp60(s"'<|user|> ' || ${joinS("prompt")} || ' <|assistant|> ' || ${joinS("resp")}")}
+       |   AS chosen_fp,
+       | ${fp60(s"'<|user|> ' || ${joinS("prompt")} || ' <|assistant|> ' || ${joinS("list_reverse(resp)")}")}
+       |   AS rejected_fp,
+       | CAST(CASE WHEN ${joinS("resp")} = ${joinS("list_reverse(resp)")} THEN 1 ELSE 0 END AS BIGINT)
+       |   AS is_degenerate
+       |FROM dpr)""".stripMargin
+
+  val dpoPairs: String =
+    s"""WITH $dpoCtes
+       |SELECT doc_id, n_tokens, n_prompt_tokens, n_response_tokens,
+       | prompt_fp, chosen_fp, rejected_fp, is_degenerate
+       |FROM dpairs""".stripMargin
+
+  /** Mirrors TextOps.dpoLeakage: exact shared-prompt pairs across the
+    * md5 80/10/10 split assignment.
+    */
+  val dpoLeakage: String = {
+    def splitCase(idCol: String): String =
+      s"""CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
+         |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
+         |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH $dpoCtes,
+       |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM dpairs a JOIN dpairs b
+       |        ON a.prompt_fp = b.prompt_fp AND a.doc_id < b.doc_id)
+       |SELECT ${splitCase("doc_a")} AS split_a, ${splitCase("doc_b")} AS split_b,
+       | COUNT(*) AS n_pairs
+       |FROM pp GROUP BY 1, 2""".stripMargin
+  }
+
   // ── Unigram-LM tokenizer twins ──────────────────────────────────
 
   private val UInf = "4611686018427387904" // 2^62 — never a real cost

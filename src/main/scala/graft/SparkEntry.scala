@@ -266,6 +266,8 @@ object SparkEntry {
     "unigram_fit" -> TextOps.unigramFitTable,
     "unigram_encode" -> TextOps.unigramEncode,
     "unigram_vs_bpe" -> TextOps.unigramVsBpe,
+    "dpo_pairs" -> TextOps.dpoPairs,
+    "dpo_leakage" -> TextOps.dpoLeakage,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -810,6 +812,8 @@ object SparkEntry {
     "unigram_fit" -> Oracles8.unigramFit,
     "unigram_encode" -> Oracles8.unigramEncode,
     "unigram_vs_bpe" -> Oracles8.unigramVsBpe,
+    "dpo_pairs" -> Oracles8.dpoPairs,
+    "dpo_leakage" -> Oracles8.dpoLeakage,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -3639,6 +3639,110 @@ object TextOps {
       )
   }
 
+  // ── Preference-pair (DPO/RLHF) data prep ──────────────────────────
+
+  /** The preference corpus for the DPO prep (mirrored in the oracle
+    * CTE): every base doc plus, for doc_id % 17 = 0, a PLANTED clone
+    * (id + 5·10⁹) whose PROMPT half is token-identical to the base
+    * but whose response tokens are 'x'-suffixed — the shared-prompt
+    * contamination class the leakage audit must catch, derived from
+    * doc_id residues so the gate is non-vacuous at every SF (the
+    * crawlDocs twin pattern applied to post-training prep). The clone
+    * text is rebuilt from the LOWERED letter tokens, so re-tokenizing
+    * it yields exactly (prompt ++ suffixed-response).
+    */
+  private[graft] def dpoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val clones = base
+      .filter(pmod(col("doc_id"), lit(17L)) === 0L)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p", expr("CAST((n + 1) DIV 2 AS INT)"))
+      .select(
+        (col("doc_id") + 5000000000L).as("doc_id"),
+        expr(
+          """array_join(concat(slice(toks, 1, p),
+            |  transform(slice(toks, p + 1, CAST(GREATEST(n - p, 0) AS INT)),
+            |            t -> concat(t, 'x'))), ' ')""".stripMargin
+        ).as("text")
+      )
+    base.unionByName(clones)
+  }
+
+  /** The DPO pair-assembly transform as a reusable projection over
+    * (doc_id, text) — ONE definition, two transports (batch gate +
+    * `streaming.DpoStream`), the sftRenderProjection contract.
+    *
+    * Each doc derives a deterministic preference TRIPLE (the synthesis
+    * pattern — no preference corpus exists; the discipline under test
+    * is pair assembly, dual-branch rendering, and degenerate-pair
+    * accounting): prompt = first ⌈n/2⌉ tokens, CHOSEN response = the
+    * remaining tokens, REJECTED response = the chosen tokens REVERSED
+    * (deterministic, length-preserving, content-matched — the
+    * hardest-negative shape). Both branches render through the SFT
+    * chat template and emit 60-bit fingerprints; `prompt_fp` is the
+    * pair-level near-dup/leakage key; `is_degenerate` marks pairs
+    * whose two branches coincide (responses of ≤ 1 token or palindrome
+    * order) — pairs a DPO loader drops because they carry zero
+    * preference signal.
+    *
+    * Scale: pure row-local slicing + fingerprints in the scan stage —
+    * the fim_split/sft shape, no shuffle at all.
+    */
+  private[graft] def dpoPairProjection(docs: DataFrame): DataFrame = {
+    val fp = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("p", expr("CAST((n_tokens + 1) DIV 2 AS INT)"))
+      .withColumn("prompt", expr("slice(toks, 1, p)"))
+      .withColumn("resp",
+        expr("slice(toks, p + 1, CAST(GREATEST(n_tokens - p, 0L) AS INT))"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("p").cast("bigint").as("n_prompt_tokens"),
+        size(col("resp")).cast("bigint").as("n_response_tokens"),
+        fp(array_join(col("prompt"), " ")).as("prompt_fp"),
+        fp(
+          concat(lit("<|user|> "), array_join(col("prompt"), " "),
+            lit(" <|assistant|> "), array_join(col("resp"), " "))
+        ).as("chosen_fp"),
+        fp(
+          concat(lit("<|user|> "), array_join(col("prompt"), " "),
+            lit(" <|assistant|> "), array_join(reverse(col("resp")), " "))
+        ).as("rejected_fp"),
+        (array_join(col("resp"), " ") === array_join(reverse(col("resp")), " "))
+          .cast("long").as("is_degenerate")
+      )
+  }
+
+  /** Gate query: the assembled preference pairs over [[dpoCorpus]]. */
+  def dpoPairs(spark: SparkSession, dir: String): DataFrame =
+    dpoPairProjection(dpoCorpus(spark, dir))
+
+  /** Pair-level LEAKAGE audit — the `split_leakage` discipline applied
+    * to preference data: two pairs sharing a PROMPT across the
+    * train/val/test assignment contaminate the eval (the model saw the
+    * test prompt's chosen answer in training). Mechanism: exact
+    * prompt-fingerprint self-join (60-bit keys shuffle, strings never
+    * do; a<b canonical orientation), bucketed by [[splitExpr]] of both
+    * ends — off-diagonal cells are the leak. The planted %17 clones
+    * guarantee shared prompts exist at every SF. At 100 TB the exact
+    * pass widens to the near-dup prompt graph by riding the minhash
+    * artifact keyed on prompt text — same matrix, same join shape.
+    */
+  def dpoLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pf = dpoPairs(spark, dir).select(col("doc_id"), col("prompt_fp"))
+    val a = pf.select(col("prompt_fp"), col("doc_id").as("doc_a"))
+    val b = pf.select(col("prompt_fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("prompt_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(splitExpr(col("doc_a")).as("split_a"), splitExpr(col("doc_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The crawl-fetch corpus for the revisit audit (mirrored in the
     * oracle CTE): every base doc is one fetch of its own URL
     * (`http://site{id%7}.example.com/p{id}` — unique per doc), and two

@@ -7041,4 +7041,68 @@ class OperatorsSpec extends AnyFunSuite {
     val nPieces = types.map { case (w, f) => segs(w).length * f }.sum
     assert(nPieces < nChars)
   }
+
+  test("dpo pairs: planted shared-prompt clones leak and the audit prices them exactly") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def split(id: Long): String = {
+      val b = (h60(id.toString) % 100).toInt
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // brute recompute of every pair row over the planted corpus
+    val base = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)
+        .toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val corpus = base ++ base.filter(_._1 % 17 == 0).map { case (id, t) =>
+      val p = ((t.length + 1) / 2)
+      (id + 5000000000L, t.take(p) ++ t.drop(p).map(_ + "x"))
+    }
+    val expected = corpus.map { case (id, t) =>
+      val p = (t.length + 1) / 2
+      val prompt = t.take(p).mkString(" ")
+      val resp = t.drop(p)
+      val chosen = s"<|user|> $prompt <|assistant|> ${resp.mkString(" ")}"
+      val rejected = s"<|user|> $prompt <|assistant|> ${resp.reverse.mkString(" ")}"
+      (id, t.length.toLong, p.toLong, resp.length.toLong, h60(prompt),
+        h60(chosen), h60(rejected),
+        if (resp.mkString(" ") == resp.reverse.mkString(" ")) 1L else 0L)
+    }.toSet
+    val got = TextOps.dpoPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got === expected)
+    // every planted clone shares its base's prompt fingerprint, and
+    // every non-degenerate pair genuinely has two distinct branches
+    val byId = expected.map(t => t._1 -> t._5).toMap
+    val clones = base.filter(_._1 % 17 == 0).map(_._1)
+    assert(clones.nonEmpty)
+    clones.foreach(id => assert(byId(id) === byId(id + 5000000000L)))
+    expected.filter(_._8 == 0L).foreach(t => assert(t._6 !== t._7))
+    // the leakage matrix equals a brute pair count over fp groups
+    val matrix = scala.collection.mutable.Map.empty[(String, String), Long]
+    expected.toSeq.map(t => (t._1, t._5)).groupBy(_._2).values.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        matrix.updateWith((split(ids(i)), split(ids(j))))(c => Some(c.getOrElse(0L) + 1L))
+    }
+    val gotM = TextOps.dpoLeakage(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotM === matrix.toMap)
+    assert(gotM.values.sum >= clones.length.toLong, "planted leaks missing")
+
+    // degenerate detection on constructed cases via the shared projection
+    import spark.implicits._
+    val synth = Seq((1L, "alpha beta"), (2L, "alpha beta gamma delta"),
+      (3L, "aa bb cc cc"), (4L, "solo")).toDF("doc_id", "text")
+    val proj = TextOps.dpoPairProjection(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(7), r.getLong(5), r.getLong(6))).toMap
+    assert(proj(1L)._1 === 1L) // 1-token response: reversed == itself
+    assert(proj(2L)._1 === 0L) // real pair
+    assert(proj(2L)._2 !== proj(2L)._3)
+    assert(proj(3L)._1 === 1L) // palindrome response order [cc, cc]
+    assert(proj(4L)._1 === 1L) // empty response (p = n = 1)
+  }
 }

@@ -1282,4 +1282,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exists(_._4 > 0L))
     } finally q.stop()
   }
+
+  test("streaming dpo assembly: sliced ingest == batch pair projection row-for-row") {
+    // stateless map-only transform (#25): ANY slicing must reproduce
+    // the batch-assembled preference triples exactly (shared
+    // projection Columns — TextOps.dpoPairProjection)
+    val tmp = java.nio.file.Files.createTempDirectory("dpo-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.DpoStream
+      .pairs(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dpo_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      }.toSet
+      val streamed = key(spark.table("dpo_stream").collect())
+      val batch = key(graft.operators.TextOps
+        .dpoPairProjection(graft.operators.Tables.documents(spark, Sf0001))
+        .collect())
+      assert(streamed === batch)
+      // both branches are live at the edge: chosen != rejected for
+      // every non-degenerate pair
+      assert(streamed.exists(t => t._8 == 0L && t._6 != t._7))
+      assert(streamed.filter(_._8 == 0L).forall(t => t._6 != t._7))
+    } finally q.stop()
+  }
 }
