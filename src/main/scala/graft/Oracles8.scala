@@ -112,6 +112,108 @@ object Oracles8 {
        | CAST(CAST((SELECT COUNT(*) FROM tr JOIN hy USING (query_id, neighbor_id)) AS HUGEINT)
        |      * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
 
+  // ── DCT pHash twins ─────────────────────────────────────────────
+
+  /** The fixed-point DCT basis as a flat row-major literal — generated
+    * from graft.functions.PhashKernel.Cos, so the oracle never
+    * evaluates a cosine itself.
+    */
+  private val cosList: String =
+    graft.functions.PhashKernel.Cos.flatten.mkString("CAST([", ", ", "] AS BIGINT[])")
+
+  /** Mirrors MultimodalOps.phashDocs + phashOf: the %23 gradient
+    * twins, the 64-window byte grid, floor-normalized pixels, the
+    * integer DCT, and the 63-AC cross-multiplied mean compare.
+    */
+  private def phashCtes: String = {
+    val ramp = graft.sources.MultimodalOps.PhashRampMax
+    s"""pcorp AS (
+       | SELECT doc_id AS media_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 6000000000 AS media_id,
+       |  CASE WHEN length(text) = 0 THEN text ELSE
+       |   array_to_string(list_transform(range(length(text)), i ->
+       |    chr(CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) +
+       |        (i * $ramp) // GREATEST(length(text), 1) AS INT))), '')
+       |  END AS text
+       | FROM documents WHERE doc_id % 23 = 0),
+       |pct AS (SELECT $cosList AS ct),
+       |pm AS (SELECT media_id, text, length(text) // 64 AS w
+       |       FROM pcorp WHERE length(text) >= 64),
+       |ppx AS (SELECT media_id, w, list_transform(range(64), k ->
+       |         list_sum(list_transform(range(w), j ->
+       |           ascii(substr(text, CAST(k*w + j + 1 AS INT), 1))))) AS pixels
+       |        FROM pm),
+       |pq AS (SELECT media_id, list_transform(pixels, p -> p // w) AS q FROM ppx),
+       |pd AS (SELECT media_id, list_transform(range(64), uv ->
+       |        list_sum(list_transform(range(64), p ->
+       |          q[CAST(p + 1 AS INT)]
+       |           * ct[CAST((uv // 8) * 8 + (p // 8) + 1 AS INT)]
+       |           * ct[CAST((uv % 8) * 8 + (p % 8) + 1 AS INT)]))) AS d
+       |       FROM pq, pct),
+       |ph AS (SELECT media_id, array_to_string(list_transform(range(64), i ->
+       |        CASE WHEN 63 * d[CAST(i + 1 AS INT)] > sac THEN '1' ELSE '0' END), '') AS phash
+       |       FROM (SELECT media_id, d, list_sum(d[2:64]) AS sac FROM pd))""".stripMargin
+  }
+
+  /** Mirrors MultimodalOps.phashPairs (the aHashPairs banding shape on
+    * the pHash fingerprints over the twin corpus).
+    */
+  val mmPhashPairs: String = {
+    val hmax = graft.sources.MultimodalOps.AHashHammingMax
+    s"""WITH $phashCtes,
+       |bands AS (
+       | SELECT media_id, phash, b.band_idx,
+       |  substr(phash, CAST(b.band_idx*16 + 1 AS INT), 16) AS bits
+       | FROM ph, (SELECT unnest(range(4)) AS band_idx) b),
+       |cand AS (
+       | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |  a.phash AS ph_a, b.phash AS ph_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bits = b.bits AND a.media_id < b.media_id)
+       |SELECT media_a, media_b, hamming FROM (
+       | SELECT media_a, media_b,
+       |  CAST(list_sum(list_transform(range(64), i ->
+       |    CASE WHEN substr(ph_a, CAST(i + 1 AS INT), 1) <> substr(ph_b, CAST(i + 1 AS INT), 1)
+       |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       | FROM cand)
+       |WHERE hamming <= $hmax""".stripMargin
+  }
+
+  /** Mirrors MultimodalOps.phashVsAhash: both fingerprint families
+    * over the SAME twin corpus, per-family catch stats on the planted
+    * (base, twin) pairs.
+    */
+  val mmPhashVsAhash: String = {
+    val hmax = graft.sources.MultimodalOps.AHashHammingMax
+    def famRow(name: String, src: String): String =
+      s"""SELECT '$name' AS family,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(CASE WHEN hamming <= $hmax THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         | CAST(SUM(hamming) AS BIGINT) AS sum_hamming,
+         | CAST(CAST(SUM(CASE WHEN hamming <= $hmax THEN 1 ELSE 0 END) AS HUGEINT)
+         |      * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT) AS catch_ppm
+         |FROM $src""".stripMargin
+    def hamCte(pairSrc: String): String =
+      s"""SELECT CAST(list_sum(list_transform(range(64), i ->
+         |  CASE WHEN substr(fa, CAST(i + 1 AS INT), 1) <> substr(fb, CAST(i + 1 AS INT), 1)
+         |       THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |FROM $pairSrc""".stripMargin
+    s"""WITH $phashCtes,
+       |aah AS (SELECT media_id, array_to_string(list_transform(pixels,
+       |         p -> CASE WHEN 64*p > list_sum(pixels) THEN '1' ELSE '0' END), '') AS ahash
+       |        FROM ppx),
+       |pp AS (SELECT b.phash AS fa, t.phash AS fb
+       |       FROM ph b JOIN ph t ON t.media_id = b.media_id + 6000000000),
+       |pa AS (SELECT b.ahash AS fa, t.ahash AS fb
+       |       FROM aah b JOIN aah t ON t.media_id = b.media_id + 6000000000),
+       |hp AS (${hamCte("pp")}),
+       |ha AS (${hamCte("pa")})
+       |${famRow("ahash", "ha")}
+       |UNION ALL
+       |${famRow("phash", "hp")}""".stripMargin
+  }
+
   // ── Preference-pair (DPO) twins ─────────────────────────────────
 
   private def fp60(s: String): String =

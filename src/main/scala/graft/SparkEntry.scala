@@ -268,6 +268,8 @@ object SparkEntry {
     "unigram_vs_bpe" -> TextOps.unigramVsBpe,
     "dpo_pairs" -> TextOps.dpoPairs,
     "dpo_leakage" -> TextOps.dpoLeakage,
+    "mm_phash_pairs" -> graft.sources.MultimodalOps.phashPairs,
+    "mm_phash_vs_ahash" -> graft.sources.MultimodalOps.phashVsAhash,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -814,6 +816,8 @@ object SparkEntry {
     "unigram_vs_bpe" -> Oracles8.unigramVsBpe,
     "dpo_pairs" -> Oracles8.dpoPairs,
     "dpo_leakage" -> Oracles8.dpoLeakage,
+    "mm_phash_pairs" -> Oracles8.mmPhashPairs,
+    "mm_phash_vs_ahash" -> Oracles8.mmPhashVsAhash,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -325,6 +325,39 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fixed-point 8×8 DCT perceptual hash of a 64-pixel window-sum
+    * grid ([[PhashKernel.bits]]) — the frequency-domain sibling of the
+    * aHash bit grid, as one codegen scalar so media fingerprinting
+    * stays a pure scan stage (the SimHash64 pattern). NULL for short
+    * grids (callers filter w ≥ 1, keeping both constructions equal).
+    */
+  case class Phash64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true // < 64 pixels => no hash
+    override def prettyName: String = "phash64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("phash64", Seq(left.dataType, right.dataType),
+        Seq(({ case ArrayType(LongType, _) => true; case _ => false },
+          "array<bigint> (pixels)"), (_ == LongType, "bigint")))
+
+    override def nullSafeEval(a: Any, w: Any): Any =
+      PhashKernel.bits(a.asInstanceOf[ArrayData], w.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w) => {
+        s"""
+           |${ev.value} = graft.functions.PhashKernel.bits($a, $w);
+           |${ev.isNull} = (${ev.value} == null);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** The hashed-bag-of-words classifier score of a token array — the
     * whole quality-classifier inference pass as ONE codegen'd scalar
     * ([[HashgramKernel.score]]; bit-identical to the retired
@@ -1025,6 +1058,11 @@ object VectorExpressions {
       "built-in"
     )
   reg.createOrReplaceTempFunction(
+      "phash64",
+      exprs => { val e = expect(2, "phash64")(exprs); Phash64(e(0), e(1)) },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "simhash64",
       exprs => SimHash64(expect(1, "simhash64")(exprs).head),
       "built-in"
@@ -1061,6 +1099,8 @@ object VectorExpressions {
   def hammingBits(a: Column, b: Column): Column = call_function("hamming_bits", a, b)
 
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
+
+  def phash64(pixels: Column, w: Column): Column = call_function("phash64", pixels, w)
 
   def minhashSigs(toks: Column, n: Column): Column = call_function("minhash_sigs", toks, n)
 

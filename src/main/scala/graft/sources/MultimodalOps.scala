@@ -133,11 +133,16 @@ object MultimodalOps {
     * value the gate hashes is integer-exact on both engines.
     * Payloads shorter than 64 bytes have no grid and are skipped.
     */
-  def aHash(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"))
+  def aHash(spark: SparkSession, dir: String): DataFrame =
+    aHashOf(Tables.documents(spark, dir).select(col("doc_id").as("media_id"), col("text")))
+
+  /** The aHash fingerprint as a reusable projection over
+    * (media_id, text) — shared by the corpus gate above and the
+    * pHash-vs-aHash audit (which hashes the gradient-twin corpus).
+    */
+  private[graft] def aHashOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
       .withColumn("w", expr(s"length(text) DIV $AHashPixels"))
       .filter(col("w") >= 1)
       // first 64 w-wide windows = positions 1..64w, the same grid the
@@ -202,6 +207,150 @@ object MultimodalOps {
       )
       .filter(col("hamming") <= AHashHammingMax)
       .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  // ── DCT perceptual hash (pHash) ───────────────────────────────────
+
+  /** Gradient-twin ramp ceiling: twin char i is shifted by
+    * ⌊i·16/len⌋ — a smooth illumination gradient across the payload.
+    */
+  val PhashRampMax = 16L
+
+  /** The pHash corpus (mirrored in the oracle CTE): every media doc
+    * plus, for doc_id % 23 = 0, a GRADIENT twin (id + 6·10⁹) whose
+    * every char is codepoint-shifted by the position ramp — the
+    * smooth illumination change that lives in the LOWEST spatial
+    * frequencies, so the DCT hash moves a few bits where the aHash
+    * bit grid (every pixel vs the global mean) flips pixels all along
+    * the ramp. Planted from doc_id residues so the pair gate and the
+    * vs-aHash audit are non-vacuous at every SF.
+    */
+  private[graft] def phashDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val twins = base
+      .filter(pmod(col("media_id"), lit(23L)) === 0L)
+      .select(
+        (col("media_id") + 6000000000L).as("media_id"),
+        when(length(col("text")) === 0, col("text")).otherwise(
+          expr(
+            s"""array_join(transform(split(text, ''),
+               |  (c, i) -> char(ascii(c) +
+               |    CAST((CAST(i AS BIGINT) * $PhashRampMax)
+               |         DIV GREATEST(length(text), 1) AS INT))), '')""".stripMargin
+          )
+        ).as("text")
+      )
+    base.unionByName(twins)
+  }
+
+  /** The pHash fingerprint as a reusable projection over
+    * (media_id, text): the SAME 64-window byte grid as [[aHashOf]],
+    * then the fixed-point 8×8 DCT and the frequency-domain mean
+    * compare — all in ONE codegen scalar
+    * ([[graft.functions.PhashKernel]]; see its scaladoc for the
+    * exact-integer argument and the brightness-invariance identity).
+    * Scan-stage only; payloads shorter than 64 bytes are skipped like
+    * aHash.
+    */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("w", expr(s"length(text) DIV $AHashPixels"))
+      .filter(col("w") >= 1)
+      .withColumn(
+        "pixels",
+        slice(
+          graft.functions.VectorExpressions
+            .asciiWindowSums(col("text"), col("w").cast("int")),
+          1,
+          AHashPixels
+        )
+      )
+      .select(
+        col("media_id"),
+        graft.functions.VectorExpressions.phash64(col("pixels"), col("w")).as("phash")
+      )
+  }
+
+  /** Near-duplicate media pairs by pHash hamming distance over the
+    * gradient-twin corpus — identical banding/verify shape to
+    * [[aHashPairs]] (4 × 16-bit bands, hamming ≤ 6), so the two
+    * fingerprint families are directly comparable join-for-join.
+    * Memoized (the pair gate and the audit both read it).
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Artifacts.memo(spark, dir, "phash_pairs")(phashPairsBuild(spark, dir))
+
+  private[graft] def phashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val fp = phashOf(phashDocs(spark, dir)).localCheckpoint()
+    val banded = fp.select(
+      col("media_id"),
+      col("phash"),
+      posexplode(
+        transform(sequence(lit(0), lit(3)), b => col("phash").substr(b * 16 + 1, lit(16)))
+      ).as(Seq("band_idx", "band_bits"))
+    )
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("media_id").as("media_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("ph_a"), col("ph_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn(
+        "hamming",
+        graft.functions.VectorExpressions.hammingBits(col("ph_a"), col("ph_b"))
+      )
+      .filter(col("hamming") <= AHashHammingMax)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  /** pHash-vs-aHash BAKE-OFF over the planted gradient twins: both
+    * fingerprint families hash the SAME twin corpus, and each planted
+    * (base, twin) pair reports its hamming under both — n_caught at
+    * the shared ≤ 6 threshold and the catch ppm price what the DCT
+    * hash buys (smooth illumination changes concentrate in the low
+    * DCT frequencies; the aHash mean grid has no frequency separation
+    * and bleeds the ramp across all 64 bits). The detector_bakeoff
+    * discipline applied to the image family.
+    *
+    * Scale: two scan-stage fingerprint passes over the twin corpus
+    * and ONE id-keyed equi-join of #twins rows — no banding needed
+    * because the pair list is planted, not discovered.
+    */
+  def phashVsAhash(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = phashDocs(spark, dir).localCheckpoint() // two fingerprint consumers
+    def fam(name: String, fp: DataFrame, c: String): DataFrame = {
+      val base = fp.filter(col("media_id") < 6000000000L)
+        .select(col("media_id").as("base_id"), col(c).as("fp_a"))
+      val twin = fp.filter(col("media_id") >= 6000000000L)
+        .select((col("media_id") - 6000000000L).as("base_id"), col(c).as("fp_b"))
+      base
+        .join(twin, Seq("base_id"))
+        .withColumn(
+          "hamming",
+          graft.functions.VectorExpressions.hammingBits(col("fp_a"), col("fp_b"))
+        )
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") <= AHashHammingMax, 1L).otherwise(0L)).as("n_caught"),
+          sum(col("hamming")).as("sum_hamming")
+        )
+        .select(
+          lit(name).as("family"),
+          col("n_pairs"),
+          col("n_caught"),
+          col("sum_hamming"),
+          expr("CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000 DIV GREATEST(n_pairs, 1) AS BIGINT)")
+            .as("catch_ppm")
+        )
+    }
+    fam("ahash", aHashOf(corpus), "ahash")
+      .unionAll(fam("phash", phashOf(corpus), "phash"))
   }
 
   /** Typed decoded-media record (what a real decoder would emit). */

@@ -7105,4 +7105,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(proj(3L)._1 === 1L) // palindrome response order [cc, cc]
     assert(proj(4L)._1 === 1L) // empty response (p = n = 1)
   }
+
+  test("dct phash: BigInt recompute, exact brightness identity, gradient twins ahash misses") {
+    import graft.functions.PhashKernel
+    // the quantized DCT table's AC rows cancel EXACTLY — the integer
+    // identity behind brightness invariance (a constant pixel shift
+    // moves only the DC coefficient)
+    (1 until 8).foreach(k => assert(PhashKernel.Cos(k).sum === 0L, s"row $k"))
+    assert(PhashKernel.Cos(0).forall(_ === PhashKernel.Scale))
+
+    def pixelsOf(t: String): Option[(Array[Long], Long)] = {
+      val cps = t.codePoints().toArray
+      val w = cps.length / 64
+      if (w < 1) None
+      else Some((Array.tabulate(64)(k =>
+        (0 until w).map(j => cps(k * w + j).toLong).sum), w.toLong))
+    }
+    def phashRef(t: String): Option[String] = pixelsOf(t).map { case (px, w) =>
+      // overflow-free BigInt recompute of the kernel's long arithmetic
+      val q = px.map(p => BigInt(p / w))
+      val d = Array.tabulate(64) { uv =>
+        val (u, v) = (uv / 8, uv % 8)
+        (0 until 64).map(p =>
+          q(p) * PhashKernel.Cos(u)(p / 8) * PhashKernel.Cos(v)(p % 8)).sum
+      }
+      val sac = d.drop(1).sum
+      d.map(x => if (63 * x > sac) '1' else '0').mkString
+    }
+    def ham(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
+
+    val baseDocs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // kernel == BigInt reference on every real payload (also proves no
+    // long overflow at real pixel magnitudes)
+    import spark.implicits._
+    val gotFp = graft.sources.MultimodalOps
+      .phashOf(baseDocs.toSeq.toDF("media_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val refFp = baseDocs.flatMap { case (id, t) => phashRef(t).map(id -> _) }.toMap
+    assert(gotFp === refFp)
+    assert(gotFp.nonEmpty)
+
+    // exact brightness identity: a constant +5 codepoint shift changes
+    // AT MOST the DC bit, and never any AC bit
+    val shifted = baseDocs.map { case (id, t) => (id, t.map(c => (c + 5).toChar).mkString) }
+    val shiftFp = graft.sources.MultimodalOps
+      .phashOf(shifted.toSeq.toDF("media_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    gotFp.foreach { case (id, fp) =>
+      assert(fp.substring(1) === shiftFp(id).substring(1), s"AC bits moved for $id")
+    }
+
+    // the planted gradient twins: pHash catches what aHash misses
+    val corpus = graft.sources.MultimodalOps.phashDocs(spark, Sf0001).localCheckpoint()
+    val ph = graft.sources.MultimodalOps.phashOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ah = graft.sources.MultimodalOps.aHashOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twinIds = ph.keys.filter(_ >= 6000000000L).map(_ - 6000000000L).toSeq.sorted
+    assert(twinIds.nonEmpty)
+    val hams = twinIds.map(id =>
+      (ham(ah(id), ah(id + 6000000000L)), ham(ph(id), ph(id + 6000000000L))))
+    val t = graft.sources.MultimodalOps.AHashHammingMax
+    // provable miss: at least one twin aHash rejects but pHash accepts
+    assert(hams.exists { case (a, p) => a > t && p <= t },
+      s"no ahash-miss/phash-catch twin: $hams")
+    // and in aggregate the DCT hash dominates on the gradient class
+    assert(hams.count(_._2 <= t) > hams.count(_._1 <= t))
+    assert(hams.map(_._2).sum < hams.map(_._1).sum)
+  }
 }
