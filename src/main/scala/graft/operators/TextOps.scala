@@ -2112,8 +2112,44 @@ object TextOps {
       spark: SparkSession,
       dir: String
   ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    val types = Tables
-      .documents(spark, dir)
+    val r = bpeFitMerges(spark, dir, BpeMerges)
+    (r._1, r._2)
+  }
+
+  /** The fit loop at a CONFIGURABLE merge count and corpus sample —
+    * the realistic-scale path (the gate contract stays at
+    * [[BpeMerges]] unsampled; `graft.BpeCurve` drives this to publish
+    * the per-round cost curve in BASELINE.md). Returns the merge
+    * table, the final type sequences, and per-round wall seconds.
+    *
+    * `sampleBuckets < 100` trains on the deterministic md5 id-bucket
+    * slice (splitBucket(doc_id) < sampleBuckets) — the sampled-corpus
+    * contract production tokenizer trainers use (SentencePiece's
+    * input_sentence_size sampling): the TYPE table shrinks roughly
+    * Heaps-sublinearly while high-mass merges are stable, so a 100 TB
+    * corpus trains its tokenizer on a deterministic few-percent slice
+    * and the per-round cost is the sampled type-table agg, not a
+    * corpus pass. Sampling is by the same md5 bucketing as the
+    * train/val/test split: stable under re-runs and corpus growth.
+    *
+    * Per-round cost shape (why hundreds of merges are affordable):
+    * each round is ONE map-side-combined aggregate over the type
+    * table plus a 1-row collect and a row-local 3-pass replace — the
+    * round cost is flat in the merge index (the type table never
+    * grows), so total cost is linear in merges with a small constant;
+    * the curve in BASELINE.md measures exactly that.
+    */
+  private[graft] def bpeFitMerges(
+      spark: SparkSession,
+      dir: String,
+      mergeCount: Int,
+      sampleBuckets: Int = 100
+  ): (Seq[(Long, String, String, String, Long)], DataFrame, Seq[Double]) = {
+    val base = Tables.documents(spark, dir)
+    val docs =
+      if (sampleBuckets >= 100) base
+      else base.filter(splitBucket(col("doc_id")) < sampleBuckets)
+    val types = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
@@ -2128,8 +2164,10 @@ object TextOps {
         |     ELSE array() END""".stripMargin
     var cur = types
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    val roundSecs = Seq.newBuilder[Double]
     var exhausted = false // a round with no adjacent pairs ends training
-    for (k <- 1 to BpeMerges if !exhausted) {
+    for (k <- 1 to mergeCount if !exhausted) {
+      val t0 = System.nanoTime()
       val best = cur
         .withColumn("syms", split(trim(col("seq")), " "))
         .select(col("freq"), explode(expr(pairsOf)).as("pair"))
@@ -2154,8 +2192,9 @@ object TextOps {
             replace(replace(replace(col("seq"), from, to), from, to), from, to))
           .localCheckpoint()
       }
+      roundSecs += (System.nanoTime() - t0) / 1e9
     }
-    (merges.result(), cur)
+    (merges.result(), cur, roundSecs.result())
   }
 
   /** BPE encoding of the corpus with the merges just learned — the

@@ -7106,6 +7106,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(proj(4L)._1 === 1L) // empty response (p = n = 1)
   }
 
+  test("round-8 additions are partition-invariant: parallelism 2 vs 16") {
+    // the hybrid fusion's artifact joins + windows, the unigram EM's
+    // type-table DP and M-step aggs, the DPO prompt-fp self-join, and
+    // the pHash banding joins must not bake the partition count into
+    // any value
+    val names = Seq("hybrid_rrf_topk", "hybrid_recall", "unigram_fit",
+      "unigram_encode", "unigram_vs_bpe", "dpo_pairs", "dpo_leakage",
+      "mm_phash_pairs", "mm_phash_vs_ahash")
+    def run(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+    }.toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("dct phash: BigInt recompute, exact brightness identity, gradient twins ahash misses") {
     import graft.functions.PhashKernel
     // the quantized DCT table's AC rows cancel EXACTLY — the integer
