@@ -3756,9 +3756,13 @@ object TextOps {
       )
   }
 
-  /** Gate query: the assembled preference pairs over [[dpoCorpus]]. */
+  /** Gate query: the assembled preference pairs over [[dpoCorpus]] —
+    * memoized ARTIFACT (one row per doc, bounded columns; two
+    * consumers: the gate and the leakage audit), so the corpus is
+    * tokenized and rendered once per session, not once per consumer.
+    */
   def dpoPairs(spark: SparkSession, dir: String): DataFrame =
-    dpoPairProjection(dpoCorpus(spark, dir))
+    Artifacts.memo(spark, dir, "dpo_pairs")(dpoPairProjection(dpoCorpus(spark, dir)))
 
   /** Pair-level LEAKAGE audit — the `split_leakage` discipline applied
     * to preference data: two pairs sharing a PROMPT across the
