@@ -3756,13 +3756,9 @@ object TextOps {
       )
   }
 
-  /** Gate query: the assembled preference pairs over [[dpoCorpus]] —
-    * memoized ARTIFACT (one row per doc, bounded columns; two
-    * consumers: the gate and the leakage audit), so the corpus is
-    * tokenized and rendered once per session, not once per consumer.
-    */
+  /** Gate query: the assembled preference pairs over [[dpoCorpus]]. */
   def dpoPairs(spark: SparkSession, dir: String): DataFrame =
-    Artifacts.memo(spark, dir, "dpo_pairs")(dpoPairProjection(dpoCorpus(spark, dir)))
+    dpoPairProjection(dpoCorpus(spark, dir))
 
   /** Pair-level LEAKAGE audit — the `split_leakage` discipline applied
     * to preference data: two pairs sharing a PROMPT across the
