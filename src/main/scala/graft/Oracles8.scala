@@ -112,6 +112,44 @@ object Oracles8 {
        | CAST(CAST((SELECT COUNT(*) FROM tr JOIN hy USING (query_id, neighbor_id)) AS HUGEINT)
        |      * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
 
+  /** Mirrors SimilarityOps.retrievalMrr: all four approximate
+    * retrievers' first-relevant-hit reciprocal ranks vs the brute
+    * truth (the hybrid CTEs supply lexical/fused/truth; the IVF/LSH
+    * twins are wrapped as subqueries).
+    */
+  val retrievalMrr: String = {
+    def hm(tag: String, src: String): String =
+      s"""h_$tag AS (SELECT query_id, 1000000 // MIN(rnk) AS rr
+         | FROM $src JOIN tr USING (query_id, neighbor_id) GROUP BY query_id)""".stripMargin
+    def rowm(name: String, tag: String): String =
+      s"""SELECT '$name' AS method, CAST(n AS BIGINT) AS n_queries,
+         | CAST((SELECT COUNT(*) FROM h_$tag) AS BIGINT) AS n_hit_queries,
+         | CAST((SELECT COALESCE(SUM(rr), 0) FROM h_$tag) AS BIGINT) AS sum_rr_ppm,
+         | CAST(CAST((SELECT COALESCE(SUM(rr), 0) FROM h_$tag) AS HUGEINT) // n AS BIGINT)
+         |   AS mrr_ppm
+         |FROM nq""".stripMargin
+    s"""WITH $hybridCtes,
+       |mivf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |         FROM (${Oracles2.annTopkIvf})),
+       |mlsh AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |         FROM (${Oracles2.annTopkLsh})),
+       |mlex AS (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
+       |mhyb AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
+       |tr AS (SELECT query_id, neighbor_id FROM sem),
+       |nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM tr),
+       |${hm("ivf", "mivf")},
+       |${hm("lsh", "mlsh")},
+       |${hm("lex", "mlex")},
+       |${hm("hyb", "mhyb")}
+       |${rowm("ivf", "ivf")}
+       |UNION ALL
+       |${rowm("lsh", "lsh")}
+       |UNION ALL
+       |${rowm("lexical_arm", "lex")}
+       |UNION ALL
+       |${rowm("hybrid_rrf", "hyb")}""".stripMargin
+  }
+
   // ── DCT pHash twins ─────────────────────────────────────────────
 
   /** The fixed-point DCT basis as a flat row-major literal — generated

@@ -270,6 +270,7 @@ object SparkEntry {
     "dpo_leakage" -> TextOps.dpoLeakage,
     "mm_phash_pairs" -> graft.sources.MultimodalOps.phashPairs,
     "mm_phash_vs_ahash" -> graft.sources.MultimodalOps.phashVsAhash,
+    "retrieval_mrr" -> SimilarityOps.retrievalMrr,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -818,6 +819,7 @@ object SparkEntry {
     "dpo_leakage" -> Oracles8.dpoLeakage,
     "mm_phash_pairs" -> Oracles8.mmPhashPairs,
     "mm_phash_vs_ahash" -> Oracles8.mmPhashVsAhash,
+    "retrieval_mrr" -> Oracles8.retrievalMrr,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

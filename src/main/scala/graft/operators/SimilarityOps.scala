@@ -1716,4 +1716,47 @@ object SimilarityOps {
       hybridRrfTopK(spark, dir).select(col("query_id"), col("doc_id").as("neighbor_id"))
     ))
   }
+
+  /** Mean reciprocal rank of every approximate retriever on the board
+    * — IVF, LSH, the lexical BM25 arm, and the hybrid fusion — against
+    * the brute-force cosine truth: per query, the rank of the FIRST
+    * relevant hit (relevant = a brute top-k member), rr = ⌊10⁶/rank⌋,
+    * MRR = ⌊Σrr / #queries⌋ (a query with no relevant hit contributes
+    * 0). Recall (how much) and MRR (how early) together are the
+    * standard retrieval-eval pair; both are integer floor-div exact.
+    *
+    * Scale: PURE COMPOSITION over five memoized k-bounded artifacts —
+    * four (queries×k)-row joins and #queries-row aggregates; zero
+    * corpus passes.
+    */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val nq = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val h = approx
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rnk")).as("first_rank"))
+        .select(expr("CAST(1000000 DIV first_rank AS BIGINT)").as("rr"))
+      nq.crossJoin(broadcast(h.agg(
+          count(lit(1)).as("n_hit_queries"),
+          coalesce(sum(col("rr")), lit(0L)).as("sum_rr_ppm"))))
+        .select(
+          lit(method).as("method"),
+          col("n_queries"),
+          col("n_hit_queries"),
+          col("sum_rr_ppm"),
+          expr("CAST(sum_rr_ppm DIV n_queries AS BIGINT)").as("mrr_ppm")
+        )
+    }
+    row("ivf", ivfLabelTopK(spark, dir).select(col("query_id"), col("neighbor_id"), col("rnk")))
+      .unionAll(row("lsh",
+        lshTopK(spark, dir).select(col("query_id"), col("neighbor_id"), col("rnk"))))
+      .unionAll(row("lexical_arm",
+        hybridLexArm(spark, dir)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"), col("lex_rank").as("rnk"))))
+      .unionAll(row("hybrid_rrf",
+        hybridRrfTopK(spark, dir)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rnk"))))
+  }
 }

@@ -7113,7 +7113,7 @@ class OperatorsSpec extends AnyFunSuite {
     // any value
     val names = Seq("hybrid_rrf_topk", "hybrid_recall", "unigram_fit",
       "unigram_encode", "unigram_vs_bpe", "dpo_pairs", "dpo_leakage",
-      "mm_phash_pairs", "mm_phash_vs_ahash")
+      "mm_phash_pairs", "mm_phash_vs_ahash", "retrieval_mrr")
     def run(): Map[String, Set[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
     }.toMap
@@ -7126,6 +7126,39 @@ class OperatorsSpec extends AnyFunSuite {
       names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
       assert(r2.values.forall(_.nonEmpty))
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("retrieval mrr: sheet matches a fold over the collected rankings") {
+    val truth = SimilarityOps.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = truth.map(_._1).size.toLong
+    def expect(list: Seq[(Long, Long, Long)]): (Long, Long, Long, Long) = {
+      val rrByQ = list.filter(t => truth((t._1, t._2))).groupBy(_._1)
+        .map { case (_, g) => 1000000L / g.map(_._3).min }
+      (nQ, rrByQ.size.toLong, rrByQ.sum, rrByQ.sum / nQ)
+    }
+    def tri(df: org.apache.spark.sql.DataFrame, a: String, b: String, c: String) =
+      df.select(a, b, c).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Map(
+      "ivf" -> expect(tri(SimilarityOps.ivfLabelTopK(spark, Sf0001),
+        "query_id", "neighbor_id", "rnk")),
+      "lsh" -> expect(tri(SimilarityOps.lshTopK(spark, Sf0001),
+        "query_id", "neighbor_id", "rnk")),
+      "lexical_arm" -> expect(tri(SimilarityOps.hybridLexArm(spark, Sf0001),
+        "query_id", "doc_id", "lex_rank")),
+      "hybrid_rrf" -> expect(tri(SimilarityOps.hybridRrfTopK(spark, Sf0001),
+        "query_id", "doc_id", "rnk"))
+    )
+    val got = SimilarityOps.retrievalMrr(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+    // MRR and recall order consistently on the exact-arm extremes:
+    // the IVF/LSH lists rank a truth member first for every hit query
+    assert(got.keySet === Set("ivf", "lsh", "lexical_arm", "hybrid_rrf"))
+    got.values.foreach { case (n, hit, sum, mrr) =>
+      assert(hit <= n && sum <= hit * 1000000L && mrr === sum / n)
+    }
   }
 
   test("dct phash: BigInt recompute, exact brightness identity, gradient twins ahash misses") {
