@@ -497,4 +497,219 @@ object Oracles8 {
        | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
        |FROM ustat, uvoc""".stripMargin
   }
+
+  // ── WordPiece tokenizer twins ───────────────────────────────────
+
+  /** Mirrors TextOps.wordpieceFit: the BPE merge-loop shape
+    * (Oracles6.bpeChain) but with `##`-marked continuation symbols
+    * and the likelihood argmax — score = cnt·10¹² // (cnt_a·cnt_b) in
+    * HUGEINT (the Spark side runs DECIMAL(38,0) DIV — two exact
+    * mechanisms, one winner), ties (cnt DESC, pair ASC).
+    */
+  private[graft] def wpChain: String = {
+    val init =
+      """w0 AS (
+        | SELECT word, COUNT(*) AS freq,
+        |  ' ' || substr(word, 1, 1) ||
+        |  CASE WHEN length(word) > 1
+        |       THEN ' ' || trim(regexp_replace(substr(word, 2), '(.)', '##\1 ', 'g'))
+        |       ELSE '' END || ' ' AS seq
+        | FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS word
+        |  FROM documents)
+        | GROUP BY 1)""".stripMargin
+    val rounds = (1 to graft.operators.TextOps.WordPieceMerges).map { k =>
+      s"""wsy$k AS (SELECT sym, SUM(freq) AS scnt FROM (
+         |  SELECT freq, unnest(string_split(trim(seq), ' ')) AS sym FROM w${k - 1})
+         | GROUP BY 1),
+         |wpp$k AS (SELECT pair, SUM(freq) AS cnt FROM (
+         |  SELECT freq,
+         |   unnest(list_filter(
+         |     list_transform(list_zip(syms, syms[2:]),
+         |       x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || ' ' || x[2] END),
+         |     y -> y IS NOT NULL)) AS pair
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM w${k - 1}))
+         | GROUP BY 1),
+         |wm$k AS (
+         | SELECT pair, cnt, a.scnt AS cnt_a, b.scnt AS cnt_b,
+         |  CAST(CAST(cnt AS HUGEINT) * 1000000000000
+         |       // (CAST(a.scnt AS HUGEINT) * b.scnt) AS BIGINT) AS score,
+         |  string_split(pair, ' ')[1] ||
+         |    regexp_replace(string_split(pair, ' ')[2], '^##', '') AS merged
+         | FROM wpp$k, wsy$k a, wsy$k b
+         | WHERE a.sym = string_split(pair, ' ')[1] AND b.sym = string_split(pair, ' ')[2]
+         | ORDER BY score DESC, cnt DESC, pair ASC LIMIT 1),
+         |w$k AS (
+         | SELECT word, freq,
+         |  replace(replace(replace(seq, ' ' || pair || ' ', ' ' || merged || ' '),
+         |          ' ' || pair || ' ', ' ' || merged || ' '),
+         |          ' ' || pair || ' ', ' ' || merged || ' ') AS seq
+         | FROM w${k - 1}, wm$k)""".stripMargin
+    }
+    s"$init,\n${rounds.mkString(",\n")}"
+  }
+
+  val wordpieceFit: String = {
+    val sel = (1 to graft.operators.TextOps.WordPieceMerges)
+      .map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank,
+           | string_split(pair, ' ')[1] AS left_sym,
+           | string_split(pair, ' ')[2] AS right_sym,
+           | merged,
+           | CAST(cnt AS BIGINT) AS pair_count,
+           | CAST(cnt_a AS BIGINT) AS left_count,
+           | CAST(cnt_b AS BIGINT) AS right_count,
+           | score AS score_q
+           |FROM wm$k""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $wpChain\n$sel"
+  }
+
+  val wordpieceEncode: String = {
+    val last = s"w${graft.operators.TextOps.WordPieceMerges}"
+    s"""WITH $wpChain,
+       |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
+       |        FROM $last),
+       |occ AS (
+       | SELECT source, word, COUNT(*) AS cnt FROM (
+       |  SELECT source,
+       |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1, 2)
+       |SELECT source,
+       | CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       | COUNT(DISTINCT word) AS n_word_types,
+       | CAST(SUM(cnt * length(word)) AS BIGINT) AS n_letters,
+       | CAST(SUM(cnt * n_syms) AS BIGINT) AS n_wp_tokens,
+       | CAST(CAST(SUM(cnt * n_syms) AS HUGEINT) * 1000000
+       |      // CAST(SUM(cnt * length(word)) AS HUGEINT) AS BIGINT) AS compression_ppm
+       |FROM occ JOIN enc USING (word)
+       |GROUP BY source""".stripMargin
+  }
+
+  /** Mirrors TextOps.tokenizerBakeoff: the unigramVsBpe sheet plus
+    * the WordPiece row, all three families off the identical type
+    * table (bpeChain / unigramChain / wpChain in one WITH).
+    */
+  val tokenizerBakeoff: String = {
+    val last = s"r${graft.operators.TextOps.BpeMerges}"
+    val wlast = s"w${graft.operators.TextOps.WordPieceMerges}"
+    s"""WITH RECURSIVE ${Oracles6.bpeChain},
+       |$unigramChain,
+       |$wpChain,
+       |bstat AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n_letters,
+       |          CAST(SUM(freq * len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens
+       |          FROM $last),
+       |bvoc AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_vocab FROM
+       |         (SELECT unnest(string_split(trim(seq), ' ')) AS s FROM $last)),
+       |ustat AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n_letters,
+       |          CAST(SUM(freq * len(pieces)) AS BIGINT) AS n_tokens FROM ufin2),
+       |uvoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM uvocab3),
+       |wstat AS (SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS n_letters,
+       |          CAST(SUM(freq * len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens
+       |          FROM $wlast),
+       |wvoc AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_vocab FROM
+       |         (SELECT unnest(string_split(trim(seq), ' ')) AS s FROM $wlast))
+       |SELECT 'bpe' AS family, n_vocab, n_letters, n_tokens,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
+       |FROM bstat, bvoc
+       |UNION ALL
+       |SELECT 'unigram' AS family, n_vocab, n_letters, n_tokens,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
+       |FROM ustat, uvoc
+       |UNION ALL
+       |SELECT 'wordpiece' AS family, n_vocab, n_letters, n_tokens,
+       | CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_letters AS BIGINT) AS compression_ppm
+       |FROM wstat, wvoc""".stripMargin
+  }
+
+  // ── Kneser-Ney bigram LM twins ──────────────────────────────────
+
+  /** [[c64Chain]] keyed by the VALUE itself (column v, deduped by the
+    * caller) — for model tables where c64 is taken of a data column
+    * rather than a vocab piece's count. Output: c64v_$tag(v, c64).
+    */
+  private def c64ValChain(src: String, tag: String): String = {
+    val steps = (1 to 6)
+      .map { i =>
+        s"""s${i}_$tag AS (SELECT v, b,
+           | f*2 + CASE WHEN y*y >= (CAST(1 AS BIGINT) << 61) THEN 1 ELSE 0 END AS f,
+           | CASE WHEN y*y >= (CAST(1 AS BIGINT) << 61) THEN (y*y) >> 31 ELSE (y*y) >> 30 END AS y
+           |FROM s${i - 1}_$tag)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""n_$tag AS (SELECT v, $bitlenSql AS b FROM $src),
+       |s0_$tag AS (SELECT v, b, CAST(0 AS BIGINT) AS f,
+       |  CASE WHEN b <= 30 THEN v << (30 - b) ELSE v >> (b - 30) END AS y FROM n_$tag),
+       |$steps,
+       |c64v_$tag AS (SELECT v, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
+  }
+
+  /** Mirrors TextOps.knModel: interpolated Kneser-Ney bigram model,
+    * D = 3/4, p quantized to ⌊p·2⁵⁰⌋ through HUGEINT floor division
+    * (the Spark side runs the same products in DECIMAL(38,0) — two
+    * exact-integer mechanisms, one value), nll64 = 3200 − c64(qp)
+    * with c64 as the unrolled square-and-shift chain.
+    */
+  private val knCtes: String =
+    s"""kt AS (
+       | SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |kbgd AS (
+       | SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS bg
+       | FROM kt WHERE len(toks) >= 2),
+       |kcnt AS (SELECT bg, split_part(bg, ' ', 1) AS head, split_part(bg, ' ', 2) AS nxt,
+       |         COUNT(*) AS c_hw FROM kbgd GROUP BY bg),
+       |ktt AS (SELECT COUNT(*) AS t_types FROM kcnt),
+       |kst AS (SELECT bg, head, nxt, c_hw,
+       |  CAST(SUM(c_hw) OVER (PARTITION BY head) AS BIGINT) AS c_h,
+       |  CAST(COUNT(*) OVER (PARTITION BY head) AS BIGINT) AS n1p_h,
+       |  CAST(COUNT(*) OVER (PARTITION BY nxt) AS BIGINT) AS cont_w
+       | FROM kcnt),
+       |kqp AS (SELECT bg, head, nxt, c_hw, c_h, n1p_h, cont_w,
+       |  CAST((CAST(4*c_hw - 3 AS HUGEINT) * t_types + CAST(3*n1p_h AS HUGEINT) * cont_w)
+       |       * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
+       |       // (CAST(4*c_h AS HUGEINT) * t_types) AS BIGINT) AS qp
+       | FROM kst, ktt),
+       |kvals AS (SELECT DISTINCT qp AS v FROM kqp),
+       |${c64ValChain("kvals", "kn")},
+       |kmodel AS (SELECT q.*, ${64L * graft.operators.TextOps.KnQpShift} - c.c64 AS nll64
+       |           FROM kqp q JOIN c64v_kn c ON q.qp = c.v)""".stripMargin
+
+  val knBigramFit: String =
+    s"""WITH $knCtes
+       |SELECT head, nxt, c_hw, c_h, n1p_h, cont_w, qp, nll64
+       |FROM kmodel ORDER BY qp DESC, head, nxt LIMIT 25""".stripMargin
+
+  private val knDocCtes: String =
+    s"""$knCtes,
+       |kdoc AS (
+       | SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll64) AS BIGINT) AS sum_nll64
+       | FROM kbgd JOIN kmodel USING (bg) GROUP BY doc_id),
+       |kppl AS (
+       | SELECT d.doc_id, d.source,
+       |  COALESCE(k.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(k.sum_nll64, 0) AS sum_nll64,
+       |  COALESCE(k.sum_nll64 // k.n_bigrams, 0) AS avg_nll64
+       | FROM documents d LEFT JOIN kdoc k USING (doc_id))""".stripMargin
+
+  val knDocPpl: String =
+    s"""WITH $knDocCtes
+       |SELECT doc_id, source, n_bigrams, sum_nll64, avg_nll64 FROM kppl""".stripMargin
+
+  val pplBucketSplit: String =
+    s"""WITH $knDocCtes,
+       |kb AS (SELECT source, n_bigrams, avg_nll64,
+       |  NTILE(3) OVER (PARTITION BY source ORDER BY avg_nll64, doc_id) AS bucket
+       | FROM kppl)
+       |SELECT source,
+       | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(avg_nll64) AS BIGINT) AS sum_avg_nll64,
+       | CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS mean_nll64,
+       | CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM kb GROUP BY source, bucket""".stripMargin
 }

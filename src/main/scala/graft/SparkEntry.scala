@@ -271,6 +271,12 @@ object SparkEntry {
     "mm_phash_pairs" -> graft.sources.MultimodalOps.phashPairs,
     "mm_phash_vs_ahash" -> graft.sources.MultimodalOps.phashVsAhash,
     "retrieval_mrr" -> SimilarityOps.retrievalMrr,
+    "kn_bigram_fit" -> TextOps.knBigramFit,
+    "kn_doc_ppl" -> TextOps.knDocPpl,
+    "ppl_bucket_split" -> TextOps.pplBucketSplit,
+    "wordpiece_fit" -> TextOps.wordpieceFitTable,
+    "wordpiece_encode" -> TextOps.wordpieceEncode,
+    "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -820,6 +826,12 @@ object SparkEntry {
     "mm_phash_pairs" -> Oracles8.mmPhashPairs,
     "mm_phash_vs_ahash" -> Oracles8.mmPhashVsAhash,
     "retrieval_mrr" -> Oracles8.retrievalMrr,
+    "kn_bigram_fit" -> Oracles8.knBigramFit,
+    "kn_doc_ppl" -> Oracles8.knDocPpl,
+    "ppl_bucket_split" -> Oracles8.pplBucketSplit,
+    "wordpiece_fit" -> Oracles8.wordpieceFit,
+    "wordpiece_encode" -> Oracles8.wordpieceEncode,
+    "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

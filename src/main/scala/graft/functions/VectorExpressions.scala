@@ -386,6 +386,33 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Exact 1/64-bit fixed-point log₂ of a BIGINT ≥ 1
+    * ([[C64Kernel.c64]]) — the integer-log primitive the tokenizer /
+    * LM families use instead of a transcendental, as a codegen scalar
+    * so model tables that are data-bounded but NOT driver-bounded
+    * (e.g. the Kneser-Ney bigram model) can take log-probabilities
+    * inside the scan stage. log₂(num/den) = c64(num) − c64(den),
+    * still pure BIGINT.
+    */
+  case class C64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "c64_log2"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTypes("c64_log2", Seq(child.dataType),
+        Seq(({ case LongType => true; case _ => false }, "bigint (v >= 1)")))
+
+    override def nullSafeEval(v: Any): Any =
+      C64Kernel.c64(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.C64Kernel.c64($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Per-row MinHash signature (12 longs) of a token array — the
     * signature stage of the LSH family as a zero-shuffle scalar map
     * ([[MinHashKernel.sigs]]; bit-identical to the retired posting
@@ -1087,6 +1114,11 @@ object VectorExpressions {
       exprs => { val e = expect(2, "span_corrupt")(exprs); SpanCorruptExpr(e(0), e(1)) },
       "built-in"
     )
+  reg.createOrReplaceTempFunction(
+      "c64_log2",
+      exprs => C64Expr(expect(1, "c64_log2")(exprs).head),
+      "built-in"
+    )
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -1125,4 +1157,6 @@ object VectorExpressions {
   def outerProducts(a: Column): Column = call_function("outer_products", a)
 
   def hilbert64(x: Column, y: Column): Column = call_function("hilbert64", x, y)
+
+  def c64Log2(v: Column): Column = call_function("c64_log2", v)
 }

@@ -2433,30 +2433,13 @@ object TextOps {
   val UnigramSeedMulti = 48
   val UnigramRounds = 2
 
-  /** Exact 1/64-bit fixed-point log₂ — C64(v) = 64·⌊log₂ v⌋ + 6
-    * fractional bits by shift-and-square (normalize v to [2³⁰, 2³¹),
-    * then 6 rounds of square-and-shift, each emitting one bit). Pure
-    * BIGINT arithmetic, so the driver here and the DuckDB oracle's
-    * unrolled CTE chain agree BIT-FOR-BIT with no transcendental
-    * anywhere in the gate — the unigram analogue of the board-wide
-    * "integer cross-multiplication instead of float ratios" rule
-    * (ln()/log2() differ across libm implementations in the last ulp,
-    * which a round() can amplify into a hash mismatch).
+  /** Exact 1/64-bit fixed-point log₂ — see
+    * [[graft.functions.C64Kernel]], the canonical implementation (the
+    * KN bigram LM also evaluates it distributed as the `c64_log2`
+    * codegen expression). This alias keeps the unigram fit's
+    * driver-side fold reading naturally.
     */
-  private[graft] def c64(v: Long): Long = {
-    require(v >= 1, s"c64 domain: $v")
-    val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    var y = if (b <= 30) v << (30 - b) else v >> (b - 30)
-    var f = 0L
-    var i = 0
-    while (i < 6) {
-      val z = y * y
-      if (z >= (1L << 61)) { f = f * 2 + 1; y = z >> 31 }
-      else { f = f * 2; y = z >> 30 }
-      i += 1
-    }
-    64L * b + f
-  }
+  private[graft] def c64(v: Long): Long = graft.functions.C64Kernel.c64(v)
 
   /** Quantized-Viterbi segmentation cost of `piece` under counts
     * (cnt, total): C64(total) − C64(cnt) ≈ 64·log₂(total/cnt) — the
@@ -2678,6 +2661,193 @@ object TextOps {
             .as("compression_ppm")
         )
     rowOf("bpe", bAgg, bVocab).unionAll(rowOf("unigram", uAgg, uVocab))
+  }
+
+  // ── WordPiece tokenizer (likelihood-scored merges) ────────────────
+
+  val WordPieceMerges = 6
+
+  /** WordPiece training — the THIRD production tokenizer family
+    * beside [[bpeFitMerges]] (frequency merges) and the unigram fit
+    * (Viterbi-EM): BPE's merge loop but with Schuster & Nakajima's
+    * LIKELIHOOD objective — each round merges the adjacent pair
+    * maximizing cnt(ab) / (cnt(a)·cnt(b)), the pair whose merge most
+    * increases corpus likelihood under a unigram model, not the most
+    * frequent pair. Word-internal continuation symbols carry the
+    * standard `##` mark from initialization (" h ##e ##l ##l ##o "),
+    * so a merge of (a, b) yields a + b-without-its-##, and the final
+    * vocabulary separates word-initial from continuation pieces
+    * exactly as BERT's does.
+    *
+    * The score is integer-exact both engines: cnt·10¹² floor-div
+    * (cnt_a·cnt_b) through DECIMAL(38,0) here and HUGEINT in the
+    * DuckDB twin; argmax ties break (cnt DESC, pair ASC). Per round:
+    * ONE type-table explode feeds both the pair and the symbol
+    * aggregates (map-side combined), the two K-bounded count frames
+    * join the pair frame on its split symbols, and a 1-row collect
+    * picks the winner — the [[bpeFitMerges]] bounded-collect
+    * contract, so the same sampled-corpus path scales it to 100 TB.
+    */
+  private[graft] def wordpieceFit(
+      spark: SparkSession,
+      dir: String
+  ): (Seq[(Long, String, String, String, Long, Long, Long, Long)], DataFrame) = {
+    val types = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn(
+        "seq",
+        concat(
+          lit(" "),
+          substring(col("word"), 1, 1),
+          when(
+            length(col("word")) > 1,
+            concat(
+              lit(" "),
+              trim(regexp_replace(expr("substring(word, 2)"), "(.)", "##$1 "))
+            )
+          ).otherwise(lit("")),
+          lit(" ")
+        )
+      )
+      .localCheckpoint()
+
+    val pairsOf =
+      """CASE WHEN size(syms) >= 2
+        |     THEN transform(sequence(0, size(syms) - 2),
+        |                    i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))
+        |     ELSE array() END""".stripMargin
+    var cur = types
+    val merges = Seq.newBuilder[(Long, String, String, String, Long, Long, Long, Long)]
+    var exhausted = false
+    for (k <- 1 to WordPieceMerges if !exhausted) {
+      val syms = cur.withColumn("syms", split(trim(col("seq")), " "))
+      val symCnt = syms
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym"))
+        .agg(sum(col("freq")).as("scnt"))
+      val best = syms
+        .select(col("freq"), explode(expr(pairsOf)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .withColumn("a", split(col("pair"), " ").getItem(0))
+        .withColumn("b", split(col("pair"), " ").getItem(1))
+        .join(symCnt.select(col("sym").as("a"), col("scnt").as("cnt_a")), Seq("a"))
+        .join(symCnt.select(col("sym").as("b"), col("scnt").as("cnt_b")), Seq("b"))
+        .withColumn(
+          "score",
+          expr(
+            """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000000000
+              |     DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""".stripMargin
+          )
+        )
+        .orderBy(col("score").desc, col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        val pair = r.getAs[String]("pair")
+        val Array(a, b) = pair.split(" ", 2)
+        val merged = a + b.stripPrefix("##")
+        merges += ((k.toLong, a, b, merged, r.getAs[Long]("cnt"),
+          r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"), r.getAs[Long]("score")))
+        val from = lit(s" $pair ")
+        val to = lit(s" $merged ")
+        cur = cur
+          .withColumn("seq",
+            replace(replace(replace(col("seq"), from, to), from, to), from, to))
+          .localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Session-memoized WordPiece fit — merge rules (≤
+    * [[WordPieceMerges]] rows) and the final type segmentations
+    * (TYPE-bounded), the [[bpeFitArtifacts]] sharing contract.
+    */
+  private def wordpieceFitArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var fit: Option[(Seq[(Long, String, String, String, Long, Long, Long, Long)], DataFrame)] =
+      None
+    def fitOnce() = { if (fit.isEmpty) fit = Some(wordpieceFit(spark, dir)); fit.get }
+    val merges = Artifacts.memo(spark, dir, "wordpiece_fit_merges")(
+      fitOnce()._1
+        .toDF("rank", "left_sym", "right_sym", "merged", "pair_count",
+          "left_count", "right_count", "score_q")
+        .repartition(1))
+    val types = Artifacts.memo(spark, dir, "wordpiece_fit_types")(fitOnce()._2)
+    (merges, types)
+  }
+
+  /** Gate readout: the learned WordPiece merge table with both symbol
+    * counts and the quantized likelihood score each round maximized.
+    */
+  def wordpieceFitTable(spark: SparkSession, dir: String): DataFrame =
+    wordpieceFitArtifacts(spark, dir)._1
+
+  /** WordPiece encoding of the corpus — per-source compression under
+    * the final segmentations; rides the TYPE table exactly like
+    * [[bpeEncode]] / [[unigramEncode]].
+    */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = wordpieceFitArtifacts(spark, dir)._2
+      .select(col("word"), size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    occ
+      .join(enc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_word_occurrences"),
+        countDistinct(col("word")).as("n_word_types"),
+        sum(col("cnt") * length(col("word"))).as("n_letters"),
+        sum(col("cnt") * col("n_syms")).as("n_wp_tokens")
+      )
+      .withColumn(
+        "compression_ppm",
+        expr("CAST(CAST(n_wp_tokens AS DECIMAL(38,0)) * 1000000 DIV n_letters AS BIGINT)")
+      )
+  }
+
+  /** All three trained tokenizer families on one sheet —
+    * [[unigramVsBpe]] plus the WordPiece row, every family read from
+    * its session fit artifact over the IDENTICAL type table. THE
+    * tokenizer-selection table: vocab realized, total tokens,
+    * compression ppm, one row per family.
+    */
+  def tokenizerBakeoff(spark: SparkSession, dir: String): DataFrame = {
+    val wpTypes = wordpieceFitArtifacts(spark, dir)._2
+      .select(
+        col("freq"),
+        length(col("word")).cast("long").as("wlen"),
+        split(trim(col("seq")), " ").as("syms")
+      )
+      .localCheckpoint()
+    val wAgg = wpTypes.agg(
+      sum(col("freq") * col("wlen")).as("n_letters"),
+      sum(col("freq") * size(col("syms")).cast("long")).as("n_tokens")
+    )
+    val wVocab = wpTypes
+      .select(explode(col("syms")).as("s"))
+      .agg(countDistinct(col("s")).as("n_vocab"))
+    val wpRow = wAgg
+      .crossJoin(broadcast(wVocab))
+      .select(
+        lit("wordpiece").as("family"),
+        col("n_vocab"),
+        col("n_letters"),
+        col("n_tokens"),
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_letters AS BIGINT)")
+          .as("compression_ppm")
+      )
+    unigramVsBpe(spark, dir).unionAll(wpRow)
   }
 
   /** Term burstiness (the dispersion index var/mean over per-doc
@@ -5144,4 +5314,191 @@ object TextOps {
         expr("CAST(CAST(n_over AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
       )
   }
+
+  // ── Kneser-Ney bigram LM + perplexity buckets (round-8 cont.) ─────
+
+  /** p quantized to 1/2⁵⁰ before the integer log — see [[knModel]]. */
+  val KnQpShift = 50
+
+  /** Interpolated Kneser-Ney bigram model (D = 3/4) with EXACT integer
+    * probabilities — the smoothed upgrade of [[lmDocScore]]'s MLE
+    * model, and the LM the CCNet-style perplexity filter
+    * ([[pplBucketSplit]]) actually wants (an MLE model assigns seen
+    * transitions unsmoothed mass and cannot rank docs by how TYPICAL
+    * their transitions are; KN discounting redistributes mass by
+    * continuation counts).
+    *
+    *   p(w|h) = (c(hw) − D)/c(h) + (D·N1+(h·)/c(h)) · (N1+(·w)/T)
+    *
+    * with D = 3/4 rational, so over the common denominator 4·c(h)·T
+    * the numerator (4·c(hw) − 3)·T + 3·N1+(h·)·N1+(·w) is pure
+    * integer. p is then quantized to qp = ⌊p·2⁵⁰⌋ through
+    * DECIMAL(38,0) floor division (exact in both engines; the DuckDB
+    * twin runs the same products in HUGEINT — two exact-integer
+    * mechanisms, one value), and the negative log₂ in 1/64-bit units
+    * is nll64 = 64·[[KnQpShift]] − c64(qp) via the `c64_log2` codegen
+    * expression ([[graft.functions.C64Kernel]]) — no transcendental
+    * anywhere in the gate. Domain: qp ≥ 1 iff c(h) < 2⁴⁸ (no bigram
+    * head reaches 2.8·10¹⁴ occurrences even at 100 TB) and the
+    * DECIMAL(38,0) products cap at ~4·c(hw)·T·2⁵⁰ < 10³⁸ for corpora
+    * up to ~10¹² bigram tokens × ~10¹⁰ types.
+    *
+    * Plan shape at 100 TB: the corpus collapses ONCE to the
+    * (head, nxt, cnt) TYPE table (map-side partial agg — the wc
+    * shuffle); the three KN statistics are two window passes over that
+    * Heaps-bounded table (head- and nxt-keyed); T joins back as a
+    * broadcast 1-row frame. The model is data-bounded but NOT
+    * driver-bounded — nothing here collects — which is exactly why
+    * c64 exists as a distributed expression and not only as the
+    * unigram fit's driver fold. Scoring joins the corpus bigram
+    * stream by its 60-bit md5 fingerprint: strings never shuffle at
+    * corpus volume.
+    */
+  private def knModel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val types = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_hw"))
+      .select(
+        col("bg"),
+        split(col("bg"), " ").getItem(0).as("head"),
+        split(col("bg"), " ").getItem(1).as("nxt"),
+        col("c_hw")
+      )
+    val wHead = Window.partitionBy(col("head"))
+    val wNxt = Window.partitionBy(col("nxt"))
+    val stats = types
+      .withColumn("c_h", sum(col("c_hw")).over(wHead))
+      .withColumn("n1p_h", count(lit(1)).over(wHead))
+      .withColumn("cont_w", count(lit(1)).over(wNxt))
+    val totals = types.agg(count(lit(1)).as("t_types"))
+    stats
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "qp",
+        expr(
+          s"""CAST(
+             | (CAST(4*c_hw - 3 AS DECIMAL(38,0)) * t_types
+             |  + CAST(3*n1p_h AS DECIMAL(38,0)) * cont_w)
+             | * CAST(${1L << KnQpShift} AS DECIMAL(38,0))
+             | DIV (CAST(4*c_h AS DECIMAL(38,0)) * t_types)
+             |AS BIGINT)""".stripMargin
+        )
+      )
+      .withColumn(
+        "nll64",
+        lit(64L * KnQpShift) - graft.functions.VectorExpressions.c64Log2(col("qp"))
+      )
+      .select(
+        conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("bigint").as("bg_fp"),
+        col("head"),
+        col("nxt"),
+        col("c_hw"),
+        col("c_h"),
+        col("n1p_h"),
+        col("cont_w"),
+        col("qp"),
+        col("nll64")
+      )
+  }
+
+  /** Session-memoized KN model — bigram-TYPE-bounded (the
+    * bpe_fit_types artifact class, NEVER corpus-sized), shared by the
+    * fit readout, the per-doc scorer and the bucket split so the
+    * model trains once per session exactly as a 100 TB pipeline
+    * would train it once per corpus snapshot.
+    */
+  private def knModelArtifact(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "kn_model")(knModel(spark, dir))
+
+  /** The KN model's top transitions — the k-bounded fit readout:
+    * top 25 bigrams by quantized probability (ties by head, nxt).
+    */
+  def knBigramFit(spark: SparkSession, dir: String): DataFrame =
+    knModelArtifact(spark, dir)
+      .select(
+        col("head"), col("nxt"), col("c_hw"), col("c_h"),
+        col("n1p_h"), col("cont_w"), col("qp"), col("nll64"))
+      .orderBy(col("qp").desc, col("head"), col("nxt"))
+      .limit(25)
+
+  /** Per-document KN perplexity: each doc's bigrams join the model by
+    * 60-bit fingerprint (every doc bigram is in the model by
+    * construction — the model trains on this corpus), sum_nll64 is the
+    * doc's total negative log₂ in 1/64-bit units, and avg_nll64 (the
+    * per-bigram floor-div mean) IS the quantized log-perplexity:
+    * PPL = 2^(avg_nll64/64). Docs with < 2 tokens surface with zeros
+    * (LEFT join from the docs spine — the detector_bakeoff zero-token
+    * discipline), never silently dropped.
+    */
+  def knDocPpl(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val perDoc = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(2))
+        ).as("bg")
+      )
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("bigint").as("bg_fp")
+      )
+      .join(knModelArtifact(spark, dir).select(col("bg_fp"), col("nll64")), Seq("bg_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll64")).as("sum_nll64"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_nll64"), lit(0L)).as("sum_nll64"),
+        coalesce(expr("sum_nll64 DIV n_bigrams"), lit(0L)).as("avg_nll64")
+      )
+  }
+
+  /** The CCNet discipline: per source, split docs into head / middle /
+    * tail by LM perplexity tertiles (ntile(3) over avg_nll64, ties by
+    * doc_id — head = most-typical third, the slice CCNet keeps first)
+    * and report each bucket's size and mean quantized log-perplexity.
+    * Composition over [[knDocPpl]]; the bucket assignment is one
+    * source-keyed window over the per-doc frame.
+    */
+  def pplBucketSplit(spark: SparkSession, dir: String): DataFrame =
+    knDocPpl(spark, dir)
+      .withColumn(
+        "bucket",
+        ntile(3).over(
+          Window.partitionBy(col("source")).orderBy(col("avg_nll64"), col("doc_id")))
+      )
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("avg_nll64")).as("sum_avg_nll64"),
+        sum(col("n_bigrams")).as("n_bigrams")
+      )
+      .select(
+        col("source"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_docs"),
+        col("sum_avg_nll64"),
+        expr("sum_avg_nll64 DIV n_docs").as("mean_nll64"),
+        col("n_bigrams")
+      )
 }

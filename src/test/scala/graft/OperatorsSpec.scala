@@ -7229,4 +7229,187 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hams.count(_._2 <= t) > hams.count(_._1 <= t))
     assert(hams.map(_._2).sum < hams.map(_._1).sum)
   }
+
+  test("kneser-ney bigram LM matches an exact rational recompute") {
+    // the c64_log2 codegen expression is the kernel, distributed
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val vs = Seq(1L, 2L, 3L, 1023L, 1024L, (1L << 50) - 7, 1L << 50)
+    val exprGot = vs.toDF("v")
+      .selectExpr("v", "c64_log2(v) AS c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vs.foreach(v => assert(exprGot(v) === TextOps.c64(v)))
+
+    // brute model in exact BigInt rationals from the raw corpus
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val docBgs = docs.map { case (id, src, t) =>
+      (id, src, t.zip(t.drop(1)).map { case (a, b) => s"$a $b" })
+    }
+    val counts = docBgs.flatMap(_._3).groupBy(identity)
+      .map { case (bg, o) => bg -> o.length.toLong }
+    val tTypes = counts.size.toLong
+    assert(tTypes > 0)
+    val byHead = counts.groupBy(_._1.split(" ")(0))
+    val cH = byHead.map { case (h, g) => h -> g.values.sum }
+    val n1pH = byHead.map { case (h, g) => h -> g.size.toLong }
+    val contW = counts.groupBy(_._1.split(" ")(1)).map { case (w, g) => w -> g.size.toLong }
+    def qp(bg: String): Long = {
+      val Array(h, w) = bg.split(" ")
+      val num = (BigInt(4) * counts(bg) - 3) * tTypes + BigInt(3) * n1pH(h) * contW(w)
+      val den = BigInt(4) * cH(h) * tTypes
+      ((num << TextOps.KnQpShift) / den).toLong
+    }
+    def nll(bg: String): Long = 64L * TextOps.KnQpShift - TextOps.c64(qp(bg))
+
+    // smoothing identity, exact: for every head the seen discounted
+    // mass plus the FULL backoff mass is 1 (sum over all vocab w of
+    // cont_w is t_types, so the numerators sum to the denominator)
+    byHead.foreach { case (h, g) =>
+      val seenNum = g.keys.toSeq.map(bg => (BigInt(4) * counts(bg) - 3) * tTypes).sum
+      val backoffNumAllW = BigInt(3) * n1pH(h) * tTypes
+      assert(seenNum + backoffNumAllW === BigInt(4) * cH(h) * tTypes, s"mass != 1 for head $h")
+    }
+
+    // kn_bigram_fit == the top-25 by quantized probability
+    val fitExp = counts.keys.toSeq
+      .map { bg =>
+        val Array(h, w) = bg.split(" ")
+        (h, w, counts(bg), cH(h), n1pH(h), contW(w), qp(bg), nll(bg))
+      }
+      .sortBy { case (h, w, _, _, _, _, q, _) => (-q, h, w) }
+      .take(25)
+    val fitGot = TextOps.knBigramFit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(fitGot === fitExp)
+
+    // kn_doc_ppl == per-doc fold; zero-bigram docs surface with zeros
+    val pplExp = docBgs.map { case (id, src, bgs) =>
+      val s = bgs.map(nll).sum
+      (id, src, bgs.length.toLong, s, if (bgs.nonEmpty) s / bgs.length else 0L)
+    }.toSet
+    val pplGot = TextOps.knDocPpl(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(pplGot === pplExp)
+    // every nll is positive (p < 1 strictly after quantization) and the
+    // model's worst transition scores worse than its best
+    assert(pplExp.filter(_._3 > 0).forall(_._4 > 0))
+
+    // ppl_bucket_split == an ntile(3) fold over the same per-doc frame
+    val bucketExp = pplExp.toSeq.groupBy(_._2).flatMap { case (src, g) =>
+      val sorted = g.sortBy(t => (t._5, t._1))
+      val n = sorted.length
+      val base = n / 3
+      val rem = n % 3
+      val tiles = (1 to 3).flatMap(b => Seq.fill(base + (if (b <= rem) 1 else 0))(b))
+      sorted.zip(tiles).groupBy(_._2).map { case (b, rows) =>
+        val label = b match { case 1 => "head"; case 2 => "middle"; case _ => "tail" }
+        (src, label, rows.length.toLong, rows.map(_._1._5).sum,
+          rows.map(_._1._5).sum / rows.length, rows.map(_._1._3).sum)
+      }
+    }.toSet
+    val bucketGot = TextOps.pplBucketSplit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(bucketGot === bucketExp)
+    // CCNet readout sanity: within each source the head bucket's mean
+    // log-perplexity does not exceed the tail bucket's
+    bucketExp.groupBy(_._1).foreach { case (src, rows) =>
+      val m = rows.map(t => t._2 -> t._5).toMap
+      assert(m("head") <= m("tail"), s"head > tail for $src")
+    }
+  }
+
+  test("wordpiece fit/encode/bakeoff match a plain-Scala likelihood-merge recompute") {
+    // reference fit: ##-marked init, 6 rounds of argmax over
+    // cnt·10^12 // (cnt_a·cnt_b) with (score DESC, cnt DESC, pair ASC)
+    val words = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val types = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach(w => types.updateWith(w)(c => Some(c.getOrElse(0L) + 1L)))
+    def initSeq(w: String): String =
+      " " + w.head + (if (w.length > 1) " " + w.tail.map(c => s"##$c").mkString(" ") else "") + " "
+    var seqs: Map[String, String] = types.keys.map(w => w -> initSeq(w)).toMap
+    val expMerges = Seq.newBuilder[(Long, String, String, String, Long, Long, Long, Long)]
+    for (k <- 1 to TextOps.WordPieceMerges) {
+      val symCnt = scala.collection.mutable.Map.empty[String, Long]
+      val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (w, s) =>
+        val f = types(w)
+        val syms = s.trim.split(" ")
+        syms.foreach(y => symCnt.updateWith(y)(c => Some(c.getOrElse(0L) + f)))
+        syms.zip(syms.drop(1)).foreach { case (a, b) =>
+          pairCnt.updateWith(s"$a $b")(c => Some(c.getOrElse(0L) + f))
+        }
+      }
+      val scored = pairCnt.toSeq.map { case (p, c) =>
+        val Array(a, b) = p.split(" ", 2)
+        val sc = (BigInt(c) * BigInt(10).pow(12) / (BigInt(symCnt(a)) * symCnt(b))).toLong
+        (p, c, symCnt(a), symCnt(b), sc)
+      }
+      val (pair, cnt, ca, cb, sc) = scored
+        .sortBy { case (p, c, _, _, s) => (-s, -c, p) }
+        .map(t => (t._1, t._2, t._3, t._4, t._5)).head
+      val Array(a, b) = pair.split(" ", 2)
+      val merged = a + b.stripPrefix("##")
+      expMerges += ((k.toLong, a, b, merged, cnt, ca, cb, sc))
+      seqs = seqs.view.mapValues { s =>
+        var r = s
+        (1 to 3).foreach(_ => r = r.replace(s" $pair ", s" $merged "))
+        r
+      }.toMap
+    }
+    val exp = expMerges.result()
+    val got = TextOps.wordpieceFitTable(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1).toSeq
+    assert(got === exp)
+    assert(got.size === TextOps.WordPieceMerges)
+    // the ## convention holds end-to-end: every final piece either
+    // starts the word (no mark) or carries the mark, and stripping
+    // marks rebuilds the word exactly
+    seqs.foreach { case (w, s) =>
+      val ps = s.trim.split(" ")
+      assert(!ps.head.startsWith("##") || w.startsWith("##"), s"initial piece marked for $w")
+      ps.drop(1).foreach(p => assert(p.startsWith("##"), s"unmarked continuation in $w: $p"))
+      assert((ps.head + ps.drop(1).map(_.stripPrefix("##")).mkString).mkString === w)
+    }
+
+    // encode == occurrence-weighted fold over the reference seqs
+    val docs = Tables.documents(spark, Sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val encExp = docs.groupBy(_._1).map { case (src, g) =>
+      val occ = g.flatMap(_._2)
+      val nSyms = seqs.view.mapValues(_.trim.split(" ").length.toLong).toMap
+      val letters = occ.map(_.length.toLong).sum
+      val toks = occ.map(w => nSyms(w)).sum
+      (src, occ.size.toLong, occ.distinct.size.toLong, letters, toks,
+        (BigInt(toks) * 1000000 / letters).toLong)
+    }.toSet
+    val encGot = TextOps.wordpieceEncode(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(encGot === encExp)
+
+    // bakeoff: the wordpiece row equals the same reference totals and
+    // the bpe/unigram rows are exactly the unigramVsBpe sheet
+    val nLetters = types.map { case (w, f) => w.length * f }.sum
+    val nTokens = types.map { case (w, f) => seqs(w).trim.split(" ").length * f }.sum
+    val nVocab = seqs.values.flatMap(_.trim.split(" ")).toSet.size.toLong
+    val bak = TextOps.tokenizerBakeoff(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(bak("wordpiece") ===
+      ((nVocab, nLetters, nTokens, (BigInt(nTokens) * 1000000 / nLetters).toLong)))
+    val uvb = TextOps.unigramVsBpe(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(bak.view.filterKeys(_ != "wordpiece").toMap === uvb)
+    assert(bak.keySet === Set("bpe", "unigram", "wordpiece"))
+  }
 }
