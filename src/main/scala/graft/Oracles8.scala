@@ -150,6 +150,122 @@ object Oracles8 {
        |${rowm("hybrid_rrf", "hyb")}""".stripMargin
   }
 
+  /** Mirrors SimilarityOps.retrievalNdcg: the same four retrievers,
+    * binary relevance vs the brute truth, log₂ discount as the
+    * integer c64 chain — gain(r) = 64·10⁹ // c64(r+1), micro-averaged
+    * ndcg_ppm = Σdcg·10⁶ // Σidcg.
+    */
+  val retrievalNdcg: String = {
+    def gm(tag: String, src: String): String =
+      s"""g_$tag AS (
+         | SELECT COALESCE(SUM(64000000000 // c.c64), 0) AS sum_dcg
+         | FROM $src m JOIN tr USING (query_id, neighbor_id)
+         | JOIN c64v_nd c ON c.v = m.rnk + 1)""".stripMargin
+    def rowm(name: String, tag: String): String =
+      s"""SELECT '$name' AS method, CAST(sum_dcg AS BIGINT) AS sum_dcg,
+         | CAST(sum_idcg AS BIGINT) AS sum_idcg,
+         | CAST(CAST(sum_dcg AS HUGEINT) * 1000000 // sum_idcg AS BIGINT) AS ndcg_ppm
+         |FROM g_$tag, gi""".stripMargin
+    s"""WITH $hybridCtes,
+       |mivf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |         FROM (${Oracles2.annTopkIvf})),
+       |mlsh AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |         FROM (${Oracles2.annTopkLsh})),
+       |mlex AS (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
+       |mhyb AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
+       |tr AS (SELECT query_id, neighbor_id FROM sem),
+       |ipos AS (SELECT unnest(range(1, cnt + 1)) AS i FROM
+       |         (SELECT query_id, COUNT(*) AS cnt FROM tr GROUP BY query_id)),
+       |ndvals AS (
+       | SELECT DISTINCT v FROM (
+       |  SELECT rnk + 1 AS v FROM mivf UNION ALL SELECT rnk + 1 FROM mlsh
+       |  UNION ALL SELECT rnk + 1 FROM mlex UNION ALL SELECT rnk + 1 FROM mhyb
+       |  UNION ALL SELECT i + 1 FROM ipos)),
+       |${c64ValChain("ndvals", "nd")},
+       |gi AS (SELECT SUM(64000000000 // c.c64) AS sum_idcg
+       |       FROM ipos JOIN c64v_nd c ON c.v = ipos.i + 1),
+       |${gm("ivf", "mivf")},
+       |${gm("lsh", "mlsh")},
+       |${gm("lex", "mlex")},
+       |${gm("hyb", "mhyb")}
+       |${rowm("ivf", "ivf")}
+       |UNION ALL
+       |${rowm("lsh", "lsh")}
+       |UNION ALL
+       |${rowm("lexical_arm", "lex")}
+       |UNION ALL
+       |${rowm("hybrid_rrf", "hyb")}""".stripMargin
+  }
+
+  /** Mirrors TextOps.btSourceRatings: the same bucketed adjacent-rank
+    * duels (winner = higher hashgram score via a rank window rather
+    * than Spark's max_by — two mechanisms, one winner), then
+    * [[graft.operators.TextOps.BtRounds]] Zermelo MM rounds unrolled
+    * as HUGEINT CTEs with per-term floor division and the n·10⁶
+    * renormalization, exactly the driver loop's arithmetic.
+    */
+  val btSourceRatings: String = {
+    val rounds = (1 to graft.operators.TextOps.BtRounds).map { k =>
+      s"""d$k AS (
+         | SELECT p.a AS source,
+         |  SUM(CAST(p.nij AS HUGEINT) * 1000000000000 // (i.r + j.r)) AS d,
+         |  SUM(CAST(p.wab AS HUGEINT)) AS wi
+         | FROM pairsn p JOIN bt${k - 1} i ON i.source = p.a
+         |  JOIN bt${k - 1} j ON j.source = p.b
+         | GROUP BY 1),
+         |r0$k AS (
+         | SELECT b.source,
+         |  CASE WHEN d.d IS NULL OR d.d = 0 THEN b.r
+         |       ELSE greatest(d.wi * 1000000000000 // d.d, 1) END AS r0
+         | FROM bt${k - 1} b LEFT JOIN d$k d USING (source)),
+         |t$k AS (SELECT SUM(r0) AS t, COUNT(*) AS n FROM r0$k),
+         |bt$k AS (SELECT source, greatest(r0 * (n * 1000000) // t, 1) AS r
+         |         FROM r0$k, t$k)""".stripMargin
+    }
+    val last = s"bt${graft.operators.TextOps.BtRounds}"
+    s"""WITH btt AS (
+       | SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |btds AS (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
+       | FROM (SELECT doc_id, source FROM btt) s
+       | LEFT JOIN (
+       |   SELECT doc_id,
+       |    SUM(CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+       |        % 2001 - 1000) AS score
+       |   FROM (SELECT doc_id, unnest(toks) AS t FROM btt) GROUP BY doc_id) w USING (doc_id)),
+       |btk AS (SELECT doc_id, source, score,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+       |   AS BIGINT) AS fp
+       | FROM btds),
+       |btn AS (SELECT *, fp % ${graft.operators.TextOps.BtBuckets} AS bkt FROM btk),
+       |btw AS (SELECT *,
+       |  (ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY fp, doc_id) - 1) // 2 AS duel
+       | FROM btn),
+       |btp AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY bkt, duel ORDER BY score DESC, doc_id ASC) AS rw,
+       |  COUNT(*) OVER (PARTITION BY bkt, duel) AS nn
+       | FROM btw),
+       |xw AS (SELECT w.source AS ws, l.source AS ls, COUNT(*) AS w
+       | FROM btp w JOIN btp l ON w.bkt = l.bkt AND w.duel = l.duel
+       |  AND w.rw = 1 AND l.rw = 2
+       | WHERE w.nn = 2 AND w.source <> l.source
+       | GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |pairsn AS (SELECT a.source AS a, b.source AS b,
+       |  COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS nij, COALESCE(w1.w, 0) AS wab
+       | FROM srcs a JOIN srcs b ON a.source <> b.source
+       | LEFT JOIN xw w1 ON w1.ws = a.source AND w1.ls = b.source
+       | LEFT JOIN xw w2 ON w2.ws = b.source AND w2.ls = a.source),
+       |bt0 AS (SELECT source, CAST(1000000 AS HUGEINT) AS r FROM srcs),
+       |${rounds.mkString(",\n")},
+       |g AS (SELECT a AS source, CAST(SUM(nij) AS BIGINT) AS n_games,
+       |      CAST(SUM(wab) AS BIGINT) AS n_wins FROM pairsn GROUP BY 1)
+       |SELECT s.source, COALESCE(g.n_games, 0) AS n_games,
+       | COALESCE(g.n_wins, 0) AS n_wins, CAST(b.r AS BIGINT) AS rating_q
+       |FROM srcs s LEFT JOIN g USING (source) JOIN $last b ON b.source = s.source""".stripMargin
+  }
+
   // ── DCT pHash twins ─────────────────────────────────────────────
 
   /** The fixed-point DCT basis as a flat row-major literal — generated

@@ -277,6 +277,8 @@ object SparkEntry {
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
+    "retrieval_ndcg" -> SimilarityOps.retrievalNdcg,
+    "bt_source_ratings" -> TextOps.btSourceRatings,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -832,6 +834,8 @@ object SparkEntry {
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,
+    "retrieval_ndcg" -> Oracles8.retrievalNdcg,
+    "bt_source_ratings" -> Oracles8.btSourceRatings,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

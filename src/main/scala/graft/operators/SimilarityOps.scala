@@ -1759,4 +1759,55 @@ object SimilarityOps {
         hybridRrfTopK(spark, dir)
           .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rnk"))))
   }
+
+  /** nDCG@[[TopK]] of the same four retrievers against the brute
+    * truth — the graded companion of [[retrievalMrr]] (MRR prices
+    * only the FIRST hit; nDCG prices the whole ranking). The log₂
+    * discount is the integer [[graft.functions.C64Kernel]] log the KN
+    * LM uses: gain(r) = ⌊64·10⁹ / c64(r+1)⌋ (exactly 10⁹ at r = 1
+    * since c64(2) = 64), dcg_q sums gain over relevant hits, the
+    * ideal sums gain(1..|truth_q|), and the sheet reports
+    * micro-averaged ndcg_ppm = Σdcg·10⁶ DIV Σidcg — no transcendental
+    * anywhere, exact in both engines.
+    *
+    * Scale: pure composition over the same five memoized k-bounded
+    * artifacts; the ideal explodes sequence(1, |truth_q|) over
+    * #queries rows. Zero corpus passes.
+    */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    def gain(r: String): Column =
+      expr(s"CAST(64000000000 DIV c64_log2($r + 1) AS BIGINT)")
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ideal = truth
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+      .select(explode(sequence(lit(1L), col("n_rel"))).as("i"))
+      .select(gain("i").as("g"))
+      .agg(sum(col("g")).as("sum_idcg"))
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val dcg = approx
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .select(gain("rnk").as("g"))
+        .agg(coalesce(sum(col("g")), lit(0L)).as("sum_dcg"))
+      dcg
+        .crossJoin(broadcast(ideal))
+        .select(
+          lit(method).as("method"),
+          col("sum_dcg"),
+          col("sum_idcg"),
+          expr("CAST(CAST(sum_dcg AS DECIMAL(38,0)) * 1000000 DIV sum_idcg AS BIGINT)")
+            .as("ndcg_ppm")
+        )
+    }
+    row("ivf", ivfLabelTopK(spark, dir).select(col("query_id"), col("neighbor_id"), col("rnk")))
+      .unionAll(row("lsh",
+        lshTopK(spark, dir).select(col("query_id"), col("neighbor_id"), col("rnk"))))
+      .unionAll(row("lexical_arm",
+        hybridLexArm(spark, dir)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"), col("lex_rank").as("rnk"))))
+      .unionAll(row("hybrid_rrf",
+        hybridRrfTopK(spark, dir)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rnk"))))
+  }
 }

@@ -5315,6 +5315,104 @@ object TextOps {
       )
   }
 
+  // ── Bradley-Terry source ratings (pairwise-duel reward fit) ───────
+
+  val BtBuckets = 8
+  val BtRounds = 3
+
+  /** Deterministic quality duels: docs are bucketed by the 60-bit md5
+    * of their id (BtBuckets buckets), ranked inside each bucket by
+    * (fp, doc_id), and adjacent ranks duel — the sorted-neighborhood
+    * pairing shape, so matchmaking is reproducible and uniform without
+    * any corpus self-join. The winner is the higher hashgram
+    * classifier score ([[hashgramGateProjection]]'s scorer — the
+    * session's stand-in for a reward model), ties to the lower
+    * doc_id; odd leftover docs in a bucket sit out. One keyed window
+    * + one agg — corpus-linear, no pair blowup.
+    */
+  private[graft] def btDuels(spark: SparkSession, dir: String): DataFrame = {
+    val scored = hashgramGateProjection(
+      Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism))
+      .withColumn(
+        "fp",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("bkt", pmod(col("fp"), lit(BtBuckets.toLong)))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("bkt")).orderBy(col("fp"), col("doc_id"))))
+      .withColumn("duel", expr("CAST((rn - 1) div 2 AS BIGINT)"))
+    scored
+      .groupBy(col("bkt"), col("duel"))
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(struct(col("source"), col("doc_id")),
+          struct(col("score"), -col("doc_id"))).as("w"),
+        min_by(struct(col("source"), col("doc_id")),
+          struct(col("score"), -col("doc_id"))).as("l")
+      )
+      .filter(col("n") === 2)
+      .select(col("w.source").as("winner_src"), col("l.source").as("loser_src"))
+  }
+
+  /** Bradley-Terry strength ratings of the SOURCES from the doc-level
+    * duels — the reward-model-style rating fit of the RLHF data
+    * pipeline (sources here play the role players/policies play in
+    * preference learning): W[a][b] cross-source win counts feed
+    * Zermelo's MM iteration
+    *
+    *   r_i ← W_i / Σ_{j≠i} n_ij / (r_i + r_j),
+    *
+    * run [[BtRounds]] rounds in EXACT integer arithmetic — per-term
+    * floor d_i = Σ ⌊n_ij·10¹² / (r_i + r_j)⌋, update
+    * r'_i = max(⌊W_i·10¹² / d_i⌋, 1) (no-game sources keep their
+    * rating), then renormalized to Σr = n·10⁶ by floor division. The
+    * DuckDB twin unrolls the identical arithmetic in HUGEINT CTE
+    * rounds; here the rounds run on the driver over the collected
+    * source×source matrix — #sources-bounded (the perceptron_epoch
+    * 64-row-broadcast class), while the corpus contributes exactly
+    * one scan (the duel pass).
+    */
+  def btSourceRatings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val matrix = btDuels(spark, dir)
+      .filter(col("winner_src") =!= col("loser_src"))
+      .groupBy(col("winner_src"), col("loser_src"))
+      .agg(count(lit(1)).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sources = Tables
+      .documents(spark, dir)
+      .select(col("source"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    def winsOf(a: String, b: String): Long = matrix.getOrElse((a, b), 0L)
+    def nij(a: String, b: String): Long = winsOf(a, b) + winsOf(b, a)
+    val T = BigInt("1000000000000")
+    var r: Map[String, BigInt] = sources.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to BtRounds) {
+      val r0 = sources.map { i =>
+        val d = sources.filter(_ != i).map(j => BigInt(nij(i, j)) * T / (r(i) + r(j))).sum
+        val wi = sources.filter(_ != i).map(j => BigInt(winsOf(i, j))).sum
+        i -> (if (d == 0) r(i) else (wi * T / d).max(BigInt(1)))
+      }.toMap
+      val t = r0.values.sum
+      r = sources
+        .map(i => i -> (r0(i) * sources.size * 1000000 / t).max(BigInt(1)))
+        .toMap
+    }
+    sources
+      .map { i =>
+        val games = sources.filter(_ != i).map(j => nij(i, j)).sum
+        val wins = sources.filter(_ != i).map(j => winsOf(i, j)).sum
+        (i, games, wins, r(i).toLong)
+      }
+      .toDF("source", "n_games", "n_wins", "rating_q")
+  }
+
   // ── Kneser-Ney bigram LM + perplexity buckets (round-8 cont.) ─────
 
   /** p quantized to 1/2⁵⁰ before the integer log — see [[knModel]]. */

@@ -7412,4 +7412,106 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bak.view.filterKeys(_ != "wordpiece").toMap === uvb)
     assert(bak.keySet === Set("bpe", "unigram", "wordpiece"))
   }
+
+  test("bradley-terry source ratings match an exact BigInt MM recompute") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def score(text: String): Long =
+      text.split("[^\\p{L}]+").filter(_.nonEmpty)
+        .map(t => h60(t) % 2001L - 1000L).sum
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), score(r.getString(2))))
+    // duels: bucket by fp % BtBuckets, rank by (fp, id), pair adjacent
+    val duels = docs
+      .map { case (id, src, sc) => (h60(id.toString), id, src, sc) }
+      .groupBy(_._1 % TextOps.BtBuckets)
+      .values.flatMap { g =>
+        g.toSeq.sortBy(t => (t._1, t._2)).grouped(2).filter(_.size == 2).map { p =>
+          val Seq(x, y) = p.sortBy(t => (-t._4, t._2))
+          (x._3, y._3) // winner source, loser source
+        }
+      }.toSeq
+    val cross = duels.filter(d => d._1 != d._2)
+    assert(cross.nonEmpty, "no cross-source duels at sf0.001")
+    val wins = cross.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sources = docs.map(_._2).distinct.sorted.toSeq
+    def w(a: String, b: String) = wins.getOrElse((a, b), 0L)
+    def nij(a: String, b: String) = w(a, b) + w(b, a)
+    val T = BigInt("1000000000000")
+    var r = sources.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to TextOps.BtRounds) {
+      val r0 = sources.map { i =>
+        val d = sources.filter(_ != i).map(j => BigInt(nij(i, j)) * T / (r(i) + r(j))).sum
+        val wi = sources.filter(_ != i).map(j => BigInt(w(i, j))).sum
+        i -> (if (d == 0) r(i) else (wi * T / d).max(BigInt(1)))
+      }.toMap
+      val t = r0.values.sum
+      r = sources.map(i => i -> (r0(i) * sources.size * 1000000 / t).max(BigInt(1))).toMap
+    }
+    val exp = sources.map { i =>
+      (i, sources.filter(_ != i).map(j => nij(i, j)).sum,
+        sources.filter(_ != i).map(j => w(i, j)).sum, r(i).toLong)
+    }.toSet
+    val got = TextOps.btSourceRatings(spark, Sf0001).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(got === exp)
+    // normalization floors keep the total within n of the n·10^6 target
+    val n = sources.size
+    val tot = exp.toSeq.map(_._4).sum
+    assert(tot <= n.toLong * 1000000L && tot >= n.toLong * 1000000L - n,
+      s"rating mass drifted: $tot")
+  }
+
+  test("retrieval ndcg: c64-discounted sheet matches a fold over the rankings") {
+    def gain(rank: Long): Long = 64000000000L / TextOps.c64(rank + 1)
+    val truth = SimilarityOps.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idcg = truth.toSeq.groupBy(_._1).values
+      .flatMap(g => (1 to g.size).map(i => gain(i.toLong))).sum
+    def expect(list: Seq[(Long, Long, Long)]): (Long, Long, Long) = {
+      val dcg = list.filter(t => truth((t._1, t._2))).map(t => gain(t._3)).sum
+      (dcg, idcg, (BigInt(dcg) * 1000000 / idcg).toLong)
+    }
+    def tri(df: org.apache.spark.sql.DataFrame, a: String, b: String, c: String) =
+      df.select(a, b, c).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Map(
+      "ivf" -> expect(tri(SimilarityOps.ivfLabelTopK(spark, Sf0001),
+        "query_id", "neighbor_id", "rnk")),
+      "lsh" -> expect(tri(SimilarityOps.lshTopK(spark, Sf0001),
+        "query_id", "neighbor_id", "rnk")),
+      "lexical_arm" -> expect(tri(SimilarityOps.hybridLexArm(spark, Sf0001),
+        "query_id", "doc_id", "lex_rank")),
+      "hybrid_rrf" -> expect(tri(SimilarityOps.hybridRrfTopK(spark, Sf0001),
+        "query_id", "doc_id", "rnk"))
+    )
+    val got = SimilarityOps.retrievalNdcg(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // the discount is exact at rank 1 and strictly decreasing over the
+    // k window, so a full-truth ranking would score exactly idcg
+    assert(gain(1L) === 1000000000L)
+    (1L to 5L).sliding(2).foreach(p => assert(gain(p(0)) > gain(p(1))))
+    got.values.foreach { case (d, i, ppm) => assert(d <= i && ppm <= 1000000L) }
+  }
+
+  test("round-8 continuation additions are partition-invariant: parallelism 2 vs 16") {
+    val names = Seq("kn_bigram_fit", "kn_doc_ppl", "ppl_bucket_split",
+      "wordpiece_fit", "wordpiece_encode", "tokenizer_bakeoff",
+      "retrieval_ndcg", "bt_source_ratings")
+    def run(): Map[String, Set[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+    }.toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
