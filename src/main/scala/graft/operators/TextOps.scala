@@ -5517,6 +5517,13 @@ object TextOps {
   private def knModelArtifact(spark: SparkSession, dir: String): DataFrame =
     Artifacts.memo(spark, dir, "kn_model")(knModel(spark, dir))
 
+  /** The memoized model for [[graft.streaming.PplGateStream]]'s
+    * bounded reference-model broadcast (CCNet's discipline: the gate
+    * LM trains on a bounded reference snapshot, not the crawl).
+    */
+  private[graft] def knModelForStream(spark: SparkSession, dir: String): DataFrame =
+    knModelArtifact(spark, dir)
+
   /** The KN model's top transitions — the k-bounded fit readout:
     * top 25 bigrams by quantized probability (ties by head, nxt).
     */

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming KN-perplexity scorer AT INGEST — the online twin of the
+  * batch `kn_doc_ppl` scorer: every arriving document is scored
+  * against a Kneser-Ney bigram model the moment it lands, emitting
+  * the same (n_bigrams, sum_nll64, avg_nll64) row the batch sheet
+  * carries. This is the execution shape of CCNet's perplexity filter
+  * at the ingest edge: score-before-persist, then route by
+  * head/middle/tail downstream.
+  *
+  * Architecture: STATELESS per-row scoring with a BOUNDED broadcast
+  * model — the gate model trains on a REFERENCE corpus snapshot
+  * (CCNet trains its KenLM on Wikipedia, not on the crawl being
+  * filtered), so the model is bounded by contract and its
+  * fp→nll64 map is collected once at stream build and broadcast: the
+  * same boundedness argument [[DecontamStream]] makes for its
+  * benchmark index. Each row folds its own bigram fingerprints (the
+  * codegen `shingle_hashes` kernel at width 2 — bit-identical to the
+  * batch side's md5 bg_fp) against the map; no state store, no
+  * watermark, no shuffle, so emitted rows equal the batch sheet under
+  * ANY micro-batch slicing, and at 100 TB the stream scales as
+  * scan-bound ingest with a reference-model-sized broadcast.
+  *
+  * Bigrams absent from the model are skipped, exactly as the batch
+  * side's inner model join skips them; when the stream reads the
+  * reference corpus itself (the spec's setup), every bigram hits.
+  */
+object PplGateStream {
+
+  final case class PplRow(
+      doc_id: Long,
+      source: String,
+      n_bigrams: Long,
+      sum_nll64: Long,
+      avg_nll64: Long
+  )
+
+  /** The bounded reference model: bigram fingerprint → nll64 (the
+    * batch `kn_model` artifact, collected).
+    */
+  private[graft] def modelIndex(spark: SparkSession, refDir: String): Map[Long, Long] =
+    graft.operators.TextOps
+      .knModelForStream(spark, refDir)
+      .select(col("bg_fp"), col("nll64"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  /** Per-arriving-doc perplexity rows over a directory of document
+    * parquet files (each file = one ingest micro-batch); the model
+    * trains on `refDir`'s canonical table.
+    */
+  def scored(spark: SparkSession, streamDir: String, refDir: String): Dataset[PplRow] = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val bc = spark.sparkContext.broadcast(modelIndex(spark, refDir))
+    val toks = graft.operators.TextOps.tokens(lower(col("text")))
+    spark.readStream
+      .schema(DedupStream.docsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(
+          graft.functions.VectorExpressions.shingleHashes(toks, lit(2)),
+          expr("CAST(array() AS array<bigint>)")
+        ).as("fps")
+      )
+      .as[(Long, String, Array[Long])]
+      .map { case (id, src, fps) =>
+        val m = bc.value
+        var s = 0L
+        var n = 0L
+        fps.foreach { f =>
+          m.get(f) match {
+            case Some(v) => s += v; n += 1
+            case None    => ()
+          }
+        }
+        PplRow(id, src, n, s, if (n > 0) s / n else 0L)
+      }
+  }
+}

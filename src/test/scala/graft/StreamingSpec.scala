@@ -1319,4 +1319,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.filter(_._8 == 0L).forall(t => t._6 != t._7))
     } finally q.stop()
   }
+
+  test("streaming ppl gate: sliced ingest == batch kn_doc_ppl row-for-row") {
+    // stateless per-row scoring against the broadcast reference model:
+    // ANY slicing must reproduce the batch per-doc perplexity sheet
+    // exactly (the stream reads sliced copies; the model trains on the
+    // canonical table, so every bigram hits)
+    val tmp = java.nio.file.Files.createTempDirectory("pplgate-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.PplGateStream
+      .scored(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pplgate_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toSet
+      val streamed = key(spark.table("pplgate_stream").collect())
+      val batch = key(graft.operators.TextOps.knDocPpl(spark, Sf0001).collect())
+      assert(streamed === batch)
+      // non-vacuous: scores genuinely vary at the edge
+      assert(streamed.map(_._5).size > 1 || streamed.map(_._5).exists(_ > 0))
+      assert(streamed.forall(t => t._3 == 0L || t._4 > 0L))
+    } finally q.stop()
+  }
 }
