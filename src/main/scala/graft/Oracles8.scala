@@ -704,6 +704,65 @@ object Oracles8 {
        |GROUP BY source""".stripMargin
   }
 
+  /** Mirrors TextOps.wordpieceGreedy: the same greedy longest-match
+    * inference as a RECURSIVE CTE (one state row per consumed piece,
+    * longest match via a correlated MAX over the realized vocab;
+    * whole-word [UNK] when nothing matches) — deliberately a
+    * different mechanism from the Spark side's aggregate fold.
+    */
+  val wordpieceGreedy: String = {
+    val last = s"w${graft.operators.TextOps.WordPieceMerges}"
+    s"""WITH RECURSIVE $wpChain,
+       |gbase AS MATERIALIZED (SELECT word, seq FROM $last),
+       |gvoc AS MATERIALIZED (
+       | SELECT DISTINCT unnest(string_split(trim(seq), ' ')) AS piece FROM gbase),
+       |gpos AS MATERIALIZED (
+       | SELECT word, CAST(unnest(range(1, length(word) + 1)) AS BIGINT) AS pos FROM gbase),
+       |gbest AS MATERIALIZED (
+       | SELECT p.word, p.pos,
+       |  MAX(CASE WHEN p.pos = 1 THEN length(v.piece) ELSE length(v.piece) - 2 END) AS bl
+       | FROM gpos p LEFT JOIN gvoc v
+       |  ON CASE WHEN p.pos = 1
+       |     THEN v.piece NOT LIKE '##%'
+       |      AND v.piece = substr(p.word, 1, CAST(length(v.piece) AS INT))
+       |     ELSE v.piece LIKE '##%'
+       |      AND substr(v.piece, 3) =
+       |          substr(p.word, CAST(p.pos AS INT), CAST(length(v.piece) - 2 AS INT)) END
+       | GROUP BY 1, 2),
+       |grec AS (
+       | SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps, FALSE AS unk
+       | FROM gbase
+       | UNION ALL
+       | SELECT r.word,
+       |  CASE WHEN b.bl IS NULL THEN length(r.word) + 1 ELSE r.pos + b.bl END AS pos,
+       |  CASE WHEN b.bl IS NULL THEN ['[UNK]']
+       |       ELSE list_append(r.ps,
+       |        CASE WHEN r.pos = 1 THEN substr(r.word, 1, CAST(b.bl AS INT))
+       |             ELSE '##' || substr(r.word, CAST(r.pos AS INT), CAST(b.bl AS INT)) END)
+       |  END AS ps,
+       |  b.bl IS NULL AS unk
+       | FROM grec r JOIN gbest b ON b.word = r.word AND b.pos = r.pos
+       | WHERE r.pos <= length(r.word) AND NOT r.unk),
+       |gfin AS (SELECT word, ps AS greedy, unk FROM grec WHERE pos > length(word)),
+       |grep AS (SELECT word, string_split(trim(seq), ' ') AS replay FROM gbase),
+       |gocc AS (
+       | SELECT source, word, COUNT(*) AS cnt FROM (
+       |  SELECT source,
+       |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
+       |  FROM documents)
+       | GROUP BY 1, 2)
+       |SELECT source,
+       | CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       | CAST(SUM(CASE WHEN unk THEN cnt ELSE 0 END) AS BIGINT) AS unk_occurrences,
+       | CAST(SUM(cnt * len(greedy)) AS BIGINT) AS n_greedy_tokens,
+       | CAST(SUM(cnt * len(replay)) AS BIGINT) AS n_replay_tokens,
+       | CAST(SUM(CASE WHEN greedy = replay THEN cnt ELSE 0 END) AS BIGINT) AS parity_occ,
+       | CAST(CAST(SUM(CASE WHEN greedy = replay THEN cnt ELSE 0 END) AS HUGEINT) * 1000000
+       |      // CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS parity_ppm
+       |FROM gocc JOIN gfin USING (word) JOIN grep USING (word)
+       |GROUP BY source""".stripMargin
+  }
+
   /** Mirrors TextOps.tokenizerBakeoff: the unigramVsBpe sheet plus
     * the WordPiece row, all three families off the identical type
     * table (bpeChain / unigramChain / wpChain in one WITH).

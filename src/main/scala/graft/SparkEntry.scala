@@ -279,6 +279,7 @@ object SparkEntry {
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
     "retrieval_ndcg" -> SimilarityOps.retrievalNdcg,
     "bt_source_ratings" -> TextOps.btSourceRatings,
+    "wordpiece_greedy" -> TextOps.wordpieceGreedy,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -836,6 +837,7 @@ object SparkEntry {
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,
     "retrieval_ndcg" -> Oracles8.retrievalNdcg,
     "bt_source_ratings" -> Oracles8.btSourceRatings,
+    "wordpiece_greedy" -> Oracles8.wordpieceGreedy,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -2816,6 +2816,95 @@ object TextOps {
       )
   }
 
+  /** The greedy longest-match-first fold as a generated expression
+    * over a `word` column: state (pos, pieces, unk); each step takes
+    * the LONGEST vocab piece matching at pos (word-initial form at
+    * pos 1, ##-form inside), or declares the whole word [UNK] when
+    * nothing matches (BERT's WordpieceTokenizer semantics). The vocab
+    * membership map is a broadcast literal (`wm`) — tokenizer
+    * inference at 100 TB is exactly this: a bounded-vocab map over
+    * the TYPE table, zero shuffles. Branch count = the realized
+    * vocab's longest piece, computed from the bounded vocab itself.
+    */
+  private[graft] def wpGreedyExpr(vocab: Seq[String]): String = {
+    val maxPlain = vocab.filter(!_.startsWith("##")).map(_.length).foldLeft(1)(math.max)
+    val maxCont = vocab.filter(_.startsWith("##")).map(_.length - 2).foldLeft(1)(math.max)
+    val lMax = math.max(maxPlain, maxCont)
+    def key(l: Int): String =
+      s"CASE WHEN st.pos = 1 THEN substring(word, 1, $l) " +
+        s"ELSE concat('##', substring(word, st.pos, $l)) END"
+    def cond(l: Int): String =
+      s"(st.pos + ${l - 1} <= length(word) AND try_element_at(wm, ${key(l)}) IS NOT NULL)"
+    def adv(l: Int): String =
+      s"named_struct('pos', st.pos + $l, 'pieces', st.pieces || array(${key(l)}), " +
+        "'unk', false)"
+    val branches = (lMax to 1 by -1)
+      .map(l => s"WHEN ${cond(l)} THEN ${adv(l)}")
+      .mkString("\n           ")
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  named_struct('pos', 1, 'pieces', CAST(array() AS array<string>), 'unk', false),
+       |  (st, _i) -> CASE
+       |    WHEN st.unk OR st.pos > length(word) THEN st
+       |    $branches
+       |    ELSE named_struct('pos', length(word) + 1,
+       |                      'pieces', array('[UNK]'), 'unk', true) END)""".stripMargin
+  }
+
+  /** WordPiece greedy inference vs the training-time merge replay —
+    * the parity sheet a tokenizer owner reads before shipping: BERT's
+    * PRODUCTION inference is greedy longest-match over the realized
+    * vocab ([[wpGreedyExpr]]), which is NOT the merge order the fit
+    * applied, and a character absorbed entirely into merged pieces
+    * can leave a later word unmatchable ([UNK]). Per source: UNK
+    * occurrence count, token totals under both mechanisms, and the
+    * ppm of word occurrences whose greedy segmentation equals the
+    * replay segmentation exactly.
+    *
+    * Scale: the greedy fold rides the TYPE table with the vocab as a
+    * broadcast literal (inference memoized per distinct word — the
+    * bpeEncode contract); the corpus contributes only (source, word)
+    * counts.
+    */
+  def wordpieceGreedy(spark: SparkSession, dir: String): DataFrame = {
+    val types = wordpieceFitArtifacts(spark, dir)._2
+    val vocab = types
+      .select(explode(split(trim(col("seq")), " ")).as("s"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+      .sorted
+    val enc = types
+      .withColumn("wm", typedLit(vocab.map(_ -> 1).toMap))
+      .withColumn("g", expr(wpGreedyExpr(vocab)))
+      .select(
+        col("word"),
+        split(trim(col("seq")), " ").as("replay"),
+        col("g.pieces").as("greedy"),
+        col("g.unk").as("is_unk")
+      )
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    occ
+      .join(enc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_word_occurrences"),
+        sum(when(col("is_unk"), col("cnt")).otherwise(0L)).as("unk_occurrences"),
+        sum(col("cnt") * size(col("greedy")).cast("long")).as("n_greedy_tokens"),
+        sum(col("cnt") * size(col("replay")).cast("long")).as("n_replay_tokens"),
+        sum(when(col("greedy") === col("replay"), col("cnt")).otherwise(0L)).as("parity_occ")
+      )
+      .withColumn(
+        "parity_ppm",
+        expr("CAST(CAST(parity_occ AS DECIMAL(38,0)) * 1000000 DIV n_word_occurrences AS BIGINT)")
+      )
+  }
+
   /** All three trained tokenizer families on one sheet —
     * [[unigramVsBpe]] plus the WordPiece row, every family read from
     * its session fit artifact over the IDENTICAL type table. THE

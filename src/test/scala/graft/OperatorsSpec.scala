@@ -7497,10 +7497,93 @@ class OperatorsSpec extends AnyFunSuite {
     got.values.foreach { case (d, i, ppm) => assert(d <= i && ppm <= 1000000L) }
   }
 
+  test("wordpiece greedy inference matches a plain-Scala longest-match recompute") {
+    // constructed-vocab unit check first: UNK and greedy/replay
+    // divergence both provably occur
+    import spark.implicits._
+    val synthVocab = Seq("ab", "##cd", "##c", "##d", "e", "x")
+    val synth = Seq("abcd", "eabcd", "abq", "xe").toDF("word")
+      .withColumn("wm", typedLit(synthVocab.map(_ -> 1).toMap))
+      .withColumn("g", expr(TextOps.wpGreedyExpr(synthVocab)))
+      .select(col("word"), col("g.pieces"), col("g.unk"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[String](1).toList, r.getBoolean(2)))
+      .toMap
+    assert(synth("abcd") === (List("ab", "##cd"), false)) // longest ## match wins
+    assert(synth("eabcd") === (List("[UNK]"), true)) // no ##a piece -> whole-word UNK
+    assert(synth("abq") === (List("[UNK]"), true))
+    // "xe": 'x' matches plain, then needs ##e which is NOT in vocab -> UNK
+    assert(synth("xe") === (List("[UNK]"), true))
+
+    // full-corpus recompute: rebuild the fit reference (the wordpiece
+    // spec above already proves the fit), then greedy-segment every
+    // type and fold the per-source sheet
+    val words = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    val types = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach(w => types.updateWith(w)(c => Some(c.getOrElse(0L) + 1L)))
+    def initSeq(w: String): String =
+      " " + w.head + (if (w.length > 1) " " + w.tail.map(c => s"##$c").mkString(" ") else "") + " "
+    var seqs: Map[String, String] = types.keys.map(w => w -> initSeq(w)).toMap
+    for (_ <- 1 to TextOps.WordPieceMerges) {
+      val symCnt = scala.collection.mutable.Map.empty[String, Long]
+      val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (w, s) =>
+        val f = types(w)
+        val syms = s.trim.split(" ")
+        syms.foreach(y => symCnt.updateWith(y)(c => Some(c.getOrElse(0L) + f)))
+        syms.zip(syms.drop(1)).foreach { case (a, b) =>
+          pairCnt.updateWith(s"$a $b")(c => Some(c.getOrElse(0L) + f))
+        }
+      }
+      val (pair, _, _, _, _) = pairCnt.toSeq.map { case (p, c) =>
+        val Array(a, b) = p.split(" ", 2)
+        (p, c, symCnt(a), symCnt(b),
+          (BigInt(c) * BigInt(10).pow(12) / (BigInt(symCnt(a)) * symCnt(b))).toLong)
+      }.sortBy { case (p, c, _, _, s) => (-s, -c, p) }.head
+      val Array(a, b) = pair.split(" ", 2)
+      val merged = a + b.stripPrefix("##")
+      seqs = seqs.view.mapValues { s =>
+        var r = s
+        (1 to 3).foreach(_ => r = r.replace(s" $pair ", s" $merged "))
+        r
+      }.toMap
+    }
+    val vocab = seqs.values.flatMap(_.trim.split(" ")).toSet
+    def greedy(w: String): (List[String], Boolean) = {
+      var pos = 0
+      val out = List.newBuilder[String]
+      while (pos < w.length) {
+        val cands = (w.length - pos to 1 by -1).iterator.map { l =>
+          if (pos == 0) w.substring(0, l) else "##" + w.substring(pos, pos + l)
+        }.find(vocab.contains)
+        cands match {
+          case Some(p) => out += p; pos += (if (pos == 0) p.length else p.length - 2)
+          case None    => return (List("[UNK]"), true)
+        }
+      }
+      (out.result(), false)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val exp = docs.groupBy(_._1).map { case (src, g) =>
+      val occ = g.flatMap(_._2)
+      val gr = occ.map(w => greedy(w))
+      val rep = occ.map(w => seqs(w).trim.split(" ").toList)
+      val parity = gr.zip(rep).count { case ((ps, _), rp) => ps == rp }.toLong
+      (src, occ.size.toLong, gr.count(_._2).toLong, gr.map(_._1.size.toLong).sum,
+        rep.map(_.size.toLong).sum, parity,
+        (BigInt(parity) * 1000000 / occ.size).toLong)
+    }.toSet
+    val got = TextOps.wordpieceGreedy(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === exp)
+  }
+
   test("round-8 continuation additions are partition-invariant: parallelism 2 vs 16") {
     val names = Seq("kn_bigram_fit", "kn_doc_ppl", "ppl_bucket_split",
       "wordpiece_fit", "wordpiece_encode", "tokenizer_bakeoff",
-      "retrieval_ndcg", "bt_source_ratings")
+      "retrieval_ndcg", "bt_source_ratings", "wordpiece_greedy")
     def run(): Map[String, Set[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
     }.toMap
