@@ -875,6 +875,42 @@ object Oracles8 {
     s"""WITH $knDocCtes
        |SELECT doc_id, source, n_bigrams, sum_nll64, avg_nll64 FROM kppl""".stripMargin
 
+  /** Mirrors TextOps.doremiWeights: per-source KN means off the kppl
+    * chain, excess vs the corpus mean, then the exp2 chain with
+    * [[graft.functions.Exp2Kernel]]'s quantized dyadic-root literals
+    * — six conditional multiply-shift steps, identical arithmetic.
+    */
+  val doremiWeights: String = {
+    val C = graft.functions.Exp2Kernel.C
+    val maxY = graft.functions.Exp2Kernel.MaxY
+    val steps = (0 until 6)
+      .map { j =>
+        s"""dm${j + 1} AS (SELECT source, n_docs, mean_nll64, excess, e,
+           | CASE WHEN (((e % 64) >> ${5 - j}) & 1) = 1 THEN (m * ${C(j)}) >> 30 ELSE m END AS m
+           |FROM dm$j)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $knDocCtes,
+       |dsrc AS (SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(avg_nll64) AS BIGINT) AS s FROM kppl GROUP BY 1),
+       |dg AS (SELECT CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS gmean FROM kppl),
+       |dx AS (SELECT source, n_docs, s // n_docs AS mean_nll64,
+       |       s // n_docs - gmean AS excess FROM dsrc, dg),
+       |dmx AS (SELECT MAX(excess) AS mx FROM dx),
+       |dm0 AS (SELECT source, n_docs, mean_nll64, excess,
+       |        greatest(excess - mx + $maxY, 0) AS e,
+       |        CAST(1073741824 AS BIGINT) AS m FROM dx, dmx),
+       |$steps,
+       |dv AS (SELECT source, n_docs, mean_nll64, excess,
+       |        CASE WHEN e // 64 >= 30 THEN m << CAST(e // 64 - 30 AS INT)
+       |             ELSE m >> CAST(30 - e // 64 AS INT) END AS v
+       |       FROM dm6),
+       |dt AS (SELECT SUM(v) AS tv FROM dv)
+       |SELECT source, n_docs, mean_nll64, excess AS excess_nll64,
+       | CAST(CAST(v AS HUGEINT) * 1000000 // tv AS BIGINT) AS weight_ppm
+       |FROM dv, dt""".stripMargin
+  }
+
   val pplBucketSplit: String =
     s"""WITH $knDocCtes,
        |kb AS (SELECT source, n_bigrams, avg_nll64,

@@ -280,6 +280,7 @@ object SparkEntry {
     "retrieval_ndcg" -> SimilarityOps.retrievalNdcg,
     "bt_source_ratings" -> TextOps.btSourceRatings,
     "wordpiece_greedy" -> TextOps.wordpieceGreedy,
+    "doremi_weights" -> TextOps.doremiWeights,
     // bloom semi-join reduction; exact result -> shares the oracle
     "decontaminate_bloom" -> DedupOps.decontaminateBloom,
     "minhash_sources" -> DedupOps.minhashSources,
@@ -838,6 +839,7 @@ object SparkEntry {
     "retrieval_ndcg" -> Oracles8.retrievalNdcg,
     "bt_source_ratings" -> Oracles8.btSourceRatings,
     "wordpiece_greedy" -> Oracles8.wordpieceGreedy,
+    "doremi_weights" -> Oracles8.doremiWeights,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
       """WITH d AS (

@@ -5404,6 +5404,57 @@ object TextOps {
       )
   }
 
+  // ── DoReMi-style domain reweighting (hardness mixture step) ───────
+
+  /** One multiplicative-weights step of DoReMi-style domain
+    * reweighting, driven by the KN LM's per-domain perplexity: domains
+    * whose documents the corpus LM finds HARD (mean avg_nll64 above
+    * the corpus mean) get upweighted exponentially —
+    * w_i ∝ 2^(excess_i/64), the η = 1-per-1/64-bit mirror-descent
+    * update from the uniform mixture (true DoReMi takes excess =
+    * proxy − reference model loss over many steps; the single
+    * hardness step here is the same arithmetic with the corpus mean
+    * as the reference, documented as such). The exponential is
+    * [[graft.functions.Exp2Kernel]] — the integer inverse of c64,
+    * dyadic-root constants quantized once — so weights are EXACT in
+    * both engines: exponents shift so the max lands at 2⁴⁰, floors
+    * below zero clamp to weight-1 units, and weight_ppm is one floor
+    * division by the total.
+    *
+    * Scale: per-domain means come off [[knDocPpl]] (one aggregate of
+    * the memoized model scoring pass); the weight fold runs on the
+    * driver over the #sources-bounded vector — the waterfill /
+    * temperature-allocator contract, with the oracle re-deriving the
+    * same chain relationally.
+    */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = knDocPpl(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("avg_nll64")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    val gTotals = knDocPpl(spark, dir)
+      .agg(count(lit(1)).as("n"), sum(col("avg_nll64")).as("s"))
+      .collect()(0)
+    val gmean = gTotals.getLong(1) / gTotals.getLong(0)
+    val means = perSrc.map { case (src, n, s) => (src, n, s / n) }
+    val excess = means.map { case (src, n, m) => (src, n, m, m - gmean) }
+    val mx = excess.map(_._4).max
+    val rows = excess.map { case (src, n, m, e) =>
+      val y = math.max(e - mx + graft.functions.Exp2Kernel.MaxY, 0L)
+      (src, n, m, e, graft.functions.Exp2Kernel.exp2q(y))
+    }
+    val tv = rows.map(r => BigInt(r._5)).sum
+    rows
+      .map { case (src, n, m, e, v) =>
+        (src, n, m, e, (BigInt(v) * 1000000 / tv).toLong)
+      }
+      .toDF("source", "n_docs", "mean_nll64", "excess_nll64", "weight_ppm")
+  }
+
   // ── Bradley-Terry source ratings (pairwise-duel reward fit) ───────
 
   val BtBuckets = 8

@@ -7580,10 +7580,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("doremi weights: exp2 kernel inverts c64 and the sheet matches a driver recompute") {
+    import graft.functions.Exp2Kernel
+    // exact at whole-bit exponents, monotone, and a true inverse of
+    // c64 within the 6-bit fractional quantization
+    (0 to 40).foreach(b => assert(Exp2Kernel.exp2q(64L * b) === (1L << b)))
+    val ys = (0L to Exp2Kernel.MaxY by 7L) ++ Seq(1L, 63L, 65L, 2559L, 2560L)
+    ys.sorted.sliding(2).foreach(p =>
+      assert(Exp2Kernel.exp2q(p(0)) <= Exp2Kernel.exp2q(p(1))))
+    ys.filter(_ >= 64 * 10).foreach { y => // above 2^10 quantization noise is sub-ppm
+      val back = TextOps.c64(Exp2Kernel.exp2q(y))
+      assert(math.abs(back - y) <= 3, s"c64(exp2q($y)) = $back")
+    }
+
+    // sheet recompute off the (already spec-proven) kn_doc_ppl frame
+    val ppl = TextOps.knDocPpl(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(4)))
+    val gmean = ppl.map(_._2).sum / ppl.length
+    val perSrc = ppl.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val m = g.map(_._2).sum / g.length
+      (src, g.length.toLong, m, m - gmean)
+    }
+    val mx = perSrc.map(_._4).max
+    val vs = perSrc.map { case (src, n, m, e) =>
+      (src, n, m, e, Exp2Kernel.exp2q(math.max(e - mx + Exp2Kernel.MaxY, 0L)))
+    }
+    val tv = vs.map(r => BigInt(r._5)).sum
+    val exp = vs.map { case (src, n, m, e, v) =>
+      (src, n, m, e, (BigInt(v) * 1000000 / tv).toLong)
+    }.toSet
+    val got = TextOps.doremiWeights(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === exp)
+    // mixture properties: mass within n floors of 10^6, hardest
+    // domain carries the top weight, and weights are monotone in
+    // excess
+    val n = exp.size
+    val mass = exp.toSeq.map(_._5).sum
+    assert(mass <= 1000000L && mass >= 1000000L - n, s"weight mass $mass")
+    val byExcess = exp.toSeq.sortBy(_._4)
+    byExcess.sliding(2).foreach(p => assert(p(0)._5 <= p(1)._5))
+    assert(byExcess.last._4 === mx)
+  }
+
   test("round-8 continuation additions are partition-invariant: parallelism 2 vs 16") {
     val names = Seq("kn_bigram_fit", "kn_doc_ppl", "ppl_bucket_split",
       "wordpiece_fit", "wordpiece_encode", "tokenizer_bakeoff",
-      "retrieval_ndcg", "bt_source_ratings", "wordpiece_greedy")
+      "retrieval_ndcg", "bt_source_ratings", "wordpiece_greedy", "doremi_weights")
     def run(): Map[String, Set[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
     }.toMap
