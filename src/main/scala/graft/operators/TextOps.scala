@@ -5592,7 +5592,7 @@ object TextOps {
     * stream by its 60-bit md5 fingerprint: strings never shuffle at
     * corpus volume.
     */
-  private def knModel(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knModel(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val types = Tables
       .documents(spark, dir)

@@ -735,22 +735,26 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("kneser-ney LM: totals broadcast, fp equi-join, c64 in codegen, no string corpus shuffle") {
-    val p = planOf(TextOps.knDocPpl(spark, Sf0001))
+    // the MODEL BUILD plan (the consumer reads the memoized artifact,
+    // so the c64/broadcast shapes live in the build, not the scorer)
+    val mp = planOf(TextOps.knModel(spark, Sf0001))
     // the 1-row t_types frame joins as a broadcast, never an exchange
     // of the model side against it
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"kn model totals not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"kn plans a cartesian:\n$p")
-    // scoring joins corpus bigrams to the model on the 60-bit
-    // fingerprint — an equi join (hash or sort-merge), never a loop
-    val joinLines = p.linesIterator.filter(l =>
-      l.contains("Join") && l.contains("bg_fp")).toSeq
-    assert(joinLines.nonEmpty, s"no fp equi-join in kn_doc_ppl:\n$p")
+    assert(mp.contains("BroadcastNestedLoopJoin") || mp.contains("BroadcastExchange"),
+      s"kn model totals not broadcast:\n$mp")
+    assert(!mp.contains("CartesianProduct"), s"kn model plans a cartesian:\n$mp")
     // the integer log evaluates inside a whole-stage-codegen span —
     // c64_log2 is a defineCodeGen expression, not CodegenFallback
-    val c64Line = p.linesIterator.find(_.contains("c64_log2(")).getOrElse("")
+    val c64Line = mp.linesIterator.find(_.contains("c64_log2(")).getOrElse("")
     assert(c64Line.nonEmpty, "kn model lost the c64_log2 kernel")
     assert(c64Line.trim.stripPrefix("+- ").startsWith("*("),
       s"c64_log2 projection not codegen: $c64Line")
+    // the scorer joins corpus bigrams to the (artifact) model on the
+    // 60-bit fingerprint — an equi join, never a loop or cartesian
+    val p = planOf(TextOps.knDocPpl(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), s"kn_doc_ppl plans a cartesian:\n$p")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("bg_fp")).toSeq
+    assert(joinLines.nonEmpty, s"no fp equi-join in kn_doc_ppl:\n$p")
   }
 }
