@@ -39,7 +39,8 @@ object Oracles8 {
        | SELECT DISTINCT doc_id AS query_id, term
        | FROM (SELECT doc_id, unnest(toks) AS term FROM dlt WHERE doc_id < 5)),
        |f AS (SELECT term, COUNT(*) AS df FROM p
-       |      WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |      WHERE term IN (SELECT term FROM qt) GROUP BY term
+       |      HAVING COUNT(*) <= 1000000),
        |sc AS (
        | SELECT qt.query_id, p.doc_id,
        |  SUM(CAST(round(
@@ -238,7 +239,10 @@ object Oracles8 {
        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
        |   AS BIGINT) AS fp
        | FROM btds),
-       |btn AS (SELECT *, fp % ${graft.operators.TextOps.BtBuckets} AS bkt FROM btk),
+       |btbk AS (SELECT GREATEST(${graft.operators.TextOps.BtMinBuckets},
+       |  (COUNT(*) + ${graft.operators.TextOps.BtBucketDocs - 1})
+       |   // ${graft.operators.TextOps.BtBucketDocs}) AS nb FROM documents),
+       |btn AS (SELECT btk.*, fp % nb AS bkt FROM btk, btbk),
        |btw AS (SELECT *,
        |  (ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY fp, doc_id) - 1) // 2 AS duel
        | FROM btn),
@@ -805,7 +809,7 @@ object Oracles8 {
     * caller) — for model tables where c64 is taken of a data column
     * rather than a vocab piece's count. Output: c64v_$tag(v, c64).
     */
-  private def c64ValChain(src: String, tag: String): String = {
+  private[graft] def c64ValChain(src: String, tag: String): String = {
     val steps = (1 to 6)
       .map { i =>
         s"""s${i}_$tag AS (SELECT v, b,
@@ -911,16 +915,6 @@ object Oracles8 {
        |FROM dv, dt""".stripMargin
   }
 
-  val pplBucketSplit: String =
-    s"""WITH $knDocCtes,
-       |kb AS (SELECT source, n_bigrams, avg_nll64,
-       |  NTILE(3) OVER (PARTITION BY source ORDER BY avg_nll64, doc_id) AS bucket
-       | FROM kppl)
-       |SELECT source,
-       | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
-       | COUNT(*) AS n_docs,
-       | CAST(SUM(avg_nll64) AS BIGINT) AS sum_avg_nll64,
-       | CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS mean_nll64,
-       | CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
-       |FROM kb GROUP BY source, bucket""".stripMargin
+  // (pplBucketSplit moved to Oracles9 when round 9 re-pointed the
+  // split at the trigram score)
 }

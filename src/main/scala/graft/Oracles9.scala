@@ -1,0 +1,95 @@
+package graft
+
+/** DuckDB oracle twins for the round-9 additions: the trigram
+  * Kneser-Ney model with interpolated continuation-count backoff and
+  * its per-doc scorer / bucket split. Same conventions as Oracles2-8:
+  * derived ints CAST AS BIGINT, exact products in HUGEINT mirroring
+  * the Spark side's DECIMAL(38,0), the c64 log as the unrolled
+  * square-and-shift chain ([[Oracles8.c64ValChain]]).
+  */
+object Oracles9 {
+
+  /** Mirrors TextOps.kn3Model: trigram TYPE table, level-3 raw stats,
+    * continuation-bigram table + stats, qp₂ over the common
+    * denominator 4·N1+(·v·)·T₂, then qp₃ composing the QUANTIZED qp₂
+    * — the same two floors the Spark side takes.
+    */
+  private val kn3Ctes: String =
+    s"""k3t AS (
+       | SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |k3gd AS (
+       | SELECT doc_id, unnest(list_transform(range(len(toks)-2),
+       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS tg
+       | FROM k3t WHERE len(toks) >= 3),
+       |k3cnt AS (SELECT tg, split_part(tg, ' ', 1) AS u, split_part(tg, ' ', 2) AS v,
+       |          split_part(tg, ' ', 3) AS w, COUNT(*) AS c_uvw
+       |          FROM k3gd GROUP BY tg),
+       |k3l3 AS (SELECT tg, u, v, w, c_uvw,
+       |  CAST(SUM(c_uvw) OVER (PARTITION BY u, v) AS BIGINT) AS c_uv,
+       |  CAST(COUNT(*) OVER (PARTITION BY u, v) AS BIGINT) AS n1p_uv
+       | FROM k3cnt),
+       |k3cb AS (SELECT v, w, COUNT(*) AS n1c_vw FROM k3cnt GROUP BY v, w),
+       |k3cs AS (SELECT v, w, n1c_vw,
+       |  CAST(SUM(n1c_vw) OVER (PARTITION BY v) AS BIGINT) AS n1mid_v,
+       |  CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS n1p2_v,
+       |  CAST(COUNT(*) OVER (PARTITION BY w) AS BIGINT) AS cont2_w
+       | FROM k3cb),
+       |k3tt AS (SELECT COUNT(*) AS t2_types FROM k3cb),
+       |k3q2 AS (SELECT v, w, n1c_vw, n1mid_v, n1p2_v, cont2_w,
+       |  CAST((CAST(4*n1c_vw - 3 AS HUGEINT) * t2_types
+       |        + CAST(3*n1p2_v AS HUGEINT) * cont2_w)
+       |       * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
+       |       // (CAST(4*n1mid_v AS HUGEINT) * t2_types) AS BIGINT) AS qp2
+       | FROM k3cs, k3tt),
+       |k3qp AS (SELECT l.tg, l.u, l.v, l.w, l.c_uvw, l.c_uv, l.n1p_uv,
+       |  q.n1c_vw, q.n1mid_v, q.n1p2_v, q.cont2_w, q.qp2,
+       |  CAST((CAST(4*l.c_uvw - 3 AS HUGEINT)
+       |        * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
+       |        + CAST(3*l.n1p_uv AS HUGEINT) * q.qp2)
+       |       // CAST(4*l.c_uv AS HUGEINT) AS BIGINT) AS qp3
+       | FROM k3l3 l JOIN k3q2 q ON l.v = q.v AND l.w = q.w),
+       |k3vals AS (SELECT DISTINCT qp3 AS v FROM k3qp),
+       |${Oracles8.c64ValChain("k3vals", "kn3")},
+       |k3model AS (SELECT q.*, ${64L * graft.operators.TextOps.KnQpShift} - c.c64 AS nll64
+       |            FROM k3qp q JOIN c64v_kn3 c ON q.qp3 = c.v)""".stripMargin
+
+  val kn3TrigramFit: String =
+    s"""WITH $kn3Ctes
+       |SELECT u, v, w, c_uvw, c_uv, n1p_uv, n1c_vw, n1mid_v, n1p2_v, cont2_w,
+       | qp2, qp3, nll64
+       |FROM k3model ORDER BY qp3 DESC, u, v, w LIMIT 25""".stripMargin
+
+  private val kn3DocCtes: String =
+    s"""$kn3Ctes,
+       |k3doc AS (
+       | SELECT doc_id, COUNT(*) AS n_trigrams, CAST(SUM(nll64) AS BIGINT) AS sum_nll64
+       | FROM k3gd JOIN k3model USING (tg) GROUP BY doc_id),
+       |k3ppl AS (
+       | SELECT d.doc_id, d.source,
+       |  COALESCE(k.n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(k.sum_nll64, 0) AS sum_nll64,
+       |  COALESCE(k.sum_nll64 // k.n_trigrams, 0) AS avg_nll64
+       | FROM documents d LEFT JOIN k3doc k USING (doc_id))""".stripMargin
+
+  val kn3DocPpl: String =
+    s"""WITH $kn3DocCtes
+       |SELECT doc_id, source, n_trigrams, sum_nll64, avg_nll64 FROM k3ppl""".stripMargin
+
+  /** Mirrors TextOps.pplBucketSplit, round-9 re-pointed at the
+    * trigram score (head/middle/tail CCNet tertiles per source).
+    */
+  val pplBucketSplit: String =
+    s"""WITH $kn3DocCtes,
+       |kb3 AS (SELECT source, n_trigrams, avg_nll64,
+       |  NTILE(3) OVER (PARTITION BY source ORDER BY avg_nll64, doc_id) AS bucket
+       | FROM k3ppl)
+       |SELECT source,
+       | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(avg_nll64) AS BIGINT) AS sum_avg_nll64,
+       | CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS mean_nll64,
+       | CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
+       |FROM kb3 GROUP BY source, bucket""".stripMargin
+}

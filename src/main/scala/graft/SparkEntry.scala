@@ -273,6 +273,8 @@ object SparkEntry {
     "retrieval_mrr" -> SimilarityOps.retrievalMrr,
     "kn_bigram_fit" -> TextOps.knBigramFit,
     "kn_doc_ppl" -> TextOps.knDocPpl,
+    "kn3_trigram_fit" -> TextOps.kn3TrigramFit,
+    "kn3_doc_ppl" -> TextOps.kn3DocPpl,
     "ppl_bucket_split" -> TextOps.pplBucketSplit,
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
@@ -832,7 +834,9 @@ object SparkEntry {
     "retrieval_mrr" -> Oracles8.retrievalMrr,
     "kn_bigram_fit" -> Oracles8.knBigramFit,
     "kn_doc_ppl" -> Oracles8.knDocPpl,
-    "ppl_bucket_split" -> Oracles8.pplBucketSplit,
+    "kn3_trigram_fit" -> Oracles9.kn3TrigramFit,
+    "kn3_doc_ppl" -> Oracles9.kn3DocPpl,
+    "ppl_bucket_split" -> Oracles9.pplBucketSplit,
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,

@@ -17,12 +17,16 @@ package graft.functions
   */
 object Exp2Kernel {
 
-  /** C(j) = round(2^(1/2^(j+1)) · 2³⁰), j = 0..5 — the only place a
-    * transcendental is touched, at object-init on the driver, fixed
-    * for both engines by quantization.
+  /** C(j) = round(2^(1/2^(j+1)) · 2³⁰), j = 0..5 — HARDCODED integer
+    * literals (verified against 60-digit Decimal arithmetic in
+    * Exp2KernelSpec), not computed via Math.pow at init: a JVM whose
+    * pow intrinsic differs by 1 ulp near a .5 rounding boundary would
+    * otherwise bake a different table into the executors than the
+    * oracle SQL carries, silently breaking the cross-engine
+    * bit-exactness contract on a heterogeneous cluster.
     */
   val C: Array[Long] =
-    Array.tabulate(6)(j => Math.round(Math.pow(2.0, 1.0 / (1L << (j + 1))) * (1L << 30)))
+    Array(1518500250L, 1276901417L, 1170923762L, 1121280436L, 1097253708L, 1085434106L)
 
   val MaxY: Long = 64L * 40
 

@@ -1577,17 +1577,28 @@ object SimilarityOps {
     * postings are screened by the broadcast term set map-side, so only
     * matching-term postings shuffle, and df is aggregated over that
     * screened subset (df is per-term, so the restriction loses
-    * nothing). With a production query load the screen gains a
-    * df cap — drop terms whose posting list exceeds a stopword
-    * threshold, exactly the rare-shingle discipline of
-    * `containmentPairs` — which bounds candidate volume by
-    * Σ_t min(df(t), cap). Memoized: the arm feeds both the fused list
-    * and the recall sheet.
+    * nothing). The screen carries a df CAP ([[HybridDfCap]], the
+    * rare-shingle discipline of `containmentPairs`): terms whose
+    * posting exceeds the stopword threshold are dropped from the
+    * broadcast term set BEFORE the score join — the df aggregate
+    * itself is a map-side-combined count (safe on hot terms), but the
+    * scored row volume is then bounded by Σ_t min(df(t), cap) instead
+    * of Σ_t df(t), so one stopword in a query doc can no longer drag
+    * a corpus-scale posting list through the join. The cap sits far
+    * above any test-corpus df (max possible df = n_docs = 5000 at
+    * sf0.1), so gate hashes are unchanged; at 100 TB it is the knob
+    * that keeps the arm per-query-bounded. Memoized: the arm feeds
+    * both the fused list and the recall sheet.
     */
+  val HybridDfCap = 1000000L
+
   private[graft] def hybridLexArm(spark: SparkSession, dir: String): DataFrame =
     Artifacts.memo(spark, dir, "hybrid_lex_arm")(hybridLexArmBuild(spark, dir))
 
-  private[graft] def hybridLexArmBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hybridLexArmBuild(
+      spark: SparkSession,
+      dir: String,
+      dfCap: Long = HybridDfCap): DataFrame = {
     import TextOps.{Bm25B, Bm25K1}
     val docs = Tables
       .documents(spark, dir)
@@ -1608,8 +1619,9 @@ object SimilarityOps {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap) // stopword screen: hot terms never reach the score join
     val scored = posting
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qterms.join(broadcast(df.select(col("term"))), Seq("term"))), Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // self-match excluded, like ANN
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(global))

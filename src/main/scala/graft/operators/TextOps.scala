@@ -2681,7 +2681,16 @@ object TextOps {
     *
     * The score is integer-exact both engines: cnt·10¹² floor-div
     * (cnt_a·cnt_b) through DECIMAL(38,0) here and HUGEINT in the
-    * DuckDB twin; argmax ties break (cnt DESC, pair ASC). Per round:
+    * DuckDB twin; argmax ties break (cnt DESC, pair ASC). Merge
+    * APPLICATION follows the house BPE convention — three nested
+    * non-overlapping replace passes, not iterate-to-fixed-point — a
+    * DELIBERATE deviation from canonical WordPiece on pathological
+    * inputs: a run of ≥ 5 repeated symbols can keep an unmerged
+    * adjacent pair after pass 3, shifting later rounds' likelihood
+    * counts. Parity is unaffected (the oracle twin and the recompute
+    * spec share the convention); real-token corpora never hit it
+    * (requires e.g. "aaaaa" surviving as 5 separate symbols of the
+    * SAME merged pair). Per round:
     * ONE type-table explode feeds both the pair and the symbol
     * aggregates (map-side combined), the two K-bounded count frames
     * join the pair frame on its split symbols, and a 1-row collect
@@ -5421,11 +5430,24 @@ object TextOps {
     * below zero clamp to weight-1 units, and weight_ppm is one floor
     * division by the total.
     *
-    * Scale: per-domain means come off [[knDocPpl]] (one aggregate of
-    * the memoized model scoring pass); the weight fold runs on the
-    * driver over the #sources-bounded vector — the waterfill /
-    * temperature-allocator contract, with the oracle re-deriving the
-    * same chain relationally.
+    * Scale: per-domain means come off [[knDocPpl]] (ONE aggregate of
+    * the memoized model scoring pass — the corpus contributes exactly
+    * one scan here); the global mean folds from the collected
+    * per-source vector (Σs/Σn is exact over the per-source integer
+    * totals — a second corpus aggregate would recompute the identical
+    * number), and the weight fold runs on the driver over the
+    * #sources-bounded vector — the waterfill / temperature-allocator
+    * contract, with the oracle re-deriving the same chain
+    * relationally.
+    *
+    * Known bias, deliberate: docs with < 2 tokens surface from
+    * [[knDocPpl]] with avg_nll64 = 0 and are INCLUDED in both the
+    * per-source and global means (the oracle twin includes them
+    * identically), so a source's hardness signal mixes LM surprise
+    * with its short-doc fraction — "many tiny docs" reads as "easy".
+    * A production DoReMi step would filter n_bigrams = 0 from both
+    * means; kept inclusive here so the weight covers every document
+    * the mixture will actually sample.
     */
   def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -5436,10 +5458,7 @@ object TextOps {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
       .toSeq
-    val gTotals = knDocPpl(spark, dir)
-      .agg(count(lit(1)).as("n"), sum(col("avg_nll64")).as("s"))
-      .collect()(0)
-    val gmean = gTotals.getLong(1) / gTotals.getLong(0)
+    val gmean = perSrc.map(_._3).sum / perSrc.map(_._2).sum
     val means = perSrc.map { case (src, n, s) => (src, n, s / n) }
     val excess = means.map { case (src, n, m) => (src, n, m, m - gmean) }
     val mx = excess.map(_._4).max
@@ -5457,26 +5476,47 @@ object TextOps {
 
   // ── Bradley-Terry source ratings (pairwise-duel reward fit) ───────
 
-  val BtBuckets = 8
+  val BtMinBuckets = 8L
+  val BtBucketDocs = 4096L
   val BtRounds = 3
 
-  /** Deterministic quality duels: docs are bucketed by the 60-bit md5
-    * of their id (BtBuckets buckets), ranked inside each bucket by
-    * (fp, doc_id), and adjacent ranks duel — the sorted-neighborhood
-    * pairing shape, so matchmaking is reproducible and uniform without
-    * any corpus self-join. The winner is the higher hashgram
-    * classifier score ([[hashgramGateProjection]]'s scorer — the
-    * session's stand-in for a reward model), ties to the lower
-    * doc_id; odd leftover docs in a bucket sit out. One keyed window
-    * + one agg — corpus-linear, no pair blowup.
+  /** Duel-bucket count, derived from corpus size so the matchmaking
+    * sort's parallelism SCALES WITH THE CORPUS instead of being a
+    * fixed 8-task ceiling (round 8's constant): ⌈n/4096⌉ buckets,
+    * floored at 8 — ≤ ~4096 docs sort per bucket task at any SF, and
+    * both test corpora (500 / 5000 docs) collapse to exactly 8, so
+    * gate hashes are formula-invariant there. Matchmaking is
+    * hash-based, so ANY bucket count yields a valid uniform pairing;
+    * the oracle twin derives the identical count from COUNT(*).
     */
-  private[graft] def btDuels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def btBuckets(nDocs: Long): Long =
+    math.max(BtMinBuckets, (nDocs + BtBucketDocs - 1) / BtBucketDocs)
+
+  /** Deterministic quality duels: docs are bucketed by the 60-bit md5
+    * of their id ([[btBuckets]] buckets — corpus-scaled, see there),
+    * ranked inside each bucket by (fp, doc_id), and adjacent ranks
+    * duel — the sorted-neighborhood pairing shape, so matchmaking is
+    * reproducible and uniform without any corpus self-join. The
+    * winner is the higher hashgram classifier score
+    * ([[hashgramGateProjection]]'s scorer — the session's stand-in
+    * for a reward model), ties to the lower doc_id; odd leftover docs
+    * in a bucket sit out. One corpus count (parquet-metadata cheap)
+    * fixes the bucket grid, then one keyed window + one agg —
+    * corpus-linear, no pair blowup, per-task sort bounded by
+    * [[BtBucketDocs]].
+    */
+  private[graft] def btDuels(
+      spark: SparkSession,
+      dir: String,
+      bucketsOverride: Option[Long] = None): DataFrame = {
+    val buckets = bucketsOverride.getOrElse(
+      btBuckets(Tables.documents(spark, dir).count()))
     val scored = hashgramGateProjection(
       Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism))
       .withColumn(
         "fp",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"))
-      .withColumn("bkt", pmod(col("fp"), lit(BtBuckets.toLong)))
+      .withColumn("bkt", pmod(col("fp"), lit(buckets)))
       .withColumn(
         "rn",
         row_number().over(Window.partitionBy(col("bkt")).orderBy(col("fp"), col("doc_id"))))
@@ -5590,7 +5630,15 @@ object TextOps {
     * c64 exists as a distributed expression and not only as the
     * unigram fit's driver fold. Scoring joins the corpus bigram
     * stream by its 60-bit md5 fingerprint: strings never shuffle at
-    * corpus volume.
+    * corpus volume. Collision envelope, documented deliberately: two
+    * DISTINCT bigram types sharing a 60-bit fp would double-join a
+    * doc bigram against both scores — expected collisions are
+    * ~n²/2⁶¹, i.e. ~half a pair at 10⁹ types and only material near
+    * the ~10¹⁰-type Heaps ceiling of the 100 TB envelope, where the
+    * fingerprint should widen to (fp, head) or 90 bits. Uniqueness is
+    * ASSERTED live at two seams: the StreamingSpec model-load test
+    * (map size == model row count) and [[graft.streaming
+    * .PplGateStream.modelIndex]]'s loud collision guard.
     */
   private[graft] def knModel(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -5720,11 +5768,13 @@ object TextOps {
     * tail by LM perplexity tertiles (ntile(3) over avg_nll64, ties by
     * doc_id — head = most-typical third, the slice CCNet keeps first)
     * and report each bucket's size and mean quantized log-perplexity.
-    * Composition over [[knDocPpl]]; the bucket assignment is one
-    * source-keyed window over the per-doc frame.
+    * Round 9 re-pointed the split at the TRIGRAM score ([[kn3DocPpl]]
+    * — the stronger LM, one order closer to CCNet's production 5-gram
+    * KenLM); the bucket assignment is one source-keyed window over
+    * the per-doc frame.
     */
   def pplBucketSplit(spark: SparkSession, dir: String): DataFrame =
-    knDocPpl(spark, dir)
+    kn3DocPpl(spark, dir)
       .withColumn(
         "bucket",
         ntile(3).over(
@@ -5734,7 +5784,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("avg_nll64")).as("sum_avg_nll64"),
-        sum(col("n_bigrams")).as("n_bigrams")
+        sum(col("n_trigrams")).as("n_trigrams")
       )
       .select(
         col("source"),
@@ -5744,6 +5794,183 @@ object TextOps {
         col("n_docs"),
         col("sum_avg_nll64"),
         expr("sum_avg_nll64 DIV n_docs").as("mean_nll64"),
-        col("n_bigrams")
+        col("n_trigrams")
       )
+
+  // ── Trigram Kneser-Ney with interpolated backoff (round-9 cont.) ──
+
+  /** Interpolated Kneser-Ney TRIGRAM model (D = 3/4) — [[knModel]]'s
+    * machinery extended one order with the canonical
+    * continuation-count backoff chain, proving the recursion the
+    * production CCNet filter runs at order 5 (KenLM):
+    *
+    *   p₃(w|u,v) = (c(uvw)−D)/c(uv) + D·N1+(uv·)/c(uv) · p₂(w|v)
+    *   p₂(w|v)   = (N1+(·vw)−D)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · p₁(w)
+    *   p₁(w)     = N1+(··w)/T₂
+    *
+    * Every statistic comes off the trigram TYPE table (KenLM's
+    * adjusted-count discipline): c(uv) = Σ_w c(uvw) is the
+    * trigram-context total, N1+(uv·) the distinct continuations of
+    * (u,v); the lower order uses CONTINUATION counts — N1+(·vw)
+    * distinct predecessors of (v,w), N1+(·v·) distinct (u,w) around
+    * middle v, N1+(v·) distinct w continuing v, N1+(··w) distinct v
+    * preceding w, T₂ the continuation-bigram type count. max(·−D, 0)
+    * never binds: only SEEN types are scored, and their counts are
+    * ≥ 1.
+    *
+    * Exactness, two quantization stages (both engines take the SAME
+    * floors, so the composition is bit-identical by construction):
+    * p₂ collapses over the common denominator 4·N1+(·v·)·T₂ to the
+    * pure-integer numerator (4·N1+(·vw)−3)·T₂ + 3·N1+(v·)·N1+(··w),
+    * quantized qp₂ = ⌊p₂·2⁵⁰⌋ via DECIMAL(38,0) floor division
+    * (products ≤ 4·N1+(·v·)·T₂·2⁵⁰ ≈ 10³⁶ at a 10¹⁰-type envelope);
+    * then qp₃ = ⌊((4·c(uvw)−3)·2⁵⁰ + 3·N1+(uv·)·qp₂) / (4·c(uv))⌋
+    * (products ≤ 4·10¹²·2⁵⁰ ≈ 10²⁸ — the DECIMAL(38,0) headroom is
+    * why the backoff composes the QUANTIZED qp₂ instead of one
+    * triple-denominator rational, which would need ~10⁴⁸).
+    * nll64 = 64·[[KnQpShift]] − c64(qp₃) via the `c64_log2` codegen
+    * kernel — no transcendental anywhere. Σ_w p₃(w|u,v) = 1 per
+    * history in exact rationals BEFORE quantization; the BigInt
+    * recompute spec asserts the three per-level integer mass
+    * identities (Σ(4c−3) = 4c(uv)−3·N1+(uv·) per (u,v),
+    * Σ(4N1c−3) = 4·N1+(·v·)−3·N1+(v·) per v, Σ N1+(··w) = T₂).
+    *
+    * Plan shape at 100 TB: the corpus collapses ONCE to the trigram
+    * TYPE table (map-side partial agg); level-3 stats are two windows
+    * over it ((u,v)-keyed); the continuation table is one groupBy of
+    * the TYPE table, its stats two more windows (v- and w-keyed); T₂
+    * broadcasts as a 1-row frame; the p₂→p₃ hookup is one
+    * (v,w)-keyed equi-join of two TYPE-bounded tables. Scoring joins
+    * the corpus trigram stream by 60-bit md5 fingerprint — strings
+    * never shuffle at corpus volume (collision envelope exactly as
+    * [[knModel]] documents).
+    */
+  private[graft] def kn3Model(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val types = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(3))
+        ).as("tg")
+      )
+      .groupBy(col("tg"))
+      .agg(count(lit(1)).as("c_uvw"))
+      .select(
+        col("tg"),
+        split(col("tg"), " ").getItem(0).as("u"),
+        split(col("tg"), " ").getItem(1).as("v"),
+        split(col("tg"), " ").getItem(2).as("w"),
+        col("c_uvw")
+      )
+    val wUv = Window.partitionBy(col("u"), col("v"))
+    val lvl3 = types
+      .withColumn("c_uv", sum(col("c_uvw")).over(wUv))
+      .withColumn("n1p_uv", count(lit(1)).over(wUv))
+    val cont = types.groupBy(col("v"), col("w")).agg(count(lit(1)).as("n1c_vw"))
+    val contStats = cont
+      .withColumn("n1mid_v", sum(col("n1c_vw")).over(Window.partitionBy(col("v"))))
+      .withColumn("n1p2_v", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .withColumn("cont2_w", count(lit(1)).over(Window.partitionBy(col("w"))))
+    val totals = cont.agg(count(lit(1)).as("t2_types"))
+    val qp2 = contStats
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "qp2",
+        expr(
+          s"""CAST(
+             | (CAST(4*n1c_vw - 3 AS DECIMAL(38,0)) * t2_types
+             |  + CAST(3*n1p2_v AS DECIMAL(38,0)) * cont2_w)
+             | * CAST(${1L << KnQpShift} AS DECIMAL(38,0))
+             | DIV (CAST(4*n1mid_v AS DECIMAL(38,0)) * t2_types)
+             |AS BIGINT)""".stripMargin
+        )
+      )
+      .select(col("v"), col("w"), col("n1c_vw"), col("n1mid_v"),
+        col("n1p2_v"), col("cont2_w"), col("qp2"))
+    lvl3
+      .join(qp2, Seq("v", "w"))
+      .withColumn(
+        "qp3",
+        expr(
+          s"""CAST(
+             | (CAST(4*c_uvw - 3 AS DECIMAL(38,0)) * CAST(${1L << KnQpShift} AS DECIMAL(38,0))
+             |  + CAST(3*n1p_uv AS DECIMAL(38,0)) * qp2)
+             | DIV CAST(4*c_uv AS DECIMAL(38,0))
+             |AS BIGINT)""".stripMargin
+        )
+      )
+      .withColumn(
+        "nll64",
+        lit(64L * KnQpShift) - graft.functions.VectorExpressions.c64Log2(col("qp3"))
+      )
+      .select(
+        conv(substring(md5(col("tg")), 1, 15), 16, 10).cast("bigint").as("tg_fp"),
+        col("u"), col("v"), col("w"),
+        col("c_uvw"), col("c_uv"), col("n1p_uv"),
+        col("n1c_vw"), col("n1mid_v"), col("n1p2_v"), col("cont2_w"),
+        col("qp2"), col("qp3"), col("nll64")
+      )
+  }
+
+  /** Session-memoized trigram KN model — trigram-TYPE-bounded
+    * (Heaps-law, NEVER corpus-sized), shared by the fit readout, the
+    * per-doc scorer and the re-pointed bucket split, in the
+    * [[knModelArtifact]] sharing contract.
+    */
+  private def kn3ModelArtifact(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "kn3_model")(kn3Model(spark, dir))
+
+  /** The trigram model's top transitions — the k-bounded fit readout:
+    * top 25 trigrams by quantized probability (ties by u, v, w).
+    */
+  def kn3TrigramFit(spark: SparkSession, dir: String): DataFrame =
+    kn3ModelArtifact(spark, dir)
+      .select(
+        col("u"), col("v"), col("w"), col("c_uvw"), col("c_uv"),
+        col("n1p_uv"), col("n1c_vw"), col("n1mid_v"), col("n1p2_v"),
+        col("cont2_w"), col("qp2"), col("qp3"), col("nll64"))
+      .orderBy(col("qp3").desc, col("u"), col("v"), col("w"))
+      .limit(25)
+
+  /** Per-document trigram KN perplexity: each doc's trigrams join the
+    * model by 60-bit fingerprint (every doc trigram is in the model by
+    * construction), avg_nll64 is the per-trigram floor-div mean —
+    * PPL = 2^(avg_nll64/64). Docs with < 3 tokens surface with zeros
+    * (LEFT join from the docs spine — [[knDocPpl]]'s discipline),
+    * never silently dropped.
+    */
+  def kn3DocPpl(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val perDoc = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(3))
+        ).as("tg")
+      )
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("tg")), 1, 15), 16, 10).cast("bigint").as("tg_fp")
+      )
+      .join(kn3ModelArtifact(spark, dir).select(col("tg_fp"), col("nll64")), Seq("tg_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll64")).as("sum_nll64"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_nll64"), lit(0L)).as("sum_nll64"),
+        coalesce(expr("sum_nll64 DIV n_trigrams"), lit(0L)).as("avg_nll64")
+      )
+  }
 }

@@ -38,16 +38,59 @@ object PplGateStream {
       avg_nll64: Long
   )
 
-  /** The bounded reference model: bigram fingerprint → nll64 (the
-    * batch `kn_model` artifact, collected).
+  /** Hard cap on the collected reference model. "The gate LM trains on
+    * a bounded reference snapshot" is a CONTRACT, not a law of nature —
+    * a deployment that points refDir at a crawl-sized corpus would
+    * otherwise OOM the driver silently mid-collect. The cap must
+    * surface as a LOUD failure naming the knob (the
+    * [[AnonStream.DefaultMaxUsersPerClass]] discipline): default 5M
+    * bigram types ≈ 80 MB of broadcast, conf-overridable via
+    * `spark.graft.pplgate.maxModelEntries`.
     */
-  private[graft] def modelIndex(spark: SparkSession, refDir: String): Map[Long, Long] =
-    graft.operators.TextOps
+  val DefaultMaxModelEntries = 5000000L
+
+  /** The bounded reference model: bigram fingerprint → nll64 (the
+    * batch `kn_model` artifact, collected). The collect itself is
+    * LIMIT-bounded to cap+1 rows — an over-cap model never transfers
+    * more than one row past the cap before the loud failure. A
+    * duplicate fingerprint with a DIFFERENT score is a 60-bit md5
+    * collision of two distinct bigrams (expected only near the
+    * ~n²/2⁶¹ birthday envelope, i.e. ~10¹⁰ types) — also loud, since
+    * silently keeping either score breaks stream/batch parity.
+    */
+  private[graft] def modelIndex(
+      spark: SparkSession, refDir: String): scala.collection.Map[Long, Long] = {
+    val cap = spark.conf
+      .get("spark.graft.pplgate.maxModelEntries", DefaultMaxModelEntries.toString)
+      .toLong
+    val rows = graft.operators.TextOps
       .knModelForStream(spark, refDir)
       .select(col("bg_fp"), col("nll64"))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
       .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .toMap
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"PplGateStream reference model exceeds $cap bigram types: the " +
+          "refDir corpus is not reference-snapshot-sized. Point refDir at " +
+          "a bounded reference corpus (CCNet's discipline) or raise " +
+          "spark.graft.pplgate.maxModelEntries if the driver/broadcast " +
+          "budget allows it")
+    val m = new scala.collection.mutable.LongMap[Long](rows.length * 2)
+    rows.foreach { r =>
+      val fp = r.getLong(0)
+      val v = r.getLong(1)
+      m.get(fp) match {
+        case Some(prev) if prev != v =>
+          throw new IllegalStateException(
+            s"60-bit bigram fingerprint collision in the reference model " +
+              s"(fp=$fp, nll64 $prev vs $v): two distinct bigrams share a " +
+              "fingerprint, which would silently break stream/batch parity " +
+              "— widen the fingerprint for this corpus")
+        case _ => m.update(fp, v)
+      }
+    }
+    m
+  }
 
   /** Per-arriving-doc perplexity rows over a directory of document
     * parquet files (each file = one ingest micro-batch); the model

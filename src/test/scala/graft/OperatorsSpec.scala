@@ -6961,6 +6961,50 @@ class OperatorsSpec extends AnyFunSuite {
       (truth & fusedTop).size.toLong, (truth & fusedTop).size.toLong * 1000000L / truth.size)))
   }
 
+  test("hybrid lexical arm df cap screens stopword-grade terms from the score join") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)
+        .toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val nDocs = docs.length
+    val dl = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf: Map[Long, Map[String, Long]] =
+      docs.map { case (id, t) => id -> t.groupBy(identity).map { case (w, o) => w -> o.length.toLong } }.toMap
+    val dfAll: Map[String, Long] = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, o) => w -> o.length.toLong }
+    // the production cap can never bind at test SFs: df <= n_docs << cap,
+    // which is what keeps the gate hashes cap-invariant
+    assert(dfAll.values.max < SimilarityOps.HybridDfCap)
+    // force the screen to BIND and recompute the capped arm in the JVM
+    val cap = 40L
+    assert(dfAll.values.exists(_ > cap), "cap must screen something at sf0.001")
+    def lexList(qid: Long): Seq[(Long, Long)] = {
+      val terms = docs.find(_._1 == qid).get._2.distinct.filter(t => dfAll(t) <= cap)
+      docs.filter(_._1 != qid).flatMap { case (d, _) =>
+        val shared = terms.filter(t => tf(d).contains(t))
+        if (shared.isEmpty) None
+        else Some((d, shared.map { t =>
+          val f = tf(d)(t)
+          val df = dfAll(t).toDouble
+          val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+          val s = idf * (f.toDouble * (1.2 + 1.0)) /
+            (f.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl(d).toDouble / avgdl))
+          math.round(s * 1000000.0)
+        }.sum))
+      }.sortBy { case (d, sq) => (-sq, d) }.take(10)
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      lexList(qid).zipWithIndex.map { case ((d, sq), i) => (qid, d, sq, (i + 1).toLong) }
+    }.toSet
+    val got = SimilarityOps.hybridLexArmBuild(spark, Sf0001, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the screen genuinely changed the arm (hot terms carried signal)
+    val uncapped = SimilarityOps.hybridLexArmBuild(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got !== uncapped)
+  }
+
   test("unigram-LM fit matches a full plain-Scala Viterbi-EM recompute") {
     // c64 sanity first: within 2/64 bit of true log2 below the
     // normalization cutoff, 3/64 above (one truncated shift), and
@@ -7299,7 +7343,102 @@ class OperatorsSpec extends AnyFunSuite {
     // model's worst transition scores worse than its best
     assert(pplExp.filter(_._3 > 0).forall(_._4 > 0))
 
-    // ppl_bucket_split == an ntile(3) fold over the same per-doc frame
+    // (ppl_bucket_split moved to the trigram spec when round 9
+    // re-pointed it at the kn3 score)
+  }
+
+  test("kneser-ney trigram LM matches an exact rational recompute with backoff mass identities") {
+    // brute trigram model in exact BigInt rationals from the raw
+    // corpus, including the continuation-count backoff chain and the
+    // two-stage quantization (qp2 floor first, then qp3 composing it)
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val docTgs = docs.map { case (id, src, t) =>
+      (id, src,
+        (0 until math.max(t.length - 2, 0)).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+    }
+    val counts = docTgs.flatMap(_._3).groupBy(identity)
+      .map { case (tg, o) => tg -> o.length.toLong }
+    assert(counts.nonEmpty)
+    def parts(tg: String) = { val a = tg.split(" "); (a(0), a(1), a(2)) }
+    val byUv = counts.groupBy { case (tg, _) => val p = parts(tg); (p._1, p._2) }
+    val cUv = byUv.map { case (k, g) => k -> g.values.sum }
+    val n1pUv = byUv.map { case (k, g) => k -> g.size.toLong }
+    // continuation table: rows of the trigram TYPE table grouped by
+    // (v,w) — group size IS the distinct-predecessor count N1+(·vw)
+    val cb = counts.keys.toSeq.map(parts).groupBy(p => (p._2, p._3))
+      .map { case (k, g) => k -> g.size.toLong }
+    val cbByV = cb.groupBy(_._1._1)
+    val n1midV = cbByV.map { case (v, g) => v -> g.values.sum }
+    val n1p2V = cbByV.map { case (v, g) => v -> g.size.toLong }
+    val cont2W = cb.groupBy(_._1._2).map { case (w, g) => w -> g.size.toLong }
+    val t2 = cb.size.toLong
+
+    // mass identities per level, exact rationals BEFORE quantization:
+    // level 1: Σ_vocab N1+(··w) = T2 — p1 is a distribution
+    assert(cont2W.values.sum === t2)
+    // level 2, per middle v: Σ_seen (4·N1+(·vw)−3)·T2 + 3·N1+(v·)·T2
+    // = 4·N1+(·v·)·T2, i.e. Σ_w∈vocab p2(w|v) = 1 over the common
+    // denominator (Σ_vocab cont2_w = T2 supplies the backoff mass)
+    cbByV.foreach { case (v, g) =>
+      val seenNum = g.keys.toSeq.map(k => (BigInt(4) * cb(k) - 3) * t2).sum
+      assert(seenNum + BigInt(3) * n1p2V(v) * t2 === BigInt(4) * n1midV(v) * t2,
+        s"p2 mass != 1 for middle '$v'")
+    }
+    // level 3, per history (u,v): Σ_seen (4·c(uvw)−3) + 3·N1+(uv·)
+    // = 4·c(uv) — with Σ_w p2(w|v) = 1 this is Σ_w p3(w|u,v) = 1
+    byUv.foreach { case (k, g) =>
+      val seenNum = g.keys.toSeq.map(tg => BigInt(4) * counts(tg) - 3).sum
+      assert(seenNum + BigInt(3) * n1pUv(k) === BigInt(4) * cUv(k),
+        s"p3 mass != 1 for history $k")
+    }
+
+    def qp2(v: String, w: String): Long = {
+      val num = (BigInt(4) * cb((v, w)) - 3) * t2 + BigInt(3) * n1p2V(v) * cont2W(w)
+      ((num << TextOps.KnQpShift) / (BigInt(4) * n1midV(v) * t2)).toLong
+    }
+    def qp3(tg: String): Long = {
+      val (u, v, w) = parts(tg)
+      val num = (BigInt(4) * counts(tg) - 3) * (BigInt(1) << TextOps.KnQpShift) +
+        BigInt(3) * n1pUv((u, v)) * qp2(v, w)
+      (num / (BigInt(4) * cUv((u, v)))).toLong
+    }
+    def nll(tg: String): Long = 64L * TextOps.KnQpShift - TextOps.c64(qp3(tg))
+    // every quantized p3 is a strict probability: 1 <= qp3 <= 2^50
+    counts.keys.foreach { tg =>
+      assert(qp3(tg) >= 1L && qp3(tg) <= (1L << TextOps.KnQpShift), s"qp3 domain: $tg")
+    }
+
+    // kn3_trigram_fit == the top-25 by quantized probability
+    val fitExp = counts.keys.toSeq
+      .map { tg =>
+        val (u, v, w) = parts(tg)
+        (u, v, w, counts(tg), cUv((u, v)), n1pUv((u, v)), cb((v, w)),
+          n1midV(v), n1p2V(v), cont2W(w), qp2(v, w), qp3(tg), nll(tg))
+      }
+      .sortBy { case (u, v, w, _, _, _, _, _, _, _, _, q3, _) => (-q3, u, v, w) }
+      .take(25)
+    val fitGot = TextOps.kn3TrigramFit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12))).toSeq
+    assert(fitGot === fitExp)
+
+    // kn3_doc_ppl == per-doc fold; <3-token docs surface with zeros
+    val pplExp = docTgs.map { case (id, src, tgs) =>
+      val s = tgs.map(nll).sum
+      (id, src, tgs.length.toLong, s, if (tgs.nonEmpty) s / tgs.length else 0L)
+    }.toSet
+    val pplGot = TextOps.kn3DocPpl(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(pplGot === pplExp)
+    assert(pplExp.filter(_._3 > 0).forall(_._4 > 0))
+
+    // ppl_bucket_split (round-9 re-pointed at the trigram score) ==
+    // an ntile(3) fold over the same per-doc frame
     val bucketExp = pplExp.toSeq.groupBy(_._2).flatMap { case (src, g) =>
       val sorted = g.sortBy(t => (t._5, t._1))
       val n = sorted.length
@@ -7424,16 +7563,33 @@ class OperatorsSpec extends AnyFunSuite {
         .map(t => h60(t) % 2001L - 1000L).sum
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), score(r.getString(2))))
-    // duels: bucket by fp % BtBuckets, rank by (fp, id), pair adjacent
-    val duels = docs
+    // the bucket-count formula: collapses to the 8 floor at both test
+    // corpus sizes, scales ~n/4096 past the floor (the round-9 fix for
+    // the fixed-8-task matchmaking sort ceiling)
+    assert(TextOps.btBuckets(500) === 8L)
+    assert(TextOps.btBuckets(5000) === 8L)
+    assert(TextOps.btBuckets(8L * 4096) === 8L)
+    assert(TextOps.btBuckets(8L * 4096 + 1) === 9L)
+    assert(TextOps.btBuckets(1000000000L) === 244141L)
+    // duels: bucket by fp % btBuckets(n), rank by (fp, id), pair adjacent
+    def jvmDuels(buckets: Long): Seq[(String, String)] = docs
       .map { case (id, src, sc) => (h60(id.toString), id, src, sc) }
-      .groupBy(_._1 % TextOps.BtBuckets)
+      .groupBy(_._1 % buckets)
       .values.flatMap { g =>
         g.toSeq.sortBy(t => (t._1, t._2)).grouped(2).filter(_.size == 2).map { p =>
           val Seq(x, y) = p.sortBy(t => (-t._4, t._2))
           (x._3, y._3) // winner source, loser source
         }
       }.toSeq
+    // a FORCED larger bucket count (the 100 TB shape: many parallel
+    // bucket sorts) still pairs exactly as the JVM recompute says —
+    // matchmaking is valid at any bucket count
+    val forced = TextOps.btDuels(spark, Sf0001, Some(61L)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def tally(ds: Seq[(String, String)]) =
+      ds.filter(d => d._1 != d._2).groupBy(identity).view.mapValues(_.size).toMap
+    assert(tally(forced) === tally(jvmDuels(61L)))
+    val duels = jvmDuels(TextOps.btBuckets(docs.length.toLong))
     val cross = duels.filter(d => d._1 != d._2)
     assert(cross.nonEmpty, "no cross-source duels at sf0.001")
     val wins = cross.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -7582,6 +7738,14 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("doremi weights: exp2 kernel inverts c64 and the sheet matches a driver recompute") {
     import graft.functions.Exp2Kernel
+    // the hardcoded dyadic-root table IS round(2^(1/2^(j+1))·2^30):
+    // pinned against StrictMath (platform-independent fdlibm pow) so a
+    // 1-ulp Math.pow intrinsic drift can never silently change the
+    // constants both engines bake in
+    assert(Exp2Kernel.C.toSeq === (0 until 6).map(j =>
+      Math.round(StrictMath.pow(2.0, 1.0 / (1L << (j + 1))) * (1L << 30))))
+    assert(Exp2Kernel.C.toSeq === Seq(1518500250L, 1276901417L, 1170923762L,
+      1121280436L, 1097253708L, 1085434106L))
     // exact at whole-bit exponents, monotone, and a true inverse of
     // c64 within the 6-bit fractional quantization
     (0 to 40).foreach(b => assert(Exp2Kernel.exp2q(64L * b) === (1L << b)))
@@ -7597,6 +7761,14 @@ class OperatorsSpec extends AnyFunSuite {
     val ppl = TextOps.knDocPpl(spark, Sf0001).collect()
       .map(r => (r.getString(1), r.getLong(4)))
     val gmean = ppl.map(_._2).sum / ppl.length
+    // the per-source fold the operator now uses (Σs/Σn over the
+    // collected vector, replacing round 8's second corpus aggregate)
+    // is the SAME integer: grouping then summing loses nothing
+    val foldMean = {
+      val g = ppl.groupBy(_._1).values.toSeq
+      g.map(_.map(_._2).sum).sum / g.map(_.length.toLong).sum
+    }
+    assert(foldMean === gmean)
     val perSrc = ppl.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
       val m = g.map(_._2).sum / g.length
       (src, g.length.toLong, m, m - gmean)

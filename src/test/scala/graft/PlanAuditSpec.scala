@@ -122,6 +122,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("hybrid lexical arm: the df stopword screen sits in the plan before the score join") {
+    val df = SimilarityOps.hybridLexArmBuild(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the screened term set is capped: a Filter on the aggregated df
+    // column at the HybridDfCap literal, so candidate volume is
+    // Σ_t min(df(t), cap) — one hot query term can no longer pull a
+    // corpus-scale posting list through the join
+    assert(
+      plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains(s"<= ${SimilarityOps.HybridDfCap}")),
+      s"no df cap filter in: $plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontamination joins n-gram hashes with equi joins only") {
     val plan = planOf(DedupOps.decontaminate(spark, Sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin"))

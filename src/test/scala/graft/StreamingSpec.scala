@@ -1353,4 +1353,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.forall(t => t._3 == 0L || t._4 > 0L))
     } finally q.stop()
   }
+
+  test("streaming ppl gate: over-cap reference model fails LOUD, naming the knob") {
+    // the bounded-reference-snapshot contract is enforced, not assumed:
+    // a crawl-sized refDir must throw at stream build, not OOM the
+    // driver mid-collect (and the collect itself is LIMIT-bounded to
+    // cap+1 rows either way)
+    val key = "spark.graft.pplgate.maxModelEntries"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "10") // sf0.001 model has far more bigram types
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.streaming.PplGateStream.modelIndex(spark, Sf0001)
+      }
+      assert(e.getMessage.contains("maxModelEntries"))
+      assert(e.getMessage.contains("10"))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    // at the default cap the same model loads, and every fingerprint
+    // is unique (the 60-bit collision guard is live but far from its
+    // ~10^10-type birthday envelope at test scale)
+    val m = graft.streaming.PplGateStream.modelIndex(spark, Sf0001)
+    val n = graft.operators.TextOps.knModelForStream(spark, Sf0001).count()
+    assert(m.size.toLong === n)
+  }
 }
