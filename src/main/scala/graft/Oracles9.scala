@@ -77,6 +77,91 @@ object Oracles9 {
     s"""WITH $kn3DocCtes
        |SELECT doc_id, source, n_trigrams, sum_nll64, avg_nll64 FROM k3ppl""".stripMargin
 
+  // ── DSIR importance-resampling twins ──────────────────────────────
+
+  /** Shared CTE chain for the DSIR family: hashed unigram+bigram
+    * stream folded to [[graft.operators.TextOps.DsirLambdaBuckets]] buckets,
+    * the add-1-smoothed target/raw tallies, and the per-bucket 1/64-bit
+    * integer log ratio through the unrolled c64 chain — mirroring
+    * TextOps.dsirLambdaBuild / dsirDocScores bit-for-bit.
+    */
+  private val dsirCtes: String = {
+    val nb = graft.operators.TextOps.DsirLambdaBuckets
+    val target = graft.operators.TextOps.DsirTargetSource
+    s"""dst AS (
+       | SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |dsg AS (
+       | SELECT doc_id, source, unnest(list_concat(toks,
+       |   list_transform(range(len(toks)-1),
+       |     i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g
+       | FROM dst),
+       |dsb AS (SELECT doc_id, source,
+       |  CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) % $nb AS bucket
+       | FROM dsg),
+       |dbk AS (SELECT bucket, COUNT(*) AS r_cnt,
+       |        SUM(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS t_cnt
+       |        FROM dsb GROUP BY bucket),
+       |dfull AS (SELECT rg.range AS bucket,
+       |  CAST(COALESCE(t_cnt, 0) AS BIGINT) AS t_cnt,
+       |  CAST(COALESCE(r_cnt, 0) AS BIGINT) AS r_cnt
+       | FROM range($nb) rg LEFT JOIN dbk ON rg.range = dbk.bucket),
+       |dtot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_tot,
+       |         CAST(SUM(r_cnt) AS BIGINT) AS r_tot FROM dfull),
+       |dvals AS (SELECT DISTINCT v FROM (
+       |  SELECT t_cnt + 1 AS v FROM dfull
+       |  UNION SELECT r_cnt + 1 FROM dfull
+       |  UNION SELECT t_tot + $nb FROM dtot
+       |  UNION SELECT r_tot + $nb FROM dtot)),
+       |${Oracles8.c64ValChain("dvals", "ds")},
+       |dlam AS (SELECT f.bucket, f.t_cnt, f.r_cnt,
+       |  ct.c64 - ctt.c64 - cr.c64 + crt.c64 AS lam64
+       | FROM dfull f
+       | CROSS JOIN dtot
+       | JOIN c64v_ds ct ON ct.v = f.t_cnt + 1
+       | JOIN c64v_ds cr ON cr.v = f.r_cnt + 1
+       | JOIN c64v_ds ctt ON ctt.v = t_tot + $nb
+       | JOIN c64v_ds crt ON crt.v = r_tot + $nb)""".stripMargin
+  }
+
+  val dsirBucketModel: String =
+    s"""WITH $dsirCtes
+       |SELECT bucket, t_cnt, r_cnt, lam64 FROM dlam
+       |ORDER BY lam64 DESC, bucket LIMIT 25""".stripMargin
+
+  private val dsirScoreCtes: String =
+    s"""$dsirCtes,
+       |dsc AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |        CAST(SUM(lam64) AS BIGINT) AS score64
+       |        FROM dsb JOIN dlam USING (bucket) GROUP BY doc_id),
+       |dps AS (SELECT d.doc_id, d.source,
+       |  COALESCE(s.n_grams, 0) AS n_grams,
+       |  COALESCE(s.score64, 0) AS score64
+       | FROM documents d LEFT JOIN dsc s USING (doc_id))""".stripMargin
+
+  val dsirDocScores: String =
+    s"""WITH $dsirScoreCtes
+       |SELECT doc_id, source, n_grams, score64 FROM dps""".stripMargin
+
+  val dsirSelect: String = {
+    val kd = graft.operators.TextOps.DsirKeepDiv
+    s"""WITH $dsirScoreCtes,
+       |dsel AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score64 DESC, doc_id ASC) AS rn,
+       |  COUNT(*) OVER (PARTITION BY source) AS n_src
+       | FROM dps)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_src THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(CAST(SUM(CASE WHEN rn * $kd <= n_src THEN 1 ELSE 0 END) AS HUGEINT)
+       |      * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_src THEN score64 ELSE 0 END) AS BIGINT)
+       |   AS kept_score64,
+       | CAST(COALESCE(MIN(CASE WHEN rn * $kd <= n_src THEN score64 END), 0) AS BIGINT)
+       |   AS threshold64
+       |FROM dsel GROUP BY source""".stripMargin
+  }
+
   /** Mirrors TextOps.pplBucketSplit, round-9 re-pointed at the
     * trigram score (head/middle/tail CCNet tertiles per source).
     */

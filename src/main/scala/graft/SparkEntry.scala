@@ -276,6 +276,9 @@ object SparkEntry {
     "kn3_trigram_fit" -> TextOps.kn3TrigramFit,
     "kn3_doc_ppl" -> TextOps.kn3DocPpl,
     "ppl_bucket_split" -> TextOps.pplBucketSplit,
+    "dsir_bucket_model" -> TextOps.dsirBucketModel,
+    "dsir_doc_scores" -> TextOps.dsirDocScores,
+    "dsir_select" -> TextOps.dsirSelect,
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
@@ -837,6 +840,9 @@ object SparkEntry {
     "kn3_trigram_fit" -> Oracles9.kn3TrigramFit,
     "kn3_doc_ppl" -> Oracles9.kn3DocPpl,
     "ppl_bucket_split" -> Oracles9.pplBucketSplit,
+    "dsir_bucket_model" -> Oracles9.dsirBucketModel,
+    "dsir_doc_scores" -> Oracles9.dsirDocScores,
+    "dsir_select" -> Oracles9.dsirSelect,
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,

@@ -5973,4 +5973,164 @@ object TextOps {
         coalesce(expr("sum_nll64 DIV n_trigrams"), lit(0L)).as("avg_nll64")
       )
   }
+
+  // ── DSIR importance resampling, end-to-end (round-9 cont.) ────────
+  // Completes the round-5 `dsirImportance` bucket-ratio READOUT into
+  // the full paper pipeline: per-bucket integer log-weights, per-doc
+  // scores, and the stratified selection sheet.
+
+  val DsirLambdaBuckets = 1024L
+  val DsirTargetSource = "src0"
+  /** Per-source keep fraction: rank·5 ≤ n ⇔ top ⌊n/5⌋ (20%). */
+  val DsirKeepDiv = 5L
+
+  /** Hashed n-gram stream for the DSIR feature space: word unigrams
+    * AND bigrams (the paper's feature set), 60-bit md5 fingerprints
+    * folded into [[DsirLambdaBuckets]] buckets — strings reduce to a
+    * bucket id at the scan, so nothing wider than (doc_id, source,
+    * bucket) ever shuffles.
+    */
+  private def dsirGrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val toks = tokens(lower(col("text")))
+    Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          concat(toks, graft.functions.VectorExpressions.wordNgrams(toks, lit(2)))
+        ).as("g")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        pmod(
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint"),
+          lit(DsirLambdaBuckets)).as("bucket")
+      )
+  }
+
+  /** DSIR importance-weight model (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): two bag-of-hashed-n-gram unigram
+    * models — the TARGET distribution fit on the reference slice
+    * ([[DsirTargetSource]], standing in for the paper's Wikipedia/
+    * books target) and the RAW distribution fit on the whole pool —
+    * and the per-bucket log importance ratio
+    *
+    *   λ_b = log₂ p̂_target(b) − log₂ p̂_raw(b)
+    *
+    * with add-1 smoothing over the [[DsirLambdaBuckets]]-bucket feature
+    * space. EXACT in 1/64-bit units via the `c64_log2` codegen
+    * kernel: lam64 = c64(t_b+1) − c64(T+NB) − c64(r_b+1) + c64(R+NB)
+    * (T, R the two gram totals) — pure integer, so the oracle twin
+    * reproduces it bit-for-bit through the same unrolled chain.
+    *
+    * Plan shape at 100 TB: ONE corpus pass collapses the gram stream
+    * to the NB-bounded bucket table (map-side combined count +
+    * conditional count — the target tally rides the same aggregate,
+    * no second pass); totals fold over those 1024 rows; every bucket
+    * row gets λ in one projection. The model is bucket-bounded by
+    * construction — exactly what makes hashed DSIR run where a full
+    * vocabulary model would not — and broadcasts to the scorer.
+    */
+  private[graft] def dsirLambda(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "dsir_lambda")(dsirLambdaBuild(spark, dir))
+
+  private[graft] def dsirLambdaBuild(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = dsirGrams(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("r_cnt"),
+        sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L)).as("t_cnt")
+      )
+    val full = spark
+      .range(DsirLambdaBuckets)
+      .select(col("id").as("bucket"))
+      .join(byBucket, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
+        coalesce(col("r_cnt"), lit(0L)).as("r_cnt")
+      )
+    val totals = full.agg(sum(col("t_cnt")).as("t_tot"), sum(col("r_cnt")).as("r_tot"))
+    val c64 = graft.functions.VectorExpressions.c64Log2 _
+    full
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        col("t_cnt"),
+        col("r_cnt"),
+        (c64(col("t_cnt") + 1) - c64(col("t_tot") + lit(DsirLambdaBuckets))
+          - c64(col("r_cnt") + 1) + c64(col("r_tot") + lit(DsirLambdaBuckets))).as("lam64")
+      )
+  }
+
+  /** The model's k-bounded readout: the 25 buckets most indicative of
+    * the target (lam64 desc, bucket asc).
+    */
+  def dsirBucketModel(spark: SparkSession, dir: String): DataFrame =
+    dsirLambda(spark, dir)
+      .orderBy(col("lam64").desc, col("bucket").asc)
+      .limit(25)
+
+  /** Per-document DSIR importance score: score64 = Σ_grams λ_bucket —
+    * the doc's log importance ratio under the two hashed models, in
+    * 1/64-bit units (integer SUM, order-independent). Zero-gram docs
+    * surface with zeros off the LEFT spine, never dropped. One corpus
+    * gram pass joined to the BROADCAST 1024-row λ table — scoring is
+    * scan-bound at any SF.
+    */
+  def dsirDocScores(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirGrams(spark, dir)
+      .join(broadcast(dsirLambda(spark, dir).select(col("bucket"), col("lam64"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam64")).as("score64"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score64"), lit(0L)).as("score64")
+      )
+  }
+
+  /** DSIR selection sheet: per source, keep the top ⌊n/5⌋ docs by
+    * (score64 desc, doc_id asc) and report kept counts, kept-mass and
+    * the acceptance threshold (min kept score). STRATIFIED per source
+    * — a deliberate, documented deviation from the paper's single
+    * global Gumbel top-k: the per-source window keeps the sort
+    * source-partitioned (no partition-less corpus window at 100 TB)
+    * and preserves the mixture's source balance, which the downstream
+    * allocators (waterfill / DoReMi) own. Composition over
+    * [[dsirDocScores]]: one source-keyed window, one fold.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("score64").desc, col("doc_id").asc)
+    dsirDocScores(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("sel", col("rn") * DsirKeepDiv <= col("n_src"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("sel"), col("score64")).otherwise(0L)).as("kept_score64"),
+        coalesce(min(when(col("sel"), col("score64"))), lit(0L)).as("threshold64")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_kept"),
+        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+          .as("kept_ppm"),
+        col("kept_score64"),
+        col("threshold64")
+      )
+  }
 }

@@ -7796,6 +7796,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byExcess.last._4 === mx)
   }
 
+  test("dsir pipeline matches a plain-Scala recompute of the hashed importance chain") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val nb = TextOps.DsirLambdaBuckets
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    val docGrams = docs.map { case (id, src, t) =>
+      (id, src, (t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }).map(g => h60(g) % nb))
+    }
+    // bucket model: add-1 smoothed target (src0) vs raw tallies, λ in
+    // 1/64-bit c64 units
+    val tCnt = Array.fill(nb.toInt)(0L)
+    val rCnt = Array.fill(nb.toInt)(0L)
+    docGrams.foreach { case (_, src, bs) =>
+      bs.foreach { b =>
+        rCnt(b.toInt) += 1
+        if (src == TextOps.DsirTargetSource) tCnt(b.toInt) += 1
+      }
+    }
+    val tTot = tCnt.sum; val rTot = rCnt.sum
+    def lam(b: Int): Long =
+      TextOps.c64(tCnt(b) + 1) - TextOps.c64(tTot + nb) -
+        TextOps.c64(rCnt(b) + 1) + TextOps.c64(rTot + nb)
+    val modelExp = (0 until nb.toInt)
+      .map(b => (b.toLong, tCnt(b), rCnt(b), lam(b)))
+      .sortBy { case (b, _, _, l) => (-l, b) }.take(25)
+    val modelGot = TextOps.dsirBucketModel(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(modelGot === modelExp)
+    // a real importance signal: the target slice's own buckets rank up
+    assert(modelExp.head._4 > 0L)
+
+    // per-doc scores == Σ λ over the doc's gram buckets
+    val scoreExp = docGrams.map { case (id, src, bs) =>
+      (id, src, bs.length.toLong, bs.map(b => lam(b.toInt)).sum)
+    }.toSet
+    val scoreGot = TextOps.dsirDocScores(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(scoreGot === scoreExp)
+    // target docs should score above the corpus at large on average
+    // (they ARE the target distribution)
+    val tScores = scoreExp.filter(_._2 == TextOps.DsirTargetSource).toSeq.map(_._4)
+    val oScores = scoreExp.filter(_._2 != TextOps.DsirTargetSource).toSeq.map(_._4)
+    assert(tScores.sum / tScores.size > oScores.sum / oScores.size)
+
+    // stratified selection sheet: top ⌊n/5⌋ per source by (score, id)
+    val selExp = scoreExp.toSeq.groupBy(_._2).map { case (src, g) =>
+      val kept = g.sortBy(t => (-t._4, t._1)).take(g.size / TextOps.DsirKeepDiv.toInt)
+      (src, g.size.toLong, kept.size.toLong,
+        (BigInt(kept.size) * 1000000 / g.size).toLong,
+        kept.map(_._4).sum, if (kept.nonEmpty) kept.map(_._4).min else 0L)
+    }.toSet
+    val selGot = TextOps.dsirSelect(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(selGot === selExp)
+  }
+
   test("round-8 continuation additions are partition-invariant: parallelism 2 vs 16") {
     val names = Seq("kn_bigram_fit", "kn_doc_ppl", "ppl_bucket_split",
       "wordpiece_fit", "wordpiece_encode", "tokenizer_bakeoff",
