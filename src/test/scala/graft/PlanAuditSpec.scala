@@ -134,7 +134,9 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("Filter") && l.contains(s"<= ${SimilarityOps.HybridDfCap}")),
       s"no df cap filter in: $plan")
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // (the one BroadcastNestedLoopJoin is the 1-row globals frame —
+    // the accepted Q11/Q15 scalar-broadcast shape, not a pair loop)
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
   }
 
   test("decontamination joins n-gram hashes with equi joins only") {
@@ -771,5 +773,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val joinLines = p.linesIterator.filter(l =>
       l.contains("Join") && l.contains("bg_fp")).toSeq
     assert(joinLines.nonEmpty, s"no fp equi-join in kn_doc_ppl:\n$p")
+  }
+
+  test("trigram KN: T2 broadcast, (v,w) equi-join, c64 codegen, fp-joined scorer") {
+    val mp = planOf(TextOps.kn3Model(spark, Sf0001))
+    // the 1-row continuation-type total joins as a broadcast
+    assert(mp.contains("BroadcastNestedLoopJoin") || mp.contains("BroadcastExchange"),
+      s"kn3 totals not broadcast:\n$mp")
+    assert(!mp.contains("CartesianProduct"), s"kn3 model plans a cartesian:\n$mp")
+    // the backoff hookup is a (v,w)-keyed equi join of two
+    // TYPE-bounded frames — hash join, never a loop
+    assert(mp.linesIterator.exists(l => l.contains("HashJoin") || l.contains("SortMergeJoin")),
+      s"no equi join in kn3 model:\n$mp")
+    val c64Line = mp.linesIterator.find(_.contains("c64_log2(")).getOrElse("")
+    assert(c64Line.nonEmpty, "kn3 model lost the c64_log2 kernel")
+    assert(c64Line.trim.stripPrefix("+- ").startsWith("*("),
+      s"c64_log2 projection not codegen: $c64Line")
+    val p = planOf(TextOps.kn3DocPpl(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), s"kn3_doc_ppl plans a cartesian:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("tg_fp")),
+      s"no fp equi-join in kn3_doc_ppl:\n$p")
+  }
+
+  test("dsir: lambda table broadcasts to the scorer; selection window is source-keyed") {
+    val lp = planOf(TextOps.dsirLambdaBuild(spark, Sf0001))
+    assert(!lp.contains("CartesianProduct"), s"dsir lambda plans a cartesian:\n$lp")
+    // scoring joins the corpus gram stream to the 1024-row model as a
+    // BROADCAST — the corpus side never shuffles for the model join
+    val sp = planOf(TextOps.dsirDocScores(spark, Sf0001))
+    assert(sp.contains("BroadcastHashJoin"), s"dsir scorer lost the broadcast join:\n$sp")
+    assert(!sp.contains("CartesianProduct"))
+    // the selection sheet's windows are source-partitioned (never a
+    // partition-less corpus sort)
+    val selp = planOf(TextOps.dsirSelect(spark, Sf0001))
+    assert(selp.linesIterator.filter(_.contains("Window")).forall(_.contains("source")),
+      s"dsir select window not source-keyed:\n$selp")
   }
 }
