@@ -177,4 +177,79 @@ object Oracles9 {
        | CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS mean_nll64,
        | CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams
        |FROM kb3 GROUP BY source, bucket""".stripMargin
+
+  // ── Exact integer token entropy twin ──────────────────────────────
+
+  /** Mirrors TextOps.tokenEntropyGate: per-doc H64 = c64(n) − ⌊Σc·c64(c)/n⌋
+    * through the unrolled c64 chain, zero-token docs at 0, per-source
+    * low-entropy ppm.
+    */
+  val tokenEntropyGate: String = {
+    val low = graft.operators.TextOps.LowEntropyH64
+    s"""WITH tet AS (
+       | SELECT doc_id, source,
+       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |tec AS (SELECT doc_id, t, COUNT(*) AS c
+       |        FROM (SELECT doc_id, unnest(toks) AS t FROM tet) GROUP BY doc_id, t),
+       |ten AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tec GROUP BY doc_id),
+       |tevals AS (SELECT DISTINCT v FROM (
+       |  SELECT c AS v FROM tec UNION SELECT n_tokens FROM ten)),
+       |${Oracles8.c64ValChain("tevals", "te")},
+       |tes AS (SELECT e.doc_id, CAST(SUM(e.c * cc.c64) AS BIGINT) AS s64
+       |        FROM tec e JOIN c64v_te cc ON cc.v = e.c GROUP BY e.doc_id),
+       |teh AS (SELECT n.doc_id, n.n_tokens, cn.c64 - (s.s64 // n.n_tokens) AS h64
+       |        FROM ten n JOIN tes s USING (doc_id) JOIN c64v_te cn ON cn.v = n.n_tokens),
+       |tep AS (SELECT d.doc_id, d.source, COALESCE(t.h64, 0) AS h64
+       |        FROM documents d LEFT JOIN teh t USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(h64) AS BIGINT) AS sum_h64,
+       | CAST(SUM(h64) AS BIGINT) // COUNT(*) AS mean_h64,
+       | CAST(SUM(CASE WHEN h64 < $low THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       | CAST(CAST(SUM(CASE WHEN h64 < $low THEN 1 ELSE 0 END) AS HUGEINT)
+       |      * 1000000 // COUNT(*) AS BIGINT) AS low_ppm
+       |FROM tep GROUP BY source""".stripMargin
+  }
+
+  // ── Selector-agreement twin ───────────────────────────────────────
+
+  /** Mirrors TextOps.selectorAgreement: the DSIR, hashgram and
+    * trigram-KN per-doc sheets joined, three source-keyed tie-broken
+    * rank windows, one Σd² aggregate, and the (2D−6S)·10⁶ // (2D)
+    * agreement in HUGEINT.
+    */
+  val selectorAgreement: String = {
+    def rowOf(pair: String, s: String) =
+      s"""SELECT source, '$pair' AS pair, CAST(n AS BIGINT) AS n_docs,
+         | CAST(CASE WHEN n < 2 THEN 1000000 ELSE
+         |  (2 * (CAST(n AS HUGEINT) * n * n - n) - 6 * $s) * 1000000
+         |   // (2 * (CAST(n AS HUGEINT) * n * n - n)) END AS BIGINT) AS agreement_ppm
+         |FROM sag""".stripMargin
+    s"""WITH $dsirScoreCtes,
+       |$kn3DocCtes,
+       |hst AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
+       | FROM documents),
+       |hsx AS (SELECT s.doc_id, COALESCE(w.score, 0) AS score
+       | FROM hst s LEFT JOIN (
+       |   SELECT doc_id,
+       |    SUM(CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
+       |        % 2001 - 1000) AS score
+       |   FROM (SELECT doc_id, unnest(toks) AS t FROM hst) GROUP BY doc_id) w USING (doc_id)),
+       |srk AS (SELECT d.source,
+       |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.score64 DESC, d.doc_id ASC) AS rd,
+       |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY h.score DESC, d.doc_id ASC) AS rh,
+       |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY p.avg_nll64 ASC, d.doc_id ASC) AS rp
+       | FROM dps d JOIN hsx h USING (doc_id) JOIN k3ppl p USING (doc_id)),
+       |sag AS (SELECT source, COUNT(*) AS n,
+       |  SUM(CAST(rd - rh AS HUGEINT) * (rd - rh)) AS s_dh,
+       |  SUM(CAST(rd - rp AS HUGEINT) * (rd - rp)) AS s_dp,
+       |  SUM(CAST(rh - rp AS HUGEINT) * (rh - rp)) AS s_hp
+       | FROM srk GROUP BY source)
+       |${rowOf("dsir~hashgram", "s_dh")}
+       |UNION ALL
+       |${rowOf("dsir~ppl", "s_dp")}
+       |UNION ALL
+       |${rowOf("hashgram~ppl", "s_hp")}""".stripMargin
+  }
 }

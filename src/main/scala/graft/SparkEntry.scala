@@ -279,6 +279,8 @@ object SparkEntry {
     "dsir_bucket_model" -> TextOps.dsirBucketModel,
     "dsir_doc_scores" -> TextOps.dsirDocScores,
     "dsir_select" -> TextOps.dsirSelect,
+    "token_entropy_gate" -> TextOps.tokenEntropyGate,
+    "selector_agreement" -> TextOps.selectorAgreement,
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
@@ -843,6 +845,8 @@ object SparkEntry {
     "dsir_bucket_model" -> Oracles9.dsirBucketModel,
     "dsir_doc_scores" -> Oracles9.dsirDocScores,
     "dsir_select" -> Oracles9.dsirSelect,
+    "token_entropy_gate" -> Oracles9.tokenEntropyGate,
+    "selector_agreement" -> Oracles9.selectorAgreement,
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,

@@ -6133,4 +6133,143 @@ object TextOps {
         col("threshold64")
       )
   }
+
+  // ── Exact integer token entropy (the c64 upgrade) ─────────────────
+
+  /** Low-entropy threshold: 2 bits (128 in 1/64-bit units) — below it
+    * a doc's token stream is dominated by ≤ ~4 effective types, the
+    * repetition-spam signature.
+    */
+  val LowEntropyH64 = 128L
+
+  /** Per-source token-entropy gate — the repetition/template-spam
+    * filter a cleaning pipeline runs next to the Gopher rules. Per
+    * doc, Shannon entropy of the token distribution in EXACT 1/64-bit
+    * units: H64 = c64(n) − ⌊Σ_t c_t·c64(c_t) / n⌋ (from
+    * H = log₂n − (1/n)Σc·log₂c), evaluated entirely through the
+    * `c64_log2` codegen kernel. [[hapaxRatio]]'s scaladoc records WHY
+    * entropy was deliberately absent until now — libm log() differs in
+    * the last ulp across engines, so no bit-stable cross-engine
+    * entropy existed; the integer c64 log closes exactly that gap
+    * (both engines take the same quantized logs and the same floor).
+    * Sheet: per source, doc count, mean H64 and the ppm of docs under
+    * [[LowEntropyH64]]; zero-token docs surface with H64 = 0 (counted
+    * low — a blank doc IS degenerate).
+    *
+    * Scale: one (doc, token) collapse (the wordCount shuffle with
+    * doc_id in the key), one doc-keyed fold, one #sources aggregate.
+    */
+  def tokenEntropyGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val c64 = graft.functions.VectorExpressions.c64Log2 _
+    val perDoc = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), explode(tokens(lower(col("text")))).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * c64(col("c"))).as("s64")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        (c64(col("n_tokens")) - expr("s64 DIV n_tokens")).as("h64")
+      )
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc.select(col("doc_id"), col("n_tokens"), col("h64")), Seq("doc_id"), "left")
+      .select(
+        col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("h64"), lit(0L)).as("h64")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("h64")).as("sum_h64"),
+        sum(when(col("h64") < LowEntropyH64, 1L).otherwise(0L)).as("n_low")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("sum_h64"),
+        expr("sum_h64 DIV n_docs").as("mean_h64"),
+        col("n_low"),
+        expr("CAST(CAST(n_low AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+          .as("low_ppm")
+      )
+  }
+
+  // ── Selector agreement (Spearman between the quality orderings) ───
+
+  /** Pairwise rank agreement of the session's three document
+    * selectors — DSIR importance ([[dsirDocScores]], higher = more
+    * target-like), the hashgram quality classifier (higher = keep),
+    * and trigram-KN typicality ([[kn3DocPpl]], LOWER avg_nll64 =
+    * more typical) — THE sheet a pipeline owner reads before stacking
+    * filters: selectors that agree are redundant, selectors that
+    * anti-agree are fighting. Per source, Spearman ρ over tie-broken
+    * keep-priority ranks (each ordering breaks ties by doc_id, so
+    * ranks are exact permutations), reported on the [0, 10⁶] scale
+    * agreement_ppm = ⌊(1+ρ)/2 · 10⁶⌋ = ⌊(2D − 6Σd²)·10⁶ / (2D)⌋ with
+    * D = n³−n — nonnegative because Σd² ≤ (n³−n)/3 (the exact
+    * maximum, attained by full inversion), so 6Σd² ≤ 2D and
+    * truncation IS floor on both engines; 10⁶ = identical
+    * orderings, 0 = exact inversion, 5·10⁵ = unrelated. All products
+    * run in DECIMAL(38,0)/HUGEINT (d² alone reaches n² ≈ 10²⁰ at a
+    * 10¹⁰-doc source).
+    *
+    * Scale: the three per-doc score sheets join on doc_id (each is
+    * one corpus pass or a memoized artifact read), three source-keyed
+    * rank windows, ONE aggregate computing all three Σd² (no
+    * per-pair corpus re-scan), then a 3-way unpivot of the
+    * #sources-bounded frame.
+    */
+  def selectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = dsirDocScores(spark, dir).select(col("doc_id"), col("source"), col("score64"))
+    val h = hashgramGateProjection(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("score"))
+    val p = kn3DocPpl(spark, dir).select(col("doc_id"), col("avg_nll64"))
+    def w(o: Column*) = Window.partitionBy(col("source")).orderBy(o: _*)
+    val ranked = d
+      .join(h, Seq("doc_id"))
+      .join(p, Seq("doc_id"))
+      .select(
+        col("source"),
+        row_number().over(w(col("score64").desc, col("doc_id").asc)).cast("long").as("rd"),
+        row_number().over(w(col("score").desc, col("doc_id").asc)).cast("long").as("rh"),
+        row_number().over(w(col("avg_nll64").asc, col("doc_id").asc)).cast("long").as("rp")
+      )
+    def d2(a: String, b: String) =
+      sum(expr(s"CAST($a - $b AS DECIMAL(38,0)) * CAST($a - $b AS DECIMAL(38,0))"))
+    val agg = ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        d2("rd", "rh").as("s_dh"),
+        d2("rd", "rp").as("s_dp"),
+        d2("rh", "rp").as("s_hp")
+      )
+    def rowOf(pair: String, s: String) =
+      agg.select(
+        col("source"),
+        lit(pair).as("pair"),
+        col("n_docs"),
+        expr(
+          s"""CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
+             | (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs) - 6 * $s)
+             |  * 1000000
+             |  DIV (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs))
+             |END AS BIGINT)""".stripMargin
+        ).as("agreement_ppm")
+      )
+    rowOf("dsir~hashgram", "s_dh")
+      .unionAll(rowOf("dsir~ppl", "s_dp"))
+      .unionAll(rowOf("hashgram~ppl", "s_hp"))
+  }
 }

@@ -7858,6 +7858,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(selGot === selExp)
   }
 
+  test("token entropy gate: exact c64 entropy matches a driver recompute") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    def h64Of(toks: Seq[String]): Long =
+      if (toks.isEmpty) 0L
+      else {
+        val counts = toks.groupBy(identity).values.map(_.length.toLong)
+        val n = counts.sum
+        TextOps.c64(n) - counts.map(c => c * TextOps.c64(c)).sum / n
+      }
+    val perDoc = docs.map { case (_, src, t) => (src, h64Of(t)) }
+    // the quantized entropy is a real entropy: nonnegative, and zero
+    // exactly for degenerate (empty or single-type... up to the 6-bit
+    // c64 quantization) streams
+    perDoc.foreach { case (_, h) => assert(h >= 0L) }
+    assert(h64Of(Seq("a", "a", "a")) === 0L)
+    assert(h64Of(Seq("a", "b")) === 64L) // exactly 1 bit
+    assert(math.abs(h64Of(Seq("a", "b", "c", "d")) - 128L) <= 2) // ~2 bits
+    val exp = perDoc.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val s = g.map(_._2).sum
+      val low = g.count(_._2 < TextOps.LowEntropyH64).toLong
+      (src, n, s, s / n, low, (BigInt(low) * 1000000 / n).toLong)
+    }.toSet
+    val got = TextOps.tokenEntropyGate(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === exp)
+  }
+
+  test("selector agreement: Spearman fold matches a BigInt driver recompute") {
+    // the three per-doc sheets are each independently recompute-proven
+    // in their own specs; this test verifies the rank/Σd²/agreement
+    // FOLD over them
+    val ds = TextOps.dsirDocScores(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))) // id, src, score64
+    val hs = TextOps.hashgramGateProjection(Tables.documents(spark, Sf0001)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ps = TextOps.kn3DocPpl(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val bySrc = ds.groupBy(_._2)
+    def agreement(sumD2: BigInt, n: Long): Long = {
+      if (n < 2) 1000000L
+      else {
+        val dd = BigInt(n) * n * n - n
+        ((2 * dd - 6 * sumD2) * 1000000 / (2 * dd)).toLong
+      }
+    }
+    val exp = bySrc.flatMap { case (src, g) =>
+      def ranks(key: Long => (Long, Long)): Map[Long, Long] =
+        g.map(t => t._1 -> key(t._1)).sortBy(_._2).map(_._1).zipWithIndex
+          .map { case (id, i) => id -> (i + 1).toLong }.toMap
+      val scoreOf = g.map(t => t._1 -> t._3).toMap
+      val rd = ranks(id => (-scoreOf(id), id))
+      val rh = ranks(id => (-hs(id), id))
+      val rp = ranks(id => (ps(id), id))
+      val n = g.length.toLong
+      def s(a: Map[Long, Long], b: Map[Long, Long]): BigInt =
+        g.map(t => BigInt(a(t._1) - b(t._1)).pow(2)).sum
+      Seq(
+        (src, "dsir~hashgram", n, agreement(s(rd, rh), n)),
+        (src, "dsir~ppl", n, agreement(s(rd, rp), n)),
+        (src, "hashgram~ppl", n, agreement(s(rh, rp), n)))
+    }.toSet
+    val got = TextOps.selectorAgreement(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === exp)
+    // bounds: the [0, 10^6] scale where 5*10^5 is "unrelated"
+    assert(exp.forall(t => t._4 >= 0L && t._4 <= 1000000L))
+    // non-vacuous: the selectors are genuinely different orderings
+    assert(exp.exists(_._4 != 1000000L))
+  }
+
   test("round-8 continuation additions are partition-invariant: parallelism 2 vs 16") {
     val names = Seq("kn_bigram_fit", "kn_doc_ppl", "ppl_bucket_split",
       "wordpiece_fit", "wordpiece_encode", "tokenizer_bakeoff",

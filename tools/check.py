@@ -9,12 +9,18 @@ import sys, json, glob, os, subprocess
 from concurrent.futures import ThreadPoolExecutor
 import duckdb, pandas as pd, numpy as np
 
-# 8 concurrent compares x 32 DuckDB threads x one fd per parquet scan
-# reference blows the default 20k nofile limit on the unrolled
-# recursive-CTE oracles (observed: EMFILE on tokenizer_bakeoff).
+# 8 concurrent compares x 32 DuckDB worker threads x one fd per parquet
+# scan reference blows the 20k nofile limit on the unrolled
+# recursive-CTE oracles (observed: EMFILE on tokenizer_bakeoff at both
+# SFs). The hard limit is 20k and this container lacks
+# CAP_SYS_RESOURCE, so raising it is not an option; instead bump soft
+# to hard AND cap DuckDB's GLOBAL worker pool (threads is per-database,
+# shared by every cursor) so concurrent compares can't multiply scan
+# threads.
 try:
     import resource
-    resource.setrlimit(resource.RLIMIT_NOFILE, (1 << 18, 1 << 18))
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    resource.setrlimit(resource.RLIMIT_NOFILE, (hard, hard))
 except Exception:
     pass
 
@@ -41,6 +47,7 @@ def main():
         if unknown:
             print(f'UNKNOWN QUERY FILTER(S): {sorted(unknown)}'); sys.exit(2)
     con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '16')}")
     for t in TABLES:
         p = f'{sfdir}/{t}.parquet'
         if os.path.exists(p):
