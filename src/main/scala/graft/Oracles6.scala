@@ -931,7 +931,7 @@ object Oracles6 {
   /** The shared r0..rM CTE chain (type collapse + M merge rounds). */
   private[graft] def bpeChain: String = {
     val init =
-      """r0 AS (
+      """r0 AS MATERIALIZED (
         | SELECT word, COUNT(*) AS freq,
         |  ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
         | FROM (
@@ -950,7 +950,7 @@ object Oracles6 {
          |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM r${k - 1}))
          | GROUP BY 1),
          |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          | SELECT word, freq,
          |  replace(replace(replace(seq, $rep), $rep), $rep) AS seq
          | FROM r${k - 1}, m$k)""".stripMargin

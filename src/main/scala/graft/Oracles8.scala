@@ -224,39 +224,39 @@ object Oracles8 {
          |         FROM r0$k, t$k)""".stripMargin
     }
     val last = s"bt${graft.operators.TextOps.BtRounds}"
-    s"""WITH btt AS (
+    s"""WITH btt AS MATERIALIZED (
        | SELECT doc_id, source,
        |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |btds AS (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
+       |btds AS MATERIALIZED (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
        | FROM (SELECT doc_id, source FROM btt) s
        | LEFT JOIN (
        |   SELECT doc_id,
        |    SUM(CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)
        |        % 2001 - 1000) AS score
        |   FROM (SELECT doc_id, unnest(toks) AS t FROM btt) GROUP BY doc_id) w USING (doc_id)),
-       |btk AS (SELECT doc_id, source, score,
+       |btk AS MATERIALIZED (SELECT doc_id, source, score,
        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
        |   AS BIGINT) AS fp
        | FROM btds),
        |btbk AS (SELECT GREATEST(${graft.operators.TextOps.BtMinBuckets},
        |  (COUNT(*) + ${graft.operators.TextOps.BtBucketDocs - 1})
        |   // ${graft.operators.TextOps.BtBucketDocs}) AS nb FROM documents),
-       |btn AS (SELECT btk.*, fp % nb AS bkt FROM btk, btbk),
-       |btw AS (SELECT *,
+       |btn AS MATERIALIZED (SELECT btk.*, fp % nb AS bkt FROM btk, btbk),
+       |btw AS MATERIALIZED (SELECT *,
        |  (ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY fp, doc_id) - 1) // 2 AS duel
        | FROM btn),
-       |btp AS (SELECT *,
+       |btp AS MATERIALIZED (SELECT *,
        |  ROW_NUMBER() OVER (PARTITION BY bkt, duel ORDER BY score DESC, doc_id ASC) AS rw,
        |  COUNT(*) OVER (PARTITION BY bkt, duel) AS nn
        | FROM btw),
-       |xw AS (SELECT w.source AS ws, l.source AS ls, COUNT(*) AS w
+       |xw AS MATERIALIZED (SELECT w.source AS ws, l.source AS ls, COUNT(*) AS w
        | FROM btp w JOIN btp l ON w.bkt = l.bkt AND w.duel = l.duel
        |  AND w.rw = 1 AND l.rw = 2
        | WHERE w.nn = 2 AND w.source <> l.source
        | GROUP BY 1, 2),
        |srcs AS (SELECT DISTINCT source FROM documents),
-       |pairsn AS (SELECT a.source AS a, b.source AS b,
+       |pairsn AS MATERIALIZED (SELECT a.source AS a, b.source AS b,
        |  COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS nij, COALESCE(w1.w, 0) AS wab
        | FROM srcs a JOIN srcs b ON a.source <> b.source
        | LEFT JOIN xw w1 ON w1.ws = a.source AND w1.ls = b.source
@@ -488,13 +488,13 @@ object Oracles8 {
     * Tie-break matches the Spark CASE exactly: shortest piece wins.
     */
   private def emRound(r: Int): String =
-    s"""uvals$r AS (SELECT piece, cnt AS v FROM uvocab$r
+    s"""uvals$r AS MATERIALIZED (SELECT piece, cnt AS v FROM uvocab$r
        |            UNION ALL SELECT '', CAST(SUM(cnt) AS BIGINT) FROM uvocab$r),
        |${c64Chain(s"uvals$r", s"r$r")},
-       |ucost$r AS (SELECT a.piece, t.c64 - a.c64 AS c
+       |ucost$r AS MATERIALIZED (SELECT a.piece, t.c64 - a.c64 AS c
        |            FROM c64_r$r a, (SELECT c64 FROM c64_r$r WHERE piece = '') t
        |            WHERE a.piece <> ''),
-       |um$r AS (SELECT map(list(piece), list(c)) AS mp FROM ucost$r),
+       |um$r AS MATERIALIZED (SELECT map(list(piece), list(c)) AS mp FROM ucost$r),
        |udp$r AS (
        | SELECT word, freq, 0 AS pos,
        |  CAST(0 AS BIGINT) AS c0, CAST([] AS VARCHAR[]) AS p0,
@@ -519,11 +519,11 @@ object Oracles8 {
        |    CASE WHEN pos >= 2 THEN substr(word, pos - 1, 3) ELSE '' END AS s3
        |   FROM udp$r, um$r
        |   WHERE pos < length(word)))),
-       |ufin$r AS (SELECT word, freq, c0 AS cost, p0 AS pieces FROM udp$r
+       |ufin$r AS MATERIALIZED (SELECT word, freq, c0 AS cost, p0 AS pieces FROM udp$r
        |           WHERE pos = length(word)),
-       |umc$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |umc$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
        |          FROM (SELECT freq, unnest(pieces) AS piece FROM ufin$r) GROUP BY piece),
-       |uvocab${r + 1} AS (
+       |uvocab${r + 1} AS MATERIALIZED (
        | SELECT c.piece, GREATEST(COALESCE(m.cnt, 0), 1) AS cnt
        | FROM uchars c LEFT JOIN umc$r m USING (piece)
        | UNION ALL
@@ -541,7 +541,7 @@ object Oracles8 {
       "oracle chain is unrolled for 2 EM rounds")
     val L = graft.operators.TextOps.UnigramMaxPieceLen
     val M = graft.operators.TextOps.UnigramSeedMulti
-    s"""ut AS (
+    s"""ut AS MATERIALIZED (
        | SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) AS word
        |  FROM documents)
@@ -549,12 +549,12 @@ object Oracles8 {
        |usx AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM ut),
        |usy AS (SELECT word, freq, i,
        |        unnest(range(1, least($L, length(word) - i + 1) + 1)) AS l FROM usx),
-       |useed AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |useed AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
        |          CAST(SUM(freq) AS BIGINT) AS cnt FROM usy GROUP BY piece),
        |umulti AS (SELECT piece, cnt FROM useed WHERE length(piece) >= 2
        |           ORDER BY cnt DESC, piece ASC LIMIT $M),
        |uchars AS (SELECT piece, cnt FROM useed WHERE length(piece) = 1),
-       |uvocab1 AS (SELECT * FROM umulti UNION ALL SELECT * FROM uchars),
+       |uvocab1 AS MATERIALIZED (SELECT * FROM umulti UNION ALL SELECT * FROM uchars),
        |${emRound(1)},
        |${emRound(2)},
        |uvals3 AS (SELECT piece, cnt AS v FROM uvocab3
@@ -628,7 +628,7 @@ object Oracles8 {
     */
   private[graft] def wpChain: String = {
     val init =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         | SELECT word, COUNT(*) AS freq,
         |  ' ' || substr(word, 1, 1) ||
         |  CASE WHEN length(word) > 1
@@ -639,7 +639,7 @@ object Oracles8 {
         |  FROM documents)
         | GROUP BY 1)""".stripMargin
     val rounds = (1 to graft.operators.TextOps.WordPieceMerges).map { k =>
-      s"""wsy$k AS (SELECT sym, SUM(freq) AS scnt FROM (
+      s"""wsy$k AS MATERIALIZED (SELECT sym, SUM(freq) AS scnt FROM (
          |  SELECT freq, unnest(string_split(trim(seq), ' ')) AS sym FROM w${k - 1})
          | GROUP BY 1),
          |wpp$k AS (SELECT pair, SUM(freq) AS cnt FROM (
@@ -659,7 +659,7 @@ object Oracles8 {
          | FROM wpp$k, wsy$k a, wsy$k b
          | WHERE a.sym = string_split(pair, ' ')[1] AND b.sym = string_split(pair, ' ')[2]
          | ORDER BY score DESC, cnt DESC, pair ASC LIMIT 1),
-         |w$k AS (
+         |w$k AS MATERIALIZED (
          | SELECT word, freq,
          |  replace(replace(replace(seq, ' ' || pair || ' ', ' ' || merged || ' '),
          |          ' ' || pair || ' ', ' ' || merged || ' '),

@@ -48,10 +48,16 @@ def main():
             print(f'UNKNOWN QUERY FILTER(S): {sorted(unknown)}'); sys.exit(2)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '16')}")
+    # Materialize tables into DuckDB memory rather than views over
+    # parquet: the unrolled recursive-CTE oracles reference the same
+    # table hundreds of times, and every parquet scan holds a file
+    # descriptor — views exhausted the (unraisable) 20k nofile limit on
+    # the tokenizer oracles at both SFs. Native tables scan memory, and
+    # are faster besides. Gate SFs are MB-scale, so memory is a non-issue.
     for t in TABLES:
         p = f'{sfdir}/{t}.parquet'
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.execute(f"CREATE TABLE {t} AS SELECT * FROM '{p}'")
     names = [n for n in sorted(oracle) if not only or n in only]
 
     # Compares run on a thread pool: DuckDB releases the GIL during query
