@@ -863,7 +863,7 @@ object Oracles8 {
        |SELECT head, nxt, c_hw, c_h, n1p_h, cont_w, qp, nll64
        |FROM kmodel ORDER BY qp DESC, head, nxt LIMIT 25""".stripMargin
 
-  private val knDocCtes: String =
+  private[graft] val knDocCtes: String =
     s"""$knCtes,
        |kdoc AS (
        | SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll64) AS BIGINT) AS sum_nll64

@@ -252,4 +252,20 @@ object Oracles9 {
        |UNION ALL
        |${rowOf("hashgram~ppl", "s_hp")}""".stripMargin
   }
+
+  /** Mirrors TextOps.knOrderGain: the bigram and trigram per-doc
+    * sheets joined on doc_id (trigram-scorable docs only), per-source
+    * exact floor-div means, gain = difference of the means.
+    */
+  val knOrderGain: String =
+    s"""WITH ${Oracles8.knDocCtes},
+       |$kn3DocCtes,
+       |og AS (SELECT k2.doc_id, k2.source, k2.avg_nll64 AS nll2, k3.avg_nll64 AS nll3
+       |       FROM kppl k2 JOIN k3ppl k3 USING (doc_id) WHERE k3.n_trigrams > 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(nll2) AS BIGINT) // COUNT(*) AS mean_nll64_bigram,
+       | CAST(SUM(nll3) AS BIGINT) // COUNT(*) AS mean_nll64_trigram,
+       | (CAST(SUM(nll2) AS BIGINT) // COUNT(*))
+       |  - (CAST(SUM(nll3) AS BIGINT) // COUNT(*)) AS order_gain64
+       |FROM og GROUP BY source""".stripMargin
 }

@@ -281,6 +281,7 @@ object SparkEntry {
     "dsir_select" -> TextOps.dsirSelect,
     "token_entropy_gate" -> TextOps.tokenEntropyGate,
     "selector_agreement" -> TextOps.selectorAgreement,
+    "kn_order_gain" -> TextOps.knOrderGain,
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
@@ -847,6 +848,7 @@ object SparkEntry {
     "dsir_select" -> Oracles9.dsirSelect,
     "token_entropy_gate" -> Oracles9.tokenEntropyGate,
     "selector_agreement" -> Oracles9.selectorAgreement,
+    "kn_order_gain" -> Oracles9.knOrderGain,
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,

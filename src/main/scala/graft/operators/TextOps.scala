@@ -5974,6 +5974,45 @@ object TextOps {
       )
   }
 
+  /** Per-source LM ORDER GAIN: how much the trigram model's extra
+    * context order buys over the bigram model, in mean 1/64-bit
+    * log-perplexity — gain64 = mean₂(avg_nll64) − mean₃(avg_nll64)
+    * over the docs BOTH models score (≥ 3 tokens). THE readout that
+    * justifies (or kills) training the next LM order on a source:
+    * structured text gains a lot from longer context; shuffled or
+    * templated spam gains little (its trigrams carry no information
+    * beyond their bigrams). Also the ppl-delta data-selection signal
+    * (docs where a stronger model disagrees most with a weaker one).
+    *
+    * Pure COMPOSITION over the two memoized model scoring passes
+    * ([[knDocPpl]] / [[kn3DocPpl]]) — one (doc_id)-keyed join of two
+    * per-doc sheets, one #sources aggregate; no new corpus pass. Means
+    * are exact floor-div integers; the gain is their difference
+    * (means first, then subtract — the per-doc floors differ, so this
+    * is the documented fold order the oracle replays).
+    */
+  def knOrderGain(spark: SparkSession, dir: String): DataFrame =
+    knDocPpl(spark, dir)
+      .select(col("doc_id"), col("source"), col("avg_nll64").as("nll2"))
+      .join(
+        kn3DocPpl(spark, dir)
+          .filter(col("n_trigrams") > 0L)
+          .select(col("doc_id"), col("avg_nll64").as("nll3")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nll2")).as("s2"),
+        sum(col("nll3")).as("s3")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        expr("s2 DIV n_docs").as("mean_nll64_bigram"),
+        expr("s3 DIV n_docs").as("mean_nll64_trigram"),
+        (expr("s2 DIV n_docs") - expr("s3 DIV n_docs")).as("order_gain64")
+      )
+
   // ── DSIR importance resampling, end-to-end (round-9 cont.) ────────
   // Completes the round-5 `dsirImportance` bucket-ratio READOUT into
   // the full paper pipeline: per-bucket integer log-weights, per-doc

@@ -7858,6 +7858,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(selGot === selExp)
   }
 
+  test("kn order gain: the bigram-vs-trigram sheet folds exactly from the two per-doc sheets") {
+    // both per-doc sheets are independently recompute-proven in their
+    // own specs; this verifies the join + means-then-subtract fold
+    val two = TextOps.knDocPpl(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    val three = TextOps.kn3DocPpl(spark, Sf0001).collect()
+      .filter(_.getLong(2) > 0L).map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val exp = two.toSeq.collect { case (id, (src, n2)) if three.contains(id) =>
+      (src, n2, three(id))
+    }.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val m2 = g.map(_._2).sum / n
+      val m3 = g.map(_._3).sum / n
+      (src, n, m2, m3, m2 - m3)
+    }.toSet
+    val got = TextOps.knOrderGain(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === exp)
+    // the higher order fits its own training corpus strictly better on
+    // every source at this SF — the readout is non-vacuous
+    assert(exp.nonEmpty && exp.forall(_._5 > 0L))
+  }
+
   test("token entropy gate: exact c64 entropy matches a driver recompute") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
