@@ -16,8 +16,9 @@ import java.nio.file.{Files, Paths}
   *     from one session natively; at verify SFs each query's cost is
   *     dominated by driver-side planning/codegen, so overlapping
   *     queries cuts board wall time several-fold (measured round 9:
-  *     full 333-query board 420 s serial → 134 s at 8 threads,
-  *     sf0.001). Shared session state is safe: function registration
+  *     the full board's query phase 420 s serial → ~160 s at 8
+  *     threads, sf0.001; whole check.py gate incl. DuckDB compare
+  *     2 m 27 s). Shared session state is safe: function registration
   *     is createOrReplaceTempFunction (idempotent), Artifacts.memo is
   *     synchronized, and each query writes its own output dir.
   */

@@ -7973,4 +7973,30 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r2.values.forall(_.nonEmpty))
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("round-9 additions are partition-invariant: parallelism 2 vs 16") {
+    // artifacts memoize per session, so force fresh builds per setting
+    // by dropping the registry between runs
+    val names = Seq("kn3_trigram_fit", "kn3_doc_ppl", "ppl_bucket_split",
+      "dsir_bucket_model", "dsir_doc_scores", "dsir_select",
+      "token_entropy_gate", "selector_agreement", "kn_order_gain")
+    def run(): Map[String, Set[String]] = {
+      graft.operators.Artifacts.clear()
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+      }.toMap
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      graft.operators.Artifacts.clear()
+    }
+  }
 }
