@@ -1354,6 +1354,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dsir gate: sliced ingest == batch dsir_doc_scores row-for-row") {
+    // stateless per-row scoring against the broadcast 1024-entry λ
+    // array (bounded by CONSTRUCTION, unlike the ppl gate's
+    // by-contract model): any slicing must reproduce the batch
+    // per-doc importance sheet exactly
+    val tmp = java.nio.file.Files.createTempDirectory("dsirgate-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.DsirGateStream
+      .scored(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsirgate_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      }.toSet
+      val streamed = key(spark.table("dsirgate_stream").collect())
+      val batch = key(graft.operators.TextOps.dsirDocScores(spark, Sf0001).collect())
+      assert(streamed === batch)
+      // non-vacuous: scores vary and both signs appear (λ is a log
+      // ratio — target-like docs up, others down)
+      assert(streamed.exists(_._4 > 0L) && streamed.exists(_._4 < 0L))
+    } finally q.stop()
+  }
+
+  test("streaming entropy gate: sliced ingest == per-doc c64 entropy, folds to the batch sheet") {
+    val tmp = java.nio.file.Files.createTempDirectory("entgate-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 1).foreach { k =>
+      docs.filter(col("doc_id") % 2 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.EntropyGateStream
+      .scored(spark, tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("entgate_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("entgate_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      // per-doc parity against an independent recompute from raw text
+      val exp = graft.operators.Tables.documents(spark, Sf0001)
+        .select("doc_id", "source", "text").collect()
+        .map { r =>
+          val t = r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+          val h = graft.streaming.EntropyGateStream.h64Of(t)
+          (r.getLong(0), r.getString(1), t.length.toLong, h,
+            h < graft.operators.TextOps.LowEntropyH64)
+        }.toSet
+      assert(streamed === exp)
+      // the streamed rows FOLD to the batch gate sheet exactly
+      val sheet = streamed.toSeq.groupBy(_._2).map { case (src, g) =>
+        val n = g.length.toLong
+        val s = g.map(_._4).sum
+        val low = g.count(_._5).toLong
+        (src, n, s, s / n, low, (BigInt(low) * 1000000 / n).toLong)
+      }.toSet
+      val batch = graft.operators.TextOps.tokenEntropyGate(spark, Sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(sheet === batch)
+    } finally q.stop()
+  }
+
   test("streaming ppl gate: over-cap reference model fails LOUD, naming the knob") {
     // the bounded-reference-snapshot contract is enforced, not assumed:
     // a crawl-sized refDir must throw at stream build, not OOM the
