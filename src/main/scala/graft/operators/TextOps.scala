@@ -925,14 +925,27 @@ object TextOps {
 
   /** Typo-candidate pairs: distinct corpus tokens (length >= 4) within
     * edit distance 2 of each other — the spelling-normalization /
-    * fuzzy-key-matching primitive of a text-cleaning pipeline. The
-    * pair scan is a vocabulary self-join: V is types, not tokens
-    * (thousands-to-millions at web scale, not trillions), and the
-    * threshold-bounded `levenshtein(a, b, 2)` abandons each cell after
-    * a 2-wide band, so the inner loop is O(len), not O(len^2). For
-    * vocabularies where V^2 itself is too big, the standard refinement
-    * is deletion-neighborhood (SymSpell) or length/prefix banding —
-    * same verify step, smaller candidate set.
+    * fuzzy-key-matching primitive of a text-cleaning pipeline.
+    *
+    * Candidate-then-verify, the repo-wide near-dup discipline, via the
+    * SymSpell deletion neighborhood: every type emits its ≤2-deletion
+    * variants as keys, candidates are the pairs sharing a key, and the
+    * threshold-bounded `levenshtein(a, b, 2)` (2-wide band, O(len)
+    * inner loop) verifies. NEVER a vocabulary cross join: V is types
+    * (10⁷–10⁸ at a 100 TB web corpus — typos and codepoint junk), so
+    * V² is 10¹⁴⁺ and a hard scale-killer; the deletion join carries
+    * O(V·L²) key rows instead, type-bounded like the shingle postings.
+    *
+    * Completeness (why the candidate set is a SUPERSET of every
+    * dist ≤ 2 pair): for Levenshtein distance d(a,b) = d, deleting the
+    * ≤ d edited positions from each side yields a COMMON string
+    * reachable by ≤ d deletions from both — a substitution deletes its
+    * position from both sides, an insertion deletes the inserted char
+    * from the longer side only — so every true pair shares a deletion
+    * key (the OperatorsSpec test brute-forces this against the full V²
+    * at sf0.001). Keys join by 60-bit md5 fingerprint; a collision can
+    * only ADD candidates (the verify kills any dist > 2 survivor), so
+    * exactness is unconditional.
     */
   def typoPairs(spark: SparkSession, dir: String): DataFrame = {
     val vocab = Tables
@@ -941,10 +954,26 @@ object TextOps {
       .select(explode(tokens(lower(col("text")))).as("token"))
       .filter(length(col("token")) >= 4)
       .distinct()
-    val a = vocab.select(col("token").as("token_a"))
-    val b = vocab.select(col("token").as("token_b"))
-    a.crossJoin(b)
+    // All 1-deletion variants of s (length ≥ 3 wherever applied here).
+    def del1(s: Column): Column =
+      transform(
+        sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))
+      )
+    val t = col("token")
+    val keys = array_distinct(
+      concat(array(t), del1(t), flatten(transform(del1(t), s => del1(s))))
+    )
+    val cand = vocab.select(
+      t,
+      explode(keys).as("k")
+    ).select(t, conv(substring(md5(col("k")), 1, 15), 16, 10).cast("bigint").as("k_fp"))
+    cand
+      .select(t.as("token_a"), col("k_fp"))
+      .join(cand.select(t.as("token_b"), col("k_fp")), Seq("k_fp"))
       .filter(col("token_a") < col("token_b"))
+      .select(col("token_a"), col("token_b"))
+      .distinct()
       .select(
         col("token_a"),
         col("token_b"),

@@ -809,4 +809,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(selp.linesIterator.filter(_.contains("Window")).forall(_.contains("source")),
       s"dsir select window not source-keyed:\n$selp")
   }
+
+  test("typo pairs: deletion-neighborhood candidates — no cartesian, no nested loop") {
+    // The round-9 finding: the vocab x vocab crossJoin planned as a
+    // BroadcastNestedLoopJoin at test SFs, so the CartesianProduct
+    // sweep never saw it. The SymSpell rewrite must meet candidates on
+    // the 60-bit deletion-key fingerprint — an equi join, and NEITHER
+    // all-pairs node anywhere in the plan.
+    val p = planOf(TextOps.typoPairs(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"typo_pairs pair scan degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("k_fp")),
+      s"no k_fp equi-join in typo_pairs:\n$p")
+  }
 }
