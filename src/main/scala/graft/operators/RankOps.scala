@@ -111,6 +111,176 @@ object RankOps {
       .drop("_grank")
   }
 
+  // ── Grouped variants (few HUGE groups — the per-source class) ─────
+  //
+  // `Window.partitionBy(source)` is scale-safe only when groups are
+  // MANY and individually small; with ~6 sources over a 100 TB corpus
+  // it is 6 sort tasks of ~17 TB each — 1/6th of a partition-less
+  // window, not a plan. The grouped composition below is the same
+  // range-partition + offset-ledger trick with a (pid, group) ledger:
+  // range-partition on (group ++ order) so each partition holds
+  // contiguous (group, key) runs, rank within (pid, group) in
+  // parallel, and compose per-group offsets from the collected
+  // ledger — BOUNDED by partitions x |groups| entries (callers use
+  // this exactly when |groups| is small; high-cardinality groups
+  // should keep the plain window, which is already parallel).
+
+  /** Internal: range-partition on (groups ++ order), attach `_pid`
+    * and the group key string `_gk`, materialize once, and return the
+    * per-(pid, gk) row counts. `\u0001` never occurs in the group
+    * columns this repo keys on (source/lang identifiers).
+    */
+  private def groupLedger(
+      df: DataFrame,
+      groups: Seq[Column],
+      order: Seq[Column],
+      sumCol: Column = lit(0L)
+  ): (DataFrame, Array[(Int, String, Long, Long)]) = {
+    val parted = df
+      .repartitionByRange((groups ++ order): _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_gk", concat_ws("\u0001", groups.map(_.cast("string")): _*))
+      .localCheckpoint()
+    val ledger = parted
+      .groupBy(col("_pid"), col("_gk"))
+      .agg(count(lit(1)).as("_n"), coalesce(sum(sumCol), lit(0L)).as("_s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._1))
+    (parted, ledger)
+  }
+
+  /** (pid, gk) → per-group exclusive-prefix offset literal map over
+    * `value` (row counts for ranks, per-partition sums for running
+    * sums).
+    */
+  private def groupOffsetMap(
+      ledger: Array[(Int, String, Long, Long)],
+      value: ((Int, String, Long, Long)) => Long
+  ): Column =
+    if (ledger.isEmpty) map(lit(""), lit(0L))
+    else {
+      val entries = ledger
+        .groupBy(_._2)
+        .toSeq
+        .flatMap { case (gk, rows) =>
+          val sorted = rows.sortBy(_._1)
+          sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + value(_))).map { case (p, o) =>
+            (s"$p\u0001$gk", o)
+          }
+        }
+      map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    }
+
+  /** gk → group total literal map. */
+  private def groupTotalMap(ledger: Array[(Int, String, Long, Long)]): Column =
+    if (ledger.isEmpty) map(lit(""), lit(0L))
+    else {
+      val totals = ledger.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      map(totals.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    }
+
+  private def groupKeyCol: Column =
+    concat_ws("\u0001", col("_pid").cast("string"), col("_gk"))
+
+  private def groupRankCol(
+      ledger: Array[(Int, String, Long, Long)],
+      order: Seq[Column]
+  ): Column =
+    element_at(groupOffsetMap(ledger, _._3), groupKeyCol) + row_number()
+      .over(Window.partitionBy(col("_pid"), col("_gk")).orderBy(order: _*))
+      .cast("long")
+
+  /** Exact per-group `row_number` (BIGINT, 1-based within each group)
+    * as column `out` — bit-identical to
+    * `row_number().over(Window.partitionBy(groups).orderBy(order))`
+    * for any STRICT total order, with every sort running at full
+    * partition parallelism instead of |groups| tasks.
+    */
+  def withGroupRank(
+      df: DataFrame,
+      groups: Seq[Column],
+      out: String,
+      order: Seq[Column]
+  ): DataFrame = {
+    val (parted, ledger) = groupLedger(df, groups, order)
+    parted.withColumn(out, groupRankCol(ledger, order)).drop("_pid", "_gk")
+  }
+
+  /** Per-group rank AND the group's total row count (the
+    * rank-vs-quota pattern: `rank * k <= n_group`) off the SAME
+    * ledger — no second corpus pass for the count.
+    */
+  def withGroupRankAndCount(
+      df: DataFrame,
+      groups: Seq[Column],
+      rankOut: String,
+      cntOut: String,
+      order: Seq[Column]
+  ): DataFrame = {
+    val (parted, ledger) = groupLedger(df, groups, order)
+    parted
+      .withColumn(rankOut, groupRankCol(ledger, order))
+      .withColumn(cntOut, element_at(groupTotalMap(ledger), col("_gk")))
+      .drop("_pid", "_gk")
+  }
+
+  /** Exact per-group inclusive running sum of `valueCol` over the
+    * strict `order` — the per-source cumulative-offset pattern of the
+    * packing family, at full partition parallelism (the plain
+    * source-keyed running-sum window is |sources| corpus-length
+    * tasks). Integer addition composes associatively, so the
+    * ledger-offset form is bit-identical to the single-group-task
+    * window.
+    */
+  def withGroupRunningSum(
+      df: DataFrame,
+      groups: Seq[Column],
+      valueCol: Column,
+      cumOut: String,
+      order: Seq[Column]
+  ): DataFrame = {
+    val (parted, ledger) = groupLedger(df, groups, order, valueCol)
+    val w = Window.partitionBy(col("_pid"), col("_gk")).orderBy(order: _*)
+    parted
+      .withColumn(
+        cumOut,
+        element_at(groupOffsetMap(ledger, _._4), groupKeyCol) +
+          sum(valueCol).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .drop("_pid", "_gk")
+  }
+
+  /** Exact per-group NTILE(n) (BIGINT, 1..n within each group) as
+    * column `out` — SQL semantics per group (first `total % n` buckets
+    * take one extra row), composed from the exact per-group rank and
+    * the ledger's group totals in pure integer arithmetic.
+    */
+  def withGroupNtile(
+      df: DataFrame,
+      groups: Seq[Column],
+      n: Int,
+      out: String,
+      order: Seq[Column]
+  ): DataFrame = {
+    val (parted, ledger) = groupLedger(df, groups, order)
+    parted
+      .withColumn("_grank", groupRankCol(ledger, order))
+      .withColumn("_gn", element_at(groupTotalMap(ledger), col("_gk")))
+      .withColumn(
+        out,
+        expr(
+          s"""CAST(CASE WHEN _grank <= (_gn % $n) * (_gn DIV $n + 1)
+             |          THEN (_grank - 1) DIV (_gn DIV $n + 1)
+             |          WHEN _gn DIV $n > 0
+             |          THEN (_gn % $n) + (_grank - (_gn % $n) * (_gn DIV $n + 1) - 1)
+             |               DIV (_gn DIV $n)
+             |          ELSE (_gn % $n) END + 1 AS BIGINT)""".stripMargin
+        )
+      )
+      .drop("_pid", "_gk", "_grank", "_gn")
+  }
+
   /** Exact global rank AND inclusive running sum of `valueCol` over
     * the same strict order — one range shuffle serves both (the
     * frequency-nucleus / equi-mass pattern). Returns (frame, grand

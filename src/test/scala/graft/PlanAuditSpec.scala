@@ -803,11 +803,63 @@ class PlanAuditSpec extends AnyFunSuite {
     val sp = planOf(TextOps.dsirDocScores(spark, Sf0001))
     assert(sp.contains("BroadcastHashJoin"), s"dsir scorer lost the broadcast join:\n$sp")
     assert(!sp.contains("CartesianProduct"))
-    // the selection sheet's windows are source-partitioned (never a
-    // partition-less corpus sort)
+    // the selection ranking is the grouped-RankOps composition: every
+    // window is (_pid, _gk)-keyed — full partition parallelism — never
+    // a bare source-keyed corpus sort (round-9 weak, closed round 10)
     val selp = planOf(TextOps.dsirSelect(spark, Sf0001))
-    assert(selp.linesIterator.filter(_.contains("Window")).forall(_.contains("source")),
-      s"dsir select window not source-keyed:\n$selp")
+    assert(selp.linesIterator.filter(_.contains("Window")).forall(_.contains("_pid")),
+      s"dsir select ranking regressed to a #sources-wide window:\n$selp")
+  }
+
+  test("board-wide sweep: no corpus-scale frame ranks inside a bare source-keyed window") {
+    // The round-9 finding class: `Window.partitionBy(source)` over a
+    // corpus-scale frame is |sources| sort tasks — with ~6 sources at
+    // 100 TB that is ~17 TB per task, 1/6th of a partition-less window,
+    // not a scale-safe plan. Census: every WindowExec (and group-limit
+    // node) whose partitionSpec references ONLY the `source` column —
+    // grouped-RankOps windows carry `_pid` and drop out — is either
+    //   (a) pre-pruned by a WindowGroupLimitExec somewhere below it
+    //       (each map task keeps k rows per source before the shuffle,
+    //       so the window input is k x sources x tasks, never the
+    //       corpus), or
+    //   (b) on the shrink-only allowlist of frames bounded by
+    //       CONSTRUCTION (per-source aggregates and bin tables whose
+    //       row count is |sources| x bins, independent of data volume).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def sourceOnly(spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      spec.nonEmpty && spec.forall(_.references.forall(_.name == "source"))
+    def hasGroupLimitBelow(p: SparkPlan): Boolean = {
+      val cur = unwrapped(p)
+      cur.children.exists { c =>
+        val cc = unwrapped(c)
+        cc.isInstanceOf[WindowGroupLimitExec] || hasGroupLimitBelow(cc)
+      }
+    }
+    def sweep(p: SparkPlan): Seq[String] = {
+      val cur = unwrapped(p)
+      val here = cur match {
+        case w: WindowExec if sourceOnly(w.partitionSpec) && !hasGroupLimitBelow(w) =>
+          Seq(w.simpleString(100))
+        case _ => Nil
+      }
+      here ++ cur.children.flatMap(sweep)
+    }
+    //   classifier_auc  cumulative midrank over hashgramBins — the
+    //                     corpus collapses to <= 257 clamped score bins
+    //                     per source BEFORE the window (|sources| x 257
+    //                     rows by construction, independent of volume)
+    val boundedFrames: Set[String] = Set("classifier_auc")
+    val hitsByQuery = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hits = sweep(fn(spark, Sf0001).queryExecution.executedPlan)
+      if (hits.nonEmpty) Some(name -> hits) else None
+    }.toMap
+    val offenders = hitsByQuery.view.filterKeys(!boundedFrames(_)).toMap
+    assert(offenders.isEmpty,
+      s"bare source-keyed windows over unbounded frames: $offenders")
+    assert(boundedFrames.subsetOf(hitsByQuery.keySet),
+      s"stale allowlist entries (window gone — remove them): " +
+        s"${boundedFrames -- hitsByQuery.keySet}")
   }
 
   test("typo pairs: deletion-neighborhood candidates — no cartesian, no nested loop") {
