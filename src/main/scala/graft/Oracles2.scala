@@ -12,11 +12,11 @@ object Oracles2 {
     * shingle definition cannot drift between the two files.
     */
   private[graft] val shinglesCte =
-    """toks AS (
+    """toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       | SELECT doc_id,
       |  list_distinct(list_transform(range(len(toks)-2),
       |    i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS shingles
@@ -66,11 +66,11 @@ object Oracles2 {
       | SELECT doc_id, list_transform(shingles,
       |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
       | FROM sh),
-      |sigs AS (
+      |sigs AS MATERIALIZED (
       | SELECT doc_id, list_transform(range(12),
       |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
       | FROM hs),
-      |bands AS (
+      |bands AS MATERIALIZED (
       | SELECT doc_id, b.band_idx,
       |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
       | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b)""".stripMargin
@@ -78,7 +78,7 @@ object Oracles2 {
   val minhashLsh: String =
     s"""WITH $shinglesCte,
        |$minhashBandsCte,
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
@@ -89,13 +89,13 @@ object Oracles2 {
 
   val ngramJaccard: String =
     s"""WITH $shinglesCte,
-       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |posting AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT shingle FROM posting GROUP BY shingle
        |         HAVING COUNT(*) <= GREATEST(50,
        |                 CAST(ceil(0.001 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-       |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
-       |rc AS (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
-       |cand AS (
+       |pruned AS MATERIALIZED (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+       |rc AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
+       |cand AS MATERIALIZED (
        | SELECT doc_a, doc_b FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -109,7 +109,7 @@ object Oracles2 {
 
   /** 64-bit simhash CTE ending in fp(doc_id, simhash). */
   private[graft] val simhashCte =
-    """toks AS (
+    """toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
@@ -132,11 +132,11 @@ object Oracles2 {
 
   val simhashPairs: String =
     s"""WITH $simhashCte,
-       |banded AS (
+       |banded AS MATERIALIZED (
        | SELECT doc_id, simhash, b.band_idx,
        |  substr(simhash, CAST(b.band_idx*16+1 AS INT), 16) AS band_bits
        | FROM fp, (SELECT unnest(range(4)) AS band_idx) b),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  a.simhash AS sim_a, b.simhash AS sim_b
        | FROM banded a JOIN banded b
@@ -159,10 +159,10 @@ object Oracles2 {
     "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val annTopkBruteforce: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
        |           FROM embeddings WHERE vec_id < 5),
-       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, $normSql AS nn FROM embeddings),
-       |p AS (SELECT query_id, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
+       |n AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding AS ne, $normSql AS nn FROM embeddings),
+       |p AS MATERIALIZED (SELECT query_id, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
        |      FROM q, n WHERE query_id <> neighbor_id)
        |SELECT query_id, neighbor_id, score, rnk FROM (
        | SELECT query_id, neighbor_id, score,
@@ -171,10 +171,10 @@ object Oracles2 {
        |WHERE rnk <= 5""".stripMargin
 
   val annTopkIvf: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label, $normSql AS nq
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe, label, $normSql AS nq
        |           FROM embeddings WHERE vec_id < 5),
-       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn FROM embeddings),
-       |p AS (SELECT query_id, q.label AS label, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
+       |n AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn FROM embeddings),
+       |p AS MATERIALIZED (SELECT query_id, q.label AS label, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
        |      FROM q JOIN n USING (label) WHERE query_id <> neighbor_id)
        |SELECT query_id, label, neighbor_id, score, rnk FROM (
        | SELECT query_id, label, neighbor_id, score,
@@ -190,16 +190,16 @@ object Oracles2 {
        |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0.0 THEN '1' ELSE '0' END""".stripMargin
 
   val annTopkLsh: String =
-    s"""WITH buck AS (
+    s"""WITH buck AS MATERIALIZED (
        | SELECT vec_id, embedding, l AS table_idx,
        |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
        | FROM embeddings, (SELECT unnest(range(8)) AS l)),
-       |q AS (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
-       |n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
-       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |q AS MATERIALIZED (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
+       |n AS MATERIALIZED (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
+       |cand AS MATERIALIZED (SELECT DISTINCT query_id, neighbor_id
        |         FROM q JOIN n USING (table_idx, bucket) WHERE query_id <> neighbor_id),
-       |qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
-       |p AS (SELECT query_id, neighbor_id,
+       |qn AS MATERIALIZED (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+       |p AS MATERIALIZED (SELECT query_id, neighbor_id,
        |       ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
        |      FROM cand JOIN qn qe ON qe.vec_id = query_id
        |                JOIN qn ne ON ne.vec_id = neighbor_id)
@@ -213,16 +213,16 @@ object Oracles2 {
     * query, k = 3; same planes, same candidate set.
     */
   val knnJoin: String =
-    s"""WITH buck AS (
+    s"""WITH buck AS MATERIALIZED (
        | SELECT vec_id, embedding, l AS table_idx,
        |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
        | FROM embeddings, (SELECT unnest(range(8)) AS l)),
-       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |         FROM buck a JOIN buck b
        |          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
        |             AND a.vec_id <> b.vec_id),
-       |qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
-       |p AS (SELECT query_id, neighbor_id,
+       |qn AS MATERIALIZED (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+       |p AS MATERIALIZED (SELECT query_id, neighbor_id,
        |       ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
        |      FROM cand JOIN qn qe ON qe.vec_id = query_id
        |                JOIN qn ne ON ne.vec_id = neighbor_id)
@@ -237,15 +237,15 @@ object Oracles2 {
     * the identical candidate set.
     */
   val annNearDup: String =
-    s"""WITH buck AS (
+    s"""WITH buck AS MATERIALIZED (
        | SELECT vec_id, l AS table_idx,
        |  concat(${(0 until 4).map(lshBit).mkString(",\n")}) AS bucket
        | FROM embeddings, (SELECT unnest(range(8)) AS l)),
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM buck a JOIN buck b
        |          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
        |             AND a.vec_id < b.vec_id),
-       |e AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings)
+       |e AS MATERIALIZED (SELECT vec_id, embedding, $normSql AS nv FROM embeddings)
        |SELECT vec_a, vec_b, score FROM (
        | SELECT vec_a, vec_b,
        |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nv * eb.nv) AS score
@@ -259,12 +259,12 @@ object Oracles2 {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val sessions: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
-      |s AS (SELECT user_id, event_id, ts_us, value,
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS MATERIALIZED (SELECT user_id, event_id, ts_us, value,
       |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
       |       THEN 1 ELSE 0 END AS new_session
       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-      |t AS (SELECT user_id, event_id, ts_us, value,
+      |t AS MATERIALIZED (SELECT user_id, event_id, ts_us, value,
       |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM s)
@@ -274,9 +274,9 @@ object Oracles2 {
       |FROM t GROUP BY user_id, session_id""".stripMargin
 
   val purchaseAttribution: String =
-    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+    """WITH ev AS MATERIALIZED (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
       |            FROM events WHERE event_type IN ('signup','purchase')),
-      |f AS (SELECT user_id, event_id, event_type, ts_us,
+      |f AS MATERIALIZED (SELECT user_id, event_id, event_type, ts_us,
       |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER w AS last_signup_id,
       |  last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS) OVER w AS last_signup_us
       | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
@@ -310,13 +310,13 @@ object Oracles2 {
       |GROUP BY CUBE(event_type, epoch_day)""".stripMargin
 
   val tfidfTopTerms: String =
-    """WITH posting AS (
+    """WITH posting AS MATERIALIZED (
       | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word
       | FROM documents),
-      |p2 AS (SELECT doc_id, word FROM posting WHERE word <> ''),
+      |p2 AS MATERIALIZED (SELECT doc_id, word FROM posting WHERE word <> ''),
       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM p2 GROUP BY doc_id, word),
       |dfx AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM p2 GROUP BY word),
-      |nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM p2)
+      |nn AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM p2)
       |SELECT doc_id, word, tf, df, tfidf, rnk FROM (
       | SELECT doc_id, word, tf, df,
       |  CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf,
@@ -327,21 +327,21 @@ object Oracles2 {
       |WHERE rnk <= 5""".stripMargin
 
   val weeklyRetention: String =
-    """WITH wu AS (SELECT DISTINCT epoch_ns(ts) // 604800000000000 AS wk, user_id FROM events)
+    """WITH wu AS MATERIALIZED (SELECT DISTINCT epoch_ns(ts) // 604800000000000 AS wk, user_id FROM events)
       |SELECT a.wk AS wk, COUNT(*) AS active_users,
       | CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_users
       |FROM wu a LEFT JOIN wu b ON b.wk = a.wk + 1 AND b.user_id = a.user_id
       |GROUP BY a.wk""".stripMargin
 
   val dedupClusters: String =
-    s"""WITH RECURSIVE mh AS ($minhashLsh),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+    s"""WITH RECURSIVE mh AS MATERIALIZED ($minhashLsh),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh
        |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
        |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
        |SELECT doc AS doc_id, label AS canonical_id, cluster_size,
        | doc = label AS is_canonical
@@ -351,16 +351,16 @@ object Oracles2 {
     * per cluster (doc_id tiebreak), as a window rank test.
     */
   val clusterKeepers: String =
-    s"""WITH RECURSIVE mh AS ($minhashLsh),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+    s"""WITH RECURSIVE mh AS MATERIALIZED ($minhashLsh),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh
        |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
        |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label),
-       |q AS (
+       |q AS MATERIALIZED (
        | SELECT doc_id,
        |  $qualityExprSql AS quality
        | FROM (SELECT doc_id, text,
@@ -380,7 +380,7 @@ object Oracles2 {
          |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
          |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
          |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val' ELSE 'test' END""".stripMargin
-    s"""WITH mh AS ($minhashLsh)
+    s"""WITH mh AS MATERIALIZED ($minhashLsh)
        |SELECT ${splitCase("doc_a")} AS split_a, ${splitCase("doc_b")} AS split_b,
        | COUNT(*) AS n_pairs
        |FROM mh GROUP BY 1, 2""".stripMargin
@@ -418,16 +418,16 @@ object Oracles2 {
     * Spark's null-dropping collect_list.
     */
   val funnelStages: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
       | WHERE event_type IN ('view', 'click', 'purchase')),
-      |f AS (
+      |f AS MATERIALIZED (
       | SELECT user_id,
       |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
       |  list(CASE WHEN event_type = 'click' THEN ts_us END) AS click_ts,
       |  list(CASE WHEN event_type = 'purchase' THEN ts_us END) AS purch_ts
       | FROM ev GROUP BY user_id),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT user_id, first_view_us, purch_ts,
       |  list_min(list_filter(click_ts, t -> t >= first_view_us)) AS first_click_us
       | FROM f),
@@ -451,24 +451,24 @@ object Oracles2 {
     * shared by decontaminate and the bloom-sizing sweep.
     */
   private[graft] val decontamPostingCte: String =
-    """toks AS (
+    """toks AS MATERIALIZED (
       | SELECT doc_id,
       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       | SELECT doc_id, b,
       |  list_distinct(list_transform(range(len(toks)-7),
       |   i -> CAST(CAST(concat('0x', substr(md5(
       |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
       |        AS UBIGINT) AS BIGINT))) AS hs
       | FROM toks WHERE len(toks) >= 8),
-      |p AS (SELECT doc_id, b, unnest(hs) AS h FROM sh)""".stripMargin
+      |p AS MATERIALIZED (SELECT doc_id, b, unnest(hs) AS h FROM sh)""".stripMargin
 
   val decontaminate: String =
     s"""WITH $decontamPostingCte,
-       |tr AS (SELECT doc_id AS train_doc, h FROM p WHERE b < 80),
-       |te AS (SELECT doc_id AS test_doc, h FROM p WHERE b >= 90)
+       |tr AS MATERIALIZED (SELECT doc_id AS train_doc, h FROM p WHERE b < 80),
+       |te AS MATERIALIZED (SELECT doc_id AS test_doc, h FROM p WHERE b >= 90)
        |SELECT train_doc, COUNT(DISTINCT h) AS n_leaked_ngrams,
        | COUNT(DISTINCT test_doc) AS n_test_docs, MIN(test_doc) AS first_test_doc
        |FROM tr JOIN te USING (h)
@@ -481,12 +481,12 @@ object Oracles2 {
     * engine's Unicode-table vintage (see TextOps.packAssign).
     */
   val seqPacking: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT doc_id, source,
       |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
       |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
       | FROM documents),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT doc_id, source, n_tokens,
       |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       | FROM d)
@@ -518,12 +518,12 @@ object Oracles2 {
     * pure integer arithmetic so no float-threshold ambiguity.
     */
   val vocabNucleus: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '')) AS token
       | FROM documents),
       |counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
-      |w AS (SELECT token, cnt,
+      |w AS MATERIALIZED (SELECT token, cnt,
       | SUM(cnt) OVER () AS total,
       | SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
       | ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
@@ -539,7 +539,7 @@ object Oracles2 {
       | SELECT doc_id, lang, n_chars, text,
       |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |scored AS (
+      |scored AS MATERIALIZED (
       | SELECT doc_id, lang,
       |  CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS est_tokens,
       |  $qualityExprSql AS quality
@@ -557,11 +557,11 @@ object Oracles2 {
     * doc mean runs over round(p*1e9) fixed-point BIGINTs (exact).
     */
   val lmDocScore: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |bg AS (
+      |bg AS MATERIALIZED (
       | SELECT doc_id, split_part(b, ' ', 1) AS head, split_part(b, ' ', 2) AS nxt
       | FROM (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS b
@@ -571,7 +571,7 @@ object Oracles2 {
       | SELECT head, nxt,
       |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY head) AS DOUBLE) AS p
       | FROM counts),
-      |scored AS (
+      |scored AS MATERIALIZED (
       | SELECT doc_id, CAST(round(p * 1000000000.0) AS BIGINT) AS qp, p
       | FROM bg JOIN model USING (head, nxt))
       |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS sum_qp,
@@ -580,17 +580,17 @@ object Oracles2 {
       |FROM scored GROUP BY doc_id""".stripMargin
 
   val bigramTransitions: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |bg AS (
+      |bg AS MATERIALIZED (
       | SELECT split_part(b, ' ', 1) AS head, split_part(b, ' ', 2) AS nxt
       | FROM (SELECT unnest(list_transform(range(len(toks)-1),
       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS b
       |  FROM toks WHERE len(toks) >= 2)),
       |counts AS (SELECT head, nxt, COUNT(*) AS cnt FROM bg GROUP BY head, nxt),
-      |w AS (SELECT head, nxt, cnt,
+      |w AS MATERIALIZED (SELECT head, nxt, cnt,
       | SUM(cnt) OVER (PARTITION BY head) AS head_total,
       | ROW_NUMBER() OVER (PARTITION BY head ORDER BY cnt DESC, nxt) AS rnk
       | FROM counts)
@@ -603,7 +603,7 @@ object Oracles2 {
     * both engines.
     */
   val statsCorr: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       | SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_q,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_p,
@@ -633,7 +633,7 @@ object Oracles2 {
       | SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '')) AS token
       | FROM documents),
-      |v AS (SELECT token FROM vocab WHERE length(token) >= 4)
+      |v AS MATERIALIZED (SELECT token FROM vocab WHERE length(token) >= 4)
       |SELECT a.token AS token_a, b.token AS token_b,
       | levenshtein(a.token, b.token) AS dist
       |FROM v a, v b
@@ -651,8 +651,8 @@ object Oracles2 {
     * the qualityExprSql note on val initialization order).
     */
   val oovRate: String =
-    s"""WITH v AS ($vocabNucleus),
-       |t AS (
+    s"""WITH v AS MATERIALIZED ($vocabNucleus),
+       |t AS MATERIALIZED (
        | SELECT doc_id, unnest(list_filter(
        |   regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS tok
        | FROM documents)

@@ -82,11 +82,11 @@ object Oracles3 {
       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
   val importantParts: String =
-    """WITH per AS (
+    """WITH per AS MATERIALIZED (
       | SELECT l_partkey,
       |  SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10))) AS dec_value
       | FROM lineitem GROUP BY l_partkey),
-      |tot AS (
+      |tot AS MATERIALIZED (
       | SELECT CAST(CAST(SUM(dec_value) AS VARCHAR) AS DOUBLE) AS total_value,
       |  COUNT(*) AS n_parts FROM per)
       |SELECT l_partkey, CAST(CAST(dec_value AS VARCHAR) AS DOUBLE) AS part_value
@@ -120,7 +120,7 @@ object Oracles3 {
       | GROUP BY ship_month)""".stripMargin
 
   val topSupplier: String =
-    """WITH rev AS (
+    """WITH rev AS MATERIALIZED (
       | SELECT l_suppkey,
       |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,10)))
       |       AS VARCHAR) AS DOUBLE) AS total_revenue
@@ -143,11 +143,11 @@ object Oracles3 {
   private[graft] val kmeansAssignCte: String =
     s"""seeds AS (SELECT vec_id AS seed_id, embedding AS se, $normSqSql AS sn2
        |          FROM embeddings WHERE vec_id < 8),
-       |v AS (SELECT vec_id, embedding, $normSqSql AS vn2 FROM embeddings),
-       |d AS (SELECT vec_id, seed_id,
+       |v AS MATERIALIZED (SELECT vec_id, embedding, $normSqSql AS vn2 FROM embeddings),
+       |d AS MATERIALIZED (SELECT vec_id, seed_id,
        |       vn2 + sn2 - 2.0 * ${dotSql("v.embedding", "se")} AS dist_sq
        |      FROM v, seeds),
-       |asg AS (SELECT vec_id, seed_id AS cluster, dist_sq FROM (
+       |asg AS MATERIALIZED (SELECT vec_id, seed_id AS cluster, dist_sq FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |                               ORDER BY dist_sq ASC, seed_id ASC) AS rnk
        |  FROM d) WHERE rnk = 1)""".stripMargin
@@ -163,7 +163,7 @@ object Oracles3 {
        |  CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
        |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
        | FROM embeddings JOIN asg USING (vec_id)),
-       |dims AS (
+       |dims AS MATERIALIZED (
        | SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
        | FROM flat GROUP BY cluster, pos),
        |sd AS (
@@ -187,7 +187,7 @@ object Oracles3 {
 
   val semanticDedup: String =
     s"""WITH $kmeansAssignCte,
-       |e AS (SELECT vec_id, embedding, sqrt($normSqSql) AS nv FROM embeddings)
+       |e AS MATERIALIZED (SELECT vec_id, embedding, sqrt($normSqSql) AS nv FROM embeddings)
        |SELECT cluster, vec_a, vec_b, score FROM (
        | SELECT x.cluster AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  ${dotSql("ea.embedding", "eb.embedding")} / (ea.nv * eb.nv) AS score
@@ -197,7 +197,7 @@ object Oracles3 {
        |WHERE score >= 0.4""".stripMargin
 
   val minCostSupplier: String =
-    """WITH per AS (
+    """WITH per AS MATERIALIZED (
       | SELECT p_partkey, p_brand, l_suppkey,
       |  MIN(l_extendedprice / l_quantity) AS min_unit_price
       | FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -215,7 +215,7 @@ object Oracles3 {
     * percentiles, floor-div ppm.
     */
   val shipLagSla: String =
-    """WITH j AS (
+    """WITH j AS MATERIALIZED (
       | SELECT o_orderpriority,
       |  CAST(epoch(l_shipdate) AS BIGINT) - CAST(epoch(o_orderdate) AS BIGINT) AS lag_s
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
@@ -235,10 +235,10 @@ object Oracles3 {
   val smallQtyRevenue: String =
     """WITH sel AS (
       | SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_size < 25),
-      |j AS (
+      |j AS MATERIALIZED (
       | SELECT l_partkey, l_quantity, l_extendedprice
       | FROM lineitem JOIN sel ON l_partkey = p_partkey),
-      |st AS (
+      |st AS MATERIALIZED (
       | SELECT l_partkey AS pk,
       |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS qty_sum,
       |  COUNT(*) AS qty_n

@@ -18,12 +18,12 @@ object Oracles4 {
     * membership is order-independent.
     */
   val sessionWindowAgg: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
-      |b AS (SELECT user_id, ts_us, value,
+    """WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |b AS MATERIALIZED (SELECT user_id, ts_us, value,
       |  CASE WHEN lag(ts_us) OVER w IS NULL
       |            OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-      |s AS (SELECT user_id, ts_us, value,
+      |s AS MATERIALIZED (SELECT user_id, ts_us, value,
       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
       | FROM b)
       |SELECT user_id, MIN(ts_us) AS start_us,
@@ -52,20 +52,20 @@ object Oracles4 {
     * of exact BIGINT products — mirrored in TextOps.pmiPairs.
     */
   val pmiPairs: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |bg AS (
+      |bg AS MATERIALIZED (
       | SELECT split_part(b, ' ', 1) AS head, split_part(b, ' ', 2) AS nxt
       | FROM (SELECT unnest(list_transform(range(len(toks)-1),
       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS b
       |  FROM toks WHERE len(toks) >= 2)),
-      |pc AS (SELECT head, nxt, COUNT(*) AS n_ab FROM bg GROUP BY head, nxt),
-      |uni AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tok FROM (
+      |pc AS MATERIALIZED (SELECT head, nxt, COUNT(*) AS n_ab FROM bg GROUP BY head, nxt),
+      |uni AS MATERIALIZED (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tok FROM (
       |  SELECT head AS tok, n_ab AS n FROM pc
       |  UNION ALL SELECT nxt AS tok, n_ab AS n FROM pc) GROUP BY tok),
-      |tot AS (SELECT CAST(SUM(n_ab) * 2 AS BIGINT) AS t_pos FROM pc)
+      |tot AS MATERIALIZED (SELECT CAST(SUM(n_ab) * 2 AS BIGINT) AS t_pos FROM pc)
       |SELECT pc.head, pc.nxt, pc.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
       | CAST(pc.n_ab * tot.t_pos AS DOUBLE)
       |  / CAST(ua.n_tok * ub.n_tok AS DOUBLE) AS lift
@@ -82,18 +82,18 @@ object Oracles4 {
     * exactly the positions word_ngrams emits at pos % 8 = 0.
     */
   val spanDedup: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |blocks AS (
+      |blocks AS MATERIALIZED (
       | SELECT doc_id,
       |  CAST(CAST(concat('0x', substr(md5(
       |    array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')), 1, 15))
       |   AS UBIGINT) AS BIGINT) AS fp
       | FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM toks)),
       |df AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM blocks GROUP BY fp),
-      |per AS (SELECT doc_id, COUNT(*) AS n_blocks,
+      |per AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_blocks,
       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks
       | FROM blocks JOIN df USING (fp) GROUP BY doc_id)
       |SELECT d.doc_id,
@@ -118,10 +118,10 @@ object Oracles4 {
   val pqAdcTopK: String = {
     val sv = "embedding[CAST(m*8+1 AS INT):CAST(m*8+8 AS INT)]"
     s"""WITH subs AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS sub),
-       |sv AS (SELECT vec_id, m AS sub, $sv AS sv,
+       |sv AS MATERIALIZED (SELECT vec_id, m AS sub, $sv AS sv,
        |        ${normSqSql(sv)} AS svn2
        |       FROM embeddings, (SELECT sub AS m FROM subs)),
-       |cb AS (SELECT vec_id AS code_id, sub, sv AS cw, svn2 AS cwn2
+       |cb AS MATERIALIZED (SELECT vec_id AS code_id, sub, sv AS cw, svn2 AS cwn2
        |       FROM sv WHERE vec_id < 16),
        |enc AS (SELECT vec_id, sub, code FROM (
        |  SELECT sv.vec_id, sv.sub, cb.code_id AS code,
@@ -148,11 +148,11 @@ object Oracles4 {
     * usual round(w·10⁹) BIGINT fixed point — see EventOps.ewmaUserValue.
     */
   val ewmaUserValue: String =
-    """WITH e AS (SELECT user_id, value,
+    """WITH e AS MATERIALIZED (SELECT user_id, value,
       |            CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day FROM events),
-      |w AS (SELECT user_id, value, day,
+      |w AS MATERIALIZED (SELECT user_id, value, day,
       |       MAX(day) OVER (PARTITION BY user_id) AS last_day FROM e),
-      |c AS (SELECT user_id, day,
+      |c AS MATERIALIZED (SELECT user_id, day,
       |       CAST(round(value * 1000000000.0 /
       |            CAST((CAST(1 AS BIGINT) << CAST(LEAST(last_day - day, 62) AS INT))
       |                 AS DOUBLE)) AS BIGINT) AS contrib
@@ -176,7 +176,7 @@ object Oracles4 {
       |  len(list_filter(toks, t -> t IN
       |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
       | FROM base),
-      |scored AS (
+      |scored AS MATERIALIZED (
       | SELECT doc_id, CAST(round(
       |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
       |   * (1.0 - CASE WHEN length(text) > 0
@@ -185,12 +185,12 @@ object Oracles4 {
       |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END)
       |  * 10000.0) AS BIGINT) AS q4
       | FROM counts),
-      |bins AS (SELECT q4, COUNT(*) AS cnt FROM scored GROUP BY q4),
+      |bins AS MATERIALIZED (SELECT q4, COUNT(*) AS cnt FROM scored GROUP BY q4),
       |below AS (SELECT q4,
       |  CAST(SUM(cnt) OVER (ORDER BY q4 ASC ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT)
       |   AS n_below,
       |  cnt AS bin_n FROM bins),
-      |tot AS (SELECT COUNT(*) AS n_total FROM scored)
+      |tot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM scored)
       |SELECT doc_id, q4, n_below, bin_n,
       | CAST(n_below AS DOUBLE) / CAST(n_total AS DOUBLE) AS pct_below
       |FROM scored JOIN below USING (q4) CROSS JOIN tot""".stripMargin
@@ -199,16 +199,16 @@ object Oracles4 {
     * train-vs-rest; LEAST caps the fixed-width n_chars bins.
     */
   val splitDrift: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT CASE WHEN b < 80 THEN 'train' ELSE 'rest' END AS split,
       |  LEAST(n_chars // 100, 19) AS bin
       | FROM (SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
       |              AS UBIGINT) % 100 AS INT) AS b, n_chars FROM documents)),
-      |c AS (SELECT bin,
+      |c AS MATERIALIZED (SELECT bin,
       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
       |  CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
       | FROM d GROUP BY bin),
-      |t AS (SELECT
+      |t AS MATERIALIZED (SELECT
       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t_train,
       |  CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t_rest
       | FROM d)
@@ -233,7 +233,7 @@ object Oracles4 {
       |LIMIT 20""".stripMargin
 
   val hourlySpineFilled: String =
-    """WITH hourly AS (
+    """WITH hourly AS MATERIALIZED (
       | SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour, COUNT(*) AS n_events,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
       | FROM events GROUP BY hour),
@@ -263,23 +263,23 @@ object Oracles4 {
   val kmeansRound2: String =
     s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se,
        |  ${normSqSql("embedding")} AS sn2 FROM embeddings WHERE vec_id < 8),
-       |v AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS vn2 FROM embeddings),
-       |d AS (SELECT vec_id, seed_id,
+       |v AS MATERIALIZED (SELECT vec_id, embedding, ${normSqSql("embedding")} AS vn2 FROM embeddings),
+       |d AS MATERIALIZED (SELECT vec_id, seed_id,
        |       vn2 + sn2 - 2.0 * ${dotSql("v.embedding", "se")} AS dist_sq
        |      FROM v, seeds),
-       |asg AS (SELECT vec_id, seed_id AS cluster FROM (
+       |asg AS MATERIALIZED (SELECT vec_id, seed_id AS cluster FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |                               ORDER BY dist_sq ASC, seed_id ASC) AS rnk
        |  FROM d) WHERE rnk = 1),
        |flat AS (SELECT cluster, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
        |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
        | FROM embeddings JOIN asg USING (vec_id)),
-       |dims AS (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+       |dims AS MATERIALIZED (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
        |         FROM flat GROUP BY cluster, pos),
        |cent AS (SELECT cluster AS c2,
        |          list(CAST(sum_q AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS centroid
        |         FROM dims GROUP BY cluster),
-       |d2 AS (SELECT e.vec_id, cent.c2,
+       |d2 AS MATERIALIZED (SELECT e.vec_id, cent.c2,
        |        list_sum(list_transform(list_zip(e.embedding, cent.centroid),
        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
        |             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist_sq
@@ -305,12 +305,12 @@ object Oracles4 {
       | SELECT label, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
       |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
       | FROM embeddings),
-      |dims AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
+      |dims AS MATERIALIZED (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
       |         FROM flat GROUP BY label, pos),
       |cent AS (SELECT label,
       |          list(CAST(sum_q AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS centroid
       |         FROM dims GROUP BY label),
-      |d AS (SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+      |d AS MATERIALIZED (SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
       |       list_sum(list_transform(list_zip(e.embedding, c.centroid),
       |         p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
       |            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist_sq
@@ -324,16 +324,16 @@ object Oracles4 {
     * the Spark side's bin+equi-join+distinct plan must agree exactly.
     */
   val concurrentSessions: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-      |s AS (SELECT user_id, event_id, ts_us,
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS MATERIALIZED (SELECT user_id, event_id, ts_us,
       |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
       |       THEN 1 ELSE 0 END AS new_session
       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-      |t AS (SELECT user_id, ts_us,
+      |t AS MATERIALIZED (SELECT user_id, ts_us,
       |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM s),
-      |sess AS (SELECT user_id, session_id,
+      |sess AS MATERIALIZED (SELECT user_id, session_id,
       |          MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
       |         FROM t GROUP BY user_id, session_id)
       |SELECT a.user_id, a.session_id, a.start_us, a.end_us,
@@ -346,7 +346,7 @@ object Oracles4 {
       |GROUP BY a.user_id, a.session_id, a.start_us, a.end_us""".stripMargin
 
   val rollingUsers7d: String =
-    """WITH grid AS (SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+    """WITH grid AS MATERIALIZED (SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
       |              user_id FROM events),
       |days AS (SELECT DISTINCT day FROM grid)
       |SELECT d.day AS day, COUNT(DISTINCT g.user_id) AS n_users_7d
@@ -359,7 +359,7 @@ object Oracles4 {
       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |    t -> t <> '')) AS word
       |  FROM documents) GROUP BY word),
-      |p AS (SELECT unnest(list_transform(range(length(word) - 1),
+      |p AS MATERIALIZED (SELECT unnest(list_transform(range(length(word) - 1),
       |        i -> substr(word, CAST(i + 1 AS INT), 2))) AS pair, cnt
       |      FROM vocab WHERE length(word) >= 2)
       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p GROUP BY pair
@@ -380,9 +380,9 @@ object Oracles4 {
     * (s_us, signup_id) among those with s_us <= p_us, per purchase.
     */
   val asofJoinNative: String =
-    """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+    """WITH p AS MATERIALIZED (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
       |           FROM events WHERE event_type = 'purchase'),
-      |s AS (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
+      |s AS MATERIALIZED (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS s_us
       |      FROM events WHERE event_type = 'signup')
       |SELECT user_id, purchase_id, signup_id, p_us - s_us AS gap_us FROM (
       | SELECT p.user_id AS user_id, purchase_id, signup_id, p_us, s_us,
@@ -403,8 +403,8 @@ object Oracles4 {
          |   SELECT e.parent AS node, ($prev.r * 85) // 100 AS c
          |   FROM edges e JOIN $prev ON e.node = $prev.node) m ON n.node = m.node
          | GROUP BY n.node)""".stripMargin
-    s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
-       |edges AS (SELECT node, node // 2 AS parent FROM nodes WHERE node > 1),
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS node FROM customer),
+       |edges AS MATERIALIZED (SELECT node, node // 2 AS parent FROM nodes WHERE node > 1),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
        |${round("r0", "r1")},
        |${round("r1", "r2")},

@@ -18,7 +18,7 @@ object Oracles5 {
 
   val zorderLayout: String = {
     val shift = graft.operators.LayoutOps.ZBucketShift
-    s"""WITH dims AS (
+    s"""WITH dims AS MATERIALIZED (
        | SELECT o_custkey % 1024 AS x,
        |        (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 1024 AS y
        | FROM orders),
@@ -44,7 +44,7 @@ object Oracles5 {
        | SELECT doc_id, list_transform(shingles,
        |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
        | FROM sh),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        | SELECT doc_id, list_transform(range(12),
        |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
        | FROM hs),
@@ -61,10 +61,10 @@ object Oracles5 {
     * triangles = wedges whose closing edge exists (each counted once).
     */
   val triangleStats: String =
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM mh),
-       |w AS (SELECT e1.a AS a, e2.b AS b FROM e e1 JOIN e e2 ON e1.b = e2.a),
-       |t AS (SELECT w.a, w.b FROM w JOIN e ON w.a = e.a AND w.b = e.b)
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh),
+       |w AS MATERIALIZED (SELECT e1.a AS a, e2.b AS b FROM e e1 JOIN e e2 ON e1.b = e2.a),
+       |t AS MATERIALIZED (SELECT w.a, w.b FROM w JOIN e ON w.a = e.a AND w.b = e.b)
        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
        |       (SELECT COUNT(*) FROM w) AS n_wedges,
        |       (SELECT COUNT(*) FROM t) AS n_triangles""".stripMargin
@@ -74,7 +74,7 @@ object Oracles5 {
     */
   val aHashPairs: String = {
     val px = graft.sources.MultimodalOps.AHashPixels
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
        | SELECT doc_id AS media_id, text, length(text) // $px AS w
        | FROM documents WHERE length(text) >= $px),
        |px AS (
@@ -86,11 +86,11 @@ object Oracles5 {
        | SELECT media_id, array_to_string(list_transform(pixels,
        |   p -> CASE WHEN $px*p > list_sum(pixels) THEN '1' ELSE '0' END), '') AS ahash
        | FROM px),
-       |bands AS (
+       |bands AS MATERIALIZED (
        | SELECT media_id, ahash, b.band_idx,
        |  substr(ahash, CAST(b.band_idx*16 + 1 AS INT), 16) AS bits
        | FROM ah, (SELECT unnest(range(4)) AS band_idx) b),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
        |  a.ahash AS ah_a, b.ahash AS ah_b
        | FROM bands a JOIN bands b
@@ -142,11 +142,11 @@ object Oracles5 {
     val d2proj = (0 until rp)
       .map(k => s"(a.y$k - b.y$k) * (a.y$k - b.y$k)")
       .mkString(" + ")
-    s"""WITH y AS (
+    s"""WITH y AS MATERIALIZED (
        | SELECT vec_id, embedding,
        |$yCols
        | FROM embeddings WHERE vec_id < ${graft.operators.SimilarityOps.RpProbe}),
-       |p AS (
+       |p AS MATERIALIZED (
        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ((${normSqSql("a.embedding")} + ${normSqSql("b.embedding")}) -
        |    2.0 * ${dotSql("a.embedding", "b.embedding")}) AS d2_orig,
@@ -162,12 +162,12 @@ object Oracles5 {
     * sqrt so both engines emit the identical bits.
     */
   val mixWeights: String =
-    """WITH cells AS (
+    """WITH cells AS MATERIALIZED (
       | SELECT lang, source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}]+|[0-9]|[^\p{L}0-9\s]'))) AS BIGINT)
       |    AS cell_tokens
       | FROM documents GROUP BY lang, source),
-      |g AS (SELECT CAST(SUM(cell_tokens) AS BIGINT) AS total_tokens,
+      |g AS MATERIALIZED (SELECT CAST(SUM(cell_tokens) AS BIGINT) AS total_tokens,
       |             MAX(cell_tokens) AS max_tokens FROM cells)
       |SELECT lang, source, n_docs, cell_tokens,
       | (cell_tokens * 1000000) // total_tokens AS share_ppm,
@@ -178,21 +178,21 @@ object Oracles5 {
     * bigrams, md5 first-byte bucket, exact integer cross-product ppm.
     */
   val dsirImportance: String =
-    s"""WITH toks AS (
+    s"""WITH toks AS MATERIALIZED (
        | SELECT lang,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |bg AS (
+       |bg AS MATERIALIZED (
        | SELECT lang, unnest(list_transform(range(len(toks)-1),
        |   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)])) AS bg
        | FROM toks),
-       |b AS (
+       |b AS MATERIALIZED (
        | SELECT CAST(CAST(concat('0x', substr(md5(bg), 1, 2)) AS UBIGINT)
        |          % ${graft.operators.TextOps.DsirBuckets} AS BIGINT) AS bucket,
        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS target_count,
        |  COUNT(*) AS raw_count
        | FROM bg GROUP BY 1),
-       |t AS (SELECT CAST(SUM(target_count) AS BIGINT) AS t_total,
+       |t AS MATERIALIZED (SELECT CAST(SUM(target_count) AS BIGINT) AS t_total,
        |             CAST(SUM(raw_count) AS BIGINT) AS r_total FROM b)
        |SELECT bucket, target_count, raw_count,
        | (target_count * r_total * 1000000) // (raw_count * t_total) AS ratio_ppm
@@ -202,7 +202,7 @@ object Oracles5 {
     * the true label carried through and the matrix grouped.
     */
   val langidConfusion: String =
-    """WITH scored AS (
+    """WITH scored AS MATERIALIZED (
       | SELECT lang,
       |  len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
       |  len(list_filter(toks, t -> t IN ('el','la','de','los','es','y','que'))) AS n_es,
@@ -212,7 +212,7 @@ object Oracles5 {
       | FROM (SELECT lang,
       |        list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       |       FROM documents)),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT lang,
       |  CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
       |       WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
@@ -246,14 +246,14 @@ object Oracles5 {
     * split, and keeper window.
     */
   val incrementalDedup: String =
-    """WITH f AS (
+    """WITH f AS MATERIALIZED (
       | SELECT doc_id, lang,
       |  md5(array_to_string(list_sort(list_distinct(
       |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> ''))), ' ')) AS fp
       | FROM documents),
-      |o AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
-      |nn AS (SELECT * FROM f WHERE doc_id % 2 = 1),
-      |j AS (
+      |o AS MATERIALIZED (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+      |nn AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 2 = 1),
+      |j AS MATERIALIZED (
       | SELECT nn.doc_id, nn.lang, nn.fp, o.fp IS NOT NULL AS in_old,
       |  MIN(nn.doc_id) OVER (PARTITION BY nn.fp) AS keeper
       | FROM nn LEFT JOIN o ON nn.fp = o.fp)
@@ -268,10 +268,10 @@ object Oracles5 {
     * ceil ranks, exact clamped sums.
     */
   val winsorizedStats: String =
-    """WITH b AS (
+    """WITH b AS MATERIALIZED (
       | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb, COUNT(*) AS cnt
       | FROM events GROUP BY 1, 2),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT event_type, vb, cnt,
       |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb ROWS UNBOUNDED PRECEDING) AS cum,
       |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
@@ -281,7 +281,7 @@ object Oracles5 {
       |  MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN vb END) AS p05_c,
       |  MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN vb END) AS p95_c
       | FROM c GROUP BY 1, 2),
-      |f AS (
+      |f AS MATERIALIZED (
       | SELECT b.event_type, n, p05_c, p95_c,
       |  CAST(SUM(vb * cnt) AS BIGINT) AS sum_c,
       |  CAST(SUM(greatest(least(vb, p95_c), p05_c) * cnt) AS BIGINT) AS wsum_c
@@ -299,7 +299,7 @@ object Oracles5 {
     * first covering bin on both engines).
     */
   val quantileNormalize: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
       |sb AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
       |src AS (
@@ -339,7 +339,7 @@ object Oracles5 {
     * mediated decimal→double), identical mean/std/z expression order.
     */
   val valueOutliers: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s,
       |  CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s2
@@ -397,19 +397,19 @@ object Oracles5 {
       .map(t => s"  COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0.0) AS s_$t")
       .mkString(",\n")
     val scoreSum = terms.map(t => s"s_$t").mkString(" + ")
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
-       |g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
-       |p AS (
+       |dlt AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |g AS MATERIALIZED (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
+       |p AS MATERIALIZED (
        | SELECT doc_id, dl, term, COUNT(*) AS tf
        | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dlt)
        | WHERE term IN ($inList)
        | GROUP BY doc_id, dl, term),
-       |f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
-       |s AS (
+       |f AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+       |s AS MATERIALIZED (
        | SELECT doc_id, dl, term,
        |  (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
        |    * (CAST(tf AS DOUBLE) * 2.2))
@@ -431,7 +431,7 @@ object Oracles5 {
     */
   val compactionPlan: String = {
     val t = graft.operators.TextOps.CompactTargetBytes
-    s"""WITH c AS (
+    s"""WITH c AS MATERIALIZED (
        | SELECT source, lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS cell_bytes,
        |  MAX(n_chars) AS max_doc_bytes
@@ -444,7 +444,7 @@ object Oracles5 {
   }
 
   val freqSpectrum: String =
-    """WITH wc AS (
+    """WITH wc AS MATERIALIZED (
       | SELECT t AS word, COUNT(*) AS cnt FROM (
       |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')) AS t
       |  FROM documents)
@@ -460,20 +460,20 @@ object Oracles5 {
     */
   val containmentPairs: String =
     s"""WITH ${Oracles2.shinglesCte},
-       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |posting AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT shingle FROM posting GROUP BY shingle
        |         HAVING COUNT(*) <= GREATEST(50,
        |                 CAST(ceil(0.001 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
-       |pruned AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
-       |rc AS (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
-       |cand AS (
+       |pruned AS MATERIALIZED (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+       |rc AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_rare FROM pruned GROUP BY doc_id),
+       |cand AS MATERIALIZED (
        | SELECT doc_a, doc_b FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)
        | JOIN rc ra ON ra.doc_id = doc_a JOIN rc rb ON rb.doc_id = doc_b
        | WHERE n_shared >= GREATEST(3, CAST(ceil(LEAST(ra.n_rare, rb.n_rare) * 0.7) AS BIGINT))),
-       |v AS (
+       |v AS MATERIALIZED (
        | SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_shared,
        |  CAST(len(sa.shingles) AS BIGINT) AS na, CAST(len(sb.shingles) AS BIGINT) AS nb
@@ -490,10 +490,10 @@ object Oracles5 {
     * detection (touching merges), floor-div utilization.
     */
   val intervalCoverage: String =
-    """WITH iv AS (
+    """WITH iv AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 1000000 AS s, COUNT(*) AS cnt
       | FROM events GROUP BY 1, 2),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT event_type, s, s + 3600 AS e, cnt,
       |  MAX(s + 3600) OVER (PARTITION BY event_type ORDER BY s
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -523,11 +523,11 @@ object Oracles5 {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
       |  o_totalprice
       | FROM orders),
-      |ch AS (
+      |ch AS MATERIALIZED (
       | SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderdate_epoch
       |   ORDER BY price_c DESC, o_orderkey ASC) AS rn
       | FROM ord),
-      |st AS (
+      |st AS MATERIALIZED (
       | SELECT o_orderdate_epoch, o_orderkey, o_totalprice, price_c,
       |  MAX(price_c) OVER (ORDER BY o_orderdate_epoch
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
@@ -540,13 +540,13 @@ object Oracles5 {
     * one exact-long division per pair.
     */
   val vocabOverlap: String =
-    """WITH v AS (
+    """WITH v AS MATERIALIZED (
       | SELECT DISTINCT source, word FROM (
       |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
       |  FROM documents)
       | WHERE word <> ''),
-      |s AS (SELECT source, COUNT(*) AS n_vocab FROM v GROUP BY 1),
-      |p AS (
+      |s AS MATERIALIZED (SELECT source, COUNT(*) AS n_vocab FROM v GROUP BY 1),
+      |p AS MATERIALIZED (
       | SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
       | FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
       | GROUP BY 1, 2)
@@ -562,7 +562,7 @@ object Oracles5 {
     * the identical IEEE slope/intercept/r² expressions.
     */
   val valueTrend: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 1000000 AS s,
       |  CAST(value AS DECIMAL(18,2)) AS v
       | FROM events),
@@ -570,7 +570,7 @@ object Oracles5 {
       | SELECT event_type, v,
       |  s - MIN(s) OVER (PARTITION BY event_type) AS t
       | FROM ev),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n,
       |  CAST(CAST(SUM(CAST(t AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_t,
       |  CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_v,
@@ -595,11 +595,11 @@ object Oracles5 {
     * IEEE before/after means from exact decimal sums.
     */
   val cusumChangepoint: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) AS ts_us, event_id,
       |  CAST(value AS DECIMAL(18,2)) AS v
       | FROM events),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT event_type, ts_us, event_id, v,
       |  SUM(v) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
       |    ROWS UNBOUNDED PRECEDING) AS cum,
@@ -607,9 +607,9 @@ object Oracles5 {
       |  COUNT(*) OVER (PARTITION BY event_type) AS n,
       |  SUM(v) OVER (PARTITION BY event_type) AS sum_v
       | FROM ev),
-      |d AS (
+      |d AS MATERIALIZED (
       | SELECT *, CAST(ABS((n * cum - k * sum_v) * 100) AS BIGINT) AS d_c FROM c),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
       |   ORDER BY d_c DESC, k ASC) AS rnk
       | FROM d)
@@ -624,14 +624,14 @@ object Oracles5 {
     * long division for the jaccard.
     */
   val bitmapOverlap: String =
-    """WITH bm AS (
+    """WITH bm AS MATERIALIZED (
       | SELECT event_type, user_id // 63 AS block,
       |  bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
       | FROM events GROUP BY 1, 2),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
       | FROM bm GROUP BY 1),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT a.event_type AS type_a, b.event_type AS type_b,
       |  CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
       | FROM bm a JOIN bm b ON a.block = b.block AND a.event_type < b.event_type
@@ -647,7 +647,7 @@ object Oracles5 {
     * 6 PRECEDING frame, doubled median so the even case stays integer.
     */
   val rollingMedian7d: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
       |    AS day_c,
@@ -673,12 +673,12 @@ object Oracles5 {
     val cases = graft.operators.RelationalOps.BenfordPpm
       .map { case (d, ppm) => s"WHEN $d THEN ${ppm}" }
       .mkString(" ")
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        | SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
        |   AS VARCHAR), 1, 1) AS BIGINT) AS digit
        | FROM orders),
-       |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
-       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+       |g AS MATERIALIZED (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+       |t AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
        |SELECT digit, n, n * 1000000 // total AS observed_ppm,
        | CAST(CASE digit $cases END AS BIGINT) AS benford_ppm,
        | n * 1000000 // total - CAST(CASE digit $cases END AS BIGINT) AS delta_ppm
@@ -689,7 +689,7 @@ object Oracles5 {
     * exact counts, floor-div ppm share, lexicographic tie-break cut.
     */
   val eventTrigrams: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS t1
       | FROM events),
       |tri AS (
@@ -697,10 +697,10 @@ object Oracles5 {
       |  LEAD(t1, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t2,
       |  LEAD(t1, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t3
       | FROM ev),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT t1, t2, t3, COUNT(*) AS cnt FROM tri
       | WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
-      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g)
+      |t AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g)
       |SELECT t1, t2, t3, cnt, cnt * 1000000 // total AS share_ppm
       |FROM g, t
       |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC
@@ -710,15 +710,15 @@ object Oracles5 {
     * lead per type, decimal-first Pearson moments, identical IEEE r.
     */
   val dailyAutocorr: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
       | FROM events GROUP BY 1, 2),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT event_type, x,
       |  LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
       | FROM daily),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n,
       |  CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_x,
       |  CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_y,
@@ -736,13 +736,13 @@ object Oracles5 {
     * decimal-exact Σ i·xᵢ, identical IEEE rank-formula G.
     */
   val activityGini: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       | SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT event_type, x, user_id,
       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x ASC, user_id ASC) AS i
       | FROM c),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
       |  CAST(MAX(x) AS BIGINT) AS max_x,
       |  CAST(CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
@@ -757,14 +757,14 @@ object Oracles5 {
     * floor-div ppm share, deterministic (count desc, weekday asc) peak.
     */
   val weekdayProfile: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       | SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
       | FROM events),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT event_type, weekday, COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS sum_c
       | FROM e GROUP BY 1, 2),
-      |w AS (
+      |w AS MATERIALIZED (
       | SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_n,
       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, weekday ASC) AS rn
       | FROM g)
@@ -779,7 +779,7 @@ object Oracles5 {
     """WITH h AS (
       | SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS c
       | FROM events GROUP BY 1, 2),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n_obs_hours,
       |  MAX(hour) - MIN(hour) + 1 AS n_hours,
       |  CAST(SUM(c) AS BIGINT) AS sum_c,
@@ -796,12 +796,12 @@ object Oracles5 {
     * removal (same RE2 classes), floor-div ppm.
     */
   val charClassProfile: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT source, length(text) AS len,
       |  length(text) - length(regexp_replace(text, '\p{L}', '', 'g')) AS nl,
       |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ns
       | FROM documents),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT source, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS n_chars,
       |  CAST(SUM(nl) AS BIGINT) AS n_letters, CAST(SUM(ns) AS BIGINT) AS n_spaces,
       |  CAST(SUM(len - nl - ns) AS BIGINT) AS n_other
@@ -817,10 +817,10 @@ object Oracles5 {
     * identical literal threshold product.
     */
   val madRobust: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
       | FROM events),
-      |med AS (
+      |med AS MATERIALIZED (
       | SELECT event_type, quantile_cont(v_c, 0.5) AS med_c, COUNT(*) AS n
       | FROM ev GROUP BY 1),
       |mads AS (
@@ -838,15 +838,15 @@ object Oracles5 {
     * forward-filled union of jump points, earliest-bin argmax.
     */
   val ksDrift: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
-      |bins AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
-      |c AS (
+      |bins AS MATERIALIZED (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |c AS MATERIALIZED (
       | SELECT event_type, vb, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vb
       |   ROWS UNBOUNDED PRECEDING) AS cum
       | FROM bins),
-      |t AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
-      |p AS (
+      |t AS MATERIALIZED (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+      |p AS MATERIALIZED (
       | SELECT a.event_type AS type_a, a.n AS n_a, b.event_type AS type_b, b.n AS n_b
       | FROM t a JOIN t b ON a.event_type < b.event_type),
       |u AS (
@@ -856,21 +856,21 @@ object Oracles5 {
       | UNION ALL
       | SELECT p.type_a, p.type_b, p.n_a, p.n_b, c.vb, CAST(NULL AS BIGINT), c.cum
       | FROM c JOIN p ON c.event_type = p.type_b),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT type_a, type_b, n_a, n_b, vb,
       |  MAX(ca) AS ca, MAX(cb) AS cb
       | FROM u GROUP BY 1, 2, 3, 4, 5),
-      |f AS (
+      |f AS MATERIALIZED (
       | SELECT *, COALESCE(last_value(ca IGNORE NULLS) OVER w, 0) AS ca_ff,
       |  COALESCE(last_value(cb IGNORE NULLS) OVER w, 0) AS cb_ff
       | FROM g
       | WINDOW w AS (PARTITION BY type_a, type_b ORDER BY vb ROWS UNBOUNDED PRECEDING)),
-      |d AS (
+      |d AS MATERIALIZED (
       | SELECT *, CAST(ABS(CAST(ca_ff AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
       |   - CAST(cb_ff AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))) AS BIGINT)
       |   AS d_scaled
       | FROM f),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
       |   ORDER BY d_scaled DESC, vb ASC) AS rnk
       | FROM d)
@@ -882,13 +882,13 @@ object Oracles5 {
     * counts, decimal Simpson numerator, floor-div ppm, IEEE division.
     */
   val hapaxRatio: String =
-    """WITH w AS (
+    """WITH w AS MATERIALIZED (
       | SELECT source, word FROM (
       |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
       |  FROM documents)
       | WHERE word <> ''),
-      |c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
-      |g AS (
+      |c AS MATERIALIZED (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      |g AS MATERIALIZED (
       | SELECT source, COUNT(*) AS vocab, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
       |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
       |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
@@ -907,21 +907,21 @@ object Oracles5 {
     * exact concordance counts, tau-a as one IEEE division.
     */
   val rankAgreement: String =
-    """WITH w AS (
+    """WITH w AS MATERIALIZED (
       | SELECT source, word FROM (
       |  SELECT source, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
       |  FROM documents)
       | WHERE word <> ''),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |  CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
       | FROM w GROUP BY 1),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT source,
       |  ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source ASC) AS r_mass,
       |  ROW_NUMBER() OVER (ORDER BY vocab DESC, source ASC) AS r_vocab
       | FROM m),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |  CAST(SUM(CASE WHEN (a.r_mass - b.r_mass) * (a.r_vocab - b.r_vocab) > 0
       |           THEN 1 ELSE 0 END) AS BIGINT) AS concordant
@@ -936,11 +936,11 @@ object Oracles5 {
     * (centi-price, orderkey) order, integer per-bucket stats.
     */
   val equidepthHist: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       | SELECT o_orderkey,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
       | FROM orders),
-      |b AS (
+      |b AS MATERIALIZED (
       | SELECT price_c,
       |  NTILE(10) OVER (ORDER BY price_c ASC, o_orderkey ASC) AS bucket
       | FROM o)
@@ -972,11 +972,11 @@ object Oracles5 {
     * per-user best, corpus summary + lowest-user champion.
     */
   val valueStreaks: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
       | FROM events),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT user_id, ts_us, event_id, v_c,
       |  LAG(v_c, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_v
       | FROM ev),
@@ -987,14 +987,14 @@ object Oracles5 {
       |          ROWS UNBOUNDED PRECEDING) AS run_id
       | FROM m),
       |runs AS (SELECT user_id, run_id, COUNT(*) AS len FROM i GROUP BY 1, 2),
-      |pu AS (
+      |pu AS MATERIALIZED (
       | SELECT user_id, MAX(len) AS best, COUNT(*) AS n_runs FROM runs GROUP BY 1),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT COUNT(*) AS n_users, CAST(MAX(best) AS BIGINT) AS max_streak,
       |  CAST(SUM(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_streak3,
       |  CAST(SUM(n_runs) AS BIGINT) AS n_runs
       | FROM pu),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT user_id AS champion_user FROM pu
       | ORDER BY best DESC, user_id ASC LIMIT 1)
       |SELECT * FROM s, c""".stripMargin
@@ -1003,14 +1003,14 @@ object Oracles5 {
     * ppm of all users.
     */
   val firstTouch: String =
-    """WITH f AS (
+    """WITH f AS MATERIALIZED (
       | SELECT user_id, event_type,
       |  ROW_NUMBER() OVER (PARTITION BY user_id
       |    ORDER BY epoch_us(ts), event_id) AS rn
       | FROM events),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT event_type, COUNT(*) AS n_users FROM f WHERE rn = 1 GROUP BY 1),
-      |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM g)
+      |t AS MATERIALIZED (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM g)
       |SELECT event_type, n_users, n_users * 1000000 // total AS share_ppm
       |FROM g, t""".stripMargin
 
@@ -1018,9 +1018,9 @@ object Oracles5 {
     * integer µs gaps, quantile_cont percentiles.
     */
   val gapQuantiles: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT event_type,
       |  ts_us - LAG(ts_us, 1) OVER (PARTITION BY event_type, user_id
       |    ORDER BY ts_us, event_id) AS gap_us
@@ -1041,11 +1041,11 @@ object Oracles5 {
       |    AS clv_c,
       |  COUNT(*) AS n_orders
       | FROM orders GROUP BY 1),
-      |t AS (
+      |t AS MATERIALIZED (
       | SELECT clv_c, n_orders,
       |  NTILE(10) OVER (ORDER BY clv_c ASC, o_custkey ASC) AS decile
       | FROM clv),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
       |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
       |  MIN(clv_c) AS lo_c, MAX(clv_c) AS hi_c,
@@ -1060,13 +1060,13 @@ object Oracles5 {
     * contingency deltas, one IEEE lift division.
     */
   val returnLift: String =
-    """WITH cells AS (
+    """WITH cells AS MATERIALIZED (
       | SELECT p_brand, l_returnflag, COUNT(*) AS o
       | FROM lineitem JOIN part ON l_partkey = p_partkey
       | GROUP BY 1, 2),
-      |r AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS row_total FROM cells GROUP BY 1),
-      |c AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS col_total FROM cells GROUP BY 1),
-      |g AS (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM cells)
+      |r AS MATERIALIZED (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+      |c AS MATERIALIZED (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+      |g AS MATERIALIZED (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM cells)
       |SELECT p_brand, l_returnflag, o, row_total, col_total,
       | CAST(CAST(o AS DECIMAL(19,0)) * CAST(grand AS DECIMAL(19,0))
       |  - CAST(row_total AS DECIMAL(19,0)) * CAST(col_total AS DECIMAL(19,0))
@@ -1079,15 +1079,15 @@ object Oracles5 {
     * lines, bounded self-join pairs, deterministic top-20, IEEE lift.
     */
   val copurchaseLift: String =
-    """WITH lines AS (
+    """WITH lines AS MATERIALIZED (
       | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co
       | FROM lines a JOIN lines b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       | GROUP BY 1, 2),
-      |f AS (SELECT l_partkey, COUNT(*) AS f FROM lines GROUP BY 1),
-      |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lines)
+      |f AS MATERIALIZED (SELECT l_partkey, COUNT(*) AS f FROM lines GROUP BY 1),
+      |n AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lines)
       |SELECT part_a, part_b, co, fa.f AS f_a, fb.f AS f_b,
       | (CAST(co AS DOUBLE) * CAST(n_orders AS DOUBLE))
       |  / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)) AS lift

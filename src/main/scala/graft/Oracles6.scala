@@ -12,16 +12,16 @@ object Oracles6 {
     * retention against the offset-0 cell.
     */
   val cohortMatrix: String =
-    """WITH wu AS (
+    """WITH wu AS MATERIALIZED (
       | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
       | FROM events),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort
       | FROM wu),
-      |cells AS (
+      |cells AS MATERIALIZED (
       | SELECT cohort, wk - cohort AS "offset", COUNT(*) AS n_active
       | FROM c GROUP BY 1, 2),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT cohort AS c0, n_active AS cohort_size
       | FROM cells WHERE "offset" = 0)
       |SELECT cohort, "offset", n_active, cohort_size,
@@ -33,14 +33,14 @@ object Oracles6 {
     * exact population/order/mass sums.
     */
   val rfmSegments: String =
-    """WITH per AS (
+    """WITH per AS MATERIALIZED (
       | SELECT o_custkey,
       |  MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS last_s,
       |  COUNT(*) AS freq,
       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
       |    AS mon_c
       | FROM orders GROUP BY 1),
-      |t AS (
+      |t AS MATERIALIZED (
       | SELECT freq, mon_c,
       |  NTILE(5) OVER (ORDER BY last_s ASC, o_custkey ASC) AS r_tier,
       |  NTILE(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f_tier,
@@ -57,15 +57,15 @@ object Oracles6 {
     * lexicographic), per-doc occurrence counts.
     */
   val phraseHits: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |bg AS (
+      |bg AS MATERIALIZED (
       | SELECT doc_id, unnest(list_transform(range(len(toks)-1),
       |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS bg
       | FROM toks WHERE len(toks) >= 2),
-      |top AS (
+      |top AS MATERIALIZED (
       | SELECT bg AS phrase, COUNT(*) AS n_total FROM bg GROUP BY 1
       | ORDER BY n_total DESC, phrase ASC LIMIT 1)
       |SELECT doc_id, phrase, COUNT(*) AS n_hits, n_total
@@ -77,16 +77,16 @@ object Oracles6 {
     * the ≤-bound join.
     */
   val vocabGrowth: String =
-    """WITH docs AS (
+    """WITH docs AS MATERIALIZED (
       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |per AS (SELECT doc_id, len(toks) AS n_toks FROM docs),
-      |tk AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+      |per AS MATERIALIZED (SELECT doc_id, len(toks) AS n_toks FROM docs),
+      |tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM docs),
       |fw AS (SELECT tok, MIN(doc_id) AS first_doc FROM tk GROUP BY 1),
       |nw AS (SELECT first_doc, COUNT(*) AS n_new FROM fw GROUP BY 1),
-      |b AS (SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id ASC) AS bucket FROM per),
-      |bounds AS (SELECT bucket, MAX(doc_id) AS bound FROM b GROUP BY 1),
+      |b AS MATERIALIZED (SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id ASC) AS bucket FROM per),
+      |bounds AS MATERIALIZED (SELECT bucket, MAX(doc_id) AS bound FROM b GROUP BY 1),
       |cd AS (
       | SELECT bucket, bound, COUNT(*) AS cum_docs,
       |  CAST(SUM(n_toks) AS BIGINT) AS cum_tokens
@@ -107,12 +107,12 @@ object Oracles6 {
        | SELECT doc_id,
        |  substr(regexp_replace(lower(text), '[^\\p{L}]+', '', 'g'), 1, 16) AS bkey
        | FROM documents),
-       |o AS (
+       |o AS MATERIALIZED (
        | SELECT doc_id,
        |  LEAD(doc_id, 1) OVER (ORDER BY bkey ASC, doc_id ASC) AS nbr1,
        |  LEAD(doc_id, 2) OVER (ORDER BY bkey ASC, doc_id ASC) AS nbr2
        | FROM k),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT LEAST(doc_id, nbr1) AS doc_a, GREATEST(doc_id, nbr1) AS doc_b
        | FROM o WHERE nbr1 IS NOT NULL
        | UNION ALL
@@ -129,11 +129,11 @@ object Oracles6 {
     * one fixed expression tree, z = 0 on degenerate variance.
     */
   val abTest: String =
-    """WITH pu AS (
+    """WITH pu AS MATERIALIZED (
       | SELECT user_id,
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
       | FROM events GROUP BY 1),
-      |bins AS (SELECT np, COUNT(*) AS cnt FROM pu GROUP BY 1),
+      |bins AS MATERIALIZED (SELECT np, COUNT(*) AS cnt FROM pu GROUP BY 1),
       |nu AS (SELECT COUNT(*) AS n_users FROM pu),
       |cut AS (
       | SELECT MIN(np) AS cutoff FROM (
@@ -145,7 +145,7 @@ object Oracles6 {
       |        AS UBIGINT) % 2 AS BIGINT) AS arm,
       |  CASE WHEN np >= cutoff THEN 1 ELSE 0 END AS conv, cutoff
       | FROM pu, cut),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT cutoff,
       |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |  CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
@@ -171,14 +171,14 @@ object Oracles6 {
     * the same two-independent-algorithms check dedupClusters uses.
     */
   private val compCte =
-    s"""mh AS (${Oracles2.minhashLsh}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+    s"""mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh
        |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)""".stripMargin
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)""".stripMargin
 
   /** Mirrors GraphOps.clusterSizeHist: per-size cluster/doc counts
     * plus the singleton complement row.
@@ -190,7 +190,7 @@ object Oracles6 {
        | SELECT cluster_size, COUNT(*) AS n_clusters,
        |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
        | FROM sizes GROUP BY 1),
-       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |tot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM documents),
        |inc AS (SELECT COUNT(*) AS n_in FROM comp)
        |SELECT cluster_size, n_clusters, n_docs FROM hist
        |UNION ALL
@@ -212,7 +212,7 @@ object Oracles6 {
     * source, band 0 reserved for empty docs.
     */
   val doclenHist: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT source,
       |  len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> ''))
       |    AS n_toks
@@ -229,7 +229,7 @@ object Oracles6 {
     * max_delta 0 for single-frame media.
     */
   val sceneCuts: String =
-    s"""WITH fr AS (${Oracles4.audioEnergy}),
+    s"""WITH fr AS MATERIALIZED (${Oracles4.audioEnergy}),
        |l AS (
        | SELECT media_id, energy,
        |  LAG(energy, 1) OVER (PARTITION BY media_id ORDER BY win_idx) AS prev_e
@@ -246,7 +246,7 @@ object Oracles6 {
     * floor-div ppm hazard.
     */
   val hazardTable: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       | SELECT o_custkey, o_orderkey,
       |  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
       | FROM orders),
@@ -255,7 +255,7 @@ object Oracles6 {
       | SELECT o_custkey, day,
       |  LEAD(day, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS nxt
       | FROM o),
-      |obs AS (
+      |obs AS MATERIALIZED (
       | SELECT CASE WHEN nxt IS NOT NULL THEN nxt - day ELSE max_day - day END AS t_days,
       |  CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS is_event
       | FROM l, mx),
@@ -264,7 +264,7 @@ object Oracles6 {
       |  CAST(SUM(1 - is_event) AS BIGINT) AS n_censored, COUNT(*) AS tot
       | FROM obs GROUP BY 1),
       |tt AS (SELECT COUNT(*) AS n_total FROM obs),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT t_days, d_events, n_censored,
       |  n_total - COALESCE(CAST(SUM(tot) OVER (ORDER BY t_days ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
@@ -277,7 +277,7 @@ object Oracles6 {
     * layouts, max-price footer stats, ≥450k scan predicate.
     */
   val zonePruning: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       | SELECT o_orderkey,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
       | FROM orders),
@@ -314,21 +314,21 @@ object Oracles6 {
     * rational slopes, rank-selected lower median per type.
     */
   val theilsenTrend: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
       | FROM events GROUP BY 1, 2),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT a.event_type, b.sum_c - a.sum_c AS dy, b.day - a.day AS dx,
       |  CAST(b.sum_c - a.sum_c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
       | FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT *,
       |  ROW_NUMBER() OVER (PARTITION BY event_type
       |                     ORDER BY slope ASC, dy ASC, dx ASC) AS rn,
       |  COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
       | FROM p),
-      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
+      |nd AS MATERIALIZED (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
       |SELECT r.event_type, n_days, n_pairs, dy AS med_dy, dx AS med_dx, slope
       |FROM r JOIN nd ON r.event_type = nd.event_type
       |WHERE rn = (n_pairs + 1) // 2""".stripMargin
@@ -338,20 +338,20 @@ object Oracles6 {
     * bidirectional row numbers, exact duration sums.
     */
   val sessionEntryExit: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
       |   AS prev_us
       | FROM ev),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT *,
       |  SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
       |      THEN 1 ELSE 0 END)
       |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
       |   AS session_id
       | FROM m),
-      |sess AS (
+      |sess AS MATERIALIZED (
       | SELECT user_id, session_id, ts_us, event_type,
       |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
       |                     ORDER BY ts_us, event_id) AS rn_a,
@@ -380,12 +380,12 @@ object Oracles6 {
     val cfgCtes = cfgs
       .map { case (nb, rpb) =>
         val t = s"${nb}_$rpb"
-        s"""bands$t AS (
+        s"""bands$t AS MATERIALIZED (
            | SELECT doc_id, b.band_idx,
            |  array_to_string(sigs[CAST(b.band_idx*$rpb+1 AS INT):CAST(b.band_idx*$rpb+$rpb AS INT)], ',')
            |    AS band_hash
            | FROM sigs, (SELECT unnest(range($nb)) AS band_idx) b),
-           |cand$t AS (
+           |cand$t AS MATERIALIZED (
            | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            | FROM bands$t a JOIN bands$t b
            |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -410,7 +410,7 @@ object Oracles6 {
        | SELECT doc_id, list_transform(shingles,
        |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
        | FROM sh),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        | SELECT doc_id, list_transform(range(12),
        |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
        | FROM hs),
@@ -425,7 +425,7 @@ object Oracles6 {
     * labelCentroids 1e-6 quantization grid, per-label aggregate.
     */
   val embeddingQa: String =
-    """WITH per AS (
+    """WITH per AS MATERIALIZED (
       | SELECT label, len(embedding) AS n_dims,
       |  len(list_filter(embedding, v -> isnan(v))) AS n_nan,
       |  CASE WHEN len(list_filter(embedding, v -> v <> 0)) = 0 THEN 1 ELSE 0 END
@@ -447,14 +447,14 @@ object Oracles6 {
     * by the dedupClusters recursive-CTE component twin.
     */
   val mmClusters: String =
-    s"""WITH RECURSIVE mp AS (${Oracles5.aHashPairs}),
-       |edges AS (SELECT media_a AS a, media_b AS b FROM mp
+    s"""WITH RECURSIVE mp AS MATERIALIZED (${Oracles5.aHashPairs}),
+       |edges AS MATERIALIZED (SELECT media_a AS a, media_b AS b FROM mp
        |          UNION SELECT media_b AS a, media_a AS b FROM mp),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
        |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
        |SELECT doc AS media_id, label AS canonical_id, cluster_size,
        | doc = label AS is_canonical
@@ -464,16 +464,16 @@ object Oracles6 {
     * 24 h (86400000000 µs) conversion window per stage.
     */
   val funnelWindowed: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
       | WHERE event_type IN ('view', 'click', 'purchase')),
-      |f AS (
+      |f AS MATERIALIZED (
       | SELECT user_id,
       |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
       |  list(CASE WHEN event_type = 'click' THEN ts_us END) AS click_ts,
       |  list(CASE WHEN event_type = 'purchase' THEN ts_us END) AS purch_ts
       | FROM ev GROUP BY user_id),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT user_id, first_view_us, purch_ts,
       |  list_min(list_filter(click_ts,
       |    t -> t >= first_view_us AND t <= first_view_us + 86400000000))
@@ -497,12 +497,12 @@ object Oracles6 {
     * residual from exact inputs.
     */
   val seasonalDecompose: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
       | FROM events GROUP BY 1, 2),
-      |d2 AS (SELECT *, (day + 4) % 7 AS wd FROM daily),
-      |w AS (
+      |d2 AS MATERIALIZED (SELECT *, (day + 4) % 7 AS wd FROM daily),
+      |w AS MATERIALIZED (
       | SELECT event_type AS et_w, wd AS wd_w, COUNT(*) AS wd_n,
       |  CAST(SUM(sum_c) AS BIGINT) AS wd_sum_c
       | FROM d2 GROUP BY 1, 2)
@@ -516,7 +516,7 @@ object Oracles6 {
     * power-of-two bands.
     */
   val degreeHist: String =
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
        |deg AS (
        | SELECT doc, COUNT(*) AS degree FROM (
        |  SELECT doc_a AS doc FROM mh UNION ALL SELECT doc_b AS doc FROM mh)
@@ -531,17 +531,17 @@ object Oracles6 {
     * degenerate variance, n ≥ 8 floor.
     */
   val xcorrTypes: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
       | FROM events GROUP BY 1, 2),
       |lags AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS lag),
-      |j AS (
+      |j AS MATERIALIZED (
       | SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag, a.x, b.x AS y
       | FROM daily a CROSS JOIN lags l
       |  JOIN daily b ON b.day = a.day + l.lag
       | WHERE a.event_type < b.event_type),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT type_a, type_b, lag, COUNT(*) AS n,
       |  CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_x,
       |  CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sum_y,
@@ -567,19 +567,19 @@ object Oracles6 {
        | SELECT doc_id, list_transform(shingles,
        |   s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647) AS hs
        | FROM sh),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        | SELECT doc_id, list_transform(range(12),
        |   k -> list_min(list_transform(hs, h -> ((k*1000003+1)*h + (k*999983+12345)) % 2147483647))) AS sigs
        | FROM hs),
-       |bands AS (
+       |bands AS MATERIALIZED (
        | SELECT doc_id, b.band_idx,
        |  array_to_string(sigs[CAST(b.band_idx*3+1 AS INT):CAST(b.band_idx*3+3 AS INT)], ',') AS band_hash
        | FROM sigs, (SELECT unnest(range(4)) AS band_idx) b),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |v AS (
+       |v AS MATERIALIZED (
        | SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b, ${Oracles2.jaccardExpr} AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
@@ -600,11 +600,11 @@ object Oracles6 {
     * offset on the strict (price desc, key asc) order.
     */
   val keysetPage: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       | SELECT o_orderkey,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
       | FROM orders),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT o_orderkey, price_c,
       |  ROW_NUMBER() OVER (ORDER BY price_c DESC, o_orderkey ASC) AS rn
       | FROM o)
@@ -619,10 +619,10 @@ object Oracles6 {
       | SELECT lang,
       |  (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) - 1) % 5 AS fold
       | FROM documents),
-      |cells AS (
+      |cells AS MATERIALIZED (
       | SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n_docs
       | FROM ranked GROUP BY 1, 2),
-      |t AS (
+      |t AS MATERIALIZED (
       | SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
       | FROM cells)
       |SELECT lang, fold, n_docs, lang_total,
@@ -636,21 +636,21 @@ object Oracles6 {
     * Spark DIV), two quantile_cont passes, 3·1.4826·MAD threshold.
     */
   val spikeDays: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
       | FROM events GROUP BY 1, 2),
-      |d2 AS (SELECT *, (day + 4) % 7 AS wd FROM daily),
-      |w AS (
+      |d2 AS MATERIALIZED (SELECT *, (day + 4) % 7 AS wd FROM daily),
+      |w AS MATERIALIZED (
       | SELECT event_type AS et_w, wd AS wd_w, COUNT(*) AS wd_n,
       |  CAST(SUM(sum_c) AS BIGINT) AS wd_sum_c
       | FROM d2 GROUP BY 1, 2),
-      |q AS (
+      |q AS MATERIALIZED (
       | SELECT event_type, day,
       |  CAST((sum_c * wd_n - wd_sum_c) // wd_n AS BIGINT) AS resid_q
       | FROM d2 JOIN w ON event_type = et_w AND wd = wd_w),
-      |med AS (SELECT event_type, quantile_cont(resid_q, 0.5) AS med_q FROM q GROUP BY 1),
-      |dv AS (
+      |med AS MATERIALIZED (SELECT event_type, quantile_cont(resid_q, 0.5) AS med_q FROM q GROUP BY 1),
+      |dv AS MATERIALIZED (
       | SELECT q.event_type, q.day, q.resid_q, med.med_q,
       |  abs(CAST(q.resid_q AS DOUBLE) - med.med_q) AS dev
       | FROM q JOIN med USING (event_type)),
@@ -676,21 +676,21 @@ object Oracles6 {
     * exact centi-integers, earliest-day trough selection.
     */
   val maxDrawdown: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
       | FROM events GROUP BY 1, 2),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT event_type, day,
       |  CAST(SUM(sum_c) OVER (PARTITION BY event_type ORDER BY day
       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
       | FROM daily),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT event_type, day, cum_c,
       |  CAST(MAX(cum_c) OVER (PARTITION BY event_type ORDER BY day
       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_c
       | FROM c),
-      |d AS (
+      |d AS MATERIALIZED (
       | SELECT *, peak_c - cum_c AS dd_c,
       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY peak_c - cum_c DESC, day ASC)
       |    AS rk,
@@ -722,7 +722,7 @@ object Oracles6 {
     * the shared regexp, per-source flag rate.
     */
   val consonantRuns: String =
-    """WITH per AS (
+    """WITH per AS MATERIALIZED (
       | SELECT source,
       |  CAST(COALESCE(list_max(list_transform(
       |    regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
@@ -740,20 +740,20 @@ object Oracles6 {
     * via first-row selection, one-event-session share.
     */
   val bounceRate: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
-      |m AS (
+      |m AS MATERIALIZED (
       | SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
       |   AS prev_us
       | FROM ev),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT *,
       |  SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
       |      THEN 1 ELSE 0 END)
       |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
       |   AS session_id
       | FROM m),
-      |sess AS (
+      |sess AS MATERIALIZED (
       | SELECT user_id, session_id, event_type,
       |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
       |                     ORDER BY ts_us, event_id) AS rn_a,
@@ -769,7 +769,7 @@ object Oracles6 {
     * collapses, cross-multiplied ppm ratio.
     */
   val stickiness: String =
-    """WITH du AS (
+    """WITH du AS MATERIALIZED (
       | SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
       |dau AS (
       | SELECT day // 7 AS week, COUNT(*) AS n_days,
@@ -786,11 +786,11 @@ object Oracles6 {
     * decimal-exact window moments, z = 0 on zero variance, n ≥ 7.
     */
   val rollingZscore: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
       | FROM events GROUP BY 1, 2),
-      |w AS (
+      |w AS MATERIALIZED (
       | SELECT event_type, day, sum_c,
       |  COUNT(*) OVER t AS n_prior,
       |  CAST(CAST(SUM(CAST(sum_c AS DECIMAL(38,0))) OVER t AS VARCHAR) AS DOUBLE) AS sx,
@@ -812,11 +812,11 @@ object Oracles6 {
     * 0 for absentees.
     */
   val tierMigration: String =
-    """WITH o AS (
+    """WITH o AS MATERIALIZED (
       | SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
       | FROM orders),
-      |m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM o),
+      |m AS MATERIALIZED (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM o),
       |h1 AS (
       | SELECT o_custkey,
       |  CAST(NTILE(5) OVER (ORDER BY spend_c ASC, o_custkey ASC) AS BIGINT) AS tier_h1
@@ -839,14 +839,14 @@ object Oracles6 {
     val perT = Seq(700, 800, 900)
       .map { t =>
         val j = t / 100 // 7, 8, 9 -> 0.7 etc.
-        s"""e$t AS (SELECT doc_a, doc_b FROM mh WHERE jaccard >= 0.$j),
-           |ed$t AS (SELECT doc_a AS a, doc_b AS b FROM e$t
+        s"""e$t AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE jaccard >= 0.$j),
+           |ed$t AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM e$t
            |         UNION SELECT doc_b, doc_a FROM e$t),
            |r$t(a, b) AS (
            | SELECT a, b FROM ed$t
            | UNION
            | SELECT r.a, e.b FROM r$t r JOIN ed$t e ON r.b = e.a),
-           |c$t AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM r$t GROUP BY a),
+           |c$t AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM r$t GROUP BY a),
            |s$t AS (SELECT label, COUNT(*) AS sz FROM c$t GROUP BY 1),
            |g$t AS (
            | SELECT CAST($t AS BIGINT) AS threshold_pm,
@@ -857,7 +857,7 @@ object Oracles6 {
            | FROM s$t)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH RECURSIVE mh AS (${Oracles2.minhashLsh}),
+    s"""WITH RECURSIVE mh AS MATERIALIZED (${Oracles2.minhashLsh}),
        |$perT
        |SELECT * FROM g700 UNION ALL SELECT * FROM g800 UNION ALL SELECT * FROM g900""".stripMargin
   }
@@ -868,20 +868,20 @@ object Oracles6 {
     * anchor. recall_ppm = overlap * 100000 (== *1e6 DIV 10), exact.
     */
   val matryoshkaRecall: String =
-    """WITH ks AS (SELECT CAST(k AS INTEGER) AS k FROM (VALUES (8), (16), (32), (64)) t(k)),
-      |q AS (
+    """WITH ks AS MATERIALIZED (SELECT CAST(k AS INTEGER) AS k FROM (VALUES (8), (16), (32), (64)) t(k)),
+      |q AS MATERIALIZED (
       | SELECT k, vec_id AS query_id, list_slice(embedding, 1, k) AS qe
       | FROM embeddings, ks WHERE vec_id < 5),
-      |n AS (
+      |n AS MATERIALIZED (
       | SELECT k, vec_id AS neighbor_id, list_slice(embedding, 1, k) AS ne
       | FROM embeddings, ks),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT q.k, query_id, neighbor_id,
       |  list_sum(list_transform(list_zip(qe, ne), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
       | FROM q JOIN n USING (k) WHERE query_id <> neighbor_id),
-      |top AS (
+      |top AS MATERIALIZED (
       | SELECT k, query_id, neighbor_id FROM (
       |  SELECT k, query_id, neighbor_id,
       |   ROW_NUMBER() OVER (PARTITION BY k, query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
@@ -899,19 +899,19 @@ object Oracles6 {
     * bin counts, mirroring the engine's single events scan.
     */
   val tvdDrift: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) AS us,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb
       | FROM events),
       |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
-      |f AS (SELECT event_type, vb,
+      |f AS MATERIALIZED (SELECT event_type, vb,
       |       CASE WHEN us <= mid THEN 0 ELSE 1 END AS h
       |      FROM e, mid),
-      |b AS (SELECT event_type, vb,
+      |b AS MATERIALIZED (SELECT event_type, vb,
       |       SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
       |       SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1
       |      FROM f GROUP BY 1, 2),
-      |t AS (SELECT event_type,
+      |t AS MATERIALIZED (SELECT event_type,
       |       CAST(SUM(c0) AS BIGINT) AS n_first,
       |       CAST(SUM(c1) AS BIGINT) AS n_second
       |      FROM b GROUP BY 1)
@@ -949,7 +949,7 @@ object Oracles6 {
          |     y -> y IS NOT NULL)) AS pair
          |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM r${k - 1}))
          | GROUP BY 1),
-         |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |m$k AS MATERIALIZED (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
          |r$k AS MATERIALIZED (
          | SELECT word, freq,
          |  replace(replace(replace(seq, $rep), $rep), $rep) AS seq
@@ -980,7 +980,7 @@ object Oracles6 {
     s"""WITH $bpeChain,
        |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
        |        FROM $last),
-       |occ AS (
+       |occ AS MATERIALIZED (
        | SELECT source, word, COUNT(*) AS cnt FROM (
        |  SELECT source,
        |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
@@ -1001,7 +1001,7 @@ object Oracles6 {
     * generate_series, IEEE products, decimal-exact sums.
     */
   val gramMatrix: String =
-    """WITH a AS (
+    """WITH a AS MATERIALIZED (
       | SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS vi
       | FROM embeddings, generate_series(0, 63) t(i))
       |SELECT CAST(x.i AS BIGINT) AS i, CAST(y.i AS BIGINT) AS j,
@@ -1053,7 +1053,7 @@ object Oracles6 {
   val pcaScores: String = {
     import graft.operators.SimilarityOps.PcaRounds
     s"""WITH $pcaChain,
-       |scored AS (
+       |scored AS MATERIALIZED (
        | SELECT label,
        |  list_sum(list_transform(list_zip(embedding, xs),
        |    p -> CAST(p[1] AS DOUBLE) * p[2])) AS score
@@ -1088,7 +1088,7 @@ object Oracles6 {
       |    regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
       |    s -> length(s))), 0) AS BIGINT) AS max_run
       | FROM counts),
-      |q AS (
+      |q AS MATERIALIZED (
       | SELECT source, n_chars, n_words, max_run,
       |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
       |   * (1.0 - punct_ratio) * (0.5 + stop_ratio) AS quality
@@ -1106,9 +1106,9 @@ object Oracles6 {
     * bound, floor-div ppm credit.
     */
   val linearAttribution: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-      |w AS (
+      |w AS MATERIALIZED (
       | SELECT event_type,
       |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_click,
       |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER fr AS BIGINT) AS cnt_error,
@@ -1117,7 +1117,7 @@ object Oracles6 {
       | FROM ev
       | WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
       |               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT cnt_click, cnt_error, cnt_signup, cnt_view,
       |  cnt_click + cnt_error + cnt_signup + cnt_view AS n
       | FROM w WHERE event_type = 'purchase'),
@@ -1165,7 +1165,7 @@ object Oracles6 {
     * Every derived integer is CAST to BIGINT (the HUGEINT-drift rule).
     */
   private val winnowedCte: String =
-    """toks AS (
+    """toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
@@ -1197,11 +1197,11 @@ object Oracles6 {
     */
   val winnowingPairs: String =
     s"""WITH $winnowedCte,
-       |posts AS (SELECT doc_id, unnest(fps) AS fpv FROM fp),
+       |posts AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fpv FROM fp),
        |freq AS (SELECT fpv, COUNT(DISTINCT doc_id) AS nd FROM posts GROUP BY 1),
-       |alive AS (SELECT doc_id, fpv FROM posts JOIN freq USING (fpv)
+       |alive AS MATERIALIZED (SELECT doc_id, fpv FROM posts JOIN freq USING (fpv)
        |          WHERE nd >= 2 AND nd <= 50),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |           CAST(COUNT(*) AS BIGINT) AS n_shared
        |          FROM alive a JOIN alive b USING (fpv)
        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -1220,10 +1220,10 @@ object Oracles6 {
       |   unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '')) AS token
       |  FROM documents)
       | GROUP BY 1, 2),
-      |st AS (SELECT token, CAST(SUM(c) AS BIGINT) AS total_cnt,
+      |st AS MATERIALIZED (SELECT token, CAST(SUM(c) AS BIGINT) AS total_cnt,
       |        CAST(SUM(c*c) AS BIGINT) AS sum_sq, COUNT(*) AS doc_freq
       |       FROM pd GROUP BY 1),
-      |d AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |d AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM documents)
       |SELECT token, total_cnt, doc_freq, n_docs,
       | CAST((n_docs * sum_sq - total_cnt * total_cnt) * 1000000
       |      // (n_docs * total_cnt) AS BIGINT) AS burstiness_ppm
@@ -1236,7 +1236,7 @@ object Oracles6 {
     * per-batch pad-to-max, floor-div ppm waste.
     */
   val paddingWaste: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT doc_id, source,
       |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
       |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
@@ -1272,7 +1272,7 @@ object Oracles6 {
     * int64 priority (coin·10⁸) // (n_chars+1), 5 smallest per source.
     */
   val weightedSample: String =
-    """WITH p AS (
+    """WITH p AS MATERIALIZED (
       | SELECT source, doc_id, n_chars,
       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
       |    * 100000000 // (n_chars + 1) AS BIGINT) AS priority
@@ -1288,19 +1288,19 @@ object Oracles6 {
     * rollup in exact integers.
     */
   val ngramDupRate: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '') AS toks
       | FROM documents),
-      |g AS (
+      |g AS MATERIALIZED (
       | SELECT source,
       |  unnest(list_transform(range(len(toks)-7),
       |   i -> CAST(CAST(concat('0x', substr(md5(
       |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
       |        AS UBIGINT) AS BIGINT))) AS fp
       | FROM toks WHERE len(toks) >= 8),
-      |c AS (SELECT source, fp, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
-      |r AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_grams,
+      |c AS MATERIALIZED (SELECT source, fp, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS MATERIALIZED (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_grams,
       |        COUNT(*) AS distinct_grams,
       |        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_grams
       |      FROM c GROUP BY 1)
@@ -1313,7 +1313,7 @@ object Oracles6 {
     * per-type risk rollup at the k<5 line.
     */
   val kAnonymity: String =
-    """WITH q AS (
+    """WITH q AS MATERIALIZED (
       | SELECT event_type,
       |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
@@ -1334,7 +1334,7 @@ object Oracles6 {
     * sensitive `$.k` prop values per class, homogeneity rollup.
     */
   val lDiversity: String =
-    """WITH q AS (
+    """WITH q AS MATERIALIZED (
       | SELECT event_type,
       |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
@@ -1356,11 +1356,11 @@ object Oracles6 {
     * division for the AUC.
     */
   val mannWhitneyDrift: String =
-    """WITH ev AS (
+    """WITH ev AS MATERIALIZED (
       | SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vb FROM events),
-      |bins AS (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
-      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
-      |pairs AS (SELECT a.event_type AS type_a, a.n AS n_a, b.event_type AS type_b, b.n AS n_b
+      |bins AS MATERIALIZED (SELECT event_type, vb, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |tot AS MATERIALIZED (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+      |pairs AS MATERIALIZED (SELECT a.event_type AS type_a, a.n AS n_a, b.event_type AS type_b, b.n AS n_b
       |          FROM tot a, tot b WHERE a.event_type < b.event_type),
       |u AS (
       | SELECT type_a, type_b, n_a, n_b, vb, SUM(a_v) AS a_v, SUM(b_v) AS b_v
@@ -1371,12 +1371,12 @@ object Oracles6 {
       |  SELECT p.type_a, p.type_b, p.n_a, p.n_b, bn.vb, 0, bn.cnt
       |  FROM bins bn JOIN pairs p ON bn.event_type = p.type_b)
       | GROUP BY 1, 2, 3, 4, 5),
-      |w AS (
+      |w AS MATERIALIZED (
       | SELECT *, a_v + b_v AS m_v,
       |  COALESCE(SUM(a_v + b_v) OVER (PARTITION BY type_a, type_b ORDER BY vb
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
       | FROM u),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT type_a, type_b, n_a, n_b,
       |  CAST(SUM(a_v * (2 * c_before + m_v + 1)) - n_a * (n_a + 1) AS BIGINT) AS u2_a
       | FROM w GROUP BY 1, 2, 3, 4)
@@ -1390,19 +1390,19 @@ object Oracles6 {
     * lang.
     */
   val keynessTerms: String =
-    """WITH c AS (
+    """WITH c AS MATERIALIZED (
       | SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '')) AS token
       | FROM documents),
-      |cnt AS (SELECT lang, token, COUNT(*) AS a FROM c GROUP BY 1, 2),
+      |cnt AS MATERIALIZED (SELECT lang, token, COUNT(*) AS a FROM c GROUP BY 1, 2),
       |tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS tok_total FROM cnt GROUP BY 1),
       |lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS lang_total FROM cnt GROUP BY 1),
-      |g AS (SELECT CAST(SUM(a) AS BIGINT) AS grand FROM cnt),
-      |m AS (
+      |g AS MATERIALIZED (SELECT CAST(SUM(a) AS BIGINT) AS grand FROM cnt),
+      |m AS MATERIALIZED (
       | SELECT lang, token, a, tok_total - a AS b, lang_total - a AS c,
       |  grand - tok_total - lang_total + a AS d
       | FROM cnt JOIN tt USING (token) JOIN lt USING (lang), g),
-      |o AS (
+      |o AS MATERIALIZED (
       | SELECT lang, token, a, b, c, d,
       |  CAST(((CAST(a AS HUGEINT) + 1) * (CAST(d AS HUGEINT) + 1) * 1000000)
       |       // ((CAST(b AS HUGEINT) + 1) * (CAST(c AS HUGEINT) + 1)) AS BIGINT) AS or_ppm
@@ -1418,12 +1418,12 @@ object Oracles6 {
     * IEEE division for the replica mean.
     */
   val bootstrapMeans: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       | SELECT event_id, event_type,
       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
       |  unnest(range(16)) AS replica
       | FROM events),
-      |w AS (
+      |w AS MATERIALIZED (
       | SELECT event_type, CAST(replica AS BIGINT) AS replica, vc,
       |  CASE WHEN coin < 3679 THEN 0 WHEN coin < 7358 THEN 1
       |       WHEN coin < 9197 THEN 2 WHEN coin < 9810 THEN 3
@@ -1445,20 +1445,20 @@ object Oracles6 {
     * cross-multiplied sign pairs, per-day tie counts, 18·Var(S).
     */
   val mannKendallTrend: String =
-    """WITH daily AS (
+    """WITH daily AS MATERIALIZED (
       | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
       |  COUNT(*) AS n
       | FROM events GROUP BY 1, 2),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT a.event_type,
       |  CASE WHEN CAST(b.sc AS HUGEINT) * a.n > CAST(a.sc AS HUGEINT) * b.n THEN 1
       |       WHEN CAST(b.sc AS HUGEINT) * a.n < CAST(a.sc AS HUGEINT) * b.n THEN -1
       |       ELSE 0 END AS sgn
       | FROM daily a JOIN daily b USING (event_type)
       | WHERE a.day < b.day),
-      |s AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
-      |t AS (
+      |s AS MATERIALIZED (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+      |t AS MATERIALIZED (
       | SELECT event_type, day_a, COUNT(*) AS t_day FROM (
       |  SELECT a.event_type, a.day AS day_a
       |  FROM daily a JOIN daily b USING (event_type)
@@ -1495,18 +1495,18 @@ object Oracles6 {
     * kept blocks in order + the remainder tokens, single-space join.
     */
   val spanRewrite: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |blocks AS (
+      |blocks AS MATERIALIZED (
       | SELECT doc_id, i AS k,
       |  array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS block
       | FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM toks)),
-      |fpb AS (SELECT doc_id, k, block,
+      |fpb AS MATERIALIZED (SELECT doc_id, k, block,
       |        CAST(CAST(concat('0x', substr(md5(block), 1, 15)) AS UBIGINT) AS BIGINT) AS fp
       |       FROM blocks),
-      |nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fpb GROUP BY 1),
-      |kept AS (
+      |nd AS MATERIALIZED (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fpb GROUP BY 1),
+      |kept AS MATERIALIZED (
       | SELECT doc_id, COUNT(*) AS n_blocks,
       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_blocks,
       |  string_agg(CASE WHEN nd = 1 THEN block END, ' ' ORDER BY k) AS kept_text
@@ -1538,31 +1538,31 @@ object Oracles6 {
     * pos-ordered space-joined chunk text, per-source dup rollup.
     */
   val cdcChunks: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id, source,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |p AS (
+      |p AS MATERIALIZED (
       | SELECT doc_id, source,
       |  unnest(list_transform(range(len(toks)),
       |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS s
       | FROM toks),
-      |t AS (
+      |t AS MATERIALIZED (
       | SELECT doc_id, source, s.pos AS pos, s.tok AS tok,
       |  CASE WHEN CAST(concat('0x', substr(md5(s.tok), 1, 15)) AS UBIGINT) % 8 = 0
       |       THEN 1 ELSE 0 END AS b
       | FROM p),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT doc_id, source, pos, tok,
       |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
       | FROM t),
-      |ch AS (
+      |ch AS MATERIALIZED (
       | SELECT doc_id, source, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
       | FROM c GROUP BY 1, 2, 3),
-      |f AS (SELECT chash, COUNT(*) AS nc FROM ch GROUP BY 1),
-      |r AS (
+      |f AS MATERIALIZED (SELECT chash, COUNT(*) AS nc FROM ch GROUP BY 1),
+      |r AS MATERIALIZED (
       | SELECT source, COUNT(*) AS n_chunks, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
       |  MAX(n_toks) AS max_chunk_tokens,
       |  CAST(SUM(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
@@ -1583,13 +1583,13 @@ object Oracles6 {
          | sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0 /
          |      CAST(n_rows * LEAST(nr - 1, nc - 1) AS DOUBLE)) AS cramers_v
          |FROM (
-         | WITH p AS (SELECT CAST($x AS VARCHAR) AS x, CAST($y AS VARCHAR) AS y,
+         | WITH p AS MATERIALIZED (SELECT CAST($x AS VARCHAR) AS x, CAST($y AS VARCHAR) AS y,
          |             CAST(SUM(cnt) AS BIGINT) AS o FROM cube GROUP BY 1, 2),
-         | r AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM p GROUP BY 1),
-         | c AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM p GROUP BY 1),
-         | nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(DISTINCT x) AS nr,
+         | r AS MATERIALIZED (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM p GROUP BY 1),
+         | c AS MATERIALIZED (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM p GROUP BY 1),
+         | nn AS MATERIALIZED (SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(DISTINCT x) AS nr,
          |         COUNT(DISTINCT y) AS nc FROM p),
-         | g AS (SELECT r.x, c.y, r.r, c.c, COALESCE(p.o, 0) AS o
+         | g AS MATERIALIZED (SELECT r.x, c.y, r.r, c.c, COALESCE(p.o, 0) AS o
          |       FROM r CROSS JOIN c LEFT JOIN p USING (x, y))
          | SELECT any_value(n) AS n_rows, any_value((nr - 1) * (nc - 1)) AS dof,
          |  any_value(nr) AS nr, any_value(nc) AS nc,
@@ -1597,12 +1597,12 @@ object Oracles6 {
          |           (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
          |          // (CAST(r AS HUGEINT) * c * n)) AS BIGINT) AS chi2_ppm
          | FROM g, nn)""".stripMargin
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        | SELECT event_type,
        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
        |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day
        | FROM events),
-       |cube AS (SELECT event_type, weekday, hour_of_day, COUNT(*) AS cnt
+       |cube AS MATERIALIZED (SELECT event_type, weekday, hour_of_day, COUNT(*) AS cnt
        |         FROM e GROUP BY 1, 2, 3)
        |${pairSql("type_x_weekday", "event_type", "weekday")}
        |UNION ALL
@@ -1644,7 +1644,7 @@ object Oracles6 {
       |rs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rnk FROM spend),
       |gs AS (SELECT COUNT(*) AS n, SUM(x) AS s0, SUM(CAST(x AS DECIMAL(38,0)) * rnk) AS s1
       |       FROM rs),
-      |toks AS (
+      |toks AS MATERIALIZED (
       | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
       |   t -> t <> '')) AS token
       | FROM documents),
@@ -1697,12 +1697,12 @@ object Oracles6 {
     * gini_inequality seam).
     */
   val massShards: String =
-    """WITH d AS (
+    """WITH d AS MATERIALIZED (
       | SELECT doc_id,
       |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
       |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
       | FROM documents),
-      |c AS (
+      |c AS MATERIALIZED (
       | SELECT doc_id, n_toks,
       |  SUM(n_toks) OVER (ORDER BY doc_id) AS cum,
       |  SUM(n_toks) OVER () AS total
@@ -1728,9 +1728,9 @@ object Oracles6 {
          | CAST((SELECT COUNT(*) FROM $a) AS BIGINT) AS n_a,
          | CAST((SELECT COUNT(*) FROM $b) AS BIGINT) AS n_b,
          | CAST((SELECT COUNT(*) FROM $a JOIN $b USING (doc_a, doc_b)) AS BIGINT) AS n_both""".stripMargin
-    s"""WITH m AS (SELECT doc_a, doc_b FROM (${Oracles2.minhashLsh}) mq),
-       |g AS (SELECT doc_a, doc_b FROM (${Oracles2.ngramJaccard}) gq),
-       |s AS (SELECT doc_a, doc_b FROM ($sortedNeighborhood) sq)
+    s"""WITH m AS MATERIALIZED (SELECT doc_a, doc_b FROM (${Oracles2.minhashLsh}) mq),
+       |g AS MATERIALIZED (SELECT doc_a, doc_b FROM (${Oracles2.ngramJaccard}) gq),
+       |s AS MATERIALIZED (SELECT doc_a, doc_b FROM ($sortedNeighborhood) sq)
        |${cmp("minhash", "m", "ngram", "g")}
        |UNION ALL
        |${cmp("minhash", "m", "snm", "s")}
@@ -1762,17 +1762,17 @@ object Oracles6 {
          |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 15))
          |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val'
          |     ELSE 'test' END""".stripMargin
-    s"""WITH RECURSIVE mh AS (${Oracles2.minhashLsh}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+    s"""WITH RECURSIVE mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh
        |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
-       |d AS (SELECT doc_id, COALESCE(comp.label, doc_id) AS ckey
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |d AS MATERIALIZED (SELECT doc_id, COALESCE(comp.label, doc_id) AS ckey
        |      FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc),
-       |s AS (SELECT ${splitCase("doc_id")} AS id_split,
+       |s AS MATERIALIZED (SELECT ${splitCase("doc_id")} AS id_split,
        |             ${splitCase("ckey")} AS content_split
        |      FROM d)
        |SELECT id_split, content_split, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1800,7 +1800,7 @@ object Oracles6 {
          | FROM h$lvl)""".stripMargin
     }.mkString(",\n")
     val shift = graft.operators.LayoutOps.ZBucketShift
-    s"""WITH dims AS (
+    s"""WITH dims AS MATERIALIZED (
        | SELECT o_custkey % 1024 AS x,
        |        (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 1024 AS y
        | FROM orders),
@@ -1820,7 +1820,7 @@ object Oracles6 {
     */
   val dedupSavings: String =
     s"""WITH RECURSIVE
-       |tc AS (
+       |tc AS MATERIALIZED (
        | SELECT doc_id,
        |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
@@ -1828,18 +1828,18 @@ object Oracles6 {
        |fps AS (SELECT doc_id,
        |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
        |        FROM documents),
-       |ex AS (SELECT doc_id FROM (
+       |ex AS MATERIALIZED (SELECT doc_id FROM (
        |        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS k FROM fps)
        |       WHERE NOT k),
-       |mh AS (${Oracles2.minhashLsh}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+       |mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mh
        |          UNION SELECT doc_b AS a, doc_a AS b FROM mh),
        |reach(a, b) AS (
        | SELECT a, b FROM edges
        | UNION
        | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
-       |nearx AS (SELECT doc AS doc_id FROM comp WHERE doc <> label),
+       |comp AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+       |nearx AS MATERIALIZED (SELECT doc AS doc_id FROM comp WHERE doc <> label),
        |stoks AS (
        | SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
@@ -1847,7 +1847,7 @@ object Oracles6 {
        | SELECT doc_id,
        |  array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS block
        | FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM stoks)),
-       |sfpb AS (SELECT doc_id, block,
+       |sfpb AS MATERIALIZED (SELECT doc_id, block,
        |        CAST(CAST(concat('0x', substr(md5(block), 1, 15)) AS UBIGINT) AS BIGINT) AS fp
        |       FROM sblocks),
        |snd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM sfpb GROUP BY 1),
@@ -1863,12 +1863,12 @@ object Oracles6 {
        |  unnest(list_transform(range(len(toks)),
        |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS s
        | FROM ctoks),
-       |ct AS (
+       |ct AS MATERIALIZED (
        | SELECT doc_id, s.pos AS pos, s.tok AS tok,
        |  CASE WHEN CAST(concat('0x', substr(md5(s.tok), 1, 15)) AS UBIGINT) % 8 = 0
        |       THEN 1 ELSE 0 END AS b
        | FROM cp),
-       |cc AS (
+       |cc AS MATERIALIZED (
        | SELECT doc_id, pos, tok,
        |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
@@ -1905,9 +1905,9 @@ object Oracles6 {
          |  AS n_hits,
          | CAST(CAST((SELECT COUNT(*) FROM tr JOIN $t USING (query_id, neighbor_id))
          |      AS HUGEINT) * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
-    s"""WITH tr AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq),
-       |iv AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkIvf}) iq),
-       |ls AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkLsh}) lq)
+    s"""WITH tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq),
+       |iv AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkIvf}) iq),
+       |ls AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkLsh}) lq)
        |${row("ivf", "iv")}
        |UNION ALL
        |${row("lsh", "ls")}""".stripMargin
@@ -1920,9 +1920,9 @@ object Oracles6 {
     */
   val simhashCalibration: String =
     s"""WITH ${Oracles2.shinglesCte},
-       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM posting GROUP BY 1),
-       |prs AS (SELECT doc_a, doc_b, hamming FROM (${Oracles2.simhashPairs}) pq),
+       |posting AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |cnts AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM posting GROUP BY 1),
+       |prs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (${Oracles2.simhashPairs}) pq),
        |shr AS (
        | SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
        | FROM prs p

@@ -17,12 +17,12 @@ object Oracles7 {
     * per query slice, restricted to DIFFERENT-label neighbors.
     */
   val hardNegatives: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS query_label,
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS query_label,
        |                  embedding AS qe, $normSql AS nq
        |           FROM embeddings WHERE vec_id < 5),
-       |n AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
+       |n AS MATERIALIZED (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label,
        |             embedding AS ne, $normSql AS nn FROM embeddings),
-       |p AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |p AS MATERIALIZED (SELECT query_id, query_label, neighbor_id, neighbor_label,
        |       ${dotSql("qe", "ne")} / (nq * nn) AS score
        |      FROM q, n WHERE query_label <> neighbor_label)
        |SELECT query_id, query_label, neighbor_id, neighbor_label, score, rnk FROM (
@@ -37,7 +37,7 @@ object Oracles7 {
     */
   val hubnessSkew: String =
     s"""WITH kj AS (${Oracles2.knnJoin}),
-       |occ AS (SELECT neighbor_id, COUNT(*) AS k_occ FROM kj GROUP BY 1),
+       |occ AS MATERIALIZED (SELECT neighbor_id, COUNT(*) AS k_occ FROM kj GROUP BY 1),
        |hist AS (SELECT k_occ, COUNT(*) AS n_vecs FROM occ GROUP BY 1),
        |zero AS (SELECT CAST(0 AS BIGINT) AS k_occ,
        |  (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM occ) AS n_vecs)
@@ -57,8 +57,8 @@ object Oracles7 {
          |          array_to_string(toks[CAST(i+1 AS INT):CAST(i+$n AS INT)], ' ')), 1, 15))
          |        AS UBIGINT) AS BIGINT))) AS hs
          | FROM toks WHERE len(toks) >= $n),
-         |p$n AS (SELECT doc_id, b, unnest(hs) AS h FROM sh$n),
-         |lk$n AS (
+         |p$n AS MATERIALIZED (SELECT doc_id, b, unnest(hs) AS h FROM sh$n),
+         |lk$n AS MATERIALIZED (
          | SELECT DISTINCT tr.doc_id AS train_doc, tr.h
          | FROM (SELECT doc_id, h FROM p$n WHERE b < 80) tr
          | JOIN (SELECT DISTINCT h FROM p$n WHERE b >= 90) te USING (h))""".stripMargin
@@ -72,7 +72,7 @@ object Oracles7 {
          | (SELECT COUNT(DISTINCT train_doc) FROM lk$n) AS n_contaminated_docs,
          | (SELECT COUNT(DISTINCT h) FROM lk$n) AS n_leaked_ngrams)""".stripMargin
     }
-    s"""WITH toks AS (
+    s"""WITH toks AS MATERIALIZED (
        | SELECT doc_id,
        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT) AS b,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
@@ -91,10 +91,10 @@ object Oracles7 {
       | SELECT source,
       |  unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS t
       | FROM documents),
-      |st AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
-      |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |st AS MATERIALIZED (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+      |ct AS MATERIALIZED (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
       |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
-      |nn AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+      |nn AS MATERIALIZED (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
       |terms AS (
       | SELECT source, c_t, n_s, n,
       |  CAST((CAST(c_st AS HUGEINT) * n - CAST(n_s AS HUGEINT) * c_t)
@@ -138,8 +138,8 @@ object Oracles7 {
        |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END)
        |  AS quality
        | FROM counts),
-       |mh AS (${Oracles2.minhashLsh}),
-       |dup AS (SELECT DISTINCT doc_id FROM (
+       |mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |dup AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
        |  SELECT doc_a AS doc_id FROM mh UNION ALL SELECT doc_b AS doc_id FROM mh)),
        |binned AS (
        | SELECT CAST(FLOOR(CAST(quality AS DECIMAL(18,2)) * 10) AS BIGINT) AS q_bin,
@@ -158,7 +158,7 @@ object Oracles7 {
     s"""WITH ${Oracles6.bpeChain},
        |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
        |        FROM $last),
-       |occ AS (
+       |occ AS MATERIALIZED (
        | SELECT lang, word, COUNT(*) AS cnt FROM (
        |  SELECT lang,
        |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
@@ -181,16 +181,16 @@ object Oracles7 {
     * (ONE definition each) full-outer-joined, HUGEINT-floored share.
     */
   val lexicalVsSemantic: String =
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
-       |nd AS (${Oracles2.annNearDup}),
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |nd AS MATERIALIZED (${Oracles2.annNearDup}),
        |cats AS (
        | SELECT CASE WHEN mh.doc_a IS NOT NULL AND nd.vec_a IS NOT NULL THEN 'both'
        |             WHEN mh.doc_a IS NOT NULL THEN 'lexical_only'
        |             ELSE 'semantic_only' END AS category
        | FROM mh FULL OUTER JOIN nd
        |   ON mh.doc_a = nd.vec_a AND mh.doc_b = nd.vec_b),
-       |c AS (SELECT category, COUNT(*) AS n_pairs FROM cats GROUP BY 1),
-       |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_union FROM c)
+       |c AS MATERIALIZED (SELECT category, COUNT(*) AS n_pairs FROM cats GROUP BY 1),
+       |t AS MATERIALIZED (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_union FROM c)
        |SELECT category, n_pairs,
        | CAST(CAST(n_pairs AS HUGEINT) * 1000000 // n_union AS BIGINT) AS share_ppm
        |FROM c CROSS JOIN t""".stripMargin
@@ -219,7 +219,7 @@ object Oracles7 {
     }
     s"""WITH ${Oracles2.shinglesCte},
        |${Oracles2.minhashBandsCte},
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
@@ -229,11 +229,11 @@ object Oracles7 {
        |  CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS uni
        | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
        | WHERE ${Oracles2.jaccardExpr} >= 0.7),
-       |m AS (
+       |m AS MATERIALIZED (
        | SELECT inter, uni,
        | $matchCols
        | FROM ver JOIN sigs sga ON sga.doc_id = doc_a JOIN sigs sgb ON sgb.doc_id = doc_b),
-       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        | $errCols
        | FROM m)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
@@ -275,9 +275,9 @@ object Oracles7 {
          |FROM stat CROSS JOIN pass$m""".stripMargin
     }
     s"""WITH ${Oracles2.decontamPostingCte},
-       |tr AS (SELECT DISTINCT h FROM p WHERE b < 80),
-       |te AS (SELECT DISTINCT h FROM p WHERE b >= 90),
-       |stat AS (SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
+       |tr AS MATERIALIZED (SELECT DISTINCT h FROM p WHERE b < 80),
+       |te AS MATERIALIZED (SELECT DISTINCT h FROM p WHERE b >= 90),
+       |stat AS MATERIALIZED (SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
        |                CAST((SELECT COUNT(*) FROM tr JOIN te USING (h)) AS BIGINT) AS n_true),
        |${perM.mkString(",\n")}
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
@@ -337,7 +337,7 @@ object Oracles7 {
        |  list_position(lf, list_max(lf)) - 1 AS r_from,
        |  list_position(lt, list_max(lt)) - 1 AS r_to
        | FROM (SELECT doc_id, ${hrwList(kf)} AS lf, ${hrwList(kt)} AS lt FROM documents)),
-       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(CASE WHEN m_from <> m_to THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
        |  CAST(SUM(CASE WHEN r_from <> r_to THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved
        | FROM h)
@@ -371,7 +371,7 @@ object Oracles7 {
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks,
        |  ${Oracles2.fingerprintSql} AS fp
        | FROM documents),
-       |q AS (SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n_toks,
+       |q AS MATERIALIZED (SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n_toks,
        |       (${Oracles2.qualityExprSql}) >= $minQ AS pass_q
        |      FROM base),
        |k AS (SELECT doc_id, fp, n_toks, pass_q,
@@ -380,14 +380,14 @@ object Oracles7 {
        |      FROM q),
        |ck AS (SELECT doc_id, keep FROM (${Oracles2.clusterKeepers})),
        |dc AS (SELECT train_doc FROM (${Oracles2.decontaminate})),
-       |f AS (SELECT k.n_toks, k.pass_q,
+       |f AS MATERIALIZED (SELECT k.n_toks, k.pass_q,
        |       (k.pass_q AND k.is_keeper) AS c3,
        |       (k.pass_q AND k.is_keeper AND COALESCE(ck.keep, TRUE)) AS c4,
        |       (k.pass_q AND k.is_keeper AND COALESCE(ck.keep, TRUE)
        |        AND dc.train_doc IS NULL) AS c5
        |      FROM k LEFT JOIN ck ON ck.doc_id = k.doc_id
        |             LEFT JOIN dc ON dc.train_doc = k.doc_id),
-       |a AS (SELECT
+       |a AS MATERIALIZED (SELECT
        |  CAST(COUNT(*) AS BIGINT) AS s1, CAST(SUM(n_toks) AS BIGINT) AS t1,
        |  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS s2,
        |  CAST(SUM(CASE WHEN pass_q THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
@@ -406,13 +406,13 @@ object Oracles7 {
     * least/greatest, HUGEINT-floored share ppm.
     */
   val dupSourceMatrix: String =
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
-       |s AS (SELECT doc_id, source FROM documents),
-       |j AS (SELECT least(sa.source, sb.source) AS src_lo,
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |s AS MATERIALIZED (SELECT doc_id, source FROM documents),
+       |j AS MATERIALIZED (SELECT least(sa.source, sb.source) AS src_lo,
        |             greatest(sa.source, sb.source) AS src_hi
        |      FROM mh JOIN s sa ON sa.doc_id = doc_a
        |              JOIN s sb ON sb.doc_id = doc_b),
-       |t AS (SELECT COUNT(*) AS n_total FROM mh)
+       |t AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM mh)
        |SELECT src_lo, src_hi, src_lo = src_hi AS intra_source,
        | COUNT(*) AS n_pairs,
        | CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // n_total AS BIGINT) AS pair_ppm
@@ -434,24 +434,24 @@ object Oracles7 {
          | CAST($np AS BIGINT) AS n_planes, n_candidates, n_topk, n_hits,
          | CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_truth AS BIGINT) AS recall_ppm
          |FROM (
-         | WITH buck AS (
+         | WITH buck AS MATERIALIZED (
          |  SELECT vec_id, embedding, l AS table_idx,
          |   concat(${(0 until np).map(bit).mkString(",\n")}) AS bucket
          |  FROM embeddings, (SELECT unnest(range($nt)) AS l)),
-         | q AS (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
-         | n AS (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
-         | cand AS (SELECT DISTINCT query_id, neighbor_id
+         | q AS MATERIALIZED (SELECT table_idx, bucket, vec_id AS query_id FROM buck WHERE vec_id < 5),
+         | n AS MATERIALIZED (SELECT table_idx, bucket, vec_id AS neighbor_id FROM buck),
+         | cand AS MATERIALIZED (SELECT DISTINCT query_id, neighbor_id
          |          FROM q JOIN n USING (table_idx, bucket) WHERE query_id <> neighbor_id),
-         | qn AS (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
-         | p AS (SELECT query_id, neighbor_id,
+         | qn AS MATERIALIZED (SELECT vec_id, embedding, $normSql AS nv FROM embeddings),
+         | p AS MATERIALIZED (SELECT query_id, neighbor_id,
          |        ${dotSql("qe.embedding", "ne.embedding")} / (qe.nv * ne.nv) AS score
          |       FROM cand JOIN qn qe ON qe.vec_id = query_id
          |                 JOIN qn ne ON ne.vec_id = neighbor_id),
-         | tk AS (SELECT query_id, neighbor_id FROM (
+         | tk AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
          |   SELECT query_id, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
          |   FROM p) WHERE rnk <= 5),
-         | bf AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}))
+         | bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}))
          | SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
          |        (SELECT COUNT(*) FROM tk) AS n_topk,
          |        (SELECT COUNT(*) FROM tk JOIN bf USING (query_id, neighbor_id)) AS n_hits,
@@ -469,8 +469,8 @@ object Oracles7 {
     */
   val heapsLaw: String = {
     val dec = graft.operators.TextOps.HeapsDeciles
-    s"""WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
-       |tokd AS (SELECT doc_id,
+    s"""WITH span AS MATERIALIZED (SELECT MAX(doc_id) + 1 AS s FROM documents),
+       |tokd AS MATERIALIZED (SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
        |mass AS (
@@ -482,10 +482,10 @@ object Oracles7 {
        |ntypes AS (
        | SELECT CAST(fd * $dec // s AS BIGINT) + 1 AS dec, COUNT(*) AS new_types
        | FROM firsts CROSS JOIN span GROUP BY 1),
-       |per AS (
+       |per AS MATERIALIZED (
        | SELECT mass.dec AS dec, n_docs, n_toks, COALESCE(new_types, 0) AS new_types
        | FROM mass LEFT JOIN ntypes ON mass.dec = ntypes.dec),
-       |grid AS (
+       |grid AS MATERIALIZED (
        | SELECT unnest(generate_series(dec, $dec)) AS decile, n_docs, n_toks, new_types
        | FROM per)
        |SELECT decile, CAST(SUM(n_docs) AS BIGINT) AS cum_docs,
@@ -499,12 +499,12 @@ object Oracles7 {
     * floored ratio ppm against the rank-1 frequency.
     */
   val zipfFit: String =
-    s"""WITH wc AS (SELECT t, COUNT(*) AS cnt FROM (
+    s"""WITH wc AS MATERIALIZED (SELECT t, COUNT(*) AS cnt FROM (
        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
        |                x -> x <> '')) AS t
        |  FROM documents) GROUP BY 1),
-       |r AS (SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rnk FROM wc),
-       |f AS (SELECT MAX(cnt) AS f1 FROM wc)
+       |r AS MATERIALIZED (SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rnk FROM wc),
+       |f AS MATERIALIZED (SELECT MAX(cnt) AS f1 FROM wc)
        |SELECT rnk, t AS term, CAST(cnt AS BIGINT) AS freq,
        | CAST(CAST(cnt AS HUGEINT) * rnk * 1000000 // f1 AS BIGINT) AS zipf_ratio_ppm
        |FROM r CROSS JOIN f WHERE rnk <= ${graft.operators.TextOps.ZipfTopK}""".stripMargin
@@ -523,11 +523,11 @@ object Oracles7 {
     val condCols = graft.operators.DedupOps.GrowthPcts
       .map(p => s"SUM(CASE WHEN b < $p THEN 1 ELSE 0 END) AS c$p")
       .mkString(",\n  ")
-    s"""WITH d AS (SELECT md5(text) AS fp,
+    s"""WITH d AS MATERIALIZED (SELECT md5(text) AS fp,
        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
        |       AS UBIGINT) % 100 AS INT) AS b
        | FROM documents),
-       |g AS (SELECT fp,
+       |g AS MATERIALIZED (SELECT fp,
        |  $condCols
        | FROM d GROUP BY 1)
        |SELECT pct, n_docs, n_texts, n_dup_docs,
@@ -547,7 +547,7 @@ object Oracles7 {
          |          AS UBIGINT) % 100 AS INT) < 80 THEN 'train'
          |     WHEN CAST(CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 15))
          |          AS UBIGINT) % 100 AS INT) < 90 THEN 'val' ELSE 'test' END""".stripMargin
-    s"""WITH nd AS (${Oracles2.annNearDup})
+    s"""WITH nd AS MATERIALIZED (${Oracles2.annNearDup})
        |SELECT ${splitCase("vec_a")} AS split_a, ${splitCase("vec_b")} AS split_b,
        | COUNT(*) AS n_pairs, MAX(score) AS max_score
        |FROM nd GROUP BY 1, 2""".stripMargin
@@ -559,27 +559,27 @@ object Oracles7 {
     * by any dup window, kept tokens re-joined in position order.
     */
   val spanRewriteAnyAlign: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       | SELECT doc_id, i AS pos,
       |  CAST(CAST(concat('0x', substr(md5(
       |    array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
       |   AS UBIGINT) AS BIGINT) AS h
       | FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
       |       FROM toks WHERE len(toks) >= 8)),
-      |nd AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY 1)
+      |nd AS MATERIALIZED (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY 1)
       |       WHERE c >= 2),
-      |dup AS (SELECT DISTINCT doc_id, pos FROM sh JOIN nd USING (h)),
+      |dup AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM sh JOIN nd USING (h)),
       |cover AS (SELECT DISTINCT doc_id, pos + j AS i FROM dup, range(8) t(j)),
       |flat AS (
       | SELECT doc_id,
       |  unnest(list_transform(range(len(toks)),
       |    i -> struct_pack(i := i, t := toks[CAST(i + 1 AS INT)]))) AS s
       | FROM toks),
-      |kept AS (
+      |kept AS MATERIALIZED (
       | SELECT f.doc_id, f.s.i AS i, f.s.t AS t FROM flat f
       | WHERE NOT EXISTS (SELECT 1 FROM cover c
       |                   WHERE c.doc_id = f.doc_id AND c.i = f.s.i)),
@@ -602,11 +602,11 @@ object Oracles7 {
     * ppm rates.
     */
   val spanFamilyAudit: String =
-    s"""WITH g AS (SELECT doc_id, n_tokens, n_dropped_blocks * 8 AS grid_dropped
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, n_tokens, n_dropped_blocks * 8 AS grid_dropped
        |           FROM (${Oracles6.spanRewrite})),
-       |a AS (SELECT doc_id, n_tokens - clean_tokens AS any_dropped
+       |a AS MATERIALIZED (SELECT doc_id, n_tokens - clean_tokens AS any_dropped
        |      FROM ($spanRewriteAnyAlign)),
-       |s AS (SELECT doc_id, source FROM documents)
+       |s AS MATERIALIZED (SELECT doc_id, source FROM documents)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        | CAST(SUM(grid_dropped) AS BIGINT) AS grid_dropped,
@@ -649,7 +649,7 @@ object Oracles7 {
   val piiLuhnAudit: String = {
     import graft.operators.TextOps.{cardBaseSql, cardSumSql, luhnSumSql, CardRe}
     val sum = cardSumSql("//")
-    s"""WITH pc AS (
+    s"""WITH pc AS MATERIALIZED (
        | SELECT doc_id, source,
        |  text ||
        |  CASE WHEN doc_id % 7 = 0 THEN ' card ' || $cardBaseSql ||
@@ -674,7 +674,7 @@ object Oracles7 {
   val piiProfile: String = {
     import graft.operators.TextOps.{EmailRe, PhoneRe, Ipv4Re}
     s"""WITH $piiCte,
-       |c AS (SELECT source,
+       |c AS MATERIALIZED (SELECT source,
        |  len(regexp_extract_all(text, '$EmailRe')) AS ne,
        |  len(regexp_extract_all(text, '$PhoneRe')) AS np,
        |  len(regexp_extract_all(text, '$Ipv4Re')) AS ni
@@ -716,7 +716,7 @@ object Oracles7 {
     * gate (the hashed-postings collision discipline).
     */
   private def boilerCteFrom(from: String): String =
-    s"""bp AS (
+    s"""bp AS MATERIALIZED (
        | SELECT doc_id, source,
        |  text ||
        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
@@ -739,10 +739,10 @@ object Oracles7 {
   val boilerplateProfile: String = {
     val k = graft.operators.TextOps.BoilerDf
     s"""WITH $boilerCte,
-       |lines AS (SELECT doc_id, source,
+       |lines AS MATERIALIZED (SELECT doc_id, source,
        |  unnest(string_split(text, chr(10))) AS line FROM bp),
        |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
-       |j AS (SELECT l.source, CASE WHEN df.nd >= $k THEN 1 ELSE 0 END AS b
+       |j AS MATERIALIZED (SELECT l.source, CASE WHEN df.nd >= $k THEN 1 ELSE 0 END AS b
        |      FROM lines l JOIN df USING (line)),
        |pl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lines,
        |        CAST(SUM(b) AS BIGINT) AS n_boiler_lines FROM j GROUP BY source),
@@ -762,11 +762,11 @@ object Oracles7 {
   val boilerplateRewrite: String = {
     val k = graft.operators.TextOps.BoilerDf
     s"""WITH $boilerCte,
-       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
-       |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+       |ls AS MATERIALIZED (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
+       |lines AS MATERIALIZED (SELECT doc_id, unnest(range(len(ls))) AS pos,
        |  unnest(ls) AS line FROM ls),
        |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
-       |j AS (SELECT l.doc_id, l.pos, l.line, df.nd
+       |j AS MATERIALIZED (SELECT l.doc_id, l.pos, l.line, df.nd
        |      FROM lines l JOIN df USING (line))
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
        | CAST(SUM(CASE WHEN nd >= $k THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -782,20 +782,20 @@ object Oracles7 {
     */
   val tCloseness: String = {
     val thr = graft.operators.EventOps.TClosePpm
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        | SELECT event_type,
        |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS value_band,
        |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS sensitive
        | FROM events),
-       |r AS (SELECT * FROM q WHERE sensitive IS NOT NULL),
-       |cc AS (SELECT event_type, hour_of_day, value_band, sensitive,
+       |r AS MATERIALIZED (SELECT * FROM q WHERE sensitive IS NOT NULL),
+       |cc AS MATERIALIZED (SELECT event_type, hour_of_day, value_band, sensitive,
        |  COUNT(*) AS c FROM r GROUP BY 1, 2, 3, 4),
-       |ct AS (SELECT event_type, hour_of_day, value_band, SUM(c) AS n_c
+       |ct AS MATERIALIZED (SELECT event_type, hour_of_day, value_band, SUM(c) AS n_c
        |       FROM cc GROUP BY 1, 2, 3),
-       |gc AS (SELECT sensitive, COUNT(*) AS g FROM r GROUP BY 1),
+       |gc AS MATERIALIZED (SELECT sensitive, COUNT(*) AS g FROM r GROUP BY 1),
        |gt AS (SELECT SUM(g) AS big_g, COUNT(*) AS m FROM gc),
-       |grid AS (SELECT ct.event_type, ct.hour_of_day, ct.value_band, ct.n_c,
+       |grid AS MATERIALIZED (SELECT ct.event_type, ct.hour_of_day, ct.value_band, ct.n_c,
        |  gc.sensitive, gc.g, COALESCE(cc.c, 0) AS c
        | FROM ct CROSS JOIN gc
        | LEFT JOIN cc USING (event_type, hour_of_day, value_band, sensitive)),
@@ -809,7 +809,7 @@ object Oracles7 {
        |  SUM(ABS(cum_c * gt.big_g - cum_g * n_c)) AS num,
        |  MAX(gt.big_g) AS big_g, MAX(gt.m) AS m
        | FROM cum CROSS JOIN gt GROUP BY 1, 2, 3, 4),
-       |t AS (SELECT event_type, n_c,
+       |t AS MATERIALIZED (SELECT event_type, n_c,
        |  CAST(CAST(num AS HUGEINT) * 1000000 // (n_c * big_g * (m - 1)) AS BIGINT)
        |    AS t_ppm
        | FROM emd)
@@ -849,7 +849,7 @@ object Oracles7 {
          |    WHERE rnk <= 5) tk USING (query_id, neighbor_id)) AS HUGEINT)
          |   * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT) AS recall_ppm""".stripMargin
     }
-    s"""WITH dims AS (SELECT label, unnest(range(len(embedding))) AS pos,
+    s"""WITH dims AS MATERIALIZED (SELECT label, unnest(range(len(embedding))) AS pos,
        |  unnest(embedding) AS x FROM embeddings),
        |sq AS (SELECT label, pos,
        |  SUM(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_q
@@ -861,7 +861,7 @@ object Oracles7 {
        | FROM sq s JOIN nv USING (label) GROUP BY s.label, nv.n_vecs),
        |cn AS (SELECT label, cvec,
        |  sqrt(list_sum(list_transform(cvec, c -> c * c))) AS cnorm FROM cent),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe, $normSql AS nq
        |      FROM embeddings WHERE vec_id < 5),
        |pr AS (SELECT query_id, qe, nq, cn.label,
        |  ${dotSql("qe", "cvec")} / (nq * cnorm) AS csim
@@ -870,12 +870,12 @@ object Oracles7 {
        |  ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY csim DESC, label ASC) AS label_rank FROM pr),
        |pk AS (SELECT * FROM rk WHERE label_rank <= 3),
-       |n AS (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn
+       |n AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding AS ne, label, $normSql AS nn
        |      FROM embeddings),
-       |sc AS (SELECT p.query_id, n.neighbor_id, p.label_rank,
+       |sc AS MATERIALIZED (SELECT p.query_id, n.neighbor_id, p.label_rank,
        |  ${dotSql("p.qe", "n.ne")} / (p.nq * n.nn) AS score
        | FROM pk p JOIN n USING (label) WHERE p.query_id <> n.neighbor_id),
-       |tr AS (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq)
+       |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${Oracles2.annTopkBruteforce}) tq)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
@@ -885,12 +885,12 @@ object Oracles7 {
     * verified by an independent derivation, not replayed.
     */
   val tokenWaterfill: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       | SELECT source,
       |  CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
       |    t -> t <> ''))) AS BIGINT) AS mass
       | FROM documents GROUP BY source),
-      |o AS (SELECT source, mass,
+      |o AS MATERIALIZED (SELECT source, mass,
       |  ROW_NUMBER() OVER (ORDER BY mass, source) AS r,
       |  SUM(mass) OVER (ORDER BY mass, source ROWS UNBOUNDED PRECEDING) AS p,
       |  COUNT(*) OVER () AS k,
@@ -979,10 +979,10 @@ object Oracles7 {
          | SUM(CASE WHEN nd >= $k THEN occ ELSE 0 END) AS no_$k""".stripMargin
     }
     s"""WITH $boilerCte,
-       |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM bp),
+       |lines AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM bp),
        |pl AS (SELECT line, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS occ
        |       FROM lines GROUP BY line),
-       |t AS (SELECT SUM(occ) AS total_occ, ${sums.mkString(",\n ")} FROM pl)
+       |t AS MATERIALIZED (SELECT SUM(occ) AS total_occ, ${sums.mkString(",\n ")} FROM pl)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
@@ -1015,8 +1015,8 @@ object Oracles7 {
   val secretScan: String = {
     import graft.operators.TextOps.{SecretShapeRe, SecretDiversityMin}
     s"""WITH $secretCte,
-       |c AS (SELECT source, regexp_extract_all(text, '$SecretShapeRe') AS cands FROM sd),
-       |s AS (SELECT source, len(cands) AS nc,
+       |c AS MATERIALIZED (SELECT source, regexp_extract_all(text, '$SecretShapeRe') AS cands FROM sd),
+       |s AS MATERIALIZED (SELECT source, len(cands) AS nc,
        |  len(list_filter(cands,
        |    t -> len(list_distinct(string_split(t, ''))) >= $SecretDiversityMin)) AS ns
        | FROM c)
@@ -1052,7 +1052,7 @@ object Oracles7 {
     * misclassified-only update, all-integer.
     */
   val perceptronEpoch: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id,
       |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
@@ -1060,13 +1060,13 @@ object Oracles7 {
       |  CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE -1 END AS y, toks
       | FROM toks),
       |tok AS (SELECT doc_id, y, unnest(toks) AS t FROM lab),
-      |cells AS (SELECT doc_id, y,
+      |cells AS MATERIALIZED (SELECT doc_id, y,
       |  CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) % 64 AS b,
       |  COUNT(*) AS x
       | FROM tok GROUP BY doc_id, y,
       |  CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) % 64),
-      |w1 AS (SELECT b, SUM(y * x) AS w1 FROM cells GROUP BY b),
-      |sc AS (SELECT c.doc_id, c.y, SUM(c.x * w1.w1) AS s
+      |w1 AS MATERIALIZED (SELECT b, SUM(y * x) AS w1 FROM cells GROUP BY b),
+      |sc AS MATERIALIZED (SELECT c.doc_id, c.y, SUM(c.x * w1.w1) AS s
       | FROM cells c JOIN w1 USING (b) GROUP BY c.doc_id, c.y),
       |upd AS (SELECT c.b, SUM(c.y * c.x) AS delta
       | FROM cells c JOIN (SELECT doc_id FROM sc WHERE y * s <= 0) m USING (doc_id)
@@ -1110,9 +1110,9 @@ object Oracles7 {
     import graft.operators.TextOps.{UrlRe, UrlHostRe, UrlBlocklist}
     val blocked = UrlBlocklist.map(h => s"'$h'").mkString("(", ", ", ")")
     s"""WITH $urlCte,
-       |f AS (SELECT source,
+       |f AS MATERIALIZED (SELECT source,
        |  regexp_extract_all(text, '$UrlRe') AS urls FROM ud),
-       |g AS (SELECT source, len(urls) > 0 AS has_url,
+       |g AS MATERIALIZED (SELECT source, len(urls) > 0 AS has_url,
        |  len(list_filter(urls,
        |    u -> regexp_extract(u, '$UrlHostRe', 1) IN $blocked)) > 0 AS is_blocked
        | FROM f)
@@ -1129,12 +1129,12 @@ object Oracles7 {
     * the per-source keep sheet.
     */
   val hashgramScore: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       | SELECT doc_id, source,
       |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '') AS toks
       | FROM documents),
       |tok AS (SELECT doc_id, source, unnest(toks) AS t FROM toks),
-      |ds AS (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
+      |ds AS MATERIALIZED (SELECT s.doc_id, s.source, COALESCE(w.score, 0) AS score
       | FROM (SELECT doc_id, source FROM toks) s
       | LEFT JOIN (
       |   SELECT doc_id,
@@ -1167,11 +1167,11 @@ object Oracles7 {
     s"""${piiCteFrom("documents")},
        |${secretCteFrom("pii")},
        |${boilerCteFrom("sd")},
-       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
-       |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+       |ls AS MATERIALIZED (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
+       |lines AS MATERIALIZED (SELECT doc_id, unnest(range(len(ls))) AS pos,
        |  unnest(ls) AS line FROM ls),
        |df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
-       |j AS (SELECT l.doc_id, l.pos, l.line, df.nd
+       |j AS MATERIALIZED (SELECT l.doc_id, l.pos, l.line, df.nd
        |      FROM lines l JOIN df USING (line)),
        |dropped AS (SELECT doc_id,
        |  CAST(SUM(CASE WHEN nd >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT)
@@ -1229,11 +1229,11 @@ object Oracles7 {
     */
   val cleanTokenBudget: String =
     s"""WITH $cleanChainCtes,
-       |d AS (SELECT doc_id, source,
+       |d AS MATERIALIZED (SELECT doc_id, source,
        |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> ''))
        |    AS nt
        | FROM bp),
-       |c AS (SELECT doc_id,
+       |c AS MATERIALIZED (SELECT doc_id,
        |  len(list_filter(regexp_split_to_array(clean_text, '[^\\p{L}]+'), t -> t <> ''))
        |    AS ct
        | FROM fin)
@@ -1261,7 +1261,7 @@ object Oracles7 {
        |tl AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |sh AS (SELECT array_to_string(
+       |sh AS MATERIALIZED (SELECT array_to_string(
        |   toks[CAST(i + 1 AS INT):CAST(i + $k AS INT)], ' ') AS x
        | FROM (SELECT toks, unnest(range(len(toks) - ${k - 1})) AS i
        |       FROM tl WHERE len(toks) >= $k))
@@ -1289,22 +1289,22 @@ object Oracles7 {
     * dividend). Ends in `bins(source, sb, p_v, n_v)`.
     */
   private val scoreBinsCte: String =
-    """t AS (
+    """t AS MATERIALIZED (
       | SELECT source,
       |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks
       | FROM documents),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT source,
       |  CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS y,
       |  CAST(COALESCE(list_sum(list_transform(toks,
       |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
       |          % 2001 - 1000)), 0) AS BIGINT) AS sc
       | FROM t),
-      |b AS (
+      |b AS MATERIALIZED (
       | SELECT source, y,
       |  GREATEST(-128, LEAST(128, (sc - ((sc % 256 + 256) % 256)) // 256)) AS sb
       | FROM s),
-      |bins AS (SELECT source, sb, SUM(y) AS p_v, SUM(1 - y) AS n_v FROM b GROUP BY 1, 2)""".stripMargin
+      |bins AS MATERIALIZED (SELECT source, sb, SUM(y) AS p_v, SUM(1 - y) AS n_v FROM b GROUP BY 1, 2)""".stripMargin
 
   /** Mirrors TextOps.classifierAuc: Mann–Whitney midrank accumulation
     * over the per-source score bins, u2 = 2·U₊ integer-exact, one
@@ -1312,12 +1312,12 @@ object Oracles7 {
     */
   val classifierAuc: String =
     s"""WITH $scoreBinsCte,
-       |w AS (
+       |w AS MATERIALIZED (
        | SELECT *, p_v + n_v AS m_v,
        |  COALESCE(SUM(p_v + n_v) OVER (PARTITION BY source ORDER BY sb
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
        | FROM bins),
-       |r AS (
+       |r AS MATERIALIZED (
        | SELECT source, CAST(SUM(p_v) AS BIGINT) AS n_pos, CAST(SUM(n_v) AS BIGINT) AS n_neg,
        |  SUM(p_v * (2 * c_before + m_v + 1)) AS r2
        | FROM w GROUP BY 1)
@@ -1359,20 +1359,20 @@ object Oracles7 {
     * floor-div ppm yields.
     */
   val classifierYieldSweep: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       | SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks
       | FROM documents),
-      |s AS (
+      |s AS MATERIALIZED (
       | SELECT CAST(len(toks) AS BIGINT) AS nt,
       |  CAST(COALESCE(list_sum(list_transform(toks,
       |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
       |          % 2001 - 1000)), 0) AS BIGINT) AS sc
       | FROM t),
-      |b AS (
+      |b AS MATERIALIZED (
       | SELECT nt,
       |  GREATEST(-128, LEAST(128, (sc - ((sc % 256 + 256) % 256)) // 256)) AS sb
       | FROM s),
-      |bins AS (SELECT sb, COUNT(*) AS n_docs, SUM(nt) AS n_toks FROM b GROUP BY 1),
+      |bins AS MATERIALIZED (SELECT sb, COUNT(*) AS n_docs, SUM(nt) AS n_toks FROM b GROUP BY 1),
       |spine AS (SELECT unnest([-8192, -4096, 0, 4096, 8192]) AS thr),
       |agg AS (
       | SELECT thr,
@@ -1393,12 +1393,12 @@ object Oracles7 {
     * source, ppm floor-div agreement, one IEEE division for kappa.
     */
   val classifierKappa: String =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       | SELECT source, text,
       |  list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks,
       |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS qtoks
       | FROM documents),
-      |r AS (
+      |r AS MATERIALIZED (
       | SELECT source,
       |  CAST(COALESCE(list_sum(list_transform(toks,
       |    tk -> CAST(CAST(concat('0x', substr(md5(tk), 1, 15)) AS UBIGINT) AS BIGINT)
@@ -1411,7 +1411,7 @@ object Oracles7 {
       |            AS BIGINT)) * 10
       |   >= CAST(length(text) AS BIGINT) * CAST(len(qtoks) AS BIGINT) * 11) AS kb
       | FROM t),
-      |cells AS (
+      |cells AS MATERIALIZED (
       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS a,
       |  CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b,
@@ -1451,16 +1451,16 @@ object Oracles7 {
     * allocator.
     */
   val temperatureMix: String =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       | SELECT source,
       |  CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
       |    x -> x <> ''))) AS BIGINT) AS mass
       | FROM documents GROUP BY 1),
-      |w AS (SELECT source, mass,
+      |w AS MATERIALIZED (SELECT source, mass,
       |       CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS w FROM m),
-      |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot_mass,
+      |t AS MATERIALIZED (SELECT CAST(SUM(mass) AS BIGINT) AS tot_mass,
       |             CAST(SUM(w) AS BIGINT) AS tot_w FROM w),
-      |a AS (
+      |a AS MATERIALIZED (
       | SELECT source, mass, w,
       |  CAST(CAST(w AS HUGEINT) * 1000000 // tot_w AS BIGINT) AS share_ppm,
       |  CAST(CAST(tot_mass // 2 AS HUGEINT) * w // tot_w AS BIGINT) AS alloc,
@@ -1479,7 +1479,7 @@ object Oracles7 {
     def h(salt: String): String =
       s"""CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 15))
          |     AS UBIGINT) AS BIGINT)""".stripMargin
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
        |hh AS (
        | SELECT doc_id, text, len,
@@ -1487,7 +1487,7 @@ object Oracles7 {
        |  1 + ${h("a")} % GREATEST(len - 1, 1) AS c1,
        |  1 + ${h("b")} % GREATEST(len - 1, 1) AS c2
        | FROM d),
-       |s AS (
+       |s AS MATERIALIZED (
        | SELECT doc_id, fim_applied, len, text,
        |  CASE WHEN fim_applied THEN LEAST(c1, c2) ELSE len END AS lo,
        |  CASE WHEN fim_applied THEN GREATEST(c1, c2) ELSE len END AS hi
@@ -1511,7 +1511,7 @@ object Oracles7 {
       s"""CAST(CAST(concat('0x', substr(md5(concat(
          |  '${graft.operators.TextOps.ShuffleSeed}', CAST($c AS VARCHAR))), 1, 2))
          |  AS UBIGINT) % ${graft.operators.TextOps.NShards} AS BIGINT)""".stripMargin
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
        |cls AS (
        | SELECT CASE WHEN ${shard("doc_a")} = ${shard("doc_b")} THEN 1 ELSE 0 END AS intra
        | FROM mh)
@@ -1529,16 +1529,16 @@ object Oracles7 {
     * division for Q.
     */
   val dupModularity: String =
-    s"""WITH mh AS (${Oracles2.minhashLsh}),
-       |ds AS (SELECT doc_id, source FROM documents),
-       |p AS (
+    s"""WITH mh AS MATERIALIZED (${Oracles2.minhashLsh}),
+       |ds AS MATERIALIZED (SELECT doc_id, source FROM documents),
+       |p AS MATERIALIZED (
        | SELECT a.source AS sa, b.source AS sb
        | FROM mh JOIN ds a ON a.doc_id = mh.doc_a JOIN ds b ON b.doc_id = mh.doc_b),
        |deg AS (
        | SELECT s, CAST(COUNT(*) AS BIGINT) AS d
        | FROM (SELECT sa AS s FROM p UNION ALL SELECT sb FROM p) GROUP BY 1),
        |intra AS (SELECT sa AS s, CAST(COUNT(*) AS BIGINT) AS e FROM p WHERE sa = sb GROUP BY 1),
-       |tot AS (
+       |tot AS MATERIALIZED (
        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS m,
        |  (SELECT CAST(COALESCE(SUM(e), 0) AS BIGINT) FROM intra) AS se,
        |  (SELECT CAST(COALESCE(SUM(d * d), 0) AS BIGINT) FROM deg) AS sd)
@@ -1561,16 +1561,16 @@ object Oracles7 {
     def h(salt: String, j: String): String =
       s"""CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$salt' ||
          |  CAST($j AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)""".stripMargin
-    s"""t AS (
+    s"""t AS MATERIALIZED (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS toks
        | FROM documents),
-       |a AS (
+       |a AS MATERIALIZED (
        | SELECT doc_id, toks,
        |  list_transform(range(len(toks)), j -> ${h(":", "j")} % 14 = 0) AS starts,
        |  list_transform(range(len(toks)), j -> 1 + ${h(";", "j")} % 3) AS lens
        | FROM t),
-       |c AS (
+       |c AS MATERIALIZED (
        | SELECT doc_id, toks,
        |  list_transform(range(len(toks)), i ->
        |    starts[CAST(i + 1 AS INT)]
@@ -1619,7 +1619,7 @@ object Oracles7 {
       """CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'u'), 1, 15))
         |     AS UBIGINT) AS BIGINT)""".stripMargin
     s"""WITH $spanCorrChain,
-       |per AS (
+       |per AS MATERIALIZED (
        | SELECT c.doc_id, d.source,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(len(list_filter(corr, x -> x)) AS BIGINT) AS n_corrupted,
@@ -1661,21 +1661,21 @@ object Oracles7 {
          |      * 1000000 // GREATEST(SUM(CASE WHEN planted THEN 0 ELSE 1 END), 1)
          |      AS BIGINT) AS fp_ppm
          |FROM f""".stripMargin
-    s"""WITH rep AS (
+    s"""WITH rep AS MATERIALIZED (
        | SELECT doc_id,
        |  text || CASE WHEN doc_id % 37 = 0 THEN repeat(' spark', 30) ELSE '' END AS text
        | FROM documents),
-       |t AS (SELECT doc_id, doc_id % 37 = 0 AS planted,
+       |t AS MATERIALIZED (SELECT doc_id, doc_id % 37 = 0 AS planted,
        |       list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
        |                   x -> x <> '') AS toks
        |      FROM rep),
-       |g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+       |g AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
        |       i -> toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)])) AS g
        |      FROM t),
        |pd AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM
        |       (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
        |       GROUP BY doc_id),
-       |pos AS (SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok FROM
+       |pos AS MATERIALIZED (SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok FROM
        |        (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)),
        |runs AS (SELECT doc_id, MAX(cnt) AS maxrun FROM (
        |  SELECT doc_id, COUNT(*) AS cnt FROM (
@@ -1688,7 +1688,7 @@ object Oracles7 {
        |-- to ZERO tokens has no pos rows, and an inner join would drop
        |-- it from n_planted/n_clean while the Spark side keeps it as an
        |-- unflagged row (0*5 < 0 = false on both transports).
-       |f AS (SELECT t.doc_id, t.planted,
+       |f AS MATERIALIZED (SELECT t.doc_id, t.planted,
        |       COALESCE(pd.top_c, 0) * 5 > COALESCE(pd.n_grams, 0) AS f_top2gram,
        |       COALESCE(runs.maxrun, 0) > 2 AS f_maxrun,
        |       COALESCE(dis.nd, 0) * 5 < COALESCE(dis.nw, 0) AS f_distinct_ratio
@@ -1710,11 +1710,11 @@ object Oracles7 {
   val sftRenderMask: String = {
     def joinS(sl: String): String =
       s"COALESCE(array_to_string($sl, ' '), '')"
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks
        | FROM documents),
-       |s AS (
+       |s AS MATERIALIZED (
        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST((len(toks) + 3) // 4 AS INT) AS q, toks
        | FROM t),
@@ -1757,7 +1757,7 @@ object Oracles7 {
        | SELECT source, $url, text || ' updated' FROM documents WHERE doc_id % 11 = 0
        | UNION ALL
        | SELECT source, $url, text FROM documents WHERE doc_id % 13 = 0),
-       |g AS (SELECT source, ${h("url")} AS u, COUNT(*) AS f,
+       |g AS MATERIALIZED (SELECT source, ${h("url")} AS u, COUNT(*) AS f,
        |       COUNT(DISTINCT ${h("text")}) AS d
        |      FROM cd GROUP BY source, u)
        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_fetches,
@@ -1774,10 +1774,10 @@ object Oracles7 {
     * grouping for the longest active run, floor-div ppm.
     */
   val mmAudioVad: String =
-    s"""WITH fr AS (${Oracles4.audioEnergy}),
-       |t AS (SELECT media_id, COUNT(*) AS n_windows, SUM(energy) AS total
+    s"""WITH fr AS MATERIALIZED (${Oracles4.audioEnergy}),
+       |t AS MATERIALIZED (SELECT media_id, COUNT(*) AS n_windows, SUM(energy) AS total
        |      FROM fr GROUP BY media_id),
-       |a AS (SELECT fr.media_id, fr.win_idx,
+       |a AS MATERIALIZED (SELECT fr.media_id, fr.win_idx,
        |       (fr.energy * t.n_windows > t.total) AS act, t.n_windows
        |      FROM fr JOIN t USING (media_id)),
        |agg AS (SELECT media_id, MAX(n_windows) AS n_windows,
@@ -1787,7 +1787,7 @@ object Oracles7 {
        |  SELECT media_id, win_idx,
        |   win_idx - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY win_idx) AS grp
        |  FROM a WHERE act) GROUP BY media_id, grp),
-       |lr AS (SELECT media_id, MAX(rl) AS longest_run FROM runs GROUP BY media_id)
+       |lr AS MATERIALIZED (SELECT media_id, MAX(rl) AS longest_run FROM runs GROUP BY media_id)
        |SELECT agg.media_id, CAST(n_windows AS BIGINT) AS n_windows,
        | CAST(n_active AS BIGINT) AS n_active,
        | CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run,
@@ -1803,7 +1803,7 @@ object Oracles7 {
       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'ep'), 1, 15))
       |       AS UBIGINT) AS BIGINT) AS h
       | FROM documents),
-      |r AS (SELECT source, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk FROM h),
+      |r AS MATERIALIZED (SELECT source, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk FROM h),
       |adj AS (SELECT COUNT(*) AS n_slots,
       |        SUM(CASE WHEN source = next_source THEN 1 ELSE 0 END) AS observed_same
       | FROM (SELECT source, LEAD(source) OVER (ORDER BY rnk) AS next_source FROM r)
@@ -1829,14 +1829,14 @@ object Oracles7 {
     def fp(c: String): String =
       s"CAST(CAST(concat('0x', substr(md5($c), 1, 15)) AS UBIGINT) AS BIGINT)"
     val norm = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
-    s"""WITH nd AS (
+    s"""WITH nd AS MATERIALIZED (
        | SELECT text FROM documents
        | UNION ALL
        | SELECT upper(text) FROM documents WHERE doc_id % 5 = 0
        | UNION ALL
        | SELECT '  ' || regexp_replace(text, ' ', '  ', 'g') || ' '
        | FROM documents WHERE doc_id % 7 = 3),
-       |f AS (
+       |f AS MATERIALIZED (
        | SELECT ${fp("text")} AS fr, ${fp("lower(text)")} AS fc, ${fp(norm)} AS fz
        | FROM nd)
        |SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1891,7 +1891,7 @@ object Oracles7 {
       .mkString(",\n ")
     val passPred = fails.map(f => s"NOT $f").mkString(" AND ")
     s"""WITH $gopherCte,
-       |m AS (
+       |m AS MATERIALIZED (
        | SELECT doc_id, source,
        |  len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS n_words,
        |  length(regexp_replace(text, '\\s', '', 'g')) AS n_wchars,
@@ -1905,7 +1905,7 @@ object Oracles7 {
        |  len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
        |      t -> t = 'the' OR t = 'a')) AS n_stop
        | FROM gd),
-       |r AS (
+       |r AS MATERIALIZED (
        | SELECT source,
        |  (n_words < 50 OR n_words > 100000) AS fail_words,
        |  (n_wchars < n_words * 3 OR n_wchars > n_words * 10) AS fail_mwl,
@@ -1931,24 +1931,24 @@ object Oracles7 {
     * and the doc spine restoring gram-less docs.
     */
   val topNgramMass: String =
-    """WITH rep AS (
+    """WITH rep AS MATERIALIZED (
       | SELECT doc_id, source,
       |  text || CASE WHEN doc_id % 37 = 0 THEN repeat(' spark', 30) ELSE '' END AS text
       | FROM documents),
-      |t AS (SELECT doc_id, source,
+      |t AS MATERIALIZED (SELECT doc_id, source,
       |       list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
       |      FROM rep),
-      |lv AS (SELECT unnest([2, 3, 4]) AS n),
-      |g AS (SELECT doc_id, n,
+      |lv AS MATERIALIZED (SELECT unnest([2, 3, 4]) AS n),
+      |g AS MATERIALIZED (SELECT doc_id, n,
       |       unnest(list_transform(range(len(toks) - (n - 1)),
       |         i -> CAST(CAST(concat('0x', substr(md5(
       |                array_to_string(toks[CAST(i + 1 AS INT):CAST(i + n AS INT)], ' ')),
       |                1, 15)) AS UBIGINT) AS BIGINT))) AS g
       |      FROM t CROSS JOIN lv),
-      |pc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g),
+      |pc AS MATERIALIZED (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g),
       |pd AS (SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS n_grams FROM pc GROUP BY doc_id, n),
       |spine AS (SELECT doc_id, source, n FROM rep CROSS JOIN lv),
-      |j AS (SELECT source, CAST(n AS BIGINT) AS n,
+      |j AS MATERIALIZED (SELECT source, CAST(n AS BIGINT) AS n,
       |       COALESCE(top_c, 0) AS top_c, COALESCE(n_grams, 0) AS n_grams,
       |       CASE WHEN n = 2 THEN 200000 WHEN n = 3 THEN 180000 ELSE 160000 END AS thr
       |      FROM spine LEFT JOIN pd USING (doc_id, n))
@@ -1972,7 +1972,7 @@ object Oracles7 {
        | SELECT cluster, CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
        |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
        | FROM embeddings JOIN asg USING (vec_id)),
-       |dims AS (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q
+       |dims AS MATERIALIZED (SELECT cluster, pos, CAST(SUM(q) AS BIGINT) AS sum_q
        |         FROM flat GROUP BY cluster, pos),
        |nv AS (SELECT cluster, COUNT(*) AS n_vecs FROM asg GROUP BY cluster),
        |cent AS (
@@ -1981,7 +1981,7 @@ object Oracles7 {
        | FROM dims JOIN nv USING (cluster) GROUP BY cluster, n_vecs),
        |cn AS (SELECT cluster, n_vecs, cvec,
        |        sqrt(list_sum(list_transform(cvec, c -> c * c))) AS cnorm FROM cent),
-       |s AS (
+       |s AS MATERIALIZED (
        | SELECT e.vec_id, a.cluster, cn.n_vecs, cn.n_vecs // 5 AS n_prune,
        |  list_sum(list_transform(list_zip(e.embedding, cn.cvec),
        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -1989,7 +1989,7 @@ object Oracles7 {
        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * cn.cnorm) AS csim
        | FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
        |  JOIN cn ON a.cluster = cn.cluster),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |r AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
        |                                   ORDER BY csim DESC, vec_id ASC) AS rnk FROM s)
        |SELECT cluster, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
        | CAST(MAX(n_prune) AS BIGINT) AS n_pruned,
@@ -2006,18 +2006,18 @@ object Oracles7 {
     */
   val silhouetteSheet: String =
     s"""WITH ${Oracles3.kmeansAssignCte},
-       |b AS (SELECT d.vec_id, MIN(d.dist_sq) AS b2
+       |b AS MATERIALIZED (SELECT d.vec_id, MIN(d.dist_sq) AS b2
        |      FROM d JOIN asg USING (vec_id)
        |      WHERE d.seed_id <> asg.cluster GROUP BY d.vec_id),
        |-- greatest(·,0) before sqrt mirrors the Spark clamp: dist_sq
        |-- can round FP-negative for a vector ≈ its seed, and DuckDB's
        |-- sqrt(<0) ABORTS where Spark would silently NaN.
-       |s AS (SELECT asg.cluster,
+       |s AS MATERIALIZED (SELECT asg.cluster,
        |       CASE WHEN greatest(sqrt(greatest(asg.dist_sq, 0)), sqrt(greatest(b2, 0))) = 0 THEN 0.0
        |            ELSE (sqrt(greatest(b2, 0)) - sqrt(greatest(asg.dist_sq, 0)))
        |                 / greatest(sqrt(greatest(asg.dist_sq, 0)), sqrt(greatest(b2, 0))) END AS sil
        |      FROM asg JOIN b USING (vec_id)),
-       |q AS (SELECT cluster, CAST(round(sil * 1000000.0) AS BIGINT) AS s_q FROM s)
+       |q AS MATERIALIZED (SELECT cluster, CAST(round(sil * 1000000.0) AS BIGINT) AS s_q FROM s)
        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        | CAST(SUM(s_q) AS BIGINT) AS sum_sil_q,
        | CAST(SUM(CASE WHEN s_q < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
@@ -2030,9 +2030,9 @@ object Oracles7 {
     */
   val clusterRandIndex: String =
     s"""WITH ${Oracles3.kmeansAssignCte},
-       |ct AS (SELECT a.cluster, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_ij
+       |ct AS MATERIALIZED (SELECT a.cluster, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_ij
        |       FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
-       |cells AS (SELECT SUM(n_ij * (n_ij - 1) // 2) AS idx_pairs, SUM(n_ij) AS n,
+       |cells AS MATERIALIZED (SELECT SUM(n_ij * (n_ij - 1) // 2) AS idx_pairs, SUM(n_ij) AS n,
        |           COUNT(DISTINCT cluster) AS n_clusters,
        |           COUNT(DISTINCT label) AS n_labels FROM ct),
        |ma AS (SELECT SUM(a_i * (a_i - 1) // 2) AS sum_a
@@ -2073,7 +2073,7 @@ object Oracles7 {
       }
       .mkString("\nUNION ALL\n")
     s"""WITH ${Oracles6.bpeChain},
-       |occ AS (
+       |occ AS MATERIALIZED (
        | SELECT word, COUNT(*) AS cnt FROM (
        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
        |  FROM documents)

@@ -25,23 +25,23 @@ object Oracles8 {
     * shape), fused by integer reciprocal-rank arithmetic.
     */
   private val hybridCtes: String =
-    s"""t AS (
+    s"""t AS MATERIALIZED (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks
        | FROM documents),
-       |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-       |g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
-       |p AS (
+       |dlt AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |g AS MATERIALIZED (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
+       |p AS MATERIALIZED (
        | SELECT doc_id, dl, term, COUNT(*) AS tf
        | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dlt)
        | GROUP BY doc_id, dl, term),
-       |qt AS (
+       |qt AS MATERIALIZED (
        | SELECT DISTINCT doc_id AS query_id, term
        | FROM (SELECT doc_id, unnest(toks) AS term FROM dlt WHERE doc_id < 5)),
-       |f AS (SELECT term, COUNT(*) AS df FROM p
+       |f AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM p
        |      WHERE term IN (SELECT term FROM qt) GROUP BY term
        |      HAVING COUNT(*) <= 1000000),
-       |sc AS (
+       |sc AS MATERIALIZED (
        | SELECT qt.query_id, p.doc_id,
        |  SUM(CAST(round(
        |   ((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
@@ -53,7 +53,7 @@ object Oracles8 {
        | FROM qt JOIN p USING (term) JOIN f USING (term), g
        | WHERE p.doc_id <> qt.query_id
        | GROUP BY qt.query_id, p.doc_id),
-       |lr AS (
+       |lr AS MATERIALIZED (
        | SELECT query_id, doc_id, lex_sq, CAST(rn AS BIGINT) AS lex_rank FROM (
        |  SELECT query_id, doc_id, lex_sq,
        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex_sq DESC, doc_id ASC) AS rn
@@ -64,13 +64,13 @@ object Oracles8 {
        |nv AS (SELECT vec_id AS neighbor_id, embedding AS ne, $normSql AS nn FROM embeddings),
        |pv AS (SELECT query_id, neighbor_id, ${dotSql("qe", "ne")} / (nq * nn) AS score
        |       FROM qv, nv WHERE query_id <> neighbor_id),
-       |sem AS (
+       |sem AS MATERIALIZED (
        | SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS sem_rank FROM (
        |  SELECT query_id, neighbor_id,
        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
        |  FROM pv)
        | WHERE rn <= 5),
-       |fr AS (
+       |fr AS MATERIALIZED (
        | SELECT COALESCE(l.query_id, s.query_id) AS query_id,
        |  COALESCE(l.doc_id, s.neighbor_id) AS doc_id,
        |  COALESCE(l.lex_rank, 0) AS lex_rank,
@@ -96,9 +96,9 @@ object Oracles8 {
     */
   val hybridRecall: String =
     s"""WITH $hybridCtes,
-       |tr AS (SELECT query_id, neighbor_id FROM sem),
-       |la AS (SELECT query_id, doc_id AS neighbor_id FROM lr WHERE lex_rank <= 5),
-       |hy AS (SELECT query_id, doc_id AS neighbor_id FROM fz)
+       |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM sem),
+       |la AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id FROM lr WHERE lex_rank <= 5),
+       |hy AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id FROM fz)
        |SELECT 'lexical_arm' AS method,
        | CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth,
        | CAST((SELECT COUNT(*) FROM la) AS BIGINT) AS n_approx,
@@ -120,7 +120,7 @@ object Oracles8 {
     */
   val retrievalMrr: String = {
     def hm(tag: String, src: String): String =
-      s"""h_$tag AS (SELECT query_id, 1000000 // MIN(rnk) AS rr
+      s"""h_$tag AS MATERIALIZED (SELECT query_id, 1000000 // MIN(rnk) AS rr
          | FROM $src JOIN tr USING (query_id, neighbor_id) GROUP BY query_id)""".stripMargin
     def rowm(name: String, tag: String): String =
       s"""SELECT '$name' AS method, CAST(n AS BIGINT) AS n_queries,
@@ -130,14 +130,14 @@ object Oracles8 {
          |   AS mrr_ppm
          |FROM nq""".stripMargin
     s"""WITH $hybridCtes,
-       |mivf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |mivf AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
        |         FROM (${Oracles2.annTopkIvf})),
-       |mlsh AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |mlsh AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
        |         FROM (${Oracles2.annTopkLsh})),
-       |mlex AS (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
-       |mhyb AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
-       |tr AS (SELECT query_id, neighbor_id FROM sem),
-       |nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM tr),
+       |mlex AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
+       |mhyb AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
+       |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM sem),
+       |nq AS MATERIALIZED (SELECT COUNT(DISTINCT query_id) AS n FROM tr),
        |${hm("ivf", "mivf")},
        |${hm("lsh", "mlsh")},
        |${hm("lex", "mlex")},
@@ -168,14 +168,14 @@ object Oracles8 {
          | CAST(CAST(sum_dcg AS HUGEINT) * 1000000 // sum_idcg AS BIGINT) AS ndcg_ppm
          |FROM g_$tag, gi""".stripMargin
     s"""WITH $hybridCtes,
-       |mivf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |mivf AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
        |         FROM (${Oracles2.annTopkIvf})),
-       |mlsh AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+       |mlsh AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
        |         FROM (${Oracles2.annTopkLsh})),
-       |mlex AS (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
-       |mhyb AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
-       |tr AS (SELECT query_id, neighbor_id FROM sem),
-       |ipos AS (SELECT unnest(range(1, cnt + 1)) AS i FROM
+       |mlex AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id, lex_rank AS rnk FROM lr),
+       |mhyb AS MATERIALIZED (SELECT query_id, doc_id AS neighbor_id, rnk FROM fz),
+       |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM sem),
+       |ipos AS MATERIALIZED (SELECT unnest(range(1, cnt + 1)) AS i FROM
        |         (SELECT query_id, COUNT(*) AS cnt FROM tr GROUP BY query_id)),
        |ndvals AS (
        | SELECT DISTINCT v FROM (
@@ -183,7 +183,7 @@ object Oracles8 {
        |  UNION ALL SELECT rnk + 1 FROM mlex UNION ALL SELECT rnk + 1 FROM mhyb
        |  UNION ALL SELECT i + 1 FROM ipos)),
        |${c64ValChain("ndvals", "nd")},
-       |gi AS (SELECT SUM(64000000000 // c.c64) AS sum_idcg
+       |gi AS MATERIALIZED (SELECT SUM(64000000000 // c.c64) AS sum_idcg
        |       FROM ipos JOIN c64v_nd c ON c.v = ipos.i + 1),
        |${gm("ivf", "mivf")},
        |${gm("lsh", "mlsh")},
@@ -214,13 +214,13 @@ object Oracles8 {
          | FROM pairsn p JOIN bt${k - 1} i ON i.source = p.a
          |  JOIN bt${k - 1} j ON j.source = p.b
          | GROUP BY 1),
-         |r0$k AS (
+         |r0$k AS MATERIALIZED (
          | SELECT b.source,
          |  CASE WHEN d.d IS NULL OR d.d = 0 THEN b.r
          |       ELSE greatest(d.wi * 1000000000000 // d.d, 1) END AS r0
          | FROM bt${k - 1} b LEFT JOIN d$k d USING (source)),
          |t$k AS (SELECT SUM(r0) AS t, COUNT(*) AS n FROM r0$k),
-         |bt$k AS (SELECT source, greatest(r0 * (n * 1000000) // t, 1) AS r
+         |bt$k AS MATERIALIZED (SELECT source, greatest(r0 * (n * 1000000) // t, 1) AS r
          |         FROM r0$k, t$k)""".stripMargin
     }
     val last = s"bt${graft.operators.TextOps.BtRounds}"
@@ -255,15 +255,15 @@ object Oracles8 {
        |  AND w.rw = 1 AND l.rw = 2
        | WHERE w.nn = 2 AND w.source <> l.source
        | GROUP BY 1, 2),
-       |srcs AS (SELECT DISTINCT source FROM documents),
+       |srcs AS MATERIALIZED (SELECT DISTINCT source FROM documents),
        |pairsn AS MATERIALIZED (SELECT a.source AS a, b.source AS b,
        |  COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS nij, COALESCE(w1.w, 0) AS wab
        | FROM srcs a JOIN srcs b ON a.source <> b.source
        | LEFT JOIN xw w1 ON w1.ws = a.source AND w1.ls = b.source
        | LEFT JOIN xw w2 ON w2.ws = b.source AND w2.ls = a.source),
-       |bt0 AS (SELECT source, CAST(1000000 AS HUGEINT) AS r FROM srcs),
+       |bt0 AS MATERIALIZED (SELECT source, CAST(1000000 AS HUGEINT) AS r FROM srcs),
        |${rounds.mkString(",\n")},
-       |g AS (SELECT a AS source, CAST(SUM(nij) AS BIGINT) AS n_games,
+       |g AS MATERIALIZED (SELECT a AS source, CAST(SUM(nij) AS BIGINT) AS n_games,
        |      CAST(SUM(wab) AS BIGINT) AS n_wins FROM pairsn GROUP BY 1)
        |SELECT s.source, COALESCE(g.n_games, 0) AS n_games,
        | COALESCE(g.n_wins, 0) AS n_wins, CAST(b.r AS BIGINT) AS rating_q
@@ -298,7 +298,7 @@ object Oracles8 {
        |pct AS (SELECT $cosList AS ct),
        |pm AS (SELECT media_id, text, length(text) // 64 AS w
        |       FROM pcorp WHERE length(text) >= 64),
-       |ppx AS (SELECT media_id, w, list_transform(range(64), k ->
+       |ppx AS MATERIALIZED (SELECT media_id, w, list_transform(range(64), k ->
        |         list_sum(list_transform(range(w), j ->
        |           ascii(substr(text, CAST(k*w + j + 1 AS INT), 1))))) AS pixels
        |        FROM pm),
@@ -309,7 +309,7 @@ object Oracles8 {
        |           * ct[CAST((uv // 8) * 8 + (p // 8) + 1 AS INT)]
        |           * ct[CAST((uv % 8) * 8 + (p % 8) + 1 AS INT)]))) AS d
        |       FROM pq, pct),
-       |ph AS (SELECT media_id, array_to_string(list_transform(range(64), i ->
+       |ph AS MATERIALIZED (SELECT media_id, array_to_string(list_transform(range(64), i ->
        |        CASE WHEN 63 * d[CAST(i + 1 AS INT)] > sac THEN '1' ELSE '0' END), '') AS phash
        |       FROM (SELECT media_id, d, list_sum(d[2:64]) AS sac FROM pd))""".stripMargin
   }
@@ -320,11 +320,11 @@ object Oracles8 {
   val mmPhashPairs: String = {
     val hmax = graft.sources.MultimodalOps.AHashHammingMax
     s"""WITH $phashCtes,
-       |bands AS (
+       |bands AS MATERIALIZED (
        | SELECT media_id, phash, b.band_idx,
        |  substr(phash, CAST(b.band_idx*16 + 1 AS INT), 16) AS bits
        | FROM ph, (SELECT unnest(range(4)) AS band_idx) b),
-       |cand AS (
+       |cand AS MATERIALIZED (
        | SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
        |  a.phash AS ph_a, b.phash AS ph_b
        | FROM bands a JOIN bands b
@@ -358,7 +358,7 @@ object Oracles8 {
          |       THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
          |FROM $pairSrc""".stripMargin
     s"""WITH $phashCtes,
-       |aah AS (SELECT media_id, array_to_string(list_transform(pixels,
+       |aah AS MATERIALIZED (SELECT media_id, array_to_string(list_transform(pixels,
        |         p -> CASE WHEN 64*p > list_sum(pixels) THEN '1' ELSE '0' END), '') AS ahash
        |        FROM ppx),
        |pp AS (SELECT b.phash AS fa, t.phash AS fb
@@ -404,7 +404,7 @@ object Oracles8 {
        |         toks[1:p] AS prompt,
        |         toks[p+1:CAST(len(toks) AS INT)] AS resp
        |        FROM (SELECT doc_id, toks, CAST((len(toks) + 1) // 2 AS INT) AS p FROM dtk)),
-       |dpairs AS (SELECT doc_id, n_tokens,
+       |dpairs AS MATERIALIZED (SELECT doc_id, n_tokens,
        | CAST(p AS BIGINT) AS n_prompt_tokens,
        | CAST(len(resp) AS BIGINT) AS n_response_tokens,
        | ${fp60(joinS("prompt"))} AS prompt_fp,
@@ -476,7 +476,7 @@ object Oracles8 {
        |s0_$tag AS (SELECT piece, b, CAST(0 AS BIGINT) AS f,
        |  CASE WHEN b <= 30 THEN v << (30 - b) ELSE v >> (b - 30) END AS y FROM n_$tag),
        |$steps,
-       |c64_$tag AS (SELECT piece, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
+       |c64_$tag AS MATERIALIZED (SELECT piece, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
   }
 
   /** One Viterbi-EM round r: costs from uvocab$r (C64(total) −
@@ -553,7 +553,7 @@ object Oracles8 {
        |          CAST(SUM(freq) AS BIGINT) AS cnt FROM usy GROUP BY piece),
        |umulti AS (SELECT piece, cnt FROM useed WHERE length(piece) >= 2
        |           ORDER BY cnt DESC, piece ASC LIMIT $M),
-       |uchars AS (SELECT piece, cnt FROM useed WHERE length(piece) = 1),
+       |uchars AS MATERIALIZED (SELECT piece, cnt FROM useed WHERE length(piece) = 1),
        |uvocab1 AS MATERIALIZED (SELECT * FROM umulti UNION ALL SELECT * FROM uchars),
        |${emRound(1)},
        |${emRound(2)},
@@ -650,7 +650,7 @@ object Oracles8 {
          |     y -> y IS NOT NULL)) AS pair
          |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM w${k - 1}))
          | GROUP BY 1),
-         |wm$k AS (
+         |wm$k AS MATERIALIZED (
          | SELECT pair, cnt, a.scnt AS cnt_a, b.scnt AS cnt_b,
          |  CAST(CAST(cnt AS HUGEINT) * 1000000000000
          |       // (CAST(a.scnt AS HUGEINT) * b.scnt) AS BIGINT) AS score,
@@ -691,7 +691,7 @@ object Oracles8 {
     s"""WITH $wpChain,
        |enc AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
        |        FROM $last),
-       |occ AS (
+       |occ AS MATERIALIZED (
        | SELECT source, word, COUNT(*) AS cnt FROM (
        |  SELECT source,
        |   unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS word
@@ -822,7 +822,7 @@ object Oracles8 {
        |s0_$tag AS (SELECT v, b, CAST(0 AS BIGINT) AS f,
        |  CASE WHEN b <= 30 THEN v << (30 - b) ELSE v >> (b - 30) END AS y FROM n_$tag),
        |$steps,
-       |c64v_$tag AS (SELECT v, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
+       |c64v_$tag AS MATERIALIZED (SELECT v, 64*b + f AS c64 FROM s6_$tag)""".stripMargin
   }
 
   /** Mirrors TextOps.knModel: interpolated Kneser-Ney bigram model,
@@ -836,11 +836,11 @@ object Oracles8 {
        | SELECT doc_id, source,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |kbgd AS (
+       |kbgd AS MATERIALIZED (
        | SELECT doc_id, unnest(list_transform(range(len(toks)-1),
        |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS bg
        | FROM kt WHERE len(toks) >= 2),
-       |kcnt AS (SELECT bg, split_part(bg, ' ', 1) AS head, split_part(bg, ' ', 2) AS nxt,
+       |kcnt AS MATERIALIZED (SELECT bg, split_part(bg, ' ', 1) AS head, split_part(bg, ' ', 2) AS nxt,
        |         COUNT(*) AS c_hw FROM kbgd GROUP BY bg),
        |ktt AS (SELECT COUNT(*) AS t_types FROM kcnt),
        |kst AS (SELECT bg, head, nxt, c_hw,
@@ -848,7 +848,7 @@ object Oracles8 {
        |  CAST(COUNT(*) OVER (PARTITION BY head) AS BIGINT) AS n1p_h,
        |  CAST(COUNT(*) OVER (PARTITION BY nxt) AS BIGINT) AS cont_w
        | FROM kcnt),
-       |kqp AS (SELECT bg, head, nxt, c_hw, c_h, n1p_h, cont_w,
+       |kqp AS MATERIALIZED (SELECT bg, head, nxt, c_hw, c_h, n1p_h, cont_w,
        |  CAST((CAST(4*c_hw - 3 AS HUGEINT) * t_types + CAST(3*n1p_h AS HUGEINT) * cont_w)
        |       * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
        |       // (CAST(4*c_h AS HUGEINT) * t_types) AS BIGINT) AS qp
@@ -868,7 +868,7 @@ object Oracles8 {
        |kdoc AS (
        | SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll64) AS BIGINT) AS sum_nll64
        | FROM kbgd JOIN kmodel USING (bg) GROUP BY doc_id),
-       |kppl AS (
+       |kppl AS MATERIALIZED (
        | SELECT d.doc_id, d.source,
        |  COALESCE(k.n_bigrams, 0) AS n_bigrams,
        |  COALESCE(k.sum_nll64, 0) AS sum_nll64,
@@ -898,14 +898,14 @@ object Oracles8 {
        |dsrc AS (SELECT source, COUNT(*) AS n_docs,
        |         CAST(SUM(avg_nll64) AS BIGINT) AS s FROM kppl GROUP BY 1),
        |dg AS (SELECT CAST(SUM(avg_nll64) AS BIGINT) // COUNT(*) AS gmean FROM kppl),
-       |dx AS (SELECT source, n_docs, s // n_docs AS mean_nll64,
+       |dx AS MATERIALIZED (SELECT source, n_docs, s // n_docs AS mean_nll64,
        |       s // n_docs - gmean AS excess FROM dsrc, dg),
        |dmx AS (SELECT MAX(excess) AS mx FROM dx),
        |dm0 AS (SELECT source, n_docs, mean_nll64, excess,
        |        greatest(excess - mx + $maxY, 0) AS e,
        |        CAST(1073741824 AS BIGINT) AS m FROM dx, dmx),
        |$steps,
-       |dv AS (SELECT source, n_docs, mean_nll64, excess,
+       |dv AS MATERIALIZED (SELECT source, n_docs, mean_nll64, excess,
        |        CASE WHEN e // 64 >= 30 THEN m << CAST(e // 64 - 30 AS INT)
        |             ELSE m >> CAST(30 - e // 64 AS INT) END AS v
        |       FROM dm6),

@@ -19,18 +19,18 @@ object Oracles9 {
        | SELECT doc_id, source,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |k3gd AS (
+       |k3gd AS MATERIALIZED (
        | SELECT doc_id, unnest(list_transform(range(len(toks)-2),
        |   i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' '))) AS tg
        | FROM k3t WHERE len(toks) >= 3),
-       |k3cnt AS (SELECT tg, split_part(tg, ' ', 1) AS u, split_part(tg, ' ', 2) AS v,
+       |k3cnt AS MATERIALIZED (SELECT tg, split_part(tg, ' ', 1) AS u, split_part(tg, ' ', 2) AS v,
        |          split_part(tg, ' ', 3) AS w, COUNT(*) AS c_uvw
        |          FROM k3gd GROUP BY tg),
        |k3l3 AS (SELECT tg, u, v, w, c_uvw,
        |  CAST(SUM(c_uvw) OVER (PARTITION BY u, v) AS BIGINT) AS c_uv,
        |  CAST(COUNT(*) OVER (PARTITION BY u, v) AS BIGINT) AS n1p_uv
        | FROM k3cnt),
-       |k3cb AS (SELECT v, w, COUNT(*) AS n1c_vw FROM k3cnt GROUP BY v, w),
+       |k3cb AS MATERIALIZED (SELECT v, w, COUNT(*) AS n1c_vw FROM k3cnt GROUP BY v, w),
        |k3cs AS (SELECT v, w, n1c_vw,
        |  CAST(SUM(n1c_vw) OVER (PARTITION BY v) AS BIGINT) AS n1mid_v,
        |  CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS n1p2_v,
@@ -43,7 +43,7 @@ object Oracles9 {
        |       * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
        |       // (CAST(4*n1mid_v AS HUGEINT) * t2_types) AS BIGINT) AS qp2
        | FROM k3cs, k3tt),
-       |k3qp AS (SELECT l.tg, l.u, l.v, l.w, l.c_uvw, l.c_uv, l.n1p_uv,
+       |k3qp AS MATERIALIZED (SELECT l.tg, l.u, l.v, l.w, l.c_uvw, l.c_uv, l.n1p_uv,
        |  q.n1c_vw, q.n1mid_v, q.n1p2_v, q.cont2_w, q.qp2,
        |  CAST((CAST(4*l.c_uvw - 3 AS HUGEINT)
        |        * CAST(${1L << graft.operators.TextOps.KnQpShift} AS HUGEINT)
@@ -97,17 +97,17 @@ object Oracles9 {
        |   list_transform(range(len(toks)-1),
        |     i -> array_to_string(toks[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')))) AS g
        | FROM dst),
-       |dsb AS (SELECT doc_id, source,
+       |dsb AS MATERIALIZED (SELECT doc_id, source,
        |  CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) % $nb AS bucket
        | FROM dsg),
        |dbk AS (SELECT bucket, COUNT(*) AS r_cnt,
        |        SUM(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS t_cnt
        |        FROM dsb GROUP BY bucket),
-       |dfull AS (SELECT rg.range AS bucket,
+       |dfull AS MATERIALIZED (SELECT rg.range AS bucket,
        |  CAST(COALESCE(t_cnt, 0) AS BIGINT) AS t_cnt,
        |  CAST(COALESCE(r_cnt, 0) AS BIGINT) AS r_cnt
        | FROM range($nb) rg LEFT JOIN dbk ON rg.range = dbk.bucket),
-       |dtot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_tot,
+       |dtot AS MATERIALIZED (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_tot,
        |         CAST(SUM(r_cnt) AS BIGINT) AS r_tot FROM dfull),
        |dvals AS (SELECT DISTINCT v FROM (
        |  SELECT t_cnt + 1 AS v FROM dfull
@@ -190,9 +190,9 @@ object Oracles9 {
        | SELECT doc_id, source,
        |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
-       |tec AS (SELECT doc_id, t, COUNT(*) AS c
+       |tec AS MATERIALIZED (SELECT doc_id, t, COUNT(*) AS c
        |        FROM (SELECT doc_id, unnest(toks) AS t FROM tet) GROUP BY doc_id, t),
-       |ten AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tec GROUP BY doc_id),
+       |ten AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tec GROUP BY doc_id),
        |tevals AS (SELECT DISTINCT v FROM (
        |  SELECT c AS v FROM tec UNION SELECT n_tokens FROM ten)),
        |${Oracles8.c64ValChain("tevals", "te")},
@@ -226,7 +226,7 @@ object Oracles9 {
          |FROM sag""".stripMargin
     s"""WITH $dsirScoreCtes,
        |$kn3DocCtes,
-       |hst AS (
+       |hst AS MATERIALIZED (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '') AS toks
        | FROM documents),
@@ -241,7 +241,7 @@ object Oracles9 {
        |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY h.score DESC, d.doc_id ASC) AS rh,
        |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY p.avg_nll64 ASC, d.doc_id ASC) AS rp
        | FROM dps d JOIN hsx h USING (doc_id) JOIN k3ppl p USING (doc_id)),
-       |sag AS (SELECT source, COUNT(*) AS n,
+       |sag AS MATERIALIZED (SELECT source, COUNT(*) AS n,
        |  SUM(CAST(rd - rh AS HUGEINT) * (rd - rh)) AS s_dh,
        |  SUM(CAST(rd - rp AS HUGEINT) * (rd - rp)) AS s_dp,
        |  SUM(CAST(rh - rp AS HUGEINT) * (rh - rp)) AS s_hp

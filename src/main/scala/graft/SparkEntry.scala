@@ -387,8 +387,45 @@ object SparkEntry {
     "zorder_layout" -> graft.operators.LayoutOps.zorderLayout
   )
 
-  /** DuckDB twins of `queries`, same table names / same column aliases. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB twins of `queries`, same table names / same column aliases.
+    *
+    * Every CTE referenced >= 2x downstream carries `AS MATERIALIZED`
+    * (the round-9 exponential-inlining lesson, board-wide in round 10;
+    * OracleLintSpec enforces it) — EXCEPT names defined more than once
+    * in one statement: composed chains deliberately shadow short names
+    * (`toks`, `q`, ...) across sub-chains, and DuckDB's binder rejects
+    * duplicate MATERIALIZED aliases, so [[demoteShadowedMaterialized]]
+    * strips the keyword from exactly those definitions at registration.
+    */
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> demoteShadowedMaterialized(v) }
+
+  private val CteDefRe =
+    """\b([A-Za-z_][A-Za-z0-9_$]*) AS (?:MATERIALIZED )?\(""".r
+
+  private[graft] def demoteShadowedMaterialized(sql: String): String = {
+    val defCounts = CteDefRe
+      .findAllMatchIn(sql)
+      .map(_.group(1))
+      .toSeq
+      .groupBy(identity)
+      .view
+      .mapValues(_.size)
+    val shadowed = defCounts.filter(_._2 > 1).keys.toSet
+    if (shadowed.isEmpty) sql
+    else
+      shadowed.foldLeft(sql) { (s, name) =>
+        // left word boundary matters: plain replace of "n AS ..." would
+        // also strip "qn AS ..." (substring), demoting innocent CTEs
+        s.replaceAll(
+          """(?<![A-Za-z0-9_$])""" + java.util.regex.Pattern.quote(name) +
+            """ AS MATERIALIZED \(""",
+          java.util.regex.Matcher.quoteReplacement(s"$name AS (")
+        )
+      }
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -500,7 +537,7 @@ object SparkEntry {
         |      FROM documents)
         |WHERE word <> '' GROUP BY word""".stripMargin,
     "lang_id" ->
-      """WITH scored AS (
+      """WITH scored AS MATERIALIZED (
         | SELECT doc_id,
         |  len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
         |  len(list_filter(toks, t -> t IN ('el','la','de','los','es','y','que'))) AS n_es,
@@ -583,7 +620,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "median_mode_orders" ->
-      """WITH med AS (
+      """WITH med AS MATERIALIZED (
         | SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median_price,
         |  COUNT(*) AS n_orders
         | FROM orders GROUP BY o_orderstatus),
@@ -607,9 +644,9 @@ object SparkEntry {
     // the oracle states the range join directly; the Spark side's
     // bin+equi-join+residual-predicate plan must agree exactly
     "range_join_clicks" ->
-      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      """WITH p AS MATERIALIZED (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, epoch_us(ts) AS c_us
+        |c AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS c_us
         |      FROM events WHERE event_type = 'click')
         |SELECT p.user_id, purchase_id, p_us, COUNT(c.c_us) AS n_clicks_1h
         |FROM p LEFT JOIN c
@@ -666,7 +703,7 @@ object SparkEntry {
         |  CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
         |  CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
         | FROM embeddings),
-        |dims AS (
+        |dims AS MATERIALIZED (
         | SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n
         | FROM flat GROUP BY label, pos),
         |norms AS (
@@ -675,7 +712,7 @@ object SparkEntry {
         |    list_prepend(0.0, list(CAST(sum_q AS DOUBLE)/1000000.0/n ORDER BY pos)),
         |    (a, x) -> a + x*x)) AS centroid_norm
         | FROM dims GROUP BY label),
-        |top AS (
+        |top AS MATERIALIZED (
         | SELECT label, pos AS top_dim, CAST(sum_q AS DOUBLE)/1000000.0/n AS top_dim_mean FROM (
         |  SELECT label, pos, sum_q, n,
         |   ROW_NUMBER() OVER (PARTITION BY label ORDER BY abs(sum_q) DESC, pos ASC) AS rnk
@@ -693,7 +730,7 @@ object SparkEntry {
         |  len(list_filter(toks, t -> t IN
         |    ('the','a','an','and','or','of','to','in','is','it','on','for'))) AS n_stop
         | FROM base),
-        |scored AS (
+        |scored AS MATERIALIZED (
         | SELECT doc_id, lang, n_chars, text,
         |  (CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
         |   * (1.0 - CASE WHEN length(text) > 0
@@ -701,7 +738,7 @@ object SparkEntry {
         |   * (0.5 + CASE WHEN n_words > 0
         |            THEN CAST(n_stop AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0 END) AS quality
         | FROM counts),
-        |kept AS (
+        |kept AS MATERIALIZED (
         | SELECT doc_id, lang, n_chars,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         | FROM scored WHERE quality >= 0.55),
@@ -721,11 +758,11 @@ object SparkEntry {
         | SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '') AS toks
         | FROM documents),
-        |toks AS (
+        |toks AS MATERIALIZED (
         | SELECT doc_id, UNNEST(toks) AS tok,
         |  UNNEST(generate_series(1, len(toks))) AS pos FROM base),
-        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
-        |top AS (SELECT doc_id, tok AS top_word, c AS top_n FROM (
+        |tc AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+        |top AS MATERIALIZED (SELECT doc_id, tok AS top_word, c AS top_n FROM (
         |  SELECT doc_id, tok, c,
         |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rnk FROM tc)
         | WHERE rnk = 1),
@@ -858,12 +895,12 @@ object SparkEntry {
     "doremi_weights" -> Oracles8.doremiWeights,
     "seq_packing" -> Oracles2.seqPacking,
     "pack_offsets" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         | SELECT doc_id, source,
         |  CAST(len(regexp_extract_all(regexp_replace(text, '[^ -~]', ' ', 'g'),
         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
         | FROM documents),
-        |c AS (
+        |c AS MATERIALIZED (
         | SELECT doc_id, source, n_tokens,
         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
         | FROM d)
@@ -909,7 +946,7 @@ object SparkEntry {
         | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_size""".stripMargin,
     "q22_wealthy_idle" ->
-      """WITH t AS (
+      """WITH t AS MATERIALIZED (
         | SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
         |        / COUNT(c_acctbal) AS avg_bal
         | FROM customer WHERE c_acctbal > 0)
@@ -921,11 +958,11 @@ object SparkEntry {
         |                       WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
     "q20_excess_suppliers" ->
-      """WITH per AS (
+      """WITH per AS MATERIALIZED (
         | SELECT l_partkey, l_suppkey,
         |  CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sq100
         | FROM lineitem GROUP BY l_partkey, l_suppkey),
-        |w AS (
+        |w AS MATERIALIZED (
         | SELECT l_partkey, l_suppkey, sq100,
         |  CAST(SUM(sq100) OVER (PARTITION BY l_partkey) AS BIGINT) AS tot100,
         |  COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp
@@ -955,7 +992,7 @@ object SparkEntry {
         |FROM anc WHERE node < 64
         |GROUP BY node""".stripMargin,
     "q21_waiting_suppliers" ->
-      """WITH per AS (
+      """WITH per AS MATERIALIZED (
         | SELECT l_orderkey,
         |  COUNT(DISTINCT l_suppkey) AS n_supp,
         |  COUNT(DISTINCT CASE WHEN CAST(epoch(l_shipdate) AS BIGINT)
@@ -988,7 +1025,7 @@ object SparkEntry {
         |ON click, view, purchase, signup, error
         |INTO NAME event_type VALUE n""".stripMargin,
     "chunk_windows" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         | SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT)
         |   AS n_toks

@@ -18,8 +18,10 @@ package graft.functions
 object Exp2Kernel {
 
   /** C(j) = round(2^(1/2^(j+1)) · 2³⁰), j = 0..5 — HARDCODED integer
-    * literals (verified against 60-digit Decimal arithmetic in
-    * Exp2KernelSpec), not computed via Math.pow at init: a JVM whose
+    * literals (pinned against an independent StrictMath.pow recompute
+    * in OperatorsSpec's doremi-weights test — StrictMath is the
+    * platform-independent fdlibm reference, so the pin itself cannot
+    * drift across JVMs), not computed via Math.pow at init: a JVM whose
     * pow intrinsic differs by 1 ulp near a .5 rounding boundary would
     * otherwise bake a different table into the executors than the
     * oracle SQL carries, silently breaking the cross-engine

@@ -63,10 +63,17 @@ object PplGateStream {
     val cap = spark.conf
       .get("spark.graft.pplgate.maxModelEntries", DefaultMaxModelEntries.toString)
       .toLong
+    // cap + 1 must stay a valid Int LIMIT: a conf >= Int.MaxValue
+    // would silently clamp the probe to the cap itself and disable
+    // the over-cap detection (and a driver-side collect of 2^31 rows
+    // is never a sane gate model anyway) — reject it loudly instead.
+    require(
+      cap > 0 && cap < Int.MaxValue,
+      s"spark.graft.pplgate.maxModelEntries must be in (0, ${Int.MaxValue}): got $cap")
     val rows = graft.operators.TextOps
       .knModelForStream(spark, refDir)
       .select(col("bg_fp"), col("nll64"))
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+      .limit((cap + 1).toInt)
       .collect()
     if (rows.length > cap)
       throw new IllegalStateException(
