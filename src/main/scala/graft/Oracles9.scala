@@ -61,7 +61,7 @@ object Oracles9 {
        | qp2, qp3, nll64
        |FROM k3model ORDER BY qp3 DESC, u, v, w LIMIT 25""".stripMargin
 
-  private val kn3DocCtes: String =
+  private[graft] val kn3DocCtes: String =
     s"""$kn3Ctes,
        |k3doc AS (
        | SELECT doc_id, COUNT(*) AS n_trigrams, CAST(SUM(nll64) AS BIGINT) AS sum_nll64

@@ -282,6 +282,10 @@ object SparkEntry {
     "token_entropy_gate" -> TextOps.tokenEntropyGate,
     "selector_agreement" -> TextOps.selectorAgreement,
     "kn_order_gain" -> TextOps.knOrderGain,
+    "kn5_fit" -> TextOps.kn5Fit,
+    "kn4_doc_ppl" -> TextOps.kn4DocPpl,
+    "kn5_doc_ppl" -> TextOps.kn5DocPpl,
+    "kn_order_curve" -> TextOps.knOrderCurve,
     "wordpiece_fit" -> TextOps.wordpieceFitTable,
     "wordpiece_encode" -> TextOps.wordpieceEncode,
     "tokenizer_bakeoff" -> TextOps.tokenizerBakeoff,
@@ -879,13 +883,17 @@ object SparkEntry {
     "kn_doc_ppl" -> Oracles8.knDocPpl,
     "kn3_trigram_fit" -> Oracles9.kn3TrigramFit,
     "kn3_doc_ppl" -> Oracles9.kn3DocPpl,
-    "ppl_bucket_split" -> Oracles9.pplBucketSplit,
+    "ppl_bucket_split" -> Oracles10.pplBucketSplit,
     "dsir_bucket_model" -> Oracles9.dsirBucketModel,
     "dsir_doc_scores" -> Oracles9.dsirDocScores,
     "dsir_select" -> Oracles9.dsirSelect,
     "token_entropy_gate" -> Oracles9.tokenEntropyGate,
     "selector_agreement" -> Oracles9.selectorAgreement,
     "kn_order_gain" -> Oracles9.knOrderGain,
+    "kn5_fit" -> Oracles10.kn5Fit,
+    "kn4_doc_ppl" -> Oracles10.kn4DocPpl,
+    "kn5_doc_ppl" -> Oracles10.kn5DocPpl,
+    "kn_order_curve" -> Oracles10.knOrderCurve,
     "wordpiece_fit" -> Oracles8.wordpieceFit,
     "wordpiece_encode" -> Oracles8.wordpieceEncode,
     "tokenizer_bakeoff" -> Oracles8.tokenizerBakeoff,

@@ -5806,9 +5806,9 @@ object TextOps {
     * tail by LM perplexity tertiles (ntile(3) over avg_nll64, ties by
     * doc_id — head = most-typical third, the slice CCNet keeps first)
     * and report each bucket's size and mean quantized log-perplexity.
-    * Round 9 re-pointed the split at the TRIGRAM score ([[kn3DocPpl]]
-    * — the stronger LM, one order closer to CCNet's production 5-gram
-    * KenLM); round 10 moved the bucket assignment off the source-keyed
+    * Round 10 re-pointed the split at the 5-GRAM score ([[kn5DocPpl]]
+    * — the order CCNet's production KenLM actually runs) and moved
+    * the bucket assignment off the source-keyed
     * `ntile(3)` window (|sources| sort tasks — 1/6th of a
     * partition-less window, not a scale-safe plan) onto
     * [[RankOps.withGroupNtile]]'s range-partitioned composition,
@@ -5818,7 +5818,7 @@ object TextOps {
   def pplBucketSplit(spark: SparkSession, dir: String): DataFrame =
     RankOps
       .withGroupNtile(
-        kn3DocPpl(spark, dir),
+        kn5DocPpl(spark, dir),
         Seq(col("source")),
         3,
         "bucket",
@@ -5828,7 +5828,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("avg_nll64")).as("sum_avg_nll64"),
-        sum(col("n_trigrams")).as("n_trigrams")
+        sum(col("n_grams")).as("n_grams")
       )
       .select(
         col("source"),
@@ -5838,7 +5838,7 @@ object TextOps {
         col("n_docs"),
         col("sum_avg_nll64"),
         expr("sum_avg_nll64 DIV n_docs").as("mean_nll64"),
-        col("n_trigrams")
+        col("n_grams")
       )
 
   // ── Trigram Kneser-Ney with interpolated backoff (round-9 cont.) ──
@@ -6015,6 +6015,250 @@ object TextOps {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("sum_nll64"), lit(0L)).as("sum_nll64"),
         coalesce(expr("sum_nll64 DIV n_trigrams"), lit(0L)).as("avg_nll64")
+      )
+  }
+
+  // ── Order-N Kneser-Ney (round 10): the recursion made mechanical ──
+
+  /** Interpolated Kneser-Ney model of arbitrary ORDER `n` (D = 3/4) —
+    * [[kn3Model]]'s proven one-step qp-composition generalized, so
+    * order 5 (CCNet's production KenLM order) ships from the same
+    * recursion:
+    *
+    *   p_k(w|h) = (A_k(h,w)−D)/tot_k(h) + D·N1p_k(h)/tot_k(h)·p_{k−1}(w|h′)
+    *   p_1(w)   = A_1(w)/T_1
+    *
+    * with KenLM's adjusted counts: A_n = raw n-gram TYPE counts;
+    * A_k (k < n) = CONTINUATION counts — the distinct-left-extension
+    * tally over the level-(k+1) TYPE table; tot_k / N1p_k the
+    * per-history total and distinct-continuation count at level k.
+    * At n = 3 this is exactly [[kn3Model]]'s statistic set (A_2 =
+    * N1+(·vw), tot_2 = N1+(·v·), A_1 = N1+(··w), T_1 = T₂).
+    *
+    * Exactness — kn3's two-stage quantization applied level by level,
+    * both engines taking the SAME floors in the SAME order: qp₂
+    * collapses over the common denominator 4·tot₂·T₁ (products
+    * ≤ 4·tot₂·T₁·2⁵⁰ ≈ 10³⁶ at a 10¹⁰-type envelope); every higher
+    * level composes the QUANTIZED lower score,
+    * qp_k = ⌊((4·A_k−3)·2⁵⁰ + 3·N1p_k·qp_{k−1}) / (4·tot_k)⌋
+    * (numerator ≤ 4·10¹²·2⁵⁰ ≈ 10²⁸ — inside DECIMAL(38,0) headroom
+    * at EVERY level, which is exactly why the recursion composes
+    * quantized scores instead of one ever-growing rational).
+    * nll64 = 64·[[KnQpShift]] − c64(qp) via the codegen kernel.
+    * Per-level integer mass identities (Σ_w (4·A_k−3) =
+    * 4·tot_k − 3·N1p_k per history; Σ_w A_1 = T_1) and a full BigInt
+    * floor-composition recompute are spec-asserted at sf0.001.
+    *
+    * Plan shape at 100 TB: the corpus collapses ONCE to the n-gram
+    * TYPE table (map-side partial agg); each adjusted-count table is
+    * one groupBy of the level above (all TYPE-bounded, shrinking as k
+    * falls); level stats are history-keyed windows; T₁ broadcasts as
+    * a 1-row frame; each qp hookup is one suffix-keyed equi-join of
+    * two TYPE-bounded tables. Word positions ride as space-joined
+    * suffixes (`substring_index` — tokens contain no spaces by
+    * construction of [[tokens]]); the scorer joins by 60-bit md5
+    * fingerprint so gram strings never shuffle at corpus volume.
+    */
+  private[graft] def knNModel(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    require(n >= 3, s"knNModel ships orders >= 3 (order 2 is knModel): $n")
+    graft.functions.VectorExpressions.register(spark)
+    val types = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(n))
+        ).as("g")
+      )
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    // adjusted-count tables: aTab(n) = raw type counts; aTab(k) =
+    // distinct-left-extension counts over the level-(k+1) types
+    val aTab = scala.collection.mutable.Map(n -> types)
+    for (k <- (n - 1) to 2 by -1)
+      aTab(k) = aTab(k + 1)
+        .groupBy(substring_index(col("g"), " ", -k).as("g"))
+        .agg(count(lit(1)).as("cnt"))
+    def stats(k: Int): DataFrame = {
+      val wHist = Window.partitionBy(substring_index(col("g"), " ", k - 1))
+      aTab(k)
+        .withColumn("tot", sum(col("cnt")).over(wHist))
+        .withColumn("n1p", count(lit(1)).over(wHist))
+    }
+    val t1 = aTab(2).agg(count(lit(1)).as("t1_types"))
+    val qp2 = stats(2)
+      .withColumn(
+        "cont_w",
+        count(lit(1)).over(Window.partitionBy(substring_index(col("g"), " ", -1)))
+      )
+      .crossJoin(broadcast(t1))
+      .withColumn(
+        "qp",
+        expr(
+          s"""CAST(
+             | (CAST(4*cnt - 3 AS DECIMAL(38,0)) * t1_types
+             |  + CAST(3*n1p AS DECIMAL(38,0)) * cont_w)
+             | * CAST(${1L << KnQpShift} AS DECIMAL(38,0))
+             | DIV (CAST(4*tot AS DECIMAL(38,0)) * t1_types)
+             |AS BIGINT)""".stripMargin
+        )
+      )
+      .select(col("g"), col("qp"))
+    val qpN = (3 to n).foldLeft(qp2) { (prev, k) =>
+      stats(k)
+        .withColumn("sfx", substring_index(col("g"), " ", -(k - 1)))
+        .join(prev.select(col("g").as("sfx"), col("qp").as("qp_prev")), Seq("sfx"))
+        .withColumn(
+          "qp",
+          expr(
+            s"""CAST(
+               | (CAST(4*cnt - 3 AS DECIMAL(38,0))
+               |  * CAST(${1L << KnQpShift} AS DECIMAL(38,0))
+               |  + CAST(3*n1p AS DECIMAL(38,0)) * qp_prev)
+               | DIV CAST(4*tot AS DECIMAL(38,0))
+               |AS BIGINT)""".stripMargin
+          )
+        )
+        .select(col("g"), col("cnt"), col("tot"), col("n1p"), col("qp"))
+    }
+    qpN
+      .withColumn(
+        "nll64",
+        lit(64L * KnQpShift) - graft.functions.VectorExpressions.c64Log2(col("qp"))
+      )
+      .select(
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint").as("g_fp"),
+        col("g"),
+        col("cnt"),
+        col("tot"),
+        col("n1p"),
+        col("qp"),
+        col("nll64")
+      )
+  }
+
+  /** Session-memoized order-4 / order-5 models — n-gram-TYPE-bounded
+    * (Heaps-law), in the [[knModelArtifact]] sharing contract.
+    */
+  private def kn4ModelArtifact(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "kn4_model")(knNModel(spark, dir, 4))
+  private def kn5ModelArtifact(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.memo(spark, dir, "kn5_model")(knNModel(spark, dir, 5))
+
+  /** The 5-gram model's top transitions — the k-bounded fit readout:
+    * top 25 five-grams by quantized probability (ties by gram).
+    */
+  def kn5Fit(spark: SparkSession, dir: String): DataFrame =
+    kn5ModelArtifact(spark, dir)
+      .select(col("g"), col("cnt"), col("tot"), col("n1p"), col("qp"), col("nll64"))
+      .orderBy(col("qp").desc, col("g").asc)
+      .limit(25)
+
+  /** Per-document order-n KN perplexity — [[kn3DocPpl]]'s shape with
+    * the generic model: doc n-grams join the model by 60-bit
+    * fingerprint (every doc n-gram is in the model by construction),
+    * avg_nll64 is the per-gram floor-div mean, docs with < n tokens
+    * surface with zeros off the LEFT spine.
+    */
+  private def knNDocPpl(
+      spark: SparkSession,
+      dir: String,
+      n: Int,
+      model: DataFrame
+  ): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val perDoc = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.VectorExpressions
+            .wordNgrams(tokens(lower(col("text"))), lit(n))
+        ).as("g")
+      )
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint").as("g_fp")
+      )
+      .join(model.select(col("g_fp"), col("nll64")), Seq("g_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("nll64")).as("sum_nll64"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_nll64"), lit(0L)).as("sum_nll64"),
+        coalesce(expr("sum_nll64 DIV n_grams"), lit(0L)).as("avg_nll64")
+      )
+  }
+
+  def kn4DocPpl(spark: SparkSession, dir: String): DataFrame =
+    knNDocPpl(spark, dir, 4, kn4ModelArtifact(spark, dir))
+  def kn5DocPpl(spark: SparkSession, dir: String): DataFrame =
+    knNDocPpl(spark, dir, 5, kn5ModelArtifact(spark, dir))
+
+  /** The LM ORDER CURVE: per source, mean quantized log-perplexity at
+    * every model order 2..5 over the docs ALL FOUR models score
+    * (n_grams > 0 at order 5 ⟹ scorable at every lower order), plus
+    * each order's gain over the previous — [[knOrderGain]]'s 2-vs-3
+    * sheet extended to the full curve a pipeline owner reads before
+    * paying for the next order's model. Pure composition over the
+    * four memoized scoring passes: one doc_id-keyed 4-way join, one
+    * #sources aggregate computing all four sums, a structural stack
+    * unpivot of the bounded frame, and a (source, ord−1) self-join
+    * for the gains (no window — the frame is #sources x 4 rows).
+    */
+  def knOrderCurve(spark: SparkSession, dir: String): DataFrame = {
+    val base = knDocPpl(spark, dir)
+      .select(col("doc_id"), col("source"), col("avg_nll64").as("nll2"))
+      .join(
+        kn3DocPpl(spark, dir).select(col("doc_id"), col("avg_nll64").as("nll3")),
+        Seq("doc_id"))
+      .join(
+        kn4DocPpl(spark, dir).select(col("doc_id"), col("avg_nll64").as("nll4")),
+        Seq("doc_id"))
+      .join(
+        kn5DocPpl(spark, dir)
+          .filter(col("n_grams") > 0L)
+          .select(col("doc_id"), col("avg_nll64").as("nll5")),
+        Seq("doc_id"))
+    val curve = base
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nll2")).as("s2"),
+        sum(col("nll3")).as("s3"),
+        sum(col("nll4")).as("s4"),
+        sum(col("nll5")).as("s5")
+      )
+      .selectExpr(
+        "source",
+        "n_docs",
+        "stack(4, 2, s2 DIV n_docs, 3, s3 DIV n_docs, 4, s4 DIV n_docs," +
+          " 5, s5 DIV n_docs) AS (ord, mean_nll64)"
+      )
+      .select(col("source"), col("ord").cast("bigint").as("ord"),
+        col("n_docs"), col("mean_nll64"))
+    curve
+      .join(
+        curve.select(
+          col("source"),
+          (col("ord") + 1L).as("ord"),
+          col("mean_nll64").as("prev_mean")),
+        Seq("source", "ord"),
+        "left")
+      .select(
+        col("source"),
+        col("ord"),
+        col("n_docs"),
+        col("mean_nll64"),
+        coalesce(col("prev_mean") - col("mean_nll64"), lit(0L)).as("gain64")
       )
   }
 

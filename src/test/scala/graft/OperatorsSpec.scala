@@ -7437,9 +7437,135 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pplGot === pplExp)
     assert(pplExp.filter(_._3 > 0).forall(_._4 > 0))
 
-    // ppl_bucket_split (round-9 re-pointed at the trigram score) ==
-    // an ntile(3) fold over the same per-doc frame
-    val bucketExp = pplExp.toSeq.groupBy(_._2).flatMap { case (src, g) =>
+  }
+
+  test("order-N kneser-ney (4- and 5-gram) matches an exact BigInt ladder recompute " +
+    "with per-level mass identities") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq))
+    def sfxK(g: String, k: Int) = g.split(" ").takeRight(k).mkString(" ")
+    def hist(g: String, k: Int) = g.split(" ").take(k - 1).mkString(" ")
+    def lastW(g: String) = g.split(" ").last
+
+    // exact BigInt ladder for order n: returns (qp map at level n,
+    // (cnt, tot, n1p) maps at level n, per-doc gram lists)
+    def ladder(n: Int) = {
+      val docGs = docs.map { case (id, src, t) =>
+        (id, src,
+          (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" ")))
+      }
+      val cN = docGs.flatMap(_._3).groupBy(identity)
+        .map { case (g, o) => g -> o.length.toLong }
+      assert(cN.nonEmpty, s"no $n-grams at sf0.001")
+      var aTab = Map(n -> cN)
+      for (k <- (n - 1) to 2 by -1)
+        aTab += k -> aTab(k + 1).keys.toSeq.map(sfxK(_, k)).groupBy(identity)
+          .map { case (g, o) => g -> o.length.toLong }
+      def tots(k: Int) = aTab(k).groupBy { case (g, _) => hist(g, k) }
+        .map { case (h, m) => h -> m.values.sum }
+      def n1ps(k: Int) = aTab(k).groupBy { case (g, _) => hist(g, k) }
+        .map { case (h, m) => h -> m.size.toLong }
+      val t1 = aTab(2).size.toLong
+      val contW = aTab(2).keys.toSeq.map(lastW).groupBy(identity)
+        .map { case (w, o) => w -> o.length.toLong }
+      // level-1 mass: Σ_w A_1(w) = T_1
+      assert(contW.values.sum === t1)
+      // per-level mass identities: Σ_seen (4·A_k − 3) = 4·tot_k − 3·N1p_k
+      for (k <- 2 to n) {
+        val (tk, nk) = (tots(k), n1ps(k))
+        aTab(k).groupBy { case (g, _) => hist(g, k) }.foreach { case (h, m) =>
+          val seen = m.values.map(c => BigInt(4) * c - 3).sum
+          assert(seen === BigInt(4) * tk(h) - BigInt(3) * nk(h),
+            s"p$k mass != 1 for history '$h' (n=$n)")
+        }
+      }
+      val (tot2, n1p2) = (tots(2), n1ps(2))
+      val qp2 = aTab(2).map { case (g, c) =>
+        val h = hist(g, 2)
+        g -> ((((BigInt(4) * c - 3) * t1 + BigInt(3) * n1p2(h) * contW(lastW(g)))
+          << TextOps.KnQpShift) / (BigInt(4) * tot2(h) * t1)).toLong
+      }
+      val qpN = (3 to n).foldLeft(qp2) { (prev, k) =>
+        val (tk, nk) = (tots(k), n1ps(k))
+        aTab(k).map { case (g, c) =>
+          val h = hist(g, k)
+          g -> ((((BigInt(4) * c - 3) << TextOps.KnQpShift) +
+            BigInt(3) * nk(h) * prev(sfxK(g, k - 1))) / (BigInt(4) * tk(h))).toLong
+        }
+      }
+      qpN.foreach { case (g, q) =>
+        assert(q >= 1L && q <= (1L << TextOps.KnQpShift), s"qp$n domain: $g")
+      }
+      (qpN, cN, tots(n), n1ps(n), docGs)
+    }
+
+    // order 5: fit readout == top-25 of the recomputed ladder
+    val (qp5, c5, tot5, n1p5, docG5) = ladder(5)
+    def nll5(g: String) = 64L * TextOps.KnQpShift - TextOps.c64(qp5(g))
+    val fitExp = c5.keys.toSeq
+      .map(g => (g, c5(g), tot5(hist(g, 5)), n1p5(hist(g, 5)), qp5(g), nll5(g)))
+      .sortBy { case (g, _, _, _, q, _) => (-q, g) }
+      .take(25)
+    val fitGot = TextOps.kn5Fit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fitGot === fitExp)
+
+    // per-doc sheets at orders 4 and 5 == exact folds; <n-token docs
+    // surface with zeros
+    def pplExpOf(docGs: Seq[(Long, String, Seq[String])], nll: String => Long) =
+      docGs.map { case (id, src, gs) =>
+        val sum = gs.map(nll).sum
+        (id, src, gs.length.toLong, sum, if (gs.nonEmpty) sum / gs.length else 0L)
+      }.toSet
+    val ppl5Exp = pplExpOf(docG5, nll5)
+    val ppl5Got = TextOps.kn5DocPpl(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(ppl5Got === ppl5Exp)
+
+    val (qp4, _, _, _, docG4) = ladder(4)
+    def nll4(g: String) = 64L * TextOps.KnQpShift - TextOps.c64(qp4(g))
+    val ppl4Got = TextOps.kn4DocPpl(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(ppl4Got === pplExpOf(docG4, nll4))
+
+    // kn_order_curve == the fold of the four per-doc sheets over the
+    // order-5-scorable docs (orders 2/3 sheets proven by their own
+    // recompute specs)
+    def sheet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(4))).toMap
+    val s2 = sheet(TextOps.knDocPpl(spark, Sf0001))
+    val s3 = sheet(TextOps.kn3DocPpl(spark, Sf0001))
+    val s4 = sheet(TextOps.kn4DocPpl(spark, Sf0001))
+    val s5 = sheet(TextOps.kn5DocPpl(spark, Sf0001))
+    val scorable = s5.filter(_._2._2 > 0L).keys.toSeq
+    val curveExp = scorable.groupBy(id => s5(id)._1).flatMap { case (src, ids) =>
+      val n = ids.length.toLong
+      val means = Seq(2L -> s2, 3L -> s3, 4L -> s4, 5L -> s5)
+        .map { case (o, sh) => o -> ids.map(sh(_)._3).sum / n }
+      means.map { case (o, m) =>
+        val gain = means.toMap.get(o - 1).map(_ - m).getOrElse(0L)
+        (src, o, n, m, gain)
+      }
+    }.toSet
+    val curveGot = TextOps.knOrderCurve(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(curveGot === curveExp)
+    // longer context never hurts on average here: the curve is
+    // monotone non-increasing in order for every source
+    curveExp.groupBy(_._1).foreach { case (src, rows) =>
+      val m = rows.map(t => t._2 -> t._4).toMap
+      assert(m(2) >= m(3) && m(3) >= m(4) && m(4) >= m(5), s"curve not monotone for $src")
+    }
+
+    // ppl_bucket_split (round-10 re-pointed at the 5-gram score) ==
+    // an ntile(3) fold over the order-5 per-doc frame
+    val bucketExp = ppl5Exp.toSeq.groupBy(_._2).flatMap { case (src, g) =>
       val sorted = g.sortBy(t => (t._5, t._1))
       val n = sorted.length
       val base = n / 3

@@ -795,6 +795,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no fp equi-join in kn3_doc_ppl:\n$p")
   }
 
+  test("order-5 KN: T1 broadcast, suffix equi-joins, c64 codegen, fp-joined scorer, " +
+    "shrinking type tables") {
+    val mp = planOf(TextOps.knNModel(spark, Sf0001, 5))
+    // the 1-row T1 total joins as a broadcast
+    assert(mp.contains("BroadcastNestedLoopJoin") || mp.contains("BroadcastExchange"),
+      s"kn5 totals not broadcast:\n$mp")
+    assert(!mp.contains("CartesianProduct"), s"kn5 model plans a cartesian:\n$mp")
+    // every qp hookup (q3..q5) is a suffix-keyed equi join of two
+    // TYPE-bounded frames — hash/merge joins, never a loop
+    assert(mp.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")) >= 3,
+      s"missing suffix equi-joins in kn5 model:\n$mp")
+    val c64Line = mp.linesIterator.find(_.contains("c64_log2(")).getOrElse("")
+    assert(c64Line.nonEmpty, "kn5 model lost the c64_log2 kernel")
+    assert(c64Line.trim.stripPrefix("+- ").startsWith("*("),
+      s"c64_log2 projection not codegen: $c64Line")
+    val p = planOf(TextOps.kn5DocPpl(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"), s"kn5_doc_ppl plans a cartesian:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("g_fp")),
+      s"no fp equi-join in kn5_doc_ppl:\n$p")
+  }
+
   test("dsir: lambda table broadcasts to the scorer; selection window is source-keyed") {
     val lp = planOf(TextOps.dsirLambdaBuild(spark, Sf0001))
     assert(!lp.contains("CartesianProduct"), s"dsir lambda plans a cartesian:\n$lp")
