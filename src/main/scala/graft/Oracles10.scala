@@ -134,6 +134,68 @@ object Oracles10 {
        | CAST(SUM(n_grams) AS BIGINT) AS n_grams
        |FROM kb5 GROUP BY source, bucket""".stripMargin
 
+  // ── DSIR global Gumbel selection twins ────────────────────────────
+
+  /** Mirrors TextOps.dsirGumbelKeys + the global ranking: the 60-bit
+    * md5 coin, e64 = 3840 − c64(coin+1) and g64 = 384 − c64(max(e64,1))
+    * through two unrolled c64 chains (the second over ≤ 3841 distinct
+    * values), key64 = score64 + g64, one global ROW_NUMBER.
+    */
+  private val gumbelCtes: String =
+    s"""gco AS MATERIALIZED (SELECT doc_id, source, score64,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+       |   AS BIGINT) AS coin
+       | FROM dps),
+       |gcv AS (SELECT DISTINCT coin + 1 AS v FROM gco),
+       |${Oracles8.c64ValChain("gcv", "gc")},
+       |ge1 AS MATERIALIZED (SELECT g.doc_id, g.source, g.score64,
+       |  ${64L * 60} - c.c64 AS e64
+       | FROM gco g JOIN c64v_gc c ON c.v = g.coin + 1),
+       |gev AS (SELECT DISTINCT greatest(e64, 1) AS v FROM ge1),
+       |${Oracles8.c64ValChain("gev", "ge")},
+       |gk AS MATERIALIZED (SELECT g.doc_id, g.source, g.score64,
+       |  g.score64 + ${64L * 6} - c.c64 AS key64
+       | FROM ge1 g JOIN c64v_ge c ON c.v = greatest(g.e64, 1)),
+       |grk AS MATERIALIZED (SELECT *,
+       |  ROW_NUMBER() OVER (ORDER BY key64 DESC, doc_id ASC) AS rn,
+       |  COUNT(*) OVER () AS n_all
+       | FROM gk)""".stripMargin
+
+  val dsirSelectGlobal: String = {
+    val kd = graft.operators.TextOps.DsirKeepDiv
+    s"""WITH ${Oracles9.dsirScoreCtes},
+       |$gumbelCtes
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_all THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(CAST(SUM(CASE WHEN rn * $kd <= n_all THEN 1 ELSE 0 END) AS HUGEINT)
+       |      * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_all THEN score64 ELSE 0 END) AS BIGINT)
+       |   AS kept_score64,
+       | CAST(COALESCE(MIN(CASE WHEN rn * $kd <= n_all THEN key64 END), 0) AS BIGINT)
+       |   AS min_kept_key64
+       |FROM grk GROUP BY source""".stripMargin
+  }
+
+  val dsirSelectAgreement: String = {
+    val kd = graft.operators.TextOps.DsirKeepDiv
+    s"""WITH ${Oracles9.dsirScoreCtes},
+       |$gumbelCtes,
+       |srk AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score64 DESC, doc_id ASC) AS rn_s,
+       |  COUNT(*) OVER (PARTITION BY source) AS n_src
+       | FROM grk)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_all AND rn_s * $kd <= n_src
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       | CAST(SUM(CASE WHEN rn * $kd <= n_all AND NOT rn_s * $kd <= n_src
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_global_only,
+       | CAST(SUM(CASE WHEN NOT rn * $kd <= n_all AND rn_s * $kd <= n_src
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_strat_only,
+       | CAST(SUM(CASE WHEN NOT rn * $kd <= n_all AND NOT rn_s * $kd <= n_src
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |FROM srk GROUP BY source""".stripMargin
+  }
+
   /** Mirrors TextOps.knOrderCurve: the four per-doc sheets joined on
     * the docs order 5 scores, per-source exact floor-div means at
     * every order, gains via the (source, ord−1) self-join.

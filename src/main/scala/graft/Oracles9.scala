@@ -130,7 +130,7 @@ object Oracles9 {
        |SELECT bucket, t_cnt, r_cnt, lam64 FROM dlam
        |ORDER BY lam64 DESC, bucket LIMIT 25""".stripMargin
 
-  private val dsirScoreCtes: String =
+  private[graft] val dsirScoreCtes: String =
     s"""$dsirCtes,
        |dsc AS (SELECT doc_id, COUNT(*) AS n_grams,
        |        CAST(SUM(lam64) AS BIGINT) AS score64

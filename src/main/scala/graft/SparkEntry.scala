@@ -279,6 +279,8 @@ object SparkEntry {
     "dsir_bucket_model" -> TextOps.dsirBucketModel,
     "dsir_doc_scores" -> TextOps.dsirDocScores,
     "dsir_select" -> TextOps.dsirSelect,
+    "dsir_select_global" -> TextOps.dsirSelectGlobal,
+    "dsir_select_agreement" -> TextOps.dsirSelectAgreement,
     "token_entropy_gate" -> TextOps.tokenEntropyGate,
     "selector_agreement" -> TextOps.selectorAgreement,
     "kn_order_gain" -> TextOps.knOrderGain,
@@ -887,6 +889,8 @@ object SparkEntry {
     "dsir_bucket_model" -> Oracles9.dsirBucketModel,
     "dsir_doc_scores" -> Oracles9.dsirDocScores,
     "dsir_select" -> Oracles9.dsirSelect,
+    "dsir_select_global" -> Oracles10.dsirSelectGlobal,
+    "dsir_select_agreement" -> Oracles10.dsirSelectAgreement,
     "token_entropy_gate" -> Oracles9.tokenEntropyGate,
     "selector_agreement" -> Oracles9.selectorAgreement,
     "kn_order_gain" -> Oracles9.knOrderGain,

@@ -6470,6 +6470,116 @@ object TextOps {
       )
   }
 
+  /** The md5-coin GUMBEL race key for the paper-faithful global
+    * selection, in exact 1/64-bit units: Gumbel-top-k keeps the top k
+    * of key_i = log₂ w_i + G_i with G_i = −log₂(−log₂ U_i) — a
+    * weighted sample without replacement with P(i ∈ top-k) the
+    * paper's importance-resampling inclusion law. Here log₂ w_i IS
+    * score64 (already 64·log₂ units), U_i = (coin+1)/2⁶⁰ with coin
+    * the doc's 60-bit md5 (the [[weightedSample]] determinism
+    * discipline — any engine reproduces the draw), and both logs run
+    * through the integer `c64_log2` kernel:
+    * e64 = 3840 − c64(coin+1) (= ⌈−64·log₂U⌉ ≥ 0), g64 = 384 −
+    * c64(max(e64, 1)) (= 64·(6 − log₂ e64), the max-clamp covers the
+    * probability-2⁻⁶⁰ coin = 2⁶⁰−1 edge where e64 = 0). Base-2
+    * everywhere: the race w_i/(−log₂U_i) differs from the classic
+    * w_i/(−ln U_i) by the constant ln 2 in every denominator, which
+    * cancels in the argmax law. Quantization to 1/64 bits makes
+    * near-ties deterministic (broken by doc_id) — the documented
+    * price of a bit-stable cross-engine draw.
+    */
+  private def dsirGumbelKeys(df: DataFrame): DataFrame = {
+    val c64 = graft.functions.VectorExpressions.c64Log2 _
+    df.withColumn(
+        "coin",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("e64", lit(64L * 60) - c64(col("coin") + lit(1L)))
+      .withColumn("g64", lit(64L * 6) - c64(greatest(col("e64"), lit(1L))))
+      .withColumn("key64", col("score64") + col("g64"))
+  }
+
+  /** Paper-faithful DSIR selection: ONE global Gumbel top-⌊N/5⌋ over
+    * the perturbed importance scores (Xie et al.'s resampling draw),
+    * next to [[dsirSelect]]'s stratified sheet — the two selection
+    * policies a pipeline owner weighs (global = exactly the paper's
+    * inclusion law; stratified = source balance preserved). Per
+    * source: docs, globally-kept count/ppm, kept importance mass, and
+    * the source's min kept race key (0 when none kept).
+    *
+    * Scale: [[dsirDocScores]] is scan-bound; the perturbation is a
+    * per-row map (c64 codegen); the GLOBAL ranking runs through
+    * [[RankOps.withGroupRankAndCount]] with a constant group — the
+    * range-partitioned composition, never a partition-less window —
+    * and N rides the same ledger (no second corpus pass).
+    */
+  def dsirSelectGlobal(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    RankOps
+      .withGroupRankAndCount(
+        dsirGumbelKeys(dsirDocScores(spark, dir)),
+        Seq(lit(1)),
+        "rn",
+        "n_all",
+        Seq(col("key64").desc, col("doc_id").asc)
+      )
+      .withColumn("sel", col("rn") * DsirKeepDiv <= col("n_all"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("sel"), col("score64")).otherwise(0L)).as("kept_score64"),
+        coalesce(min(when(col("sel"), col("key64"))), lit(0L)).as("min_kept_key64")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_kept"),
+        expr("CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+          .as("kept_ppm"),
+        col("kept_score64"),
+        col("min_kept_key64")
+      )
+  }
+
+  /** The 2x2 agreement sheet between the two DSIR selection policies
+    * — per source, how many docs the global Gumbel draw and the
+    * stratified top-20% both keep / each keeps alone / neither keeps.
+    * THE readout for "does stratification actually change the
+    * selection here, and where": a source whose global-only column is
+    * large is being over-sampled by the raw importance mass relative
+    * to its quota. Composition: one scored frame, one grouped ranking
+    * per policy (both RankOps compositions), one #sources aggregate.
+    */
+  def dsirSelectAgreement(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val strat = RankOps
+      .withGroupRankAndCount(
+        dsirGumbelKeys(dsirDocScores(spark, dir)),
+        Seq(col("source")),
+        "rn_s",
+        "n_src",
+        Seq(col("score64").desc, col("doc_id").asc)
+      )
+      .withColumn("sel_s", col("rn_s") * DsirKeepDiv <= col("n_src"))
+    RankOps
+      .withGroupRankAndCount(
+        strat,
+        Seq(lit(1)),
+        "rn_g",
+        "n_all",
+        Seq(col("key64").desc, col("doc_id").asc)
+      )
+      .withColumn("sel_g", col("rn_g") * DsirKeepDiv <= col("n_all"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel_g") && col("sel_s"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("sel_g") && !col("sel_s"), 1L).otherwise(0L)).as("n_global_only"),
+        sum(when(!col("sel_g") && col("sel_s"), 1L).otherwise(0L)).as("n_strat_only"),
+        sum(when(!col("sel_g") && !col("sel_s"), 1L).otherwise(0L)).as("n_neither")
+      )
+  }
+
   // ── Exact integer token entropy (the c64 upgrade) ─────────────────
 
   /** Low-entropy threshold: 2 bits (128 in 1/64-bit units) — below it

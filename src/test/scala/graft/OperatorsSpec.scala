@@ -7982,6 +7982,49 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
     assert(selGot === selExp)
+
+    // global Gumbel top-⌊N/5⌋ (round 10): the md5-coin race in exact
+    // c64 units — base-2 Gumbel key = score64 + 384 − c64(max(e64,1)),
+    // e64 = 3840 − c64(coin+1)
+    val keyed = scoreExp.toSeq.map { case (id, src, _, s64) =>
+      val coin = h60(id.toString)
+      val e64 = 64L * 60 - TextOps.c64(coin + 1)
+      val g64 = 64L * 6 - TextOps.c64(math.max(e64, 1L))
+      (id, src, s64, s64 + g64)
+    }
+    val keptGSet = keyed.sortBy(t => (-t._4, t._1))
+      .take(keyed.size / TextOps.DsirKeepDiv.toInt).map(_._1).toSet
+    val globExp = keyed.groupBy(_._2).map { case (src, g) =>
+      val kept = g.filter(t => keptGSet(t._1))
+      (src, g.size.toLong, kept.size.toLong,
+        (BigInt(kept.size) * 1000000 / g.size).toLong,
+        kept.map(_._3).sum, if (kept.nonEmpty) kept.map(_._4).min else 0L)
+    }.toSet
+    val globGot = TextOps.dsirSelectGlobal(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(globGot === globExp)
+    // the draw is a real sample: both policies keep exactly ⌊·/5⌋
+    assert(keptGSet.size === keyed.size / TextOps.DsirKeepDiv.toInt)
+
+    // agreement 2x2 partitions every source's docs across the policies
+    val stratKept = scoreExp.toSeq.groupBy(_._2).flatMap { case (_, g) =>
+      g.toSeq.sortBy(t => (-t._4, t._1))
+        .take(g.size / TextOps.DsirKeepDiv.toInt).map(_._1)
+    }.toSet
+    val agreeExp = keyed.groupBy(_._2).map { case (src, g) =>
+      def cnt(p: ((Long, String, Long, Long)) => Boolean) = g.count(p).toLong
+      (src, g.size.toLong,
+        cnt(t => keptGSet(t._1) && stratKept(t._1)),
+        cnt(t => keptGSet(t._1) && !stratKept(t._1)),
+        cnt(t => !keptGSet(t._1) && stratKept(t._1)),
+        cnt(t => !keptGSet(t._1) && !stratKept(t._1)))
+    }.toSet
+    val agreeGot = TextOps.dsirSelectAgreement(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(agreeGot === agreeExp)
+    agreeExp.foreach { case (_, n, a, b, c, d) => assert(a + b + c + d === n) }
   }
 
   test("kn order gain: the bigram-vs-trigram sheet folds exactly from the two per-doc sheets") {
