@@ -1388,6 +1388,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dsir selection gate: sliced ingest == the batch threshold filter") {
+    // threshold-mode enforcement of the batch dsir_select policy:
+    // keep iff score64 >= the source's batch-fit acceptance threshold
+    // (ties at the boundary all pass — the order-free per-row form of
+    // the quota); sources without a fitted policy reject
+    val tmp = java.nio.file.Files.createTempDirectory("dsirsel-stream").toString
+    val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
+    (0 to 2).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1).write.parquet(s"$tmp/b$k")
+      val src = new java.io.File(s"$tmp/b$k").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        src.toPath, java.nio.file.Paths.get(tmp, s"b$k.parquet"))
+      new java.io.File(s"$tmp/b$k").listFiles().foreach(_.delete())
+      new java.io.File(s"$tmp/b$k").delete()
+    }
+    val q = graft.streaming.DsirSelectStream
+      .kept(spark, tmp, Sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsirsel_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      }.toSet
+      val streamed = key(spark.table("dsirsel_stream").collect())
+      val th = graft.streaming.DsirSelectStream.thresholdIndex(spark, Sf0001)
+      assert(th.nonEmpty)
+      val batch = key(graft.operators.TextOps.dsirDocScores(spark, Sf0001).collect())
+        .filter(t => th.get(t._2).exists(t._4 >= _))
+      assert(streamed === batch)
+      // a real gate: something passes, something is rejected, and the
+      // batch rank-quota kept set is a subset of the threshold pass
+      val all = key(graft.operators.TextOps.dsirDocScores(spark, Sf0001).collect())
+      assert(streamed.nonEmpty && streamed.size < all.size)
+      val quota = graft.operators.TextOps.dsirSelect(spark, Sf0001).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      streamed.groupBy(_._2).foreach { case (src, g) =>
+        assert(g.size >= quota(src).toInt, s"threshold pass under quota for $src")
+      }
+    } finally q.stop()
+  }
+
   test("streaming entropy gate: sliced ingest == per-doc c64 entropy, folds to the batch sheet") {
     val tmp = java.nio.file.Files.createTempDirectory("entgate-stream").toString
     val docs = graft.operators.Tables.documents(spark, Sf0001).localCheckpoint()
