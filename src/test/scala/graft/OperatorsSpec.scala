@@ -8143,6 +8143,36 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("round-10 additions and grouped-RankOps rewrites are partition-invariant: " +
+    "parallelism 2 vs 16") {
+    // the grouped-RankOps ledgers range-partition on the shuffle
+    // parallelism, so the rewritten queries are exactly the ones that
+    // could bake a partition count into a rank/ntile/cumsum; the
+    // order-N KN ladder and the Gumbel global rank join them
+    val names = Seq("typo_pairs", "dsir_select", "dsir_select_global",
+      "dsir_select_agreement", "selector_agreement", "ppl_bucket_split",
+      "seq_packing", "pack_offsets", "padding_waste",
+      "kn5_fit", "kn4_doc_ppl", "kn5_doc_ppl", "kn_order_curve")
+    def run(): Map[String, Set[String]] = {
+      graft.operators.Artifacts.clear()
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, Sf0001).collect().map(_.toString).toSet
+      }.toMap
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r2 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val r16 = run()
+      names.foreach(n => assert(r2(n) === r16(n), s"query $n partition-sensitive"))
+      assert(r2.values.forall(_.nonEmpty))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      graft.operators.Artifacts.clear()
+    }
+  }
+
   test("round-9 additions are partition-invariant: parallelism 2 vs 16") {
     // artifacts memoize per session, so force fresh builds per setting
     // by dropping the registry between runs
