@@ -196,6 +196,49 @@ object Oracles10 {
        |FROM srk GROUP BY source""".stripMargin
   }
 
+  /** Mirrors TextOps.weightedSampleAes: the 60-bit coin, e64 through
+    * the unrolled c64 chain, the fixed-point A-ES race key
+    * ⌊e64·2²⁰/(n_chars+1)⌋, rank-5 per source.
+    */
+  val weightedSampleAes: String =
+    s"""WITH wac AS MATERIALIZED (SELECT source, doc_id, n_chars,
+       |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+       |   AS BIGINT) AS coin
+       | FROM documents),
+       |wav AS (SELECT DISTINCT coin + 1 AS v FROM wac),
+       |${Oracles8.c64ValChain("wav", "wa")},
+       |wak AS MATERIALIZED (SELECT w.source, w.doc_id, w.n_chars,
+       |  (${64L * 60} - c.c64) * 1048576 // (w.n_chars + 1) AS priority
+       | FROM wac w JOIN c64v_wa c ON c.v = w.coin + 1)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, priority
+       |FROM (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rank
+       | FROM wak)
+       |WHERE rank <= ${graft.operators.TextOps.SampleK}""".stripMargin
+
+  /** Mirrors TextOps.typoRewrite: the V² typo-pair oracle (ONE
+    * definition of the dist ≤ 2 truth — Oracles2.typoPairs) joined to
+    * corpus type counts, strictly-heavier candidates only, top-1 per
+    * token by (count desc, dist asc, candidate asc).
+    */
+  val typoRewrite: String =
+    s"""WITH trp AS MATERIALIZED (
+       | SELECT token_a, token_b, dist FROM (${Oracles2.typoPairs}) tq),
+       |trt AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+       |          t -> t <> '')) AS token FROM documents),
+       |trc AS MATERIALIZED (SELECT token, COUNT(*) AS cnt FROM trt
+       |       WHERE length(token) >= 4 GROUP BY token),
+       |trd AS (SELECT token_a AS token, token_b AS cand, dist FROM trp
+       |        UNION ALL SELECT token_b, token_a, dist FROM trp),
+       |trj AS (SELECT d.token, t1.cnt, d.cand, t2.cnt AS canon_cnt, d.dist
+       |        FROM trd d JOIN trc t1 ON t1.token = d.token
+       |         JOIN trc t2 ON t2.token = d.cand
+       |        WHERE t2.cnt > t1.cnt)
+       |SELECT token, cnt, cand AS canon, canon_cnt, dist
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+       |        ORDER BY canon_cnt DESC, dist ASC, cand ASC) AS rn FROM trj)
+       |WHERE rn = 1""".stripMargin
+
   /** Mirrors TextOps.knOrderCurve: the four per-doc sheets joined on
     * the docs order 5 scores, per-source exact floor-div means at
     * every order, gains via the (source, ord−1) self-join.

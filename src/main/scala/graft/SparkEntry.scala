@@ -104,6 +104,8 @@ object SparkEntry {
     "oov_rate" -> TextOps.oovRate,
     "bigram_transitions" -> TextOps.bigramTransitions,
     "typo_pairs" -> TextOps.typoPairs,
+    "typo_rewrite" -> TextOps.typoRewrite,
+    "weighted_sample_aes" -> TextOps.weightedSampleAes,
     "seq_packing" -> TextOps.seqPacking,
     "pmi_pairs" -> TextOps.pmiPairs,
     "bpe_merges" -> TextOps.bpeMerges,
@@ -1115,6 +1117,8 @@ object SparkEntry {
     "price_histogram" -> Oracles2.priceHistogram,
     "window_rank_suite" -> Oracles2.rankSuite,
     "typo_pairs" -> Oracles2.typoPairs,
+    "typo_rewrite" -> Oracles10.typoRewrite,
+    "weighted_sample_aes" -> Oracles10.weightedSampleAes,
     "dedup_exact" -> Oracles2.dedupExact,
     "tfidf_top_terms" -> Oracles2.tfidfTopTerms,
     "weekly_retention" -> Oracles2.weeklyRetention,

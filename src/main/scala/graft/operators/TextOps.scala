@@ -982,6 +982,53 @@ object TextOps {
       .filter(col("dist") >= 1 && col("dist") <= 2)
   }
 
+  /** Spelling CANONICALIZATION map — the cleaning-pipeline step that
+    * APPLIES [[typoPairs]]: each ≥4-char type rewrites to its most
+    * frequent edit-distance-≤2 neighbor when that neighbor is
+    * STRICTLY more frequent (ties never rewrite, so the map cannot
+    * flap between equal-count variants and canonical forms are fixed
+    * points — their best neighbor is never strictly heavier than
+    * every token they absorb... they simply have no heavier
+    * neighbor). Selection per token: heaviest candidate first, then
+    * nearest (dist asc), then lexicographic — one deterministic
+    * winner per engine.
+    *
+    * Scale: candidates are [[typoPairs]]' SymSpell deletion join
+    * (never V²); counts are one map-side-combined token agg; the
+    * winner is a token-keyed top-1 window — VOCABULARY-keyed (high
+    * cardinality, each group a handful of candidates), which is the
+    * partitioning regime where a plain window IS the scale-safe plan,
+    * and WindowGroupLimit prunes to 1 row per token before the
+    * exchange.
+    */
+  def typoRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) >= 4)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = typoPairs(spark, dir)
+    val directed = pairs
+      .select(col("token_a").as("token"), col("token_b").as("cand"), col("dist"))
+      .unionAll(
+        pairs.select(col("token_b").as("token"), col("token_a").as("cand"), col("dist")))
+    val w = Window
+      .partitionBy(col("token"))
+      .orderBy(col("canon_cnt").desc, col("dist").asc, col("cand").asc)
+    directed
+      .join(counts, Seq("token"))
+      .join(
+        counts.select(col("token").as("cand"), col("cnt").as("canon_cnt")),
+        Seq("cand"))
+      .filter(col("canon_cnt") > col("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("token"), col("cnt"), col("cand").as("canon"),
+        col("canon_cnt"), col("dist"))
+  }
+
   /** Docs kept per source by the stratified sampler. */
   val StratifiedK = 10
 
@@ -3134,6 +3181,46 @@ object TextOps {
 
   private val coinSql =
     "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+  /** The A-ES-CALIBRATED twin [[weightedSample]]'s scaladoc names as
+    * the missing variant (round 10, unlocked by the c64 Gumbel
+    * toolkit): Efraimidis–Spirakis weighted sampling without
+    * replacement ranks by u^(1/w), equivalently keeps the k SMALLEST
+    * (−ln u)/w. Here u = (coin+1)/2⁶⁰ from the doc's 60-bit md5 coin,
+    * e64 = 3840 − c64(coin+1) quantizes −64·log₂ u through the
+    * integer kernel, and the race key is the fixed-point
+    * priority = ⌊e64·2²⁰ / w⌋ with w = n_chars + 1 — the ln→log₂
+    * constant scales every key identically and cancels in the
+    * per-source ranking, so inclusion probabilities now MATCH A-ES
+    * (P(i wins) ∝ w_i pairwise) up to the 1/64-bit log quantization
+    * and the 2²⁰ fixed point; both engines take the same floors, ties
+    * break by doc_id. e64 = 0 (the probability-2⁻⁶⁰ max coin) needs
+    * no clamp — key 0 just wins its source, deterministically.
+    *
+    * Scale: one scan, the same per-source rank-5 WindowGroupLimit
+    * prune as [[weightedSample]].
+    */
+  def weightedSampleAes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val c64 = graft.functions.VectorExpressions.c64Log2 _
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint").as("coin")
+      )
+      .withColumn("e64", lit(64L * 60) - c64(col("coin") + lit(1L)))
+      .withColumn("priority", expr("e64 * 1048576 DIV (n_chars + 1)"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= SampleK)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"), col("priority"))
+  }
 
   /** Keyness terms per language — which tokens are OVER-represented
     * in one slice vs the rest of the corpus (the Fightin'-Words /

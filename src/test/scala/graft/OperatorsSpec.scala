@@ -4497,6 +4497,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean * 0.8)
   }
 
+  test("weighted sample A-ES twin: exact c64-race recompute, calibrated key shape") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def coin60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def prio(id: Long, nChars: Long): Long =
+      (64L * 60 - TextOps.c64(coin60(id) + 1)) * 1048576L / (nChars + 1)
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._1, d._3, prio(d._1, d._3)))
+        .sortBy(x => (x._4, x._2))
+        .take(TextOps.SampleK)
+        .zipWithIndex
+        .map { case ((s, id, nc, pr), i) => (s, i + 1L) -> (id, nc, pr) }
+    }.toMap
+    val rows = TextOps.weightedSampleAes(spark, Sf0001).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (id, nc, pr) = want((r.getString(0), r.getAs[Long]("rank")))
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Long]("n_chars") === nc)
+      assert(r.getAs[Long]("priority") === pr)
+    }
+    // A-ES calibration shape: for a FIXED coin the key is non-increasing
+    // in the weight (heavier docs race lower), and the e64 quantization
+    // is the only deviation from -ln(u)/w ranking: the integer key
+    // ordering matches the exact rational e64/(w) ordering wherever the
+    // fixed point does not tie
+    val e = 64L * 60 - TextOps.c64(coin60(docs.head._1) + 1)
+    val keys = Seq(1L, 10L, 100L, 1000L).map(w => e * 1048576L / (w + 1))
+    assert(keys === keys.sorted.reverse)
+    // the sampled docs skew long under A-ES too
+    val sampledMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean * 0.8)
+  }
+
+  test("typo rewrite: canonicalization map matches a brute V2 + counts recompute") {
+    val toks = Tables.documents(spark, Sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}]+").filter(_.length >= 4))
+    val cnt = toks.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val vocab = cnt.keys.toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp = vocab.flatMap { t =>
+      val cands = vocab.filter(c => c != t && cnt(c) > cnt(t))
+        .map(c => (c, lev(t, c))).filter(x => x._2 >= 1 && x._2 <= 2)
+      if (cands.isEmpty) None
+      else {
+        val (c, d) = cands.minBy { case (c, d) => (-cnt(c), d, c) }
+        Some((t, cnt(t), c, cnt(c), d.toLong))
+      }
+    }.toSet
+    val got = TextOps.typoRewrite(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+    // canonical targets are strictly heavier and never self-map
+    got.foreach { case (t, c0, canon, c1, d) =>
+      assert(c1 > c0 && canon != t && d >= 1 && d <= 2)
+    }
+  }
+
   test("ngram dup rate: exact sliding-8-gram recompute per source") {
     val docs = Tables.documents(spark, Sf0001).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -8149,7 +8222,8 @@ class OperatorsSpec extends AnyFunSuite {
     // parallelism, so the rewritten queries are exactly the ones that
     // could bake a partition count into a rank/ntile/cumsum; the
     // order-N KN ladder and the Gumbel global rank join them
-    val names = Seq("typo_pairs", "dsir_select", "dsir_select_global",
+    val names = Seq("typo_pairs", "typo_rewrite", "weighted_sample_aes",
+      "dsir_select", "dsir_select_global",
       "dsir_select_agreement", "selector_agreement", "ppl_bucket_split",
       "seq_packing", "pack_offsets", "padding_waste",
       "kn5_fit", "kn4_doc_ppl", "kn5_doc_ppl", "kn_order_curve")
